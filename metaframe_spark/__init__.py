@@ -1,0 +1,33 @@
+"""metaframe_spark — a PySpark-native, metadata-propagating analytics engine.
+
+Capability-parity rebuild of ``invent-analytics/metaframe`` (SURVEY.md) plus
+LLM-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) designed for 100 TB scale.
+
+Lazy exports (PEP 562), mirroring the reference's lazy module
+``__getattr__`` (``/root/reference/metaframe/__init__.py:6-12``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+__version__ = "0.1.0"
+
+_EXPORTS = {
+    "MetaFrame": ("metaframe_spark.core", "MetaFrame"),
+    "MetaWriter": ("metaframe_spark.core", "MetaWriter"),
+    "get_session": ("metaframe_spark.session", "get_session"),
+    "read_parquet": ("metaframe_spark.io", "read_parquet"),
+    "load_table": ("metaframe_spark.io", "load_table"),
+    "wrap": ("metaframe_spark.io", "wrap"),
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in _EXPORTS:
+        import importlib
+
+        module, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'metaframe_spark' has no attribute '{name}'")

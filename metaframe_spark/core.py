@@ -1,0 +1,484 @@
+"""MetaFrame — a metadata-propagating wrapper around ``pyspark.sql.DataFrame``.
+
+Reproduces (Spark-first, from scratch) the capability surface of the reference
+``invent-analytics/metaframe`` (see ``/root/reference/metaframe/metaframe.py:1-197``
+and SURVEY.md §1-§2):
+
+* a free-form, frame-level ``metadata`` dict that survives DataFrame
+  transformations (reference: ``metaframe.py:111-117``);
+* automatic primary-key inference for the row-uniqueness operations
+  ``groupBy``/``groupby``/``dropDuplicates``/``drop_duplicates``/``distinct``
+  (reference: ``metaframe.py:48-60, 121-177``);
+* full delegation of the PySpark DataFrame / GroupedData / DataFrameWriter API
+  (reference: ``metaframe.py:77-119``) — every relational operator, scalar
+  function, and I/O path is Spark's own, so Catalyst/Tungsten/AQE optimize the
+  plan untouched.
+
+Differences from the reference (deliberate fixes, SURVEY.md §7.2 P0; the
+original quirky behaviors are available via ``strict_reference_compat=True``):
+
+* works on PySpark 4.x (``__new__`` override — the reference's
+  subclass-without-super-init pattern crashes there, SURVEY.md §7.4);
+* PK column order is preserved (reference loses it via ``set()``,
+  ``metaframe.py:152`` — quirk q1);
+* ``Column`` arguments to ``groupBy`` are accepted by extracting the column
+  name (reference raises ``TypeError`` — quirk q2);
+* the primary key is *invalidated* when an operation drops a PK column or can
+  break uniqueness (``union``/fan-out ``join``; reference never invalidates —
+  quirk q3);
+* metadata survives the ``.na`` / ``.stat`` / ``.write`` / ``mf[["c"]]``
+  accessor hops (reference loses it — quirk q4);
+* the constructor unwraps an already-wrapped MetaFrame (reference
+  double-wraps — quirk q5);
+* metadata-driven optimization: ``dropDuplicates``/``distinct`` become
+  driver-side no-ops when the known primary key already guarantees uniqueness
+  (SURVEY.md §4.3a) — this removes an entire shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import re
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.group import GroupedData
+from pyspark.sql.readwriter import DataFrameWriter
+
+LOG = logging.getLogger("metaframe_spark")
+
+_COLUMN_REPR = re.compile(r"Column<'(.*)'>")
+
+#: join types that keep the left side's rows a subset of the original left
+#: relation (no fan-out, no new columns) — the left PK stays valid through them.
+_LEFT_PRESERVING_JOINS = frozenset(
+    {"semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+)
+
+#: operations after which uniqueness of any prior PK can silently break even
+#: though all PK columns are still present.
+_UNIQUENESS_BREAKING = frozenset({"union", "unionAll", "unionByName", "crossJoin"})
+
+#: writer methods that terminate a write chain (return None / non-writer).
+_WRITER_TERMINALS = frozenset(
+    {"save", "parquet", "csv", "json", "orc", "text", "saveAsTable", "insertInto", "jdbc"}
+)
+
+
+def _column_name(col: Column) -> Optional[str]:
+    """Best-effort extraction of a plain column name from a Column object."""
+    m = _COLUMN_REPR.match(str(col))
+    if m:
+        name = m.group(1)
+        # only accept simple identifiers — expressions can't be a PK column
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            return name
+    return None
+
+
+def _ordered_dedupe(names: Iterable[str]) -> List[str]:
+    seen = set()
+    out = []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+class MetaFrame(DataFrame):
+    """A ``DataFrame`` wrapper carrying a frame-level metadata dict.
+
+    ``MetaFrame(df, {"source": "tpch"})`` behaves exactly like ``df`` for every
+    DataFrame operation, but transformation results stay ``MetaFrame``s sharing
+    the metadata, and ``groupBy``/``dropDuplicates``/``distinct`` additionally
+    record an inferred ``primary_key``.
+
+    Nominal inheritance from ``DataFrame`` exists only so
+    ``isinstance(mf, DataFrame)`` holds (reference semantics,
+    ``metaframe.py:27``); no DataFrame state is initialized — ``__new__`` is
+    overridden because PySpark 4.x's ``DataFrame.__new__`` would otherwise
+    invoke the classic ``__init__(jdf, sql_ctx)`` and crash (SURVEY.md §7.4).
+    """
+
+    #: result types that get re-wrapped with the caller's metadata
+    #: (reference: ``metaframe.py:46``).
+    RETURNED_CLASSES: Tuple[type, ...] = (DataFrame, GroupedData, DataFrameWriter)
+
+    #: PK-inference rule table (reference: ``metaframe.py:48-60``); values are
+    #: rule names dispatched in :meth:`_set_pk_after`.
+    SET_PK_AFTER: Dict[str, str] = {
+        "groupBy": "from_args",
+        "groupby": "from_args",
+        "dropDuplicates": "from_subset_or_all",
+        "drop_duplicates": "from_subset_or_all",
+        "distinct": "all_columns",
+    }
+
+    # attribute names resolved on the wrapper itself; everything else is
+    # delegated to the wrapped Spark object.
+    _OWN_NAMES = frozenset(
+        {
+            "df",
+            "metadata",
+            "set_metadata",
+            "with_primary_key",
+            "primary_key",
+            "to_spark",
+            "strict_reference_compat",
+            "RETURNED_CLASSES",
+            "SET_PK_AFTER",
+            "_OWN_NAMES",
+            "_wrapper",
+            "_set_pk_after",
+            "_rewrap",
+            "_invalidate_pk_if_needed",
+            "_pk_shortcircuit",
+            "_mf_kwargs",
+        }
+    )
+
+    # -- construction --------------------------------------------------------
+
+    def __new__(cls, *args: Any, **kwargs: Any) -> "MetaFrame":
+        # bypass DataFrame.__new__ (PySpark 4 dispatches it to the classic
+        # implementation which calls __init__(jdf, sql_ctx) — SURVEY.md §7.4)
+        return object.__new__(cls)
+
+    def __init__(
+        self,
+        df: Union[DataFrame, GroupedData, DataFrameWriter],
+        metadata: Optional[Dict[str, Any]] = None,
+        *,
+        strict_reference_compat: bool = False,
+    ) -> None:
+        # deliberately no super().__init__() — composition in practice
+        # (reference: ``metaframe.py:62-69``)
+        if isinstance(df, MetaFrame):
+            if strict_reference_compat:
+                pass  # reference double-wraps (quirk q5)
+            else:
+                if metadata is None:
+                    metadata = dict(df.metadata)
+                df = df.df
+        object.__setattr__(self, "df", df)
+        object.__setattr__(self, "metadata", metadata if metadata is not None else {})
+        object.__setattr__(self, "strict_reference_compat", strict_reference_compat)
+
+    def _mf_kwargs(self) -> Dict[str, Any]:
+        return {"strict_reference_compat": self.strict_reference_compat}
+
+    # -- repr ----------------------------------------------------------------
+
+    def __str__(self) -> str:
+        # reference: ``metaframe.py:71-75``
+        return str(self.df) + " metadata: " + str(self.metadata)
+
+    def __repr__(self) -> str:
+        return self.__str__()
+
+    # -- attribute routing ---------------------------------------------------
+
+    def __getattribute__(self, key: str) -> Any:
+        get = object.__getattribute__
+        if key.startswith("__") or key in MetaFrame._OWN_NAMES:
+            return get(self, key)
+        wrapped = get(self, "df")
+        if hasattr(wrapped, key):
+            attr = getattr(wrapped, key)
+            if callable(attr):
+                return get(self, "_wrapper")(attr, key)
+            return get(self, "_rewrap_accessor")(key, attr)
+        # fall through to normal resolution (raises AttributeError with the
+        # standard message, mirroring the reference's column-lookup fallback
+        # failing for non-DataFrame wrapped objects, ``metaframe.py:89``)
+        return get(self, key)
+
+    def __getattr__(self, key: str) -> Any:
+        raise AttributeError(
+            f"'{type(self).__name__}' wrapping {type(object.__getattribute__(self, 'df')).__name__} "
+            f"has no attribute '{key}'"
+        )
+
+    def __getitem__(self, key: Any) -> Any:
+        # reference passes through raw (``metaframe.py:96-97``) which loses
+        # metadata for list-selects; fixed mode re-wraps DataFrame results (q4)
+        result = self.df[key]
+        if not self.strict_reference_compat and isinstance(result, DataFrame):
+            return MetaFrame(result, self.metadata, **self._mf_kwargs())
+        return result
+
+    def _rewrap_accessor(self, key: str, attr: Any) -> Any:
+        """Non-callable attribute hop.
+
+        The reference returns these raw, losing metadata through ``.na`` /
+        ``.stat`` / ``.write`` (``metaframe.py:87-88``, quirk q4). Fixed mode
+        wraps the accessor so DataFrame/Writer results keep the metadata.
+        """
+        if self.strict_reference_compat:
+            return attr
+        if key in ("na", "stat"):
+            return _AccessorProxy(attr, self.metadata, self._mf_kwargs())
+        if key == "write":
+            return MetaWriter(attr, self.metadata, self._mf_kwargs())
+        return attr
+
+    # -- delegation wrapper --------------------------------------------------
+
+    def _wrapper(self, func: Callable, callable_key: str) -> Callable:
+        """Wrap a delegated bound method (reference: ``metaframe.py:99-119``).
+
+        DataFrame/GroupedData/Writer results are re-wrapped with the caller's
+        metadata; the five PK ops additionally run PK inference; everything
+        else (Rows, ints, None, pandas, RDDs) passes through untouched.
+        """
+
+        @functools.wraps(func)
+        def wrapped(*args: Any, **kwargs: Any) -> Any:
+            if not self.strict_reference_compat:
+                shortcut = self._pk_shortcircuit(callable_key, args, kwargs)
+                if shortcut is not None:
+                    return shortcut
+            result = func(*args, **kwargs)
+            if isinstance(result, MetaFrame):
+                result = result.df
+            if isinstance(result, MetaFrame.RETURNED_CLASSES):
+                if callable_key in MetaFrame.SET_PK_AFTER:
+                    return self._set_pk_after(result, callable_key, args, kwargs)
+                out = MetaFrame(result, self.metadata, **self._mf_kwargs())
+                if not self.strict_reference_compat:
+                    out = self._invalidate_pk_if_needed(out, callable_key, args, kwargs)
+                return out
+            if (
+                not self.strict_reference_compat
+                and isinstance(result, list)
+                and result
+                and all(isinstance(x, DataFrame) for x in result)
+            ):
+                # randomSplit returns a list of DataFrames — the reference
+                # leaves it unwrapped (``metaframe.py:46,113``); keep metadata.
+                return [MetaFrame(x, self.metadata, **self._mf_kwargs()) for x in result]
+            return result
+
+        return wrapped
+
+    # -- PK inference (reference: ``metaframe.py:121-177``) ------------------
+
+    def _set_pk_after(
+        self, result: Any, callable_key: str, args: Tuple, kwargs: Dict
+    ) -> "MetaFrame":
+        rule = MetaFrame.SET_PK_AFTER[callable_key]
+        primary_key: Optional[List[str]] = None
+
+        if rule == "all_columns":  # distinct
+            primary_key = list(result.columns)
+        elif rule == "from_args":  # groupBy / groupby
+            cols = list(args)
+            if len(cols) == 1 and isinstance(cols[0], (list, tuple)):
+                cols = list(cols[0])
+            if self.strict_reference_compat:
+                # reference dedupes via set() — order lost, Columns TypeError
+                # (quirks q1/q2, ``metaframe.py:150-152``)
+                primary_key = list(set(cols)) if cols else None
+            else:
+                names: List[str] = []
+                for c in cols:
+                    if isinstance(c, str):
+                        names.append(c)
+                    elif isinstance(c, Column):
+                        n = _column_name(c)
+                        if n is None:
+                            names = []
+                            break
+                        names.append(n)
+                    else:
+                        names = []
+                        break
+                primary_key = _ordered_dedupe(names) if names else None
+        elif rule == "from_subset_or_all":  # dropDuplicates / drop_duplicates
+            subset: Any = None
+            if args:
+                subset = args[0]
+            elif "subset" in kwargs:
+                subset = kwargs["subset"]
+            if subset is None:
+                primary_key = list(result.columns) if isinstance(result, DataFrame) else None
+            elif isinstance(subset, (list, tuple, set)):
+                primary_key = (
+                    list(subset) if not isinstance(subset, set) else sorted(subset)
+                )
+            else:
+                primary_key = [subset]
+
+        if primary_key is None:
+            LOG.info("could not infer primary key after %s; metadata unchanged", callable_key)
+            return MetaFrame(result, self.metadata, **self._mf_kwargs())
+        return MetaFrame(
+            result,
+            {**self.metadata, "primary_key": primary_key},
+            **self._mf_kwargs(),
+        )
+
+    # -- PK maintenance (fixed mode only; SURVEY.md §4.3) --------------------
+
+    def _pk_shortcircuit(self, callable_key: str, args: Tuple, kwargs: Dict) -> Optional["MetaFrame"]:
+        """Driver-side no-op rewrite for dedup on a known primary key.
+
+        If rows are already unique per ``primary_key`` and the dedup subset
+        contains the PK, ``dropDuplicates``/``distinct`` cannot remove any row
+        — skip the operation entirely (saves a full shuffle; SURVEY.md §4.3a).
+        """
+        pk = self.metadata.get("primary_key")
+        if not pk or not isinstance(self.df, DataFrame):
+            return None
+        if not set(pk).issubset(set(self.df.columns)):
+            return None
+        if callable_key == "distinct" and not args and not kwargs:
+            return MetaFrame(
+                self.df,
+                {**self.metadata, "primary_key": list(self.df.columns)},
+                **self._mf_kwargs(),
+            )
+        if callable_key in ("dropDuplicates", "drop_duplicates"):
+            subset = args[0] if args else kwargs.get("subset")
+            if subset is None:
+                subset_list = list(self.df.columns)
+            elif isinstance(subset, (list, tuple, set)):
+                subset_list = list(subset)
+            else:
+                subset_list = [subset]
+            if set(pk).issubset(set(subset_list)):
+                return MetaFrame(
+                    self.df,
+                    {**self.metadata, "primary_key": list(subset_list)},
+                    **self._mf_kwargs(),
+                )
+        return None
+
+    def _invalidate_pk_if_needed(
+        self, out: "MetaFrame", callable_key: str, args: Tuple, kwargs: Dict
+    ) -> "MetaFrame":
+        """Drop a stale ``primary_key`` (fixes reference quirk q3).
+
+        Two hazards: (a) the op removed/renamed a PK column; (b) the op can
+        duplicate rows even with all PK columns present (unions, fan-out
+        joins). Left-preserving joins (semi/anti) keep the PK.
+        """
+        pk = out.metadata.get("primary_key")
+        if not pk:
+            return out
+        invalid = False
+        if callable_key in _UNIQUENESS_BREAKING:
+            invalid = True
+        elif callable_key == "join":
+            how = kwargs.get("how", args[2] if len(args) > 2 else "inner") or "inner"
+            if str(how).lower() not in _LEFT_PRESERVING_JOINS:
+                invalid = True
+        elif isinstance(out.df, DataFrame):
+            try:
+                if not set(pk).issubset(set(out.df.columns)):
+                    invalid = True
+            except Exception:  # unresolvable plan state — keep metadata as-is
+                return out
+        if invalid:
+            md = {k: v for k, v in out.metadata.items() if k != "primary_key"}
+            return MetaFrame(out.df, md, **self._mf_kwargs())
+        return out
+
+    # -- metadata plane (reference: ``metaframe.py:179-197``) ----------------
+
+    def set_metadata(self, **params: Any) -> "MetaFrame":
+        """Return a new MetaFrame with ``params`` merged into the metadata."""
+        return MetaFrame(self.df, {**self.metadata, **params}, **self._mf_kwargs())
+
+    def with_primary_key(self, *cols: str) -> "MetaFrame":
+        """Explicitly declare the primary key (extension; not in reference)."""
+        return self.set_metadata(primary_key=list(cols))
+
+    @property
+    def primary_key(self) -> Optional[List[str]]:
+        """The inferred/declared primary key, or None if never set."""
+        return self.metadata.get("primary_key")
+
+    def to_spark(self) -> Union[DataFrame, GroupedData, DataFrameWriter]:
+        """The wrapped raw Spark object (escape hatch)."""
+        return self.df
+
+
+class _AccessorProxy:
+    """Wraps ``DataFrameNaFunctions`` / ``DataFrameStatFunctions`` so their
+    DataFrame results keep the caller's metadata (fixes reference quirk q4)."""
+
+    def __init__(self, obj: Any, metadata: Dict[str, Any], mf_kwargs: Dict[str, Any]):
+        object.__setattr__(self, "_obj", obj)
+        object.__setattr__(self, "_metadata", metadata)
+        object.__setattr__(self, "_mf_kwargs", mf_kwargs)
+
+    def __getattr__(self, key: str) -> Any:
+        attr = getattr(self._obj, key)
+        if not callable(attr):
+            return attr
+
+        @functools.wraps(attr)
+        def wrapped(*args: Any, **kwargs: Any) -> Any:
+            result = attr(*args, **kwargs)
+            if isinstance(result, DataFrame):
+                return MetaFrame(result, self._metadata, **self._mf_kwargs)
+            return result
+
+        return wrapped
+
+
+class MetaWriter:
+    """Wraps ``DataFrameWriter`` so chained writer config keeps metadata and
+    terminal saves persist the metadata as a JSON sidecar next to the data.
+
+    Metadata is driver-side only in the reference and does not survive a
+    ``write`` → ``read`` round-trip (SURVEY.md §7.4 "metadata durability");
+    the sidecar (``_metaframe_metadata.json`` inside the output directory)
+    plus :func:`metaframe_spark.io.read_parquet` fix that for path-based
+    sinks. Sidecar write is best-effort: non-local filesystems skip silently.
+    """
+
+    SIDECAR = "_metaframe_metadata.json"
+
+    def __init__(self, writer: DataFrameWriter, metadata: Dict[str, Any], mf_kwargs: Dict[str, Any]):
+        self._writer = writer
+        self._metadata = metadata
+        self._mf = mf_kwargs
+
+    def __getattr__(self, key: str) -> Any:
+        attr = getattr(self._writer, key)
+        if not callable(attr):
+            return attr
+
+        @functools.wraps(attr)
+        def wrapped(*args: Any, **kwargs: Any) -> Any:
+            result = attr(*args, **kwargs)
+            if key in _WRITER_TERMINALS:
+                path = args[0] if args and isinstance(args[0], str) else kwargs.get("path")
+                if path:
+                    self._write_sidecar(path)
+                return result
+            if isinstance(result, DataFrameWriter):
+                return MetaWriter(result, self._metadata, self._mf)
+            return result
+
+        return wrapped
+
+    def _write_sidecar(self, path: str) -> None:
+        if not self._metadata:
+            return
+        try:
+            import json
+            import os
+
+            if "://" in path and not path.startswith("file:"):
+                return  # non-local FS: skip (cluster deployments use table props)
+            local = path[len("file:"):] if path.startswith("file:") else path
+            if os.path.isdir(local):
+                with open(os.path.join(local, self.SIDECAR), "w") as fh:
+                    json.dump(self._metadata, fh, default=str)
+        except Exception:  # pragma: no cover - best effort
+            LOG.debug("could not write metadata sidecar for %s", path, exc_info=True)

@@ -1,0 +1,89 @@
+"""Sources/sinks: MetaFrame-aware readers that restore sidecar metadata.
+
+The reference has no reader of its own — a MetaFrame is always constructed
+from an existing DataFrame (``/root/reference/metaframe/metaframe.py:63-68``,
+SURVEY.md §2.3 row 1). We provide thin readers over ``spark.read.*`` that
+wrap the result and, for path-based formats, restore the metadata sidecar
+written by :class:`metaframe_spark.core.MetaWriter`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .core import MetaFrame, MetaWriter
+
+
+def _read_sidecar(path: str) -> Dict[str, Any]:
+    try:
+        local = path[len("file:"):] if path.startswith("file:") else path
+        if "://" in path:
+            return {}
+        sidecar = os.path.join(local, MetaWriter.SIDECAR)
+        if os.path.isfile(sidecar):
+            with open(sidecar) as fh:
+                return json.load(fh)
+    except Exception:
+        pass
+    return {}
+
+
+def wrap(df: DataFrame, metadata: Optional[Dict[str, Any]] = None) -> MetaFrame:
+    """Wrap any DataFrame (the reference's only construction path)."""
+    return MetaFrame(df, metadata)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+) -> MetaFrame:
+    md = dict(_read_sidecar(path)) if restore_metadata else {}
+    if metadata:
+        md.update(metadata)
+    return MetaFrame(spark.read.parquet(path), md)
+
+
+def read_csv(spark: SparkSession, path: str, metadata: Optional[Dict] = None, **options: Any) -> MetaFrame:
+    return MetaFrame(spark.read.csv(path, **options), dict(metadata or {}))
+
+
+def read_json(spark: SparkSession, path: str, metadata: Optional[Dict] = None, **options: Any) -> MetaFrame:
+    return MetaFrame(spark.read.json(path, **options), dict(metadata or {}))
+
+
+def read_orc(spark: SparkSession, path: str, metadata: Optional[Dict] = None, **options: Any) -> MetaFrame:
+    return MetaFrame(spark.read.orc(path, **options), dict(metadata or {}))
+
+
+def read_table(spark: SparkSession, name: str, metadata: Optional[Dict] = None) -> MetaFrame:
+    return MetaFrame(spark.read.table(name), dict(metadata or {}))
+
+
+#: declared primary keys of the driver test tables (FIXTURES.md §2) — used to
+#: seed PK metadata so the dropDuplicates-on-PK short-circuit (SURVEY.md §4.3a)
+#: can kick in from the first operator.
+TPCH_PRIMARY_KEYS: Dict[str, list] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> MetaFrame:
+    """Load one driver test table as a MetaFrame with PK metadata seeded."""
+    mf = read_parquet(spark, f"{sf_dir}/{name}.parquet", metadata={"table": name})
+    pk = TPCH_PRIMARY_KEYS.get(name)
+    return mf.with_primary_key(*pk) if pk else mf

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the metaframe_spark engine.
+
+Defaults encode the 100 TB posture (SURVEY.md §7.2 P3): AQE on (runtime
+re-plan, skew-join splitting, partition coalescing), Arrow for any
+Python-boundary transfer, UTC session time, and shuffle partitions sized to
+the machine instead of Spark's legacy 200. On a real cluster the same
+builder is used with ``master`` unset (taken from spark-submit) and
+``shuffle_partitions`` sized to ~2-3× total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 8
+
+
+def get_session(
+    app_name: str = "metaframe_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,42 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from metaframe_spark.session import get_session  # noqa: E402
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_session(
+        "metaframe-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sales(spark):
+    """The reference's 22-row unit-test fixture (FIXTURES.md §1)."""
+    rows = [
+        ("p1", 6, "2019-12-31"), ("p2", 4, "2019-12-31"), ("p3", 10, "2019-12-31"),
+        ("p4", 4, "2019-12-31"), ("p5", 3, "2019-12-31"), ("p6", 7, "2019-12-31"),
+        ("p7", 18, "2019-12-31"), ("p8", 44, "2019-12-31"),
+        ("p1", 6, "2020-01-01"), ("p2", 4, "2020-01-01"), ("p3", 10, "2020-01-01"),
+        ("p4", 4, "2020-01-01"), ("p5", 3, "2020-01-01"), ("p6", 7, "2020-01-01"),
+        ("p7", 18, "2020-01-01"), ("p8", 44, "2020-01-01"),
+        ("p1", 16, "2020-01-02"), ("p2", 4, "2020-01-02"), ("p3", 3, "2020-01-02"),
+        ("p4", 6, "2020-01-02"), ("p5", 7, "2020-01-02"), ("p6", 7, "2020-01-02"),
+    ]
+    return spark.createDataFrame(rows, ["product_id", "quantity", "date"])

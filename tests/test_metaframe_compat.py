@@ -1,0 +1,224 @@
+"""Reference-parity compatibility suite.
+
+Mirrors the two reference tests (``/root/reference/tests/test_metaframe.py:19-151``,
+behavior catalogued in SURVEY.md §5) 1:1, plus the verified quirk behaviors of
+SURVEY.md §2.2/§2.5 — asserting the *fixed* semantics in default mode and the
+*reference* semantics under ``strict_reference_compat=True``.
+"""
+
+import pytest
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metaframe_spark.core import MetaFrame
+
+
+@pytest.fixture()
+def mf(sales):
+    return MetaFrame(sales, {"foo": "bar"})
+
+
+class TestInventDataframe:
+    """Port of test_invent_dataframe (reference tests/test_metaframe.py:19-78)."""
+
+    def test_isinstance(self, mf):
+        assert isinstance(mf, DataFrame)
+
+    def test_metadata_attached(self, mf):
+        assert mf.metadata == {"foo": "bar"}
+
+    def test_default_metadata_empty(self, sales):
+        assert MetaFrame(sales).metadata == {}
+
+    def test_noncallable_passthrough_columns(self, mf):
+        assert mf.columns == ["product_id", "quantity", "date"]
+
+    def test_getitem_column_equivalence(self, mf, sales):
+        assert isinstance(mf["quantity"], Column)
+        got = mf.filter(mf["quantity"] > 10).count()
+        want = sales.filter(F.col("quantity") > 10).count()
+        assert got == want
+
+    def test_action_passthrough(self, mf):
+        assert mf.count() == 22
+        rows = mf.collect()
+        assert len(rows) == 22 and not isinstance(rows, MetaFrame)
+
+    def test_transform_rewrap_and_metadata(self, mf):
+        out = mf.withColumn("flag", F.lit(1))
+        assert isinstance(out, MetaFrame)
+        assert out.metadata == {"foo": "bar"}
+        out2 = out.select("product_id", "flag")
+        assert isinstance(out2, MetaFrame)
+        assert out2.metadata == {"foo": "bar"}
+
+    def test_repr_appends_metadata(self, mf):
+        assert str(mf).endswith(" metadata: {'foo': 'bar'}")
+        assert str(mf).startswith("DataFrame[")
+
+    def test_set_metadata_merge(self, mf):
+        out = mf.set_metadata(foo="baz", extra=1)
+        assert out.metadata == {"foo": "baz", "extra": 1}
+        assert mf.metadata == {"foo": "bar"}  # immutability
+
+
+class TestSetPkAfter:
+    """Port of test__set_pk_after (reference tests/test_metaframe.py:80-151)."""
+
+    def test_pk_none_initially(self, mf):
+        assert mf.primary_key is None
+
+    def test_groupby_sets_pk(self, mf):
+        out = mf.groupBy("date").agg(F.sum("quantity").alias("q"))
+        assert out.primary_key == ["date"]
+        out2 = mf.groupby("date").agg(F.sum("quantity").alias("q"))
+        assert out2.primary_key == ["date"]
+
+    def test_groupby_pk_on_grouped_intermediate(self, mf):
+        grouped = mf.groupBy("date")
+        assert isinstance(grouped, MetaFrame)
+        assert grouped.primary_key == ["date"]
+
+    def test_groupby_list_arg_unpacked(self, mf):
+        out = mf.groupBy(["date", "product_id"]).agg(F.sum("quantity").alias("q"))
+        assert set(out.primary_key) == {"date", "product_id"}
+
+    def test_groupby_noargs_pk_unset(self, mf):
+        out = mf.groupBy().agg(F.sum("quantity").alias("q"))
+        assert out.primary_key is None
+
+    def test_dropduplicates_positional(self, mf):
+        out = mf.dropDuplicates(["product_id"])
+        assert out.primary_key == ["product_id"]
+        assert out.count() == 8
+
+    def test_dropduplicates_kwarg(self, mf):
+        out = mf.dropDuplicates(subset=["product_id", "date"])
+        assert out.primary_key == ["product_id", "date"]
+
+    def test_dropduplicates_noargs_pk_all_columns(self, mf):
+        out = mf.dropDuplicates()
+        assert out.primary_key == ["product_id", "quantity", "date"]
+
+    def test_drop_duplicates_alias(self, mf):
+        assert mf.drop_duplicates(["product_id"]).primary_key == ["product_id"]
+        assert mf.drop_duplicates(subset=["date"]).primary_key == ["date"]
+        assert mf.drop_duplicates().primary_key == ["product_id", "quantity", "date"]
+
+    def test_distinct_pk_all_columns(self, mf):
+        out = mf.select("product_id").distinct()
+        assert out.primary_key == ["product_id"]
+        assert out.count() == 8
+
+    def test_pk_merges_with_existing_metadata(self, mf):
+        out = mf.groupBy("date").agg(F.count("*").alias("n"))
+        assert out.metadata == {"foo": "bar", "primary_key": ["date"]}
+
+
+class TestFixedQuirks:
+    """Default mode fixes the verified reference quirks (SURVEY.md §2.2)."""
+
+    def test_q1_pk_order_preserved(self, mf):
+        out = mf.groupBy("date", "product_id").agg(F.count("*").alias("n"))
+        assert out.primary_key == ["date", "product_id"]
+
+    def test_q2_column_args_accepted(self, mf):
+        out = mf.groupBy(F.col("date")).agg(F.count("*").alias("n"))
+        assert out.primary_key == ["date"]
+
+    def test_q2_expression_column_skips_pk(self, mf):
+        out = mf.groupBy(F.upper(F.col("date"))).agg(F.count("*").alias("n"))
+        assert out.primary_key is None
+
+    def test_q3_pk_invalidated_on_drop(self, mf):
+        out = mf.dropDuplicates(["product_id"]).drop("product_id")
+        assert out.primary_key is None
+
+    def test_q3_pk_invalidated_on_union(self, mf):
+        d = mf.dropDuplicates(["product_id"])
+        assert d.union(d.df).primary_key is None
+
+    def test_q3_pk_invalidated_on_fanout_join(self, mf, sales):
+        d = mf.dropDuplicates(["product_id"])
+        out = d.join(sales.withColumnRenamed("product_id", "pid"), d["quantity"] == F.col("pid").isNotNull().cast("int"), "left")
+        assert out.primary_key is None
+
+    def test_q3_pk_survives_semi_join(self, mf, sales):
+        d = mf.dropDuplicates(["product_id"])
+        other = sales.select("product_id").distinct()
+        out = d.join(other, "product_id", "left_semi")
+        assert out.primary_key == ["product_id"]
+
+    def test_q3_pk_survives_filter_and_select(self, mf):
+        d = mf.dropDuplicates(["product_id"])
+        assert d.filter(F.col("quantity") > 1).primary_key == ["product_id"]
+        assert d.select("product_id", "date").primary_key == ["product_id"]
+
+    def test_q4_na_keeps_metadata(self, mf):
+        out = mf.na.drop()
+        assert isinstance(out, MetaFrame)
+        assert out.metadata == {"foo": "bar"}
+
+    def test_q4_getitem_list_keeps_metadata(self, mf):
+        out = mf[["product_id"]]
+        assert isinstance(out, MetaFrame)
+        assert out.metadata == {"foo": "bar"}
+
+    def test_q5_ctor_unwraps(self, mf):
+        rewrapped = MetaFrame(mf)
+        assert isinstance(rewrapped.df, DataFrame)
+        assert not isinstance(rewrapped.df, MetaFrame)
+        assert rewrapped.metadata == {"foo": "bar"}
+
+    def test_randomsplit_wrapped(self, mf):
+        parts = mf.randomSplit([0.5, 0.5], seed=7)
+        assert all(isinstance(p, MetaFrame) for p in parts)
+        assert all(p.metadata == {"foo": "bar"} for p in parts)
+
+    def test_dropduplicates_pk_shortcircuit_is_noop_plan(self, mf):
+        d = mf.dropDuplicates(["product_id"])
+        again = d.dropDuplicates(["product_id", "date"])
+        # driver-side no-op: same underlying plan object, no extra shuffle
+        assert again.df is d.df
+        assert again.primary_key == ["product_id", "date"]
+
+    def test_distinct_pk_shortcircuit(self, mf):
+        d = mf.dropDuplicates(["product_id"])
+        again = d.distinct()
+        assert again.df is d.df
+        assert again.primary_key == d.columns
+
+
+class TestStrictReferenceCompat:
+    """strict_reference_compat=True reproduces the reference exactly."""
+
+    def test_q1_pk_order_lost_via_set(self, sales):
+        mf = MetaFrame(sales, {}, strict_reference_compat=True)
+        out = mf.groupBy("date", "product_id").agg(F.count("*").alias("n"))
+        assert set(out.primary_key) == {"date", "product_id"}
+        assert out.primary_key == list({"date", "product_id"})  # set() ordering
+
+    def test_q2_column_args_raise(self, sales):
+        mf = MetaFrame(sales, {}, strict_reference_compat=True)
+        with pytest.raises(TypeError):
+            mf.groupBy(F.col("date")).agg(F.count("*").alias("n"))
+
+    def test_q3_stale_pk_survives(self, sales):
+        mf = MetaFrame(sales, {}, strict_reference_compat=True)
+        out = mf.dropDuplicates(["product_id"]).drop("product_id")
+        assert out.primary_key == ["product_id"]  # stale, as in reference
+
+    def test_q4_na_loses_metadata(self, sales):
+        mf = MetaFrame(sales, {"foo": "bar"}, strict_reference_compat=True)
+        out = mf.na.drop()
+        assert isinstance(out, DataFrame) and not isinstance(out, MetaFrame)
+
+    def test_q5_double_wrap(self, sales):
+        mf = MetaFrame(sales, {"foo": "bar"}, strict_reference_compat=True)
+        rewrapped = MetaFrame(mf, {}, strict_reference_compat=True)
+        assert isinstance(rewrapped.df, MetaFrame)
+
+    def test_strict_flag_propagates(self, sales):
+        mf = MetaFrame(sales, {"foo": "bar"}, strict_reference_compat=True)
+        out = mf.filter(F.col("quantity") > 0)
+        assert out.strict_reference_compat is True
