@@ -20,9 +20,10 @@ from .core import MetaFrame, MetaWriter
 
 def _read_sidecar(path: str) -> Dict[str, Any]:
     try:
-        local = path[len("file:"):] if path.startswith("file:") else path
-        if "://" in path:
+        # mirror MetaWriter._write_sidecar: local paths and file: URIs only
+        if "://" in path and not path.startswith("file:"):
             return {}
+        local = path[len("file:"):] if path.startswith("file:") else path
         sidecar = os.path.join(local, MetaWriter.SIDECAR)
         if os.path.isfile(sidecar):
             with open(sidecar) as fh:
@@ -37,28 +38,59 @@ def wrap(df: DataFrame, metadata: Optional[Dict[str, Any]] = None) -> MetaFrame:
     return MetaFrame(df, metadata)
 
 
+def _read_path(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    metadata: Optional[Dict[str, Any]],
+    restore_metadata: bool,
+    **options: Any,
+) -> MetaFrame:
+    md = dict(_read_sidecar(path)) if restore_metadata else {}
+    if metadata:
+        md.update(metadata)
+    reader = getattr(spark.read, fmt)
+    return MetaFrame(reader(path, **options), md)
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
     metadata: Optional[Dict[str, Any]] = None,
     restore_metadata: bool = True,
+    **options: Any,
 ) -> MetaFrame:
-    md = dict(_read_sidecar(path)) if restore_metadata else {}
-    if metadata:
-        md.update(metadata)
-    return MetaFrame(spark.read.parquet(path), md)
+    return _read_path(spark, "parquet", path, metadata, restore_metadata, **options)
 
 
-def read_csv(spark: SparkSession, path: str, metadata: Optional[Dict] = None, **options: Any) -> MetaFrame:
-    return MetaFrame(spark.read.csv(path, **options), dict(metadata or {}))
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+    **options: Any,
+) -> MetaFrame:
+    return _read_path(spark, "csv", path, metadata, restore_metadata, **options)
 
 
-def read_json(spark: SparkSession, path: str, metadata: Optional[Dict] = None, **options: Any) -> MetaFrame:
-    return MetaFrame(spark.read.json(path, **options), dict(metadata or {}))
+def read_json(
+    spark: SparkSession,
+    path: str,
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+    **options: Any,
+) -> MetaFrame:
+    return _read_path(spark, "json", path, metadata, restore_metadata, **options)
 
 
-def read_orc(spark: SparkSession, path: str, metadata: Optional[Dict] = None, **options: Any) -> MetaFrame:
-    return MetaFrame(spark.read.orc(path, **options), dict(metadata or {}))
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+    **options: Any,
+) -> MetaFrame:
+    return _read_path(spark, "orc", path, metadata, restore_metadata, **options)
 
 
 def read_table(spark: SparkSession, name: str, metadata: Optional[Dict] = None) -> MetaFrame:
@@ -68,6 +100,12 @@ def read_table(spark: SparkSession, name: str, metadata: Optional[Dict] = None) 
 #: declared primary keys of the driver test tables (FIXTURES.md §2) — used to
 #: seed PK metadata so the dropDuplicates-on-PK short-circuit (SURVEY.md §4.3a)
 #: can kick in from the first operator.
+#:
+#: ``lineitem`` is deliberately ABSENT: FIXTURES.md declares
+#: ``(l_orderkey, l_linenumber)`` but the driver-generated parquet violates it
+#: (1161 duplicated PK groups at sf0.001, 11785 at sf0.01 — verified
+#: 2026-08-13), and seeding a false PK would arm the dedup short-circuit into
+#: silently returning duplicate rows (ADVICE r1, high).
 TPCH_PRIMARY_KEYS: Dict[str, list] = {
     "region": ["r_regionkey"],
     "nation": ["n_nationkey"],
@@ -75,15 +113,41 @@ TPCH_PRIMARY_KEYS: Dict[str, list] = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey", "l_linenumber"],
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> MetaFrame:
-    """Load one driver test table as a MetaFrame with PK metadata seeded."""
+def verify_primary_key(df: DataFrame, pk: list) -> bool:
+    """Cheap uniqueness check: count == countDistinct over the PK columns.
+
+    One aggregation job; at cluster scale it's a partial-agg + single-row
+    exchange, so safe to run even on very large tables when seeding PKs from
+    untrusted catalogs.
+    """
+    from pyspark.sql import functions as F
+
+    raw = df.df if isinstance(df, MetaFrame) else df
+    row = raw.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in pk]).alias("d"),
+    ).first()
+    return row["n"] == row["d"]
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, verify_pk: bool = False
+) -> MetaFrame:
+    """Load one driver test table as a MetaFrame with PK metadata seeded.
+
+    ``verify_pk=True`` validates the declared key against the data before
+    seeding (skips seeding when violated) at the cost of one count job.
+    """
     mf = read_parquet(spark, f"{sf_dir}/{name}.parquet", metadata={"table": name})
     pk = TPCH_PRIMARY_KEYS.get(name)
-    return mf.with_primary_key(*pk) if pk else mf
+    if not pk:
+        return mf
+    if verify_pk and not verify_primary_key(mf, pk):
+        return mf
+    return mf.with_primary_key(*pk)

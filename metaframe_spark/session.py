@@ -41,8 +41,10 @@ def get_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    # NOTE: spark.driver.memory is NOT set here — builder.config can't change
+    # JVM heap once a JVM exists (and in-process launch reads it too late);
+    # pass it via spark-submit / SPARK_SUBMIT_OPTS instead (VERDICT r1 #5).
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

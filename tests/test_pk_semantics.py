@@ -1,0 +1,146 @@
+"""PK-maintenance semantics beyond the reference (fixed-mode extensions).
+
+Covers the round-1 VERDICT/ADVICE fixes:
+* PK invalidation on ``withColumn`` overwriting a PK column (VERDICT #3);
+* PK preserved through inner/left equi-joins on the other side's unique PK
+  (VERDICT #2);
+* PK invalidation on row-multiplicity operators — explode in select,
+  mapInPandas, unpivot (ADVICE medium);
+* dropDuplicates short-circuit falls through on nonexistent subset columns
+  (ADVICE low);
+* lineitem is not seeded with the (violated) FIXTURES.md PK (ADVICE high);
+* writeStream accessor keeps metadata (SURVEY §2.3 row 16).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from metaframe_spark.core import MetaFrame, MetaStreamWriter
+from metaframe_spark.io import TPCH_PRIMARY_KEYS, load_table, verify_primary_key
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def orders(spark):
+    return load_table(spark, SF, "orders")
+
+
+@pytest.fixture()
+def customer(spark):
+    return load_table(spark, SF, "customer")
+
+
+class TestPkInvalidation:
+    def test_withcolumn_overwriting_pk_invalidates(self, orders):
+        assert orders.primary_key == ["o_orderkey"]
+        out = orders.withColumn("o_orderkey", F.lit(1))
+        assert out.primary_key is None
+        # ...and the dedup short-circuit no longer skips a genuine dedup
+        assert out.dropDuplicates(["o_orderkey"]).count() == 1
+
+    def test_withcolumn_new_column_keeps_pk(self, orders):
+        out = orders.withColumn("x", F.lit(1))
+        assert out.primary_key == ["o_orderkey"]
+
+    def test_withcolumns_overwriting_pk_invalidates(self, orders):
+        out = orders.withColumns({"o_orderkey": F.lit(1)})
+        assert out.primary_key is None
+
+    def test_select_explode_invalidates(self, orders):
+        out = orders.withColumn("arr", F.array(F.lit(1), F.lit(2))).select(
+            "o_orderkey", F.explode("arr").alias("v")
+        )
+        assert out.primary_key is None
+
+    def test_selectexpr_explode_invalidates(self, orders):
+        out = orders.withColumn("arr", F.array(F.lit(1), F.lit(2))).selectExpr(
+            "o_orderkey", "explode(arr) as v"
+        )
+        assert out.primary_key is None
+
+    def test_mapinpandas_invalidates(self, orders):
+        def ident(it):
+            for pdf in it:
+                yield pdf
+
+        out = orders.select("o_orderkey").mapInPandas(ident, "o_orderkey long")
+        assert out.primary_key is None
+
+    def test_unpivot_invalidates(self, orders):
+        out = orders.unpivot(
+            "o_orderkey", ["o_totalprice"], "var", "val"
+        )
+        assert out.primary_key is None
+
+    def test_replace_on_pk_invalidates(self, customer):
+        out = customer.replace(1, 2, subset=["c_custkey"])
+        assert out.primary_key is None
+
+    def test_replace_off_pk_keeps(self, customer):
+        out = customer.replace("BUILDING", "B", subset=["c_mktsegment"])
+        assert out.primary_key == ["c_custkey"]
+
+
+class TestPkThroughJoins:
+    def test_inner_join_on_other_pk_keeps_left_pk(self, orders, customer):
+        # equi-join on the other side's verified-unique key: left PK survives
+        o = orders.withColumnRenamed("o_custkey", "c_custkey")
+        assert o.primary_key == ["o_orderkey"]  # renaming a non-PK col keeps PK
+        joined = o.join(customer, "c_custkey", "inner")
+        assert joined.primary_key == ["o_orderkey"]
+
+    def test_left_join_on_other_pk_keeps(self, orders, customer):
+        o = orders.withColumnRenamed("o_custkey", "c_custkey")
+        joined = o.join(customer, "c_custkey", "left")
+        assert joined.primary_key == ["o_orderkey"]
+        assert joined.count() == orders.count()
+
+    def test_join_on_non_pk_invalidates(self, orders, customer):
+        joined = orders.join(
+            customer, orders["o_custkey"] == customer["c_nationkey"], "inner"
+        )
+        assert joined.primary_key is None
+
+    def test_semi_join_keeps(self, orders, customer):
+        o = orders.withColumnRenamed("o_custkey", "c_custkey")
+        out = o.join(customer, "c_custkey", "left_semi")
+        assert out.primary_key == ["o_orderkey"]
+
+
+class TestShortCircuitSafety:
+    def test_dropduplicates_bogus_column_raises(self, orders):
+        with pytest.raises(AnalysisException):
+            orders.dropDuplicates(["o_orderkey", "no_such_col"]).collect()
+
+    def test_lineitem_pk_not_seeded(self, spark):
+        assert "lineitem" not in TPCH_PRIMARY_KEYS
+        li = load_table(spark, SF, "lineitem")
+        assert li.primary_key is None
+        # dedup on the (false) FIXTURES key must actually deduplicate
+        n = li.count()
+        d = li.dropDuplicates(["l_orderkey", "l_linenumber"]).count()
+        assert d < n
+
+    def test_verify_primary_key(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        assert not verify_primary_key(li, ["l_orderkey", "l_linenumber"])
+        assert verify_primary_key(load_table(spark, SF, "orders"), ["o_orderkey"])
+
+    def test_load_table_verify_pk_skips_violated(self, spark):
+        mf = load_table(spark, SF, "orders", verify_pk=True)
+        assert mf.primary_key == ["o_orderkey"]
+
+
+class TestStreamWriter:
+    def test_writestream_keeps_metadata(self, spark):
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        )
+        mf = MetaFrame(stream, {"src": "rate"})
+        w = mf.writeStream
+        assert isinstance(w, MetaStreamWriter)
+        w2 = w.format("memory").outputMode("append")
+        assert isinstance(w2, MetaStreamWriter)
+        assert w2.metadata == {"src": "rate"}
