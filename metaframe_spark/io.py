@@ -38,6 +38,31 @@ def wrap(df: DataFrame, metadata: Optional[Dict[str, Any]] = None) -> MetaFrame:
     return MetaFrame(df, metadata)
 
 
+def _ns_timestamp_columns(path: str) -> list:
+    """Names of parquet columns typed timestamp[ns] (footer inspection only).
+
+    Spark 4 rejects TIMESTAMP(NANOS) parquet outright (PARQUET_TYPE_ILLEGAL);
+    DuckDB silently truncates to microseconds. We read the footer with
+    pyarrow (no data scan) so :func:`read_parquet` can apply the
+    nanosAsLong + truncate-to-micros workaround and stay engine-compatible.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        if "://" in path and not path.startswith("file:"):
+            return []
+        local = path[len("file:"):] if path.startswith("file:") else path
+        schema = ds.dataset(local, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def _read_path(
     spark: SparkSession,
     fmt: str,
@@ -60,7 +85,21 @@ def read_parquet(
     restore_metadata: bool = True,
     **options: Any,
 ) -> MetaFrame:
-    return _read_path(spark, "parquet", path, metadata, restore_metadata, **options)
+    ns_cols = _ns_timestamp_columns(path)
+    if not ns_cols:
+        return _read_path(spark, "parquet", path, metadata, restore_metadata, **options)
+    # Spark 4 cannot read TIMESTAMP(NANOS); read them as raw nanosecond longs
+    # and truncate to microseconds with exact integer division (`div`, never
+    # float `/` — ns epochs exceed 2^53). Matches DuckDB's silent ns→µs
+    # truncation, so oracle comparisons stay value-identical.
+    from pyspark.sql import functions as F  # local import: io stays light
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    mf = _read_path(spark, "parquet", path, metadata, restore_metadata, **options)
+    df = mf.df
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return MetaFrame(df, mf.metadata)
 
 
 def read_csv(

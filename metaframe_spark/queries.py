@@ -1,0 +1,565 @@
+"""The declared correctness-query catalog (SURVEY.md §2.4, Q1-Q30).
+
+Each entry is the DataFrame-API form of one delegated-surface capability
+(SURVEY.md §2.3 rows cited per query), executed **through**
+:class:`~metaframe_spark.core.MetaFrame` — the reference's delegation path
+(``/root/reference/metaframe/metaframe.py:111-117``) — never raw
+``spark.sql``. ``ORACLE`` holds the equivalent DuckDB SQL the driver runs
+side-by-side over the same parquet tables.
+
+Cross-engine determinism rules (why the SQL looks the way it does):
+
+* every computed column is aliased identically on both sides (the driver's
+  compare sorts columns by name before hashing);
+* money/value sums go through ``CAST(... AS DECIMAL(18,6))`` *before* the
+  SUM so the aggregation is exact integer arithmetic in both engines (double
+  summation order differs between Spark partial-aggs and DuckDB; decimal
+  makes it order-independent), then back to DOUBLE for a uniform schema.
+  Per-row double arithmetic (products, subtraction) is IEEE-identical in
+  both engines, so casting the row value is safe; ties in the
+  double->decimal rounding cannot occur (a binary double can never be an
+  exact multiple of 10^-7/2);
+* integer-width functions (``year``/``month``/``length``/``rank``/
+  ``datediff``/``floor``/``ceil``) are cast to BIGINT on both sides —
+  Spark returns INT where DuckDB returns BIGINT;
+* DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics;
+* ``collect_list`` order is nondeterministic → sort + join to a string;
+* anti-join oracle uses ``NOT EXISTS`` (``NOT IN`` has different NULL
+  semantics).
+
+Q14 note: SURVEY §2.4 declared an orders-vs-events as-of, but the driver
+data's date ranges are disjoint (orders 1995-2001, events 2024 — verified),
+which degenerates to all-NULL. The as-of *operator* is exercised instead as
+a per-user as-of over ``events`` (last ``error`` event at-or-before each
+event), which is also the scale-correct shape: partitioned window, no
+global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: Dict[str, str] = {}
+
+
+def query(name: str, sql: str = None):
+    """Register a query callable and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_DEC = "decimal(18,6)"
+
+
+def _dsum(col, alias):
+    """Exact, order-independent sum of a double column (see module doc)."""
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+# -- scans / projection / filter (SURVEY §2.3 rows 1,3,4) --------------------
+
+
+@query(
+    "q01",
+    "SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def q01(spark, sf):
+    return load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "q02",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity > 25 AND l_returnflag = 'R'",
+)
+def q02(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") > 25) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# -- aggregations (row 6) -----------------------------------------------------
+
+
+@query(
+    "q03",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_revenue, "
+    "count(*) AS cnt "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def q03(spark, sf):
+    """TPC-H Q1 shape — the flagship aggregation (SURVEY §7.1)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "sum_revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q04",
+    "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def q04(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@query(
+    "q05",
+    "SELECT n_regionkey, n_nationkey, count(*) AS cnt "
+    "FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)",
+)
+def q05(spark, sf):
+    return (
+        load_table(spark, sf, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q06",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def q06(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+# -- joins (row 5) ------------------------------------------------------------
+
+
+@query(
+    "q07",
+    "SELECT c_name, o_orderkey FROM customer JOIN orders ON c_custkey = o_custkey",
+)
+def q07(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    # dim side is small at every SF relative to facts — broadcast it
+    return o.join(F.broadcast(c.to_spark()), c["c_custkey"] == o["o_custkey"]).select(
+        "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "q08",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+)
+def q08(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q09",
+    "SELECT p_partkey FROM part WHERE p_partkey IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 40)",
+)
+def q09(spark, sf):
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 40)
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi").select("p_partkey")
+
+
+@query(
+    "q10",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q10(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+@query(
+    "q11",
+    "SELECT s_suppkey, n_nationkey FROM supplier "
+    "FULL JOIN nation ON s_nationkey = n_nationkey",
+)
+def q11(spark, sf):
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return s.join(n, s["s_nationkey"] == n["n_nationkey"], "full").select(
+        "s_suppkey", "n_nationkey"
+    )
+
+
+@query(
+    "q12",
+    "SELECT p1.p_partkey AS pk1, p2.p_partkey AS pk2 FROM part p1 "
+    "JOIN part p2 ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size",
+)
+def q12(spark, sf):
+    """Theta join with an equi component — Spark hash-partitions on p_brand
+    and applies the range predicate post-join, so this is NOT a cartesian."""
+    p1 = load_table(spark, sf, "part").alias("p1")
+    p2 = load_table(spark, sf, "part").alias("p2")
+    return p1.join(
+        p2,
+        (F.col("p1.p_brand") == F.col("p2.p_brand"))
+        & (F.col("p1.p_size") < F.col("p2.p_size")),
+    ).select(F.col("p1.p_partkey").alias("pk1"), F.col("p2.p_partkey").alias("pk2"))
+
+
+@query(
+    "q13",
+    "SELECT r_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey=o_orderkey "
+    "JOIN customer ON o_custkey=c_custkey "
+    "JOIN nation ON c_nationkey=n_nationkey "
+    "JOIN region ON n_regionkey=r_regionkey GROUP BY r_name",
+)
+def q13(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    # fact-to-fact shuffled join on orderkey; dims broadcast (tiny at any SF)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.to_spark()), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.to_spark()), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.to_spark()), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(_dsum(F.col("l_extendedprice"), "revenue"))
+    )
+
+
+# -- windows (row 7) -----------------------------------------------------------
+
+
+@query(
+    "q14",
+    "SELECT event_id, max(CASE WHEN event_type='error' THEN ts END) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+    "AS last_error_ts FROM events",
+)
+def q14(spark, sf):
+    """Per-user as-of: latest 'error' ts at-or-before each event (module doc)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = F.when(F.col("event_type") == "error", F.col("ts"))
+    return e.select("event_id", F.max(marked).over(w).alias("last_error_ts"))
+
+
+@query(
+    "q15",
+    "SELECT o_custkey, o_orderkey, CAST(r AS BIGINT) AS r FROM ("
+    "SELECT o_custkey, o_orderkey, rank() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS r "
+    "FROM orders) WHERE r <= 3",
+)
+def q15(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("r", F.rank().over(w))
+        .filter(F.col("r") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("r").cast("long").alias("r"))
+    )
+
+
+@query(
+    "q16",
+    "SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum "
+    "FROM orders",
+)
+def q16(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+@query(
+    "q17",
+    "SELECT event_id, value - lag(value, 1, 0.0) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM events",
+)
+def q17(spark, sf):
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta")
+    )
+
+
+# -- sort / top-k (row 8) -------------------------------------------------------
+
+
+@query(
+    "q18",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def q18(spark, sf):
+    # Spark plans TakeOrderedAndProject — no full sort materialization
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# -- set ops (row 9) -------------------------------------------------------------
+
+
+@query(
+    "q19",
+    "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier",
+)
+def q19(spark, sf):
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s.to_spark())
+
+
+@query(
+    "q19b",
+    "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier",
+)
+def q19b(spark, sf):
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s.to_spark())
+
+
+@query(
+    "q20",
+    "SELECT DISTINCT x FROM (SELECT c_nationkey AS x FROM customer "
+    "UNION ALL SELECT s_nationkey AS x FROM supplier)",
+)
+def q20(spark, sf):
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("x"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("x"))
+    out = c.unionAll(s.to_spark()).distinct()
+    assert out.primary_key == ["x"]  # PK inference through the wrapper (§2.2)
+    return out
+
+
+# -- dedup (row 10) ---------------------------------------------------------------
+
+
+@query(
+    "q21",
+    "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+)
+def q21(spark, sf):
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderstatus")
+    out = o.dropDuplicates(["o_custkey", "o_orderstatus"])
+    assert out.primary_key == ["o_custkey", "o_orderstatus"]
+    return out
+
+
+# -- scalar functions (row 11) -----------------------------------------------------
+
+
+@query(
+    "q22",
+    "SELECT p_partkey, upper(p_name) AS uname, substr(p_type,1,5) AS type5, "
+    "CAST(length(p_brand) AS BIGINT) AS blen, "
+    "regexp_replace(p_name,'[aeiou]','','g') AS novowel FROM part",
+)
+def q22(spark, sf):
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_brand").cast("long").alias("blen"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("novowel"),
+    )
+
+
+@query(
+    "q23",
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, "
+    "CAST(month(o_orderdate) AS BIGINT) AS m, "
+    "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d30, "
+    "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd "
+    "FROM orders",
+)
+def q23(spark, sf):
+    # d30 is rendered as a string on both sides: DATE-typed results come back
+    # as datetime.date from Spark but datetime64 from DuckDB's pandas fetch,
+    # an ambiguity strings avoid entirely.
+    o = load_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("dd"),
+    )
+
+
+@query(
+    "q24",
+    "SELECT l_orderkey, l_linenumber, round(abs(l_discount-0.05),6) AS a, "
+    "round(pow(l_tax+1,2),6) AS p, CAST(floor(l_quantity) AS BIGINT) AS f, "
+    "CAST(ceil(l_quantity) AS BIGINT) AS c FROM lineitem",
+)
+def q24(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("a"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("p"),
+        F.floor("l_quantity").cast("long").alias("f"),
+        F.ceil("l_quantity").cast("long").alias("c"),
+    )
+
+
+@query(
+    "q25",
+    "SELECT o_custkey, array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses "
+    "FROM orders GROUP BY o_custkey",
+)
+def q25(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias("statuses")
+    )
+
+
+@query(
+    "q26",
+    "SELECT event_id, json_extract_string(props,'$.k') AS k FROM events",
+)
+def q26(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.select("event_id", F.get_json_object("props", "$.k").alias("k"))
+
+
+# -- null handling (row 12) ----------------------------------------------------------
+
+
+@query(
+    "q27",
+    "SELECT c_custkey, coalesce(nullif(c_mktsegment,'BUILDING'),'NONE') AS seg FROM customer",
+)
+def q27(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("NONE")).alias("seg"),
+    )
+
+
+# -- grouped-map UDF (row 17) -----------------------------------------------------------
+
+
+@query(
+    "q28",
+    "SELECT event_id, round((value - avg(value) OVER w) / "
+    "nullif(stddev_samp(value) OVER w, 0), 6) AS z FROM events "
+    "WINDOW w AS (PARTITION BY user_id)",
+)
+def q28(spark, sf):
+    """Per-user z-score via applyInPandas (Arrow-batched grouped-map UDF)."""
+    import pandas as pd  # noqa: F401 — documents the UDF contract
+
+    e = load_table(spark, sf, "events")
+
+    def zscore(pdf):
+        s = pdf["value"].std(ddof=1)
+        m = pdf["value"].mean()
+        z = (pdf["value"] - m) / s if s and s == s else None
+        out = pdf[["event_id"]].copy()
+        out["z"] = z
+        return out
+
+    res = e.groupBy("user_id").applyInPandas(zscore, schema="event_id long, z double")
+    return res.select(
+        "event_id",
+        F.when(F.isnan("z"), F.lit(None)).otherwise(F.round(F.col("z"), 6)).alias("z"),
+    )
+
+
+# -- event-time windows, batch-checkable (row 16) ------------------------------------------
+
+
+@query(
+    "q29",
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def q29(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+@query(
+    "q30",
+    "WITH bounds AS ("
+    "  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(min(ts))/1800)*1800 - 1800 AS BIGINT) * INTERVAL 1 SECOND AS lo,"
+    "         TIMESTAMP '1970-01-01' + CAST(floor(epoch(max(ts))/1800)*1800 AS BIGINT) * INTERVAL 1 SECOND AS hi"
+    "  FROM events), "
+    "starts AS (SELECT unnest(generate_series(lo, hi, INTERVAL 30 MINUTE)) AS ws FROM bounds) "
+    "SELECT s.ws AS window_start, e.event_type, count(*) AS cnt, "
+    "CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM starts s JOIN events e ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 60 MINUTE "
+    "GROUP BY 1, 2",
+)
+def q30(spark, sf):
+    """Sliding event-time window (1h width / 30min slide), epoch-aligned in
+    both engines; DuckDB oracle reconstructs the slide-start series."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
