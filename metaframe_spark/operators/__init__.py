@@ -1,0 +1,60 @@
+"""LLM-data-pipeline operators (SURVEY.md §7.2 P3 / the build brief).
+
+Everything here is designed 100-TB-first:
+
+* per-row work uses JVM-side higher-order functions (``transform`` /
+  ``aggregate`` / ``zip_with``) — no Python in the hot path;
+* candidate generation for near-duplicate detection is always *banded*
+  (MinHash LSH bands, SimHash bit-bands, random-projection buckets) —
+  never an all-pairs cross join;
+* exact verification (Jaccard, Hamming, cosine) runs only on the banded
+  candidate set;
+* Python appears only in Arrow-batched ``mapInPandas``/``applyInPandas``
+  (multimodal decode plumbing), never row-at-a-time UDFs.
+"""
+
+from .dedup import (
+    content_hash,
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_candidate_pairs,
+    simhash_column,
+    simhash_near_dup_pairs,
+)
+from .similarity import (
+    ann_similarity_join,
+    ann_topk,
+    brute_force_topk,
+    cosine_expr,
+    unit_normalize,
+)
+from .text import (
+    doc_fingerprint,
+    language_scores,
+    normalize_text,
+    quality_features,
+    shingles,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "ann_similarity_join",
+    "ann_topk",
+    "brute_force_topk",
+    "content_hash",
+    "cosine_expr",
+    "doc_fingerprint",
+    "exact_dedup",
+    "jaccard_similarity_pairs",
+    "language_scores",
+    "minhash_candidate_pairs",
+    "normalize_text",
+    "quality_features",
+    "shingles",
+    "simhash_column",
+    "simhash_near_dup_pairs",
+    "token_count",
+    "tokens",
+    "unit_normalize",
+]

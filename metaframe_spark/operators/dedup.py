@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100-TB contract of the build brief):
+
+* **exact_dedup** — one shuffle on the content hash, nothing else; the
+  winner per group is chosen with ``min_by`` (map-side partial agg), not a
+  window sort.
+* **minhash_candidate_pairs** — shingle → HashingTF sparse vectors →
+  ``pyspark.ml.feature.MinHashLSH`` banded ``approxSimilarityJoin``: the
+  join key is the band bucket, so candidate volume is O(collisions), never
+  the O(n²) cross product.
+* **simhash** — 64-bit fingerprint computed per-row with nested
+  higher-order functions (zero shuffle, zero Python); near-dup candidates
+  come from a banded self-join on 16-bit sub-bands (any pair within
+  Hamming distance 3 shares at least one of 4 bands — pigeonhole), then
+  exact Hamming verification via ``bit_count(xor)`` on candidates only.
+* **jaccard_similarity_pairs** — exact verifier for a *bounded* candidate
+  set (same block / LSH candidates); the block key is the equi-join key,
+  so Spark plans a hash join, not BNLJ.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, shingles, tokens
+
+
+def content_hash(col) -> Column:
+    """sha256 of the normalized content — the exact-dedup equivalence key."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one survivor (lowest id) per distinct normalized content.
+
+    Single hash-shuffle on the 256-bit content digest; ``min_by`` keeps the
+    survivor id with map-side partial aggregation (no window sort, no
+    second shuffle). Returns (hash, survivor id, group size).
+    """
+    return (
+        df.select(
+            content_hash(F.col(text_col)).alias("content_sha256"),
+            F.col(id_col),
+        )
+        .groupBy("content_sha256")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH (banded bucket join).
+
+    Returns (id_a, id_b, jaccard_dist) with id_a < id_b. ``jaccard_dist``
+    is the exact Jaccard distance between the *hashed shingle sets* (what
+    ``approxSimilarityJoin`` verifies on the banded candidates) — the LSH
+    approximation is in candidate *generation*, so recall < 1 but
+    precision of the returned distances is exact.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_sh", shingles("_toks", shingle_n))
+        .filter(F.size("_sh") > 0)
+        .select(id_col, "_sh")
+    )
+    tf = HashingTF(inputCol="_sh", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, max_jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_column(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Add a 64-bit SimHash fingerprint computed entirely per-row.
+
+    Nested higher-order functions: token hashes via ``xxhash64`` inside
+    ``transform``, per-bit majority vote via ``aggregate`` — the whole
+    fingerprint stays inside whole-stage codegen with zero shuffle and
+    zero Python, so it runs at scan speed on any corpus size.
+    """
+    expr = f"""
+    aggregate(
+      transform(sequence(0, 63), b ->
+        IF(aggregate(_sh_hashes, 0,
+             (acc, h) -> acc + IF(((shiftright(h, b) & 1)) = 1, 1, -1)) > 0,
+           shiftleft(1L, b), 0L)),
+      0L, (acc, v) -> acc + v)
+    """
+    return (
+        df.withColumn("_sh_toks", tokens(F.col(text_col)))
+        .withColumn("_sh_hashes", F.expr("transform(_sh_toks, t -> xxhash64(t))"))
+        .withColumn(out_col, F.expr(expr))
+        .drop("_sh_toks", "_sh_hashes")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) <= max_hamming.
+
+    Banded LSH on the fingerprint: 64 bits split into ``n_bands`` sub-bands;
+    by pigeonhole any pair within Hamming distance ``n_bands - 1`` agrees on
+    at least one full band, so the band-equality self-join generates all
+    such pairs as candidates (plus collisions), and ``bit_count(xor)``
+    verifies exactly. Candidate volume is O(band-bucket collisions) — the
+    scale-safe alternative to an all-pairs Hamming scan.
+    """
+    assert max_hamming < n_bands, "banding guarantees recall only for hamming < n_bands"
+    width = 64 // n_bands
+    sh = simhash_column(df, text_col).select(id_col, "simhash")
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"struct(b AS band, shiftright(simhash, b * {width}) & {(1 << width) - 1} AS v))"
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_similarity_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: Optional[str] = None,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a block.
+
+    ``block_col`` bounds the candidate set (equi-join key → hash join):
+    pass a blocking key (source, LSH bucket, simhash band...) — at scale an
+    unblocked call would be a cross join, so it is refused.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    if block_col is None:
+        raise ValueError(
+            "jaccard_similarity_pairs requires a block_col: exact Jaccard over "
+            "an unblocked corpus is an all-pairs cross join — generate "
+            "candidates with minhash_candidate_pairs/simhash_near_dup_pairs first"
+        )
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("_block"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            id_col,
+            "_block",
+            F.array_distinct(shingles("_toks", shingle_n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

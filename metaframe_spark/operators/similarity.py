@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, matching the build brief:
+
+* **brute_force_topk** — exact top-k for a *small query set*: the queries
+  are broadcast, the corpus is streamed once, the dot product is a JVM
+  ``zip_with``/``aggregate`` fold (no Python), and per-query top-k is a
+  rank window partitioned by query id. Cost: O(|corpus| · |queries| · d)
+  with no shuffle of the corpus — the right baseline at any corpus size
+  when |queries| is bounded.
+* **ann_topk / ann_similarity_join** — the scale path:
+  ``BucketedRandomProjectionLSH`` (p-stable random projections) buckets
+  vectors so the join touches only colliding buckets. On unit-normalized
+  vectors, euclidean distance is monotone in cosine
+  (cos = 1 - d²/2), so a euclidean LSH threshold is a cosine threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Dot product of two (unit-normalized) float-array columns, computed in
+    double precision JVM-side. For unit vectors this IS the cosine."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def unit_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize an array<float> column (kept as array<double>)."""
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)), "
+        f"0D, (acc, v) -> acc + v))"
+    )
+    return (
+        df.withColumn("_norm", norm)
+        .withColumn(vec_col, F.expr(f"transform({vec_col}, x -> cast(x as double) / _norm)"))
+        .drop("_norm")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (ties broken by corpus id ascending).
+
+    The query side is broadcast — Spark plans BroadcastNestedLoopJoin, so
+    the corpus is scanned exactly once with no shuffle; the only shuffled
+    data is |queries| · |corpus| score rows pre-aggregated by the rank
+    window's partial top-k (AQE coalesces the tiny result).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(F.col(corpus_id), F.col(vec_col)).crossJoin(
+        F.broadcast(q)
+    ).select(
+        query_id,
+        corpus_id,
+        F.round(cosine_expr(vec_col, "_qvec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
+    )
+
+
+def _to_ml_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def ann_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    min_cosine: float = 0.8,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate similarity join: pairs with cosine >= min_cosine.
+
+    Vectors must be unit-normalized (use :func:`unit_normalize`);
+    cos >= t  ⇔  ||a-b|| <= sqrt(2-2t), so the euclidean LSH join
+    threshold is exact — only candidate *generation* is approximate.
+    Returns (id_l, id_r, cosine).
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    dist_threshold = math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0))
+    lf = _to_ml_vectors(left.select(F.col(left_id).alias("id_l"), vec_col), vec_col)
+    rf = _to_ml_vectors(right.select(F.col(right_id).alias("id_r"), vec_col), vec_col)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v",
+        outputCol="_h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(lf)
+    pairs = model.approxSimilarityJoin(lf, rf, dist_threshold, distCol="_dist")
+    return pairs.select(
+        F.col("datasetA.id_l").alias("id_l"),
+        F.col("datasetB.id_r").alias("id_r"),
+        F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("cosine"),
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.0,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k neighbors per query via the LSH similarity join
+    (bucketed candidates → exact cosine → rank window). Recall depends on
+    num_hash_tables/bucket_length; verify with brute_force_topk on a sample.
+    """
+    from pyspark.sql import Window
+
+    pairs = ann_similarity_join(
+        corpus,
+        queries,
+        min_cosine=min_cosine,
+        left_id=corpus_id,
+        right_id=query_id,
+        vec_col=vec_col,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+        seed=seed,
+    ).select(
+        F.col("id_r").alias(query_id),
+        F.col("id_l").alias(corpus_id),
+        "cosine",
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
+    )

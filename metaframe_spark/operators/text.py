@@ -1,0 +1,165 @@
+"""Text-analysis operators: tokenization, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All expressions are JVM-side built-ins / higher-order functions — zero
+Python per row, so every operator here is embarrassingly parallel and
+shuffle-free (they only add columns). At 100 TB these run at parquet-scan
+speed inside whole-stage codegen.
+
+Capability target: the reference delegates the whole scalar-function
+surface to Spark (``/root/reference/metaframe/metaframe.py:83-88``,
+SURVEY.md §2.3 row 11); these compose those delegated built-ins into the
+training-data-pipeline operators the build brief adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny built-in stopword lists for the language-ID heuristic; callers pass
+#: their own ``{lang: words}`` map for real corpora.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "se", "pour"],
+}
+
+
+def normalize_text(col) -> Column:
+    """Canonical form: lowercase, whitespace collapsed to single spaces."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def shingles(tokens_col, n: int = 3) -> Column:
+    """Word n-gram strings over a token array (array<string>).
+
+    Pure higher-order expression: ``transform(sequence(...))`` + ``slice`` —
+    no explode, no shuffle; shingle count is len(tokens)-n+1 per row.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i, {n})))"
+    )
+
+
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = tuple(STOPWORDS["en"]),
+) -> DataFrame:
+    """Add document-quality columns: n_chars, n_tokens, punct_ratio,
+    stopword_ratio, and a composite quality_score in [0, 1].
+
+    The score rewards reasonable length, low punctuation density, and a
+    natural-language stopword rate — the standard cheap pre-filters before
+    expensive LLM-training tokenization.
+    """
+    sw = ", ".join("'" + w.replace("'", "''") + "'" for w in stopwords)
+    out = (
+        df.withColumn("n_chars", F.length(text_col).cast("long"))
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "punct_ratio",
+            F.when(F.col("n_chars") > 0,
+                   (F.col("n_chars")
+                    - F.length(F.regexp_replace(text_col, "[.,;:!?]", "")))
+                   / F.col("n_chars")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"size(filter(_toks, t -> array_contains(array({sw}), t)))")
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.lit(0.4) * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+                + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+                + F.lit(0.3) * F.col("stopword_ratio"),
+                6,
+            ),
+        )
+        .withColumn("punct_ratio", F.round("punct_ratio", 6))
+        .withColumn("stopword_ratio", F.round("stopword_ratio", 6))
+        .drop("_toks")
+    )
+    return out
+
+
+def language_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Dict[str, List[str]] = None,
+) -> DataFrame:
+    """Add per-language stopword-overlap scores and ``predicted_lang``.
+
+    Heuristic n-gram/stopword language ID: score(lang) = fraction of tokens
+    found in that language's stopword list; argmax wins, ties broken by
+    language code ascending (fully deterministic). Per-row only — no
+    shuffle, no model, no Python.
+    """
+    stopwords = stopwords or STOPWORDS
+    out = df.withColumn("_toks", tokens(F.col(text_col)))
+    structs = []
+    for lang in sorted(stopwords):
+        sw = ", ".join("'" + w.replace("'", "''") + "'" for w in stopwords[lang])
+        score = F.when(
+            F.size("_toks") > 0,
+            F.expr(f"size(filter(_toks, t -> array_contains(array({sw}), t)))")
+            / F.size("_toks"),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"score_{lang}", F.round(score, 6))
+        structs.append(f"struct(score_{lang} AS score, '{lang}' AS lang)")
+    cmp = (
+        "(l, r) -> case when l.score > r.score then -1 "
+        "when l.score < r.score then 1 "
+        "when l.lang < r.lang then -1 when l.lang > r.lang then 1 else 0 end"
+    )
+    out = out.withColumn(
+        "predicted_lang",
+        F.expr(f"array_sort(array({', '.join(structs)}), {cmp})[0].lang"),
+    )
+    return out.drop("_toks")
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash-style document fingerprint: the minimum md5 over word
+    n-gram shingles (winnowing-lite rolling fingerprint).
+
+    Two documents sharing any lowest shingle hash collide on ``fp`` —
+    a cheap, shuffle-free first-pass near-dup signal; md5 is used (not
+    xxhash64) because it is bit-identical across engines, making the
+    operator oracle-checkable.
+    """
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .filter(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.array_min(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {n - 1}), "
+                    f"i -> md5(concat_ws(' ', slice(_toks, i, {n}))))"
+                )
+            ).alias("fp"),
+        )
+    )

@@ -563,3 +563,208 @@ def q30(spark, sf):
         .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value"), "sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (build brief / SURVEY §7.2 P3) over the
+# documents / embeddings tables. SQL-expressible ops carry DuckDB oracles;
+# LSH-based ops (seeded but not SQL-expressible) are rows-only here and get
+# exact correctness tests in tests/test_llm_ops.py.
+# ===========================================================================
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _sw_sql(words):
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+@query(
+    "llm_exact_dedup",
+    "SELECT sha256(norm) AS content_sha256, min(doc_id) AS doc_id, "
+    "count(*) AS n_copies FROM ("
+    f"  SELECT {_NORM_SQL} AS norm, doc_id FROM ("
+    "    SELECT * FROM documents UNION ALL SELECT * FROM documents)"
+    ") GROUP BY norm",
+)
+def llm_exact_dedup(spark, sf):
+    """Exact content dedup (normalize → sha256 → one survivor per digest).
+    The corpus is doubled via union-all so the op demonstrably removes
+    duplicates (the driver tables have none naturally)."""
+    from .operators import exact_dedup
+
+    d = load_table(spark, sf, "documents")
+    doubled = d.unionAll(d.to_spark())
+    assert doubled.primary_key is None  # union invalidated the seeded PK
+    return exact_dedup(doubled, "text", "doc_id")
+
+
+@query(
+    "llm_quality",
+    "SELECT doc_id, n_chars, n_tokens, round(punct_ratio, 6) AS punct_ratio, "
+    "round(stopword_ratio, 6) AS stopword_ratio, "
+    "round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
+    "      + 0.3 * stopword_ratio, 6) AS quality_score "
+    "FROM ("
+    "  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    "         CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "         CASE WHEN length(text) > 0 THEN "
+    "           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+    "           / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+    "         CASE WHEN len(toks) > 0 THEN "
+    "           len(list_filter(toks, t -> list_contains({sw}, t))) "
+    "           / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio "
+    "  FROM (SELECT doc_id, text, string_split({norm}, ' ') AS toks FROM documents)"
+    ")".format(sw="__SW_EN__", norm=_NORM_SQL),
+)
+def llm_quality(spark, sf):
+    from .operators import quality_features
+
+    d = load_table(spark, sf, "documents")
+    return quality_features(d, "text").select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@query(
+    "llm_lang_id",
+    "SELECT doc_id, score_de, score_en, score_es, score_fr, "
+    "CASE WHEN score_de >= greatest(score_en, score_es, score_fr) THEN 'de' "
+    "     WHEN score_en >= greatest(score_es, score_fr) THEN 'en' "
+    "     WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS predicted_lang "
+    "FROM ("
+    "  SELECT doc_id, "
+    "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_DE__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_de, "
+    "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_EN__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_en, "
+    "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_ES__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_es, "
+    "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_FR__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_fr "
+    f"  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)"
+    ")",
+)
+def llm_lang_id(spark, sf):
+    """Stopword-overlap language-ID heuristic; ties break lexicographically.
+    (The driver data's lang labels are synthetic — same vocabulary every
+    language — so this checks the operator's determinism, not label
+    recovery.)"""
+    from .operators import language_scores
+
+    d = load_table(spark, sf, "documents")
+    return language_scores(d, "text").select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang"
+    )
+
+
+@query(
+    "llm_fingerprint",
+    "SELECT doc_id, list_min(list_transform(range(1, len(toks) - 1), "
+    "  i -> md5(array_to_string(list_slice(toks, i, i + 2), ' ')))) AS fp "
+    f"FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    "WHERE len(toks) >= 3",
+)
+def llm_fingerprint(spark, sf):
+    from .operators import doc_fingerprint
+
+    return doc_fingerprint(load_table(spark, sf, "documents"), "text", "doc_id", n=3)
+
+
+@query(
+    "llm_ngram_jaccard",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, "
+    "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union "
+    "FROM ("
+    "  SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks) - 1), "
+    "    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh "
+    f"  FROM (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    "  WHERE len(toks) >= 3) a "
+    "JOIN (SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks) - 1), "
+    "    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh "
+    f"  FROM (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    "  WHERE len(toks) >= 3) b "
+    "ON a.source = b.source AND a.doc_id < b.doc_id",
+)
+def llm_ngram_jaccard(spark, sf):
+    """Exact word-3gram Jaccard for all pairs within a `source` block —
+    the verification stage of near-dup dedup, blocked so the join is a
+    hash join on the block key (never all-pairs)."""
+    from .operators import jaccard_similarity_pairs
+
+    d = load_table(spark, sf, "documents")
+    return jaccard_similarity_pairs(d, "doc_id", "text", block_col="source").select(
+        "id_a", "id_b", "n_inter", "n_union"
+    )
+
+
+@query(
+    "llm_cosine_topk",
+    "SELECT q.vec_id AS q_id, c.vec_id, "
+    "round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine, "
+    "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "  round(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, "
+    "  c.vec_id) AS BIGINT) AS r "
+    "FROM embeddings c, embeddings q WHERE q.vec_id < 8 "
+    "QUALIFY r <= 5",
+)
+def llm_cosine_topk(spark, sf):
+    """Brute-force exact cosine top-5 for 8 query vectors: broadcast
+    nested-loop over the corpus (one scan, no corpus shuffle)."""
+    from .operators import brute_force_topk
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    return brute_force_topk(e.to_spark(), q.to_spark(), k=5)
+
+
+@query("llm_minhash_pairs")
+def llm_minhash_pairs(spark, sf):
+    """MinHash-LSH near-duplicate candidate pairs (banded join; rows-only —
+    exactness is asserted against brute-force Jaccard in pytest)."""
+    from .operators import minhash_candidate_pairs
+
+    d = load_table(spark, sf, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text", max_jaccard_distance=0.8)
+
+
+@query("llm_simhash_pairs")
+def llm_simhash_pairs(spark, sf):
+    """SimHash banded near-dup pairs, Hamming <= 3 (rows-only; recall vs
+    exhaustive Hamming is asserted in pytest)."""
+    from .operators import simhash_near_dup_pairs
+
+    d = load_table(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text")
+
+
+@query("llm_ann_topk")
+def llm_ann_topk(spark, sf):
+    """LSH-bucketed approximate top-k neighbors (rows-only; recall vs
+    brute force is asserted in pytest)."""
+    from .operators import ann_topk, unit_normalize
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    return ann_topk(e, q, k=5, num_hash_tables=6, bucket_length=1.0)
+
+
+@query("llm_multimodal_extract")
+def llm_multimodal_extract(spark, sf):
+    """Binary-payload metadata extraction via Arrow-batched mapInPandas
+    (decode stubbed deterministically — see metaframe_spark.multimodal)."""
+    from .multimodal import attach_demo_payload, extract_media_metadata
+
+    d = load_table(spark, sf, "documents")
+    return extract_media_metadata(attach_demo_payload(d, "text"))
+
+
+def _expand_stopword_macros() -> None:
+    """Substitute __SW_XX__ macros in oracle SQL from the single STOPWORDS
+    source of truth (operators.text) so the lists can never drift apart."""
+    from .operators.text import STOPWORDS
+
+    for key, sql in list(ORACLE.items()):
+        for lang, words in STOPWORDS.items():
+            sql = sql.replace(f"__SW_{lang.upper()}__", _sw_sql(words))
+        ORACLE[key] = sql
+
+
+_expand_stopword_macros()

@@ -1,0 +1,176 @@
+"""Correctness tests for the LLM-pipeline operators beyond the SQL oracle:
+LSH candidate-set properties, banded-join completeness, ANN recall, and the
+multimodal mapInPandas plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.io import load_table
+from metaframe_spark.operators import (
+    brute_force_topk,
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_candidate_pairs,
+    simhash_column,
+    simhash_near_dup_pairs,
+    unit_normalize,
+)
+from metaframe_spark.operators.similarity import ann_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").to_spark().cache()
+
+
+def _with_near_dups(docs, n=5, offset=100000):
+    """Append near-duplicate copies of the first n docs: same text with one
+    token appended — high Jaccard overlap, known (orig, copy) id pairs."""
+    dups = (
+        docs.filter(F.col("doc_id") < n)
+        .withColumn("doc_id", F.col("doc_id") + offset)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzduptoken")))
+    )
+    return docs.unionByName(dups)
+
+
+class TestExactDedup:
+    def test_doubling_collapses(self, docs):
+        doubled = docs.unionAll(docs)
+        out = exact_dedup(doubled, "text", "doc_id")
+        n_docs = docs.count()
+        assert out.count() == n_docs
+        assert out.filter(F.col("n_copies") != 2).count() == 0
+
+    def test_survivor_is_min_id(self, docs):
+        out = exact_dedup(docs.unionAll(docs), "text", "doc_id")
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        assert ids == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+class TestMinHash:
+    def test_finds_injected_near_dups_and_is_banded(self, docs):
+        corpus = _with_near_dups(docs, n=5)
+        pairs = minhash_candidate_pairs(
+            corpus, "doc_id", "text", max_jaccard_distance=0.5
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        for i in range(5):
+            assert (i, i + 100000) in got, f"missed injected near-dup {i}"
+        # banded join, not all-pairs: candidate volume far below n^2/2
+        n = corpus.count()
+        assert len(got) < n * n / 20
+
+    def test_distances_are_exact_jaccard_of_hashed_shingles(self, docs):
+        corpus = _with_near_dups(docs, n=3)
+        pairs = minhash_candidate_pairs(
+            corpus, "doc_id", "text", max_jaccard_distance=0.5
+        )
+        row = pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 100000)).first()
+        assert row is not None
+        # appending one token adds exactly 3 new distinct shingles, so the
+        # pair's Jaccard distance is small but strictly positive (the exact
+        # value depends on the distinct-shingle count — repeated 3-grams are
+        # common in this small-vocabulary corpus)
+        assert 0.0 < row.jaccard_dist < 0.15
+
+
+class TestSimHash:
+    def test_simhash_deterministic_and_64bit(self, docs):
+        a = simhash_column(docs, "text").select("doc_id", "simhash")
+        b = simhash_column(docs, "text").select("doc_id", "simhash")
+        assert a.exceptAll(b).count() == 0
+
+    def test_banded_join_complete_vs_exhaustive(self, spark, docs):
+        """The banded self-join must find EVERY pair with hamming <= 3
+        (pigeonhole guarantee) — verified against an exhaustive cross join
+        at test scale."""
+        corpus = _with_near_dups(docs, n=5)
+        banded = simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
+        got = {(r.id_a, r.id_b) for r in banded.collect()}
+        sh = simhash_column(corpus, "text").select("doc_id", "simhash")
+        a, b = sh.alias("a"), sh.alias("b")
+        exhaustive = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+        )
+        want = {(r.id_a, r.id_b) for r in exhaustive.collect()}
+        assert got == want
+        # the one-token mutation should keep most fingerprints within range
+        injected = [p for p in want if p[1] >= 100000 and p[1] - 100000 == p[0]]
+        assert len(injected) >= 3
+
+
+class TestJaccardVerifier:
+    def test_requires_block(self, docs):
+        with pytest.raises(ValueError):
+            jaccard_similarity_pairs(docs, "doc_id", "text")
+
+    def test_identical_docs_score_one(self, docs):
+        doubled = docs.unionByName(
+            docs.filter(F.col("doc_id") < 3).withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+        pairs = jaccard_similarity_pairs(
+            doubled, "doc_id", "text", block_col="source", min_jaccard=0.99
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        for i in range(3):
+            assert got.get((i, i + 100000)) == 1.0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+
+    def test_brute_force_self_neighbor(self, emb):
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        top = brute_force_topk(emb, q, k=1)
+        for r in top.collect():
+            assert r.vec_id == r.q_id  # nearest neighbor of a vector is itself
+            assert abs(r.cosine - 1.0) < 1e-6
+
+    def test_ann_recall_vs_brute_force(self, emb):
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = brute_force_topk(emb, q, k=5)
+        approx = ann_topk(emb, q, k=5, num_hash_tables=6, bucket_length=1.0)
+        want = {(r.q_id, r.vec_id) for r in exact.collect()}
+        got = {(r.q_id, r.vec_id) for r in approx.collect()}
+        recall = len(want & got) / len(want)
+        assert recall >= 0.6, f"ANN recall {recall} too low"
+
+
+class TestMultimodal:
+    def test_metadata_extraction_plumbing(self, docs):
+        from metaframe_spark.multimodal import attach_demo_payload, extract_media_metadata
+
+        out = extract_media_metadata(attach_demo_payload(docs, "text"))
+        assert out.columns == ["doc_id", "media_type", "size_bytes", "sha256", "width", "height"]
+        rows = out.orderBy("doc_id").limit(5).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.size_bytes > 0
+            assert len(r.sha256) == 64
+            assert 64 <= r.width < 2048 and 64 <= r.height < 2048
+        # deterministic: same payload -> same metadata
+        again = extract_media_metadata(attach_demo_payload(docs, "text"))
+        assert again.exceptAll(out).count() == 0
+
+    def test_decode_stub_raises(self):
+        from metaframe_spark.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
