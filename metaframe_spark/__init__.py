@@ -12,15 +12,20 @@ from __future__ import annotations
 
 from typing import Any
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 _EXPORTS = {
     "MetaFrame": ("metaframe_spark.core", "MetaFrame"),
     "MetaWriter": ("metaframe_spark.core", "MetaWriter"),
+    "MetaStreamWriter": ("metaframe_spark.core", "MetaStreamWriter"),
     "get_session": ("metaframe_spark.session", "get_session"),
     "read_parquet": ("metaframe_spark.io", "read_parquet"),
+    "read_csv": ("metaframe_spark.io", "read_csv"),
+    "read_json": ("metaframe_spark.io", "read_json"),
+    "read_orc": ("metaframe_spark.io", "read_orc"),
     "load_table": ("metaframe_spark.io", "load_table"),
     "wrap": ("metaframe_spark.io", "wrap"),
+    "read_file_stream": ("metaframe_spark.streaming", "read_file_stream"),
 }
 
 

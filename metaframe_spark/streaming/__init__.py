@@ -1,0 +1,74 @@
+"""Structured Streaming surface (SURVEY.md §2.3 row 16, §7.2 P4).
+
+The reference reaches streaming purely through delegation: every
+DataFrame-returning streaming method (``withWatermark``, windowed
+``groupBy().agg()``, ``dropDuplicatesWithinWatermark``) proxies with
+metadata preserved, while ``readStream``/``writeStream`` live on
+Session/property paths outside the wrapper
+(``/root/reference/metaframe/metaframe.py:83-88``). Our build keeps the
+delegation and fixes the property hop: ``mf.writeStream`` returns a
+metadata-carrying :class:`~metaframe_spark.core.MetaStreamWriter`.
+
+This module adds the session-side entry (``read_file_stream``) and a
+canonical watermarked windowed aggregation helper. Scale posture: event-time
+windows + watermarks bound state size; state lives in the streaming state
+store partitioned by group key, so the same aggregation scales with
+executors exactly like its batch twin (Q29/Q30 in the catalog).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..core import MetaFrame
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    metadata: Optional[Dict[str, Any]] = None,
+    **options: Any,
+) -> MetaFrame:
+    """File-source stream wrapped as a MetaFrame (schema is mandatory —
+    streaming readers cannot infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return MetaFrame(reader.load(path), dict(metadata or {}))
+
+
+def windowed_event_counts(
+    mf: MetaFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> MetaFrame:
+    """Watermarked tumbling/sliding window counts — the canonical stateful
+    streaming aggregation. Late data beyond ``watermark`` is dropped and
+    state for closed windows is evicted (bounded state at any scale).
+
+    Works identically on a batch frame (watermark is a no-op there), which
+    is how the oracle checks it (catalog Q29/Q30).
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    out = (
+        mf.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "cnt",
+        )
+    )
+    return out

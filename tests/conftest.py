@@ -3,6 +3,9 @@ import sys
 
 import pytest
 
+# Path fallback for environments where `pip install -e .` is unavailable
+# (this sandbox lacks the `wheel` package); with the package installed via
+# pyproject.toml this insert is a harmless no-op.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from metaframe_spark.session import get_session  # noqa: E402

@@ -1,0 +1,52 @@
+"""Metadata sidecar round-trips (write → read preserves metadata) for every
+path-based format, plus ns-timestamp parquet ingestion."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.core import MetaFrame
+from metaframe_spark.io import read_csv, read_json, read_orc, read_parquet
+
+MD = {"source": "unit", "primary_key": ["o_orderkey"]}
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") * 2.5).alias("val")
+    )
+    return MetaFrame(df, dict(MD))
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_sidecar_roundtrip(spark, frame, tmp_path, fmt):
+    path = str(tmp_path / f"out_{fmt}")
+    writer = frame.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+    readers = {
+        "parquet": read_parquet,
+        "csv": lambda s, p: read_csv(s, p, header=True, inferSchema=True),
+        "json": read_json,
+        "orc": read_orc,
+    }
+    back = readers[fmt](spark, path)
+    assert back.metadata == MD
+    assert back.primary_key == ["o_orderkey"]
+    assert back.count() == 10
+
+
+def test_sidecar_roundtrip_file_uri(spark, frame, tmp_path):
+    path = "file://" + str(tmp_path / "out_uri")
+    frame.write.mode("overwrite").parquet(path)
+    back = read_parquet(spark, path)
+    assert back.metadata == MD
+
+
+def test_ns_timestamp_parquet_reads_as_micros(spark):
+    mf = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    assert dict(mf.dtypes)["ts"] == "timestamp"
+    row = mf.orderBy("event_id").first()
+    assert row.ts.year == 2024

@@ -1,0 +1,83 @@
+"""Structured Streaming contract (SURVEY.md §5 test plan, §7.2 P4):
+file source → watermark → event-time window agg → memory sink, with
+metadata surviving every DataFrame hop and the writeStream accessor.
+
+The streaming result must equal the identical batch aggregation over the
+same files (append mode emits exactly the closed windows once the
+watermark passes end-of-data... for a finite file source we use 'complete'
+mode so every window is emitted without needing late-arriving batches)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.core import MetaFrame, MetaStreamWriter
+from metaframe_spark.io import load_table
+from metaframe_spark.streaming import read_file_stream, windowed_event_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """events sf0.001 re-written as a small multi-file parquet directory."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF, "events").to_spark().repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_watermark_window_agg_matches_batch(spark, stream_dir):
+    batch = spark.read.parquet(stream_dir)
+    schema = batch.schema
+
+    stream = read_file_stream(
+        spark, stream_dir, schema, metadata={"src": "events", "mode": "stream"}
+    )
+    assert stream.metadata == {"src": "events", "mode": "stream"}
+    assert stream.isStreaming
+
+    agg = windowed_event_counts(stream, "ts", "event_type", window="1 hour")
+    # metadata survived withWatermark -> groupBy -> agg -> select
+    assert isinstance(agg, MetaFrame)
+    assert agg.metadata["src"] == "events"
+
+    writer = agg.writeStream
+    assert isinstance(writer, MetaStreamWriter)
+    assert writer.metadata["src"] == "events"
+
+    q = (
+        writer.outputMode("complete")
+        .format("memory")
+        .queryName("wincounts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.cnt
+        for r in windowed_event_counts(
+            MetaFrame(batch, {}), "ts", "event_type", window="1 hour"
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 10
+
+
+def test_dropduplicates_within_watermark_proxies(spark, stream_dir):
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_file_stream(spark, stream_dir, schema, metadata={"k": "v"})
+    out = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    assert isinstance(out, MetaFrame)
+    assert out.metadata["k"] == "v"
+    assert out.isStreaming
