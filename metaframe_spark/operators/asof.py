@@ -1,0 +1,104 @@
+"""As-of join — the standard time-series "latest value at-or-before" join.
+
+The reference has no dedicated as-of operator; SURVEY.md §2.3 row 5 notes
+it is expressible as a windowed filter, and §2.4 Q14 declares that shape.
+This module provides the general operator, Spark-first:
+
+Union-tag + partitioned window, NOT a range join:
+
+1. tag left rows 1 and right rows 0, union them on the shared
+   (by-keys, time) axis;
+2. one window partitioned by the ``by`` keys, ordered by
+   (time, tag, tie-break), frame = unbounded-preceding..current;
+3. ``last(right_payload) IGNORE NULLS`` over that window gives every left
+   row the most recent right row at-or-before it (inclusive — right sorts
+   before left at equal timestamps);
+4. keep tag-1 rows.
+
+Cost: ONE shuffle on the ``by`` keys + a per-partition sort — the same
+price as any keyed aggregation, independent of time-range density. The
+range-join formulation (l.ts >= r.ts) would be a BroadcastNestedLoop /
+O(|L|·|R|) per key; this is O((|L|+|R|) log) per key. A global as-of
+(``by=None``) degenerates to a single-partition window and is refused
+unless ``allow_global=True``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    right_cols: Optional[List[str]] = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+    allow_global: bool = False,
+) -> DataFrame:
+    """Left as-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (direction='backward', inclusive) or the
+    earliest with ``right.on >= left.on`` ('forward'), within ``by`` groups.
+
+    Returns all left columns plus ``on+suffix`` (the matched right
+    timestamp) and each requested right column as ``col+suffix``.
+    Unmatched left rows keep NULLs (left-outer semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by_list = [by] if isinstance(by, str) else list(by or [])
+    if not by_list and not allow_global:
+        raise ValueError(
+            "global as-of (by=None) runs in a single window partition — "
+            "pass by=<keys> or allow_global=True if the data is small"
+        )
+    right_cols = list(right_cols or [])
+
+    lraw = left.to_spark() if hasattr(left, "to_spark") else left
+    rraw = right.to_spark() if hasattr(right, "to_spark") else right
+
+    payload = F.struct(F.col(on).alias("_on"), *[F.col(c) for c in right_cols])
+    r_tag = rraw.select(
+        *by_list,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(lraw.schema[c].dataType).alias(c) for c in lraw.columns
+          if c not in by_list],
+    ).select(*by_list, "_t", "_tag", "_r", *[c for c in lraw.columns if c not in by_list])
+    l_tag = lraw.select(
+        *by_list,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r_tag.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in lraw.columns if c not in by_list],
+    )
+    unioned = r_tag.unionByName(l_tag)
+
+    order = [F.col("_t").asc(), F.col("_tag").asc()]
+    if direction == "forward":
+        # earliest right at-or-after: reverse time, keep right-before-left at
+        # equal timestamps so the match stays inclusive
+        order = [F.col("_t").desc(), F.col("_tag").asc()]
+    w = (
+        Window.partitionBy(*by_list)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) if by_list else (
+        Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out_cols = (
+        [F.col(c) for c in by_list]
+        + [F.col("_t").alias(on)]
+        + [F.col(c) for c in lraw.columns if c not in by_list and c != on]
+        + [F.col("_m._on").alias(on + suffix)]
+        + [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
+    )
+    return matched.filter(F.col("_tag") == 1).select(*out_cols)

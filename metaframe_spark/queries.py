@@ -768,3 +768,25 @@ def _expand_stopword_macros() -> None:
 
 
 _expand_stopword_macros()
+
+
+@query(
+    "q31_asof",
+    "SELECT l.event_id, r.ts AS ts_asof "
+    "FROM (SELECT * FROM events WHERE event_type='click') l "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts",
+)
+def q31_asof(spark, sf):
+    """General as-of join operator (operators.asof): for each click, the
+    latest purchase at-or-before it per user. One shuffle on user_id —
+    union-tag + partitioned window, never a range join. DuckDB oracle uses
+    its native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join(clicks, purchases, on="ts", by="user_id").select(
+        "event_id", F.col("ts_asof")
+    )

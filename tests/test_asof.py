@@ -1,0 +1,86 @@
+"""as-of join operator semantics (backward/forward, payload columns,
+inclusivity, global refusal). The backward direction is also oracle-checked
+against DuckDB's native ASOF JOIN via catalog entry q31_asof."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    TS = lambda s: datetime.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 10:00:00"), "l1"),
+            (1, TS("2024-01-01 12:00:00"), "l2"),
+            (2, TS("2024-01-01 11:00:00"), "l3"),
+            (3, TS("2024-01-01 11:00:00"), "l4"),  # key with no right rows
+        ],
+        "k long, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 09:30:00"), 100.0),
+            (1, TS("2024-01-01 11:00:00"), 200.0),
+            (2, TS("2024-01-01 11:00:00"), 300.0),  # equal-ts (inclusive) match
+            (2, TS("2024-01-01 13:00:00"), 400.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def _by_label(rows):
+    return {r.lbl: (r.ts_asof, r.v_asof) for r in rows}
+
+
+class TestAsof:
+    def test_backward_inclusive(self, frames):
+        left, right = frames
+        out = _by_label(
+            asof_join(left, right, on="ts", by="k", right_cols=["v"]).collect()
+        )
+        assert out["l1"][1] == 100.0  # 10:00 -> 09:30
+        assert out["l2"][1] == 200.0  # 12:00 -> 11:00
+        assert out["l3"][1] == 300.0  # equal timestamp matches (inclusive)
+        assert out["l4"] == (None, None)  # no right rows for key 3
+
+    def test_forward_inclusive(self, frames):
+        left, right = frames
+        out = _by_label(
+            asof_join(
+                left, right, on="ts", by="k", right_cols=["v"], direction="forward"
+            ).collect()
+        )
+        assert out["l1"][1] == 200.0  # 10:00 -> next at 11:00
+        assert out["l2"] == (None, None)  # nothing after 12:00 for key 1
+        assert out["l3"][1] == 300.0  # equal timestamp matches (inclusive)
+
+    def test_left_row_count_preserved(self, frames):
+        left, right = frames
+        assert asof_join(left, right, on="ts", by="k").count() == left.count()
+
+    def test_global_refused_without_optin(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="ts")
+        # explicit opt-in works (small data)
+        out = asof_join(left, right, on="ts", allow_global=True, right_cols=["v"])
+        assert out.count() == left.count()
+
+    def test_single_shuffle_plan(self, frames):
+        left, right = frames
+        plan = (
+            asof_join(left, right, on="ts", by="k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one hash exchange for the window partition; no range/cartesian join
+        assert plan.count("Exchange hashpartitioning") <= 2  # union sides share
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

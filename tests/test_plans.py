@@ -1,0 +1,84 @@
+"""Physical-plan audits — the design-for-scale contract.
+
+These tests pin the plan properties that make the catalog scale:
+column-pruned scans, predicate pushdown into parquet, broadcast joins for
+dims, top-k via TakeOrderedAndProject, the PK dedup short-circuit deleting
+its shuffle, and the absence of cartesian products in the theta join.
+A correctness-preserving change that regresses one of these would still be
+a 100-TB regression; this suite catches it.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.io import load_table
+from metaframe_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    raw = df.to_spark() if hasattr(df, "to_spark") else df
+    return raw._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: plan_of(QUERIES[name](spark, SF))
+        for name in ["q01", "q02", "q07", "q12", "q13", "q18", "llm_cosine_topk"]
+    }
+
+
+class TestScanEfficiency:
+    def test_projection_prunes_columns(self, plans):
+        # the 2-column projection must reach the parquet scan
+        scan = [l for l in plans["q01"].splitlines() if "FileScan" in l][0]
+        assert "l_orderkey" in scan and "l_quantity" in scan
+        assert "l_extendedprice" not in scan and "l_comment" not in scan
+
+    def test_filter_pushdown(self, plans):
+        scan = [l for l in plans["q02"].splitlines() if "FileScan" in l][0]
+        assert "l_quantity" in scan and "> 25" in plans["q02"]
+        assert "DataFilters: []" not in scan
+
+
+class TestJoinStrategy:
+    def test_dim_join_broadcasts(self, plans):
+        assert "BroadcastHashJoin" in plans["q07"]
+        assert "SortMergeJoin" not in plans["q07"]
+
+    def test_multiway_join_broadcasts_dims(self, plans):
+        assert plans["q13"].count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plans["q13"]
+
+    def test_theta_join_uses_equi_component(self, plans):
+        # brand equality is the join key; p_size < p_size is a post-condition,
+        # so the plan must not degenerate to a cartesian product
+        assert "CartesianProduct" not in plans["q12"]
+        assert "BroadcastNestedLoopJoin" not in plans["q12"]
+
+    def test_brute_force_topk_broadcasts_queries(self, plans):
+        # corpus is scanned once; the (small) query side is the broadcast side
+        assert "BroadcastNestedLoopJoin" in plans["llm_cosine_topk"]
+
+
+class TestTopK:
+    def test_limit_plans_take_ordered(self, plans):
+        assert "TakeOrderedAndProject" in plans["q18"]
+        assert "Sort " not in plans["q18"]  # no full-sort materialization
+
+
+class TestPkShortCircuit:
+    def test_dedup_on_pk_adds_no_shuffle(self, spark):
+        o = load_table(spark, SF, "orders")
+        base = plan_of(o.select("o_orderkey", "o_totalprice"))
+        dd = plan_of(o.select("o_orderkey", "o_totalprice").dropDuplicates(["o_orderkey"]))
+        # the short-circuit returns the same plan: no Exchange, no HashAggregate
+        assert dd == base
+        assert "Exchange" not in dd
+
+    def test_dedup_without_pk_does_shuffle(self, spark):
+        li = load_table(spark, SF, "lineitem")  # no PK seeded (violated key)
+        dd = plan_of(li.select("l_orderkey", "l_linenumber").dropDuplicates())
+        assert "Exchange" in dd or "HashAggregate" in dd
