@@ -1,0 +1,113 @@
+"""Skew and partitioning helpers for the 100-TB posture.
+
+First line of defense is AQE, which :func:`metaframe_spark.session.get_session`
+enables (``spark.sql.adaptive.skewJoin.enabled`` splits skewed join
+partitions at runtime). These helpers cover the cases AQE does not:
+aggregation skew on a dominant key, and joins where the engine cannot see
+the skew until it is too late (e.g. pre-AQE clusters, or a skewed
+high-cardinality aggregate feeding a window).
+
+All helpers are deterministic: the salt is a hash of stable columns, never
+``rand()``, so retried tasks and re-runs produce identical results.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_salt(cols: Sequence[str], n_salts: int) -> Column:
+    """A stable salt in [0, n_salts) derived from xxhash64 of ``cols`` —
+    spreads rows of one hot key across ``n_salts`` reducers without
+    nondeterminism across task retries."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: List[str],
+    aggs: List[Column],
+    salt_cols: List[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys.
+
+    Stage 1 aggregates on (keys + salt) — the hot key's rows land on
+    ``n_salts`` different reducers; stage 2 re-aggregates the (tiny)
+    partial results on the keys alone. ``aggs`` must be decomposable
+    (sum/count/min/max — pass the *partial* form; the final stage sums).
+
+    Example::
+
+        salted_agg(li, ["l_returnflag"],
+                   [F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c")],
+                   salt_cols=["l_orderkey"])
+    """
+    salted = df.withColumn("_salt", deterministic_salt(salt_cols, n_salts))
+    partial = salted.groupBy(*keys, "_salt").agg(*aggs)
+    agg_names = [c for c in partial.columns if c not in keys and c != "_salt"]
+    return partial.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in agg_names]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: List[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    left_salt_cols: List[str] = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side, replicate
+    the (smaller) right side ``n_salts``× with every salt value, join on
+    (keys + salt).
+
+    The hot key's rows split across ``n_salts`` reducers at the price of
+    replicating the right side — use only when the right side is too big to
+    broadcast but small enough to replicate (the classic mid-size dim).
+    With AQE available, prefer letting ``skewJoin`` handle it and reserve
+    this for engines/paths where it cannot.
+
+    ``left_salt_cols`` must vary *within* a join key (a line number, an id,
+    a timestamp) — salting by the join key itself would send the entire hot
+    key to one reducer again, which is why it is a required argument.
+    """
+    on = list(on)
+    if not left_salt_cols:
+        raise ValueError(
+            "left_salt_cols is required and must have high cardinality within "
+            "each join key (salting by the join key itself cannot spread it)"
+        )
+    lsalted = left.withColumn("_salt", deterministic_salt(left_salt_cols, n_salts))
+    rreplicated = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = lsalted.join(rreplicated, on + ["_salt"], how)
+    return out.drop("_salt")
+
+
+def with_partition_stats(mf, key: str = "partition_stats"):
+    """Record partition count + per-partition row counts into the frame's
+    metadata (driver-side observability for partition-tuning decisions)."""
+    from .core import MetaFrame
+
+    raw = mf.to_spark() if hasattr(mf, "to_spark") else mf
+    counts = (
+        raw.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    sizes = sorted(r["count"] for r in counts)
+    stats = {
+        "n_partitions": len(sizes),
+        "min_rows": sizes[0] if sizes else 0,
+        "max_rows": sizes[-1] if sizes else 0,
+        "skew_ratio": round(sizes[-1] / max(sizes[0], 1), 2) if sizes else 0.0,
+    }
+    base = mf if isinstance(mf, MetaFrame) else MetaFrame(raw, {})
+    return base.set_metadata(**{key: stats})

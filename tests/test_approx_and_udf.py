@@ -1,0 +1,75 @@
+"""Capability demos SURVEY.md §2.4 excludes from hash-matching, checked
+with tolerances instead: approximate aggregates (±5% of exact), seeded
+sampling bounds, randomSplit partition laws, and the scalar pandas_udf
+path (§2.3 row 17) through the wrapper."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.core import MetaFrame
+from metaframe_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load_table(spark, SF, "lineitem")
+
+
+class TestApproxAggregates:
+    def test_approx_count_distinct_within_5pct(self, li):
+        got = li.select(
+            F.approx_count_distinct("l_partkey").alias("a")
+        ).first()["a"]
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT l_partkey) FROM '{SF}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert abs(got - exact) / exact < 0.05
+
+    def test_percentile_approx_within_5pct(self, li):
+        got = li.select(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p")
+        ).first()["p"]
+        exact = duckdb.sql(
+            f"SELECT median(l_extendedprice) FROM '{SF}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert abs(got - exact) / exact < 0.05
+
+
+class TestSampling:
+    def test_seeded_sample_bounds_and_metadata(self, li):
+        mf = li.set_metadata(tag="s")
+        s = mf.sample(fraction=0.1, seed=42)
+        assert isinstance(s, MetaFrame)
+        assert s.metadata["tag"] == "s"
+        n, total = s.count(), mf.count()
+        assert 0.05 * total < n < 0.15 * total
+
+    def test_randomsplit_partitions_total_and_wraps(self, li):
+        mf = li.set_metadata(tag="rs")
+        parts = mf.randomSplit([0.7, 0.3], seed=42)
+        assert len(parts) == 2
+        assert all(isinstance(p, MetaFrame) for p in parts)
+        assert all(p.metadata["tag"] == "rs" for p in parts)
+        assert sum(p.count() for p in parts) == mf.count()
+
+
+class TestScalarPandasUdf:
+    def test_pandas_udf_through_wrapper(self, spark, li):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+            return price * (1.0 - disc)
+
+        mf = li.set_metadata(tag="udf")
+        out = mf.withColumn(
+            "net", discounted(F.col("l_extendedprice"), F.col("l_discount"))
+        )
+        assert isinstance(out, MetaFrame)
+        assert out.metadata["tag"] == "udf"
+        row = out.select("l_extendedprice", "l_discount", "net").first()
+        assert abs(row.net - row.l_extendedprice * (1 - row.l_discount)) < 1e-9

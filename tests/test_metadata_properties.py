@@ -1,0 +1,93 @@
+"""Property-based metadata-propagation invariants (SURVEY.md §5 plan):
+random operator chains must never crash the wrapper, always preserve
+non-PK metadata, and must never leave a primary_key that the data
+violates — the PK is either None or provably unique.
+
+Uses hypothesis to generate op chains over the sales fixture.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from metaframe_spark.core import MetaFrame
+
+#: (name, fn) — each takes and returns a MetaFrame; all are ops a user
+#: chains freely. The pool mixes PK-setting, PK-preserving and PK-breaking.
+OPS = [
+    ("filter_qty", lambda mf: mf.filter(F.col("quantity") > 4)),
+    ("select_all", lambda mf: mf.select("product_id", "quantity", "date")),
+    ("withcol_new", lambda mf: mf.withColumn("x2", F.col("quantity") * 2)),
+    ("withcol_overwrite_qty", lambda mf: mf.withColumn("quantity", F.lit(1))),
+    ("drop_extra", lambda mf: mf.drop("x2")),
+    ("distinct", lambda mf: mf.distinct()),
+    ("dropdup_product", lambda mf: mf.dropDuplicates(["product_id"])),
+    ("dropdup_prod_date", lambda mf: mf.dropDuplicates(["product_id", "date"])),
+    ("union_self", lambda mf: mf.union(mf)),
+    ("limit", lambda mf: mf.limit(15)),
+    ("orderby", lambda mf: mf.orderBy("product_id")),
+    ("repartition", lambda mf: mf.repartition(2)),
+    ("fillna", lambda mf: mf.fillna(0)),
+    ("rename_date", lambda mf: mf.withColumnRenamed("date", "dt")),
+    ("rename_back", lambda mf: mf.withColumnRenamed("dt", "date")),
+]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(chain=st.lists(st.sampled_from(OPS), min_size=1, max_size=5))
+def test_random_chain_invariants(spark, sales, chain):
+    mf = MetaFrame(sales, {"origin": "sales", "team": "t1"})
+    for _name, op in chain:
+        try:
+            mf = op(mf)
+        except Exception:
+            # ops referencing columns removed earlier in the chain may
+            # legitimately raise AnalysisException at plan time — the
+            # invariants below only apply to chains that build valid plans
+            return
+    assert isinstance(mf, MetaFrame)
+    # non-PK metadata always survives
+    assert mf.metadata["origin"] == "sales"
+    assert mf.metadata["team"] == "t1"
+    # the PK invariant: if set, the data must actually be unique on it
+    pk = mf.primary_key
+    if pk:
+        assert set(pk).issubset(set(mf.columns))
+        total = mf.count()
+        distinct = mf.select(*pk).distinct().count()
+        assert total == distinct, f"stale PK {pk} after {[n for n, _ in chain]}"
+
+
+#: subset-dropDuplicates keeps an arbitrary survivor row per group — both
+#: wrapped and raw are nondeterministic there, so the row-equality property
+#: uses only deterministic ops (full-row distinct stays in).
+DETERMINISTIC_OPS = [
+    (n, f) for n, f in OPS if n not in ("dropdup_product", "dropdup_prod_date")
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(chain=st.lists(st.sampled_from(DETERMINISTIC_OPS), min_size=1, max_size=4))
+def test_wrapper_plan_equals_raw_plan(spark, sales, chain):
+    """The wrapper must be plan-invisible: the same chain applied to the
+    raw DataFrame yields the same rows."""
+    mf = MetaFrame(sales, {})
+    raw = sales
+    try:
+        for _name, op in chain:
+            mf = op(mf)
+            raw = op(raw)
+    except Exception:
+        return
+    got = mf.to_spark()
+    assert got.exceptAll(raw).count() == 0
+    assert raw.exceptAll(got).count() == 0

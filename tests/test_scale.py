@@ -1,0 +1,84 @@
+"""Skew helpers: salted aggregation/join must be result-identical to their
+plain equivalents, and the salt must actually spread the hot key."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.io import load_table
+from metaframe_spark.scale import (
+    deterministic_salt,
+    salted_agg,
+    salted_join,
+    with_partition_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load_table(spark, SF, "lineitem").to_spark()
+
+
+class TestSaltedAgg:
+    def test_equals_plain_agg(self, li):
+        plain = {
+            (r.l_returnflag): (r.q, r.c)
+            for r in li.groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        salted = {
+            (r.l_returnflag): (r.q, r.c)
+            for r in salted_agg(
+                li,
+                ["l_returnflag"],
+                [F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c")],
+                salt_cols=["l_orderkey", "l_linenumber"],
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_salt_spreads_hot_key(self, li):
+        n = (
+            li.withColumn("_s", deterministic_salt(["l_orderkey", "l_linenumber"], 16))
+            .filter(F.col("l_returnflag") == "N")
+            .select("_s")
+            .distinct()
+            .count()
+        )
+        assert n == 16  # the hot key's rows hit every salt bucket
+
+    def test_salt_deterministic(self, li):
+        a = li.withColumn("_s", deterministic_salt(["l_orderkey"], 8)).select("_s")
+        b = li.withColumn("_s", deterministic_salt(["l_orderkey"], 8)).select("_s")
+        assert a.exceptAll(b).count() == 0
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark, li):
+        orders = load_table(spark, SF, "orders").to_spark()
+        o = orders.withColumnRenamed("o_orderkey", "l_orderkey").select(
+            "l_orderkey", "o_totalprice"
+        )
+        plain = li.select("l_orderkey", "l_quantity").join(o, ["l_orderkey"])
+        salted = salted_join(
+            li.select("l_orderkey", "l_quantity"),
+            o,
+            on=["l_orderkey"],
+            n_salts=8,
+            left_salt_cols=["l_orderkey", "l_quantity"],
+        )
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+class TestPartitionStats:
+    def test_stats_recorded(self, spark):
+        mf = load_table(spark, SF, "orders").repartition(4)
+        out = with_partition_stats(mf)
+        stats = out.metadata["partition_stats"]
+        assert stats["n_partitions"] == 4
+        assert stats["min_rows"] > 0
+        assert stats["skew_ratio"] >= 1.0
