@@ -183,6 +183,10 @@ def load_table(
     ``verify_pk=True`` validates the declared key against the data before
     seeding (skips seeding when violated) at the cost of one count job.
     """
+    # timestamp outputs are oracle-compared against DuckDB's naive (UTC)
+    # values — pin the session timezone so results don't depend on the
+    # caller's JVM default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     mf = read_parquet(spark, f"{sf_dir}/{name}.parquet", metadata={"table": name})
     pk = TPCH_PRIMARY_KEYS.get(name)
     if not pk:

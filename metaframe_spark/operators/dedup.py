@@ -188,6 +188,7 @@ def jaccard_similarity_pairs(
     block_col: Optional[str] = None,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a block.
 
@@ -195,6 +196,12 @@ def jaccard_similarity_pairs(
     pass a blocking key (source, LSH bucket, simhash band...) — at scale an
     unblocked call would be a cross join, so it is refused.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``hash_shingles`` replaces shingle strings with xxhash64 longs before
+    the set operations — array_intersect over fixed-width longs is several
+    times cheaper than over strings, and a 64-bit collision inside one
+    compared pair (what it would take to change a count) has probability
+    ~n²/2⁶⁴ ≈ 1e-15 per pair. Turn off only for exact-string auditing.
     """
     if block_col is None:
         raise ValueError(
@@ -208,17 +215,22 @@ def jaccard_similarity_pairs(
             F.col(block_col).alias("_block"),
             tokens(F.col(text_col)).alias("_toks"),
         )
+        .withColumn("_shs", shingles("_toks", shingle_n))
         .select(
             id_col,
             "_block",
-            F.array_distinct(shingles("_toks", shingle_n)).alias("_sh"),
+            F.array_distinct(
+                F.expr("transform(_shs, s -> xxhash64(s))") if hash_shingles else F.col("_shs")
+            ).alias("_sh"),
         )
-        .filter(F.size("_sh") > 0)
+        .withColumn("_n", F.size("_sh"))
+        .filter(F.col("_n") > 0)
     )
     a = base.alias("a")
     b = base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| over distinct sets: the intersection is
+    # computed once per pair and the union is pure arithmetic (materializing
+    # array_union per pair would double the dominant cost)
     return (
         a.join(
             b,
@@ -228,9 +240,19 @@ def jaccard_similarity_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            inter.cast("long").alias("n_inter"),
-            union.cast("long").alias("n_union"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+            .cast("long")
+            .alias("n_inter"),
+            (F.col("a._n") + F.col("b._n")).cast("long").alias("_nsum"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("_nsum") - F.col("n_inter")).alias("n_union"),
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6)
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
