@@ -790,3 +790,24 @@ def q31_asof(spark, sf):
     return asof_join(clicks, purchases, on="ts", by="user_id").select(
         "event_id", F.col("ts_asof")
     )
+
+
+@query(
+    "q32_sessionize",
+    "WITH d AS ("
+    "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, sum(brk) OVER "
+    "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+    "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+    "count(*) AS n_events FROM s GROUP BY user_id, sid",
+)
+def q32_sessionize(spark, sf):
+    """Session windows (30-min gap) via Spark's native session_window —
+    batch-checkable against a gaps-and-islands SQL oracle; the identical
+    code path runs streaming with bounded state (streaming/sessionize)."""
+    from .streaming import sessionize
+
+    e = load_table(spark, sf, "events")
+    return sessionize(e, "ts", "user_id", gap="30 minutes")

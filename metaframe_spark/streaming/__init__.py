@@ -72,3 +72,66 @@ def windowed_event_counts(
         )
     )
     return out
+
+
+def sessionize(
+    mf,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Session-window aggregation: events of one key closer than ``gap``
+    collapse into one session (count + span). Uses Spark's native
+    ``session_window`` — state is per (key, open session) and evicted once
+    the watermark passes the session end, so state size is bounded by
+    concurrently-open sessions, not history.
+
+    Works on batch frames too (watermark no-op) for oracle checking.
+    """
+    out = (
+        mf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+    return out
+
+
+def running_count_with_state(stream, key_col: str = "event_type", timeout_s: int = 3600):
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-key event count maintained in explicit GroupState — the escape
+    hatch for logic session_window/agg cannot express (SURVEY.md §2.3
+    row 16). Arrow-batched; state is one tiny tuple per key.
+
+    Emits (key, running_count) on every trigger. The UDF is self-contained
+    (executors never import this package).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "running_count": [total]})
+
+    raw = stream.to_spark() if hasattr(stream, "to_spark") else stream
+    return raw.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, running_count long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

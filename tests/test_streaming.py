@@ -81,3 +81,74 @@ def test_dropduplicates_within_watermark_proxies(spark, stream_dir):
     assert isinstance(out, MetaFrame)
     assert out.metadata["k"] == "v"
     assert out.isStreaming
+
+
+def test_stateful_running_count(spark, stream_dir):
+    """applyInPandasWithState: per-key running counts in explicit GroupState
+    must converge to the batch per-key totals after one availableNow pass."""
+    from metaframe_spark.streaming import running_count_with_state
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_file_stream(spark, stream_dir, schema, metadata={"m": 1})
+    counts = running_count_with_state(stream, "event_type")
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("runcounts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted value per key == batch count
+    import pyspark.sql.functions as SF
+
+    got = {
+        r.event_type: r.running_count
+        for r in spark.sql(
+            "select event_type, max(running_count) running_count "
+            "from runcounts group by event_type"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.c
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("event_type")
+        .agg(SF.count(SF.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_window_streaming_matches_batch(spark, stream_dir):
+    """sessionize() on a stream (complete mode) equals sessionize() on the
+    same data as a batch frame."""
+    from metaframe_spark.streaming import sessionize
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_file_stream(spark, stream_dir, schema)
+    q = (
+        sessionize(stream, "ts", "user_id", gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("select * from sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in sessionize(
+            MetaFrame(spark.read.parquet(stream_dir), {}), "ts", "user_id"
+        ).collect()
+    }
+    assert got == want

@@ -1,0 +1,64 @@
+"""Remaining §2.3 surface: UDTF (row 17, Spark ≥3.5) and partitioned
+writes with partition pruning (rows 2/13 — the layout half of the scale
+story: a pruned partition never gets scanned)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.core import MetaFrame
+from metaframe_spark.io import load_table, read_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestUdtf:
+    def test_udtf_lateral_join_over_metaframe_view(self, spark):
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="word: string, pos: int")
+        class Explode3:
+            def eval(self, text: str):
+                for i, w in enumerate((text or "").split()[:3]):
+                    yield w, i
+
+        spark.udtf.register("explode3", Explode3)
+        mf = load_table(spark, SF, "documents").set_metadata(stage="udtf")
+        mf.limit(5).createOrReplaceTempView("docs5")  # delegated action
+        out = spark.sql(
+            "SELECT d.doc_id, t.word, t.pos FROM docs5 d, "
+            "LATERAL explode3(d.text) t"
+        )
+        rows = out.collect()
+        assert len(rows) == 15  # 5 docs x 3 words
+        assert all(r.pos in (0, 1, 2) for r in rows)
+
+
+class TestPartitionedLayout:
+    @pytest.fixture(scope="class")
+    def part_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("orders_by_status"))
+        mf = load_table(spark, SF, "orders").set_metadata(layout="by_status")
+        # partitioned write through the metadata-carrying writer chain
+        mf.write.mode("overwrite").partitionBy("o_orderstatus").parquet(d)
+        return d
+
+    def test_sidecar_survives_partitioned_write(self, spark, part_dir):
+        back = read_parquet(spark, part_dir)
+        assert back.metadata["layout"] == "by_status"
+
+    def test_partition_pruning_reaches_scan(self, spark, part_dir):
+        back = read_parquet(spark, part_dir)
+        pruned = back.filter(F.col("o_orderstatus") == "F")
+        plan = (
+            pruned.to_spark()._jdf.queryExecution().executedPlan().toString()
+        )
+        scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+        assert "PartitionFilters: [" in scan
+        assert "o_orderstatus" in scan.split("PartitionFilters:")[1].split("]")[0]
+        # correctness: pruned read equals filtered full read
+        want = (
+            load_table(spark, SF, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .count()
+        )
+        assert pruned.count() == want
