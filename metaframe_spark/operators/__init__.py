@@ -21,11 +21,13 @@ from .dedup import (
     simhash_column,
     simhash_near_dup_pairs,
 )
+from .asof import asof_join
 from .similarity import (
     ann_similarity_join,
     ann_topk,
     brute_force_topk,
     cosine_expr,
+    ivf_topk,
     unit_normalize,
 )
 from .text import (
@@ -41,7 +43,9 @@ from .text import (
 __all__ = [
     "ann_similarity_join",
     "ann_topk",
+    "asof_join",
     "brute_force_topk",
+    "ivf_topk",
     "content_hash",
     "cosine_expr",
     "doc_fingerprint",

@@ -164,3 +164,64 @@ def ann_topk(
         .filter(F.col("r") <= k)
         .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
+    into ``n_lists`` cells; each query probes only its ``n_probe`` nearest
+    cells, so the scan cost drops to ~n_probe/n_lists of brute force.
+
+    Scale shape: the corpus is hash-partitioned by cell id (one shuffle at
+    index build); queries fan out n_probe× and equi-join on cell id — a
+    hash join, never a full-corpus broadcast-nested-loop. Centroids
+    (n_lists × d doubles) ride along as a broadcast.
+
+    Exact cosine is computed inside the probed cells, so precision is
+    exact and only recall is approximate (raise ``n_probe`` to trade speed
+    for recall; n_probe = n_lists degenerates to exact brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.sql import Window
+
+    cfeats = _to_ml_vectors(corpus.select(F.col(corpus_id), vec_col), vec_col)
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell")
+    model = km.fit(cfeats)
+    indexed = model.transform(cfeats).select(corpus_id, vec_col, "_cell")
+
+    # tiny (n_lists x d) centroid relation — broadcast to rank cells per query
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(centers, f"_cell int, _cvec array<double>")
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    wq = Window.partitionBy(query_id).orderBy(F.desc("_cdist"), F.asc("_cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("_cdist", cosine_expr("_qvec", "_cvec"))
+        .withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= n_probe)
+        .select(query_id, "_qvec", "_cell")
+    )
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        probed.join(indexed, "_cell")
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine_expr(vec_col, "_qvec"), 6).alias("cosine"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
+    )

@@ -174,3 +174,26 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+
+class TestIvf:
+    def test_ivf_recall_and_probe_tradeoff(self, spark):
+        from metaframe_spark.operators.similarity import ivf_topk
+
+        emb = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+
+        def recall(n_probe):
+            got = {
+                (r.q_id, r.vec_id)
+                for r in ivf_topk(emb, q, k=5, n_lists=8, n_probe=n_probe).collect()
+            }
+            return len(exact & got) / len(exact)
+
+        r_low, r_full = recall(2), recall(8)
+        assert r_full == 1.0  # probing every cell is exact brute force
+        assert r_low <= r_full
+        assert r_low >= 0.5
