@@ -40,6 +40,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_asof",
     allow_global: bool = False,
+    global_buckets: int = 0,
 ) -> DataFrame:
     """Left as-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward', inclusive) or the
@@ -48,14 +49,27 @@ def asof_join(
     Returns all left columns plus ``on+suffix`` (the matched right
     timestamp) and each requested right column as ``col+suffix``.
     Unmatched left rows keep NULLs (left-outer semantics).
+
+    A *global* as-of (``by=None``) has no key to partition the window on.
+    Pass ``global_buckets=N`` to run it scalably: time is range-bucketed on
+    quantile boundaries, the window runs per bucket, and a tiny per-bucket
+    carry relation (N rows, broadcast) links buckets — see
+    :func:`global_asof_join`. ``allow_global=True`` without buckets keeps
+    the single-partition window (fine for small frames).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by_list = [by] if isinstance(by, str) else list(by or [])
+    if not by_list and global_buckets > 1:
+        return global_asof_join(
+            left, right, on=on, right_cols=right_cols, direction=direction,
+            suffix=suffix, n_buckets=global_buckets,
+        )
     if not by_list and not allow_global:
         raise ValueError(
             "global as-of (by=None) runs in a single window partition — "
-            "pass by=<keys> or allow_global=True if the data is small"
+            "pass by=<keys>, global_buckets=N for the scalable bucketed "
+            "plan, or allow_global=True if the data is small"
         )
     right_cols = list(right_cols or [])
 
@@ -98,6 +112,116 @@ def asof_join(
         [F.col(c) for c in by_list]
         + [F.col("_t").alias(on)]
         + [F.col(c) for c in lraw.columns if c not in by_list and c != on]
+        + [F.col("_m._on").alias(on + suffix)]
+        + [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
+    )
+    return matched.filter(F.col("_tag") == 1).select(*out_cols)
+
+
+def global_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    right_cols: Optional[List[str]] = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Scalable keyless as-of join: range-bucket time, window per bucket,
+    stitch buckets with a tiny carry relation.
+
+    1. sample quantile boundaries of the time axis (one cheap pass) and
+       assign every row a bucket id — an equi key that respects time order;
+    2. run the union-tag window *per bucket* (parallel, no global sort);
+    3. per bucket, take the last right payload (``max_by``) — an N-row
+       relation; compute each bucket's carry-in (the last payload of any
+       earlier bucket) with a window over those N rows and broadcast it
+       back;
+    4. rows whose bucket has no preceding right row coalesce to the carry.
+
+    Cost: one range shuffle + one N-row broadcast — same asymptotics as a
+    keyed as-of, for any data size. Matches the single-partition plan
+    exactly (tested).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_cols = list(right_cols or [])
+    lraw = left.to_spark() if hasattr(left, "to_spark") else left
+    rraw = right.to_spark() if hasattr(right, "to_spark") else right
+
+    payload = F.struct(F.col(on).alias("_on"), *[F.col(c) for c in right_cols])
+    r_tag = rraw.select(
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(lraw.schema[c].dataType).alias(c) for c in lraw.columns],
+    )
+    l_tag = lraw.select(
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r_tag.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in lraw.columns],
+    )
+    unioned = r_tag.unionByName(l_tag)
+
+    # quantile bucket boundaries from a cheap approximate pass; epoch space
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    splits = unioned.select(
+        F.col("_t").cast("double").alias("_td")
+    ).approxQuantile("_td", probs, 0.001)
+    splits = sorted(set(splits))
+    bucket = F.lit(0)
+    for i, s in enumerate(splits):
+        bucket = F.when(F.col("_t").cast("double") > s, i + 1).otherwise(bucket)
+    bucketed = unioned.withColumn("_bkt", bucket)
+
+    backward = direction == "backward"
+    order = (
+        [F.col("_t").asc(), F.col("_tag").asc()]
+        if backward
+        else [F.col("_t").desc(), F.col("_tag").asc()]
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = bucketed.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+
+    # N-row carry relation: last right payload per bucket, then for each
+    # bucket the most recent payload of strictly-earlier (later, if forward)
+    # buckets
+    per_bucket = (
+        bucketed.filter(F.col("_tag") == 0)
+        .groupBy("_bkt")
+        .agg(
+            F.max_by("_r", F.struct(F.col("_t"))).alias("_last")
+            if backward
+            else F.min_by("_r", F.struct(F.col("_t"))).alias("_last")
+        )
+    )
+    # every bucket needs a carry row, including buckets with no right rows:
+    # reattach over the full bucket-id range via a left join from distinct ids
+    all_bkts = bucketed.select("_bkt").distinct()
+    bw = (
+        Window.orderBy(F.col("_bkt").asc() if backward else F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = all_bkts.join(per_bucket, "_bkt", "left").select(
+        "_bkt", F.last("_last", ignorenulls=True).over(bw).alias("_upto")
+    )
+    carry = lasts.withColumn(
+        "_carry",
+        F.lag("_upto", 1).over(
+            Window.orderBy(F.col("_bkt").asc() if backward else F.col("_bkt").desc())
+        ),
+    ).select("_bkt", "_carry")
+
+    matched = in_bucket.join(F.broadcast(carry), "_bkt", "left").withColumn(
+        "_m", F.coalesce(F.col("_m"), F.col("_carry"))
+    )
+    out_cols = (
+        [F.col(c) for c in lraw.columns]
         + [F.col("_m._on").alias(on + suffix)]
         + [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
     )

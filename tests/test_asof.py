@@ -84,3 +84,52 @@ class TestAsof:
         assert plan.count("Exchange hashpartitioning") <= 2  # union sides share
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestGlobalAsof:
+    def test_bucketed_equals_single_partition(self, spark):
+        """The range-bucketed global as-of must reproduce the single-
+        partition result exactly, on real event data, both directions."""
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators.asof import asof_join
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events").to_spark()
+        left = e.filter(F.col("event_type") == "click").select("ts", "event_id")
+        right = e.filter(F.col("event_type") == "purchase").select("ts", "value")
+
+        for direction in ("backward", "forward"):
+            ref = {
+                r.event_id: (r.ts_asof, r.value_asof)
+                for r in asof_join(
+                    left, right, on="ts", right_cols=["value"],
+                    direction=direction, allow_global=True,
+                ).collect()
+            }
+            got = {
+                r.event_id: (r.ts_asof, r.value_asof)
+                for r in asof_join(
+                    left, right, on="ts", right_cols=["value"],
+                    direction=direction, global_buckets=16,
+                ).collect()
+            }
+            assert got == ref, f"bucketed != single-partition ({direction})"
+
+    def test_bucketed_has_no_single_partition_window(self, spark):
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators.asof import asof_join
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events").to_spark()
+        left = e.filter(F.col("event_type") == "click").select("ts", "event_id")
+        right = e.filter(F.col("event_type") == "purchase").select("ts")
+        plan = (
+            asof_join(left, right, on="ts", global_buckets=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the big window is partitioned by bucket; only the N-row carry
+        # relation uses SinglePartition
+        big_window_lines = [
+            l for l in plan.splitlines()
+            if "Window" in l and "_m" in l
+        ]
+        assert big_window_lines, "expected the main window in the plan"
+        assert all("_bkt" in l for l in big_window_lines)
