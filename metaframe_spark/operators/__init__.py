@@ -15,9 +15,11 @@ Everything here is designed 100-TB-first:
 
 from .dedup import (
     content_hash,
+    dedup_survivors,
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
+    near_dup_groups,
     simhash_column,
     simhash_near_dup_pairs,
 )
@@ -48,11 +50,13 @@ __all__ = [
     "ivf_topk",
     "content_hash",
     "cosine_expr",
+    "dedup_survivors",
     "doc_fingerprint",
     "exact_dedup",
     "jaccard_similarity_pairs",
     "language_scores",
     "minhash_candidate_pairs",
+    "near_dup_groups",
     "normalize_text",
     "quality_features",
     "shingles",

@@ -256,3 +256,73 @@ def jaccard_similarity_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Collapse near-duplicate pairs into groups (connected components):
+    returns (id, group_id) where group_id is the smallest id in the
+    component — the canonical survivor.
+
+    Iterative label propagation in pure DataFrame ops: every node starts
+    labeled with itself; each round, every node adopts the minimum label in
+    its neighborhood; converges in O(component diameter) rounds (dup
+    clusters are shallow — chains longer than ~10 are pathological).
+    Each round is one join + one aggregation; iteration stops early when a
+    round changes nothing. This is the standard large-scale alternative to
+    driver-side union-find, which dies once the pair list outgrows memory.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("group_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup dedup: given the corpus and a near-dup pair list
+    (from minhash/simhash/cosine candidates + verification), keep one
+    survivor per connected component (the smallest id) plus all unpaired
+    documents. Returns the surviving rows of ``df``."""
+    groups = near_dup_groups(pairs, "id_a", "id_b")
+    losers = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -811,3 +811,16 @@ def q32_sessionize(spark, sf):
 
     e = load_table(spark, sf, "events")
     return sessionize(e, "ts", "user_id", gap="30 minutes")
+
+
+@query("llm_cosine_dups")
+def llm_cosine_dups(spark, sf):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via the
+    random-projection LSH similarity join — bucketed candidates, never
+    all-pairs (rows-only: LSH bucketing is not SQL-expressible; the
+    euclidean<->cosine equivalence is tested in pytest)."""
+    from .operators import ann_similarity_join, unit_normalize
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    pairs = ann_similarity_join(e, e, min_cosine=0.9)
+    return pairs.filter(F.col("id_l") < F.col("id_r"))

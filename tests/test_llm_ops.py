@@ -197,3 +197,42 @@ class TestIvf:
         assert r_full == 1.0  # probing every cell is exact brute force
         assert r_low <= r_full
         assert r_low >= 0.5
+
+
+class TestNearDupGroups:
+    def test_connected_components_and_survivors(self, spark, docs):
+        from metaframe_spark.operators.dedup import dedup_survivors, near_dup_groups
+
+        # component {1,2,3} via chain 1-2, 2-3; component {10,11}; singleton pairs absent
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        groups = {r.id: r.group_id for r in near_dup_groups(pairs).collect()}
+        assert groups == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+        survivors = dedup_survivors(docs, pairs, "doc_id")
+        kept = {r.doc_id for r in survivors.select("doc_id").collect()}
+        all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        assert kept == all_ids - {2, 3, 11}
+
+    def test_long_chain_converges(self, spark, docs):
+        from metaframe_spark.operators.dedup import near_dup_groups
+
+        chain = [(i, i + 1) for i in range(12)]  # 0-1-2-...-12, diameter 12
+        groups = {r.id: r.group_id for r in near_dup_groups(
+            spark.createDataFrame(chain, "id_a long, id_b long")
+        ).collect()}
+        assert set(groups.values()) == {0}
+
+    def test_end_to_end_minhash_to_survivors(self, spark, docs):
+        from metaframe_spark.operators.dedup import dedup_survivors
+
+        corpus = _with_near_dups(docs, n=4)
+        pairs = minhash_candidate_pairs(
+            corpus, "doc_id", "text", max_jaccard_distance=0.3
+        ).select("id_a", "id_b")
+        survivors = dedup_survivors(corpus, pairs, "doc_id")
+        kept = {r.doc_id for r in survivors.select("doc_id").collect()}
+        for i in range(4):
+            assert i in kept          # original survives (smallest id)
+            assert i + 100000 not in kept  # injected near-dup removed
