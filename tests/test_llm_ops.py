@@ -236,3 +236,33 @@ class TestNearDupGroups:
         for i in range(4):
             assert i in kept          # original survives (smallest id)
             assert i + 100000 not in kept  # injected near-dup removed
+
+
+class TestCosineDupPairs:
+    def test_lsh_pairs_precision_and_recall(self, spark):
+        from metaframe_spark.operators import ann_similarity_join, unit_normalize
+        from metaframe_spark.operators.similarity import cosine_expr
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        a, b = e.alias("a"), e.alias("b")
+        truth = {
+            (r.id_l, r.id_r)
+            for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_l"),
+                F.col("b.vec_id").alias("id_r"),
+                cosine_expr("a.embedding", "b.embedding").alias("c"),
+            )
+            .filter(F.col("c") >= 0.35)
+            .collect()
+        }
+        got = {
+            (r.id_l, r.id_r)
+            for r in ann_similarity_join(
+                e, e, min_cosine=0.35, num_hash_tables=6, bucket_length=1.0
+            )
+            .filter(F.col("id_l") < F.col("id_r"))
+            .collect()
+        }
+        assert got.issubset(truth)  # precision exact: threshold verified on candidates
+        assert len(got) / len(truth) >= 0.9  # LSH recall
