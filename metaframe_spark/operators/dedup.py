@@ -326,3 +326,22 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def exact_dedup_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-row variant of :func:`exact_dedup`: returns the surviving rows
+    of ``df`` (lowest id per distinct normalized content), all columns
+    intact. One shuffle on the content hash + a per-group row_number —
+    use :func:`exact_dedup` when only ids/counts are needed (cheaper:
+    min_by needs no sort)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", content_hash(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )

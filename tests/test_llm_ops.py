@@ -266,3 +266,14 @@ class TestCosineDupPairs:
         }
         assert got.issubset(truth)  # precision exact: threshold verified on candidates
         assert len(got) / len(truth) >= 0.9  # LSH recall
+
+
+class TestExactDedupRows:
+    def test_full_rows_survive(self, spark, docs):
+        from metaframe_spark.operators.dedup import exact_dedup_rows
+
+        doubled = docs.unionAll(docs)
+        out = exact_dedup_rows(doubled, "text", "doc_id")
+        assert out.columns == docs.columns
+        assert out.count() == docs.count()
+        assert out.exceptAll(docs).count() == 0
