@@ -123,7 +123,11 @@ class MetaFrame(DataFrame):
     """
 
     #: result types that get re-wrapped with the caller's metadata
-    #: (reference: ``metaframe.py:46``).
+    #: (reference: ``metaframe.py:46``). These are the PySpark-4 *unified*
+    #: base classes, which both the classic and the Spark Connect
+    #: implementations subclass — so Connect frames re-wrap correctly by
+    #: construction (not exercised in CI: this environment lacks grpcio,
+    #: which Connect requires; SURVEY.md §7.4).
     RETURNED_CLASSES: Tuple[type, ...] = (DataFrame, GroupedData, DataFrameWriter)
 
     #: PK-inference rule table (reference: ``metaframe.py:48-60``); values are

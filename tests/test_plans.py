@@ -82,3 +82,44 @@ class TestPkShortCircuit:
         li = load_table(spark, SF, "lineitem")  # no PK seeded (violated key)
         dd = plan_of(li.select("l_orderkey", "l_linenumber").dropDuplicates())
         assert "Exchange" in dd or "HashAggregate" in dd
+
+
+class TestWrapperPlanInvisibility:
+    def test_wrapped_plan_textually_equals_raw_plan(self, spark):
+        """Build the flagship aggregation twice — once through MetaFrame,
+        once on raw DataFrames — and compare the physical plans textually
+        (modulo expression/plan ids). This is the ≤2×-of-baseline gate
+        proven at the plan level: identical plans cannot diverge in cost."""
+        import re
+
+        from metaframe_spark.core import MetaFrame
+
+        def normalize(plan: str) -> str:
+            plan = re.sub(r"#\d+L?", "#x", plan)
+            plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+            plan = re.sub(r"\[id=#?\w+\]", "[id=x]", plan)
+            return plan
+
+        path = f"{SF}/lineitem.parquet"
+
+        def build(frame):
+            return (
+                frame.filter(F.col("l_quantity") > 25)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c"))
+            )
+
+        wrapped = build(MetaFrame(spark.read.parquet(path), {"m": 1}))
+        raw = build(spark.read.parquet(path))
+        assert normalize(plan_of(wrapped)) == normalize(plan_of(raw))
+
+    def test_aggregation_does_mapside_combine(self, spark):
+        """The flagship agg must do a partial (map-side) aggregate before
+        the exchange — only pre-aggregated group rows cross the shuffle,
+        never raw lineitems. (WholeStageCodegen markers only materialize in
+        the post-execution AQE plan, so we assert the aggregate shape.)"""
+        df = QUERIES["q03"](spark, SF)
+        plan = plan_of(df)
+        assert "partial_sum" in plan and "partial_count" in plan
+        assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange
+        assert plan.count("HashAggregate") >= 2  # partial + final
