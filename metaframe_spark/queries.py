@@ -826,3 +826,81 @@ def llm_cosine_dups(spark, sf):
     e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
     pairs = ann_similarity_join(e, e, min_cosine=0.35, num_hash_tables=6, bucket_length=1.0)
     return pairs.filter(F.col("id_l") < F.col("id_r"))
+
+
+@query(
+    "q33_resample",
+    "WITH bounds AS ("
+    "  SELECT TIMESTAMP '1970-01-01' + CAST(floor(epoch(min(ts))/3600)*3600 AS BIGINT) * INTERVAL 1 SECOND AS lo,"
+    "         TIMESTAMP '1970-01-01' + CAST(floor(epoch(max(ts))/3600)*3600 AS BIGINT) * INTERVAL 1 SECOND AS hi FROM events), "
+    "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "agg AS (SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt "
+    "        FROM events GROUP BY 1, 2) "
+    "SELECT g.bucket, t.event_type, coalesce(a.cnt, 0) AS cnt "
+    "FROM grid g CROSS JOIN types t "
+    "LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = t.event_type",
+)
+def q33_resample(spark, sf):
+    """Gap-filled hourly resample: every (hour, event_type) cell exists,
+    empty ones zero-filled. The dense grid is generated with sequence()
+    (driver-free, two tiny relations crossed and broadcast against the
+    aggregate) — the standard prelude to time-series feature matrices."""
+    e = load_table(spark, sf, "events")
+    agg = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        grid.crossJoin(types)
+        .join(agg, ["bucket", "event_type"], "left")
+        .select("bucket", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+@query(
+    "q34_pivot",
+    "SELECT user_id, "
+    "count(*) FILTER (event_type = 'click') AS click, "
+    "count(*) FILTER (event_type = 'error') AS error, "
+    "count(*) FILTER (event_type = 'purchase') AS purchase, "
+    "count(*) FILTER (event_type = 'signup') AS signup, "
+    "count(*) FILTER (event_type = 'view') AS view "
+    "FROM events GROUP BY user_id",
+)
+def q34_pivot(spark, sf):
+    """GroupedData.pivot (§2.3 row 6) with an explicit value list (no
+    extra distinct-scan job); absent cells zero-filled to match the
+    FILTER-count oracle."""
+    e = load_table(spark, sf, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.na.fill(0)
+
+
+@query(
+    "q35_explode",
+    "SELECT word, count(*) AS cnt FROM ("
+    "  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word "
+    "  FROM documents) GROUP BY word",
+)
+def q35_explode(spark, sf):
+    """Generator expression (explode) + aggregation — word frequencies
+    over the corpus (§2.3 row 11). Also exercises the PK-invalidation
+    rule for generators in projections."""
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")).alias("word")
+    )
+    assert words.primary_key is None  # explode invalidated the seeded PK
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
