@@ -904,3 +904,19 @@ def q35_explode(spark, sf):
     )
     assert words.primary_key is None  # explode invalidated the seeded PK
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q36_from_json",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_int "
+    "FROM events",
+)
+def q36_from_json(spark, sf):
+    """Schema-full JSON parsing: from_json into a typed struct (§2.3
+    row 11 map/json functions) — unlike q26's string extraction, this
+    exercises the JSON-to-struct path used for semi-structured columns."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k int").getField("k").alias("k_int"),
+    )

@@ -73,3 +73,36 @@ class TestScalarPandasUdf:
         assert out.metadata["tag"] == "udf"
         row = out.select("l_extendedprice", "l_discount", "net").first()
         assert abs(row.net - row.l_extendedprice * (1 - row.l_discount)) < 1e-9
+
+
+class TestStatAccessor:
+    def test_stat_corr_matches_duckdb(self, spark, li):
+        got = li.stat.corr("l_quantity", "l_extendedprice")
+        want = duckdb.sql(
+            f"SELECT corr(l_quantity, l_extendedprice) FROM '{SF}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert abs(got - want) < 1e-9
+
+    def test_stat_crosstab_keeps_metadata(self, li):
+        mf = li.set_metadata(tag="stat")
+        ct = mf.stat.crosstab("l_returnflag", "l_linestatus")
+        assert isinstance(ct, MetaFrame)
+        assert ct.metadata["tag"] == "stat"
+        assert ct.count() == 3  # A, N, R
+
+
+class TestStratifiedSampling:
+    def test_sampleby_fractions_respected(self, li):
+        fractions = {"A": 0.2, "N": 0.5, "R": 0.0}
+        s = li.sampleBy("l_returnflag", fractions, seed=42)
+        counts = {
+            r.l_returnflag: r.c
+            for r in s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        totals = {
+            r.l_returnflag: r.c
+            for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        assert "R" not in counts
+        assert 0.1 < counts["A"] / totals["A"] < 0.3
+        assert 0.4 < counts["N"] / totals["N"] < 0.6
