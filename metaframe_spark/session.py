@@ -24,6 +24,7 @@ def get_session(
     app_name: str = "metaframe_spark",
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
+    max_partition_bytes: Optional[str] = None,
     extra_conf: Optional[dict] = None,
 ) -> SparkSession:
     cpus = default_parallelism()
@@ -42,6 +43,10 @@ def get_session(
         "spark.sql.parquet.filterPushdown": "true",
         "spark.ui.enabled": "false",
     }
+    if max_partition_bytes:
+        # input-split sizing: smaller splits -> more parallelism on huge
+        # scans, larger -> less scheduling overhead (default 128m)
+        conf["spark.sql.files.maxPartitionBytes"] = max_partition_bytes
     # NOTE: spark.driver.memory is NOT set here — builder.config can't change
     # JVM heap once a JVM exists (and in-process launch reads it too late);
     # pass it via spark-submit / SPARK_SUBMIT_OPTS instead (VERDICT r1 #5).
