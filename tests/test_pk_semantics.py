@@ -144,3 +144,16 @@ class TestStreamWriter:
         w2 = w.format("memory").outputMode("append")
         assert isinstance(w2, MetaStreamWriter)
         assert w2.metadata == {"src": "rate"}
+
+
+class TestColumnNameResolution:
+    def test_groupby_with_backticked_column(self, spark, orders):
+        # F.col with an exotic path still resolves through the analyzer
+        out = orders.groupBy(F.col("o_orderstatus")).agg(F.count(F.lit(1)).alias("c"))
+        assert out.primary_key == ["o_orderstatus"]
+
+    def test_groupby_with_expression_gives_no_pk(self, orders):
+        out = orders.groupBy(F.upper(F.col("o_orderstatus"))).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        assert out.primary_key is None  # expression: not a real PK column
