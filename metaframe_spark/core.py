@@ -66,6 +66,16 @@ _UNIQUENESS_BREAKING = frozenset(
         "transform",
         "unpivot",
         "melt",
+        # GroupedData fan-out UDFs: the grouped-map function may emit any
+        # number of rows per group, and `toDF` re-binds column names
+        # positionally — the old PK name can land on different data
+        "apply",
+        "applyInPandas",
+        "applyInArrow",
+        "applyInPandasWithState",
+        "transformWithStateInPandas",
+        "cogroup",
+        "toDF",
     }
 )
 
@@ -84,6 +94,11 @@ _LEFT_ONCE_JOINS = frozenset({"inner", "left", "leftouter", "left_outer"})
 _WRITER_TERMINALS = frozenset(
     {"save", "parquet", "csv", "json", "orc", "text", "saveAsTable", "insertInto", "jdbc"}
 )
+
+#: the subset of terminals whose first argument is a filesystem PATH — only
+#: these get a metadata sidecar (saveAsTable/insertInto/jdbc take a table
+#: name, which must never be treated as a local directory).
+_PATH_TERMINALS = frozenset({"save", "parquet", "csv", "json", "orc", "text"})
 
 
 def _column_name(col: Column, df: Optional[DataFrame] = None) -> Optional[str]:
@@ -244,7 +259,12 @@ class MetaFrame(DataFrame):
         # metadata for list-selects; fixed mode re-wraps DataFrame results (q4)
         result = self.df[key]
         if not self.strict_reference_compat and isinstance(result, DataFrame):
-            return MetaFrame(result, self.metadata, **self._mf_kwargs())
+            md = self.metadata
+            pk = md.get("primary_key")
+            if pk and not set(pk).issubset(set(result.columns)):
+                # list-select dropped a PK column — don't propagate the key
+                md = {k: v for k, v in md.items() if k != "primary_key"}
+            return MetaFrame(result, md, **self._mf_kwargs())
         return result
 
     def _rewrap_accessor(self, key: str, attr: Any) -> Any:
@@ -450,6 +470,16 @@ class MetaFrame(DataFrame):
                 flat.extend(a if isinstance(a, (list, tuple)) else [a])
             if any(_GENERATOR_RE.search(str(a)) for a in flat):
                 invalid = True
+            else:
+                # an expression ALIASED to a PK name re-binds that name to
+                # different data — the subset check below would still pass
+                for name in pk:
+                    alias_re = re.compile(
+                        r"\bAS\s+`?" + re.escape(name) + r"`?\b", re.IGNORECASE
+                    )
+                    if any(alias_re.search(str(a)) for a in flat):
+                        invalid = True
+                        break
         elif callable_key in ("replace", "fillna"):
             # value rewrites inside a PK column can merge distinct keys
             subset = kwargs.get("subset")
@@ -520,12 +550,33 @@ class MetaFrame(DataFrame):
 
 class _AccessorProxy:
     """Wraps ``DataFrameNaFunctions`` / ``DataFrameStatFunctions`` so their
-    DataFrame results keep the caller's metadata (fixes reference quirk q4)."""
+    DataFrame results keep the caller's metadata (fixes reference quirk q4).
+
+    ``na.fill``/``na.replace`` rewrite values and can merge distinct PK
+    values — the primary key is dropped from the propagated metadata unless
+    an explicit ``subset`` avoids the PK columns entirely (mirrors the
+    direct ``fillna``/``replace`` invalidation; without this the accessor
+    path would arm the dedup short-circuit with a stale key)."""
+
+    #: accessor method -> positional index of its ``subset`` argument
+    _PK_REWRITERS = {"fill": 1, "replace": 2}
 
     def __init__(self, obj: Any, metadata: Dict[str, Any], mf_kwargs: Dict[str, Any]):
         object.__setattr__(self, "_obj", obj)
         object.__setattr__(self, "_metadata", metadata)
         object.__setattr__(self, "_mf_kwargs", mf_kwargs)
+
+    def _result_metadata(self, key: str, args: Tuple, kwargs: Dict) -> Dict[str, Any]:
+        pk = self._metadata.get("primary_key")
+        if not pk or key not in self._PK_REWRITERS:
+            return self._metadata
+        idx = self._PK_REWRITERS[key]
+        subset = kwargs.get("subset", args[idx] if len(args) > idx else None)
+        if subset is not None:
+            subset_list = [subset] if isinstance(subset, str) else list(subset)
+            if not set(subset_list) & set(pk):
+                return self._metadata
+        return {k: v for k, v in self._metadata.items() if k != "primary_key"}
 
     def __getattr__(self, key: str) -> Any:
         attr = getattr(self._obj, key)
@@ -536,7 +587,8 @@ class _AccessorProxy:
         def wrapped(*args: Any, **kwargs: Any) -> Any:
             result = attr(*args, **kwargs)
             if isinstance(result, DataFrame):
-                return MetaFrame(result, self._metadata, **self._mf_kwargs)
+                md = self._result_metadata(key, args, kwargs)
+                return MetaFrame(result, md, **self._mf_kwargs)
             return result
 
         return wrapped
@@ -569,9 +621,10 @@ class MetaWriter:
         def wrapped(*args: Any, **kwargs: Any) -> Any:
             result = attr(*args, **kwargs)
             if key in _WRITER_TERMINALS:
-                path = args[0] if args and isinstance(args[0], str) else kwargs.get("path")
-                if path:
-                    self._write_sidecar(path)
+                if key in _PATH_TERMINALS:
+                    path = args[0] if args and isinstance(args[0], str) else kwargs.get("path")
+                    if path:
+                        self._write_sidecar(path)
                 return result
             if isinstance(result, DataFrameWriter):
                 return MetaWriter(result, self._metadata, self._mf)

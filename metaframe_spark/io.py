@@ -92,6 +92,12 @@ def read_parquet(
     # and truncate to microseconds with exact integer division (`div`, never
     # float `/` — ns epochs exceed 2^53). Matches DuckDB's silent ns→µs
     # truncation, so oracle comparisons stay value-identical.
+    #
+    # The conf intentionally stays set on the session: the returned frame's
+    # plan consults it at execution time, so restoring it here would break
+    # the (lazy) read. Side effect: later RAW spark.read.parquet calls on
+    # ns files return long columns instead of raising — use this reader for
+    # ns-timestamp data.
     from pyspark.sql import functions as F  # local import: io stays light
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

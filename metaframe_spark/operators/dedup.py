@@ -299,6 +299,10 @@ def near_dup_groups(
                 ).alias("label"),
             )
         )
+        # checkpoint FIRST, then detect changes against the materialized
+        # frame — counting on the un-checkpointed lineage would execute the
+        # round's join twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -306,7 +310,7 @@ def near_dup_groups(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("group_id"))

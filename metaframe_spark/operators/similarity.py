@@ -204,10 +204,18 @@ def ivf_topk(
     cdf = spark.createDataFrame(centers, f"_cell int, _cvec array<double>")
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
-    wq = Window.partitionBy(query_id).orderBy(F.desc("_cdist"), F.asc("_cell"))
+    # rank probe cells by EUCLIDEAN distance — the same metric KMeans used
+    # to assign corpus vectors. Ranking by dot product would mis-order
+    # cells whenever centroid norms differ (centroids are not unit-norm),
+    # missing even exact-duplicate neighbors.
+    sqdist = F.expr(
+        "aggregate(zip_with(_qvec, _cvec, (x, y) -> (cast(x as double) - y) * "
+        "(cast(x as double) - y)), 0D, (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.asc("_cdist"), F.asc("_cell"))
     probed = (
         q.crossJoin(F.broadcast(cdf))
-        .withColumn("_cdist", cosine_expr("_qvec", "_cvec"))
+        .withColumn("_cdist", sqdist)
         .withColumn("_cr", F.row_number().over(wq))
         .filter(F.col("_cr") <= n_probe)
         .select(query_id, "_qvec", "_cell")

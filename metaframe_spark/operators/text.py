@@ -35,8 +35,14 @@ def normalize_text(col) -> Column:
 
 
 def tokens(col) -> Column:
-    """Whitespace tokens of the normalized text (array<string>)."""
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokens of the normalized text (array<string>).
+
+    Empty strings are filtered out: ``split('', ' ')`` yields ``['']``,
+    which would give empty/whitespace-only documents a phantom token
+    (token_count 1, a nonzero quality score, a divide-by-one language
+    ratio). The paired DuckDB oracles apply the same ``list_filter``.
+    """
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
 
 
 def token_count(col) -> Column:

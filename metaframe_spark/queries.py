@@ -614,7 +614,7 @@ def llm_exact_dedup(spark, sf):
     "         CASE WHEN len(toks) > 0 THEN "
     "           len(list_filter(toks, t -> list_contains({sw}, t))) "
     "           / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio "
-    "  FROM (SELECT doc_id, text, string_split({norm}, ' ') AS toks FROM documents)"
+    "  FROM (SELECT doc_id, text, list_filter(string_split({norm}, ' '), t -> t <> '') AS toks FROM documents)"
     ")".format(sw="__SW_EN__", norm=_NORM_SQL),
 )
 def llm_quality(spark, sf):
@@ -638,7 +638,7 @@ def llm_quality(spark, sf):
     "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_EN__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_en, "
     "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_ES__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_es, "
     "    round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(__SW_FR__, t))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS score_fr "
-    f"  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)"
+    f"  FROM (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents)"
     ")",
 )
 def llm_lang_id(spark, sf):
@@ -658,7 +658,7 @@ def llm_lang_id(spark, sf):
     "llm_fingerprint",
     "SELECT doc_id, list_min(list_transform(range(1, len(toks) - 1), "
     "  i -> md5(array_to_string(list_slice(toks, i, i + 2), ' ')))) AS fp "
-    f"FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    f"FROM (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents) "
     "WHERE len(toks) >= 3",
 )
 def llm_fingerprint(spark, sf):
@@ -675,11 +675,11 @@ def llm_fingerprint(spark, sf):
     "FROM ("
     "  SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks) - 1), "
     "    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh "
-    f"  FROM (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    f"  FROM (SELECT doc_id, source, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents) "
     "  WHERE len(toks) >= 3) a "
     "JOIN (SELECT doc_id, source, list_distinct(list_transform(range(1, len(toks) - 1), "
     "    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh "
-    f"  FROM (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents) "
+    f"  FROM (SELECT doc_id, source, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents) "
     "  WHERE len(toks) >= 3) b "
     "ON a.source = b.source AND a.doc_id < b.doc_id",
 )

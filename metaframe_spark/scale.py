@@ -32,25 +32,30 @@ def salted_agg(
     aggs: List[Column],
     salt_cols: List[str],
     n_salts: int = 16,
+    finalizers: dict = None,
 ) -> DataFrame:
     """Two-stage aggregation for skewed group keys.
 
     Stage 1 aggregates on (keys + salt) — the hot key's rows land on
     ``n_salts`` different reducers; stage 2 re-aggregates the (tiny)
-    partial results on the keys alone. ``aggs`` must be decomposable
-    (sum/count/min/max — pass the *partial* form; the final stage sums).
+    partial results on the keys alone. ``aggs`` must be decomposable.
+    The final stage SUMS each partial column by default, which is correct
+    for sum and count; for min/max pass the matching re-combiner in
+    ``finalizers`` (alias -> function). Non-decomposable aggregates (avg,
+    distinct counts) must be rewritten before salting (avg = sum/count).
 
     Example::
 
         salted_agg(li, ["l_returnflag"],
-                   [F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c")],
-                   salt_cols=["l_orderkey"])
+                   [F.sum("l_quantity").alias("q"), F.max("l_quantity").alias("mx")],
+                   salt_cols=["l_orderkey"], finalizers={"mx": F.max})
     """
+    finalizers = finalizers or {}
     salted = df.withColumn("_salt", deterministic_salt(salt_cols, n_salts))
     partial = salted.groupBy(*keys, "_salt").agg(*aggs)
     agg_names = [c for c in partial.columns if c not in keys and c != "_salt"]
     return partial.groupBy(*keys).agg(
-        *[F.sum(c).alias(c) for c in agg_names]
+        *[finalizers.get(c, F.sum)(c).alias(c) for c in agg_names]
     )
 
 
@@ -77,6 +82,13 @@ def salted_join(
     key to one reducer again, which is why it is a required argument.
     """
     on = list(on)
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        # right/full joins would emit null-extended rows for every right
+        # replica whose salt value no left row hashed to — phantom output
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only, not {how!r}: "
+            "replicating the right side breaks right/full-outer semantics"
+        )
     if not left_salt_cols:
         raise ValueError(
             "left_salt_cols is required and must have high cardinality within "

@@ -157,3 +157,68 @@ class TestColumnNameResolution:
             F.count(F.lit(1)).alias("c")
         )
         assert out.primary_key is None  # expression: not a real PK column
+
+
+class TestReviewFixes:
+    """Regression tests for the round-2 self-review findings (PK-hazard
+    paths that would arm the dedup short-circuit with a stale key)."""
+
+    def test_na_fill_on_pk_invalidates(self, orders):
+        out = orders.na.fill(0)  # no subset -> could touch the PK column
+        assert out.primary_key is None
+        assert out.metadata["table"] == "orders"  # rest of metadata kept
+
+    def test_na_fill_off_pk_keeps(self, orders):
+        out = orders.na.fill(0.0, subset=["o_totalprice"])
+        assert out.primary_key == ["o_orderkey"]
+
+    def test_na_drop_keeps_pk(self, orders):
+        # row removal cannot break uniqueness
+        assert orders.na.drop().primary_key == ["o_orderkey"]
+
+    def test_grouped_applyinpandas_invalidates(self, orders):
+        def expand(pdf):
+            import pandas as pd
+
+            return pd.concat([pdf[["o_custkey"]]] * 2)
+
+        grouped = orders.groupBy("o_custkey")
+        assert grouped.primary_key == ["o_custkey"]
+        out = grouped.applyInPandas(expand, "o_custkey long")
+        assert out.primary_key is None
+        # and the dedup now actually deduplicates
+        assert out.dropDuplicates(["o_custkey"]).count() < out.count()
+
+    def test_select_alias_to_pk_name_invalidates(self, orders):
+        out = orders.select(F.col("o_custkey").alias("o_orderkey"))
+        assert out.primary_key is None
+
+    def test_selectexpr_alias_to_pk_name_invalidates(self, orders):
+        out = orders.selectExpr("o_custkey AS o_orderkey")
+        assert out.primary_key is None
+
+    def test_todf_invalidates(self, orders):
+        out = orders.select("o_orderkey", "o_custkey").toDF("a", "b")
+        assert out.primary_key is None
+
+    def test_getitem_list_dropping_pk_col(self, orders):
+        out = orders[["o_custkey"]]
+        assert out.primary_key is None
+        assert out.metadata["table"] == "orders"
+
+    def test_getitem_list_keeping_pk_col(self, orders):
+        out = orders[["o_orderkey", "o_custkey"]]
+        assert out.primary_key == ["o_orderkey"]
+
+    def test_saveastable_writes_no_stray_sidecar(self, spark, orders, tmp_path):
+        import os
+
+        os.makedirs(tmp_path / "ttab", exist_ok=True)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            orders.limit(1).write.mode("overwrite").saveAsTable("ttab")
+            assert not os.path.exists(tmp_path / "ttab" / "_metaframe_metadata.json")
+        finally:
+            os.chdir(cwd)
+            spark.sql("DROP TABLE IF EXISTS ttab")

@@ -82,3 +82,32 @@ class TestPartitionStats:
         assert stats["n_partitions"] == 4
         assert stats["min_rows"] > 0
         assert stats["skew_ratio"] >= 1.0
+
+
+class TestReviewFixes:
+    def test_salted_agg_minmax_with_finalizers(self, li):
+        plain = {
+            r.l_returnflag: (r.mx, r.mn)
+            for r in li.groupBy("l_returnflag")
+            .agg(F.max("l_quantity").alias("mx"), F.min("l_quantity").alias("mn"))
+            .collect()
+        }
+        from metaframe_spark.scale import salted_agg
+
+        salted = {
+            r.l_returnflag: (r.mx, r.mn)
+            for r in salted_agg(
+                li,
+                ["l_returnflag"],
+                [F.max("l_quantity").alias("mx"), F.min("l_quantity").alias("mn")],
+                salt_cols=["l_orderkey", "l_linenumber"],
+                finalizers={"mx": F.max, "mn": F.min},
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_salted_join_rejects_outer(self, spark, li):
+        from metaframe_spark.scale import salted_join
+
+        with pytest.raises(ValueError):
+            salted_join(li, li, on=["l_orderkey"], how="full", left_salt_cols=["l_linenumber"])
