@@ -31,6 +31,32 @@ OPS = [
     ("fillna", lambda mf: mf.fillna(0)),
     ("rename_date", lambda mf: mf.withColumnRenamed("date", "dt")),
     ("rename_back", lambda mf: mf.withColumnRenamed("dt", "date")),
+    # PK-setting aggregation that keeps the 3-column schema so chains continue
+    (
+        "groupby_agg",
+        lambda mf: mf.groupBy("product_id").agg(
+            F.sum("quantity").alias("quantity"), F.max("date").alias("date")
+        ),
+    ),
+    # equi-join on a deduped dim's unique key — exercises PK preservation
+    (
+        "join_on_unique_dim",
+        lambda mf: mf.join(
+            mf.dropDuplicates(["product_id"]).select("product_id"),
+            "product_id",
+            "inner",
+        ),
+    ),
+    # accessor-path value rewrite — exercises the _AccessorProxy PK rules
+    ("na_fill_all", lambda mf: mf.na.fill(0)),
+    ("na_fill_quantity", lambda mf: mf.na.fill(0, subset=["quantity"])),
+    # alias an expression onto an existing column name (re-binding)
+    (
+        "alias_onto_quantity",
+        lambda mf: mf.select(
+            "product_id", (F.col("quantity") * 0 + 1).alias("quantity"), "date"
+        ),
+    ),
 ]
 
 
