@@ -26,6 +26,7 @@ _EXPORTS = {
     "load_table": ("metaframe_spark.io", "load_table"),
     "wrap": ("metaframe_spark.io", "wrap"),
     "read_file_stream": ("metaframe_spark.streaming", "read_file_stream"),
+    "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),
 }
 
 

@@ -1,0 +1,75 @@
+"""Metadata-aware SQL re-entry (the last durability gap).
+
+The reference loses metadata when a frame round-trips through
+``createOrReplaceTempView`` + ``spark.sql`` (SURVEY.md §7.4 "metadata
+durability", verified). :class:`MetaCatalog` closes the gap: it records
+each registered view's metadata driver-side and re-attaches it to
+``sql()`` results that reference registered views.
+
+``primary_key`` is deliberately NOT restored automatically: arbitrary SQL
+can fan out, aggregate, or re-bind columns, and a wrongly-restored key
+would arm the dedup short-circuit (see core.py). Callers that know their
+query preserves a key pass it explicitly via ``primary_key=``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import SparkSession
+
+from .core import MetaFrame
+
+
+class MetaCatalog:
+    """Temp-view registry that survives SQL re-entry.
+
+    >>> cat = MetaCatalog(spark)
+    >>> cat.register(orders_mf, "orders_v")        # metadata recorded
+    >>> out = cat.sql("SELECT * FROM orders_v WHERE o_totalprice > 100")
+    >>> out.metadata                               # non-PK metadata restored
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._registry: Dict[str, Dict[str, Any]] = {}
+
+    def register(self, mf: MetaFrame, name: str) -> None:
+        """Register a MetaFrame as a temp view and record its metadata."""
+        mf.createOrReplaceTempView(name)  # delegated through the wrapper
+        md = dict(mf.metadata) if isinstance(mf, MetaFrame) else {}
+        self._registry[name] = md
+
+    def referenced_views(self, query: str) -> List[str]:
+        """Registered view names appearing in the query (word-boundary
+        match — a driver-side convenience, not a SQL parser)."""
+        return [
+            name
+            for name in self._registry
+            if re.search(r"\b" + re.escape(name) + r"\b", query, re.IGNORECASE)
+        ]
+
+    def sql(
+        self,
+        query: str,
+        metadata: Optional[Dict[str, Any]] = None,
+        primary_key: Optional[List[str]] = None,
+    ) -> MetaFrame:
+        """Run SQL and re-attach metadata from the referenced views.
+
+        Multiple referenced views merge left-to-right in registration
+        order (later keys win); an explicit ``metadata`` overrides both.
+        ``primary_key`` is only set when passed explicitly (see module
+        docstring for why).
+        """
+        df = self._spark.sql(query)
+        merged: Dict[str, Any] = {}
+        for name in self.referenced_views(query):
+            merged.update(self._registry[name])
+        merged.pop("primary_key", None)
+        if metadata:
+            merged.update(metadata)
+        if primary_key is not None:
+            merged["primary_key"] = list(primary_key)
+        return MetaFrame(df, merged)

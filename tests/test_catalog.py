@@ -1,0 +1,52 @@
+"""SQL re-entry metadata durability via MetaCatalog (closes the reference's
+temp-view round-trip loss, SURVEY §7.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.catalog import MetaCatalog
+from metaframe_spark.core import MetaFrame
+from metaframe_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cat(spark):
+    return MetaCatalog(spark)
+
+
+def test_single_view_metadata_restored(spark, cat):
+    o = load_table(spark, SF, "orders").set_metadata(team="growth")
+    cat.register(o, "orders_v")
+    out = cat.sql("SELECT o_orderkey, o_totalprice FROM orders_v WHERE o_totalprice > 100")
+    assert isinstance(out, MetaFrame)
+    assert out.metadata["team"] == "growth"
+    assert out.metadata["table"] == "orders"
+    # PK never restored implicitly — SQL can fan out / re-bind columns
+    assert out.primary_key is None
+    assert out.count() > 0
+
+
+def test_multi_view_merge_and_explicit_pk(spark, cat):
+    o = load_table(spark, SF, "orders").set_metadata(team="growth")
+    c = load_table(spark, SF, "customer").set_metadata(team="sales", region="emea")
+    cat.register(o, "orders_v")
+    cat.register(c, "customer_v")
+    out = cat.sql(
+        "SELECT c.c_custkey, count(*) AS n FROM customer_v c "
+        "JOIN orders_v o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey",
+        primary_key=["c_custkey"],
+    )
+    assert out.metadata["region"] == "emea"
+    assert out.metadata["team"] in ("growth", "sales")  # merge order
+    assert out.primary_key == ["c_custkey"]
+    # the declared PK is genuinely unique (group-by key)
+    assert out.count() == out.select("c_custkey").distinct().count()
+
+
+def test_unreferenced_views_do_not_leak(spark, cat):
+    o = load_table(spark, SF, "orders").set_metadata(secret="x")
+    cat.register(o, "orders_v")
+    out = cat.sql("SELECT 1 AS one")
+    assert out.metadata == {}
