@@ -20,6 +20,7 @@ from .dedup import (
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
     near_dup_groups,
+    simhash_by_id,
     simhash_column,
     simhash_near_dup_pairs,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "normalize_text",
     "quality_features",
     "shingles",
+    "simhash_by_id",
     "simhash_column",
     "simhash_near_dup_pairs",
     "token_count",

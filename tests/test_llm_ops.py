@@ -277,3 +277,18 @@ class TestExactDedupRows:
         assert out.columns == docs.columns
         assert out.count() == docs.count()
         assert out.exceptAll(docs).count() == 0
+
+
+class TestSimhashEquivalence:
+    def test_explode_and_hof_formulations_agree(self, spark, docs):
+        """simhash_by_id (explode + codegen sums) and simhash_column
+        (per-row HOFs) must compute identical fingerprints — same ±1 bit
+        votes, different execution strategy."""
+        from metaframe_spark.operators.dedup import simhash_by_id
+
+        fast = {r.doc_id: r.simhash for r in simhash_by_id(docs).collect()}
+        slow = {
+            r.doc_id: r.simhash
+            for r in simhash_column(docs, "text").select("doc_id", "simhash").collect()
+        }
+        assert fast == slow
