@@ -19,6 +19,7 @@ from .dedup import (
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
+    minhash_near_dup_pairs,
     near_dup_groups,
     simhash_by_id,
     simhash_column,
@@ -57,6 +58,7 @@ __all__ = [
     "jaccard_similarity_pairs",
     "language_scores",
     "minhash_candidate_pairs",
+    "minhash_near_dup_pairs",
     "near_dup_groups",
     "normalize_text",
     "quality_features",

@@ -118,10 +118,21 @@ def ann_similarity_join(
     )
     model = lsh.fit(lf)
     pairs = model.approxSimilarityJoin(lf, rf, dist_threshold, distCol="_dist")
-    return pairs.select(
-        F.col("datasetA.id_l").alias("id_l"),
-        F.col("datasetB.id_r").alias("id_r"),
-        F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("cosine"),
+    # cosine recomputed from the original array columns (they ride along
+    # inside the join structs) with the same sequential zip_with fold an SQL
+    # engine uses for an inner product — bit-identical to e.g. DuckDB's
+    # list_inner_product, unlike 1 - dist²/2 whose float path differs.
+    cos = F.expr(
+        f"aggregate(zip_with(datasetA.{vec_col}, datasetB.{vec_col}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.id_l").alias("id_l"),
+            F.col("datasetB.id_r").alias("id_r"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
     )
 
 
@@ -176,26 +187,39 @@ def ivf_topk(
     query_id: str = "q_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``n_lists`` cells; each query probes only its ``n_probe`` nearest
     cells, so the scan cost drops to ~n_probe/n_lists of brute force.
 
-    Scale shape: the corpus is hash-partitioned by cell id (one shuffle at
-    index build); queries fan out n_probe× and equi-join on cell id — a
-    hash join, never a full-corpus broadcast-nested-loop. Centroids
+    Scale shape: the centroids are FIT ON A SAMPLE capped at
+    ``max_fit_rows`` (one count job + one sampled scan at index build —
+    centroid quality needs a representative sample, not every vector;
+    fitting on the full corpus would make the driver-coordinated KMeans
+    the bottleneck at 100 TB), then every vector is assigned via
+    ``transform``. The corpus is hash-partitioned by cell id (one shuffle
+    at index build); queries fan out n_probe× and equi-join on cell id —
+    a hash join, never a full-corpus broadcast-nested-loop. Centroids
     (n_lists × d doubles) ride along as a broadcast.
 
     Exact cosine is computed inside the probed cells, so precision is
     exact and only recall is approximate (raise ``n_probe`` to trade speed
-    for recall; n_probe = n_lists degenerates to exact brute force).
+    for recall; n_probe = n_lists probes every cell — exact brute force
+    regardless of where the centroids landed).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.sql import Window
 
     cfeats = _to_ml_vectors(corpus.select(F.col(corpus_id), vec_col), vec_col)
+    n = cfeats.count()
+    fit_df = cfeats
+    if n > max_fit_rows:
+        # oversample 20% above the cap so Bernoulli variance can't starve
+        # the fit, never above 1.0
+        fit_df = cfeats.sample(fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed)
     km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell")
-    model = km.fit(cfeats)
+    model = km.fit(fit_df)
     indexed = model.transform(cfeats).select(corpus_id, vec_col, "_cell")
 
     # tiny (n_lists x d) centroid relation — broadcast to rank cells per query

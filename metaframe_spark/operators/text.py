@@ -50,14 +50,20 @@ def token_count(col) -> Column:
 
 
 def shingles(tokens_col, n: int = 3) -> Column:
-    """Word n-gram strings over a token array (array<string>).
+    """Word n-gram strings over a token array (array<string>); empty array
+    when the document has fewer than ``n`` tokens.
 
     Pure higher-order expression: ``transform(sequence(...))`` + ``slice`` —
     no explode, no shuffle; shingle count is len(tokens)-n+1 per row.
+    The short-document case MUST be guarded with CASE: ``sequence(1, 0)``
+    yields the descending ``[1, 0]`` on Spark 4, and ``slice(_, 0, n)``
+    throws INVALID_PARAMETER_VALUE (ADVICE r3 #2).
     """
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({tokens_col}, i, {n})))"
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -159,15 +165,10 @@ def fingerprint_column(
     low-cardinality attribute like ``source`` makes verification quadratic).
     Shuffle-free; md5 keeps it oracle-checkable cross-engine.
     """
-    fp = F.array_min(
-        F.expr(
-            f"transform(sequence(1, greatest(size(_fp_toks) - {n - 1}, 0)), "
-            f"i -> md5(concat_ws(' ', slice(_fp_toks, i, {n}))))"
-        )
-    )
+    fp = F.array_min(F.transform(shingles("_fp_toks", n), F.md5))
     return (
         df.withColumn("_fp_toks", tokens(F.col(text_col)))
-        .withColumn(out_col, F.when(F.size("_fp_toks") >= n, fp))
+        .withColumn(out_col, fp)  # empty shingle array -> array_min = NULL
         .drop("_fp_toks")
     )
 
@@ -188,11 +189,6 @@ def doc_fingerprint(
         .filter(F.size("_toks") >= n)
         .select(
             id_col,
-            F.array_min(
-                F.expr(
-                    f"transform(sequence(1, size(_toks) - {n - 1}), "
-                    f"i -> md5(concat_ws(' ', slice(_toks, i, {n}))))"
-                )
-            ).alias("fp"),
+            F.array_min(F.transform(shingles("_toks", n), F.md5)).alias("fp"),
         )
     )
