@@ -5,10 +5,11 @@ wrapper and prints ONE JSON line for the driver (BENCH_r{N}.json).
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
-  BENCH_REPEAT         timed runs per query, median reported (default 1;
+  BENCH_REPEAT         timed runs per query, median reported (default 5 —
                        BASELINE.md specifies median-of-5 for t0 measurement)
-  BENCH_BASELINE=1     also run each plan raw (no wrapper) and report the
-                       per-query ratio — the ≤2× BASELINE gate of BASELINE.md
+  BENCH_BASELINE       also run each plan raw (no wrapper) interleaved and
+                       report the per-query ratio — the ≤2× BASELINE gate of
+                       BASELINE.md (default 1/on; set 0 to skip)
 
 Each query materializes through the `noop` sink (full execution, no driver
 collect), timed with monotonic wall clock. The wrapper adds only per-method
@@ -39,8 +40,8 @@ def _materialize(df) -> None:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
-    with_baseline = os.environ.get("BENCH_BASELINE") == "1"
+    repeat = int(os.environ.get("BENCH_REPEAT", "5"))
+    with_baseline = os.environ.get("BENCH_BASELINE", "1") == "1"
 
     from metaframe_spark.queries import QUERIES
     from metaframe_spark.session import get_session

@@ -625,12 +625,50 @@ class MetaWriter:
                     path = args[0] if args and isinstance(args[0], str) else kwargs.get("path")
                     if path:
                         self._write_sidecar(path)
+                elif key in ("saveAsTable", "insertInto"):
+                    name = args[0] if args and isinstance(args[0], str) else (
+                        kwargs.get("name") or kwargs.get("tableName")
+                    )
+                    if name:
+                        self._write_table_properties(name)
                 return result
             if isinstance(result, DataFrameWriter):
                 return MetaWriter(result, self._metadata, self._mf)
             return result
 
         return wrapped
+
+    #: key under which frame metadata is persisted on catalog tables
+    TABLE_PROPERTY = "metaframe.metadata"
+
+    def _write_table_properties(self, table: str) -> None:
+        """Persist the metadata into the catalog table's TBLPROPERTIES.
+
+        Table sinks have no directory for a sidecar, but the catalog itself
+        is durable, replicated storage — the natural metadata home at
+        cluster scale (and what a sidecar can never give object-store
+        tables). Restored by :func:`metaframe_spark.io.read_table`.
+        Best-effort: JDBC/temp targets without ALTER TABLE support skip.
+        """
+        if not self._metadata:
+            return
+        try:
+            import json
+
+            from pyspark.sql import SparkSession
+
+            spark = getattr(getattr(self._writer, "_df", None), "sparkSession", None)
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                return
+            payload = json.dumps(self._metadata, default=str).replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE {table} SET TBLPROPERTIES "
+                f"('{self.TABLE_PROPERTY}' = '{payload}')"
+            )
+        except Exception:  # pragma: no cover - best effort
+            LOG.debug("could not persist metadata on table %s", table, exc_info=True)
 
     def _write_sidecar(self, path: str) -> None:
         if not self._metadata:

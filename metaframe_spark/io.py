@@ -138,8 +138,29 @@ def read_orc(
     return _read_path(spark, "orc", path, metadata, restore_metadata, **options)
 
 
-def read_table(spark: SparkSession, name: str, metadata: Optional[Dict] = None) -> MetaFrame:
-    return MetaFrame(spark.read.table(name), dict(metadata or {}))
+def _read_table_properties(spark: SparkSession, name: str) -> Dict[str, Any]:
+    """Metadata persisted by MetaWriter on ``saveAsTable``/``insertInto``
+    (``TBLPROPERTIES['metaframe.metadata']``); {} for views/missing."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        for r in rows:
+            if r["key"] == MetaWriter.TABLE_PROPERTY:
+                return json.loads(r["value"])
+    except Exception:
+        pass
+    return {}
+
+
+def read_table(
+    spark: SparkSession,
+    name: str,
+    metadata: Optional[Dict] = None,
+    restore_metadata: bool = True,
+) -> MetaFrame:
+    md = _read_table_properties(spark, name) if restore_metadata else {}
+    if metadata:
+        md.update(metadata)
+    return MetaFrame(spark.read.table(name), md)
 
 
 #: declared primary keys of the driver test tables (FIXTURES.md §2) — used to

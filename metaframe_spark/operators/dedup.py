@@ -107,57 +107,88 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hash_tables: int = 12,
-    num_features: int = 1 << 18,
+    n_bands: int = 16,
+    band_rows: int = 2,
     min_jaccard: float = 0.7,
-    candidate_margin: float = 0.05,
     seed: int = 42,
 ) -> DataFrame:
-    """End-to-end near-duplicate pairs: MinHash-LSH candidates + EXACT
-    n-gram Jaccard verification, in one corpus scan.
+    """End-to-end near-duplicate pairs: banded MinHash candidates + EXACT
+    n-gram Jaccard verification, all in codegen'd DataFrame ops.
 
-    Candidate generation is the banded ``approxSimilarityJoin`` (bucket
-    join, never all-pairs); verification computes the exact Jaccard over
-    the *string* shingle sets that ride along inside the join's
-    datasetA/datasetB structs — no re-join, no second tokenize pass.
-    The LSH join's distance threshold is loosened by ``candidate_margin``
-    (it measures distance over hashed feature indices, which can drift
-    from string-set Jaccard by hash collisions); the exact filter
-    ``n_inter >= min_jaccard * n_union`` makes the final cut.
+    Classic (b × r) banding — ``n_bands`` band keys per document, each the
+    hash of ``band_rows`` consecutive minhash permutations; a pair becomes
+    a candidate iff it agrees on a FULL band. With r ≥ 2 the collision
+    probability per band is J^r, so dissimilar pairs that happen to share
+    one min-shingle (r = 1, what ``pyspark.ml``'s MinHashLSH OR-amplifies)
+    stop flooding the candidate set — that flood made a corpus with many
+    mid-similarity clusters quadratic in practice. Candidate recall at the
+    threshold is 1-(1-J^r)^b (b=16, r=2, J=0.7 → ~1-2e-5; J=0.9 → ~1-7e-14).
 
-    Returns (id_a, id_b, n_inter, n_union, jaccard), id_a < id_b —
-    precision is exact; recall is the LSH capture probability
-    1-(1-J)^num_hash_tables (≥ 1 - 0.3^12 ≈ 1-5e-7 per pair at J=0.7).
+    Verification recomputes exact set sizes over xxhash64-hashed shingles
+    (a 64-bit collision *inside one compared pair* ~1e-15 — the counts are
+    exact in practice, and cheap: long arrays, not strings).
+
+    Scale shape: one tokenize scan; the band relation is (id, band, key)
+    — b small rows per doc, NOT b copies of the shingle array; the shingle
+    relation shuffles once per join side keyed on id. No all-pairs path,
+    no per-candidate black-box distance UDF.
+
+    Returns (id_a, id_b, n_inter, n_union, jaccard), id_a < id_b.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    base = (
+    hashed = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
         .filter(F.size("_shs") > 0)
-        .select(id_col, "_shs")
-    )
-    tf = HashingTF(inputCol="_shs", outputCol="features", numFeatures=num_features)
-    feats = tf.transform(base)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = lsh.fit(feats)
-    max_dist = min(1.0, 1.0 - min_jaccard + candidate_margin)
-    joined = model.approxSimilarityJoin(feats, feats, max_dist, distCol="_dist")
-    return (
-        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.size(F.array_intersect(F.col("datasetA._shs"), F.col("datasetB._shs")))
-            .cast("long")
-            .alias("n_inter"),
-            (F.size(F.col("datasetA._shs")) + F.size(F.col("datasetB._shs")))
-            .cast("long")
-            .alias("_nsum"),
+            id_col,
+            F.expr("transform(_shs, s -> xxhash64(s))").alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+    )
+    # n_bands*band_rows minhash permutations: permutation k re-hashes every
+    # shingle hash with salt k and takes the min; band j folds its r
+    # permutations into one 64-bit key. All codegen, zero Python.
+    band_keys = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"array_min(transform(_sh, h -> xxhash64(h, {seed + j * band_rows + i})))"
+            for i in range(band_rows)
+        )
+        + f", {j})"
+        for j in range(n_bands)
+    )
+    bands = hashed.select(
+        id_col, F.posexplode(F.expr(f"array({band_keys})")).alias("_band", "_bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bk") == F.col("b._bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = hashed.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), F.col("_n").alias("_na")
+    )
+    sh_b = hashed.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("n_inter"),
+            (F.col("_na") + F.col("_nb")).cast("long").alias("_nsum"),
+        )
         .select(
             "id_a",
             "id_b",

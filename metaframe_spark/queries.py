@@ -787,15 +787,15 @@ def llm_minhash_pairs(spark, sf):
     *distance* threshold accepted pairs down to 0.2 similarity, flooding
     the candidate set, and ran on a corpus with no true positives).
 
-    Banded candidates + exact shingle-set verification in one scan; the
-    oracle is the EXHAUSTIVE all-pairs Jaccard join, so a hash match
-    proves LSH recall = 1.0 on this corpus (P[miss] <= 0.3^12 per pair) on
-    top of exact precision."""
+    Banded (16×2) candidates + exact shingle-set verification in one scan;
+    the oracle is the EXHAUSTIVE all-pairs Jaccard join, so a hash match
+    proves LSH recall = 1.0 on this corpus (P[miss] ~2e-5 per pair at the
+    J=0.7 boundary, ~7e-14 for the twins) on top of exact precision."""
     from .operators import minhash_near_dup_pairs
 
     d = load_table(spark, sf, "documents")
     return minhash_near_dup_pairs(
-        _twin_corpus(d), "doc_id", "text", min_jaccard=0.7, num_hash_tables=12
+        _twin_corpus(d), "doc_id", "text", min_jaccard=0.7
     ).select("id_a", "id_b", "n_inter", "n_union", "jaccard")
 
 

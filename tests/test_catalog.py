@@ -50,3 +50,19 @@ def test_unreferenced_views_do_not_leak(spark, cat):
     cat.register(o, "orders_v")
     out = cat.sql("SELECT 1 AS one")
     assert out.metadata == {}
+
+
+def test_view_name_in_string_literal_does_not_leak(spark, cat):
+    """Detection is plan-based (VERDICT r3 missing #3): a registered view
+    name appearing only as data — a string literal — must not attach that
+    view's metadata."""
+    o = load_table(spark, SF, "orders").set_metadata(secret="x")
+    n = load_table(spark, SF, "nation").set_metadata(team="geo")
+    cat.register(o, "orders_v")
+    cat.register(n, "nation_v")
+    out = cat.sql("SELECT 'orders_v' AS label, n_name FROM nation_v")
+    assert out.metadata.get("team") == "geo"
+    assert "secret" not in out.metadata
+    # same for a comment mention
+    out2 = cat.sql("SELECT n_name FROM nation_v -- not orders_v")
+    assert "secret" not in out2.metadata

@@ -107,6 +107,32 @@ class TestSimHash:
         injected = [p for p in want if p[1] >= 100000 and p[1] - 100000 == p[0]]
         assert len(injected) >= 3
 
+    def test_md5_variant_banded_equals_exhaustive(self, spark, docs):
+        """The engine-portable md5 fingerprint (60-bit) keeps the pigeonhole
+        completeness guarantee (60 = 4 bands × 15 bits)."""
+        from metaframe_spark.operators import simhash_by_id
+
+        corpus = _with_near_dups(docs, n=5)
+        banded = simhash_near_dup_pairs(
+            corpus, "doc_id", "text", max_hamming=3, token_hash="md5"
+        )
+        got = {(r.id_a, r.id_b) for r in banded.collect()}
+        sh = simhash_by_id(corpus, "doc_id", "text", token_hash="md5")
+        a, b = sh.alias("a"), sh.alias("b")
+        exhaustive = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+        )
+        want = {(r.id_a, r.id_b) for r in exhaustive.collect()}
+        assert got == want
+        # 60-bit fingerprints are non-negative (fit DuckDB's signed BIGINT)
+        assert sh.filter(F.col("simhash") < 0).count() == 0
+
 
 class TestJaccardVerifier:
     def test_requires_block(self, docs):
@@ -125,6 +151,107 @@ class TestJaccardVerifier:
         got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
         for i in range(3):
             assert got.get((i, i + 100000)) == 1.0
+
+    def test_minhash_block_single_scan_finds_identical_docs(self, docs):
+        """minhash_block mode: identical docs share every shingle, hence the
+        min-md5 fingerprint — always co-blocked, jaccard exactly 1."""
+        doubled = docs.unionByName(
+            docs.filter(F.col("doc_id") < 3).withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+        pairs = jaccard_similarity_pairs(
+            doubled, "doc_id", "text", minhash_block=True, min_jaccard=0.99
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        for i in range(3):
+            assert got.get((i, i + 100000)) == 1.0
+
+    def test_short_docs_do_not_crash(self, spark):
+        """Docs with < n tokens must yield empty shingle sets, not the
+        Spark 4 sequence(1,0)/slice(_,0,_) crash (ADVICE r3 #2)."""
+        rows = [(1, "one two"), (2, "single"), (3, ""), (4, "a b c d e")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = jaccard_similarity_pairs(
+            df.withColumn("blk", F.lit("x")), "doc_id", "text", block_col="blk"
+        )
+        assert pairs.count() == 0  # only doc 4 has shingles -> no pair
+
+    def test_hot_block_cap_keeps_pair_volume_subquadratic(self, docs):
+        """A degenerate blocking key (every doc in one block) must not go
+        quadratic: blocks over max_block_size re-block on a second
+        fingerprint permutation (ADVICE r3 #4 / VERDICT r3 next #3)."""
+        corpus = docs.limit(300).withColumn("blk", F.lit("same"))
+        # exact copies: same shingle set -> same secondary fingerprint, so
+        # true duplicates survive the split
+        copies = corpus.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        corpus = corpus.unionByName(copies)
+        uncapped = jaccard_similarity_pairs(
+            corpus, "doc_id", "text", block_col="blk", max_block_size=None
+        )
+        capped = jaccard_similarity_pairs(
+            corpus, "doc_id", "text", block_col="blk", max_block_size=50
+        )
+        n_uncapped, n_capped = uncapped.count(), capped.count()
+        assert n_uncapped > 40000  # ~305²/2: the quadratic hazard is real
+        assert n_capped < n_uncapped / 10  # cap makes it sub-quadratic
+        surviving = {(r.id_a, r.id_b) for r in capped.collect()}
+        for i in range(5):
+            assert (i, i + 100000) in surviving
+
+
+class TestMinHashVerified:
+    def test_matches_exhaustive_jaccard_at_threshold(self, spark, docs):
+        """minhash_near_dup_pairs (banded candidates + exact verify) must
+        equal the exhaustive all-pairs Jaccard join at J >= 0.7 — the same
+        property the llm_minhash_pairs DuckDB oracle checks per-round."""
+        from metaframe_spark.operators import minhash_near_dup_pairs
+        from metaframe_spark.operators.text import shingles, tokens
+
+        corpus = _with_near_dups(docs, n=8).cache()
+        got = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_union)
+            for r in minhash_near_dup_pairs(
+                corpus, "doc_id", "text", min_jaccard=0.7
+            ).collect()
+        }
+        sh = (
+            corpus.select(F.col("doc_id"), tokens(F.col("text")).alias("_t"))
+            .withColumn("_sh", F.array_distinct(shingles("_t", 3)))
+            .filter(F.size("_sh") > 0)
+            .select("doc_id", "_sh")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        exhaustive = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.size(F.array_intersect("a._sh", "b._sh")).cast("long").alias("i"),
+                (F.size("a._sh") + F.size("b._sh")).cast("long").alias("s"),
+            )
+            .withColumn("u", F.col("s") - F.col("i"))
+            .filter(F.col("i") >= 0.7 * F.col("u"))
+        )
+        want = {(r.id_a, r.id_b): (r.i, r.u) for r in exhaustive.collect()}
+        assert got == want
+        assert len(want) >= 8  # the injected twins are all in the truth set
+
+    def test_twin_corpus_guard_refuses_colliding_ids(self, spark):
+        from metaframe_spark.queries import _TWIN_OFFSET, _twin_corpus
+        from metaframe_spark.core import MetaFrame
+
+        bad = MetaFrame(
+            spark.createDataFrame(
+                [(_TWIN_OFFSET + 1, "some text here")], "doc_id long, text string"
+            )
+        )
+        with pytest.raises(Exception, match="twin offset"):
+            # force doc_id evaluation (a bare count() prunes the column;
+            # every real consumer — joins, pair output — reads the id)
+            _twin_corpus(bad).select(F.max("doc_id")).collect()
 
 
 class TestSimilarity:
@@ -197,6 +324,26 @@ class TestIvf:
         assert r_full == 1.0  # probing every cell is exact brute force
         assert r_low <= r_full
         assert r_low >= 0.5
+
+    def test_sample_fit_keeps_full_probe_exact(self, spark):
+        """KMeans fit on a bounded sample (the 100-TB index-build path —
+        VERDICT r3 next #5): n_probe = n_lists stays exact brute force no
+        matter where sampled centroids landed, because every cell is
+        probed and cosine is computed exactly inside cells."""
+        from metaframe_spark.operators.similarity import ivf_topk
+
+        emb = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+        got = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(
+                emb, q, k=5, n_lists=8, n_probe=8, max_fit_rows=100
+            ).collect()
+        }
+        assert got == exact
 
 
 class TestNearDupGroups:
