@@ -108,3 +108,78 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media_type", "payload").mapInPandas(
         extract, schema=MEDIA_META_SCHEMA
     )
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int = 256,
+    target_height: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched resize stage: binary payload in → binary payload out.
+
+    STUB resample (no codecs in this environment): the output payload is
+    the first ceil(len/4) bytes of the input — a deterministic,
+    SQL-reproducible stand-in for a 2×2 downsample. Swap the two marked
+    lines for decode → ``PIL.Image.resize`` → re-encode and the Spark
+    contract (schema, one Python crossing per Arrow batch, partition
+    preserved, no shuffle) is unchanged.
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            # STUB: byte-truncate stands in for decode+resample+encode
+            out = pdf["payload"].map(lambda p: bytes(p)[: (len(p) + 3) // 4])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "width": target_width,
+                    "height": target_height,
+                    "size_bytes": out.map(len),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        resize,
+        schema=f"{id_col} long, payload binary, width long, height long, size_bytes long",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-EXPANDING frame sampler: each payload ("video") yields up to
+    ``max_frames`` fixed-stride chunks ("frames") — the mapInPandas shape
+    where output cardinality exceeds input cardinality, which a scalar
+    pandas_udf cannot express.
+
+    STUB extraction: frame j is the byte slice [j·frame_bytes, (j+1)·
+    frame_bytes); a real deployment replaces the slice with an ffmpeg
+    keyframe pull. Every payload emits at least one frame (possibly
+    empty), so downstream joins see every document. Output stays within
+    the input's partitions — the fan-out is row-local, no shuffle.
+    """
+
+    def frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p)
+                n = min(max_frames, max(1, (len(b) + frame_bytes - 1) // frame_bytes))
+                for j in range(n):
+                    ids.append(i)
+                    idxs.append(j)
+                    chunks.append(b[j * frame_bytes : (j + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": chunks})
+
+    return df.select(id_col, "payload").mapInPandas(
+        frames, schema=f"{id_col} long, frame_idx long, frame binary"
+    )

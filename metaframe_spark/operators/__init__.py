@@ -31,6 +31,7 @@ from .similarity import (
     ann_topk,
     brute_force_topk,
     cosine_expr,
+    cosine_pairs_exact,
     ivf_topk,
     unit_normalize,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "ivf_topk",
     "content_hash",
     "cosine_expr",
+    "cosine_pairs_exact",
     "dedup_survivors",
     "doc_fingerprint",
     "exact_dedup",

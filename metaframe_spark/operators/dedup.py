@@ -108,35 +108,45 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     n_bands: int = 16,
-    band_rows: int = 2,
+    band_rows: int = 3,
     min_jaccard: float = 0.7,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: banded MinHash candidates + EXACT
     n-gram Jaccard verification, all in codegen'd DataFrame ops.
 
     Classic (b × r) banding — ``n_bands`` band keys per document, each the
     hash of ``band_rows`` consecutive minhash permutations; a pair becomes
-    a candidate iff it agrees on a FULL band. With r ≥ 2 the collision
-    probability per band is J^r, so dissimilar pairs that happen to share
-    one min-shingle (r = 1, what ``pyspark.ml``'s MinHashLSH OR-amplifies)
-    stop flooding the candidate set — that flood made a corpus with many
-    mid-similarity clusters quadratic in practice. Candidate recall at the
-    threshold is 1-(1-J^r)^b (b=16, r=2, J=0.7 → ~1-2e-5; J=0.9 → ~1-7e-14).
+    a candidate iff it agrees on a FULL band. ``band_rows`` sets the
+    low-similarity rejection power: per-band collision is J^r, and on a
+    realistic corpus the candidate flood is (number of low-J pairs) ×
+    b·J^r — with ~n²/2 pairs at J≈0.05 (measured on the test corpus),
+    r=2 admitted millions of candidates while r=3 admits ~1e-4 of pairs.
+    Candidate recall at the threshold is 1-(1-J^r)^b (b=16, r=3,
+    J=0.7 → ~1-1e-3 per pair; J=0.9 where actual near-dups live →
+    ~1-2e-7), verified exact against the exhaustive join in tests and by
+    the per-round DuckDB oracle.
 
     Verification recomputes exact set sizes over xxhash64-hashed shingles
     (a 64-bit collision *inside one compared pair* ~1e-15 — the counts are
     exact in practice, and cheap: long arrays, not strings).
 
-    Scale shape: one tokenize scan; the band relation is (id, band, key)
-    — b small rows per doc, NOT b copies of the shingle array; the shingle
+    Scale shape: one tokenize scan — the hashed-shingle relation is
+    referenced four times (band build + both verify sides) and is
+    ``persist()``-ed (MEMORY_AND_DISK) so the text is tokenized once, the
+    standard shape for multi-pass LSH pipelines; pass ``persist=False``
+    to trade recompute for memory. The band relation is (id, band, key) —
+    b small rows per doc, NOT b copies of the shingle array; the shingle
     relation shuffles once per join side keyed on id. No all-pairs path,
     no per-candidate black-box distance UDF.
 
     Returns (id_a, id_b, n_inter, n_union, jaccard), id_a < id_b.
     """
+    from ..scale import fan_out
+
     hashed = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
         .filter(F.size("_shs") > 0)
         .select(
@@ -145,20 +155,26 @@ def minhash_near_dup_pairs(
         )
         .withColumn("_n", F.size("_sh"))
     )
-    # n_bands*band_rows minhash permutations: permutation k re-hashes every
-    # shingle hash with salt k and takes the min; band j folds its r
-    # permutations into one 64-bit key. All codegen, zero Python.
-    band_keys = ", ".join(
-        "xxhash64("
-        + ", ".join(
-            f"array_min(transform(_sh, h -> xxhash64(h, {seed + j * band_rows + i})))"
-            for i in range(band_rows)
-        )
-        + f", {j})"
-        for j in range(n_bands)
+    if persist:
+        hashed = hashed.persist()
+    # n_bands*band_rows minhash permutations: permutation p re-hashes every
+    # shingle hash with salt p and takes the min; band j hashes its r
+    # consecutive permutation minima (a slice of the permutation array)
+    # into one 64-bit key. One nested-transform expression — all codegen,
+    # zero Python, one pass over the shingle array per permutation.
+    n_perms = n_bands * band_rows
+    perms = (
+        f"transform(sequence(0, {n_perms - 1}), "
+        f"p -> array_min(transform(_sh, h -> xxhash64(h, {seed} + p))))"
     )
-    bands = hashed.select(
-        id_col, F.posexplode(F.expr(f"array({band_keys})")).alias("_band", "_bk")
+    bands = hashed.withColumn("_perms", F.expr(perms)).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"j -> xxhash64(slice(_perms, j * {band_rows} + 1, {band_rows}), j))"
+            )
+        ).alias("_band", "_bk"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -255,8 +271,10 @@ def simhash_by_id(
     per doc regardless of document length. Use :func:`simhash_column` when
     the fingerprint must be appended to a wide row without any shuffle.
     """
+    from ..scale import fan_out
+
     hash_expr, bits = _TOKEN_HASHES[token_hash]
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).withColumn("_h", F.expr(hash_expr))
     votes = tok.groupBy(id_col).agg(
@@ -383,9 +401,11 @@ def jaccard_similarity_pairs(
             "generate candidates with minhash_candidate_pairs/"
             "simhash_near_dup_pairs first"
         )
+    from ..scale import fan_out
+
     keep = [F.col(id_col)] + ([F.col(block_col).alias("_block")] if block_col else [])
     base = (
-        df.select(*keep, tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df).select(*keep, tokens(F.col(text_col)).alias("_toks"))
         .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
         .filter(F.size("_shs") > 0)
     )

@@ -787,10 +787,11 @@ def llm_minhash_pairs(spark, sf):
     *distance* threshold accepted pairs down to 0.2 similarity, flooding
     the candidate set, and ran on a corpus with no true positives).
 
-    Banded (16×2) candidates + exact shingle-set verification in one scan;
+    Banded (16×3) candidates + exact shingle-set verification in one scan;
     the oracle is the EXHAUSTIVE all-pairs Jaccard join, so a hash match
-    proves LSH recall = 1.0 on this corpus (P[miss] ~2e-5 per pair at the
-    J=0.7 boundary, ~7e-14 for the twins) on top of exact precision."""
+    proves LSH recall = 1.0 on this corpus (P[miss] ~1e-3 per pair at the
+    J=0.7 boundary, ~2e-7 at J=0.9 where the twins live) on top of exact
+    precision."""
     from .operators import minhash_near_dup_pairs
 
     d = load_table(spark, sf, "documents")
@@ -885,6 +886,52 @@ def llm_multimodal_extract(spark, sf):
     return extract_media_metadata(attach_demo_payload(d, "text"))
 
 
+@query(
+    "llm_multimodal_resize",
+    "SELECT doc_id, CAST(256 AS BIGINT) AS width, CAST(256 AS BIGINT) AS height, "
+    "CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS size_bytes, "
+    "md5(substr(text, 1, CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT))) AS payload_md5 "
+    "FROM documents",
+)
+def llm_multimodal_resize(spark, sf):
+    """Binary resize stage (mapInPandas, binary in → binary out). The stub
+    resample truncates to ceil(len/4) bytes — deterministic and
+    SQL-reproducible, so the oracle recomputes the resized payload's md5
+    engine-side and the Arrow round-trip of BINARY columns through Python
+    is verified bit-exactly. (DuckDB md5/substr operate on VARCHAR, not
+    BLOB; byte slices equal char slices here because the fixture text is
+    pure ASCII — octet_length == length on every row, all SFs.)"""
+    from .multimodal import attach_demo_payload, resize_media
+
+    d = load_table(spark, sf, "documents")
+    out = resize_media(attach_demo_payload(d, "text").to_spark())
+    return out.select(
+        "doc_id", "width", "height", "size_bytes", F.md5("payload").alias("payload_md5")
+    )
+
+
+@query(
+    "llm_multimodal_frames",
+    "WITH t AS (SELECT doc_id, text, "
+    "  least(8, greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS n "
+    "  FROM documents), "
+    "u AS (SELECT doc_id, text, unnest(generate_series(0, n - 1)) AS j FROM t) "
+    "SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, "
+    "md5(substr(text, CAST(j * 256 + 1 AS BIGINT), 256)) AS frame_md5 FROM u",
+)
+def llm_multimodal_frames(spark, sf):
+    """Row-expanding frame sampler (one payload → up to 8 fixed-stride
+    chunks) — the fan-out mapInPandas shape a scalar UDF cannot express.
+    The stride slicing is reproduced by the oracle with generate_series +
+    blob substring, hash-checking both the expansion cardinality and
+    every frame's bytes."""
+    from .multimodal import attach_demo_payload, sample_frames
+
+    d = load_table(spark, sf, "documents")
+    out = sample_frames(attach_demo_payload(d, "text").to_spark())
+    return out.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 def _expand_stopword_macros() -> None:
     """Substitute __SW_XX__ macros in oracle SQL from the single STOPWORDS
     source of truth (operators.text) so the lists can never drift apart."""
@@ -952,20 +999,23 @@ def q32_sessionize(spark, sf):
     "WHERE cosine >= 0.35",
 )
 def llm_cosine_dups(spark, sf):
-    """Embedding-cosine near-duplicate pairs via the random-projection LSH
-    similarity join — bucketed candidates, never all-pairs. Cosines are
-    recomputed exactly on the candidate arrays (same fold as the SQL inner
-    product), and the oracle is the EXHAUSTIVE all-pairs join: a hash
-    match proves LSH recall = 1.0 at this threshold on top of exact
-    precision. Threshold 0.35 sits in the top ~0.1% of this synthetic
-    corpus's pair-cosine distribution (random embeddings have no true
-    dups; max pair cosine ~0.5); the LSH distance cut uses a 0.02 margin
-    so the rounded-cosine filter makes the final call in both engines."""
-    from .operators import ann_similarity_join, unit_normalize
+    """Embedding-cosine duplicate pairs at a LOW threshold (0.35 — the top
+    ~0.1% of this random corpus's pair-cosine distribution) — which makes
+    this the EXACT all-pairs regime: no LSH family separates cos 0.35
+    from 0.30 with recall 1.0, and the previous BRP-LSH formulation
+    degenerated into pushing ~all N² pairs through a per-candidate
+    distance UDF. cosine_pairs_exact spends the N² honestly in one BLAS
+    GEMM per Arrow batch against the broadcast corpus matrix, then
+    re-verifies candidates JVM-side with the sequential inner-product
+    fold, so emitted cosines are bit-identical to the exhaustive DuckDB
+    oracle. For true near-dup thresholds (cos >= ~0.8) use
+    ann_similarity_join, which stays bucketed."""
+    from .operators import cosine_pairs_exact, unit_normalize
 
     e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
-    pairs = ann_similarity_join(e, e, min_cosine=0.33, num_hash_tables=12, bucket_length=1.0)
-    return pairs.filter(F.col("id_l") < F.col("id_r")).filter(F.col("cosine") >= 0.35)
+    return cosine_pairs_exact(e, min_cosine=0.35).select(
+        F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), "cosine"
+    )
 
 
 @query(

@@ -102,6 +102,26 @@ def salted_join(
     return out.drop("_salt")
 
 
+def fan_out(df: DataFrame, min_partitions: int = 0) -> DataFrame:
+    """Repartition ``df`` up to cluster parallelism IF it is under-split.
+
+    CPU-bound per-row transforms (tokenize/shingle/hash, UDF batches) are
+    bottlenecked by input splits, and parquet cannot split inside a row
+    group — a small or single-row-group file runs an expensive scan on ONE
+    core no matter how wide the cluster is. The repartition shuffle is paid
+    only in exactly the regime where it is cheap (input partitions <
+    parallelism ⇒ the data is small relative to the cluster); a 100-TB
+    input already carries thousands of splits and passes through untouched.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # JVM-side probe: df.rdd would build the Python-serializer RDD (~0.5 s
+    # of pure driver overhead); the JVM RDD shares the physical plan and
+    # answers in ~ms.
+    if df._jdf.rdd().getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_partition_stats(mf, key: str = "partition_stats"):
     """Record partition count + per-partition row counts into the frame's
     metadata (driver-side observability for partition-tuning decisions)."""

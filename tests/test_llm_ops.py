@@ -268,6 +268,34 @@ class TestSimilarity:
             assert r.vec_id == r.q_id  # nearest neighbor of a vector is itself
             assert abs(r.cosine - 1.0) < 1e-6
 
+    def test_cosine_pairs_exact_equals_exhaustive(self, emb):
+        """The GEMM candidate pass must nominate every pair the exhaustive
+        JVM fold accepts — identical (id_a, id_b, cosine) sets."""
+        from metaframe_spark.operators import cosine_pairs_exact
+        from metaframe_spark.operators.similarity import cosine_expr
+
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in cosine_pairs_exact(emb, min_cosine=0.3).collect()
+        }
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+        want = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"))
+            .filter(F.col("cosine") >= 0.3)
+            .collect()
+        }
+        assert got == want
+        assert len(want) > 0
+
+    def test_cosine_pairs_exact_broadcast_guard(self, emb):
+        from metaframe_spark.operators import cosine_pairs_exact
+
+        with pytest.raises(ValueError, match="max_broadcast_rows"):
+            cosine_pairs_exact(emb, min_cosine=0.3, max_broadcast_rows=10)
+
     def test_ann_recall_vs_brute_force(self, emb):
         q = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), "embedding"
@@ -301,6 +329,45 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+    def test_resize_media_truncates_deterministically(self, spark, docs):
+        from metaframe_spark.multimodal import attach_demo_payload, resize_media
+
+        src = attach_demo_payload(docs.limit(20), "text")
+        out = resize_media(src)
+        assert out.columns == ["doc_id", "payload", "width", "height", "size_bytes"]
+        joined = (
+            out.alias("o")
+            .join(src.alias("s"), "doc_id")
+            .select("o.payload", "o.size_bytes", F.col("s.payload").alias("orig"))
+        )
+        for r in joined.collect():
+            orig = bytes(r.orig)
+            want = orig[: (len(orig) + 3) // 4]
+            assert bytes(r.payload) == want
+            assert r.size_bytes == len(want)
+
+    def test_sample_frames_expands_rows_with_stride_slices(self, spark):
+        from metaframe_spark.multimodal import sample_frames
+
+        rows = [
+            (1, b"a" * 10),        # 1 frame (short)
+            (2, b"xy" * 300),      # 600 bytes -> 3 frames at 256
+            (3, b""),              # empty payload still yields 1 empty frame
+            (4, b"z" * 256 * 20),  # capped at max_frames
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = sample_frames(df, frame_bytes=256, max_frames=8)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+        assert set(got[1]) == {0} and got[1][0] == b"a" * 10
+        assert set(got[2]) == {0, 1, 2}
+        assert got[2][2] == (b"xy" * 300)[512:600]
+        assert got[3] == {0: b""}
+        assert set(got[4]) == set(range(8))  # capped
+        for j in range(8):
+            assert got[4][j] == b"z" * 256
 
 
 class TestIvf:

@@ -123,3 +123,46 @@ class TestWrapperPlanInvisibility:
         assert "partial_sum" in plan and "partial_count" in plan
         assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange
         assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark):
+        """Pre-bucketing both fact tables on the join key is the 100-TB
+        co-location play: a later join reads bucket files aligned by
+        hash(key) and sort-merge-joins with NO Exchange on either side —
+        the shuffle is paid once at write time, amortized over every
+        downstream join. (Broadcast is disabled so the tiny test tables
+        exercise the SMJ path a 100-TB fact-fact join would take.)"""
+        o = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem")
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("b_orders")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("b_lineitem")
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = plan_of(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucket layout replaces the shuffle
+            assert "Bucketed: true" in plan
+            # and the unbucketed twin DOES shuffle — the comparison that
+            # proves the bucket layout, not table size, removed it
+            j2 = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            assert "Exchange" in plan_of(j2)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
