@@ -152,3 +152,49 @@ def test_session_window_streaming_matches_batch(spark, stream_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_join_matches_batch(spark, stream_dir):
+    """Stream-static join — the standard streaming-enrichment shape (events
+    stream ⋈ broadcast dim table). The static side is re-read per
+    micro-batch by Spark, needs no watermark, and the joined stream must
+    equal the batch join over the same files. Metadata flows through the
+    join like any DataFrame hop."""
+    batch = spark.read.parquet(stream_dir)
+    # tiny static dim: event_type -> category (derived, deterministic)
+    dim = (
+        batch.select("event_type")
+        .distinct()
+        .withColumn("category", F.upper(F.col("event_type")))
+    )
+    stream = read_file_stream(spark, stream_dir, batch.schema, metadata={"src": "ev"})
+    joined = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "category"
+    )
+    assert isinstance(joined, MetaFrame)
+    assert joined.metadata == {"src": "ev"}
+    assert joined.isStreaming
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.event_id, r.category)
+        for r in spark.sql("select * from enriched").collect()
+    }
+    want = {
+        (r.event_id, r.category)
+        for r in batch.join(dim, "event_type")
+        .select("event_id", "category")
+        .collect()
+    }
+    assert got == want and len(want) > 100
