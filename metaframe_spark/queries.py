@@ -1110,3 +1110,86 @@ def q36_from_json(spark, sf):
         "event_id",
         F.from_json("props", "k int").getField("k").alias("k_int"),
     )
+
+
+@query(
+    "q37_higher_order",
+    "WITH t AS (SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice, o_orderkey) AS arr "
+    "FROM orders GROUP BY 1) "
+    "SELECT o_custkey, round(list_aggregate(arr, 'sum'), 6) AS total, "
+    "CAST(len(list_filter(arr, x -> x > 100000)) AS INT) AS n_big, "
+    "round(list_transform(arr, x -> x * 0.1)[1], 6) AS min_tithe "
+    "FROM t",
+)
+def q37_higher_order(spark, sf):
+    """Higher-order array functions over an aggregated array (§2.3 row 11):
+    ``aggregate`` (sequential fold — same order as the oracle's
+    list_aggregate over the identically-sorted array), ``filter``, and
+    ``transform`` + element access. These run as Catalyst expressions on
+    the array in place — no explode/re-aggregate round trip."""
+    o = load_table(spark, sf, "orders")
+    arr = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("o_totalprice", "o_orderkey"))
+        ).alias("_s")
+    ).select(
+        "o_custkey", F.expr("transform(_s, x -> x.o_totalprice)").alias("arr")
+    )
+    return arr.select(
+        "o_custkey",
+        F.round(F.expr("aggregate(arr, 0D, (acc, x) -> acc + x)"), 6).alias("total"),
+        F.size(F.expr("filter(arr, x -> x > 100000)")).alias("n_big"),
+        F.round(F.expr("transform(arr, x -> x * 0.1)[0]"), 6).alias("min_tithe"),
+    )
+
+
+@query(
+    "q38_regexp_extract",
+    "SELECT p_partkey, regexp_extract(p_name, '^[a-z]+') AS first_word, "
+    "CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words, "
+    "contains(p_type, 'BRUSHED') AS is_brushed "
+    "FROM part",
+)
+def q38_regexp_extract(spark, sf):
+    """Regex extraction family (§2.3 row 11): first-match extract,
+    extract-all cardinality, and substring containment — all codegen
+    string expressions, no UDF."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.col("p_type").contains("BRUSHED").alias("is_brushed"),
+    )
+
+
+@query(
+    "q39_map_funcs",
+    "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT user_id, "
+    "max(CASE WHEN event_type = 'click' THEN cnt END) AS clicks, "
+    "max(CASE WHEN event_type = 'purchase' THEN cnt END) AS purchases, "
+    "CAST(count(*) AS INT) AS n_types "
+    "FROM c GROUP BY 1",
+)
+def q39_map_funcs(spark, sf):
+    """Map construction + access (§2.3 row 11): per-user event-type counts
+    folded into a MAP column via map_from_entries, then element_at lookups
+    and map_keys cardinality. The map itself is engine-internal (DuckDB's
+    MAP cannot hash-compare against Spark's), so the oracle checks the
+    observable lookups — which only match if the map was built and probed
+    correctly."""
+    e = load_table(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.element_at("m", "click").alias("clicks"),
+        F.element_at("m", "purchase").alias("purchases"),
+        F.size(F.map_keys("m")).alias("n_types"),
+    )
