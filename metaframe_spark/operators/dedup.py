@@ -76,10 +76,14 @@ def minhash_candidate_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # filter on the TOKEN count, not on size(_shs): a filter over the
+    # computed shingle column re-evaluates the whole (interpreted) shingle
+    # lambda inside the predicate — measured ~8× the projection cost.
+    # size(tokens) >= n  ⟺  shingles nonempty, so these are equivalent.
     toks = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
         .withColumn("_sh", shingles("_toks", shingle_n))
-        .filter(F.size("_sh") > 0)
         .select(id_col, "_sh")
     )
     tf = HashingTF(inputCol="_sh", outputCol="features", numFeatures=num_features)
@@ -145,10 +149,13 @@ def minhash_near_dup_pairs(
     """
     from ..scale import fan_out
 
+    # token-count filter BEFORE the shingle projection: filtering on
+    # size(_shs) afterwards re-evaluates the interpreted shingle lambda
+    # inside the predicate (~8× cost); size(tokens) >= n is equivalent.
     hashed = (
         fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
         .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
-        .filter(F.size("_shs") > 0)
         .select(
             id_col,
             F.expr("transform(_shs, s -> xxhash64(s))").alias("_sh"),
@@ -404,10 +411,13 @@ def jaccard_similarity_pairs(
     from ..scale import fan_out
 
     keep = [F.col(id_col)] + ([F.col(block_col).alias("_block")] if block_col else [])
+    # token-count filter BEFORE the shingle projection (not size(_shs)
+    # after): the post-hoc filter re-evaluates the interpreted shingle
+    # lambda in the predicate — measured ~8× the projection cost.
     base = (
         fan_out(df).select(*keep, tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
         .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
-        .filter(F.size("_shs") > 0)
     )
     if minhash_block:
         # 1-permutation MinHash over the same shingle array — min md5; block
