@@ -1193,3 +1193,35 @@ def q39_map_funcs(spark, sf):
         F.element_at("m", "purchase").alias("purchases"),
         F.size(F.map_keys("m")).alias("n_types"),
     )
+
+
+@query(
+    "q40_salted_agg",
+    "SELECT l_returnflag, round(sum(l_quantity), 6) AS sum_qty, "
+    "CAST(count(*) AS BIGINT) AS cnt, max(l_quantity) AS max_qty "
+    "FROM lineitem GROUP BY 1",
+)
+def q40_salted_agg(spark, sf):
+    """Skew-safe two-stage aggregation (scale.salted_agg) under the
+    oracle: partial aggregates on (key, salt) spread a hot key across
+    n_salts reducers, then re-combine on the key alone. The oracle is the
+    PLAIN group-by — a hash match proves the salted decomposition is
+    exactly equivalent (sums restricted to integer-valued doubles, so
+    addition order cannot perturb the result)."""
+    from .scale import salted_agg
+
+    li = load_table(spark, sf, "lineitem")
+    out = salted_agg(
+        li.to_spark(),
+        ["l_returnflag"],
+        [
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("l_quantity").alias("max_qty"),
+        ],
+        salt_cols=["l_orderkey"],
+        finalizers={"max_qty": F.max},
+    )
+    return out.select(
+        "l_returnflag", F.round("sum_qty", 6).alias("sum_qty"), "cnt", "max_qty"
+    )
