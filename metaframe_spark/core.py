@@ -662,7 +662,14 @@ class MetaWriter:
                 spark = SparkSession.getActiveSession()
             if spark is None:
                 return
-            payload = json.dumps(self._metadata, default=str).replace("'", "''")
+            # Spark SQL string literals are backslash-escaped as well as
+            # quote-escaped: both must be doubled or a metadata value
+            # containing e.g. "\n" would round-trip as invalid JSON
+            payload = (
+                json.dumps(self._metadata, default=str)
+                .replace("\\", "\\\\")
+                .replace("'", "''")
+            )
             spark.sql(
                 f"ALTER TABLE {table} SET TBLPROPERTIES "
                 f"('{self.TABLE_PROPERTY}' = '{payload}')"

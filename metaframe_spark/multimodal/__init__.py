@@ -90,7 +90,7 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             digests, widths, heights = [], [], []
             for payload in pdf["payload"]:
-                digest, w, h = decode_stub(bytes(payload))
+                digest, w, h = decode_stub(b"" if payload is None else bytes(payload))
                 digests.append(digest)
                 widths.append(w)
                 heights.append(h)
@@ -131,7 +131,11 @@ def resize_media(
 
         for pdf in batches:
             # STUB: byte-truncate stands in for decode+resample+encode
-            out = pdf["payload"].map(lambda p: bytes(p)[: (len(p) + 3) // 4])
+            # (None payloads pass through as empty — a real decoder would
+            # route them to a quarantine column instead of crashing the task)
+            out = pdf["payload"].map(
+                lambda p: b"" if p is None else bytes(p)[: (len(p) + 3) // 4]
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -172,7 +176,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, chunks = [], [], []
             for i, p in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(p)
+                b = b"" if p is None else bytes(p)
                 n = min(max_frames, max(1, (len(b) + frame_bytes - 1) // frame_bytes))
                 for j in range(n):
                     ids.append(i)

@@ -192,8 +192,10 @@ def cosine_pairs_exact(
     """
     import numpy as np
 
-    ids_mat = corpus.select(F.col(id_col), F.col(vec_col)).toPandas()
-    n = len(ids_mat)
+    # guard BEFORE collecting: the count is a cheap distributed job, while
+    # toPandas() on an over-cap corpus would OOM the driver before any
+    # check could fire
+    n = corpus.count()
     if n > max_broadcast_rows:
         raise ValueError(
             f"cosine_pairs_exact: corpus has {n} rows > max_broadcast_rows="
@@ -201,6 +203,7 @@ def cosine_pairs_exact(
             "broadcast. Raise the cap, or use ann_similarity_join for "
             "approximate recall at near-dup thresholds"
         )
+    ids_mat = corpus.select(F.col(id_col), F.col(vec_col)).toPandas()
     all_ids = np.asarray(ids_mat[id_col].values, dtype=np.int64)
     mat = np.ascontiguousarray(
         np.stack(ids_mat[vec_col].to_numpy()).astype(np.float64)

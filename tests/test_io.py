@@ -45,6 +45,21 @@ def test_sidecar_roundtrip_file_uri(spark, frame, tmp_path):
     assert back.metadata == MD
 
 
+def test_save_as_table_metadata_escaping(spark, frame):
+    """Backslashes and quotes in metadata values must survive the SQL
+    string literal in ALTER TABLE ... TBLPROPERTIES (Spark literals are
+    backslash-escaped; unescaped they round-trip as invalid JSON)."""
+    from metaframe_spark.io import read_table
+
+    tricky = frame.set_metadata(note="line1\nline2 'quoted' back\\slash")
+    tricky.write.mode("overwrite").saveAsTable("mf_props_escape")
+    try:
+        back = read_table(spark, "mf_props_escape")
+        assert back.metadata["note"] == "line1\nline2 'quoted' back\\slash"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mf_props_escape")
+
+
 def test_save_as_table_metadata_roundtrip(spark, frame):
     """Table sinks persist metadata as TBLPROPERTIES and read_table
     restores it (VERDICT r3 missing #2: the sidecar only covered path
