@@ -23,6 +23,8 @@ _EXPORTS = {
     "read_csv": ("metaframe_spark.io", "read_csv"),
     "read_json": ("metaframe_spark.io", "read_json"),
     "read_orc": ("metaframe_spark.io", "read_orc"),
+    "read_text": ("metaframe_spark.io", "read_text"),
+    "read_binary_files": ("metaframe_spark.io", "read_binary_files"),
     "load_table": ("metaframe_spark.io", "load_table"),
     "wrap": ("metaframe_spark.io", "wrap"),
     "read_file_stream": ("metaframe_spark.streaming", "read_file_stream"),

@@ -138,6 +138,52 @@ def read_orc(
     return _read_path(spark, "orc", path, metadata, restore_metadata, **options)
 
 
+def read_text(
+    spark: SparkSession,
+    path: str,
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+    whole_text: bool = False,
+    **options: Any,
+) -> MetaFrame:
+    """Raw text ingestion — the front door of an LLM document pipeline.
+
+    Line mode (default) yields one row per line (``value`` string);
+    ``whole_text=True`` yields one row per FILE — the shape for
+    document-per-file corpora. Either way the scan is an ordinary
+    distributed file scan (a 100-TB corpus splits by file/line blocks);
+    pair with ``input_file_name()`` for provenance.
+    """
+    if whole_text:
+        options = {**options, "wholetext": "true"}
+    return _read_path(spark, "text", path, metadata, restore_metadata, **options)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: Optional[str] = None,
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+) -> MetaFrame:
+    """Binary-file ingestion (``binaryFile`` source) — the multimodal front
+    door: images/audio/video land as (path, modificationTime, length,
+    content binary) rows that feed straight into
+    :mod:`metaframe_spark.multimodal` (``content`` is the ``payload``
+    contract there). Files are NOT split (a payload is atomic); partition
+    parallelism comes from file count, which is what a 100-TB object-store
+    layout provides. Use ``path_glob`` (e.g. ``"*.png"``) to prune at the
+    listing, not after the read.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    md = _read_sidecar(path) if restore_metadata else {}
+    if metadata:
+        md.update(metadata)
+    return MetaFrame(reader.load(path), md)
+
+
 def _read_table_properties(spark: SparkSession, name: str) -> Dict[str, Any]:
     """Metadata persisted by MetaWriter on ``saveAsTable``/``insertInto``
     (``TBLPROPERTIES['metaframe.metadata']``); {} for views/missing."""

@@ -102,3 +102,58 @@ def test_ns_timestamp_parquet_reads_as_micros(spark):
     assert dict(mf.dtypes)["ts"] == "timestamp"
     row = mf.orderBy("event_id").first()
     assert row.ts.year == 2024
+
+
+def test_read_text_line_and_wholetext_modes(spark, tmp_path):
+    from metaframe_spark.io import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("single doc body\n")
+    lines = read_text(spark, str(d), metadata={"src": "corpus"})
+    assert lines.metadata == {"src": "corpus"}
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one",
+        "line two",
+        "single doc body",
+    ]
+    docs = read_text(spark, str(d), whole_text=True)
+    got = sorted(r.value for r in docs.collect())
+    assert got == ["line one\nline two\n", "single doc body\n"]
+
+
+def test_read_binary_files_feeds_multimodal(spark, tmp_path):
+    """binaryFile source → multimodal extractor end-to-end: the ingestion
+    path a real image/audio corpus takes."""
+    from metaframe_spark.io import read_binary_files
+    from metaframe_spark.multimodal import extract_media_metadata
+    import hashlib
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {"x.png": b"\x89PNG fake bytes", "y.png": b"other bytes" * 10}
+    for name, b in payloads.items():
+        (d / name).write_bytes(b)
+    (d / "ignore.txt").write_bytes(b"not matched by the glob")
+
+    mf = read_binary_files(spark, str(d), path_glob="*.png", metadata={"modality": "image"})
+    assert mf.metadata == {"modality": "image"}
+    rows = mf.select("path", "length", "content").collect()
+    assert len(rows) == 2  # glob pruned the .txt at listing time
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    for name, b in payloads.items():
+        assert by_name[name].length == len(b)
+        assert bytes(by_name[name].content) == b
+
+    media = (
+        mf.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.lit("image/png").alias("media_type"),
+            F.col("content").alias("payload"),
+        )
+    )
+    out = extract_media_metadata(media.to_spark())
+    got = {r.size_bytes: r.sha256 for r in out.collect()}
+    want = {len(b): hashlib.sha256(b).hexdigest() for b in payloads.values()}
+    assert got == want
