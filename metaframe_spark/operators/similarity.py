@@ -8,11 +8,17 @@ Two tiers, matching the build brief:
   rank window partitioned by query id. Cost: O(|corpus| · |queries| · d)
   with no shuffle of the corpus — the right baseline at any corpus size
   when |queries| is bounded.
-* **ann_topk / ann_similarity_join** — the scale path:
-  ``BucketedRandomProjectionLSH`` (p-stable random projections) buckets
-  vectors so the join touches only colliding buckets. On unit-normalized
-  vectors, euclidean distance is monotone in cosine
-  (cos = 1 - d²/2), so a euclidean LSH threshold is a cosine threshold.
+* **ann_topk / ann_similarity_join** — the scale path: p-stable
+  random-projection LSH (the same family as ``pyspark.ml``'s
+  BucketedRandomProjectionLSH) implemented as plain codegen DataFrame
+  expressions — seeded unit-gaussian projections as SQL literals, bucket
+  = floor(v·p/w), candidates from an equi-join on the narrow
+  (id, table, bucket) relation. On unit-normalized vectors, euclidean
+  distance is monotone in cosine (cos = 1 - d²/2), so bucket collision
+  probability is monotone in cosine.
+* **cosine_pairs_exact** — the low-threshold regime where LSH cannot
+  reach recall 1.0: honest all-pairs via one BLAS GEMM per Arrow batch
+  against the (guarded) broadcast corpus matrix, JVM-verified.
 """
 
 from __future__ import annotations
