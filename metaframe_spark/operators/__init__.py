@@ -36,6 +36,7 @@ from .similarity import (
     unit_normalize,
 )
 from .text import (
+    bpe_token_count,
     doc_fingerprint,
     language_scores,
     normalize_text,
@@ -49,6 +50,7 @@ __all__ = [
     "ann_similarity_join",
     "ann_topk",
     "asof_join",
+    "bpe_token_count",
     "brute_force_topk",
     "ivf_topk",
     "content_hash",

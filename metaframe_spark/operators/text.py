@@ -56,6 +56,23 @@ def token_count(col) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to constructs that
+#: behave identically in Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+#: no unicode classes): letter runs | digit runs | single non-space symbol.
+#: Subword merans are model-specific; a pipeline counts THESE pre-tokens to
+#: budget/boundary-split documents before real BPE runs in the trainer.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-style pre-tokens (letter runs, digit runs, single
+    symbols) — the standard cheap proxy for a trained tokenizer's token
+    budget (true BPE counts are model-dependent; pre-token counts bound
+    them and split on the same boundaries). Pure codegen regexp —
+    per-row, shuffle-free, identical under RE2 so oracles can recompute."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
 def shingles(tokens_col, n: int = 3) -> Column:
     """Word n-gram strings over a token array (array<string>); empty array
     when the document has fewer than ``n`` tokens.

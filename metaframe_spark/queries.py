@@ -887,6 +887,32 @@ def llm_multimodal_extract(spark, sf):
 
 
 @query(
+    "llm_token_count",
+    "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens "
+    "FROM documents WHERE trim(text) <> ''",
+)
+def llm_token_count(spark, sf):
+    """Token budgeting: whitespace token count AND the BPE-ish pre-token
+    count (letter runs / digit runs / single symbols — the boundaries a
+    trained BPE merges within). Both are per-row codegen regexes; the
+    oracle recomputes them in RE2, pinning cross-engine tokenizer
+    agreement. Pipelines use these to budget context windows and split
+    documents before the model tokenizer runs."""
+    from .operators.text import bpe_token_count, token_count
+
+    d = load_table(spark, sf, "documents")
+    return (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws_tokens"),
+            bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+    )
+
+
+@query(
     "llm_multimodal_resize",
     "SELECT doc_id, CAST(256 AS BIGINT) AS width, CAST(256 AS BIGINT) AS height, "
     "CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS size_bytes, "

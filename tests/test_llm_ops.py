@@ -506,3 +506,23 @@ class TestSimhashEquivalence:
             for r in simhash_column(docs, "text").select("doc_id", "simhash").collect()
         }
         assert fast == slow
+
+
+class TestTokenCounts:
+    def test_bpe_pre_tokens(self, spark):
+        from metaframe_spark.operators import bpe_token_count, token_count
+
+        rows = [(1, "Hello, world! 123 foo-bar"), (2, "a b c"), (3, "...")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.ws, r.bpe)
+            for r in df.select(
+                "doc_id",
+                token_count(F.col("text")).alias("ws"),
+                bpe_token_count(F.col("text")).alias("bpe"),
+            ).collect()
+        }
+        # "Hello , world ! 123 foo - bar" -> 8 pre-tokens, 4 ws tokens
+        assert got[1] == (4, 8)
+        assert got[2] == (3, 3)
+        assert got[3] == (1, 3)  # "..." = one ws token, three symbol tokens
