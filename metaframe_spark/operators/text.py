@@ -64,6 +64,22 @@ def token_count(col) -> Column:
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+#: conservative PII patterns, restricted to constructs with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"
+
+
+def mask_pii(col) -> Column:
+    """Replace email addresses and phone-shaped numbers with placeholder
+    tags — the C4-style scrub applied before text enters a training set.
+    Two codegen regexp_replace passes, per-row, shuffle-free; patterns are
+    deliberately conservative (precision over recall) and RE2-compatible
+    so an external engine can reproduce the exact output."""
+    masked = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+
+
 def bpe_token_count(col) -> Column:
     """Count of BPE-style pre-tokens (letter runs, digit runs, single
     symbols) — the standard cheap proxy for a trained tokenizer's token

@@ -913,6 +913,80 @@ def llm_token_count(spark, sf):
 
 
 @query(
+    "llm_pii_mask",
+    "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
+    "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567.' "
+    "  ELSE text END AS text FROM documents) "
+    "SELECT doc_id, regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS masked "
+    "FROM aug",
+)
+def llm_pii_mask(spark, sf):
+    """C4-style PII scrub (emails + phone-shaped numbers → placeholder
+    tags). The synthetic corpus carries no natural PII, so a deterministic
+    email+phone suffix is injected on every 10th doc in BOTH engines —
+    the oracle then proves the masked text is byte-identical, i.e. the
+    regex semantics agree between Java regex and RE2 and nothing else in
+    the document was touched."""
+    from .operators.text import mask_pii
+
+    d = load_table(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567."),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return aug.select("doc_id", mask_pii(F.col("text")).alias("masked"))
+
+
+@query(
+    "llm_repetition",
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t "
+    "  FROM documents WHERE trim(text) <> ''), "
+    "big AS (SELECT doc_id, lower(t[i]) || ' ' || lower(t[i+1]) AS bg "
+    "  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), "
+    "cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+    "round(max(c) / sum(c), 6) AS top_bigram_frac "
+    "FROM cnt GROUP BY 1",
+)
+def llm_repetition(spark, sf):
+    """Gopher-style repetition signal: the fraction of all word bigrams
+    taken by the single most frequent bigram (high → boilerplate/looped
+    text, a standard pretraining filter). Explode → two-level aggregate;
+    the map-side partial combine collapses each document's bigrams before
+    the exchange, so shuffle volume is distinct-bigram-bounded."""
+    from .operators.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", tokens(F.col("text")).alias("_t")
+    )
+    bigrams = toks.filter(F.size("_t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+
+
+@query(
     "llm_multimodal_resize",
     "SELECT doc_id, CAST(256 AS BIGINT) AS width, CAST(256 AS BIGINT) AS height, "
     "CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS size_bytes, "

@@ -526,3 +526,21 @@ class TestTokenCounts:
         assert got[1] == (4, 8)
         assert got[2] == (3, 3)
         assert got[3] == (1, 3)  # "..." = one ws token, three symbol tokens
+
+
+class TestPiiMask:
+    def test_masks_emails_and_phones_only(self, spark):
+        from metaframe_spark.operators.text import mask_pii
+
+        rows = [
+            (1, "reach me at jane.doe+spam@mail.example.org today"),
+            (2, "call 555-123-4567 or 555-1234-4567 now"),
+            (3, "no pii here, just text with @ and 123-45 fragments"),
+            (4, "x@y.io and 800-555-0100."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.m for r in df.select("doc_id", mask_pii(F.col("text")).alias("m")).collect()}
+        assert got[1] == "reach me at <EMAIL> today"
+        assert got[2] == "call <PHONE> or <PHONE> now"
+        assert got[3] == rows[2][1]  # untouched
+        assert got[4] == "<EMAIL> and <PHONE>."
