@@ -64,6 +64,47 @@ def token_count(col) -> Column:
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-packing step before tokenization/training. Chunk i covers
+    tokens [i·stride, i·stride + max_tokens) with stride = max_tokens −
+    overlap, so consecutive chunks share ``overlap`` tokens and every
+    token appears in at least one chunk.
+
+    Row-expanding but shuffle-free: posexplode over a per-row sequence;
+    each output row re-slices the token array in place. Empty documents
+    yield no chunks. Returns (id, chunk_idx, n_tokens, chunk).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    return toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"sequence(0, floor((size(_t) - 1) / {stride}))")
+        ).alias("chunk_idx", "_s"),
+        "_t",
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.expr(f"slice(_t, chunk_idx * {stride} + 1, {max_tokens})"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(
+            f"concat_ws(' ', slice(_t, chunk_idx * {stride} + 1, {max_tokens}))"
+        ).alias("chunk"),
+    )
+
+
 #: conservative PII patterns, restricted to constructs with identical
 #: semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -913,6 +913,29 @@ def llm_token_count(spark, sf):
 
 
 @query(
+    "llm_chunks",
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t "
+    "  FROM documents WHERE trim(text) <> ''), "
+    "idx AS (SELECT doc_id, t, unnest(range(0, CAST(floor((len(t) - 1) / 32) AS BIGINT) + 1)) AS i FROM toks) "
+    "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    "CAST(len(list_slice(t, i * 32 + 1, i * 32 + 40)) AS BIGINT) AS n_tokens, "
+    "array_to_string(list_slice(t, i * 32 + 1, i * 32 + 40), ' ') AS chunk "
+    "FROM idx",
+)
+def llm_chunks(spark, sf):
+    """Context packing: overlapping fixed-token-budget chunks
+    (max_tokens=40, overlap=8 ⇒ stride 32 at this test scale; 512/64 in
+    production). Row-expanding posexplode, shuffle-free — each chunk
+    re-slices the token array in place. The oracle rebuilds every chunk's
+    exact text (DuckDB list_slice takes an inclusive END index where
+    Spark slice takes a LENGTH — i·stride+max vs max)."""
+    from .operators.text import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    return chunk_documents(d.to_spark(), max_tokens=40, overlap=8)
+
+
+@query(
     "llm_pii_mask",
     "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
     "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567.' "

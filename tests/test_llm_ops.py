@@ -544,3 +544,35 @@ class TestPiiMask:
         assert got[2] == "call <PHONE> or <PHONE> now"
         assert got[3] == rows[2][1]  # untouched
         assert got[4] == "<EMAIL> and <PHONE>."
+
+
+class TestChunking:
+    def test_overlap_and_coverage(self, spark):
+        from metaframe_spark.operators.text import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                                   "doc_id long, text string")
+        out = chunk_documents(df, max_tokens=40, overlap=8)
+        rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+        # doc 1: 100 tokens, stride 32 -> chunks at 0,32,64,96 (4 chunks)
+        assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2, 3}
+        c0, c1 = rows[(1, 0)].chunk.split(), rows[(1, 1)].chunk.split()
+        assert c0 == [f"w{i}" for i in range(40)]
+        assert c1[:8] == c0[-8:]  # overlap: chunk 1 starts 8 tokens back
+        assert rows[(1, 3)].n_tokens == 4  # tail chunk: tokens 96..99
+        # every token covered, in order
+        allw = []
+        for i in range(4):
+            ch = rows[(1, i)].chunk.split()
+            allw.extend(ch if i == 0 else ch[8:])
+        assert allw == [f"w{i}" for i in range(100)]
+        assert rows[(2, 0)].chunk == "short doc" and (2, 1) not in rows
+        assert not any(k[0] == 3 for k in rows)  # empty doc -> no chunks
+
+    def test_overlap_guard(self, spark):
+        from metaframe_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, max_tokens=10, overlap=10)
