@@ -505,6 +505,11 @@ def near_dup_groups(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # materialize the edge list ONCE: every iteration joins against it
+    # twice, and without a checkpoint each of those joins would re-run the
+    # entire upstream pair-generation pipeline (LSH candidates + exact
+    # verification) — at any scale the dominant cost by far
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

@@ -300,6 +300,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_fit_rows: int = 100_000,
+    kmeans_max_iter: int = 20,
+    kmeans_init: str = "k-means||",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``n_lists`` cells; each query probes only its ``n_probe`` nearest
@@ -330,7 +332,17 @@ def ivf_topk(
         # oversample 20% above the cap so Bernoulli variance can't starve
         # the fit, never above 1.0
         fit_df = cfeats.sample(fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed)
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell")
+    # kmeans_max_iter bounds index-build cost; partition quality degrades
+    # gracefully (probing compensates), and n_probe = n_lists stays exact
+    # regardless of centroid placement
+    km = KMeans(
+        k=n_lists,
+        seed=seed,
+        maxIter=kmeans_max_iter,
+        initMode=kmeans_init,
+        featuresCol="_v",
+        predictionCol="_cell",
+    )
     model = km.fit(fit_df)
     indexed = model.transform(cfeats).select(corpus_id, vec_col, "_cell")
 

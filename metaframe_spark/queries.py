@@ -936,6 +936,65 @@ def llm_chunks(spark, sf):
 
 
 @query(
+    "llm_neardup_groups",
+    "WITH RECURSIVE f AS ("
+    f"  SELECT doc_id, {_SHINGLE_SQL} AS sh "
+    f"  FROM (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM {_CORPUS_SQL}) "
+    "  WHERE len(toks) >= 3), "
+    "pairs AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM f a JOIN f b ON a.doc_id < b.doc_id "
+    "  WHERE len(list_intersect(a.sh, b.sh)) >= 0.7 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))), "
+    "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, lbl) AS ("
+    "  SELECT DISTINCT src, src FROM sym "
+    "  UNION "
+    "  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.id) "
+    "SELECT id, min(lbl) AS group_id FROM reach GROUP BY id",
+)
+def llm_neardup_groups(spark, sf):
+    """Connected components over the verified near-dup pairs (iterative
+    min-label propagation, checkpointed — the distributed alternative to
+    driver union-find). The oracle computes the SAME components as a
+    recursive-CTE transitive closure over the exhaustive Jaccard pair
+    list, so the hash match proves both the LSH pair recall AND the
+    fixpoint of the label propagation — the operator class ('iterative
+    algorithm') that usually only gets a rows-only check."""
+    from .operators import minhash_near_dup_pairs, near_dup_groups
+
+    d = load_table(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(_twin_corpus(d), "doc_id", "text", min_jaccard=0.7)
+    return near_dup_groups(pairs)
+
+
+@query(
+    "llm_ivf_topk",
+    f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
+    "q AS (SELECT vec_id AS q_id, emb FROM n WHERE vec_id >= 8 AND vec_id < 16) "
+    "SELECT q_id, vec_id, cosine, r FROM ("
+    "  SELECT q.q_id, c.vec_id, round(list_inner_product(q.emb, c.emb), 6) AS cosine, "
+    "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
+    "    round(list_inner_product(q.emb, c.emb), 6) DESC, c.vec_id) AS BIGINT) AS r "
+    "  FROM n c, q) "
+    "WHERE r <= 5",
+)
+def llm_ivf_topk(spark, sf):
+    """IVF top-k with every cell probed (n_probe = n_lists): the probe
+    join and per-cell exact cosine are exercised end-to-end while recall
+    is provably 1.0 REGARDLESS of where the sampled KMeans centroids
+    landed — so the exact brute-force oracle hash-matches even though the
+    index is learned. Partial probing (n_probe < n_lists, the production
+    setting) is covered by the recall tests in pytest."""
+    from .operators import unit_normalize
+    from .operators.similarity import ivf_topk
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5, n_lists=8, n_probe=8, kmeans_max_iter=5, kmeans_init="random")
+
+
+@query(
     "llm_pii_mask",
     "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
     "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567.' "
