@@ -66,19 +66,22 @@ def main() -> int:
         samples = []
         base_samples = []
         for _ in range(repeat):
-            # plan construction (parquet schema/footer reads) happens outside
-            # the timed section for BOTH variants — we measure execution
-            df = fn(spark, sf_dir)
+            # construction is INSIDE the timed section: eager operators
+            # (iterative label propagation, KMeans fit) do their real work in
+            # fn(), and excluding it would under-report them to ~0. For lazy
+            # queries the warm-up pass has already cached file listings and
+            # schemas, so construction adds only milliseconds.
             t0 = time.monotonic()
+            df = fn(spark, sf_dir)
             _materialize(df)
             samples.append(time.monotonic() - t0)
             if with_baseline:
                 # the wrapper delegates to the very same DataFrame methods, so
                 # wrapped and raw execute the identical Catalyst plan — this
                 # interleaved re-run documents parity within run noise
+                t0 = time.monotonic()
                 raw_df = fn(spark, sf_dir)
                 raw = raw_df.to_spark() if hasattr(raw_df, "to_spark") else raw_df
-                t0 = time.monotonic()
                 _materialize(raw)
                 base_samples.append(time.monotonic() - t0)
         times[name] = round(statistics.median(samples), 4)
