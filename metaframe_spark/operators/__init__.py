@@ -15,16 +15,19 @@ Everything here is designed 100-TB-first:
 
 from .dedup import (
     content_hash,
+    dedup_against,
     dedup_survivors,
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
     minhash_near_dup_pairs,
     near_dup_groups,
+    ngram_contamination,
     simhash_by_id,
     simhash_column,
     simhash_near_dup_pairs,
 )
+from .sampling import stratified_sample_exact
 from .asof import asof_join
 from .similarity import (
     ann_similarity_join,
@@ -56,6 +59,7 @@ __all__ = [
     "content_hash",
     "cosine_expr",
     "cosine_pairs_exact",
+    "dedup_against",
     "dedup_survivors",
     "doc_fingerprint",
     "exact_dedup",
@@ -64,7 +68,9 @@ __all__ = [
     "minhash_candidate_pairs",
     "minhash_near_dup_pairs",
     "near_dup_groups",
+    "ngram_contamination",
     "normalize_text",
+    "stratified_sample_exact",
     "quality_features",
     "shingles",
     "simhash_by_id",

@@ -578,3 +578,65 @@ def exact_dedup_rows(
         .filter(F.col("_rn") == 1)
         .drop("_h", "_rn")
     )
+
+
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: drop rows of ``df`` whose
+    normalized content digest already occurs in ``seen`` — the daily-crawl
+    shape, where today's snapshot is deduplicated against everything
+    ingested so far without re-deduplicating the historical corpus.
+
+    Left-anti hash join on the 256-bit content digest: only digests of
+    ``seen`` move (never its rows), both sides shuffle on the digest alone,
+    and AQE broadcasts the digest set when it is small. Nothing is ever
+    compared row-to-row and ``df`` is scanned once.
+    """
+    seen_h = seen.select(content_hash(F.col(text_col)).alias("_seen_h")).distinct()
+    return df.join(
+        seen_h, content_hash(F.col(text_col)) == F.col("_seen_h"), "left_anti"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination signal (GPT-3/PaLM-style n-gram collision
+    check): for every corpus document, the number of DISTINCT word n-grams
+    it shares with the benchmark/eval set. Returns (id, n_overlap) for
+    contaminated documents only (n_overlap >= 1); anti-join the result
+    against the corpus to drop them.
+
+    Benchmarks are MBs while corpora are TBs, so the benchmark's distinct
+    shingle set is broadcast (``broadcast_benchmark=False`` falls back to a
+    shuffled join for oversized eval sets) and the corpus side never
+    shuffles its text: shingles are exploded once, filtered against the
+    broadcast set map-side, and only the HITS reach the per-document
+    count's shuffle.
+    """
+    bench_sh = (
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(F.explode(F.array_distinct(shingles("_toks", n))).alias("_sh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corp_sh = (
+        corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(id_col, F.explode(F.array_distinct(shingles("_toks", n))).alias("_sh"))
+    )
+    return (
+        corp_sh.join(bench_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

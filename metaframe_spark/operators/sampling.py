@@ -1,0 +1,44 @@
+"""Deterministic sampling operators for training-data curation.
+
+Spark's native samplers (``df.sample``, ``df.sampleBy``) are
+Bernoulli/Poisson draws: fast and scale-free, but the realized count
+fluctuates and the draw depends on partitioning — fine for stats, wrong for
+"give me exactly N documents per (lang, source) cell, reproducibly, on any
+cluster layout". The operators here trade one shuffle for exactness and
+bit-level reproducibility: the draw order is a cryptographic hash of the
+row id, so the same inputs select the same rows on any engine (the DuckDB
+oracle recomputes the identical sample).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota sample: within every distinct combination of
+    ``strata`` columns, rank rows by ``md5(id)`` — a uniform but fully
+    reproducible draw order — and keep the first ``n_per_stratum``.
+    Returns the surviving rows plus their ``draw_rank`` (1-based).
+
+    Scale: the rank-then-filter shape is planned as ``WindowGroupLimit``
+    on Spark 3.5+/4 — every input partition pre-prunes to its own top-n
+    per stratum BEFORE the shuffle, so shuffled volume is
+    O(input_partitions × n), not O(|stratum|), and no stratum is ever
+    fully sorted. The md5 tie-break on ``id_col`` makes the sample
+    well-defined even if ids hash-collide.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(
+        "draw_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("draw_rank") <= n_per_stratum)

@@ -1407,3 +1407,73 @@ def q40_salted_agg(spark, sf):
     return out.select(
         "l_returnflag", F.round("sum_qty", 6).alias("sum_qty"), "cnt", "max_qty"
     )
+
+
+def _norm_sql_of(col: str) -> str:
+    """Qualified-column form of _NORM_SQL (for self-join oracles)."""
+    return f"lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "llm_dedup_incremental",
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d "
+    "WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 "
+    f"AND sha256({_norm_sql_of('s.text')}) = sha256({_norm_sql_of('d.text')}))",
+)
+def llm_dedup_incremental(spark, sf):
+    """Incremental (cross-snapshot) dedup: today's crawl anti-joined on
+    content digest against the already-ingested corpus (modelled as every
+    third document). Only digests of the seen side move; AQE broadcasts
+    them when small. Oracle is the NOT EXISTS form (NOT IN has different
+    NULL semantics)."""
+    from .operators import dedup_against
+
+    d = load_table(spark, sf, "documents")
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    return dedup_against(d.to_spark(), seen.to_spark(), "text")
+
+
+@query(
+    "llm_stratified_sample",
+    "SELECT doc_id, lang, source, draw_rank FROM ("
+    "  SELECT doc_id, lang, source, CAST(row_number() OVER ("
+    "    PARTITION BY lang, source "
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS draw_rank "
+    "  FROM documents) WHERE draw_rank <= 7",
+)
+def llm_stratified_sample(spark, sf):
+    """Exact-quota stratified sample: 7 documents per (lang, source) cell,
+    drawn in md5(doc_id) order — deterministic on any cluster layout and
+    recomputable by the oracle, unlike Bernoulli sampleBy. The rank filter
+    plans as WindowGroupLimit (pre-shuffle per-partition top-n), pinned in
+    tests/test_plans.py."""
+    from .operators import stratified_sample_exact
+
+    d = load_table(spark, sf, "documents")
+    return stratified_sample_exact(d, ["lang", "source"], 7).select(
+        "doc_id", "lang", "source", "draw_rank"
+    )
+
+
+@query(
+    "llm_decontaminate",
+    "WITH t AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
+    f"sh AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM t WHERE len(toks) >= 3), "
+    "bench AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)), "
+    "corp AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0) "
+    "SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_overlap "
+    "FROM corp JOIN bench USING (s) GROUP BY corp.doc_id",
+)
+def llm_decontaminate(spark, sf):
+    """Benchmark decontamination: per corpus document, the count of
+    distinct word 3-grams shared with the eval set (every 97th document
+    stands in for the benchmark). The benchmark's distinct shingle set is
+    broadcast; corpus shingles are filtered map-side so only hits reach
+    the count's shuffle."""
+    from .operators import ngram_contamination
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus.to_spark(), bench.to_spark(), n=3)

@@ -576,3 +576,103 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, max_tokens=10, overlap=10)
+
+
+class TestIncrementalDedup:
+    def test_drops_exactly_seen_content(self, docs, spark):
+        from metaframe_spark.operators import dedup_against
+
+        seen = docs.filter(F.col("doc_id") % 5 == 0)
+        out = dedup_against(docs, seen, "text")
+        # nothing surviving shares content with the seen snapshot
+        got = {r.doc_id for r in out.select("doc_id").collect()}
+        seen_texts = {
+            r.t for r in seen.select(F.lower(F.trim("text")).alias("t")).collect()
+        }
+        kept_bad = docs.filter(F.col("doc_id").isin(list(got))).select(
+            F.lower(F.trim("text")).alias("t")
+        )
+        assert not ({r.t for r in kept_bad.collect()} & seen_texts)
+        # and everything NOT content-matching the snapshot survives
+        all_rows = docs.select("doc_id", F.lower(F.trim("text")).alias("t")).collect()
+        expected = {r.doc_id for r in all_rows if r.t not in seen_texts}
+        assert got == expected
+
+    def test_empty_seen_is_identity(self, docs):
+        from metaframe_spark.operators import dedup_against
+
+        out = dedup_against(docs, docs.filter(F.lit(False)), "text")
+        assert out.count() == docs.count()
+
+
+class TestStratifiedSample:
+    def test_exact_quota_and_determinism(self, docs):
+        from metaframe_spark.operators import stratified_sample_exact
+
+        n = 4
+        out = stratified_sample_exact(docs, ["lang", "source"], n, "doc_id")
+        sizes = out.groupBy("lang", "source").count()
+        strata_sizes = {
+            (r.lang, r.source): r["count"]
+            for r in docs.groupBy("lang", "source").count().collect()
+        }
+        for r in sizes.collect():
+            assert r["count"] == min(n, strata_sizes[(r.lang, r.source)])
+        # every stratum of the input is represented
+        assert sizes.count() == len(strata_sizes)
+        # deterministic across runs and partitioning
+        a = {(r.doc_id, r.draw_rank) for r in out.collect()}
+        b = {
+            (r.doc_id, r.draw_rank)
+            for r in stratified_sample_exact(
+                docs.repartition(7), ["lang", "source"], n, "doc_id"
+            ).collect()
+        }
+        assert a == b
+
+    def test_ranks_are_contiguous_from_one(self, docs):
+        from metaframe_spark.operators import stratified_sample_exact
+
+        out = stratified_sample_exact(docs, ["lang"], 3, "doc_id")
+        for r in out.groupBy("lang").agg(
+            F.min("draw_rank").alias("lo"),
+            F.max("draw_rank").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect():
+            assert r.lo == 1 and r.hi == r.n
+
+
+class TestDecontamination:
+    def test_overlap_counts_match_python_ground_truth(self, docs, spark):
+        from metaframe_spark.operators import ngram_contamination
+
+        bench = docs.filter(F.col("doc_id") % 11 == 0)
+        corpus = docs.filter(F.col("doc_id") % 11 != 0)
+        out = {
+            r.doc_id: r.n_overlap
+            for r in ngram_contamination(corpus, bench, n=3).collect()
+        }
+
+        def sh(text):
+            toks = [t for t in text.lower().split() if t]
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        bench_sh = set()
+        for r in bench.select("text").collect():
+            bench_sh |= sh(r.text)
+        expected = {}
+        for r in corpus.select("doc_id", "text").collect():
+            k = len(sh(r.text) & bench_sh)
+            if k:
+                expected[r.doc_id] = k
+        assert out == expected
+
+    def test_disjoint_benchmark_flags_nothing(self, docs, spark):
+        from metaframe_spark.operators import ngram_contamination
+
+        bench = spark.createDataFrame(
+            [(0, "zzz yyy xxx www vvv")], "doc_id long, text string"
+        )
+        assert ngram_contamination(docs, bench, n=3).count() == 0

@@ -166,3 +166,22 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestSamplingAndDecontamination:
+    def test_stratified_sample_plans_window_group_limit(self, spark):
+        # the rank filter must prune to per-partition top-n BEFORE the
+        # shuffle; without WindowGroupLimit every stratum is fully sorted
+        plan = plan_of(QUERIES["llm_stratified_sample"](spark, SF))
+        assert "WindowGroupLimit" in plan
+
+    def test_decontamination_broadcasts_benchmark(self, spark):
+        # the benchmark shingle set is the broadcast side; the corpus must
+        # not shuffle before the join (only hits reach the count's shuffle)
+        plan = plan_of(QUERIES["llm_decontaminate"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_incremental_dedup_is_anti_join_on_digest(self, spark):
+        plan = plan_of(QUERIES["llm_dedup_incremental"](spark, SF))
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
