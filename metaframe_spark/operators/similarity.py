@@ -84,10 +84,41 @@ def brute_force_topk(
     )
 
 
-def _to_ml_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    from pyspark.ml.functions import array_to_vector
+def _fit_centroids(X, k: int, max_iter: int, init: str, seed: int):
+    """Seeded Lloyd's k-means on an in-memory sample (numpy, driver-side).
 
-    return df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    ``init='random'`` draws k distinct rows; anything else runs seeded
+    k-means++ (D² sampling). Empty clusters keep their previous centroid;
+    ``np.argmin`` breaks assignment ties by lowest cell index, so the fit
+    is bit-deterministic for a fixed sample and seed.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    if init == "random":
+        centroids = X[rng.choice(len(X), size=k, replace=False)].copy()
+    else:  # k-means++
+        idx = [int(rng.randint(len(X)))]
+        d2 = ((X - X[idx[0]]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            idx.append(int(rng.choice(len(X), p=probs)))
+            d2 = np.minimum(d2, ((X - X[idx[-1]]) ** 2).sum(axis=1))
+        centroids = X[idx].copy()
+    prev_assign = None
+    for _ in range(max_iter):
+        # argmin over ||x||² − 2x·c + ||c||²; ||x||² is constant per row
+        scores = -2.0 * (X @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+        assign = np.argmin(scores, axis=1)
+        if prev_assign is not None and (assign == prev_assign).all():
+            break
+        prev_assign = assign
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centroids
 
 
 def ann_similarity_join(
@@ -301,55 +332,74 @@ def ivf_topk(
     seed: int = 42,
     max_fit_rows: int = 100_000,
     kmeans_max_iter: int = 20,
-    kmeans_init: str = "k-means||",
+    kmeans_init: str = "k-means++",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
+    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
     into ``n_lists`` cells; each query probes only its ``n_probe`` nearest
     cells, so the scan cost drops to ~n_probe/n_lists of brute force.
 
-    Scale shape: the centroids are FIT ON A SAMPLE capped at
-    ``max_fit_rows`` (one count job + one sampled scan at index build —
-    centroid quality needs a representative sample, not every vector;
-    fitting on the full corpus would make the driver-coordinated KMeans
-    the bottleneck at 100 TB), then every vector is assigned via
-    ``transform``. The corpus is hash-partitioned by cell id (one shuffle
-    at index build); queries fan out n_probe× and equi-join on cell id —
-    a hash join, never a full-corpus broadcast-nested-loop. Centroids
-    (n_lists × d doubles) ride along as a broadcast.
+    Scale shape, index build: the centroids are FIT ON A SAMPLE capped at
+    ``max_fit_rows`` — centroid quality needs a representative sample, not
+    every vector — and the fit itself is seeded numpy Lloyd's ON THE
+    DRIVER (a 100k × d sample is megabytes; a distributed fit would spend
+    orders of magnitude more time in per-iteration job scheduling than in
+    arithmetic, which is why FAISS/ScaNN train IVF indexes on a sample in
+    one process too). Cell assignment of the FULL corpus is the
+    distributed part: one ``mapInPandas`` pass, one float64 GEMM per
+    Arrow batch against the broadcast (n_lists × d) centroid matrix.
 
-    Exact cosine is computed inside the probed cells, so precision is
-    exact and only recall is approximate (raise ``n_probe`` to trade speed
-    for recall; n_probe = n_lists probes every cell — exact brute force
-    regardless of where the centroids landed).
+    Probe: queries rank cells against the same broadcast centroids and
+    equi-join on cell id — a hash join, never a full-corpus
+    broadcast-nested-loop. Exact cosine is computed inside the probed
+    cells, so precision is exact and only recall is approximate (raise
+    ``n_probe`` to trade speed for recall; n_probe = n_lists probes every
+    cell — exact brute force regardless of where the centroids landed).
+    ``kmeans_max_iter`` bounds index-build cost; partition quality
+    degrades gracefully (probing compensates).
     """
-    from pyspark.ml.clustering import KMeans
+    import numpy as np
     from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-    cfeats = _to_ml_vectors(corpus.select(F.col(corpus_id), vec_col), vec_col)
+    cfeats = corpus.select(F.col(corpus_id), vec_col)
     n = cfeats.count()
+    if n == 0:
+        raise ValueError("ivf_topk: empty corpus")
     fit_df = cfeats
     if n > max_fit_rows:
         # oversample 20% above the cap so Bernoulli variance can't starve
         # the fit, never above 1.0
         fit_df = cfeats.sample(fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed)
-    # kmeans_max_iter bounds index-build cost; partition quality degrades
-    # gracefully (probing compensates), and n_probe = n_lists stays exact
-    # regardless of centroid placement
-    km = KMeans(
-        k=n_lists,
-        seed=seed,
-        maxIter=kmeans_max_iter,
-        initMode=kmeans_init,
-        featuresCol="_v",
-        predictionCol="_cell",
+    X = np.stack(fit_df.select(vec_col).toPandas()[vec_col].to_numpy()).astype(
+        np.float64
     )
-    model = km.fit(fit_df)
-    indexed = model.transform(cfeats).select(corpus_id, vec_col, "_cell")
+    k_eff = min(n_lists, len(X))
+    centroids = _fit_centroids(X, k_eff, kmeans_max_iter, kmeans_init, seed)
+
+    spark = corpus.sparkSession
+    b_cent = spark.sparkContext.broadcast(centroids)
+    assign_schema = StructType(
+        cfeats.schema.fields + [StructField("_cell", IntegerType())]
+    )
+
+    def _assign(batches):
+        # executor-side: numpy/pandas only, self-contained
+        C = b_cent.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = -2.0 * (B @ C.T) + c2[None, :]
+            out = pdf.copy()
+            out["_cell"] = np.argmin(scores, axis=1).astype(np.int32)
+            yield out
+
+    indexed = cfeats.mapInPandas(_assign, schema=assign_schema)
 
     # tiny (n_lists x d) centroid relation — broadcast to rank cells per query
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark = corpus.sparkSession
-    cdf = spark.createDataFrame(centers, f"_cell int, _cvec array<double>")
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cdf = spark.createDataFrame(centers, "_cell int, _cvec array<double>")
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
     # rank probe cells by EUCLIDEAN distance — the same metric KMeans used
