@@ -36,12 +36,14 @@ from .similarity import (
     cosine_expr,
     cosine_pairs_exact,
     ivf_topk,
+    scalar_quantize,
     unit_normalize,
 )
 from .text import (
     bpe_token_count,
     doc_fingerprint,
     language_scores,
+    ngram_vocabulary,
     normalize_text,
     quality_features,
     shingles,
@@ -55,7 +57,6 @@ __all__ = [
     "asof_join",
     "bpe_token_count",
     "brute_force_topk",
-    "ivf_topk",
     "content_hash",
     "cosine_expr",
     "cosine_pairs_exact",
@@ -63,19 +64,22 @@ __all__ = [
     "dedup_survivors",
     "doc_fingerprint",
     "exact_dedup",
+    "ivf_topk",
     "jaccard_similarity_pairs",
     "language_scores",
     "minhash_candidate_pairs",
     "minhash_near_dup_pairs",
     "near_dup_groups",
     "ngram_contamination",
+    "ngram_vocabulary",
     "normalize_text",
-    "stratified_sample_exact",
     "quality_features",
+    "scalar_quantize",
     "shingles",
     "simhash_by_id",
     "simhash_column",
     "simhash_near_dup_pairs",
+    "stratified_sample_exact",
     "token_count",
     "tokens",
     "unit_normalize",

@@ -431,3 +431,49 @@ def ivf_topk(
         .filter(F.col("r") <= k)
         .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
     )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Per-dimension scalar quantization (SQ8 for ``n_bits=8``) — the
+    standard memory lever for planet-scale ANN: a float32 corpus shrinks
+    4× (float64: 8×) while IVF/LSH recall degrades only marginally.
+    Replaces ``vec_col`` with ``array<int>`` codes in
+    [0, 2^n_bits - 1]; dimension i maps x to
+    ``floor((x - min_i) / span_i * 2^n_bits)`` clamped to the top code
+    (constant dimensions get span 1, so they encode to 0).
+
+    Two-pass distributed shape: pass 1 reduces per-dimension min/max via
+    posexplode + partial-aggregated groupBy (shuffles exactly d rows);
+    the d-element bounds ride into pass 2 as array LITERALS inside a
+    codegen ``transform``, so encoding is one scan with no join, no
+    Python, and no second shuffle. Arithmetic is plain IEEE divide +
+    floor — bit-identical across engines, so the codes are
+    oracle-checkable.
+    """
+    levels = (1 << n_bits) - 1
+    stats = (
+        df.select(F.posexplode(vec_col).alias("_pos", "_v"))
+        .groupBy("_pos")
+        .agg(
+            F.min(F.col("_v").cast("double")).alias("_mn"),
+            F.max(F.col("_v").cast("double")).alias("_mx"),
+        )
+        .collect()
+    )
+    mins = [0.0] * len(stats)
+    spans = [1.0] * len(stats)
+    for r in stats:
+        mins[r["_pos"]] = r["_mn"]
+        spans[r["_pos"]] = (r["_mx"] - r["_mn"]) if r["_mx"] > r["_mn"] else 1.0
+    mins_sql = "array(" + ", ".join(f"{m!r}D" for m in mins) + ")"
+    spans_sql = "array(" + ", ".join(f"{s!r}D" for s in spans) + ")"
+    code = (
+        f"transform({vec_col}, (x, i) -> cast(least(floor("
+        f"(cast(x as double) - element_at({mins_sql}, i + 1)) / "
+        f"element_at({spans_sql}, i + 1) * {levels + 1}), {levels}L) as int))"
+    )
+    return df.withColumn(vec_col, F.expr(code))

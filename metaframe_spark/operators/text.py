@@ -273,3 +273,36 @@ def doc_fingerprint(
             F.array_min(F.transform(shingles("_toks", n), F.md5)).alias("fp"),
         )
     )
+
+
+def ngram_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies: the ``top_k`` word
+    n-grams ranked by how many documents contain them — the corpus-stats /
+    BPE-vocab-seed step of a training pipeline. Returns
+    (gram, doc_freq, n_occurrences); ties break by occurrence count then
+    gram text, so the selected set is deterministic.
+
+    Scale: two shuffles, BOTH with map-side partial aggregation — first a
+    (gram, doc) rollup (dedups a document's repeated grams without any
+    count-distinct sketch state), then the gram rollup; the final top-k is
+    TakeOrderedAndProject, never a full sort of the vocabulary.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    gram_col = F.explode(F.col("_toks") if n == 1 else shingles("_toks", n))
+    grams = toks.select(id_col, gram_col.alias("gram"))
+    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    vocab = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("_c").cast("long").alias("n_occurrences"),
+    )
+    return vocab.orderBy(
+        F.desc("doc_freq"), F.desc("n_occurrences"), F.asc("gram")
+    ).limit(top_k)

@@ -1477,3 +1477,54 @@ def llm_decontaminate(spark, sf):
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return ngram_contamination(corpus.to_spark(), bench.to_spark(), n=3)
+
+
+@query(
+    "llm_vocab",
+    "WITH t AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t WHERE len(toks) >= 1), "
+    "pd AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id) "
+    "SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq, "
+    "CAST(sum(c) AS BIGINT) AS n_occurrences "
+    "FROM pd GROUP BY gram ORDER BY doc_freq DESC, n_occurrences DESC, gram LIMIT 50",
+)
+def llm_vocab(spark, sf):
+    """Corpus vocabulary: top-50 unigrams by document frequency (the
+    corpus-stats / BPE-vocab-seed step). Both rollups partial-aggregate
+    map-side; the top-k is TakeOrderedAndProject, pinned in
+    tests/test_plans.py."""
+    from .operators.text import ngram_vocabulary
+
+    d = load_table(spark, sf, "documents")
+    return ngram_vocabulary(d.to_spark(), "text", "doc_id", n=1, top_k=50)
+
+
+@query(
+    "llm_quantize",
+    "WITH stats AS (SELECT i, min(embedding[i]::DOUBLE) AS mn, "
+    "  max(embedding[i]::DOUBLE) AS mx "
+    "  FROM embeddings CROSS JOIN range(1, 65) r(i) GROUP BY i), "
+    "s AS (SELECT list(mn ORDER BY i) AS mins, "
+    "  list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS spans "
+    "  FROM stats) "
+    "SELECT vec_id, array_to_string(list_transform(range(1, 65), "
+    "  i -> CAST(least(floor((embedding[i]::DOUBLE - mins[i]) / spans[i] * 256), "
+    "  255) AS INT)::VARCHAR), ',') AS codes FROM embeddings, s",
+)
+def llm_quantize(spark, sf):
+    """SQ8 scalar quantization of the embedding corpus — per-dimension
+    min/max reduced in one partial-aggregated shuffle of exactly d rows,
+    then codes computed in a single codegen scan with the bounds inlined
+    as array literals (no join, no Python). IEEE divide + floor is
+    bit-identical cross-engine, so the oracle recomputes identical codes.
+    Codes are emitted comma-joined (the compare harness hashes scalars)."""
+    from .operators.similarity import scalar_quantize
+
+    e = load_table(spark, sf, "embeddings")
+    return scalar_quantize(e.to_spark(), "embedding", n_bits=8).select(
+        "vec_id",
+        F.expr(
+            "concat_ws(',', transform(embedding, c -> cast(c as string)))"
+        ).alias("codes"),
+    )

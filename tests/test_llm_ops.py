@@ -676,3 +676,70 @@ class TestDecontamination:
             [(0, "zzz yyy xxx www vvv")], "doc_id long, text string"
         )
         assert ngram_contamination(docs, bench, n=3).count() == 0
+
+
+class TestVocabulary:
+    def test_matches_python_ground_truth(self, docs):
+        from metaframe_spark.operators.text import ngram_vocabulary
+
+        out = {
+            r.gram: (r.doc_freq, r.n_occurrences)
+            for r in ngram_vocabulary(docs, "text", "doc_id", n=1, top_k=10**5).collect()
+        }
+        from collections import Counter
+
+        doc_freq, n_occ = Counter(), Counter()
+        for r in docs.select("text").collect():
+            toks = [t for t in r.text.lower().split() if t]
+            n_occ.update(toks)
+            doc_freq.update(set(toks))
+        assert out == {g: (doc_freq[g], n_occ[g]) for g in doc_freq}
+
+    def test_bigram_topk_is_deterministic_set(self, docs):
+        from metaframe_spark.operators.text import ngram_vocabulary
+
+        a = {r.gram for r in ngram_vocabulary(docs, n=2, top_k=20).collect()}
+        b = {
+            r.gram
+            for r in ngram_vocabulary(docs.repartition(5), n=2, top_k=20).collect()
+        }
+        assert a == b and len(a) == 20
+
+
+class TestScalarQuantize:
+    def test_codes_in_range_and_extremes(self, spark):
+        from metaframe_spark.operators.similarity import scalar_quantize
+
+        emb = load_table(spark, SF, "embeddings").to_spark()
+        out = scalar_quantize(emb, "embedding", n_bits=8)
+        stats = out.select(
+            F.min(F.expr("array_min(embedding)")).alias("lo"),
+            F.max(F.expr("array_max(embedding)")).alias("hi"),
+        ).first()
+        assert stats.lo == 0 and stats.hi == 255
+
+    def test_constant_dimension_encodes_zero(self, spark):
+        from metaframe_spark.operators.similarity import scalar_quantize
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.5]), (2, [1.0, 0.7])], "vec_id long, embedding array<double>"
+        )
+        rows = {
+            r.vec_id: r.embedding
+            for r in scalar_quantize(df, "embedding").collect()
+        }
+        assert rows[1][0] == 0 and rows[2][0] == 0  # constant dim -> 0
+        assert rows[1][1] == 0 and rows[2][1] == 255  # min -> 0, max -> top code
+
+    def test_reconstruction_error_bounded(self, spark):
+        from metaframe_spark.operators.similarity import scalar_quantize
+        import numpy as np
+
+        emb = load_table(spark, SF, "embeddings").to_spark().limit(200)
+        orig = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+        mat = np.stack(list(orig.values()))
+        mins, maxs = mat.min(axis=0), mat.max(axis=0)
+        spans = np.where(maxs > mins, maxs - mins, 1.0)
+        for r in scalar_quantize(emb, "embedding").collect():
+            recon = mins + (np.array(r.embedding) + 0.5) / 256.0 * spans
+            assert np.abs(recon - orig[r.vec_id]).max() <= (spans / 256.0).max() + 1e-12

@@ -185,3 +185,16 @@ class TestSamplingAndDecontamination:
         plan = plan_of(QUERIES["llm_dedup_incremental"](spark, SF))
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestVocabAndQuantize:
+    def test_vocab_topk_plans_take_ordered(self, spark):
+        plan = plan_of(QUERIES["llm_vocab"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_quantize_encoding_is_single_scan(self, spark):
+        # pass 2 must be one codegen projection: bounds are inlined array
+        # literals, so no join and no shuffle appear in the encode plan
+        plan = plan_of(QUERIES["llm_quantize"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
