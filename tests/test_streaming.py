@@ -198,3 +198,81 @@ def test_stream_static_enrichment_join_matches_batch(spark, stream_dir):
         .collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    """Stream-stream inner join with watermarks and a time-range condition —
+    the CDC/clickstream-correlation shape. Each side carries a watermark so
+    Spark can bound the join state; the predicate is an equi-join on
+    user_id plus an event-time interval (right within [left, left+10min]),
+    which Structured Streaming requires to prune state. The streaming
+    result must equal the identical batch join."""
+    batch = spark.read.parquet(stream_dir)
+    views = batch.filter(F.col("event_type") == "view")
+    errors = batch.filter(F.col("event_type") == "error")
+
+    def sides():
+        s = read_file_stream(spark, stream_dir, batch.schema, metadata={"s": 1})
+        lhs = (
+            s.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 minute")
+        )
+        s2 = read_file_stream(spark, stream_dir, batch.schema, metadata={"s": 2})
+        rhs = (
+            s2.filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("err_id"),
+                F.col("ts").alias("err_ts"),
+            )
+            .withWatermark("err_ts", "1 minute")
+        )
+        return lhs, rhs
+
+    lhs, rhs = sides()
+    cond = (
+        (F.col("view_ts") <= F.col("err_ts"))
+        & (F.col("err_ts") <= F.col("view_ts") + F.expr("interval 10 minutes"))
+    )
+    joined = lhs.join(rhs, on=["user_id"], how="inner").filter(cond)
+    assert isinstance(joined, MetaFrame)
+    assert joined.isStreaming
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.view_id, r.err_id)
+        for r in spark.sql("select * from ss_join").collect()
+    }
+    lv = views.select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    re_ = errors.select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    want = {
+        (r.user_id, r.view_id, r.err_id)
+        for r in lv.join(re_, "user_id")
+        .filter(
+            (F.col("view_ts") <= F.col("err_ts"))
+            & (F.col("err_ts") <= F.col("view_ts") + F.expr("interval 10 minutes"))
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
