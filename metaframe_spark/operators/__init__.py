@@ -27,7 +27,7 @@ from .dedup import (
     simhash_column,
     simhash_near_dup_pairs,
 )
-from .sampling import stratified_sample_exact
+from .sampling import global_shuffle, stratified_sample_exact
 from .asof import asof_join
 from .similarity import (
     ann_similarity_join,
@@ -64,6 +64,7 @@ __all__ = [
     "dedup_survivors",
     "doc_fingerprint",
     "exact_dedup",
+    "global_shuffle",
     "ivf_topk",
     "jaccard_similarity_pairs",
     "language_scores",

@@ -42,3 +42,53 @@ def stratified_sample_exact(
     return df.withColumn(
         "draw_rank", F.row_number().over(w).cast("long")
     ).filter(F.col("draw_rank") <= n_per_stratum)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Deterministic global training-data interleave: assign every row a
+    1-based global sequence number in ``md5(id)`` order — the "shuffle the
+    corpus once, reproducibly" step before sharding into training files.
+
+    The naive form — ``row_number() OVER (ORDER BY ...)`` with no
+    partition — moves the ENTIRE dataset through one task. This is the
+    scale-safe two-phase shape instead:
+
+    1. range-repartition + in-partition sort on the draw key: a parallel
+       total order (partition i's keys all precede partition i+1's);
+    2. per-partition row counts (a tiny agg, one row per partition)
+       become start offsets on the driver, joined back as a broadcast
+       map, so ``seq = offset[pid] + local row_number``.
+
+    The local row_number windows by ``spark_partition_id()``, so no task
+    ever sees more than one partition's rows.
+    """
+    sorted_df = (
+        df.withColumn("_draw", F.md5(F.col(id_col).cast("string")))
+        .repartitionByRange(F.asc("_draw"), F.asc(id_col))
+        .sortWithinPartitions(F.asc("_draw"), F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        # persist: the offsets job and the final plan must see the SAME
+        # range boundaries / pid assignment, and the sort shouldn't run twice
+        .persist()
+    )
+    counts = sorted_df.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.asc("_draw"), F.asc(id_col))
+    return (
+        sorted_df.withColumn(
+            seq_col,
+            (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_draw", "_pid")
+    )

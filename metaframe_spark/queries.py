@@ -1528,3 +1528,22 @@ def llm_quantize(spark, sf):
             "concat_ws(',', transform(embedding, c -> cast(c as string)))"
         ).alias("codes"),
     )
+
+
+@query(
+    "llm_global_shuffle",
+    "SELECT doc_id, CAST(row_number() OVER ("
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS seq "
+    "FROM documents",
+)
+def llm_global_shuffle(spark, sf):
+    """Deterministic corpus interleave: a global sequence number in
+    md5(doc_id) order WITHOUT the naive everything-through-one-task
+    global window — range-repartitioned parallel sort + per-partition
+    offsets (one tiny agg) + partition-local row_number. The oracle is
+    the naive global window, so the hash match proves the two-phase
+    decomposition produces the identical total order."""
+    from .operators import global_shuffle
+
+    d = load_table(spark, sf, "documents")
+    return global_shuffle(d.to_spark(), "doc_id").select("doc_id", "seq")

@@ -743,3 +743,31 @@ class TestScalarQuantize:
         for r in scalar_quantize(emb, "embedding").collect():
             recon = mins + (np.array(r.embedding) + 0.5) / 256.0 * spans
             assert np.abs(recon - orig[r.vec_id]).max() <= (spans / 256.0).max() + 1e-12
+
+
+class TestGlobalShuffle:
+    def test_matches_naive_global_window_and_is_permutation(self, docs, spark):
+        from pyspark.sql import Window
+        from metaframe_spark.operators import global_shuffle
+
+        got = {r.doc_id: r.seq for r in global_shuffle(docs, "doc_id").collect()}
+        n = docs.count()
+        assert sorted(got.values()) == list(range(1, n + 1))
+        w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        naive = {
+            r.doc_id: r.seq
+            for r in docs.select(
+                "doc_id", F.row_number().over(w).cast("long").alias("seq")
+            ).collect()
+        }
+        assert got == naive
+
+    def test_stable_under_input_partitioning(self, docs):
+        from metaframe_spark.operators import global_shuffle
+
+        a = {r.doc_id: r.seq for r in global_shuffle(docs, "doc_id").collect()}
+        b = {
+            r.doc_id: r.seq
+            for r in global_shuffle(docs.repartition(13), "doc_id").collect()
+        }
+        assert a == b
