@@ -37,18 +37,20 @@ def normalize_text(col) -> Column:
 def tokens(col) -> Column:
     """Whitespace tokens of the normalized text (array<string>).
 
-    Computed as a single regex ``split`` on the lowercased+trimmed text —
-    equivalent to splitting :func:`normalize_text` on single spaces and
-    filtering empties (the DuckDB oracles' formulation; verified
-    element-identical), but one codegen pass instead of a regexp_replace
-    rewrite plus an interpreted per-token filter lambda (HOF lambdas are
-    evaluated interpreted, and were ~6× the cost of the whole tokenize).
-    Empty/whitespace-only documents yield ``[]``, not a phantom ``['']``
-    (which would give them token_count 1 and a nonzero quality score).
+    Splits :func:`normalize_text` on single spaces. The whitespace collapse
+    MUST happen before the split: ``trim`` strips only ASCII spaces, so
+    splitting ``lower(trim(col))`` on ``\\s+`` keeps leading/trailing empty
+    strings for tab/newline-edged text (``'\\thello\\n'`` → ``['', 'hello',
+    '']`` — ADVICE r4 high), silently corrupting token counts, shingles and
+    quality scores downstream. After collapse+trim no empty element can
+    survive the split, so no interpreted per-token filter lambda is needed
+    (HOF lambdas are evaluated interpreted and were ~6× the cost of the
+    whole tokenize). Empty/whitespace-only documents yield ``[]``, not a
+    phantom ``['']``.
     """
-    norm = F.lower(F.trim(col))
+    norm = normalize_text(col)
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, r"\s+")
+        F.split(norm, " ")
     )
 
 

@@ -888,7 +888,8 @@ def llm_multimodal_extract(spark, sf):
 
 @query(
     "llm_token_count",
-    "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "
+    "SELECT doc_id, CAST(len(list_filter(string_split("
+    "trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT) AS ws_tokens, "
     "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens "
     "FROM documents WHERE trim(text) <> ''",
 )
