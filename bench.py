@@ -35,6 +35,12 @@ def _materialize(df) -> None:
     # noop sink: executes the whole plan on executors, returns nothing
     raw = df.to_spark() if hasattr(df, "to_spark") else df
     raw.write.format("noop").mode("overwrite").save()
+    # operators that persist() an intermediate expose the handle so callers
+    # can release the cache once the plan has run (otherwise repeated bench
+    # iterations pin executor memory for the whole session)
+    handle = getattr(df, "_mf_persisted", None)
+    if handle is not None:
+        handle.unpersist()
 
 
 def main() -> int:

@@ -48,15 +48,18 @@ class MetaCatalog:
     def _referenced_views(self, df, query: str) -> List[str]:
         """Resolve referenced views from the ANALYZED plan, not the SQL text
         (VERDICT r3 missing #3: a view name inside a string literal or
-        comment must not leak that view's metadata). Table references appear
-        in the analyzed plan as ``SubqueryAlias <name>`` / ``View (<name>``
-        nodes; literals never do. Falls back to a word-boundary text match
+        comment must not leak that view's metadata). Only ``View (<name>``
+        nodes count: every resolved view reference expands to one, while
+        user-written subquery/DataFrame aliases appear ONLY as
+        ``SubqueryAlias`` — matching those too would leak metadata to
+        ``SELECT * FROM (SELECT ...) AS sales`` when a view named ``sales``
+        is registered (ADVICE r4). Falls back to a word-boundary text match
         only when the plan string is unavailable (e.g. Spark Connect)."""
         try:
             plan = df._jdf.queryExecution().analyzed().toString()
             refs = {
-                m.group(1).strip("`").split(".")[-1].lower()
-                for m in re.finditer(r"(?:SubqueryAlias|View \()\s*([`\w.]+)", plan)
+                m.group(1).split("`.`")[-1].strip("`").lower()
+                for m in re.finditer(r"View \(([^,]+),", plan)
             }
             return [name for name in self._registry if name.lower() in refs]
         except Exception:  # pragma: no cover - Connect/plan-format fallback

@@ -27,8 +27,20 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+
+def _orderable_key(col_name: str, dtype) -> Column:
+    """A double-valued key monotone in the column's natural order, usable
+    for approxQuantile + range bucketing. Temporal types need unix_micros:
+    Spark 4 refuses CAST(timestamp_ntz AS double), and parquet
+    ``timestamp[us]`` without a zone is read as TIMESTAMP_NTZ by default."""
+    c = F.col(col_name)
+    if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    return c.cast("double")
 
 
 def asof_join(
@@ -164,15 +176,17 @@ def global_asof_join(
     )
     unioned = r_tag.unionByName(l_tag)
 
-    # quantile bucket boundaries from a cheap approximate pass; epoch space
+    # quantile bucket boundaries from a cheap approximate pass. The key only
+    # needs to be numeric and monotone in the time axis; TIMESTAMP_NTZ (what
+    # Spark 4 infers for parquet timestamp[us] without tz) cannot cast to
+    # double directly, so temporal types go through unix_micros instead.
+    key = _orderable_key("_t", unioned.schema["_t"].dataType)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    splits = unioned.select(
-        F.col("_t").cast("double").alias("_td")
-    ).approxQuantile("_td", probs, 0.001)
+    splits = unioned.select(key.alias("_td")).approxQuantile("_td", probs, 0.001)
     splits = sorted(set(splits))
     bucket = F.lit(0)
     for i, s in enumerate(splits):
-        bucket = F.when(F.col("_t").cast("double") > s, i + 1).otherwise(bucket)
+        bucket = F.when(key > s, i + 1).otherwise(bucket)
     bucketed = unioned.withColumn("_bkt", bucket)
 
     backward = direction == "backward"

@@ -140,7 +140,13 @@ def minhash_near_dup_pairs(
     referenced four times (band build + both verify sides) and is
     ``persist()``-ed (MEMORY_AND_DISK) so the text is tokenized once, the
     standard shape for multi-pass LSH pipelines; pass ``persist=False``
-    to trade recompute for memory. The band relation is (id, band, key) —
+    to trade recompute for memory. NOTE the cache's lifetime: the result
+    is lazy, so the operator cannot unpersist before the caller runs it —
+    the persisted relation stays pinned until the session ends unless the
+    caller releases it via the ``_mf_persisted`` attribute on the returned
+    DataFrame (``out._mf_persisted.unpersist()`` after the final action),
+    as the bench/oracle harness does (ADVICE r4). The band relation is
+    (id, band, key) —
     b small rows per doc, NOT b copies of the shingle array; the shingle
     relation shuffles once per join side keyed on id. No all-pairs path,
     no per-candidate black-box distance UDF.
@@ -203,7 +209,7 @@ def minhash_near_dup_pairs(
     sh_b = hashed.select(
         F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), F.col("_n").alias("_nb")
     )
-    return (
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
@@ -223,6 +229,10 @@ def minhash_near_dup_pairs(
             "jaccard", F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6)
         )
     )
+    # hand the cache handle to the caller — the lazy result still reads it,
+    # so the operator itself must not unpersist (see docstring)
+    out._mf_persisted = hashed if persist else None
+    return out
 
 
 def simhash_column(

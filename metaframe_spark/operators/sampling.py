@@ -65,6 +65,13 @@ def global_shuffle(
 
     The local row_number windows by ``spark_partition_id()``, so no task
     ever sees more than one partition's rows.
+
+    The sorted intermediate must be pinned while BOTH the offsets job and
+    the final plan run (they must observe the same range boundaries / pid
+    assignment); it is released before returning by localCheckpoint-ing
+    the result — the checkpoint materializes the output once, truncates
+    the lineage back to the cache, and lets ``unpersist()`` free the
+    intermediate instead of pinning it for the session (ADVICE r4).
     """
     sorted_df = (
         df.withColumn("_draw", F.md5(F.col(id_col).cast("string")))
@@ -85,10 +92,13 @@ def global_shuffle(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
     w = Window.partitionBy("_pid").orderBy(F.asc("_draw"), F.asc(id_col))
-    return (
+    result = (
         sorted_df.withColumn(
             seq_col,
             (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long"),
         )
         .drop("_draw", "_pid")
+        .localCheckpoint(eager=True)
     )
+    sorted_df.unpersist()
+    return result

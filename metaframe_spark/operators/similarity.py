@@ -151,12 +151,21 @@ def ann_similarity_join(
     monotone in cosine. Returns (id_l, id_r, cosine), cosine rounded 6.
     """
     import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     first = left.select(F.size(vec_col).alias("d")).first()
     if first is None:  # empty input: empty result, correct schema
-        return left.sparkSession.createDataFrame(
-            [], "id_l long, id_r long, cosine double"
+        # derive id types from the inputs — hardcoding `long` would make
+        # the empty path diverge from the non-empty path for string/other
+        # id columns (ADVICE r4)
+        schema = StructType(
+            [
+                StructField("id_l", left.schema[left_id].dataType),
+                StructField("id_r", right.schema[right_id].dataType),
+                StructField("cosine", DoubleType()),
+            ]
         )
+        return left.sparkSession.createDataFrame([], schema)
     rng = np.random.RandomState(seed)
     projs = rng.normal(size=(num_hash_tables, int(first["d"])))
     projs /= np.linalg.norm(projs, axis=1, keepdims=True)
@@ -228,7 +237,19 @@ def cosine_pairs_exact(
     Returns (id_a, id_b, cosine), id_a < id_b, cosine rounded to 6.
     """
     import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    # the GEMM path keys rows by int64 id inside numpy; anything else would
+    # silently miscast (e.g. string ids) — fail loudly up front (ADVICE r4)
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"cosine_pairs_exact: id column {id_col!r} has type "
+            f"{id_type.simpleString()}; the GEMM candidate path requires an "
+            "integral id (it carries ids as int64 through numpy). Project a "
+            "surrogate id first, e.g. monotonically_increasing_id(), and "
+            "join the original ids back on the result"
+        )
     # guard BEFORE collecting: the count is a cheap distributed job, while
     # toPandas() on an over-cap corpus would OOM the driver before any
     # check could fire

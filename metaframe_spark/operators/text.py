@@ -82,6 +82,14 @@ def chunk_documents(
     Row-expanding but shuffle-free: posexplode over a per-row sequence;
     each output row re-slices the token array in place. Empty documents
     yield no chunks. Returns (id, chunk_idx, n_tokens, chunk).
+
+    The last chunk index is ``ceil((n - max_tokens) / stride)`` (floored at
+    0), NOT ``floor((n - 1) / stride)``: a chunk is only emitted when it
+    extends coverage past the previous chunk's end. The naive bound emits a
+    trailing chunk wholly contained in its predecessor whenever the final
+    stride window is already covered (e.g. 33 tokens, max_tokens=40,
+    stride=32 → chunk 1 would be token 33 alone, already inside chunk 0),
+    double-counting training text beyond the declared overlap (ADVICE r4).
     """
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
@@ -92,7 +100,10 @@ def chunk_documents(
     return toks.select(
         id_col,
         F.posexplode(
-            F.expr(f"sequence(0, floor((size(_t) - 1) / {stride}))")
+            F.expr(
+                f"sequence(0, greatest(cast(ceil((size(_t) - {max_tokens}) "
+                f"/ cast({stride} as double)) as bigint), 0))"
+            )
         ).alias("chunk_idx", "_s"),
         "_t",
     ).select(
@@ -274,6 +285,143 @@ def doc_fingerprint(
             id_col,
             F.array_min(F.transform(shingles("_toks", n), F.md5)).alias("fp"),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the per-doc keyword signal a
+    curation pipeline uses for topic bucketing / relevance filters.
+    ``tfidf = tf · ln(N / df)`` with tf the in-document term count, df the
+    number of documents containing the term, N the corpus size (documents
+    with ≥1 token). Returns (id, term, tf, doc_freq, tfidf) with tfidf
+    rounded to 6; ties rank by term ascending so the selection is fully
+    deterministic.
+
+    Scale shape: explode → (doc, term) rollup with map-side partial agg;
+    doc frequencies are a second rollup of that relation (never a second
+    tokenize); the term-keyed join back is shuffle-on-term (df relation is
+    one row per distinct term, partial-agged). N rides in as a broadcast
+    one-row cross join, keeping the whole plan lazy — no driver count. The
+    per-doc top-k is a rank window partitioned by doc (WindowGroupLimit
+    pre-prunes each input partition on Spark 4). ln() is evaluated on the
+    same IEEE doubles in any engine, so the scores are oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    terms = toks.select(id_col, F.explode("_t").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.col("tf") * F.log(F.col("_n_docs") / F.col("doc_freq")),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "doc_freq",
+            F.round("_score", 6).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 keyword relevance of every document against a fixed term set —
+    the standard retrieval scorer, usable for corpus search or
+    reference-answer mining. Per matching term:
+    ``idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))`` with
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)`` (the Lucene/BM25+ form —
+    never negative). Returns the ``top_k`` documents by total score
+    (ties: id ascending) as (id, n_hits, score).
+
+    Determinism: each per-term score is rounded to 6 decimals and summed in
+    DECIMAL — per-row IEEE arithmetic is engine-identical, and the decimal
+    sum removes float addition-order sensitivity between Spark's partial
+    aggregation and a sequential engine, so the result is oracle-checkable.
+
+    Scale shape: terms are filtered to the query set BEFORE any shuffle
+    (an ``isin`` against a literal array — map-side, prunes ~the entire
+    corpus), so the rollups only see matching (doc, term) rows; the doc
+    length rides through the explode as a constant-per-doc column (never a
+    join back to the corpus-sized length relation). Corpus stats (N, total
+    length → avglen) are one tiny agg broadcast into the score expression;
+    the final top-k is TakeOrderedAndProject.
+    """
+    qset = sorted(set(query_terms))
+    if not qset:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum(F.size("_t")).cast("double").alias("_tot_len"),
+    )
+    hits = (
+        toks.select(
+            id_col,
+            F.size("_t").cast("long").alias("_len"),
+            F.explode("_t").alias("term"),
+        )
+        .filter(F.col("term").isin(qset))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("_len").alias("_len"),  # constant within a doc
+        )
+    )
+    from pyspark.sql import Window
+
+    # document frequency as a window over the (already tiny) hits relation:
+    # one shuffle on term, no second tokenize pass and no self-join
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_len") / (F.col("_tot_len") / F.col("_n_docs"))
+    )
+    term_score = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / norm, 6)
+    return (
+        hits.withColumn("_df", dfreq)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", term_score.cast("decimal(18,6)"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("_s").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
     )
 
 

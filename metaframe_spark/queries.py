@@ -917,7 +917,7 @@ def llm_token_count(spark, sf):
     "llm_chunks",
     "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t "
     "  FROM documents WHERE trim(text) <> ''), "
-    "idx AS (SELECT doc_id, t, unnest(range(0, CAST(floor((len(t) - 1) / 32) AS BIGINT) + 1)) AS i FROM toks) "
+    "idx AS (SELECT doc_id, t, unnest(range(0, greatest(CAST(ceil((len(t) - 40) / 32.0) AS BIGINT), 0) + 1)) AS i FROM toks) "
     "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
     "CAST(len(list_slice(t, i * 32 + 1, i * 32 + 40)) AS BIGINT) AS n_tokens, "
     "array_to_string(list_slice(t, i * 32 + 1, i * 32 + 40), ' ') AS chunk "
@@ -1548,3 +1548,162 @@ def llm_global_shuffle(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return global_shuffle(d.to_spark(), "doc_id").select("doc_id", "seq")
+
+
+# -- exact percentiles / grouping sets / forward-fill (SQL-surface depth) ----
+
+
+@query(
+    "q41_percentiles",
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price, "
+    "round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_price, "
+    "round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price, "
+    "round(quantile_cont(l_discount, 0.50), 6) AS p50_disc, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q41_percentiles(spark, sf):
+    """EXACT interpolated percentiles per group (`percentile`, not the
+    t-digest `percentile_approx` — approx sketches are engine-specific and
+    can't hash-match an oracle). Both engines compute index = p·(n−1) on
+    the sorted group and linearly interpolate, so rounded values agree.
+    Scale: one shuffle on the group key; exact percentile requires a
+    per-group sort of lineitem — the honest cost of an exact answer (the
+    sketch path exists for when ±0.1% error is acceptable)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50D)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75D)"), 6).alias("p75_price"),
+        F.round(F.expr("percentile(l_discount, 0.50D)"), 6).alias("p50_disc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@query(
+    "q42_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price, "
+    "CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid "
+    "FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())",
+)
+def q42_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS through the DataFrame API (PySpark 4's
+    `groupingSets`) — finer control than rollup/cube (q05/q06): exactly the
+    requested cells, one shuffle, each set partial-aggregated map-side.
+    `grouping()` bits disambiguate real NULL keys from subtotal rows —
+    emitted identically by both engines."""
+    li = load_table(spark, sf, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("long")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dsum(F.col("l_extendedprice"), "sum_price"),
+        gid.alias("gid"),
+    )
+
+
+@query(
+    "q43_ffill",
+    "SELECT event_id, user_id, ts, "
+    "last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value "
+    "FROM events",
+)
+def q43_ffill(spark, sf):
+    """Forward-fill (gap-fill): carry each user's most recent purchase
+    value onto every subsequent event — `last(..., ignorenulls=True)` over
+    an unbounded-preceding frame, the standard time-series imputation.
+    One shuffle on user_id + per-partition sort; no self-join, no
+    range-join. The (ts, event_id) order key makes the fill deterministic
+    under timestamp ties."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+# -- TF-IDF keywords and BM25 retrieval over the documents corpus ------------
+
+
+@query(
+    "llm_tfidf",
+    "WITH d AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
+    "t AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0), "
+    "g AS (SELECT doc_id, unnest(toks) AS term FROM t), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY doc_id, term), "
+    "dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term), "
+    "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t), "
+    "s AS (SELECT doc_id, term, tf, doc_freq, tf * ln(n_docs / doc_freq) AS score "
+    "  FROM tf JOIN dfreq USING (term), n), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "  ORDER BY score DESC, term) AS rn FROM s) "
+    "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, "
+    "CAST(doc_freq AS BIGINT) AS doc_freq, round(score, 6) AS tfidf "
+    "FROM r WHERE rn <= 3",
+)
+def llm_tfidf(spark, sf):
+    """Top-3 TF-IDF terms per document — the per-doc keyword signal for
+    topic bucketing. One tokenize pass; doc frequencies from a second
+    rollup of the (doc, term) relation, never a second scan; N rides in as
+    a broadcast one-row cross join so the plan stays lazy. ln() on
+    identical IEEE doubles makes the scores oracle-checkable."""
+    from .operators.text import tfidf_top_terms
+
+    d = load_table(spark, sf, "documents")
+    return tfidf_top_terms(d.to_spark(), "text", "doc_id", k=3)
+
+
+#: BM25 demo query terms — drawn from the synthetic corpus vocabulary
+_BM25_TERMS = ["spark", "window", "hash"]
+
+
+@query(
+    "llm_bm25",
+    "WITH d AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
+    "t AS (SELECT doc_id, toks, len(toks) AS dl FROM d WHERE len(toks) > 0), "
+    "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+    "  CAST(sum(dl) AS DOUBLE) AS tot_len FROM t), "
+    "g AS (SELECT doc_id, dl, unnest(toks) AS term FROM t), "
+    "h AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM g "
+    f"  WHERE term IN ({', '.join(repr(w) for w in _BM25_TERMS)}) "
+    "  GROUP BY doc_id, term), "
+    "hd AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM h), "
+    "s AS (SELECT doc_id, CAST(round("
+    "  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 "
+    "  / (tf + 1.2 * (0.25 + 0.75 * dl / (tot_len / n_docs))), 6) "
+    "  AS DECIMAL(18,6)) AS s FROM hd, stats) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, "
+    "CAST(sum(s) AS DOUBLE) AS score "
+    "FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20",
+)
+def llm_bm25(spark, sf):
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query-term set —
+    top-20 documents by summed per-term score. The term filter runs
+    map-side BEFORE any shuffle (prunes ~the whole corpus); per-term
+    scores round to 6 then sum in DECIMAL so partial-agg addition order
+    can't perturb the total; top-k is TakeOrderedAndProject."""
+    from .operators.text import bm25_scores
+
+    d = load_table(spark, sf, "documents")
+    return bm25_scores(d.to_spark(), _BM25_TERMS, top_k=20)

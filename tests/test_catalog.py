@@ -66,3 +66,20 @@ def test_view_name_in_string_literal_does_not_leak(spark, cat):
     # same for a comment mention
     out2 = cat.sql("SELECT n_name FROM nation_v -- not orders_v")
     assert "secret" not in out2.metadata
+
+
+def test_subquery_alias_does_not_leak(spark, cat):
+    """A user-written subquery alias that happens to equal a registered view
+    name is a SubqueryAlias node, NOT a View node — it must not pull the
+    view's metadata (ADVICE r4: only resolved view references expand to
+    ``View (...)`` in the analyzed plan)."""
+    o = load_table(spark, SF, "orders").set_metadata(secret="x")
+    cat.register(o, "orders_v")
+    out = cat.sql("SELECT * FROM (SELECT 1 AS one) AS orders_v")
+    assert out.metadata == {}
+    # a DataFrame .alias() round-tripped through a real view still resolves
+    n = load_table(spark, SF, "nation").set_metadata(team="geo")
+    cat.register(n, "nation_v")
+    out2 = cat.sql("SELECT a.n_name FROM nation_v AS a")
+    assert out2.metadata.get("team") == "geo"
+    assert "secret" not in out2.metadata

@@ -296,6 +296,38 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="max_broadcast_rows"):
             cosine_pairs_exact(emb, min_cosine=0.3, max_broadcast_rows=10)
 
+    def test_cosine_pairs_exact_rejects_non_integral_ids(self, emb):
+        """String ids would be silently miscast to int64 inside the GEMM
+        path — the operator must refuse up front (ADVICE r4)."""
+        from metaframe_spark.operators import cosine_pairs_exact
+
+        s = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+        with pytest.raises(TypeError, match="integral id"):
+            cosine_pairs_exact(s, min_cosine=0.3)
+
+    def test_ann_join_empty_input_schema_matches_id_types(self, emb, spark):
+        """The empty-input fast path must return the same schema the
+        non-empty path would produce — including non-long id columns
+        (ADVICE r4: it used to hardcode `id_l long, id_r long`)."""
+        from metaframe_spark.operators import ann_similarity_join
+
+        s = emb.withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+        empty = s.filter(F.lit(False))
+        out = ann_similarity_join(empty, s)
+        assert out.count() == 0
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "string", "string", "double",
+        ]
+        # non-empty path with string ids agrees with that schema
+        small = s.filter(F.col("vec_id").isin("v1", "v2", "v3"))
+        live = ann_similarity_join(small, small, min_cosine=0.99)
+        assert [f.dataType.simpleString() for f in live.schema.fields] == [
+            "string", "string", "double",
+        ]
+        assert {(r.id_l, r.id_r) for r in live.collect()} >= {
+            ("v1", "v1"), ("v2", "v2"), ("v3", "v3")
+        }
+
     def test_ann_recall_vs_brute_force(self, emb):
         q = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), "embedding"
@@ -527,6 +559,38 @@ class TestTokenCounts:
         assert got[2] == (3, 3)
         assert got[3] == (1, 3)  # "..." = one ws token, three symbol tokens
 
+    def test_no_phantom_tokens_on_tab_newline_edges(self, spark):
+        """trim() strips only ASCII spaces, so tab/newline-edged text used
+        to produce leading/trailing '' tokens ('\\thello world\\n' -> count 4
+        not 2) — the whitespace collapse must run BEFORE the split
+        (ADVICE r4 high)."""
+        from metaframe_spark.operators import token_count
+        from metaframe_spark.operators.text import tokens
+
+        rows = [
+            (1, "\thello world\n"),
+            (2, "\n\n"),
+            (3, "  \t \r\n "),
+            (4, "a\tb\nc\r\nd"),
+            (5, ""),
+            (6, " padded  with   spaces "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.t, r.n)
+            for r in df.select(
+                "doc_id",
+                tokens(F.col("text")).alias("t"),
+                token_count(F.col("text")).alias("n"),
+            ).collect()
+        }
+        assert got[1] == (["hello", "world"], 2)
+        assert got[2] == ([], 0)
+        assert got[3] == ([], 0)
+        assert got[4] == (["a", "b", "c", "d"], 4)
+        assert got[5] == ([], 0)
+        assert got[6] == (["padded", "with", "spaces"], 3)
+
 
 class TestPiiMask:
     def test_masks_emails_and_phones_only(self, spark):
@@ -555,20 +619,41 @@ class TestChunking:
                                    "doc_id long, text string")
         out = chunk_documents(df, max_tokens=40, overlap=8)
         rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
-        # doc 1: 100 tokens, stride 32 -> chunks at 0,32,64,96 (4 chunks)
-        assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2, 3}
+        # doc 1: 100 tokens, stride 32 -> chunks at 0,32,64 (3 chunks);
+        # a 4th chunk at 96 would be wholly inside chunk 2's [64, 104)
+        # coverage and is NOT emitted (ADVICE r4)
+        assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2}
         c0, c1 = rows[(1, 0)].chunk.split(), rows[(1, 1)].chunk.split()
         assert c0 == [f"w{i}" for i in range(40)]
         assert c1[:8] == c0[-8:]  # overlap: chunk 1 starts 8 tokens back
-        assert rows[(1, 3)].n_tokens == 4  # tail chunk: tokens 96..99
+        assert rows[(1, 2)].n_tokens == 36  # tail chunk: tokens 64..99
         # every token covered, in order
         allw = []
-        for i in range(4):
+        for i in range(3):
             ch = rows[(1, i)].chunk.split()
             allw.extend(ch if i == 0 else ch[8:])
         assert allw == [f"w{i}" for i in range(100)]
         assert rows[(2, 0)].chunk == "short doc" and (2, 1) not in rows
         assert not any(k[0] == 3 for k in rows)  # empty doc -> no chunks
+
+    def test_no_redundant_tail_chunk(self, spark):
+        """33 tokens / max 40 / stride 32: the old floor((n-1)/stride) bound
+        emitted chunk 1 = token 33 alone, already inside chunk 0 — a chunk
+        must only be emitted when it extends coverage (ADVICE r4)."""
+        from metaframe_spark.operators.text import chunk_documents
+
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(33))),   # covered by chunk 0
+            (2, " ".join(f"w{i}" for i in range(40))),   # exactly max_tokens
+            (3, " ".join(f"w{i}" for i in range(41))),   # 1 past -> 2 chunks
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(df, max_tokens=40, overlap=8)
+        got = {(r.doc_id, r.chunk_idx): r.n_tokens for r in out.collect()}
+        assert {k for k in got if k[0] == 1} == {(1, 0)} and got[(1, 0)] == 33
+        assert {k for k in got if k[0] == 2} == {(2, 0)} and got[(2, 0)] == 40
+        assert {k for k in got if k[0] == 3} == {(3, 0), (3, 1)}
+        assert got[(3, 0)] == 40 and got[(3, 1)] == 9  # tokens 32..40
 
     def test_overlap_guard(self, spark):
         from metaframe_spark.operators.text import chunk_documents
