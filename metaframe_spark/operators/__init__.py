@@ -27,7 +27,12 @@ from .dedup import (
     simhash_column,
     simhash_near_dup_pairs,
 )
-from .sampling import global_shuffle, stratified_sample_exact
+from .sampling import (
+    global_shuffle,
+    shard_assignments,
+    stratified_sample_exact,
+    write_training_shards,
+)
 from .asof import asof_join
 from .similarity import (
     ann_similarity_join,
@@ -40,10 +45,12 @@ from .similarity import (
     unit_normalize,
 )
 from .text import (
+    bm25_scores,
     bpe_token_count,
     doc_fingerprint,
     language_scores,
     ngram_vocabulary,
+    tfidf_top_terms,
     normalize_text,
     quality_features,
     shingles,
@@ -65,6 +72,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup",
     "global_shuffle",
+    "shard_assignments",
     "ivf_topk",
     "jaccard_similarity_pairs",
     "language_scores",
@@ -72,7 +80,9 @@ __all__ = [
     "minhash_near_dup_pairs",
     "near_dup_groups",
     "ngram_contamination",
+    "bm25_scores",
     "ngram_vocabulary",
+    "tfidf_top_terms",
     "normalize_text",
     "quality_features",
     "scalar_quantize",
@@ -81,6 +91,7 @@ __all__ = [
     "simhash_column",
     "simhash_near_dup_pairs",
     "stratified_sample_exact",
+    "write_training_shards",
     "token_count",
     "tokens",
     "unit_normalize",

@@ -18,6 +18,61 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign every row to one of ``n_shards`` contiguous, near-equal
+    training shards in the :func:`global_shuffle` order:
+    ``shard = floor((seq − 1) · n_shards / N)`` — shard sizes differ by at
+    most 1, shard boundaries follow the deterministic interleave, and the
+    same inputs produce the same shards on any cluster layout.
+
+    N comes from the checkpointed shuffle result (already materialized, so
+    the count is a cached-scan job, not a recompute).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shuffled = global_shuffle(df, id_col, seq_col)
+    n = shuffled.count()  # cheap: reads the localCheckpoint
+    return shuffled.withColumn(
+        shard_col,
+        F.floor((F.col(seq_col) - 1) * n_shards / F.lit(max(n, 1))).cast("int"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the corpus as ``n_shards`` training shards under
+    ``path/shard=K/`` — the terminal step of a curation pipeline: one
+    deterministic global interleave, near-equal contiguous shards, rows
+    inside each shard stored in interleave order (training readers consume
+    files sequentially; parquet preserves row order per file).
+
+    ``repartition(n_shards, shard)`` co-locates each shard's rows before
+    the partitioned write, so each ``shard=K`` directory is written by the
+    task(s) owning that key — no shard is scattered across every task's
+    output files the way a direct partitionBy-after-shuffle write would be.
+    """
+    sharded = shard_assignments(df, n_shards, id_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("seq")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata: Sequence[str],

@@ -35,11 +35,25 @@ def read_file_stream(
     **options: Any,
 ) -> MetaFrame:
     """File-source stream wrapped as a MetaFrame (schema is mandatory —
-    streaming readers cannot infer)."""
+    streaming readers cannot infer).
+
+    TIMESTAMP_NTZ columns are cast to TIMESTAMP on the way in: Spark reads
+    parquet ``timestamp[us]`` without a zone as NTZ, but event-time
+    watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) —
+    a wall-clock reinterpretation in the session zone, exactly what a
+    pipeline that watermarks file-sourced events needs. Batch paths keep
+    NTZ untouched (batch watermarks are a no-op, so no cast is needed for
+    oracle parity)."""
+    from pyspark.sql.types import TimestampNTZType
+
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    return MetaFrame(reader.load(path), dict(metadata or {}))
+    df = reader.load(path)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return MetaFrame(df, dict(metadata or {}))
 
 
 def windowed_event_counts(

@@ -111,3 +111,42 @@ class TestReviewFixes:
 
         with pytest.raises(ValueError):
             salted_join(li, li, on=["l_orderkey"], how="full", left_salt_cols=["l_linenumber"])
+
+
+class TestTrainingShards:
+    def test_contiguous_balanced_shards_roundtrip(self, spark, tmp_path):
+        """write_training_shards: 500 docs into 4 shards -> sizes 125 each,
+        shard k holds exactly the contiguous seq range (k*125, (k+1)*125],
+        ids partition the corpus, and re-read rows inside a shard keep the
+        interleave order (parquet preserves per-file row order)."""
+        from metaframe_spark.operators import shard_assignments, write_training_shards
+
+        d = load_table(spark, SF, "documents").to_spark().select("doc_id", "text")
+        out = str(tmp_path / "shards")
+        write_training_shards(d, out, n_shards=4)
+
+        back = spark.read.parquet(out)
+        sizes = {r.shard: r.c for r in back.groupBy("shard").count()
+                 .withColumnRenamed("count", "c").collect()}
+        assert sizes == {0: 125, 1: 125, 2: 125, 3: 125}
+        # ids partition the corpus exactly
+        assert back.select("doc_id").distinct().count() == 500
+        # contiguous seq ranges per shard
+        rng = {r.shard: (r.mn, r.mx) for r in back.groupBy("shard")
+               .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx")).collect()}
+        assert rng == {k: (k * 125 + 1, (k + 1) * 125) for k in range(4)}
+        # the assignment is the deterministic md5 interleave
+        expect = {r.doc_id: r.shard for r in shard_assignments(d, 4).collect()}
+        got = {r.doc_id: r.shard for r in back.collect()}
+        assert got == expect
+
+    def test_single_shard_and_guard(self, spark, tmp_path):
+        from metaframe_spark.operators import write_training_shards
+
+        d = load_table(spark, SF, "region").to_spark()
+        with pytest.raises(ValueError, match="n_shards"):
+            write_training_shards(d, str(tmp_path / "x"), 0, id_col="r_regionkey")
+        write_training_shards(d, str(tmp_path / "one"), 1, id_col="r_regionkey")
+        back = spark.read.parquet(str(tmp_path / "one"))
+        assert back.count() == 5
+        assert back.select("shard").distinct().collect()[0][0] == 0

@@ -83,6 +83,66 @@ def test_dropduplicates_within_watermark_proxies(spark, stream_dir):
     assert out.isStreaming
 
 
+def test_dropduplicates_within_watermark_end_to_end(spark, stream_dir, tmp_path):
+    """Streaming dedup with bounded state: a duplicate-injected stream
+    (every event written twice) drained with availableNow must emit each
+    event_id exactly once — the streaming twin of batch dropDuplicates,
+    with the watermark bounding state instead of a full-history hash set."""
+    import pyspark.sql.functions as SF
+
+    batch = spark.read.parquet(stream_dir)
+    dup_dir = str(tmp_path / "dups")
+    batch.unionAll(batch).write.parquet(dup_dir)
+
+    schema = batch.schema
+    stream = read_file_stream(spark, dup_dir, schema, metadata={"k": "v"})
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select event_id, count(*) c from dedup_stream group by event_id")
+    n_ids = got.count()
+    assert n_ids == batch.select("event_id").distinct().count()
+    assert got.filter(SF.col("c") > 1).count() == 0  # exactly-once per id
+
+
+def test_foreachbatch_sink_delivers_every_micro_batch(spark, stream_dir):
+    """foreachBatch — the custom-sink escape hatch (upserts, JDBC, training
+    shard push): the per-batch callback must see every row exactly once
+    across the availableNow drain, through the MetaFrame wrapper."""
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_file_stream(spark, stream_dir, schema, metadata={"k": "v"})
+    seen = {"rows": 0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        # batch_df is a plain DataFrame scoped to this micro-batch
+        seen["rows"] += batch_df.count()
+        seen["batches"] += 1
+
+    q = (
+        stream.select("event_id", "ts", "event_type")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["rows"] == spark.read.parquet(stream_dir).count()
+    assert seen["batches"] >= 1
+
+
 def test_stateful_running_count(spark, stream_dir):
     """applyInPandasWithState: per-key running counts in explicit GroupState
     must converge to the batch per-key totals after one availableNow pass."""
