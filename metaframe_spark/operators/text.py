@@ -302,14 +302,17 @@ def tfidf_top_terms(
     rounded to 6; ties rank by term ascending so the selection is fully
     deterministic.
 
-    Scale shape: explode → (doc, term) rollup with map-side partial agg;
-    doc frequencies are a second rollup of that relation (never a second
-    tokenize); the term-keyed join back is shuffle-on-term (df relation is
-    one row per distinct term, partial-agged). N rides in as a broadcast
-    one-row cross join, keeping the whole plan lazy — no driver count. The
-    per-doc top-k is a rank window partitioned by doc (WindowGroupLimit
-    pre-prunes each input partition on Spark 4). ln() is evaluated on the
-    same IEEE doubles in any engine, so the scores are oracle-checkable.
+    Scale shape — ONE tokenize+explode pass: explode → (doc, term) rollup
+    with map-side partial agg; doc frequency is a count window partitioned
+    by term over that same relation (a join back to a groupBy'd doc-freq
+    relation would re-derive the whole tokenize lineage a second time —
+    Spark does not share subplans). N (docs with ≥1 token ⇔ non-blank
+    normalized text) comes from a tokenize-free scan of the raw text,
+    riding in as a broadcast one-row cross join so the plan stays lazy —
+    no driver count. The per-doc top-k is a rank window partitioned by doc
+    (WindowGroupLimit pre-prunes each input partition on Spark 4). ln() is
+    evaluated on the same IEEE doubles in any engine, so the scores are
+    oracle-checkable.
     """
     from pyspark.sql import Window
 
@@ -318,15 +321,15 @@ def tfidf_top_terms(
     )
     terms = toks.select(id_col, F.explode("_t").alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    n_docs = df.filter(normalize_text(F.col(text_col)) != "").agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
     )
-    n_docs = toks.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("_score"), F.asc("term")
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("doc_freq", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "_score",
