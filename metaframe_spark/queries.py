@@ -1707,3 +1707,169 @@ def llm_bm25(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return bm25_scores(d.to_spark(), _BM25_TERMS, top_k=20)
+
+
+# -- fuzzy matching / funnel / retention / ranking breadth -------------------
+
+
+@query(
+    "q44_fuzzy_match",
+    "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
+    "a.p_name AS name_a, b.p_name AS name_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+    "FROM part a JOIN part b "
+    "ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2] "
+    "AND a.p_partkey < b.p_partkey "
+    "WHERE levenshtein(a.p_name, b.p_name) <= 3",
+)
+def q44_fuzzy_match(spark, sf):
+    """Fuzzy entity matching: near-identical part names by edit distance —
+    the record-linkage/data-cleaning staple. BLOCKED self-join (equi-key =
+    the noun token), never all-pairs: candidates shuffle on the block key,
+    Levenshtein runs only inside blocks, and both engines implement the
+    same Wagner-Fischer distance so the result hash-matches. At 100 TB the
+    block key bounds the quadratic term exactly like LSH banding does for
+    Jaccard."""
+    p = load_table(spark, sf, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("_blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("_blk"),
+    ).to_spark()
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+@query(
+    "q45_funnel",
+    "WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events "
+    "  WHERE event_type = 'signup' GROUP BY user_id), "
+    "v AS (SELECT e.user_id, min(e.ts) AS t_view FROM events e "
+    "  JOIN s ON e.user_id = s.user_id AND e.ts > s.t_signup "
+    "  WHERE e.event_type = 'view' GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e "
+    "  JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view "
+    "  WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT s.user_id, s.t_signup, v.t_view, p.t_purchase "
+    "FROM s JOIN v ON s.user_id = v.user_id "
+    "JOIN p ON s.user_id = p.user_id",
+)
+def q45_funnel(spark, sf):
+    """Ordered-funnel analysis: users who signed up, then viewed, then
+    purchased — each step's timestamp strictly after the previous step's
+    (min-after-previous, the standard funnel semantics; a naive min-per-type
+    would count out-of-order journeys). Three user-keyed aggregations +
+    user-keyed joins — every shuffle is on user_id, so the funnel
+    partitions perfectly by user at any scale."""
+    e = load_table(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        e.to_spark().alias("e")
+        .filter(F.col("event_type") == "view")
+        .join(s.to_spark().alias("s"), "user_id")
+        .filter(F.col("e.ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.to_spark().alias("e2")
+        .filter(F.col("event_type") == "purchase")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e2.ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.join(v, "user_id").join(p, "user_id")
+        .select("user_id", "t_signup", "t_view", "t_purchase")
+    )
+
+
+@query(
+    "q46_retention",
+    "WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "
+    "  FROM events GROUP BY user_id) "
+    "SELECT c.cw AS cohort_week, "
+    "CAST(date_diff('day', c.cw, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset, "
+    "CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users "
+    "FROM events e JOIN cohort c ON e.user_id = c.user_id "
+    "GROUP BY 1, 2",
+)
+def q46_retention(spark, sf):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted distinct in each subsequent week offset — the product-analytics
+    retention triangle. Cohort assignment is one user-keyed agg; the join
+    back is user-keyed; the final rollup groups by (cohort, offset) with a
+    distinct-user count (Spark plans partial distinct aggregation —
+    two-level shuffle, no full user list per group on any node)."""
+    e = load_table(spark, sf, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    return (
+        e.to_spark()
+        .join(cohort.to_spark(), "user_id")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            ).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+@query(
+    "q47_rank_funcs",
+    "SELECT c_custkey, c_mktsegment, "
+    "CAST(ntile(4) OVER wr AS BIGINT) AS quartile, "
+    "round(percent_rank() OVER wr, 6) AS pct_rank, "
+    "round(cume_dist() OVER wr, 6) AS cum_dist, "
+    "first_value(c_custkey) OVER wv AS top_cust, "
+    "nth_value(c_custkey, 2) OVER wv AS second_cust "
+    "FROM customer "
+    "WINDOW wr AS (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal DESC, c_custkey), "
+    "wv AS (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal DESC, c_custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+def q47_rank_funcs(spark, sf):
+    """The remaining ranking-window surface in one entry: ntile quartiles,
+    percent_rank, cume_dist, first_value, nth_value — per market segment in
+    deterministic (acctbal desc, custkey) order. Two window specs over the
+    SAME (partition, sort): rank-family functions must run on the default
+    RANGE frame (Spark rejects an explicit ROWS frame for them), while the
+    value functions pin ROWS so nth_value semantics are engine-identical.
+    Catalyst collapses both into one Window exec — still a single
+    segment-keyed shuffle + sort."""
+    c = load_table(spark, sf, "customer")
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wv = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(wr).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(wr), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wr), 6).alias("cum_dist"),
+        F.first("c_custkey").over(wv).alias("top_cust"),
+        F.nth_value("c_custkey", 2).over(wv).alias("second_cust"),
+    )
