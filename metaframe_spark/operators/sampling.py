@@ -143,14 +143,20 @@ def global_shuffle(
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = acc
         acc += r["count"]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    # zero-arg create_map() types as map<void,void> and fails analysis on
+    # the int lookup key — an empty input has no offsets to add anyway
+    off_expr = (
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
     )
     w = Window.partitionBy("_pid").orderBy(F.asc("_draw"), F.asc(id_col))
     result = (
         sorted_df.withColumn(
             seq_col,
-            (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long"),
+            (off_expr + F.row_number().over(w)).cast("long"),
         )
         .drop("_draw", "_pid")
         .localCheckpoint(eager=True)

@@ -237,7 +237,15 @@ def cosine_pairs_exact(
     Returns (id_a, id_b, cosine), id_a < id_b, cosine rounded to 6.
     """
     import numpy as np
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
     # the GEMM path keys rows by int64 id inside numpy; anything else would
     # silently miscast (e.g. string ids) — fail loudly up front (ADVICE r4)
@@ -254,6 +262,17 @@ def cosine_pairs_exact(
     # toPandas() on an over-cap corpus would OOM the driver before any
     # check could fire
     n = corpus.count()
+    if n == 0:  # np.stack refuses an empty frame; empty in, empty out
+        return corpus.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", id_type),
+                    StructField("id_b", id_type),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
+        )
     if n > max_broadcast_rows:
         raise ValueError(
             f"cosine_pairs_exact: corpus has {n} rows > max_broadcast_rows="

@@ -1,0 +1,48 @@
+"""Empty-input sweep: every catalog query must degrade gracefully on
+zero-row tables — empty result, correct construction, no crash. This is
+the robustness contract for incremental pipelines (a fresh partition, a
+filtered-to-nothing source, a dry run) and exactly the class of bug the
+hardcoded empty-path schema in ann_similarity_join was (ADVICE r4).
+
+Operators with a documented hard requirement on non-empty input raise a
+clear error instead and are listed in EXPECTED_RAISE.
+"""
+
+import pytest
+
+from metaframe_spark.io import load_table
+from metaframe_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+#: operators that REFUSE empty input by contract (clear error > silent junk)
+EXPECTED_RAISE = {
+    "llm_ivf_topk": ValueError,        # ivf_topk: k-means needs a corpus
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        load_table(spark, SF, t).to_spark().limit(0).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_on_empty_tables(spark, empty_sf, name):
+    if name in EXPECTED_RAISE:
+        with pytest.raises(EXPECTED_RAISE[name]):
+            df = QUERIES[name](spark, empty_sf)
+            df.count()
+        return
+    df = QUERIES[name](spark, empty_sf)
+    assert df.count() == 0
+    assert len(df.columns) > 0

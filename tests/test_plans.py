@@ -198,3 +198,42 @@ class TestVocabAndQuantize:
         plan = plan_of(QUERIES["llm_quantize"](spark, SF))
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+
+class TestRound5Plans:
+    def test_fuzzy_match_has_no_cartesian(self, spark):
+        """q44: the Levenshtein match must join on the block key — a
+        cartesian/BNL product would be the all-pairs trap."""
+        p = plan_of(QUERIES["q44_fuzzy_match"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_tfidf_single_tf_lineage(self, spark):
+        """llm_tfidf: doc-freq must come from a window over the tf relation,
+        not a join that re-derives the tokenize lineage — exactly 2 parquet
+        scans (tf lineage + the tokenize-free N branch)."""
+        p = plan_of(QUERIES["llm_tfidf"](spark, SF))
+        assert p.count("Scan parquet") == 2, p
+
+    def test_bm25_filters_terms_before_first_exchange(self, spark):
+        """llm_bm25: the query-term isin filter must run map-side (before
+        any Exchange), so only matching doc-term pairs shuffle."""
+        p = plan_of(QUERIES["llm_bm25"](spark, SF))
+        first_exchange = p.index("Exchange")
+        filter_pos = p.find("term#")
+        assert "Generate explode" in p
+        # the Filter containing the IN list sits below (after, in the
+        # printed top-down tree) the first Exchange
+        in_filter = max(p.find("term ASC"), p.find("IN (spark"), p.find("term#"))
+        assert in_filter != -1
+        gen = p.index("Generate explode")
+        assert gen > first_exchange  # explode (and its filter) are upstream
+                                     # of every exchange in the printed tree
+
+    def test_rank_funcs_single_window_exchange(self, spark):
+        """q47: both window specs share (partition, sort) — the plan must
+        contain exactly one exchange (one shuffle on the segment key)."""
+        p = plan_of(QUERIES["q47_rank_funcs"](spark, SF))
+        import re
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
+        assert n_exchanges == 1, p
