@@ -1718,34 +1718,42 @@ def llm_bm25(spark, sf):
     "a.p_name AS name_a, b.p_name AS name_b, "
     "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
     "FROM part a JOIN part b "
-    "ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2] "
+    "ON a.p_brand = b.p_brand "
+    "AND string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2] "
     "AND a.p_partkey < b.p_partkey "
     "WHERE levenshtein(a.p_name, b.p_name) <= 3",
 )
 def q44_fuzzy_match(spark, sf):
     """Fuzzy entity matching: near-identical part names by edit distance —
-    the record-linkage/data-cleaning staple. BLOCKED self-join (equi-key =
-    the noun token), never all-pairs: candidates shuffle on the block key,
-    Levenshtein runs only inside blocks, and both engines implement the
-    same Wagner-Fischer distance so the result hash-matches. At 100 TB the
-    block key bounds the quadratic term exactly like LSH banding does for
-    Jaccard."""
+    the record-linkage/data-cleaning staple. MULTI-ATTRIBUTE BLOCKED
+    self-join (equi-key = brand + noun token), never all-pairs: candidates
+    shuffle on the compound block key, so the quadratic term is bounded by
+    the largest block, not the table (noun-only blocking measured 33M
+    candidate pairs / 37 s at sf0.1; brand+noun is ~1M / ~1 s — the
+    standard record-linkage lever: tighten blocks until the per-block
+    quadratic is affordable, trading declared recall). The distance runs
+    in Spark's bounded form — levenshtein(a, b, k) early-exits any pair
+    over the threshold at O(k·len) instead of O(len²) — while the oracle
+    computes the full Wagner-Fischer distance and filters; both yield the
+    exact distance for every surviving pair, so the hash matches."""
     p = load_table(spark, sf, "part")
     a = p.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("_bb"),
         F.split(F.col("p_name"), " ").getItem(1).alias("_blk"),
     )
     b = p.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("_bb"),
         F.split(F.col("p_name"), " ").getItem(1).alias("_blk"),
     ).to_spark()
     return (
-        a.join(b, ["_blk"])
+        a.join(b, ["_bb", "_blk"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= 3)
+        .withColumn("dist", F.expr("levenshtein(name_a, name_b, 3)").cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 3))
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
 
