@@ -121,6 +121,63 @@ def sessionize(
     return out
 
 
+def running_total_with_state(
+    stream,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Per-key running sum via Spark 4's ``transformWithStateInPandas`` —
+    the successor to ``applyInPandasWithState``: typed state handles
+    (ValueState here; ListState/MapState/timers available), explicit
+    lifecycle (``init``/``handleInputRows``/``close``), and state backed by
+    the RocksDB state store (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` — transformWithState requires it).
+
+    Emits (key, running_value, n_events) on every trigger in Update mode.
+    State is one (double, long) pair per key — bounded by key cardinality,
+    never by history. The processor class is self-contained (executors
+    never import this package).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "total double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            total, n = (
+                self._state.get() if self._state.exists() else (0.0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf[value_col].fillna(0.0).sum())
+                n += int(len(pdf))
+            self._state.update((total, n))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "running_value": [total],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = stream.to_spark() if hasattr(stream, "to_spark") else stream
+    key_type = raw.schema[key_col].dataType.simpleString()
+    return raw.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotal(),
+        outputStructType=f"{key_col} {key_type}, running_value double, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_count_with_state(stream, key_col: str = "event_type", timeout_s: int = 3600):
     """Custom stateful operator via ``applyInPandasWithState``: a running
     per-key event count maintained in explicit GroupState — the escape

@@ -336,3 +336,62 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_transform_with_state_running_totals(spark, stream_dir):
+    """Spark 4 transformWithStateInPandas (typed ValueState on RocksDB):
+    per-user running purchase totals drained with availableNow must equal
+    the batch per-user aggregates."""
+    import pyspark.sql.functions as SF
+
+    from metaframe_spark.streaming import running_total_with_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(stream_dir).schema
+        stream = read_file_stream(spark, stream_dir, schema, metadata={"m": 1})
+        totals = running_total_with_state(
+            stream.filter(SF.col("event_type") == "purchase"),
+            "user_id",
+            "value",
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_totals")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.user_id): (round(r.running_value, 6), r.n_events)
+            for r in spark.sql(
+                "select user_id, running_value, n_events from tws_totals t "
+                "where n_events = (select max(n_events) from tws_totals "
+                "                  where user_id = t.user_id)"
+            ).collect()
+        }
+        want = {
+            r.user_id: (round(r.total, 6), r.n)
+            for r in spark.read.parquet(stream_dir)
+            .filter(SF.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                SF.sum("value").alias("total"),
+                SF.count(SF.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
