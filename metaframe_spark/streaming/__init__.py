@@ -138,6 +138,13 @@ def running_total_with_state(
     State is one (double, long) pair per key — bounded by key cardinality,
     never by history. The processor class is self-contained (executors
     never import this package).
+
+    Environment note: the transformWithState Python driver worker requires
+    ``google.protobuf`` (its JVM control channel is protobuf-encoded); in
+    environments without it the query fails at start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The
+    ``applyInPandasWithState`` twin (:func:`running_count_with_state`) has
+    no such dependency.
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
