@@ -27,6 +27,7 @@ from .dedup import (
     simhash_column,
     simhash_near_dup_pairs,
 )
+from .percentiles import grouped_exact_percentiles
 from .sampling import (
     global_shuffle,
     shard_assignments,
@@ -72,6 +73,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup",
     "global_shuffle",
+    "grouped_exact_percentiles",
     "shard_assignments",
     "ivf_topk",
     "jaccard_similarity_pairs",

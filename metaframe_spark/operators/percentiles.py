@@ -1,0 +1,141 @@
+"""Distributed EXACT interpolated percentiles.
+
+Spark's built-in ``percentile`` aggregate is exact but buffers every value
+of a group inside ONE task's aggregation state — parallelism equals the
+number of groups, and a 100-TB group overflows a single executor (the
+catalog's q41 measures this: 3 groups → 3-way parallelism). This module
+computes the SAME interpolated percentiles (identical to SQL
+``quantile_cont``) with a fully distributed shape, reusing the two-phase
+global-rank trick from :mod:`.sampling`:
+
+1. range-repartition the (group, value) relation on (group, value) and
+   sort within partitions — a parallel total order per group across ALL
+   partitions (Spark samples range boundaries, so every task holds a
+   contiguous slice);
+2. per-(partition, group) row counts — a tiny agg, one row per
+   (partition, group) — become start offsets on the driver, broadcast
+   back, so ``rank = offset + local row_number`` without any one-task
+   global window;
+3. the target ranks ``lo = floor(p·(N−1))+1`` / ``hi = lo+1`` per group
+   (computed driver-side from the same tiny counts) are broadcast-joined
+   against the ranked relation — only the ≤ 2·|probs| matching rows per
+   group survive the filter;
+4. the interpolation ``lo_v + frac·(hi_v − lo_v)`` is evaluated with the
+   exact expression shape Spark's Percentile and DuckDB's quantile_cont
+   use, so results are bit-identical to both.
+
+Driver state is O(partitions × groups + groups × probs) — the standard
+assumption for percentile-per-group reporting (bounded group count). For
+high-cardinality groups use the built-in per-group aggregate instead: its
+per-group buffering is exactly what bounds its group size, and with many
+small groups that tradeoff flips.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[Tuple[float, str]],
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per group.
+
+    ``probs`` is a sequence of (probability, output_column) pairs, e.g.
+    ``[(0.25, "p25"), (0.5, "p50")]``. Returns one row per group with the
+    percentile columns plus ``n`` (the group's value count). NULL values
+    are excluded (matching both engines' aggregate semantics).
+    """
+    group_cols = list(group_cols)
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    rel = (
+        df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    sorted_rel = (
+        rel.repartitionByRange(*[F.asc(c) for c in group_cols], F.asc("_v"))
+        .sortWithinPartitions(*[F.asc(c) for c in group_cols], F.asc("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        # the counts job and the rank plan must see identical range
+        # boundaries / pid assignment; released after materialization below
+        .persist()
+    )
+    cnts = sorted_rel.groupBy("_pid", *group_cols).count().collect()
+
+    # per-group totals and per-(pid, group) start offsets, driver-side
+    totals: Dict[tuple, int] = {}
+    for r in sorted(cnts, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        totals[g] = totals.get(g, 0) + r["count"]
+    offs_rows: List[tuple] = []
+    running: Dict[tuple, int] = {}
+    for r in sorted(cnts, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        offs_rows.append((r["_pid"], *g, running.get(g, 0)))
+        running[g] = running.get(g, 0) + r["count"]
+
+    spark = df.sparkSession
+    gfields = ", ".join(
+        f"`{c}` {rel.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    offs = spark.createDataFrame(offs_rows, f"_pid int, {gfields}, _off long")
+
+    # target ranks per group: for prob p over N values, index = p·(N−1)
+    # (0-based) → lo/hi ranks (1-based) + interpolation fraction
+    tgt_rows: List[tuple] = []
+    for g, n in totals.items():
+        for p, name in probs:
+            idx = p * (n - 1)
+            lo = int(math.floor(idx)) + 1
+            frac = idx - math.floor(idx)
+            hi = lo + 1 if frac > 0 else lo
+            tgt_rows.append((*g, name, lo, hi, float(frac)))
+    targets = spark.createDataFrame(
+        tgt_rows, f"{gfields}, _p string, _lo long, _hi long, _frac double"
+    )
+
+    w = Window.partitionBy("_pid", *group_cols).orderBy(F.asc("_v"))
+    ranked = (
+        sorted_rel.join(F.broadcast(offs), ["_pid"] + group_cols)
+        .withColumn("_rk", F.col("_off") + F.row_number().over(w))
+        .alias("r")
+    )
+    hits = (
+        ranked.join(
+            F.broadcast(targets.alias("t")),
+            [F.col(f"r.{c}") == F.col(f"t.{c}") for c in group_cols],
+        )
+        .filter((F.col("_rk") == F.col("_lo")) | (F.col("_rk") == F.col("_hi")))
+        .select(
+            *[F.col(f"t.{c}") for c in group_cols],
+            "_p",
+            "_frac",
+            F.when(F.col("_rk") == F.col("_lo"), F.col("_v")).alias("_lov"),
+            F.when(F.col("_rk") == F.col("_hi"), F.col("_v")).alias("_hiv"),
+        )
+    )
+    # lo_v + frac·(hi_v − lo_v): the same expression shape Spark's
+    # Percentile and DuckDB's quantile_cont evaluate — bit-identical
+    per_p = hits.groupBy(*group_cols, "_p").agg(
+        F.max("_lov").alias("_l"),
+        F.coalesce(F.max("_hiv"), F.max("_lov")).alias("_h"),
+        F.first("_frac").alias("_f"),
+    ).withColumn("_val", F.col("_l") + F.col("_f") * (F.col("_h") - F.col("_l")))
+
+    n_df = spark.createDataFrame(
+        [(*g, n) for g, n in totals.items()], f"{gfields}, n long"
+    )
+    out = per_p.groupBy(*group_cols).pivot("_p", [name for _, name in probs]).agg(
+        F.first("_val")
+    ).join(F.broadcast(n_df), group_cols)
+    out = out.localCheckpoint(eager=True)
+    sorted_rel.unpersist()
+    return out

@@ -1881,3 +1881,39 @@ def q47_rank_funcs(spark, sf):
         F.first("c_custkey").over(wv).alias("top_cust"),
         F.nth_value("c_custkey", 2).over(wv).alias("second_cust"),
     )
+
+
+@query(
+    "q48_percentiles_dist",
+    "SELECT l_returnflag, "
+    "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25, "
+    "round(quantile_cont(l_extendedprice, 0.50), 6) AS p50, "
+    "round(quantile_cont(l_extendedprice, 0.75), 6) AS p75, "
+    "CAST(count(l_extendedprice) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q48_percentiles_dist(spark, sf):
+    """The DISTRIBUTED exact-percentile shape (operators/percentiles.py):
+    range-partitioned parallel sort + two-phase global ranks + broadcast
+    target-rank join — same interpolated answer as q41's built-in
+    `percentile` (the oracle is identical quantile_cont SQL), but the sort
+    parallelism is the partition count, not the group count, and no task
+    ever buffers a whole group. q41 measures the built-in (3 groups → 3
+    tasks, whole-group aggregation buffers); this entry is the shape that
+    survives a 100-TB group."""
+    from .operators.percentiles import grouped_exact_percentiles
+
+    li = load_table(spark, sf, "lineitem")
+    out = grouped_exact_percentiles(
+        li.to_spark(),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        "n",
+    )

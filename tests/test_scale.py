@@ -150,3 +150,46 @@ class TestTrainingShards:
         back = spark.read.parquet(str(tmp_path / "one"))
         assert back.count() == 5
         assert back.select("shard").distinct().collect()[0][0] == 0
+
+
+class TestDistributedPercentiles:
+    def test_known_values_and_interpolation(self, spark):
+        """[1..5] p50 = 3 (exact rank); [10,20,30,40] p50 = 25
+        (interpolated), p25 = 17.5 — the quantile_cont contract."""
+        from metaframe_spark.operators.percentiles import grouped_exact_percentiles
+
+        rows = [("a", float(v)) for v in [3, 1, 5, 2, 4]] + [
+            ("b", float(v)) for v in [40, 10, 30, 20]
+        ]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+        out = {
+            r.g: (r.p25, r.p50, r.n)
+            for r in grouped_exact_percentiles(
+                df, ["g"], "v", [(0.25, "p25"), (0.5, "p50")]
+            ).collect()
+        }
+        assert out["a"] == (2.0, 3.0, 5)
+        assert out["b"] == (17.5, 25.0, 4)
+
+    def test_matches_builtin_percentile(self, spark):
+        """The two-phase global-rank shape must equal Spark's own exact
+        percentile aggregate on real data, under any input partitioning."""
+        from metaframe_spark.operators.percentiles import grouped_exact_percentiles
+
+        li = load_table(spark, SF, "lineitem").to_spark().repartition(13)
+        got = {
+            r.l_returnflag: (round(r.p25, 6), round(r.p75, 6))
+            for r in grouped_exact_percentiles(
+                li, ["l_returnflag"], "l_quantity", [(0.25, "p25"), (0.75, "p75")]
+            ).collect()
+        }
+        want = {
+            r.l_returnflag: (round(r.p25, 6), round(r.p75, 6))
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+                F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+            )
+            .collect()
+        }
+        assert got == want
