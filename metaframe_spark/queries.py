@@ -1917,3 +1917,26 @@ def q48_percentiles_dist(spark, sf):
         F.round("p75", 6).alias("p75"),
         "n",
     )
+
+
+@query(
+    "q49_unpivot",
+    "SELECT l_orderkey, l_linenumber, measure, val FROM "
+    "(UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_discount, l_tax FROM lineitem) "
+    "ON l_quantity, l_extendedprice, l_discount, l_tax "
+    "INTO NAME measure VALUE val)",
+)
+def q49_unpivot(spark, sf):
+    """Wide-to-long reshape via the native `unpivot`/`melt` API — the
+    tidy-data step before per-measure aggregation or plotting. Expand
+    executes row-local inside codegen: zero shuffle, output = 4 rows per
+    input row; column pruning still reaches the scan (only the 6 referenced
+    columns are read)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )

@@ -106,3 +106,28 @@ class TestStratifiedSampling:
         assert "R" not in counts
         assert 0.1 < counts["A"] / totals["A"] < 0.3
         assert 0.4 < counts["N"] / totals["N"] < 0.6
+
+
+class TestObservation:
+    def test_observe_metrics_through_wrapper(self, spark):
+        """df.observe(Observation): collect plan metrics (row count, sums)
+        as a side effect of one action — the zero-extra-job alternative to
+        separate count()/agg() jobs, delegated through MetaFrame with
+        metadata intact."""
+        from pyspark.sql import Observation
+
+        from metaframe_spark.io import load_table
+
+        mf = load_table(spark, SF, "orders").set_metadata(team="obs")
+        obs = Observation("orders_obs")
+        observed = mf.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        assert observed.metadata["team"] == "obs"  # wrapper preserved
+        n = observed.count()  # one action drives both result and metrics
+        got = obs.get
+        assert got["n_rows"] == n
+        want = mf.to_spark().agg(F.sum("o_totalprice")).collect()[0][0]
+        assert abs(got["total_price"] - want) < 1e-6
