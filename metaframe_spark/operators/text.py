@@ -459,3 +459,51 @@ def ngram_vocabulary(
     return vocab.orderBy(
         F.desc("doc_freq"), F.desc("n_occurrences"), F.asc("gram")
     ).limit(top_k)
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic gibberish/compression-artifact detector: natural prose sits
+    ~3.5-4.5 bits, base64 blobs and key-mash near log2(alphabet), repeated
+    filler near 0. Returns (id, n_chars, char_entropy).
+
+    Scale shape: per-character explode via a codegen ``transform(sequence)``
+    (no Python), (doc, char) rollup with map-side combine — at most
+    |alphabet| rows per doc reach the shuffle; N rides on a doc-partitioned
+    window over that tiny relation. Each term −p·log2(p) is rounded to 6
+    and summed in DECIMAL, so partial-agg addition order cannot perturb the
+    total and the result hash-matches an external engine.
+    """
+    chars = (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col})), "
+                    f"i -> substr({text_col}, i, 1))"
+                )
+            ).alias("_ch"),
+        )
+    )
+    counts = chars.groupBy(id_col, "_ch").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    from pyspark.sql import Window
+
+    n = F.sum("_c").over(Window.partitionBy(id_col))
+    p = F.col("_c") / F.col("_n")
+    term = F.round(-(p * F.log2(p)), 6).cast("decimal(18,6)")
+    return (
+        counts.withColumn("_n", n)
+        .withColumn("_t", term)
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").cast("long").alias("n_chars"),
+            F.round(F.sum("_t").cast("double"), 6).alias("char_entropy"),
+        )
+    )

@@ -1940,3 +1940,26 @@ def q49_unpivot(spark, sf):
         "measure",
         "val",
     )
+
+
+@query(
+    "llm_char_entropy",
+    "WITH c AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1), "
+    "  i -> substr(text, i, 1))) AS ch FROM documents WHERE length(text) > 0), "
+    "k AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch), "
+    "t AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM k) "
+    "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars, "
+    "round(CAST(sum(CAST(round(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)), 6) "
+    "AS DECIMAL(18,6))) AS DOUBLE), 6) AS char_entropy "
+    "FROM t GROUP BY doc_id",
+)
+def llm_char_entropy(spark, sf):
+    """Character-entropy quality signal (bits/char): gibberish and
+    base64-ish blobs score near log2(alphabet), filler near 0, prose in
+    between — the standard cheap filter alongside llm_quality /
+    llm_repetition. Per-char explode in codegen, alphabet-bounded rollup,
+    decimal-summed rounded terms for cross-engine determinism."""
+    from .operators.text import char_entropy
+
+    d = load_table(spark, sf, "documents")
+    return char_entropy(d.to_spark(), "text", "doc_id")

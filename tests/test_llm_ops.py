@@ -856,3 +856,55 @@ class TestGlobalShuffle:
             for r in global_shuffle(docs.repartition(13), "doc_id").collect()
         }
         assert a == b
+
+
+class TestTokenizerFuzz:
+    def test_invariants_on_adversarial_texts(self, spark):
+        """One-pass fuzz over adversarial strings (whitespace runs, mixed
+        unicode, quotes, punctuation soup): the tokenizer contract —
+        no empty tokens, count == len(tokens), shingle count law, chunk
+        reconstruction — must hold for every input."""
+        import random
+
+        from metaframe_spark.operators.text import (
+            chunk_documents,
+            shingles,
+            token_count,
+            tokens,
+        )
+
+        rng = random.Random(42)
+        pieces = [
+            "word", "W0rd", "λambda", "文字", "a'b", 'x"y', "tab\there",
+            "new\nline", "\r\n", "...", "-", "--", "  ", "\t\t", "\x0b",
+            "eé", "naïve", "!?", "a.b.c", "1,234", "", " ",
+        ]
+        texts = []
+        for i in range(120):
+            n = rng.randint(0, 12)
+            texts.append((i, "".join(rng.choice(pieces) for _ in range(n))))
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+
+        rows = df.select(
+            "doc_id",
+            tokens(F.col("text")).alias("t"),
+            token_count(F.col("text")).alias("n"),
+        ).withColumn("s3", shingles("t", 3)).collect()
+        for r in rows:
+            assert "" not in r.t, f"empty token for doc {r.doc_id}: {r.t!r}"
+            assert r.n == len(r.t)
+            assert len(r.s3) == max(0, len(r.t) - 2)
+
+        # chunk reconstruction: stride-stitched chunks == the token stream
+        toks_by_id = {r.doc_id: r.t for r in rows}
+        ch = chunk_documents(df, max_tokens=6, overlap=2)
+        got = {}
+        for r in sorted(ch.collect(), key=lambda r: (r.doc_id, r.chunk_idx)):
+            cur = got.setdefault(r.doc_id, [])
+            words = r.chunk.split(" ") if r.chunk else []
+            cur.extend(words if r.chunk_idx == 0 else words[2:])
+        for doc_id, t in toks_by_id.items():
+            if t:
+                assert got.get(doc_id, []) == t, doc_id
+            else:
+                assert doc_id not in got
