@@ -1963,3 +1963,36 @@ def llm_char_entropy(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return char_entropy(d.to_spark(), "text", "doc_id")
+
+
+@query(
+    "q50_rolling",
+    "SELECT event_id, user_id, ts, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_1h, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_1h "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
+)
+def q50_rolling(spark, sf):
+    """Rolling time-interval aggregates: per user, the count and value-sum
+    of events in the trailing hour of EVENT TIME — a RANGE frame over the
+    epoch-microsecond key, not a ROWS frame (q16): the window holds
+    whatever falls in [t−1h, t] regardless of row count, and timestamp
+    ties all join the frame identically in both engines. DECIMAL sum makes
+    the rolling total addition-order-proof. One user-keyed shuffle + sort;
+    state per row is the frame bounds, so the plan holds at any history
+    length."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("value_1h"),
+    )
