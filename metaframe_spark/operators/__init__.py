@@ -18,6 +18,7 @@ from .dedup import (
     dedup_against,
     dedup_survivors,
     exact_dedup,
+    exact_dedup_rows,
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
     minhash_near_dup_pairs,
@@ -72,6 +73,7 @@ __all__ = [
     "dedup_survivors",
     "doc_fingerprint",
     "exact_dedup",
+    "exact_dedup_rows",
     "global_shuffle",
     "grouped_exact_percentiles",
     "shard_assignments",

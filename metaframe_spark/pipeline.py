@@ -1,0 +1,101 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the operator library into the canonical LLM-corpus flow — the
+pipeline a reference user would actually run:
+
+1. **exact dedup** — one shuffle on a content digest;
+2. **near-dup removal** — banded MinHash candidates → exact Jaccard
+   verify → connected components → keep one survivor per duplicate group;
+3. **quality gate** — codegen quality features, threshold filter;
+4. **language filter** — stopword-overlap language ID;
+5. **deterministic interleave + sharding** — reproducible global order,
+   contiguous near-equal training shards.
+
+Every stage is the library operator (see each module's scale notes); this
+module only wires them and reports per-stage row counts. The heavy text
+relation is persisted ONCE across stages 1-4 (each stage otherwise
+re-reads and re-normalizes the corpus) and released before return.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import (
+    exact_dedup_rows,
+    global_shuffle,
+    minhash_near_dup_pairs,
+    near_dup_groups,
+    shard_assignments,
+)
+from .operators.text import language_scores, quality_features
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    keep_langs: Optional[List[str]] = None,
+    near_dup_jaccard: float = 0.85,
+    n_shards: int = 0,
+) -> Tuple[DataFrame, Dict[str, int]]:
+    """Run the full curation flow; returns (curated_df, stage_counts).
+
+    ``stage_counts`` records the surviving row count after each stage —
+    the per-stage yield report every curation run needs for its data card.
+    The counts force one action per stage; for a fire-and-forget pipeline
+    call the stages directly and count once at the end.
+
+    With ``n_shards > 0`` the result carries ``seq`` (deterministic global
+    interleave order) and ``shard`` columns, ready for a partitioned write
+    via :func:`~metaframe_spark.operators.write_training_shards`'s layout.
+    """
+    counts: Dict[str, int] = {"input": df.count()}
+
+    # 1. exact dedup (full surviving rows, min-id survivor)
+    cur = exact_dedup_rows(df, text_col, id_col)
+    counts["exact_dedup"] = cur.count()
+    cur = cur.persist()  # stages 2-4 each traverse this relation
+
+    # 2. near-dup removal: verified pairs -> components -> keep min id
+    pairs = minhash_near_dup_pairs(
+        cur, id_col, text_col, min_jaccard=near_dup_jaccard
+    )
+    groups = near_dup_groups(pairs, "id_a", "id_b")
+    losers = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    # no broadcast hint: the loser set is usually tiny (AQE will broadcast
+    # it), but a heavily-duplicated crawl can make it a large fraction of
+    # the corpus — let the optimizer decide from measured sizes
+    cur2 = cur.join(losers, id_col, "left_anti")
+    counts["near_dedup"] = cur2.count()
+    handle = getattr(pairs, "_mf_persisted", None)
+    if handle is not None:
+        handle.unpersist()
+
+    # 3. quality gate
+    scored = quality_features(cur2, text_col)
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+    counts["quality"] = kept.count()
+
+    # 4. language filter
+    if keep_langs:
+        kept = language_scores(kept, text_col).filter(
+            F.col("predicted_lang").isin(list(keep_langs))
+        )
+        counts["language"] = kept.count()
+
+    # 5. deterministic interleave (+ optional sharding)
+    out = (
+        shard_assignments(kept, n_shards, id_col)
+        if n_shards > 0
+        else global_shuffle(kept, id_col)
+    )
+    counts["output"] = out.count()
+    cur.unpersist()
+    return out, counts

@@ -1,0 +1,76 @@
+"""End-to-end curation pipeline: the composed flow must equal the
+step-by-step ground truth on a corpus with injected exact and near
+duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.io import load_table
+from metaframe_spark.pipeline import curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    """documents + exact copies of docs 0-9 (new ids) + near-dup copies of
+    docs 10-19 (one appended token)."""
+    d = load_table(spark, SF, "documents").to_spark().select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    near = (
+        d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
+    )
+    return d.unionByName(exact).unionByName(near).cache()
+
+
+def test_curate_removes_dups_and_reports_stages(spark, messy):
+    out, counts = curate_corpus(
+        messy, min_quality=0.0, near_dup_jaccard=0.8, n_shards=4
+    )
+    n_orig = 500
+    assert counts["input"] == n_orig + 20
+    # exact copies collapse to the original (min-id survivor)
+    assert counts["exact_dedup"] == n_orig + 10
+    # every injected near-dup loses to its lower-id original; the base
+    # corpus also contains ORGANIC near-dups at J>=0.8 (small synthetic
+    # vocabulary), so compare against the clean corpus curated identically
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    _, clean_counts = curate_corpus(
+        clean, min_quality=0.0, near_dup_jaccard=0.8
+    )
+    assert counts["near_dedup"] == clean_counts["near_dedup"]
+    assert counts["near_dedup"] <= n_orig
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not any(i >= 10_000 for i in surviving)  # injected ids all lost
+    # quality 0.0 keeps everything with tokens; output got seq + shard
+    assert counts["output"] == counts["quality"]
+    assert {f for f in ("seq", "shard")} <= set(out.columns)
+    shards = {r.shard for r in out.select("shard").distinct().collect()}
+    assert shards == {0, 1, 2, 3}
+    # interleave is the deterministic md5 order: re-running yields same seq
+    out2, _ = curate_corpus(
+        messy, min_quality=0.0, near_dup_jaccard=0.8, n_shards=4
+    )
+    a = {(r.doc_id, r.seq) for r in out.select("doc_id", "seq").collect()}
+    b = {(r.doc_id, r.seq) for r in out2.select("doc_id", "seq").collect()}
+    assert a == b
+
+
+def test_quality_and_language_gates(spark, messy):
+    out, counts = curate_corpus(
+        messy, min_quality=0.35, keep_langs=["en"], near_dup_jaccard=0.8
+    )
+    assert counts["quality"] <= counts["near_dedup"]
+    assert counts["language"] <= counts["quality"]
+    assert counts["output"] == counts["language"]
+    # gates actually applied
+    from metaframe_spark.operators.text import language_scores, quality_features
+
+    qf = quality_features(out, "text").filter(F.col("quality_score") < 0.35)
+    assert qf.count() == 0
+    lang = language_scores(out, "text").filter(F.col("predicted_lang") != "en")
+    assert lang.count() == 0
