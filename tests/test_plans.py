@@ -233,3 +233,45 @@ class TestRound5Plans:
         import re
         n_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
         assert n_exchanges == 1, p
+
+
+class TestAQESkewJoin:
+    def test_aqe_splits_hot_key_without_salting(self, spark):
+        """The session's AQE posture must split a skewed join partition at
+        runtime (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed' in
+        the FINAL adaptive plan) — the no-code-change answer to hot keys
+        that complements the explicit salting operators in scale.py.
+        Thresholds are lowered so a local-scale hot key (97% of rows on one
+        key) crosses the skew bar; production keeps the defaults."""
+        tuned = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in tuned}
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        try:
+            big = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 100 < 97, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+            )
+            small = spark.range(0, 1000).select(
+                F.col("id").alias("k"), F.lit("dim").alias("v")
+            )
+            j = big.join(small, "k").select("k", "v")
+            assert len(j.collect()) == 200_000  # execute THIS dataset
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan
+            assert "skewed" in plan  # AQEShuffleRead split the hot partition
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
