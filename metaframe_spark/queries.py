@@ -1996,3 +1996,33 @@ def q50_rolling(spark, sf):
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
         F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("value_1h"),
     )
+
+
+@query(
+    "q51_conditional_agg",
+    "SELECT l_returnflag, "
+    "CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc, "
+    "CAST(count(*) AS BIGINT) AS n_total, "
+    "round(CAST(count(*) FILTER (WHERE l_discount > 0.05) AS DOUBLE) / count(*), 6) "
+    "AS disc_rate, "
+    "bool_or(l_quantity > 49) AS has_big, "
+    "bool_and(l_extendedprice > 0) AS all_positive "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q51_conditional_agg(spark, sf):
+    """Conditional-aggregation surface: count_if (the FILTER-clause
+    equivalent), bool_or/bool_and reductions, and a derived rate — all
+    map-side-combinable single-pass aggregates (no CASE-into-sum
+    contortions, no second scan per condition)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_disc"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.round(
+            F.count_if(F.col("l_discount") > 0.05)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("disc_rate"),
+        F.bool_or(F.col("l_quantity") > 49).alias("has_big"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+    )
