@@ -131,3 +131,79 @@ class TestObservation:
         assert got["n_rows"] == n
         want = mf.to_spark().agg(F.sum("o_totalprice")).collect()[0][0]
         assert abs(got["total_price"] - want) < 1e-6
+
+
+class TestCogroupAndArrow:
+    def test_cogroup_apply_in_pandas(self, spark):
+        """cogroup().applyInPandas — the two-sided grouped-UDF surface:
+        per-user purchase/click counts computed inside one pandas callback
+        must equal the join-free double aggregation."""
+        from metaframe_spark.io import load_table
+
+        e = load_table(spark, SF, "events").to_spark()
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "value"
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id"
+        )
+
+        def counts(key, left, right):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_purchases": [len(left)],
+                    "n_clicks": [len(right)],
+                }
+            )
+
+        got = {
+            r.user_id: (r.n_purchases, r.n_clicks)
+            for r in purchases.groupBy("user_id")
+            .cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(
+                counts, "user_id long, n_purchases long, n_clicks long"
+            )
+            .collect()
+        }
+        p = {r.user_id: r.c for r in purchases.groupBy("user_id").count()
+             .withColumnRenamed("count", "c").collect()}
+        c = {r.user_id: r.c for r in clicks.groupBy("user_id").count()
+             .withColumnRenamed("count", "c").collect()}
+        want = {
+            u: (p.get(u, 0), c.get(u, 0)) for u in set(p) | set(c)
+        }
+        assert got == want and len(want) > 0
+
+    def test_map_in_arrow_batches(self, spark):
+        """mapInArrow: zero-copy Arrow RecordBatch transform (the lowest-
+        overhead Python escape hatch) — a batch-level filter+project must
+        match the equivalent DataFrame ops."""
+        from metaframe_spark.io import load_table
+
+        o = load_table(spark, SF, "orders").to_spark().select(
+            "o_orderkey", "o_totalprice"
+        )
+
+        def big_orders(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for batch in batches:
+                t = pa.Table.from_batches([batch])
+                mask = pc.greater(t["o_totalprice"], 200_000.0)
+                yield from t.filter(mask).to_batches()
+
+        got = sorted(
+            r.o_orderkey
+            for r in o.mapInArrow(
+                big_orders, "o_orderkey long, o_totalprice double"
+            ).collect()
+        )
+        want = sorted(
+            r.o_orderkey
+            for r in o.filter(F.col("o_totalprice") > 200_000).collect()
+        )
+        assert got == want and len(want) > 0
