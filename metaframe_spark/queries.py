@@ -2026,3 +2026,55 @@ def q51_conditional_agg(spark, sf):
         F.bool_or(F.col("l_quantity") > 49).alias("has_big"),
         F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
     )
+
+
+@query(
+    "llm_corpus_stats",
+    "WITH q AS ("
+    "  SELECT doc_id, n_tokens, "
+    "  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
+    "        + 0.3 * stopword_ratio, 6) AS quality_score "
+    "  FROM ("
+    "    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "           CASE WHEN length(text) > 0 THEN "
+    "             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+    "             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+    "           CASE WHEN len(toks) > 0 THEN "
+    "             len(list_filter(toks, t -> list_contains(__SW_EN__, t))) "
+    "             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio "
+    f"    FROM (SELECT doc_id, text, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents)"
+    "  )) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(min(n_tokens) AS BIGINT) AS min_tokens, "
+    "CAST(max(n_tokens) AS BIGINT) AS max_tokens, "
+    "round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) "
+    "AS avg_quality "
+    "FROM q",
+)
+def llm_corpus_stats(spark, sf):
+    """One-row corpus data card: document/token totals, token-length range,
+    mean quality — the summary block every curation run publishes. One
+    pass over the quality relation; the mean divides an exact DECIMAL sum
+    of per-doc (already-rounded) scores by the count, so partial-agg
+    addition order cannot move it."""
+    from .operators import quality_features
+
+    d = load_table(spark, sf, "documents")
+    qf = quality_features(d, "text")
+    return qf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+# new entries appended after the first expansion call need the macros
+# substituted too (the call is idempotent)
+_expand_stopword_macros()

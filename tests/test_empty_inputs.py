@@ -25,6 +25,10 @@ EXPECTED_RAISE = {
     "llm_ivf_topk": ValueError,        # ivf_topk: k-means needs a corpus
 }
 
+#: global (ungrouped) aggregates: SQL semantics return exactly ONE summary
+#: row over an empty relation (count 0, NULL extremes) — in both engines
+GLOBAL_AGG = {"llm_corpus_stats"}
+
 
 @pytest.fixture(scope="module")
 def empty_sf(spark, tmp_path_factory):
@@ -44,5 +48,9 @@ def test_query_on_empty_tables(spark, empty_sf, name):
             df.count()
         return
     df = QUERIES[name](spark, empty_sf)
-    assert df.count() == 0
+    if name in GLOBAL_AGG:
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["n_docs"] == 0
+    else:
+        assert df.count() == 0
     assert len(df.columns) > 0
