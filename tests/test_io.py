@@ -161,3 +161,38 @@ def test_read_binary_files_feeds_multimodal(spark, tmp_path):
     got = {r.size_bytes: r.sha256 for r in out.collect()}
     want = {len(b): hashlib.sha256(b).hexdigest() for b in payloads.values()}
     assert got == want
+
+
+def test_csv_permissive_mode_isolates_corrupt_records(spark, tmp_path):
+    """Malformed-row tolerance — the ingestion contract for real-world
+    CSV: PERMISSIVE mode loads every row, parks unparseable ones in the
+    corrupt-record column instead of failing the job (DROPMALFORMED /
+    FAILFAST are one option away)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,10,1.5\n"
+        "2,notanumber,2.5\n"   # qty fails the int cast
+        "3,30,3.5\n"
+    )
+    schema = "id int, qty int, price double, _corrupt string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(tmp_path))
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].qty == 10 and rows[1]._corrupt is None
+    assert rows[2].qty is None and "notanumber" in rows[2]._corrupt
+    assert rows[3].price == 3.5
+    # DROPMALFORMED keeps only clean rows
+    clean = (
+        spark.read.schema("id int, qty int, price double")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(tmp_path))
+    )
+    assert {r.id for r in clean.collect()} == {1, 3}
