@@ -2078,3 +2078,33 @@ def llm_corpus_stats(spark, sf):
 # new entries appended after the first expansion call need the macros
 # substituted too (the call is idempotent)
 _expand_stopword_macros()
+
+
+@query(
+    "q52_string_funcs",
+    "SELECT c_custkey, "
+    "translate(c_name, '#', '-') AS dashed, "
+    "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+    "reverse(c_mktsegment) AS seg_rev, "
+    "left(c_name, 8) AS name_head, "
+    "split_part(c_name, '#', 2) AS name_num, "
+    "CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos, "
+    "repeat('*', CAST(c_nationkey AS INT) % 4) AS stars "
+    "FROM customer",
+)
+def q52_string_funcs(spark, sf):
+    """Second string-function breadth entry (q22 covers the basics):
+    translate, lpad, reverse, left, split_part, strpos/locate, repeat —
+    all per-row codegen expressions evaluated identically by both engines.
+    Zero shuffle; the projection prunes to the four referenced columns."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "#", "-").alias("dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.locate("#", F.col("c_name")).cast("long").alias("hash_pos"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey").cast("int") % 4)).alias("stars"),
+    )
