@@ -2108,3 +2108,31 @@ def q52_string_funcs(spark, sf):
         F.locate("#", F.col("c_name")).cast("long").alias("hash_pos"),
         F.repeat(F.lit("*"), (F.col("c_nationkey").cast("int") % 4)).alias("stars"),
     )
+
+
+@query(
+    "q53_date_funcs",
+    "SELECT o_orderkey, "
+    "CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q, "
+    "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end, "
+    "CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy, "
+    "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week, "
+    "strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS q_start "
+    "FROM orders",
+)
+def q53_date_funcs(spark, sf):
+    """Second date-function breadth entry (q23 covers year/month/add/diff):
+    quarter, last_day, day-of-year, ISO week, quarter truncation — all
+    per-row codegen, engine-identical calendars (date-typed results are
+    rendered as strings: Spark returns datetime.date where DuckDB's pandas
+    fetch yields datetime64, an ambiguity strings avoid)."""
+    o = load_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).cast("long").alias("q"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("q_start"),
+    )
