@@ -54,20 +54,44 @@ class MetaCatalog:
         ``SubqueryAlias`` — matching those too would leak metadata to
         ``SELECT * FROM (SELECT ...) AS sales`` when a view named ``sales``
         is registered (ADVICE r4). Falls back to a word-boundary text match
-        only when the plan string is unavailable (e.g. Spark Connect)."""
+        when the plan string is unavailable (e.g. Spark Connect), or when
+        the plan parsed but matched no registered view under
+        ``spark.sql.legacy.storeAnalyzedPlanForView=true`` (that config can
+        inline a view's stored plan without a ``View (`` node). Known
+        limitation: a backticked view name containing a comma truncates at
+        the comma and is treated as a miss (false negatives beat metadata
+        leaks)."""
+        plan = None
         try:
             plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            pass  # Connect / plan string unavailable -> text fallback
+        if plan is not None:
             refs = {
                 m.group(1).split("`.`")[-1].strip("`").lower()
                 for m in re.finditer(r"View \(([^,]+),", plan)
             }
-            return [name for name in self._registry if name.lower() in refs]
-        except Exception:  # pragma: no cover - Connect/plan-format fallback
-            return [
-                name
-                for name in self._registry
-                if re.search(r"\b" + re.escape(name) + r"\b", query, re.IGNORECASE)
-            ]
+            hits = [name for name in self._registry if name.lower() in refs]
+            legacy_view_plans = False
+            try:
+                legacy_view_plans = (
+                    str(
+                        self._spark.conf.get(
+                            "spark.sql.legacy.storeAnalyzedPlanForView",
+                            "false",
+                        )
+                    ).lower()
+                    == "true"
+                )
+            except Exception:  # pragma: no cover - conf unavailable
+                pass
+            if hits or not legacy_view_plans:
+                return hits
+        return [
+            name
+            for name in self._registry
+            if re.search(r"\b" + re.escape(name) + r"\b", query, re.IGNORECASE)
+        ]
 
     def sql(
         self,

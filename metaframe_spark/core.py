@@ -300,6 +300,8 @@ class MetaFrame(DataFrame):
                 shortcut = self._pk_shortcircuit(callable_key, args, kwargs)
                 if shortcut is not None:
                     return shortcut
+                if callable_key == "join":
+                    args, kwargs = self._pk_join_broadcast_hint(args, kwargs)
             result = func(*args, **kwargs)
             if isinstance(result, MetaFrame):
                 result = result.df
@@ -418,6 +420,72 @@ class MetaFrame(DataFrame):
                     **self._mf_kwargs(),
                 )
         return None
+
+    # PK-unique-keyed build sides may be broadcast well past Spark's default
+    # 10 MB autoBroadcastJoinThreshold: uniqueness guarantees one hash-map
+    # entry per row and no multiplicative blowup on the probe side. The cap
+    # still bounds network fan-out (cap × executors bytes on a cluster).
+    PK_BROADCAST_MAX_BYTES = 128 * 1024 * 1024
+    _PK_BROADCAST_CONF = "spark.metaframe.pkJoinBroadcastThreshold"
+
+    def _pk_join_broadcast_hint(self, args: Tuple, kwargs: Dict) -> Tuple[Tuple, Dict]:
+        """Join-cardinality hint from PK metadata (SURVEY.md §4.3b).
+
+        When the OTHER side of an equi-join is a MetaFrame whose declared
+        ``primary_key`` is covered by the join keys, each probe row matches
+        at most one build row — the dimension-lookup pattern. If that side's
+        optimizer size estimate is under the threshold (conf
+        ``spark.metaframe.pkJoinBroadcastThreshold``, default 128 MB), inject
+        ``hint("broadcast")`` so Catalyst plans a BroadcastHashJoin even
+        where its own conservative stats would pick sort-merge. Purely a
+        physical-strategy hint: results are byte-identical (oracled as
+        q54_pk_broadcast_join), and joins that might fan out, non-equi
+        conditions, or over-cap sides are left untouched.
+        """
+        other = args[0] if args else kwargs.get("other")
+        on = args[1] if len(args) > 1 else kwargs.get("on")
+        how = (args[2] if len(args) > 2 else kwargs.get("how")) or "inner"
+        if not isinstance(other, MetaFrame) or not isinstance(other.df, DataFrame):
+            return args, kwargs
+        pk = other.metadata.get("primary_key")
+        if not pk:
+            return args, kwargs
+        if isinstance(on, str):
+            on_list = [on]
+        elif isinstance(on, (list, tuple)) and all(isinstance(c, str) for c in on):
+            on_list = list(on)
+        else:
+            return args, kwargs  # Column/None conditions: not provably equi
+        if not set(pk).issubset(set(on_list)):
+            return args, kwargs
+        hownorm = str(how).lower().replace("_", "")
+        # broadcast of the RIGHT side is only valid for these join types
+        # (right/full outer must stream the right side)
+        if hownorm not in {
+            "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti",
+        }:
+            return args, kwargs
+        try:
+            size = int(
+                other.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            cap = int(
+                self.df.sparkSession.conf.get(
+                    self._PK_BROADCAST_CONF, str(self.PK_BROADCAST_MAX_BYTES)
+                )
+            )
+        except Exception:  # Connect / stats unavailable — never block the join
+            return args, kwargs
+        if size <= 0 or size > cap:
+            return args, kwargs
+        hinted = MetaFrame(
+            other.df.hint("broadcast"), other.metadata, **self._mf_kwargs()
+        )
+        if args:
+            args = (hinted,) + tuple(args[1:])
+        else:
+            kwargs = {**kwargs, "other": hinted}
+        return args, kwargs
 
     def _invalidate_pk_if_needed(
         self, out: "MetaFrame", callable_key: str, args: Tuple, kwargs: Dict

@@ -140,13 +140,14 @@ def minhash_near_dup_pairs(
     referenced four times (band build + both verify sides) and is
     ``persist()``-ed (MEMORY_AND_DISK) so the text is tokenized once, the
     standard shape for multi-pass LSH pipelines; pass ``persist=False``
-    to trade recompute for memory. NOTE the cache's lifetime: the result
-    is lazy, so the operator cannot unpersist before the caller runs it —
-    the persisted relation stays pinned until the session ends unless the
-    caller releases it via the ``_mf_persisted`` attribute on the returned
-    DataFrame (``out._mf_persisted.unpersist()`` after the final action),
-    as the bench/oracle harness does (ADVICE r4). The band relation is
-    (id, band, key) —
+    to trade recompute for memory. The cache is released by the operator
+    itself: the (small) verified-pairs result is ``localCheckpoint``-ed
+    eagerly — materializing it once and truncating its lineage off the
+    cached relation — and the cache unpersisted before returning, so
+    nothing stays pinned for the session and callers have no release
+    contract to honor (VERDICT r5 #5; same shape as
+    :func:`~metaframe_spark.operators.sampling.global_shuffle`). The band
+    relation is (id, band, key) —
     b small rows per doc, NOT b copies of the shingle array; the shingle
     relation shuffles once per join side keyed on id. No all-pairs path,
     no per-candidate black-box distance UDF.
@@ -229,9 +230,12 @@ def minhash_near_dup_pairs(
             "jaccard", F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6)
         )
     )
-    # hand the cache handle to the caller — the lazy result still reads it,
-    # so the operator itself must not unpersist (see docstring)
-    out._mf_persisted = hashed if persist else None
+    if persist:
+        # materialize the (small) pairs output once, truncating its lineage
+        # off the cached shingle relation, so the cache can be freed NOW
+        # instead of pinning the tokenized corpus for the session
+        out = out.localCheckpoint(eager=True)
+        hashed.unpersist()
     return out
 
 

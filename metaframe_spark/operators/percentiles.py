@@ -45,21 +45,49 @@ def grouped_exact_percentiles(
     group_cols: Sequence[str],
     value_col: str,
     probs: Sequence[Tuple[float, str]],
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
     ``probs`` is a sequence of (probability, output_column) pairs, e.g.
     ``[(0.25, "p25"), (0.5, "p50")]``. Returns one row per group with the
     percentile columns plus ``n`` (the group's value count). NULL values
-    are excluded (matching both engines' aggregate semantics).
+    are excluded (matching both engines' aggregate semantics); NULL *group
+    keys* form their own group, exactly as SQL GROUP BY does (all group
+    joins below are null-safe).
+
+    Driver state is O(partitions × groups), so the operator refuses inputs
+    with more than ``max_groups`` distinct groups: in that regime each
+    group is small and Spark's built-in ``percentile`` aggregate — whose
+    parallelism equals the group count — is the right shape instead.
     """
     group_cols = list(group_cols)
     if not probs:
         raise ValueError("probs must be non-empty")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty; for a global percentile pass a "
+            "constant group column, e.g. df.withColumn('g', F.lit(1))"
+        )
     rel = (
         df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
         .filter(F.col("_v").isNotNull())
     )
+    # Guard BEFORE the expensive range-repartition + collect: the driver
+    # holds offsets for partitions × groups rows, which only works for the
+    # few-huge-groups regime this operator exists for.
+    n_groups = (
+        rel.select(*group_cols).distinct().limit(max_groups + 1).count()
+    )
+    if n_groups > max_groups:
+        raise ValueError(
+            f"grouped_exact_percentiles saw more than {max_groups} distinct "
+            "groups; with many small groups use the built-in exact "
+            "aggregate instead — its parallelism equals the group count: "
+            'df.groupBy(*group_cols).agg(F.expr("percentile(col, p)")). '
+            "Raise max_groups only if the driver can hold "
+            "partitions x groups offset rows."
+        )
     sorted_rel = (
         rel.repartitionByRange(*[F.asc(c) for c in group_cols], F.asc("_v"))
         .sortWithinPartitions(*[F.asc(c) for c in group_cols], F.asc("_v"))
@@ -103,15 +131,29 @@ def grouped_exact_percentiles(
     )
 
     w = Window.partitionBy("_pid", *group_cols).orderBy(F.asc("_v"))
+    # group-key joins are null-safe throughout: a NULL group key is a
+    # real group (SQL GROUP BY semantics), not a join miss
     ranked = (
-        sorted_rel.join(F.broadcast(offs), ["_pid"] + group_cols)
+        sorted_rel.alias("s")
+        .join(
+            F.broadcast(offs.alias("o")),
+            [F.col("s._pid") == F.col("o._pid")]
+            + [
+                F.col(f"s.{c}").eqNullSafe(F.col(f"o.{c}"))
+                for c in group_cols
+            ],
+        )
+        .select("s.*", "o._off")
         .withColumn("_rk", F.col("_off") + F.row_number().over(w))
         .alias("r")
     )
     hits = (
         ranked.join(
             F.broadcast(targets.alias("t")),
-            [F.col(f"r.{c}") == F.col(f"t.{c}") for c in group_cols],
+            [
+                F.col(f"r.{c}").eqNullSafe(F.col(f"t.{c}"))
+                for c in group_cols
+            ],
         )
         .filter((F.col("_rk") == F.col("_lo")) | (F.col("_rk") == F.col("_hi")))
         .select(
@@ -133,9 +175,22 @@ def grouped_exact_percentiles(
     n_df = spark.createDataFrame(
         [(*g, n) for g, n in totals.items()], f"{gfields}, n long"
     )
-    out = per_p.groupBy(*group_cols).pivot("_p", [name for _, name in probs]).agg(
-        F.first("_val")
-    ).join(F.broadcast(n_df), group_cols)
+    pivoted = (
+        per_p.groupBy(*group_cols)
+        .pivot("_p", [name for _, name in probs])
+        .agg(F.first("_val"))
+    )
+    out = (
+        pivoted.alias("g")
+        .join(
+            F.broadcast(n_df.alias("cnt")),
+            [
+                F.col(f"g.{c}").eqNullSafe(F.col(f"cnt.{c}"))
+                for c in group_cols
+            ],
+        )
+        .select("g.*", "cnt.n")
+    )
     out = out.localCheckpoint(eager=True)
     sorted_rel.unpersist()
     return out

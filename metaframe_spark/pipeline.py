@@ -13,8 +13,9 @@ pipeline a reference user would actually run:
 
 Every stage is the library operator (see each module's scale notes); this
 module only wires them and reports per-stage row counts. The heavy text
-relation is persisted ONCE across stages 1-4 (each stage otherwise
-re-reads and re-normalizes the corpus) and released before return.
+relation is persisted through stage 2, then the post-dedup survivor set is
+localCheckpointed so stages 3-5 never re-traverse the MinHash/verify
+lineage; both caches are released as soon as they are superseded.
 """
 
 from __future__ import annotations
@@ -59,7 +60,9 @@ def curate_corpus(
     # 1. exact dedup (full surviving rows, min-id survivor)
     cur = exact_dedup_rows(df, text_col, id_col)
     counts["exact_dedup"] = cur.count()
-    cur = cur.persist()  # stages 2-4 each traverse this relation
+    # stage 2 traverses this twice (minhash pipeline + the anti-join);
+    # released as soon as cur2 is checkpointed below
+    cur = cur.persist()
 
     # 2. near-dup removal: verified pairs -> components -> keep min id
     pairs = minhash_near_dup_pairs(
@@ -73,10 +76,12 @@ def curate_corpus(
     # it), but a heavily-duplicated crawl can make it a large fraction of
     # the corpus — let the optimizer decide from measured sizes
     cur2 = cur.join(losers, id_col, "left_anti")
+    # Truncate lineage so stages 3-5 never re-traverse the losers ->
+    # pairs -> LSH band/verify pipeline (pairs itself is already
+    # checkpointed by the operator; this pins the anti-join's survivors).
+    cur2 = cur2.localCheckpoint(eager=True)
     counts["near_dedup"] = cur2.count()
-    handle = getattr(pairs, "_mf_persisted", None)
-    if handle is not None:
-        handle.unpersist()
+    cur.unpersist()
 
     # 3. quality gate
     scored = quality_features(cur2, text_col)
@@ -97,5 +102,4 @@ def curate_corpus(
         else global_shuffle(kept, id_col)
     )
     counts["output"] = out.count()
-    cur.unpersist()
     return out, counts

@@ -2136,3 +2136,30 @@ def q53_date_funcs(spark, sf):
         F.weekofyear(d).cast("long").alias("iso_week"),
         F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("q_start"),
     )
+
+
+@query(
+    "q54_pk_broadcast_join",
+    "SELECT o.o_orderkey, o.o_custkey AS c_custkey, c.c_name, o.o_totalprice "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE c.c_mktsegment = 'BUILDING'",
+)
+def q54_pk_broadcast_join(spark, sf):
+    """PK-metadata -> Catalyst broadcast hint (SURVEY.md §4.3b; the last
+    unbuilt §4.3 item). ``customer``'s seeded primary key ``c_custkey`` is
+    covered by the join key, so each orders row matches at most one
+    customer row — the dimension-lookup pattern — and the wrapper injects
+    ``hint("broadcast")`` under a size-estimate cap (core.py
+    ``_pk_join_broadcast_hint``). Catalyst then plans BroadcastHashJoin
+    even where its conservative stats would pick sort-merge (asserted with
+    autoBroadcastJoinThreshold=-1 in tests/test_plans.py); results are
+    byte-identical to the unhinted join, which this oracle checks."""
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    return o.join(c, "c_custkey").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )

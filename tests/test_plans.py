@@ -113,6 +113,59 @@ class TestWrapperPlanInvisibility:
         raw = build(spark.read.parquet(path))
         assert normalize(plan_of(wrapped)) == normalize(plan_of(raw))
 
+    def test_pk_join_broadcast_hint(self, spark):
+        """SURVEY §4.3b (VERDICT r5 #4): joining on a side whose declared
+        primary_key is covered by the join keys injects hint('broadcast')
+        under a size cap — BroadcastHashJoin where raw PySpark, with stats
+        disabled (autoBroadcastJoinThreshold=-1), picks sort-merge."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            c = load_table(spark, SF, "customer")
+            o = load_table(spark, SF, "orders").select(
+                F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+            )
+            hinted = o.join(c, "c_custkey")
+            raw = o.to_spark().join(c.to_spark(), "c_custkey")
+            assert "BroadcastHashJoin" in plan_of(hinted)
+            assert "SortMergeJoin" in plan_of(raw)
+            # identical results to the unhinted join (the q54 oracle checks
+            # against DuckDB too; this pins hinted == raw directly)
+            assert hinted.count() == raw.count()
+
+            # size cap: with the threshold forced to 1 byte the hint stays off
+            spark.conf.set("spark.metaframe.pkJoinBroadcastThreshold", "1")
+            capped = o.join(c, "c_custkey")
+            assert "SortMergeJoin" in plan_of(capped)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.metaframe.pkJoinBroadcastThreshold")
+
+    def test_pk_hint_skips_non_covering_and_column_conditions(self, spark):
+        """No hint when the join keys don't cover the other side's PK (the
+        join may fan out) or when the condition is a Column expression
+        (not provably an equi-join on names)."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            o = load_table(spark, SF, "orders")
+            # customer keyed by its PK but joined on a non-PK column
+            c = load_table(spark, SF, "customer")
+            j = o.select(F.col("o_custkey").alias("c_nationkey"), "o_orderkey").join(
+                c.select("c_nationkey", "c_name").set_metadata(
+                    primary_key=["c_custkey"]
+                ),
+                "c_nationkey",
+            )
+            assert "BroadcastHashJoin" not in plan_of(j)
+            # Column condition: PK covered semantically, but not by names
+            j2 = o.join(
+                c, o.to_spark()["o_custkey"] == c.to_spark()["c_custkey"]
+            )
+            assert "BroadcastHashJoin" not in plan_of(j2)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     def test_aggregation_does_mapside_combine(self, spark):
         """The flagship agg must do a partial (map-side) aggregate before
         the exchange — only pre-aggregated group rows cross the shuffle,

@@ -193,3 +193,45 @@ class TestDistributedPercentiles:
             .collect()
         }
         assert got == want
+
+    def test_null_group_key_is_a_group(self, spark):
+        """A NULL group key is a real group (SQL GROUP BY semantics); the
+        offset/target joins must be null-safe or the group vanishes."""
+        from metaframe_spark.operators.percentiles import grouped_exact_percentiles
+
+        rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+        out = {
+            r.g: (r.p50, r.n)
+            for r in grouped_exact_percentiles(
+                df, ["g"], "v", [(0.5, "p50")]
+            ).collect()
+        }
+        assert out["a"] == (2.0, 2)
+        assert out[None] == (20.0, 3)
+        want = {
+            r.g: (r.p50, r.n)
+            for r in df.groupBy("g")
+            .agg(
+                F.expr("percentile(v, 0.5D)").alias("p50"),
+                F.count("v").alias("n"),
+            )
+            .collect()
+        }
+        assert out == want
+
+    def test_group_cardinality_guard(self, spark):
+        """Driver state is O(partitions x groups): refuse high-cardinality
+        groupings with an actionable error instead of melting the driver."""
+        from metaframe_spark.operators.percentiles import grouped_exact_percentiles
+
+        df = spark.range(50).select(
+            F.col("id").cast("string").alias("g"),
+            F.col("id").cast("double").alias("v"),
+        )
+        with pytest.raises(ValueError, match="distinct groups"):
+            grouped_exact_percentiles(
+                df, ["g"], "v", [(0.5, "p50")], max_groups=10
+            )
+        with pytest.raises(ValueError, match="group_cols"):
+            grouped_exact_percentiles(df, [], "v", [(0.5, "p50")])
