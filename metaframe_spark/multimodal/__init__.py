@@ -6,11 +6,13 @@ typed metadata struct, and run decode / feature-extraction as Arrow-batched
 ``mapInPandas`` stages so the Python boundary is crossed once per batch,
 never per row.
 
-The decode step itself is STUBBED here (the image/audio codec libraries
-are not available in this environment — see :func:`decode_image`); the
-Spark-side plumbing — schema, batch iteration, partition-preserving UDF
-signature — is real and tested. Swap ``_decode_stub`` for a PIL/ffmpeg
-call and nothing else changes.
+The decode step tries a REAL codec first when one is importable: Pillow
+(PIL), probed inside the executor-side UDF so the plumbing works whether
+or not the driver environment has it. Payloads PIL cannot decode — and
+every payload when PIL is absent (this sandbox) — fall back to a
+deterministic sha256-derived stub, which keeps the whole pipeline
+SQL-reproducible for the DuckDB oracle. ``mode`` records which path ran:
+a real PIL mode string ("RGB", "L", ...) or ``"stub"``.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ MEDIA_META_SCHEMA = StructType(
         StructField("sha256", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
+        StructField("mode", StringType()),
     ]
 )
 
@@ -50,15 +53,26 @@ def attach_demo_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload into (width, height, pixels).
+    """Decode an image payload into (width, height, mode).
 
-    STUB: real codecs (PIL/opencv/ffmpeg) are not installed in this
-    environment. The deterministic fake below derives dimensions from the
-    payload digest so downstream plumbing has stable, testable values.
-    Replace this function body with e.g. ``PIL.Image.open(io.BytesIO(p))``
-    in a real deployment.
+    Uses Pillow when importable (``pip install Pillow`` in a real
+    deployment); raises ``NotImplementedError`` otherwise — the capability
+    probe callers can catch. The Spark pipeline never calls this directly:
+    :func:`extract_media_metadata` embeds the same try-PIL-else-stub logic
+    inside its executor-side UDF so undecodable payloads degrade to the
+    deterministic stub instead of failing the stage.
     """
-    raise NotImplementedError("image codecs unavailable in this environment")
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent in sandbox
+        raise NotImplementedError(
+            "image decode requires Pillow (pip install Pillow); "
+            "extract_media_metadata falls back to a deterministic stub"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, img.mode
 
 
 def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -76,24 +90,37 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def extract(batches: Iterator) -> Iterator:
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as pd
 
-        def decode_stub(payload: bytes) -> tuple:
-            # deterministic fake decode: dimensions derived from the sha256
-            # (swap for a real codec call — see module docstring)
+        try:  # executor-side capability probe: PIL when present, stub else
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def decode(payload: bytes) -> tuple:
             digest = _hashlib.sha256(payload).hexdigest()
+            if _Image is not None and payload:
+                try:
+                    with _Image.open(_io.BytesIO(payload)) as img:
+                        return digest, img.width, img.height, img.mode
+                except Exception:
+                    pass  # not a decodable image — deterministic stub below
+            # stub: dimensions derived from the sha256 so downstream
+            # plumbing has stable, SQL-reproducible values
             width = 64 + int(digest[:4], 16) % 1984  # 64..2047
             height = 64 + int(digest[4:8], 16) % 1984
-            return digest, width, height
+            return digest, width, height, "stub"
 
         for pdf in batches:
-            digests, widths, heights = [], [], []
+            digests, widths, heights, modes = [], [], [], []
             for payload in pdf["payload"]:
-                digest, w, h = decode_stub(b"" if payload is None else bytes(payload))
+                digest, w, h, m = decode(b"" if payload is None else bytes(payload))
                 digests.append(digest)
                 widths.append(w)
                 heights.append(h)
+                modes.append(m)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -102,6 +129,7 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "sha256": digests,
                     "width": widths,
                     "height": heights,
+                    "mode": modes,
                 }
             )
 

@@ -496,6 +496,50 @@ def jaccard_similarity_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Input/output are
+    undirected edge sets stored one row per edge (output oriented
+    src > dst)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("_m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward its larger endpoint,
+    then connect every smaller neighbor (and the center) to the minimum.
+    Output oriented src > dst; self-loops dropped."""
+    oriented = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    spokes = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    centers = mins.select("src", F.col("_m").alias("dst"))
+    return (
+        spokes.unionByName(centers)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def near_dup_groups(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -506,57 +550,74 @@ def near_dup_groups(
     returns (id, group_id) where group_id is the smallest id in the
     component — the canonical survivor.
 
-    Iterative label propagation in pure DataFrame ops: every node starts
-    labeled with itself; each round, every node adopts the minimum label in
-    its neighborhood; converges in O(component diameter) rounds (dup
-    clusters are shallow — chains longer than ~10 are pathological).
-    Each round is one join + one aggregation; iteration stops early when a
-    round changes nothing. This is the standard large-scale alternative to
-    driver-side union-find, which dies once the pair list outgrows memory.
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) in pure
+    DataFrame ops: each round halves chain depth, so convergence is
+    O(log diameter) rounds — vs O(diameter) for plain min-label
+    propagation (VERDICT r5 #6) — with every round just two
+    groupBy-min + broadcast-or-shuffle joins over the current edge set,
+    whose size never exceeds the input edge count. The fixpoint is a
+    forest of stars rooted at each component's minimum id, read off as
+    the (child, root) edge list. This is the standard large-scale
+    alternative to driver-side union-find, which dies once the pair list
+    outgrows memory.
+
+    Convergence detection: count + order-independent xxhash64 sum over the
+    canonically-oriented edge set — an exact set-difference check would
+    cost another join per round. A false "converged" needs two DIFFERENT
+    edge sets with equal count and equal 64-bit hash sum in consecutive
+    rounds (~2^-64); accepted.
+
+    ``near_dup_groups.last_rounds`` records the rounds of the most recent
+    call (introspection for the O(log d) test; not part of the API).
     """
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    # materialize the edge list ONCE: every iteration joins against it
-    # twice, and without a checkpoint each of those joins would re-run the
-    # entire upstream pair-generation pipeline (LSH candidates + exact
-    # verification) — at any scale the dominant cost by far
+    # materialize the edge list ONCE: every round traverses it and without
+    # a checkpoint each round would re-run the entire upstream
+    # pair-generation pipeline (LSH candidates + exact verification) —
+    # at any scale the dominant cost by far
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    # all node ids, pinned from the ORIGINAL edges (star rounds rewire
+    # edges, so intermediate edge sets need not mention every node)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+
+    def _sig(e: DataFrame):
+        r = e.select(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_sig = _sig(edges)
+    rounds = 0
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # checkpoint FIRST, then detect changes against the materialized
-        # frame — counting on the un-checkpointed lineage would execute the
-        # round's join twice
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        rounds += 1
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = _sig(edges)
+        if sig == prev_sig:
             break
-    return labels.select(F.col("id"), F.col("label").alias("group_id"))
+        prev_sig = sig
+    near_dup_groups.last_rounds = rounds
+    # fixpoint edges are (child, component-min); roots appear only as dst
+    parents = edges.groupBy("src").agg(F.min("dst").alias("_g"))
+    return (
+        nodes.join(parents, nodes["id"] == parents["src"], "left")
+        .select("id", F.coalesce(F.col("_g"), F.col("id")).alias("group_id"))
+    )
 
 
 def dedup_survivors(

@@ -870,16 +870,20 @@ def llm_ann_topk(spark, sf):
     "CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "
     "sha256(text) AS sha256, "
     "CAST(64 + CAST(('0x' || substr(sha256(text), 1, 4)) AS INTEGER) % 1984 AS BIGINT) AS width, "
-    "CAST(64 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INTEGER) % 1984 AS BIGINT) AS height "
+    "CAST(64 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INTEGER) % 1984 AS BIGINT) AS height, "
+    "'stub' AS mode "
     "FROM documents",
 )
 def llm_multimodal_extract(spark, sf):
     """Binary-payload metadata extraction via Arrow-batched mapInPandas.
-    The decode step is a deterministic sha256-derived stand-in (no codecs
-    in this environment — see metaframe_spark.multimodal), which makes the
-    whole pipeline — payload bytes, digest, derived dimensions — exactly
-    reproducible in SQL: the oracle recomputes it engine-side, verifying
-    the Arrow batch plumbing end-to-end."""
+    The executor-side UDF tries Pillow first and falls back to a
+    deterministic sha256-derived stub for undecodable payloads (see
+    metaframe_spark.multimodal). The demo payloads are utf-8 text — never
+    a decodable image — so the stub path runs regardless of whether PIL is
+    installed, keeping the whole pipeline (payload bytes, digest, derived
+    dimensions, mode='stub') exactly reproducible in SQL: the oracle
+    recomputes it engine-side, verifying the Arrow batch plumbing
+    end-to-end."""
     from .multimodal import attach_demo_payload, extract_media_metadata
 
     d = load_table(spark, sf, "documents")

@@ -366,22 +366,57 @@ class TestMultimodal:
         from metaframe_spark.multimodal import attach_demo_payload, extract_media_metadata
 
         out = extract_media_metadata(attach_demo_payload(docs, "text"))
-        assert out.columns == ["doc_id", "media_type", "size_bytes", "sha256", "width", "height"]
+        assert out.columns == [
+            "doc_id", "media_type", "size_bytes", "sha256", "width", "height", "mode",
+        ]
         rows = out.orderBy("doc_id").limit(5).collect()
         assert len(rows) == 5
         for r in rows:
             assert r.size_bytes > 0
             assert len(r.sha256) == 64
             assert 64 <= r.width < 2048 and 64 <= r.height < 2048
+            # utf-8 text payloads are never decodable images — stub path
+            assert r.mode == "stub"
         # deterministic: same payload -> same metadata
         again = extract_media_metadata(attach_demo_payload(docs, "text"))
         assert again.exceptAll(out).count() == 0
 
-    def test_decode_stub_raises(self):
+    def test_decode_without_pillow_raises(self):
+        """Capability probe: NotImplementedError when Pillow is absent,
+        real decode when present (the PIL path is tested separately)."""
         from metaframe_spark.multimodal import decode_image
 
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG")
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                decode_image(b"\x89PNG")
+        else:
+            with pytest.raises(Exception):  # garbage bytes, real codec
+                decode_image(b"\x89PNG")
+
+    def test_pil_decode_path(self, spark):
+        """Real-codec path (skipped in codec-less sandboxes): a genuine
+        PNG payload decodes to its true dimensions + PIL mode, while an
+        undecodable payload in the SAME batch falls back to the stub."""
+        PIL = pytest.importorskip("PIL")  # noqa: F841
+        from PIL import Image
+        import io as _io
+
+        from metaframe_spark.multimodal import decode_image, extract_media_metadata
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (7, 5)).save(buf, format="PNG")
+        png = buf.getvalue()
+        assert decode_image(png) == (7, 5, "RGB")
+
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(png)), (2, "image/fake", bytearray(b"not an image"))],
+            "doc_id long, media_type string, payload binary",
+        )
+        got = {r.doc_id: r for r in extract_media_metadata(df).collect()}
+        assert (got[1].width, got[1].height, got[1].mode) == (7, 5, "RGB")
+        assert got[2].mode == "stub"
 
     def test_resize_media_truncates_deterministically(self, spark, docs):
         from metaframe_spark.multimodal import attach_demo_payload, resize_media
@@ -490,6 +525,47 @@ class TestNearDupGroups:
             spark.createDataFrame(chain, "id_a long, id_b long")
         ).collect()}
         assert set(groups.values()) == {0}
+
+    def test_chain_rounds_logarithmic(self, spark):
+        """Large-star/small-star contraction (VERDICT r5 #6): a 512-node
+        chain (diameter 511, which plain min-label propagation needs ~511
+        rounds for) must converge in O(log n) rounds."""
+        from metaframe_spark.operators.dedup import near_dup_groups
+
+        n = 512
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        groups = {r.id: r.group_id for r in near_dup_groups(chain).collect()}
+        assert groups == {i: 0 for i in range(n)}
+        # log2(512)=9; the alternating algorithm takes ~log rounds + the
+        # final no-change round. 14 is a loose O(log) bound, far under 511.
+        assert near_dup_groups.last_rounds <= 14
+
+    def test_mixed_components_with_shared_minimum_shape(self, spark):
+        """Star contraction must be exact on shapes that stress it: a
+        hub-and-spoke, a triangle with a pendant, and interleaved ids."""
+        from metaframe_spark.operators.dedup import near_dup_groups
+
+        pairs = [
+            # hub 100 with spokes (min is a spoke, 5)
+            (100, 5), (100, 50), (100, 70),
+            # triangle 8-9-20 with pendant 21
+            (8, 9), (9, 20), (8, 20), (20, 21),
+            # two-node with inverted input order
+            (33, 30),
+        ]
+        got = {
+            r.id: r.group_id
+            for r in near_dup_groups(
+                spark.createDataFrame(pairs, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == {
+            5: 5, 50: 5, 70: 5, 100: 5,
+            8: 8, 9: 8, 20: 8, 21: 8,
+            30: 30, 33: 30,
+        }
 
     def test_end_to_end_minhash_to_survivors(self, spark, docs):
         from metaframe_spark.operators.dedup import dedup_survivors
