@@ -73,21 +73,6 @@ def grouped_exact_percentiles(
         df.select(*group_cols, F.col(value_col).cast("double").alias("_v"))
         .filter(F.col("_v").isNotNull())
     )
-    # Guard BEFORE the expensive range-repartition + collect: the driver
-    # holds offsets for partitions × groups rows, which only works for the
-    # few-huge-groups regime this operator exists for.
-    n_groups = (
-        rel.select(*group_cols).distinct().limit(max_groups + 1).count()
-    )
-    if n_groups > max_groups:
-        raise ValueError(
-            f"grouped_exact_percentiles saw more than {max_groups} distinct "
-            "groups; with many small groups use the built-in exact "
-            "aggregate instead — its parallelism equals the group count: "
-            'df.groupBy(*group_cols).agg(F.expr("percentile(col, p)")). '
-            "Raise max_groups only if the driver can hold "
-            "partitions x groups offset rows."
-        )
     sorted_rel = (
         rel.repartitionByRange(*[F.asc(c) for c in group_cols], F.asc("_v"))
         .sortWithinPartitions(*[F.asc(c) for c in group_cols], F.asc("_v"))
@@ -96,7 +81,27 @@ def grouped_exact_percentiles(
         # boundaries / pid assignment; released after materialization below
         .persist()
     )
-    cnts = sorted_rel.groupBy("_pid", *group_cols).count().collect()
+    # Guard BEFORE the collect: the driver holds offsets for partitions ×
+    # groups rows, which only works for the few-huge-groups regime this
+    # operator exists for. The check rides on the (tiny, cached) counts
+    # relation — one extra action, no extra source scan.
+    cnts_df = sorted_rel.groupBy("_pid", *group_cols).count().persist()
+    n_groups = (
+        cnts_df.select(*group_cols).distinct().limit(max_groups + 1).count()
+    )
+    if n_groups > max_groups:
+        cnts_df.unpersist()
+        sorted_rel.unpersist()
+        raise ValueError(
+            f"grouped_exact_percentiles saw more than {max_groups} distinct "
+            "groups; with many small groups use the built-in exact "
+            "aggregate instead — its parallelism equals the group count: "
+            'df.groupBy(*group_cols).agg(F.expr("percentile(col, p)")). '
+            "Raise max_groups only if the driver can hold "
+            "partitions x groups offset rows."
+        )
+    cnts = cnts_df.collect()
+    cnts_df.unpersist()
 
     # per-group totals and per-(pid, group) start offsets, driver-side
     totals: Dict[tuple, int] = {}
