@@ -584,13 +584,14 @@ def near_dup_groups(
     # pair-generation pipeline (LSH candidates + exact verification) —
     # at any scale the dominant cost by far
     edges = edges.localCheckpoint(eager=True)
-    # all node ids, pinned from the ORIGINAL edges (star rounds rewire
-    # edges, so intermediate edge sets need not mention every node)
+    # all node ids, from the ORIGINAL edges (star rounds rewire edges, so
+    # intermediate edge sets need not mention every node); lazy — read off
+    # the checkpoint by the final labels plan, no eager job of its own
+    edges0 = edges
     nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        edges0.select(F.col("src").alias("id"))
+        .unionByName(edges0.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sig(e: DataFrame):
@@ -602,7 +603,10 @@ def near_dup_groups(
         ).first()
         return (r["n"], r["h"])
 
-    prev_sig = _sig(edges)
+    # convergence = two consecutive round outputs identical; seeding
+    # prev_sig lazily (round 1's output) saves the initial signature job at
+    # the cost of one extra round in the rare already-converged-input case
+    prev_sig = None
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
