@@ -24,6 +24,7 @@ _EXPORTS = {
     "read_json": ("metaframe_spark.io", "read_json"),
     "read_orc": ("metaframe_spark.io", "read_orc"),
     "read_text": ("metaframe_spark.io", "read_text"),
+    "read_xml": ("metaframe_spark.io", "read_xml"),
     "read_binary_files": ("metaframe_spark.io", "read_binary_files"),
     "load_table": ("metaframe_spark.io", "load_table"),
     "wrap": ("metaframe_spark.io", "wrap"),

@@ -159,6 +159,29 @@ def read_text(
     return _read_path(spark, "text", path, metadata, restore_metadata, **options)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    metadata: Optional[Dict[str, Any]] = None,
+    restore_metadata: bool = True,
+    **options: Any,
+) -> MetaFrame:
+    """XML ingestion via Spark 4's BUILT-IN xml source (spark-xml was
+    merged into core in 4.0 — no external jar). One row per ``row_tag``
+    element; schema inferred unless passed via ``options``. Same
+    distributed-scan shape as json: files split across tasks, each task
+    parses its elements. Sidecar metadata restored as for every other
+    path-based reader."""
+    md = dict(_read_sidecar(path)) if restore_metadata else {}
+    if metadata:
+        md.update(metadata)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return MetaFrame(reader.load(path), md)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

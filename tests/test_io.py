@@ -38,6 +38,27 @@ def test_sidecar_roundtrip(spark, frame, tmp_path, fmt):
     assert back.count() == 10
 
 
+def test_xml_roundtrip_with_sidecar(spark, frame, tmp_path):
+    """Spark 4's built-in xml source (no external jar): write via the
+    wrapped writer (sidecar included), read back with schema + metadata
+    intact through read_xml."""
+    from metaframe_spark.io import read_xml
+
+    path = str(tmp_path / "out_xml")
+    (
+        frame.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "r")
+        .save(path)
+    )
+    back = read_xml(spark, path, row_tag="r")
+    assert back.metadata == MD
+    assert back.count() == 10
+    vals = {r.o_orderkey: r.val for r in back.collect()}
+    assert vals[3] == 7.5
+
+
 def test_sidecar_roundtrip_file_uri(spark, frame, tmp_path):
     path = "file://" + str(tmp_path / "out_uri")
     frame.write.mode("overwrite").parquet(path)
