@@ -29,6 +29,7 @@ _EXPORTS = {
     "load_table": ("metaframe_spark.io", "load_table"),
     "wrap": ("metaframe_spark.io", "wrap"),
     "read_file_stream": ("metaframe_spark.streaming", "read_file_stream"),
+    "stream_exact_dedup": ("metaframe_spark.streaming", "stream_exact_dedup"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),
 }
 

@@ -466,9 +466,15 @@ class MetaFrame(DataFrame):
         }:
             return args, kwargs
         try:
-            size = int(
-                other.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
+            # cache the estimate on the DataFrame: its plan is immutable, and
+            # re-running the optimizer for every join against the same dim
+            # would add driver latency to wide query graphs
+            size = getattr(other.df, "_mf_size_estimate", None)
+            if size is None:
+                size = int(
+                    other.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                other.df._mf_size_estimate = size
             cap = int(
                 self.df.sparkSession.conf.get(
                     self._PK_BROADCAST_CONF, str(self.PK_BROADCAST_MAX_BYTES)

@@ -185,6 +185,40 @@ def running_total_with_state(
     )
 
 
+def stream_exact_dedup(
+    stream,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup for continuous corpus ingestion: drop rows
+    whose normalized content digest was already seen within the watermark
+    horizon — the streaming twin of
+    :func:`~metaframe_spark.operators.dedup.exact_dedup_rows`.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the 256-bit content
+    digest (uniform by construction — no hot state-store partitions) and
+    evicts each digest once the watermark passes, so state is bounded by
+    the dedup horizon, not by stream history. An unbounded cross-history
+    guarantee is the batch operator's job (or
+    :func:`~metaframe_spark.operators.dedup.dedup_against` against a
+    digest snapshot); a streaming state store must not grow forever.
+
+    Works on batch frames too (watermark + within-watermark dedup degrade
+    to plain dropDuplicates semantics there), which is how the
+    streaming ≡ batch test pins the semantics.
+    """
+    from ..operators.dedup import content_hash
+
+    out = (
+        stream.withColumn("_digest", content_hash(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+    return out
+
+
 def running_count_with_state(stream, key_col: str = "event_type", timeout_s: int = 3600):
     """Custom stateful operator via ``applyInPandasWithState``: a running
     per-key event count maintained in explicit GroupState — the escape

@@ -116,6 +116,58 @@ def test_dropduplicates_within_watermark_end_to_end(spark, stream_dir, tmp_path)
     assert got.filter(SF.col("c") > 1).count() == 0  # exactly-once per id
 
 
+def test_stream_exact_dedup_matches_batch_distincts(spark, tmp_path):
+    """stream_exact_dedup: continuous-ingestion exact dedup keyed on the
+    content digest. A corpus written with every text duplicated (fresh
+    doc_ids) must drain to exactly one row per distinct text — the same
+    distinct-content set the batch operator keeps. Survivor IDENTITY is
+    arrival-order-dependent in a stream, so the check pins the content
+    set, not the ids."""
+    from metaframe_spark.streaming import stream_exact_dedup
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .to_spark()
+        .limit(60)
+        .select("doc_id", "text")
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    )
+    dups = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "ts"
+    )
+    src = str(tmp_path / "docs_dup")
+    docs.unionByName(dups).repartition(4).write.parquet(src)
+
+    stream = read_file_stream(
+        spark, src, spark.read.parquet(src).schema, metadata={"k": "v"}
+    )
+    deduped = stream_exact_dedup(stream, "text", "ts", watermark="1 hour")
+    assert isinstance(deduped, MetaFrame)
+    assert deduped.metadata["k"] == "v"
+    assert deduped.columns == ["doc_id", "text", "ts"]  # helper column dropped
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select text from sdedup")
+    from metaframe_spark.operators.dedup import content_hash
+
+    assert got.count() == got.distinct().count()
+    want = docs.select(content_hash(F.col("text")).alias("d")).distinct().count()
+    assert (
+        got.select(content_hash(F.col("text")).alias("d")).distinct().count()
+        == want
+        == got.count()
+    )
+
+
 def test_foreachbatch_sink_delivers_every_micro_batch(spark, stream_dir):
     """foreachBatch — the custom-sink escape hatch (upserts, JDBC, training
     shard push): the per-batch callback must see every row exactly once
