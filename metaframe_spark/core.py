@@ -447,6 +447,13 @@ class MetaFrame(DataFrame):
         how = (args[2] if len(args) > 2 else kwargs.get("how")) or "inner"
         if not isinstance(other, MetaFrame) or not isinstance(other.df, DataFrame):
             return args, kwargs
+        try:
+            # never hint a streaming side: stream-stream joins must shuffle
+            # both sides, and a broadcast hint there is wrong at any size
+            if other.df.isStreaming:
+                return args, kwargs
+        except Exception:
+            return args, kwargs
         pk = other.metadata.get("primary_key")
         if not pk:
             return args, kwargs
