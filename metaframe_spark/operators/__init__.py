@@ -49,6 +49,7 @@ from .similarity import (
 from .text import (
     bm25_scores,
     bpe_token_count,
+    c4_line_filter,
     doc_fingerprint,
     language_scores,
     ngram_vocabulary,
@@ -66,6 +67,7 @@ __all__ = [
     "asof_join",
     "bpe_token_count",
     "brute_force_topk",
+    "c4_line_filter",
     "content_hash",
     "cosine_expr",
     "cosine_pairs_exact",

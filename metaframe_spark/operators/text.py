@@ -134,6 +134,53 @@ def mask_pii(col) -> Column:
     return F.regexp_replace(masked, PHONE_RE, "<PHONE>")
 
 
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, §2.2 — the public
+    rule set behind the C4 corpus): split each document into lines and keep
+    only lines that
+
+    - end in terminal punctuation (``. ! ? "``),
+    - contain at least ``min_words_per_line`` words,
+    - do not contain the placeholder phrase "lorem ipsum" (any case),
+    - do not contain a curly brace (code, not prose),
+    - do not contain the word "javascript" (enable-JS boilerplate).
+
+    Documents whose surviving line count falls below ``min_lines`` are
+    dropped. Returns the input rows (filtered) with ``text_col`` REPLACED
+    by the re-joined surviving lines plus ``n_lines_kept`` /
+    ``n_lines_total`` yield columns.
+
+    Scale shape: one higher-order ``filter`` lambda over the split-line
+    array — per-row whole-stage codegen, no explode, no shuffle, no
+    Python. Complements :func:`quality_features` (document-level score):
+    run the line scrub first, score the cleaned text after.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep = (
+        "l -> ("
+        "trim(l) RLIKE '[.!?\"]$' "
+        f"AND size(filter(split(trim(l), '\\\\s+'), w -> w != '')) >= {int(min_words_per_line)} "
+        "AND NOT contains(lower(l), 'lorem ipsum') "
+        "AND NOT contains(l, '{') "
+        "AND NOT lower(l) RLIKE '\\\\bjavascript\\\\b')"
+    )
+    out = (
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", F.expr(f"filter(_lines, {keep})"))
+        .withColumn("n_lines_total", F.size("_lines").cast("long"))
+        .withColumn("n_lines_kept", F.size("_kept").cast("long"))
+        .filter(F.col("n_lines_kept") >= int(min_lines))
+        .withColumn(text_col, F.array_join(F.col("_kept"), "\n"))
+        .drop("_lines", "_kept")
+    )
+    return out
+
+
 def bpe_token_count(col) -> Column:
     """Count of BPE-style pre-tokens (letter runs, digit runs, single
     symbols) — the standard cheap proxy for a trained tokenizer's token

@@ -707,6 +707,65 @@ class TestPiiMask:
         assert got[4] == "<EMAIL> and <PHONE>."
 
 
+class TestC4LineFilter:
+    def test_each_rule_and_rejoin(self, spark):
+        """Every published C4 line rule fires independently; survivors are
+        re-joined in original order and yield counts are exact."""
+        from metaframe_spark.operators import c4_line_filter
+
+        doc = "\n".join(
+            [
+                "This is a perfectly fine sentence.",        # keep
+                "Short one.",                                # < 3 words
+                "no terminal punctuation here",              # no ./!/?/"
+                "Lorem Ipsum dolor sit amet placeholder.",   # lorem ipsum
+                "A config value { nested } in prose.",       # curly brace
+                "Please enable JavaScript to view this.",    # javascript
+                'He said "this quoted line survives."',      # keep (quote end)
+                "Does a question mark count as terminal?",   # keep
+            ]
+        )
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        out = c4_line_filter(df, "text").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_lines_total == 8
+        assert r.n_lines_kept == 3
+        assert r.text.split("\n") == [
+            "This is a perfectly fine sentence.",
+            'He said "this quoted line survives."',
+            "Does a question mark count as terminal?",
+        ]
+
+    def test_min_lines_drops_documents(self, spark):
+        from metaframe_spark.operators import c4_line_filter
+
+        rows = [
+            (1, "Only one good sentence lives here.\nbad line"),
+            (2, "First good sentence right here.\nSecond good sentence also here."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {r.doc_id for r in c4_line_filter(df, "text", min_lines=2).collect()}
+        assert kept == {2}
+        # min_lines=1 keeps both, and doc 1's text shrinks to its one line
+        one = {r.doc_id: r.text for r in c4_line_filter(df, "text").collect()}
+        assert one[1] == "Only one good sentence lives here."
+
+    def test_plan_is_shuffle_free_codegen(self, spark, docs):
+        """The scrub must stay row-local: no Exchange, no Python eval."""
+        from metaframe_spark.operators import c4_line_filter
+
+        raw = docs.to_spark() if hasattr(docs, "to_spark") else docs
+        plan = (
+            c4_line_filter(raw, "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # pure codegen, no UDF boundary
+
+
 class TestChunking:
     def test_overlap_and_coverage(self, spark):
         from metaframe_spark.operators.text import chunk_documents
