@@ -27,6 +27,7 @@ from .dedup import (
     simhash_by_id,
     simhash_column,
     simhash_near_dup_pairs,
+    span_dedup,
 )
 from .percentiles import grouped_exact_percentiles
 from .sampling import (
@@ -91,6 +92,7 @@ __all__ = [
     "tfidf_top_terms",
     "normalize_text",
     "quality_features",
+    "span_dedup",
     "scalar_quantize",
     "shingles",
     "simhash_by_id",

@@ -56,6 +56,83 @@ def exact_dedup(
     )
 
 
+#: sentence boundary: whitespace following terminal punctuation. Java-regex
+#: lookbehind (fine engine-side; this operator has no SQL oracle — span
+#: winners depend on global order, which the per-rule tests pin instead).
+SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+"
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_sentences: int = 3,
+    joiner: str = " ",
+) -> DataFrame:
+    """C4-style GLOBAL span dedup (Raffel et al. 2020, §2.2): any exact
+    ``n_sentences``-sentence span that occurs more than once in the corpus
+    is kept only at its canonical occurrence — the lowest ``(id, position)``
+    — and every sentence covered by a losing span is removed from its
+    document. The boilerplate killer: nav bars, footers, license blocks
+    repeated across millions of pages disappear even when the surrounding
+    documents differ.
+
+    Returns the input rows with ``text_col`` replaced by the surviving
+    sentences (re-joined with ``joiner``; original inter-sentence
+    whitespace is normalized) plus ``n_spans_removed``. Documents with
+    fewer than ``n_sentences`` sentences pass through untouched. A
+    document that was entirely boilerplate comes back with empty text —
+    callers filter on ``length(text) > 0`` (kept so yield accounting sees
+    the row, matching :func:`~metaframe_spark.pipeline.curate_corpus`'s
+    per-stage counts).
+
+    Scale shape: the exploded relation is one (id, pos, hash) row per
+    span — three longs, regardless of sentence length; one groupBy on the
+    64-bit span hash (uniform — no skew), one hash-join back, one
+    per-document regroup of losing positions. Sentence removal itself is a
+    higher-order ``filter`` with index — codegen, row-local. No
+    all-pairs anything; cost is O(spans) + two bounded shuffles.
+    """
+    n = int(n_sentences)
+    sents = F.split(F.col(text_col), SENTENCE_SPLIT_RE)
+    base = df.withColumn("_sents", sents).withColumn(
+        "_spanh",
+        F.expr(
+            f"CASE WHEN size(_sents) >= {n} THEN "
+            f"transform(sequence(0, size(_sents) - {n}), "
+            f"i -> xxhash64(concat_ws(' ', slice(_sents, i + 1, {n})))) "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        ),
+    )
+    ex = base.select(
+        F.col(id_col), F.posexplode("_spanh").alias("_pos", "_h")
+    )
+    # canonical occurrence per span text: lexicographic min of (id, pos) —
+    # min over a struct is a map-side partial agg, no window sort
+    winners = ex.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias("_w")
+    )
+    losers = (
+        ex.join(winners, "_h")
+        .filter(
+            (F.col(id_col) != F.col("_w.i")) | (F.col("_pos") != F.col("_w.p"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_lose"))
+    )
+    covered = (
+        f"(s, j) -> NOT exists(coalesce(_lose, CAST(array() AS array<int>)), "
+        f"p -> j >= p AND j <= p + {n - 1})"
+    )
+    out = (
+        base.join(losers, id_col, "left")
+        .withColumn("n_spans_removed", F.coalesce(F.size("_lose"), F.lit(0)).cast("long"))
+        .withColumn(text_col, F.array_join(F.expr(f"filter(_sents, {covered})"), joiner))
+        .drop("_sents", "_spanh", "_lose")
+    )
+    return out
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

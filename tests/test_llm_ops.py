@@ -707,6 +707,78 @@ class TestPiiMask:
         assert got[4] == "<EMAIL> and <PHONE>."
 
 
+class TestSpanDedup:
+    S = [
+        "Alpha sentence number one.",
+        "Beta sentence number two.",
+        "Gamma sentence number three.",
+        "Delta sentence number four.",
+        "Epsilon sentence number five.",
+    ]
+
+    def test_cross_doc_boilerplate_removed_once(self, spark):
+        """A 3-sentence block shared by two docs survives only in the
+        canonical (lowest-id) doc; the loser keeps its unique sentences."""
+        from metaframe_spark.operators import span_dedup
+
+        block = " ".join(self.S[:3])
+        rows = [
+            (1, block + " " + "Unique closing line for doc one."),
+            (2, "Unique opener for doc two. " + block),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in span_dedup(df).collect()}
+        # doc 1: spans (0,1) both win (first occurrence) -> untouched
+        assert got[1].text == rows[0][1]
+        assert got[1].n_spans_removed == 0
+        # doc 2: its copy of the block loses; opener survives. The block
+        # occupies sentence positions 1-3 of doc 2; spans starting at 1
+        # lose, covering sentences 1..3.
+        assert got[2].n_spans_removed >= 1
+        assert got[2].text == "Unique opener for doc two."
+
+    def test_short_docs_pass_through(self, spark):
+        from metaframe_spark.operators import span_dedup
+
+        rows = [(1, "Only two sentences here. Second one now.")]
+        out = span_dedup(spark.createDataFrame(rows, "doc_id long, text string")).collect()[0]
+        assert out.n_spans_removed == 0
+        assert out.text == "Only two sentences here. Second one now."
+
+    def test_identical_docs_loser_empties(self, spark):
+        from metaframe_spark.operators import span_dedup
+
+        text = " ".join(self.S)
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in span_dedup(df).collect()}
+        assert got[1].text == text
+        assert got[2].text == ""  # all sentences covered by losing spans
+        assert got[2].n_spans_removed == 3  # spans at positions 0,1,2
+
+    def test_intra_doc_repeat_removed(self, spark):
+        from metaframe_spark.operators import span_dedup
+
+        block = " ".join(self.S[:3])
+        text = block + " Bridge sentence stands alone. " + block
+        out = span_dedup(
+            spark.createDataFrame([(1, text)], "doc_id long, text string")
+        ).collect()[0]
+        # second copy (positions 4-6) loses; first copy + bridge survive
+        assert out.text == block + " Bridge sentence stands alone."
+        assert out.n_spans_removed >= 1
+
+    def test_plan_no_cartesian_and_uniform_key(self, spark):
+        from metaframe_spark.operators import span_dedup
+
+        df = spark.createDataFrame(
+            [(i, " ".join(self.S)) for i in range(10)], "doc_id long, text string"
+        )
+        plan = span_dedup(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 class TestC4LineFilter:
     def test_each_rule_and_rejoin(self, spark):
         """Every published C4 line rule fires independently; survivors are
