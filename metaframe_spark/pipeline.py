@@ -43,6 +43,8 @@ def curate_corpus(
     keep_langs: Optional[List[str]] = None,
     near_dup_jaccard: float = 0.85,
     n_shards: int = 0,
+    line_filter: bool = False,
+    dedup_spans: bool = False,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -51,15 +53,41 @@ def curate_corpus(
     The counts force one action per stage; for a fire-and-forget pipeline
     call the stages directly and count once at the end.
 
+    ``line_filter=True`` prepends the C4 line-level scrub
+    (:func:`~metaframe_spark.operators.c4_line_filter`);
+    ``dedup_spans=True`` inserts global three-sentence-span dedup
+    (:func:`~metaframe_spark.operators.span_dedup`) after exact dedup,
+    dropping rows whose text was entirely boilerplate. Both default off:
+    they rewrite document text, and the default pipeline is
+    content-preserving.
+
     With ``n_shards > 0`` the result carries ``seq`` (deterministic global
     interleave order) and ``shard`` columns, ready for a partitioned write
     via :func:`~metaframe_spark.operators.write_training_shards`'s layout.
     """
     counts: Dict[str, int] = {"input": df.count()}
 
+    # 0. optional C4 line scrub (drops boilerplate lines + emptied docs)
+    if line_filter:
+        from .operators.text import c4_line_filter
+
+        df = c4_line_filter(df, text_col).drop("n_lines_kept", "n_lines_total")
+        counts["line_filter"] = df.count()
+
     # 1. exact dedup (full surviving rows, min-id survivor)
     cur = exact_dedup_rows(df, text_col, id_col)
     counts["exact_dedup"] = cur.count()
+
+    # 1b. optional global span dedup (cross-corpus boilerplate removal)
+    if dedup_spans:
+        from .operators.dedup import span_dedup
+
+        cur = (
+            span_dedup(cur, text_col, id_col)
+            .drop("n_spans_removed")
+            .filter(F.length(F.col(text_col)) > 0)
+        )
+        counts["span_dedup"] = cur.count()
     # stage 2 traverses this twice (minhash pipeline + the anti-join);
     # released as soon as cur2 is checkpointed below
     cur = cur.persist()

@@ -60,6 +60,38 @@ def test_curate_removes_dups_and_reports_stages(spark, messy):
     assert a == b
 
 
+def test_line_filter_and_span_dedup_stages(spark):
+    """Optional C4 stages: the line scrub drops junk lines pre-dedup, and
+    span dedup removes a cross-document boilerplate footer exactly once,
+    with both stage counts reported."""
+    footer = (
+        "Subscribe to our newsletter today. "
+        "All rights reserved by the site. "
+        "Cookies are required for this site."
+    )
+    rows = [
+        (1, "A genuinely unique first document sentence. Another fine line of prose here. One more to round it out. " + footer),
+        (2, "A different document starts this way. Its second sentence is also unique. The third keeps it distinct. " + footer),
+        (3, "no terminal punctuation so this line dies\n{ code block }\nOnly this surviving sentence stays alive today."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, counts = curate_corpus(
+        df,
+        min_quality=0.0,
+        near_dup_jaccard=0.99,
+        line_filter=True,
+        dedup_spans=True,
+    )
+    assert counts["input"] == 3
+    assert counts["line_filter"] == 3  # doc 3 keeps its one good line
+    assert counts["exact_dedup"] == 3
+    assert counts["span_dedup"] == 3
+    texts = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    assert footer in texts[1]          # canonical occurrence survives
+    assert "newsletter" not in texts[2]  # loser's footer removed
+    assert texts[3] == "Only this surviving sentence stays alive today."
+
+
 def test_quality_and_language_gates(spark, messy):
     out, counts = curate_corpus(
         messy, min_quality=0.35, keep_langs=["en"], near_dup_jaccard=0.8
