@@ -52,6 +52,7 @@ from .text import (
     bpe_token_count,
     c4_line_filter,
     doc_fingerprint,
+    gopher_quality_flags,
     language_scores,
     ngram_vocabulary,
     tfidf_top_terms,
@@ -69,6 +70,7 @@ __all__ = [
     "bpe_token_count",
     "brute_force_topk",
     "c4_line_filter",
+    "gopher_quality_flags",
     "content_hash",
     "cosine_expr",
     "cosine_pairs_exact",

@@ -256,6 +256,109 @@ def quality_features(
     return out
 
 
+#: the Gopher rule-set's required-stopword list (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-rule booleans for the published Gopher quality filters (Rae et
+    al. 2021, Appendix A1.1 — the public rule set behind MassiveText, also
+    used by RefinedWeb/FineWeb):
+
+    - ``g_word_count``: ``min_words`` ≤ word count ≤ ``max_words``;
+    - ``g_mean_word_len``: mean word length in [3, 10];
+    - ``g_symbol_ratio``: (# of ``#`` or ``...``) / words < 0.1;
+    - ``g_bullet_lines``: < 90% of lines start with a bullet marker;
+    - ``g_ellipsis_lines``: < 30% of lines end with "...";
+    - ``g_alpha_words``: ≥ 80% of words contain a letter;
+    - ``g_stopwords``: contains ≥ 2 distinct words of the 8-word Gopher
+      stop list;
+
+    plus the conjunction ``gopher_pass``. Kept as flags, not a filter, so
+    pipelines can report per-rule rejection rates (the data-card numbers)
+    and tune thresholds; ``df.filter("gopher_pass")`` applies the gate.
+
+    Everything is higher-order codegen over the split word/line arrays —
+    per-row, shuffle-free, no Python. The Gopher repetition rules
+    (top-n-gram fraction etc.) live in the separate repetition signal
+    operator; run both for the full published gate.
+    """
+    words = "filter(split(`%s`, '\\\\s+'), w -> w != '')" % text_col
+    lines = "split(`%s`, '\\n')" % text_col
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    out = (
+        df.withColumn("_w", F.expr(words))
+        .withColumn("_l", F.expr(lines))
+        .withColumn("_nw", F.size("_w"))
+        .withColumn(
+            "g_word_count",
+            (F.col("_nw") >= int(min_words)) & (F.col("_nw") <= int(max_words)),
+        )
+        .withColumn(
+            "g_mean_word_len",
+            F.when(F.col("_nw") > 0,
+                   F.expr("aggregate(_w, 0L, (a, w) -> a + length(w))")
+                   / F.col("_nw"))
+            .otherwise(F.lit(0.0))
+            .between(3.0, 10.0),
+        )
+        .withColumn(
+            "g_symbol_ratio",
+            F.when(
+                F.col("_nw") > 0,
+                (
+                    F.size(F.expr(f"regexp_extract_all(`{text_col}`, '#|\\\\.\\\\.\\\\.', 0)"))
+                    / F.col("_nw")
+                ),
+            ).otherwise(F.lit(0.0))
+            < 0.1,
+        )
+        .withColumn(
+            "g_bullet_lines",
+            F.expr("size(filter(_l, l -> trim(l) RLIKE '^[-*\\u2022\\u2023\\u25E6]'))")
+            / F.greatest(F.size("_l"), F.lit(1))
+            < 0.9,
+        )
+        .withColumn(
+            "g_ellipsis_lines",
+            F.expr("size(filter(_l, l -> trim(l) RLIKE '\\\\.\\\\.\\\\.$'))")
+            / F.greatest(F.size("_l"), F.lit(1))
+            < 0.3,
+        )
+        .withColumn(
+            "g_alpha_words",
+            F.when(
+                F.col("_nw") > 0,
+                F.expr("size(filter(_w, w -> w RLIKE '[A-Za-z]'))") / F.col("_nw"),
+            ).otherwise(F.lit(0.0))
+            >= 0.8,
+        )
+        .withColumn(
+            "g_stopwords",
+            F.expr(
+                f"size(array_intersect(transform(_w, w -> lower(w)), array({sw}))) >= 2"
+            ),
+        )
+        .withColumn(
+            "gopher_pass",
+            F.col("g_word_count")
+            & F.col("g_mean_word_len")
+            & F.col("g_symbol_ratio")
+            & F.col("g_bullet_lines")
+            & F.col("g_ellipsis_lines")
+            & F.col("g_alpha_words")
+            & F.col("g_stopwords"),
+        )
+        .drop("_w", "_l", "_nw")
+    )
+    return out
+
+
 def language_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -707,6 +707,70 @@ class TestPiiMask:
         assert got[4] == "<EMAIL> and <PHONE>."
 
 
+class TestGopherFlags:
+    GOOD = (
+        "The quick brown fox jumps over the lazy dog and runs away with "
+        "great speed toward the distant hills where it can be safe from "
+        "hunters that have chased it all day long through fields and "
+        "forests full of life and many other animals that live there too "
+        "while the sun sets slowly over the quiet valley below."
+    )  # 58 words, normal lengths, has the/and/that/have/with/to/of/be
+
+    def _flags(self, spark, text, **kw):
+        from metaframe_spark.operators import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_quality_flags(df, "text", **kw).collect()[0]
+
+    def test_good_document_passes_all(self, spark):
+        r = self._flags(spark, self.GOOD)
+        assert r.gopher_pass
+        for f in (
+            "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+            "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+            "g_stopwords",
+        ):
+            assert getattr(r, f), f
+
+    def test_each_rule_fails_independently(self, spark):
+        cases = {
+            "g_word_count": "Too short to pass the word gate.",
+            "g_mean_word_len": "a b c d e f g h i " * 12,  # mean len 1
+            "g_symbol_ratio": self.GOOD + " " + "# # # # # # # # #" * 2,
+            "g_bullet_lines": "\n".join("- " + self.GOOD for _ in range(10)),
+            "g_ellipsis_lines": "\n".join(
+                [self.GOOD] + [self.GOOD + "..."] * 9
+            ),
+            "g_alpha_words": self.GOOD + " " + " ".join(["12345"] * 40),
+            "g_stopwords": (
+                "Zebra quokka wombat numbat bilby dingo kookaburra emu "
+                "platypus echidna wallaby kangaroo possum bandicoot bettong "
+                "cassowary lyrebird brolga galah cockatoo rosella lorikeet "
+                "budgerigar currawong magpie butcherbird riflebird bowerbird "
+                "catbird figbird honeyeater spinebill pardalote thornbill "
+                "gerygone whiteface chat robin flycatcher fantail drongo "
+                "oriole cuckooshrike triller woodswallow butcherbird magpie "
+                "currawong raven crow chough apostlebird."
+            ),
+        }
+        for rule, text in cases.items():
+            r = self._flags(spark, text)
+            assert not getattr(r, rule), rule
+            assert not r.gopher_pass
+
+    def test_flags_are_reportable_not_destructive(self, spark, docs):
+        """The operator adds flags, never rewrites text or drops rows —
+        rejection-rate reporting is the point."""
+        from metaframe_spark.operators import gopher_quality_flags
+
+        raw = docs.to_spark() if hasattr(docs, "to_spark") else docs
+        out = gopher_quality_flags(raw.limit(50), "text")
+        assert out.count() == 50
+        assert "text" in out.columns and "gopher_pass" in out.columns
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
 class TestSpanDedup:
     S = [
         "Alpha sentence number one.",
