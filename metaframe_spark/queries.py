@@ -2167,3 +2167,111 @@ def q54_pk_broadcast_join(spark, sf):
     return o.join(c, "c_custkey").select(
         "o_orderkey", "c_custkey", "c_name", "o_totalprice"
     )
+
+
+@query(
+    "llm_c4_lines",
+    "WITH lined AS (SELECT doc_id, replace(text, ' merge ', '.' || chr(10)) AS text "
+    "FROM documents), "
+    "split AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined), "
+    "kept AS (SELECT doc_id, len(lines) AS n_lines_total, "
+    "list_filter(lines, l -> regexp_matches(trim(l), '[.!?\"]$') "
+    "AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w != '')) >= 3 "
+    "AND NOT contains(lower(l), 'lorem ipsum') "
+    "AND NOT contains(l, '{') "
+    "AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS keep FROM split) "
+    "SELECT doc_id, array_to_string(keep, chr(10)) AS text, "
+    "CAST(len(keep) AS BIGINT) AS n_lines_kept, "
+    "CAST(n_lines_total AS BIGINT) AS n_lines_total "
+    "FROM kept WHERE len(keep) >= 1",
+)
+def llm_c4_lines(spark, sf):
+    """C4 line-level cleaning (operators/text.py::c4_line_filter) over a
+    line-structured derivation of the documents corpus (the synthetic text
+    has no newlines/punctuation, so ' merge ' becomes a sentence+line
+    break identically in both engines). The oracle re-implements every
+    published rule — terminal punctuation, min words per line,
+    lorem-ipsum, brace, javascript — in RE2, pinning the higher-order
+    filter lambda cross-engine."""
+    from .operators.text import c4_line_filter
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "text", F.expr("replace(text, ' merge ', concat('.', chr(10)))")
+    )
+    return c4_line_filter(d, "text").select(
+        "doc_id", "text", "n_lines_kept", "n_lines_total"
+    )
+
+
+@query(
+    "llm_gopher_flags",
+    "WITH base AS (SELECT doc_id, text, "
+    "list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS words, "
+    "string_split(text, chr(10)) AS lines FROM documents) "
+    "SELECT doc_id, "
+    "len(words) BETWEEN 50 AND 100000 AS g_word_count, "
+    "(CASE WHEN len(words) > 0 THEN "
+    "CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) "
+    "ELSE 0.0 END) BETWEEN 3.0 AND 10.0 AS g_mean_word_len, "
+    "(CASE WHEN len(words) > 0 THEN "
+    "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(words) "
+    "ELSE 0.0 END) < 0.1 AS g_symbol_ratio, "
+    "CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS DOUBLE) "
+    "/ greatest(len(lines), 1) < 0.9 AS g_bullet_lines, "
+    "CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) "
+    "/ greatest(len(lines), 1) < 0.3 AS g_ellipsis_lines, "
+    "(CASE WHEN len(words) > 0 THEN "
+    "CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words) "
+    "ELSE 0.0 END) >= 0.8 AS g_alpha_words, "
+    "len(list_intersect(list_transform(words, w -> lower(w)), "
+    "['the','be','to','of','and','that','have','with'])) >= 2 AS g_stopwords, "
+    "(len(words) BETWEEN 50 AND 100000) "
+    "AND ((CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) ELSE 0.0 END) BETWEEN 3.0 AND 10.0) "
+    "AND ((CASE WHEN len(words) > 0 THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(words) ELSE 0.0 END) < 0.1) "
+    "AND (CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS DOUBLE) / greatest(len(lines), 1) < 0.9) "
+    "AND (CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / greatest(len(lines), 1) < 0.3) "
+    "AND ((CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words) ELSE 0.0 END) >= 0.8) "
+    "AND (len(list_intersect(list_transform(words, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) >= 2) "
+    "AS gopher_pass FROM base",
+)
+def llm_gopher_flags(spark, sf):
+    """Published Gopher quality rules (operators/text.py::
+    gopher_quality_flags) over the raw documents corpus; the oracle
+    recomputes every rule — word-count window, mean word length, symbol
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    stop-word containment — with RE2 + list lambdas, so each per-rule
+    boolean (and the conjunction) is pinned cross-engine per document."""
+    from .operators.text import gopher_quality_flags
+
+    d = load_table(spark, sf, "documents")
+    return gopher_quality_flags(d, "text").select(
+        "doc_id", "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+        "g_stopwords", "gopher_pass",
+    )
+
+
+@query("llm_span_dedup")  # rows-only: winner choice is global-order-dependent
+def llm_span_dedup(spark, sf):
+    """C4 global three-sentence-span dedup (operators/dedup.py::span_dedup)
+    over a sentence-structured derivation of the documents corpus
+    (period after every 8th word). No SQL oracle: the survivor set depends
+    on the global (id, position) order, which the driver's rows-only check
+    plus TestSpanDedup's per-rule unit tests cover instead. Capped to
+    every 10th document to keep the bench entry's span relation small."""
+    from .operators.dedup import span_dedup
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn(
+            "text",
+            F.expr(
+                "concat_ws(' ', transform(split(text, '\\\\s+'), "
+                "(w, i) -> CASE WHEN (i + 1) % 8 = 0 THEN concat(w, '.') ELSE w END))"
+            ),
+        )
+    )
+    return span_dedup(d, "text", "doc_id").select(
+        "doc_id", "text", "n_spans_removed"
+    )
