@@ -1,0 +1,193 @@
+"""Sequence packing: concat-and-chunk a corpus into fixed-length training
+sequences.
+
+LLM pretraining consumes fixed-length token sequences, not documents. The
+standard preparation (GPT-2/3, Llama, most open pipelines) lays the
+tokenized documents end-to-end into one global token stream and cuts it
+every ``seq_len`` tokens; a document that straddles a cut contributes a
+slice to each sequence it overlaps. :func:`pack_sequences` computes that
+assignment — which (document, token-slice) lands in which training
+sequence — as a deterministic, fully distributed plan.
+
+The only global state is a running token offset per document. The naive
+form (``SUM(n) OVER (ORDER BY id)`` with no partition) drags the whole
+corpus through one task; here it is the same two-phase shape as
+:func:`~metaframe_spark.operators.sampling.global_shuffle`:
+
+1. range-repartition + in-partition sort on the document id — a parallel
+   total order;
+2. per-partition token sums (one row per partition) become start offsets
+   on the driver, added to an in-partition cumulative sum.
+
+Everything after the offsets is per-row codegen: the sequence span of a
+document is ``[start // L, (start+n-1) // L]``, exploded row-locally.
+Output volume is ``n_docs + n_straddles`` — each straddle adds one row —
+so the op scales with corpus size, never with ``corpus_tokens²``.
+
+No counterpart exists in the reference (its surface stops at relational
+ops); this extends the engine for training-data preparation per the build
+brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document its training-sequence slices under
+    concat-and-chunk packing with sequence length ``seq_len``.
+
+    Documents are concatenated in ascending ``id_col`` order (the
+    deterministic corpus order — compose with
+    :func:`~metaframe_spark.operators.sampling.global_shuffle` first if an
+    interleaved order is wanted) and the stream is cut every ``seq_len``
+    tokens. Zero-token documents occupy no stream space and are dropped.
+
+    Returns one row per (document × overlapped sequence):
+
+    - ``seq_id``    — 0-based training-sequence index;
+    - ``start_off`` — the document's global token offset in the stream;
+    - ``tok_start`` — 0-based offset *within the document* where this
+      sequence's slice begins;
+    - ``tok_len``   — slice length (≤ ``seq_len``).
+
+    Per-document slice lengths always sum to the document's token count,
+    and per-sequence slice lengths sum to ``seq_len`` for every sequence
+    but the last — properties pinned by tests.
+
+    Scale: one range shuffle (the global order) + a one-row-per-partition
+    offsets job; the explode is row-local. The sorted intermediate is
+    released via localCheckpoint before returning (same cache discipline
+    as ``global_shuffle``).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    n = F.col(tokens_col).cast("long")
+    sorted_df = (
+        df.filter(n > 0)
+        .repartitionByRange(F.asc(id_col))
+        .sortWithinPartitions(F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        # the offsets job and the final plan must observe the same range
+        # boundaries / pid assignment, and the sort shouldn't run twice
+        .persist()
+    )
+    part_sums = sorted_df.groupBy("_pid").agg(F.sum(n).alias("_toks")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(part_sums, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_toks"]
+    off_expr = (
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (off_expr + F.sum(n).over(w) - n).cast("long")
+    L = F.lit(seq_len).cast("long")
+    packed = (
+        sorted_df.withColumn("start_off", start)
+        .withColumn(
+            "seq_id",
+            # floor() is LONG-typed already; casting here would nest the
+            # generator in an expression, which Spark refuses
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_off") / L),
+                    F.floor((F.col("start_off") + n - 1) / L),
+                )
+            ),
+        )
+        .withColumn("_slice_from", F.greatest(F.col("start_off"), F.col("seq_id") * L))
+        .withColumn(
+            "tok_start", (F.col("_slice_from") - F.col("start_off")).cast("long")
+        )
+        .withColumn(
+            "tok_len",
+            (
+                F.least(F.col("start_off") + n, (F.col("seq_id") + 1) * L)
+                - F.col("_slice_from")
+            ).cast("long"),
+        )
+        .drop("_pid", "_slice_from")
+        .localCheckpoint(eager=True)
+    )
+    sorted_df.unpersist()
+    return packed
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture resampling: draw a corpus of ~``total`` documents
+    whose composition follows ``weights`` (a ``{stratum value: weight}``
+    map, weights need not sum to 1 — they are normalized).
+
+    Per-stratum quotas are fixed on the driver by largest-remainder
+    apportionment (quotas sum to exactly ``total``; deterministic
+    tie-break on the stratum value), then each stratum keeps its first
+    ``quota`` rows in ``md5(id)`` order — the same reproducible draw as
+    :func:`~metaframe_spark.operators.sampling.stratified_sample_exact`,
+    so the realized sample is identical on any cluster layout and
+    recomputable by the SQL oracle. Strata absent from ``weights`` are
+    dropped; a stratum with fewer rows than its quota contributes all its
+    rows (the shortfall is NOT redistributed — mixture targets are caps,
+    matching how data-mixture specs are used in practice).
+
+    Scale: one shuffle (the per-stratum rank window, planned as
+    WindowGroupLimit — partitions pre-prune to their own top-quota before
+    shuffling). The quota computation is driver-side arithmetic over the
+    weights dict alone; no data-dependent collect.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    norm = sum(weights.values())
+    if norm <= 0:
+        raise ValueError("weights must sum to > 0")
+    exact = {k: total * w / norm for k, w in weights.items()}
+    quotas = {k: int(v) for k, v in exact.items()}
+    leftover = total - sum(quotas.values())
+    for k in sorted(exact, key=lambda k: (-(exact[k] - quotas[k]), str(k)))[
+        :leftover
+    ]:
+        quotas[k] += 1
+    quota_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(quotas.items()) for x in kv]
+    )[F.col(stratum_col)]
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    max_quota = max(quotas.values(), default=0)
+    return (
+        df.filter(F.col(stratum_col).isin(list(quotas)))
+        .withColumn("draw_rank", F.row_number().over(w).cast("long"))
+        # the literal max-quota conjunct is what lets Catalyst plan
+        # WindowGroupLimit (the rewrite needs a foldable rank bound —
+        # the per-stratum map lookup alone would disable the pre-shuffle
+        # prune); the map-lookup conjunct then trims each stratum to its
+        # own quota
+        .filter(
+            (F.col("draw_rank") <= F.lit(max_quota))
+            & (F.col("draw_rank") <= quota_expr)
+        )
+    )

@@ -2275,3 +2275,62 @@ def llm_span_dedup(spark, sf):
     return span_dedup(d, "text", "doc_id").select(
         "doc_id", "text", "n_spans_removed"
     )
+
+
+@query(
+    "llm_pack_sequences",
+    "WITH toks AS (SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n "
+    "FROM documents), "
+    "cum AS (SELECT doc_id, n, "
+    "SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s "
+    "FROM toks WHERE n > 0), "
+    "expl AS (SELECT doc_id, n, s, unnest(range("
+    "CAST(s // 512 AS BIGINT), CAST((s + n - 1) // 512 + 1 AS BIGINT))) AS k FROM cum) "
+    "SELECT doc_id, CAST(s AS BIGINT) AS start_off, CAST(k AS BIGINT) AS seq_id, "
+    "CAST(greatest(s, k * 512) - s AS BIGINT) AS tok_start, "
+    "CAST(least(s + n, (k + 1) * 512) - greatest(s, k * 512) AS BIGINT) AS tok_len "
+    "FROM expl",
+)
+def llm_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (operators/packing.py::
+    pack_sequences): documents laid end-to-end in doc_id order, cut every
+    512 pre-tokens; one row per (document x overlapped training
+    sequence) with the slice boundaries. The oracle recomputes the global
+    running offset with a naive one-task window — proving the distributed
+    two-phase decomposition (range sort + per-partition offsets) yields
+    the identical packing."""
+    from .operators.packing import pack_sequences
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(d, 512, "n_tok").select(
+        "doc_id", "start_off", "seq_id", "tok_start", "tok_len"
+    )
+
+
+@query(
+    "llm_mixture_sample",
+    "SELECT doc_id, source, draw_rank FROM ("
+    "  SELECT doc_id, source, CAST(row_number() OVER ("
+    "    PARTITION BY source "
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS draw_rank "
+    "  FROM documents WHERE source IN ('src1', 'src2', 'src3')) "
+    "WHERE draw_rank <= CASE source WHEN 'src1' THEN 22 "
+    "WHEN 'src2' THEN 14 ELSE 14 END",
+)
+def llm_mixture_sample(spark, sf):
+    """Domain-mixture resampling (operators/packing.py::
+    weighted_mixture_sample): weights 3:2:2 over three sources, total 50
+    -> largest-remainder quotas 22/14/14, each stratum keeping its first
+    quota rows in md5(doc_id) order. The oracle recomputes the identical
+    draw, pinning both the apportionment arithmetic and the reproducible
+    per-stratum selection cross-engine."""
+    from .operators.packing import weighted_mixture_sample
+
+    d = load_table(spark, sf, "documents")
+    return weighted_mixture_sample(
+        d, {"src1": 3, "src2": 2, "src3": 2}, 50, "source", "doc_id"
+    ).select("doc_id", "source", "draw_rank")

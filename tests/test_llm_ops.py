@@ -1200,3 +1200,137 @@ class TestTokenizerFuzz:
                 assert got.get(doc_id, []) == t, doc_id
             else:
                 assert doc_id not in got
+
+
+class TestPackSequences:
+    """operators/packing.py::pack_sequences — concat-and-chunk invariants."""
+
+    def _corpus(self, spark, n_docs=40, seed_tokens=(3, 7, 512, 513, 1, 1024, 50)):
+        rows = [(i, seed_tokens[i % len(seed_tokens)]) for i in range(n_docs)]
+        return spark.createDataFrame(rows, ["doc_id", "n_tok"])
+
+    def test_slices_cover_every_document_exactly(self, spark):
+        from metaframe_spark.operators.packing import pack_sequences
+
+        d = self._corpus(spark)
+        out = pack_sequences(d, 128, "n_tok").collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        src = {r.doc_id: r.n_tok for r in self._corpus(spark).collect()}
+        assert set(by_doc) == set(src)
+        for doc, rows in by_doc.items():
+            rows.sort(key=lambda r: r.seq_id)
+            # slice lengths sum to the document's token count and tile it
+            assert sum(r.tok_len for r in rows) == src[doc]
+            pos = 0
+            for r in rows:
+                assert r.tok_start == pos
+                pos += r.tok_len
+
+    def test_every_sequence_but_last_is_full(self, spark):
+        from metaframe_spark.operators.packing import pack_sequences
+
+        out = pack_sequences(self._corpus(spark), 128, "n_tok").collect()
+        per_seq = {}
+        for r in out:
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.tok_len
+        last = max(per_seq)
+        assert set(per_seq) == set(range(last + 1))  # no sequence gaps
+        for k, tot in per_seq.items():
+            assert tot == 128 if k < last else tot <= 128
+
+    def test_layout_independent(self, spark):
+        """The packing is a function of (id order, token counts) alone —
+        identical under any input partitioning (the two-phase offsets must
+        not leak partition boundaries into the result)."""
+        from metaframe_spark.operators.packing import pack_sequences
+
+        d = self._corpus(spark)
+        a = sorted(map(tuple, pack_sequences(d, 100, "n_tok").collect()))
+        b = sorted(
+            map(tuple, pack_sequences(d.repartition(7), 100, "n_tok").collect())
+        )
+        assert a == b
+
+    def test_zero_token_docs_dropped_empty_ok(self, spark):
+        from metaframe_spark.operators.packing import pack_sequences
+
+        d = spark.createDataFrame([(1, 0), (2, 5)], ["doc_id", "n_tok"])
+        out = pack_sequences(d, 8, "n_tok").collect()
+        assert {r.doc_id for r in out} == {2}
+        empty = spark.createDataFrame([], "doc_id long, n_tok long")
+        assert pack_sequences(empty, 8, "n_tok").count() == 0
+
+    def test_bad_seq_len_raises(self, spark):
+        from metaframe_spark.operators.packing import pack_sequences
+
+        with pytest.raises(ValueError):
+            pack_sequences(self._corpus(spark), 0, "n_tok")
+
+
+class TestWeightedMixtureSample:
+    """operators/packing.py::weighted_mixture_sample."""
+
+    def _docs(self, spark):
+        rows = [(i, ["web", "books", "code"][i % 3]) for i in range(90)]
+        return spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def test_largest_remainder_quotas(self, spark):
+        from metaframe_spark.operators.packing import weighted_mixture_sample
+
+        out = weighted_mixture_sample(
+            self._docs(spark), {"web": 1, "books": 1, "code": 1}, 20
+        ).groupBy("source").count().collect()
+        counts = {r.source: r["count"] for r in out}
+        # 20/3 = 6.67 each; two leftovers go to the lexicographically
+        # first strata among equal remainders
+        assert counts == {"books": 7, "code": 7, "web": 6}
+        assert sum(counts.values()) == 20
+
+    def test_quota_caps_at_stratum_size(self, spark):
+        from metaframe_spark.operators.packing import weighted_mixture_sample
+
+        out = weighted_mixture_sample(
+            self._docs(spark), {"web": 1.0}, 1000
+        ).collect()
+        assert len(out) == 30  # only 30 web rows exist; shortfall not refilled
+        assert all(r.source == "web" for r in out)
+
+    def test_unlisted_strata_dropped_and_deterministic(self, spark):
+        from metaframe_spark.operators.packing import weighted_mixture_sample
+
+        d = self._docs(spark)
+        a = weighted_mixture_sample(d, {"web": 2, "code": 1}, 15)
+        assert a.filter(a.source == "books").count() == 0
+        rows_a = sorted(map(tuple, a.collect()))
+        rows_b = sorted(
+            map(
+                tuple,
+                weighted_mixture_sample(
+                    d.repartition(11), {"web": 2, "code": 1}, 15
+                ).collect(),
+            )
+        )
+        assert rows_a == rows_b
+
+    def test_invalid_args_raise(self, spark):
+        from metaframe_spark.operators.packing import weighted_mixture_sample
+
+        d = self._docs(spark)
+        with pytest.raises(ValueError):
+            weighted_mixture_sample(d, {}, 10)
+        with pytest.raises(ValueError):
+            weighted_mixture_sample(d, {"web": 0.0}, 10)
+        with pytest.raises(ValueError):
+            weighted_mixture_sample(d, {"web": 1}, -1)
+
+    def test_window_group_limit_planned(self, spark):
+        """The literal max-quota conjunct must keep the WindowGroupLimit
+        pre-shuffle prune despite the per-stratum map-lookup bound."""
+        from metaframe_spark.operators.packing import weighted_mixture_sample
+
+        plan = weighted_mixture_sample(
+            self._docs(spark), {"web": 2, "code": 1}, 15
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
