@@ -62,16 +62,27 @@ def pack_sequences(
     and per-sequence slice lengths sum to ``seq_len`` for every sequence
     but the last — properties pinned by tests.
 
-    Scale: one range shuffle (the global order) + a one-row-per-partition
-    offsets job; the explode is row-local. The sorted intermediate is
-    released via localCheckpoint before returning (same cache discipline
-    as ``global_shuffle``).
+    Returns ONLY the assignment relation (id + the four columns above):
+    the in-partition running token sum is an ordered window over the
+    partition id, whose required hash exchange re-shuffles its input —
+    so the operator first projects to the narrow ``(id, tokens)``
+    relation, making both shuffles move ~16-byte rows no matter how wide
+    the caller's documents are (join the slices back on ``id_col`` to
+    recover payloads). Unlike ``global_shuffle`` — whose per-row ordinal
+    needs no aggregation and comes exchange-free from
+    ``monotonically_increasing_id`` — a running SUM genuinely requires
+    the ordered window. Partition start offsets are a dense literal
+    array indexed by partition id (O(1) per row; a literal map lookup
+    would be a per-row linear scan). The sorted intermediate is released
+    via localCheckpoint before returning (same cache discipline as
+    ``global_shuffle``).
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     n = F.col(tokens_col).cast("long")
     sorted_df = (
-        df.filter(n > 0)
+        df.select(id_col, tokens_col)
+        .filter(n > 0)
         .repartitionByRange(F.asc(id_col))
         .sortWithinPartitions(F.asc(id_col))
         .withColumn("_pid", F.spark_partition_id())
@@ -79,16 +90,17 @@ def pack_sequences(
         # boundaries / pid assignment, and the sort shouldn't run twice
         .persist()
     )
-    part_sums = sorted_df.groupBy("_pid").agg(F.sum(n).alias("_toks")).collect()
-    offsets = {}
+    part_sums = {
+        r["_pid"]: r["_toks"]
+        for r in sorted_df.groupBy("_pid").agg(F.sum(n).alias("_toks")).collect()
+    }
+    offsets = []
     acc = 0
-    for r in sorted(part_sums, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["_toks"]
+    for pid in range(max(part_sums, default=-1) + 1):
+        offsets.append(acc)
+        acc += part_sums.get(pid, 0)
     off_expr = (
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])[
-            F.col("_pid")
-        ]
+        F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1)
         if offsets
         else F.lit(0)
     )

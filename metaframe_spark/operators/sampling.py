@@ -115,18 +115,28 @@ def global_shuffle(
     1. range-repartition + in-partition sort on the draw key: a parallel
        total order (partition i's keys all precede partition i+1's);
     2. per-partition row counts (a tiny agg, one row per partition)
-       become start offsets on the driver, joined back as a broadcast
-       map, so ``seq = offset[pid] + local row_number``.
+       become start offsets on the driver, indexed back as a dense
+       literal array, so ``seq = offsets[pid] + local ordinal + 1``.
 
-    The local row_number windows by ``spark_partition_id()``, so no task
-    ever sees more than one partition's rows.
+    The local ordinal is the low 33 bits of
+    ``monotonically_increasing_id()`` evaluated over the pinned sorted
+    relation (its documented layout: partition id high, per-partition
+    record number low; a partition cannot exceed 2³³ rows — that would be
+    a multi-TB task). A ``row_number() OVER (PARTITION BY pid)`` window
+    would instead force a SECOND full exchange + sort (Catalyst cannot
+    know range partitioning already clusters by pid), i.e. the whole
+    corpus shuffled twice; this shape adds ZERO exchanges after the range
+    sort, and the dense-array offset lookup is O(1) per row (a literal
+    map lookup is a per-row linear scan — pathological at 10k+
+    partitions).
 
     The sorted intermediate must be pinned while BOTH the offsets job and
     the final plan run (they must observe the same range boundaries / pid
-    assignment); it is released before returning by localCheckpoint-ing
-    the result — the checkpoint materializes the output once, truncates
-    the lineage back to the cache, and lets ``unpersist()`` free the
-    intermediate instead of pinning it for the session (ADVICE r4).
+    assignment AND the same cached row order); it is released before
+    returning by localCheckpoint-ing the result — the checkpoint
+    materializes the output once, truncates the lineage back to the
+    cache, and lets ``unpersist()`` free the intermediate instead of
+    pinning it for the session (ADVICE r4).
     """
     sorted_df = (
         df.withColumn("_draw", F.md5(F.col(id_col).cast("string")))
@@ -137,27 +147,20 @@ def global_shuffle(
         # range boundaries / pid assignment, and the sort shouldn't run twice
         .persist()
     )
-    counts = sorted_df.groupBy("_pid").count().collect()
-    offsets = {}
+    counts = {r["_pid"]: r["count"] for r in sorted_df.groupBy("_pid").count().collect()}
+    offsets = []
     acc = 0
-    for r in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    # zero-arg create_map() types as map<void,void> and fails analysis on
-    # the int lookup key — an empty input has no offsets to add anyway
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
     off_expr = (
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])[
-            F.col("_pid")
-        ]
+        F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1)
         if offsets
         else F.lit(0)
     )
-    w = Window.partitionBy("_pid").orderBy(F.asc("_draw"), F.asc(id_col))
+    ordinal = F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
     result = (
-        sorted_df.withColumn(
-            seq_col,
-            (off_expr + F.row_number().over(w)).cast("long"),
-        )
+        sorted_df.withColumn(seq_col, (off_expr + ordinal + 1).cast("long"))
         .drop("_draw", "_pid")
         .localCheckpoint(eager=True)
     )

@@ -623,15 +623,19 @@ def char_entropy(
 
     Scale shape: per-character explode via a codegen ``transform(sequence)``
     (no Python), (doc, char) rollup with map-side combine — at most
-    |alphabet| rows per doc reach the shuffle; N rides on a doc-partitioned
-    window over that tiny relation. Each term −p·log2(p) is rounded to 6
-    and summed in DECIMAL, so partial-agg addition order cannot perturb the
-    total and the result hash-matches an external engine.
+    |alphabet| rows per doc reach the shuffle. The per-doc total N is
+    ``length(text)``, computed BEFORE the explode and carried through the
+    grouping key (functionally dependent on the id, so it adds no groups)
+    — no window exec, so the counts relation is never shuffled a second
+    time or sorted. Each term −p·log2(p) is rounded to 6 and summed in
+    DECIMAL, so partial-agg addition order cannot perturb the total and
+    the result hash-matches an external engine.
     """
     chars = (
         df.filter(F.length(text_col) > 0)
         .select(
             F.col(id_col),
+            F.length(text_col).cast("long").alias("_n"),
             F.explode(
                 F.expr(
                     f"transform(sequence(1, length({text_col})), "
@@ -640,17 +644,13 @@ def char_entropy(
             ).alias("_ch"),
         )
     )
-    counts = chars.groupBy(id_col, "_ch").agg(
+    counts = chars.groupBy(id_col, "_n", "_ch").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
-    from pyspark.sql import Window
-
-    n = F.sum("_c").over(Window.partitionBy(id_col))
     p = F.col("_c") / F.col("_n")
     term = F.round(-(p * F.log2(p)), 6).cast("decimal(18,6)")
     return (
-        counts.withColumn("_n", n)
-        .withColumn("_t", term)
+        counts.withColumn("_t", term)
         .groupBy(id_col)
         .agg(
             F.max("_n").cast("long").alias("n_chars"),
