@@ -12,10 +12,14 @@ global-rank trick from :mod:`.sampling`:
    sort within partitions — a parallel total order per group across ALL
    partitions (Spark samples range boundaries, so every task holds a
    contiguous slice);
-2. per-(partition, group) row counts — a tiny agg, one row per
-   (partition, group) — become start offsets on the driver, broadcast
-   back, so ``rank = offset + local row_number`` without any one-task
-   global window;
+2. per-(partition, group) row counts AND first-row ordinals — a tiny
+   agg, one row per (partition, group) — become start offsets on the
+   driver, broadcast back, so ``rank = offset + (ordinal − first) + 1``
+   without any window at all: the per-partition ordinal is the low 33
+   bits of ``monotonically_increasing_id()`` over the pinned sorted
+   relation (a ``row_number() OVER (PARTITION BY pid, group)`` window
+   would force a SECOND full exchange + sort of the value relation —
+   Catalyst cannot know the range partitioning already clusters it);
 3. the target ranks ``lo = floor(p·(N−1))+1`` / ``hi = lo+1`` per group
    (computed driver-side from the same tiny counts) are broadcast-joined
    against the ranked relation — only the ≤ 2·|probs| matching rows per
@@ -36,7 +40,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Sequence, Tuple
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -78,14 +82,25 @@ def grouped_exact_percentiles(
         .sortWithinPartitions(*[F.asc(c) for c in group_cols], F.asc("_v"))
         .withColumn("_pid", F.spark_partition_id())
         # the counts job and the rank plan must see identical range
-        # boundaries / pid assignment; released after materialization below
+        # boundaries / pid assignment AND cached row order (the ordinal
+        # below is order-derived); released after materialization below
         .persist()
+    )
+    # per-partition ordinal, evaluated over the pinned sorted relation —
+    # both the counts job and the rank plan scan the same cache, so the
+    # ordinal is identical in both (same guarantee global_shuffle uses)
+    ord_rel = sorted_rel.withColumn(
+        "_ord", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
     )
     # Guard BEFORE the collect: the driver holds offsets for partitions ×
     # groups rows, which only works for the few-huge-groups regime this
     # operator exists for. The check rides on the (tiny, cached) counts
     # relation — one extra action, no extra source scan.
-    cnts_df = sorted_rel.groupBy("_pid", *group_cols).count().persist()
+    cnts_df = (
+        ord_rel.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("count"), F.min("_ord").alias("_first"))
+        .persist()
+    )
     n_groups = (
         cnts_df.select(*group_cols).distinct().limit(max_groups + 1).count()
     )
@@ -112,14 +127,16 @@ def grouped_exact_percentiles(
     running: Dict[tuple, int] = {}
     for r in sorted(cnts, key=lambda r: r["_pid"]):
         g = tuple(r[c] for c in group_cols)
-        offs_rows.append((r["_pid"], *g, running.get(g, 0)))
+        offs_rows.append((r["_pid"], *g, running.get(g, 0), r["_first"]))
         running[g] = running.get(g, 0) + r["count"]
 
     spark = df.sparkSession
     gfields = ", ".join(
         f"`{c}` {rel.schema[c].dataType.simpleString()}" for c in group_cols
     )
-    offs = spark.createDataFrame(offs_rows, f"_pid int, {gfields}, _off long")
+    offs = spark.createDataFrame(
+        offs_rows, f"_pid int, {gfields}, _off long, _first long"
+    )
 
     # target ranks per group: for prob p over N values, index = p·(N−1)
     # (0-based) → lo/hi ranks (1-based) + interpolation fraction
@@ -135,11 +152,13 @@ def grouped_exact_percentiles(
         tgt_rows, f"{gfields}, _p string, _lo long, _hi long, _frac double"
     )
 
-    w = Window.partitionBy("_pid", *group_cols).orderBy(F.asc("_v"))
     # group-key joins are null-safe throughout: a NULL group key is a
-    # real group (SQL GROUP BY semantics), not a join miss
+    # real group (SQL GROUP BY semantics), not a join miss.
+    # rank = rows of this group in earlier partitions + position within
+    # this partition's group run — pure arithmetic on the broadcast-joined
+    # offsets, no window, no second exchange of the value relation.
     ranked = (
-        sorted_rel.alias("s")
+        ord_rel.alias("s")
         .join(
             F.broadcast(offs.alias("o")),
             [F.col("s._pid") == F.col("o._pid")]
@@ -148,8 +167,10 @@ def grouped_exact_percentiles(
                 for c in group_cols
             ],
         )
-        .select("s.*", "o._off")
-        .withColumn("_rk", F.col("_off") + F.row_number().over(w))
+        .select("s.*", "o._off", "o._first")
+        .withColumn(
+            "_rk", F.col("_off") + (F.col("_ord") - F.col("_first")) + 1
+        )
         .alias("r")
     )
     hits = (
