@@ -142,6 +142,28 @@ def pack_sequences(
     return packed
 
 
+def largest_remainder_quotas(weights: dict, total: int) -> dict:
+    """Apportion ``total`` into integer per-key quotas proportional to
+    ``weights`` (largest-remainder / Hamilton method): quotas sum to
+    exactly ``total``, each within 1 of its exact share; ties broken
+    deterministically on the key's string form."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    norm = sum(weights.values())
+    if norm <= 0:
+        raise ValueError("weights must sum to > 0")
+    exact = {k: total * w / norm for k, w in weights.items()}
+    quotas = {k: int(v) for k, v in exact.items()}
+    leftover = total - sum(quotas.values())
+    for k in sorted(exact, key=lambda k: (-(exact[k] - quotas[k]), str(k)))[
+        :leftover
+    ]:
+        quotas[k] += 1
+    return quotas
+
+
 def weighted_mixture_sample(
     df: DataFrame,
     weights: dict,
@@ -169,20 +191,7 @@ def weighted_mixture_sample(
     shuffling). The quota computation is driver-side arithmetic over the
     weights dict alone; no data-dependent collect.
     """
-    if total < 0:
-        raise ValueError("total must be >= 0")
-    if not weights:
-        raise ValueError("weights must be non-empty")
-    norm = sum(weights.values())
-    if norm <= 0:
-        raise ValueError("weights must sum to > 0")
-    exact = {k: total * w / norm for k, w in weights.items()}
-    quotas = {k: int(v) for k, v in exact.items()}
-    leftover = total - sum(quotas.values())
-    for k in sorted(exact, key=lambda k: (-(exact[k] - quotas[k]), str(k)))[
-        :leftover
-    ]:
-        quotas[k] += 1
+    quotas = largest_remainder_quotas(weights, total)
     quota_expr = F.create_map(
         *[F.lit(x) for kv in sorted(quotas.items()) for x in kv]
     )[F.col(stratum_col)]

@@ -117,3 +117,71 @@ def test_wrapper_plan_equals_raw_plan(spark, sales, chain):
     got = mf.to_spark()
     assert got.exceptAll(raw).count() == 0
     assert raw.exceptAll(got).count() == 0
+
+
+# -- packing / mixture property tests (round 6) ------------------------------
+
+
+class TestPackingProperties:
+    """Property-based invariants for operators/packing.py."""
+
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=60),
+        seq_len=st.integers(min_value=1, max_value=700),
+    )
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_pack_tiles_every_doc_any_shape(self, spark, toks, seq_len):
+        from metaframe_spark.operators.packing import pack_sequences
+
+        d = spark.createDataFrame(list(enumerate(toks)), ["doc_id", "n"])
+        rows = pack_sequences(d, seq_len, "n").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        total = sum(toks)
+        # every positive-token doc fully tiled, in order, no overlap
+        for i, n in enumerate(toks):
+            if n == 0:
+                assert i not in by_doc
+                continue
+            rs = sorted(by_doc[i], key=lambda r: r.seq_id)
+            assert sum(r.tok_len for r in rs) == n
+            pos = 0
+            for r in rs:
+                assert r.tok_start == pos and 1 <= r.tok_len <= seq_len
+                pos += r.tok_len
+        # global stream exactly covered: per-sequence sums
+        per_seq = {}
+        for r in rows:
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.tok_len
+        if total:
+            last = (total - 1) // seq_len
+            assert set(per_seq) == set(range(last + 1))
+            for k, s in per_seq.items():
+                assert s == (seq_len if k < last else total - last * seq_len)
+
+    @given(
+        weights=st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            st.floats(min_value=0.001, max_value=100, allow_nan=False),
+            min_size=1,
+            max_size=8,
+        ),
+        total=st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_largest_remainder_apportionment_pure(self, weights, total):
+        """The quota arithmetic alone (no Spark): quotas sum EXACTLY to
+        total, each within 1 of its exact share, deterministic."""
+        from metaframe_spark.operators.packing import largest_remainder_quotas
+
+        quotas = largest_remainder_quotas(weights, total)
+        assert sum(quotas.values()) == total
+        norm = sum(weights.values())
+        for k, w in weights.items():
+            exact = total * w / norm
+            assert exact - 1 < quotas[k] <= exact + 1
+        # determinism: same inputs, same quotas, regardless of dict order
+        assert quotas == largest_remainder_quotas(
+            dict(reversed(list(weights.items()))), total
+        )
