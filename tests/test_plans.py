@@ -328,3 +328,45 @@ class TestAQESkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestCatalogPlanLint:
+    """Catalog-wide physical-plan lint: every entry's executed plan is
+    swept for scale-killers. The allowlist documents WHY each exception
+    is bounded; any new entry (or regression in an old one) that
+    introduces an unbounded cartesian, a row-at-a-time Python eval, or an
+    undeclared single-partition stage fails here."""
+
+    # entries whose plans legitimately contain a BroadcastNestedLoopJoin:
+    # every one is a cross against a BOUNDED broadcast relation (the
+    # brute-force contract or a one-row scalar), never data x data
+    BNLJ_OK = {
+        "llm_bm25",         # one-row corpus-stats scalar joined to scores
+        "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
+        "llm_ivf_topk",     # bounded centroid set x probe relation
+        "llm_tfidf",        # one-row N (corpus size) joined to tf relation
+        "q33_resample",     # constant-size time-grid x event-type domain
+    }
+    # entries with a legitimate Exchange SinglePartition: one-row global
+    # aggregates (output IS one row) or constant-size grid builders
+    SINGLE_OK = {
+        "llm_bm25",         # global corpus-size agg (one row)
+        "llm_corpus_stats", # the data card IS a one-row global agg
+        "llm_tfidf",        # global N agg (one row)
+        "q33_resample",     # min/max bounds agg for the grid (one row)
+    }
+
+    def test_catalog_plans_free_of_scale_killers(self, spark):
+        failures = []
+        for name in sorted(QUERIES):
+            df = QUERIES[name](spark, SF)
+            plan = plan_of(df)
+            if "CartesianProduct" in plan:
+                failures.append(f"{name}: CartesianProduct")
+            if "BatchEvalPython" in plan:  # row-at-a-time Python UDF
+                failures.append(f"{name}: BatchEvalPython")
+            if "BroadcastNestedLoopJoin" in plan and name not in self.BNLJ_OK:
+                failures.append(f"{name}: unallowlisted BroadcastNestedLoopJoin")
+            if "Exchange SinglePartition" in plan and name not in self.SINGLE_OK:
+                failures.append(f"{name}: unallowlisted Exchange SinglePartition")
+        assert not failures, "\n".join(failures)
