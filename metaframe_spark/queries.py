@@ -2251,14 +2251,40 @@ def llm_gopher_flags(spark, sf):
     )
 
 
-@query("llm_span_dedup")  # rows-only: winner choice is global-order-dependent
+@query(
+    "llm_span_dedup",
+    "WITH prep AS (SELECT doc_id, array_to_string(list_transform("
+    "string_split_regex(text, '\\s+'), "
+    "(w, i) -> CASE WHEN i % 8 = 0 THEN w || '.' ELSE w END), ' ') AS text "
+    "FROM documents WHERE doc_id % 10 = 0), "
+    # RE2 has no lookbehind, so Spark's (?<=[.!?])\s+ sentence split is
+    # emulated by marking each boundary with \x01 then splitting on it
+    "sents AS (SELECT doc_id, string_split(regexp_replace(text, "
+    "'([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS s FROM prep), "
+    "spans AS (SELECT doc_id, s, unnest(range(0, greatest(len(s) - 2, 0))) AS pos "
+    "FROM sents), "
+    "st AS (SELECT doc_id, pos, array_to_string(s[pos+1:pos+3], ' ') AS sp FROM spans), "
+    "marked AS (SELECT doc_id, pos, row_number() OVER ("
+    "PARTITION BY sp ORDER BY doc_id, pos) AS rn FROM st), "
+    "lose AS (SELECT doc_id, list(pos) AS ps, count(*) AS nrem "
+    "FROM marked WHERE rn > 1 GROUP BY doc_id) "
+    "SELECT se.doc_id, array_to_string(list_filter(se.s, "
+    "(x, i) -> len(list_filter(coalesce(l.ps, CAST([] AS BIGINT[])), "
+    "p -> (i-1) >= p AND (i-1) <= p+2)) = 0), ' ') AS text, "
+    "CAST(coalesce(l.nrem, 0) AS BIGINT) AS n_spans_removed "
+    "FROM sents se LEFT JOIN lose l USING (doc_id)",
+)
 def llm_span_dedup(spark, sf):
     """C4 global three-sentence-span dedup (operators/dedup.py::span_dedup)
     over a sentence-structured derivation of the documents corpus
-    (period after every 8th word). No SQL oracle: the survivor set depends
-    on the global (id, position) order, which the driver's rows-only check
-    plus TestSpanDedup's per-rule unit tests cover instead. Capped to
-    every 10th document to keep the bench entry's span relation small."""
+    (period after every 8th word). The winner rule — lowest (id, position)
+    per span — is fully deterministic, so the oracle recomputes the whole
+    pipeline in DuckDB: the lookbehind sentence split is emulated with a
+    sentinel replace (RE2 has no lookbehind), spans group on their TEXT
+    where Spark groups on xxhash64 of it (identical absent a 64-bit
+    collision), and the covered-sentence removal lambda is mirrored with
+    1-based list indices. Capped to every 10th document to keep the bench
+    entry's span relation small."""
     from .operators.dedup import span_dedup
 
     d = (
