@@ -31,6 +31,8 @@ brief.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,7 +153,10 @@ def largest_remainder_quotas(weights: dict, total: int) -> dict:
         raise ValueError("total must be >= 0")
     if not weights:
         raise ValueError("weights must be non-empty")
-    norm = sum(weights.values())
+    # fsum over key-sorted weights: float addition is not associative, so a
+    # plain sum() over dict order would make `norm` — and hence remainder
+    # tie-breaks — depend on insertion order.
+    norm = math.fsum(weights[k] for k in sorted(weights, key=str))
     if norm <= 0:
         raise ValueError("weights must sum to > 0")
     exact = {k: total * w / norm for k, w in weights.items()}
