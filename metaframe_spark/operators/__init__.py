@@ -61,6 +61,7 @@ from .text import (
     shingles,
     token_count,
     tokens,
+    unigram_nll,
 )
 
 __all__ = [
@@ -92,6 +93,7 @@ __all__ = [
     "bm25_scores",
     "ngram_vocabulary",
     "tfidf_top_terms",
+    "unigram_nll",
     "normalize_text",
     "quality_features",
     "span_dedup",

@@ -657,3 +657,64 @@ def char_entropy(
             F.round(F.sum("_t").cast("double"), 6).alias("char_entropy"),
         )
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram-LM cross-entropy (mean negative log-likelihood)
+    — the CCNet/fastText-era perplexity quality signal (Wenzek et al. 2020
+    score documents with a language model and keep the low-perplexity
+    tail; a corpus-fit unigram model is the dependency-free form).
+
+    Returns ``(id_col, n_tokens, unigram_nll)`` where ``unigram_nll`` is
+    ``mean over tokens of -ln(cf(token)/total_tokens)`` with ``cf`` the
+    corpus frequency. Low values = stereotypical fluent text, high values
+    = rare-token noise. Perplexity is ``exp(unigram_nll)`` — the exp is
+    left to the caller to keep every emitted number oracle-exact.
+    Token-less documents (empty/whitespace text) carry no probability
+    mass and are absent from the output.
+
+    Scale shape (the plan, in order):
+    * one tokenize scan exploded to ``(doc, term)``, partial-aggregated
+      into ``tf`` rows — the only relation ever shuffled is distinct
+      (doc, term) pairs, never raw tokens;
+    * corpus frequencies via ``SUM(tf) OVER (PARTITION BY term)`` on that
+      same relation — one term-keyed exchange, no re-tokenize, no
+      separate vocabulary join;
+    * the total-token scalar comes from a tokenize-free second scan
+      (``SUM(size(tokens))`` — no explode) broadcast onto every row;
+    * per-(doc, term) contributions are rounded to 6 decimals and
+      DECIMAL-summed per document, so partial-agg addition order cannot
+      perturb the result (the cross-engine determinism rule used by
+      bm25_scores/char_entropy).
+
+    No counterpart in the reference (its surface stops at relational
+    ops); extends the engine for training-data curation per the build
+    brief.
+    """
+    from pyspark.sql import Window
+
+    col = F.col(text_col)
+    tok = df.select(F.col(id_col), F.explode(tokens(col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = F.sum("tf").over(Window.partitionBy("term"))
+    totals = df.agg(
+        F.sum(token_count(col)).cast("double").alias("_total")
+    )
+    p = F.col("_cf").cast("double") / F.col("_total")
+    contrib = F.round(F.col("tf") * -F.log(p), 6).cast("decimal(18,6)")
+    return (
+        tf.withColumn("_cf", cf)
+        .join(F.broadcast(totals))
+        .withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("_c").cast("double") / F.sum("tf"), 6
+            ).alias("unigram_nll"),
+        )
+    )

@@ -2360,3 +2360,31 @@ def llm_mixture_sample(spark, sf):
     return weighted_mixture_sample(
         d, {"src1": 3, "src2": 2, "src3": 2}, 50, "source", "doc_id"
     ).select("doc_id", "source", "draw_rank")
+
+
+@query(
+    "llm_perplexity",
+    "WITH t AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, unnest(toks) AS term FROM t), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY doc_id, term), "
+    "cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term), "
+    "tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS total FROM t), "
+    "per AS (SELECT doc_id, tf, CAST(round(tf * -ln(CAST(cf AS DOUBLE) / total), 6) "
+    "  AS DECIMAL(18,6)) AS c FROM tf JOIN cf USING (term) CROSS JOIN tot) "
+    "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS unigram_nll "
+    "FROM per GROUP BY doc_id",
+)
+def llm_perplexity(spark, sf):
+    """CCNet-style unigram-LM quality signal (operators/text.py::
+    unigram_nll): per document, the mean -ln of each token's corpus
+    unigram probability — low = stereotypical fluent text, high =
+    rare-token noise; perplexity = exp of this. The oracle recomputes the
+    corpus LM fit AND the scores: per-(doc,term) contributions rounded to
+    6 then DECIMAL-summed on both engines, so the hash match pins the
+    whole train-then-score pipeline cross-engine."""
+    from .operators.text import unigram_nll
+
+    d = load_table(spark, sf, "documents")
+    return unigram_nll(d.to_spark(), "text", "doc_id")

@@ -1334,3 +1334,59 @@ class TestWeightedMixtureSample:
             self._docs(spark), {"web": 2, "code": 1}, 15
         )._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestUnigramNll:
+    """operators/text.py::unigram_nll — CCNet-style unigram-LM scoring."""
+
+    def _fit(self, corpus):
+        import collections
+        import math
+
+        docs = {i: t.lower().split() for i, t in corpus}
+        cf = collections.Counter(t for ts in docs.values() for t in ts)
+        tot = sum(cf.values())
+        out = {}
+        for i, ts in docs.items():
+            if not ts:
+                continue
+            per = collections.Counter(ts)
+            s = sum(round(c * -math.log(cf[t] / tot), 6) for t, c in per.items())
+            out[i] = (len(ts), round(s / len(ts), 6))
+        return out
+
+    def test_matches_python_ground_truth(self, spark):
+        from metaframe_spark.operators.text import unigram_nll
+
+        corpus = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog"),
+            (3, ""),
+            (4, "zyxqq the"),
+            (5, "   \t\n  "),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.unigram_nll)
+            for r in unigram_nll(df).collect()
+        }
+        assert got == self._fit(corpus)
+
+    def test_rare_tokens_score_higher(self, spark):
+        from metaframe_spark.operators.text import unigram_nll
+
+        rows = [(i, "common words repeated here") for i in range(20)]
+        rows.append((99, "qqzyx vvwxu"))  # tokens seen nowhere else
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scores = {r.doc_id: r.unigram_nll for r in unigram_nll(df).collect()}
+        assert scores[99] > scores[0]
+
+    def test_stable_under_repartition(self, spark):
+        from metaframe_spark.operators.text import unigram_nll
+
+        docs = load_table(spark, SF, "documents").to_spark()
+        a = sorted(map(tuple, unigram_nll(docs).collect()))
+        b = sorted(
+            map(tuple, unigram_nll(docs.repartition(13, "lang")).collect())
+        )
+        assert a == b

@@ -344,6 +344,7 @@ class TestCatalogPlanLint:
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
         "llm_ivf_topk",     # bounded centroid set x probe relation
+        "llm_perplexity",   # one-row total-token scalar joined to tf relation
         "llm_tfidf",        # one-row N (corpus size) joined to tf relation
         "q33_resample",     # constant-size time-grid x event-type domain
     }
@@ -352,6 +353,7 @@ class TestCatalogPlanLint:
     SINGLE_OK = {
         "llm_bm25",         # global corpus-size agg (one row)
         "llm_corpus_stats", # the data card IS a one-row global agg
+        "llm_perplexity",   # global total-token agg (one row)
         "llm_tfidf",        # global N agg (one row)
         "q33_resample",     # min/max bounds agg for the grid (one row)
     }
