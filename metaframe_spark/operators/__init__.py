@@ -47,6 +47,7 @@ from .similarity import (
     scalar_quantize,
     unit_normalize,
 )
+from .merge import merge_upsert, scd2_history
 from .text import (
     bm25_scores,
     bpe_token_count,
@@ -92,6 +93,8 @@ __all__ = [
     "ngram_contamination",
     "bm25_scores",
     "ngram_vocabulary",
+    "merge_upsert",
+    "scd2_history",
     "tfidf_top_terms",
     "unigram_nll",
     "normalize_text",

@@ -2388,3 +2388,87 @@ def llm_perplexity(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return unigram_nll(d.to_spark(), "text", "doc_id")
+
+
+_MERGE_DELTA_SQL = (
+    "SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, "
+    "o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority, "
+    "FALSE AS deleted FROM orders WHERE o_orderkey % 10 = 3 "
+    "UNION ALL "
+    "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderdate, o_orderpriority, FALSE FROM orders WHERE o_orderkey % 1000 = 1 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority, TRUE FROM orders WHERE o_orderkey % 100 = 7"
+)
+
+
+@query(
+    "q55_merge_upsert",
+    f"WITH delta AS ({_MERGE_DELTA_SQL}) "
+    "SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, "
+    "o.o_orderdate, o.o_orderpriority FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey) "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority FROM delta WHERE NOT deleted",
+)
+def q55_merge_upsert(spark, sf):
+    """CDC MERGE without a table-format transaction log (operators/
+    merge.py::merge_upsert): a synthetic change batch (updates to every
+    %10==3 order, inserts of re-keyed %1000==1 copies, deletes of every
+    %100==7 order) merged into orders. The base relation is never
+    shuffled — one broadcast LEFT ANTI against the delta's keys plus a
+    union; at 100 TB the CDC batch is the small side by construction.
+    The oracle is the textbook anti-join + union expansion of MERGE."""
+    from .operators.merge import merge_upsert
+
+    o = load_table(spark, sf, "orders")
+    base_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"]
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("deleted", F.lit(False))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 1000 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("deleted", F.lit(False))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+        "deleted", F.lit(True)
+    )
+    delta = (
+        updates.select(*base_cols, "deleted")
+        .unionByName(inserts.select(*base_cols, "deleted"))
+        .unionByName(deletes.select(*base_cols, "deleted"))
+    )
+    return merge_upsert(
+        o.to_spark(), delta.to_spark(), ["o_orderkey"], delete_col="deleted"
+    )
+
+
+@query(
+    "q56_scd2",
+    "SELECT event_id, user_id, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "AS is_current FROM events",
+)
+def q56_scd2(spark, sf):
+    """Type-2 SCD history from a change log (operators/merge.py::
+    scd2_history): each user event becomes a version valid until the
+    user's next event (open interval + is_current for the latest). One
+    key-partitioned window — no self-join, no global sort; the (ts,
+    event_id) order key makes intervals deterministic under ties."""
+    from .operators.merge import scd2_history
+
+    e = load_table(spark, sf, "events")
+    versions = scd2_history(
+        e.to_spark(), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return versions.select(
+        "event_id", "user_id", "valid_from", "valid_to", "is_current"
+    )

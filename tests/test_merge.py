@@ -1,0 +1,111 @@
+"""Unit tests for operators/merge.py — CDC merge_upsert and scd2_history
+semantics plus the plan shapes (broadcast anti, no base shuffle; one
+key-partitioned window)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.io import load_table
+from metaframe_spark.operators.merge import merge_upsert, scd2_history
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, amt double",
+    )
+
+
+class TestMergeUpsert:
+    def test_update_insert_delete(self, spark, base):
+        delta = spark.createDataFrame(
+            [
+                (2, "B2", 22.0, False),   # update
+                (9, "new", 99.0, False),  # insert
+                (3, "c", 30.0, True),     # delete
+            ],
+            "id long, name string, amt double, deleted boolean",
+        )
+        got = {
+            r.id: (r.name, r.amt)
+            for r in merge_upsert(base, delta, ["id"], "deleted").collect()
+        }
+        assert got == {
+            1: ("a", 10.0),
+            2: ("B2", 22.0),
+            4: ("d", 40.0),
+            9: ("new", 99.0),
+        }
+
+    def test_no_delete_col_means_pure_upsert(self, spark, base):
+        delta = spark.createDataFrame(
+            [(1, "A", 11.0), (5, "e", 50.0)], "id long, name string, amt double"
+        )
+        got = {r.id for r in merge_upsert(base, delta, ["id"]).collect()}
+        assert got == {1, 2, 3, 4, 5}
+
+    def test_null_delete_flag_is_not_a_delete(self, spark, base):
+        delta = spark.createDataFrame(
+            [(2, "B", 22.0, None)],
+            "id long, name string, amt double, deleted boolean",
+        )
+        got = {
+            r.id: r.name
+            for r in merge_upsert(base, delta, ["id"], "deleted").collect()
+        }
+        assert got[2] == "B"
+
+    def test_plan_broadcast_anti_no_base_shuffle(self, spark):
+        """The 100-TB contract: merging a small CDC batch must not shuffle
+        the base — one broadcast LEFT ANTI plus a narrow union."""
+        o = load_table(spark, SF, "orders").to_spark()
+        delta = o.limit(50).withColumn("deleted", F.lit(False))
+        merged = merge_upsert(
+            o, delta.select(*o.columns, "deleted"), ["o_orderkey"], "deleted"
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestScd2History:
+    def test_intervals_tile_and_single_current(self, spark):
+        e = load_table(spark, SF, "events").to_spark()
+        hist = scd2_history(
+            e, ["user_id"], "ts", tiebreak_cols=["event_id"]
+        ).select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+        rows = hist.collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user, rs in by_user.items():
+            rs.sort(key=lambda r: (r.valid_from, r.event_id))
+            assert sum(r.is_current for r in rs) == 1
+            assert rs[-1].is_current and rs[-1].valid_to is None
+            for a, b in zip(rs, rs[1:]):
+                assert a.valid_to == b.valid_from
+
+    def test_deterministic_under_repartition(self, spark):
+        e = load_table(spark, SF, "events").to_spark()
+        a = sorted(
+            map(
+                tuple,
+                scd2_history(
+                    e, ["user_id"], "ts", tiebreak_cols=["event_id"]
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                scd2_history(
+                    e.repartition(17), ["user_id"], "ts",
+                    tiebreak_cols=["event_id"],
+                ).collect(),
+            )
+        )
+        assert a == b
