@@ -32,6 +32,7 @@ from .dedup import (
 from .percentiles import grouped_exact_percentiles
 from .sampling import (
     global_shuffle,
+    hash_split,
     shard_assignments,
     stratified_sample_exact,
     write_training_shards,
@@ -93,6 +94,7 @@ __all__ = [
     "ngram_contamination",
     "bm25_scores",
     "ngram_vocabulary",
+    "hash_split",
     "merge_upsert",
     "scd2_history",
     "tfidf_top_terms",

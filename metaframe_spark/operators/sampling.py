@@ -12,6 +12,7 @@ oracle recomputes the identical sample).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -166,3 +167,54 @@ def global_shuffle(
     )
     sorted_df.unpersist()
     return result
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict,
+    id_col: str = "doc_id",
+    by_col: str = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split: every row gets a
+    split label from the md5 of its key, so the assignment is a pure
+    function of the data — reproducible on any cluster layout, on reruns,
+    and across engines (the oracle recomputes it), with no shuffle and no
+    RNG state.
+
+    ``fractions`` maps label -> weight (normalized; e.g. ``{"train": 98,
+    "val": 1, "test": 1}``). Pass ``by_col`` to route every row sharing
+    that key to the SAME split — the near-dup/leakage guard: after
+    near-dup grouping, splitting on the group id keeps all variants of a
+    document out of the eval sets. Realized sizes are binomial around the
+    weights (hash buckets), which is the correct trade: an exact-count
+    split cannot be a pure per-row function of the key.
+
+    Plan: a single codegen projection — md5 of the key's string form,
+    first 8 hex chars as an integer draw in [0, 2^32), compared against
+    cumulative weight boundaries. No exchange anywhere.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = math.fsum(float(w) for w in fractions.values())
+    if total <= 0:
+        raise ValueError("fractions must sum to > 0")
+    key = F.col(by_col if by_col is not None else id_col)
+    draw = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(2**32))
+    expr = None
+    acc = 0.0
+    labels = sorted(fractions)  # deterministic boundary order
+    for label in labels[:-1]:
+        acc += float(fractions[label]) / total
+        cond = draw < F.lit(acc)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    expr = (
+        F.lit(labels[-1])
+        if expr is None
+        else expr.otherwise(F.lit(labels[-1]))
+    )
+    return df.withColumn(split_col, expr)

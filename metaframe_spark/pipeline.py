@@ -45,6 +45,7 @@ def curate_corpus(
     n_shards: int = 0,
     line_filter: bool = False,
     dedup_spans: bool = False,
+    split_fractions: Optional[Dict[str, float]] = None,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -64,6 +65,14 @@ def curate_corpus(
     With ``n_shards > 0`` the result carries ``seq`` (deterministic global
     interleave order) and ``shard`` columns, ready for a partitioned write
     via :func:`~metaframe_spark.operators.write_training_shards`'s layout.
+
+    ``split_fractions`` (e.g. ``{"train": 98, "val": 1, "test": 1}``) adds
+    a deterministic ``split`` column via
+    :func:`~metaframe_spark.operators.hash_split` on ``id_col`` — safe
+    here because stages 1–2 already removed exact and near duplicates, so
+    no eval document has a training-set twin. (Splitting an *uncurated*
+    corpus needs ``hash_split(by_col=<group id>)`` to keep whole near-dup
+    groups in one split.)
     """
     counts: Dict[str, int] = {"input": df.count()}
 
@@ -129,5 +138,12 @@ def curate_corpus(
         if n_shards > 0
         else global_shuffle(kept, id_col)
     )
+
+    # 6. optional deterministic train/val/test split (post-dedup, so a
+    # per-id draw is leakage-safe — see docstring)
+    if split_fractions:
+        from .operators import hash_split
+
+        out = hash_split(out, split_fractions, id_col)
     counts["output"] = out.count()
     return out, counts

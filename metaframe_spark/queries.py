@@ -2472,3 +2472,28 @@ def q56_scd2(spark, sf):
     return versions.select(
         "event_id", "user_id", "valid_from", "valid_to", "is_current"
     )
+
+
+@query(
+    "llm_hash_split",
+    "SELECT doc_id, CASE "
+    "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0 < 0.01 THEN 'test' "
+    "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0 < 0.99 THEN 'train' "
+    "ELSE 'val' END AS split FROM documents",
+)
+def llm_hash_split(spark, sf):
+    """Leakage-safe deterministic train/val/test split (operators/
+    sampling.py::hash_split): 98/1/1 by the md5 of doc_id — a pure
+    per-row codegen projection (no shuffle, no RNG state), reproducible
+    across engines, reruns and cluster layouts; the group-keyed variant
+    (route a whole near-dup group to one split) is unit-tested. The
+    oracle recomputes the identical draw and boundaries (the cumulative
+    weights 0.01/0.99 are exact Python-float literals on both sides)."""
+    from .operators.sampling import hash_split
+
+    d = load_table(spark, sf, "documents")
+    return hash_split(
+        d.to_spark(), {"train": 98, "val": 1, "test": 1}, "doc_id"
+    ).select("doc_id", "split")

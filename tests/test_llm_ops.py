@@ -1390,3 +1390,61 @@ class TestUnigramNll:
             map(tuple, unigram_nll(docs.repartition(13, "lang")).collect())
         )
         assert a == b
+
+
+class TestHashSplit:
+    def test_group_keyed_split_keeps_groups_together(self, spark):
+        from metaframe_spark.operators.sampling import hash_split
+
+        rows = [(i, i % 50) for i in range(2000)]  # 50 groups of 40
+        df = spark.createDataFrame(rows, "doc_id long, group_id long")
+        out = hash_split(
+            df, {"train": 8, "val": 1, "test": 1}, by_col="group_id"
+        )
+        per_group = (
+            out.groupBy("group_id")
+            .agg(F.countDistinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in per_group)
+
+    def test_fractions_respected_and_exhaustive(self, spark):
+        from metaframe_spark.operators.sampling import hash_split
+
+        df = spark.range(50_000).withColumnRenamed("id", "doc_id")
+        counts = {
+            r.split: r["count"]
+            for r in hash_split(df, {"train": 9, "val": 1})
+            .groupBy("split")
+            .count()
+            .collect()
+        }
+        assert set(counts) == {"train", "val"}
+        assert sum(counts.values()) == 50_000
+        assert abs(counts["val"] / 50_000 - 0.1) < 0.01
+
+    def test_no_exchange_in_plan(self, spark):
+        from metaframe_spark.operators.sampling import hash_split
+
+        d = load_table(spark, SF, "documents").to_spark()
+        out = hash_split(d, {"train": 98, "val": 1, "test": 1})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_stable_under_repartition(self, spark):
+        from metaframe_spark.operators.sampling import hash_split
+
+        d = load_table(spark, SF, "documents").to_spark()
+        a = sorted(
+            (r.doc_id, r.split)
+            for r in hash_split(d, {"a": 1, "b": 1}).select(
+                "doc_id", "split"
+            ).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.split)
+            for r in hash_split(d.repartition(19), {"a": 1, "b": 1}).select(
+                "doc_id", "split"
+            ).collect()
+        )
+        assert a == b

@@ -106,3 +106,28 @@ def test_quality_and_language_gates(spark, messy):
     assert qf.count() == 0
     lang = language_scores(out, "text").filter(F.col("predicted_lang") != "en")
     assert lang.count() == 0
+
+
+def test_split_stage_is_deterministic_and_exhaustive(spark, messy):
+    out, counts = curate_corpus(
+        messy,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        split_fractions={"train": 8, "val": 1, "test": 1},
+    )
+    rows = out.select("doc_id", "split").collect()
+    assert counts["output"] == len(rows)
+    labels = {r.split for r in rows}
+    assert labels <= {"train", "val", "test"}
+    n_train = sum(r.split == "train" for r in rows)
+    assert n_train > len(rows) // 2  # the 80% bucket dominates
+    # rerun-stable: the split is a pure function of doc_id
+    out2, _ = curate_corpus(
+        messy,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        split_fractions={"train": 8, "val": 1, "test": 1},
+    )
+    assert {(r.doc_id, r.split) for r in rows} == {
+        (r.doc_id, r.split) for r in out2.select("doc_id", "split").collect()
+    }
