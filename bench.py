@@ -10,6 +10,8 @@ Env knobs:
   BENCH_BASELINE       also run each plan raw (no wrapper) interleaved and
                        report the per-query ratio — the ≤2× BASELINE gate of
                        BASELINE.md (default 1/on; set 0 to skip)
+  BENCH_ONLY           comma-separated entry names: bench only these
+                       (iteration aid; default all)
 
 Each query materializes through the `noop` sink (full execution, no driver
 collect), timed with monotonic wall clock. The wrapper adds only per-method
@@ -62,26 +64,34 @@ def main() -> int:
     except ValueError:
         sf_val = sf_dir
 
+    only = {
+        n.strip()
+        for n in os.environ.get("BENCH_ONLY", "").split(",")
+        if n.strip()
+    }
+    names = sorted(only & set(QUERIES) if only else QUERIES)
+
     times: dict[str, float] = {}
     ratios: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in names:
         fn = QUERIES[name]
         # one warm-up pass builds the plan + fills the file-listing caches so
         # the timed runs measure execution, not first-touch setup
         _materialize(fn(spark, sf_dir))
         samples = []
         base_samples = []
-        for _ in range(repeat):
+        for i in range(repeat):
             # construction is INSIDE the timed section: eager operators
             # (iterative label propagation, KMeans fit) do their real work in
             # fn(), and excluding it would under-report them to ~0. For lazy
             # queries the warm-up pass has already cached file listings and
             # schemas, so construction adds only milliseconds.
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            _materialize(df)
-            samples.append(time.monotonic() - t0)
-            if with_baseline:
+            def timed_wrapped():
+                t0 = time.monotonic()
+                _materialize(fn(spark, sf_dir))
+                samples.append(time.monotonic() - t0)
+
+            def timed_raw():
                 # the wrapper delegates to the very same DataFrame methods, so
                 # wrapped and raw execute the identical Catalyst plan — this
                 # interleaved re-run documents parity within run noise
@@ -90,6 +100,18 @@ def main() -> int:
                 raw = raw_df.to_spark() if hasattr(raw_df, "to_spark") else raw_df
                 _materialize(raw)
                 base_samples.append(time.monotonic() - t0)
+
+            # alternate execution order per iteration: the second run of a
+            # pair benefits from warm page cache / JIT, which showed up as a
+            # systematic ~1.1-1.2 pseudo-ratio on short CPU-bound entries
+            if not with_baseline:
+                timed_wrapped()
+            elif i % 2 == 0:
+                timed_wrapped()
+                timed_raw()
+            else:
+                timed_raw()
+                timed_wrapped()
         times[name] = round(statistics.median(samples), 4)
         if with_baseline:
             base = statistics.median(base_samples)

@@ -2497,3 +2497,59 @@ def llm_hash_split(spark, sf):
     return hash_split(
         d.to_spark(), {"train": 98, "val": 1, "test": 1}, "doc_id"
     ).select("doc_id", "split")
+
+
+@query(
+    "q57_array_funcs",
+    "WITH g AS (SELECT l_orderkey, "
+    "  list_sort(list(l_quantity ORDER BY l_quantity, l_linenumber)) AS qs "
+    "  FROM lineitem GROUP BY l_orderkey) "
+    "SELECT l_orderkey, "
+    "array_to_string(qs, ',') AS all_qty, "
+    "array_to_string(list_sort(list_distinct(qs)), ',') AS distinct_qty, "
+    "array_to_string(qs[1:3], ',') AS first3, "
+    "coalesce(array_to_string(list_sort(list_distinct("
+    "  list_filter(qs, x -> list_contains([1.0, 2.0, 3.0], x)))), ','), '') "
+    "  AS small_qty, "
+    "array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled, "
+    "CAST(len(qs) AS BIGINT) AS n_items "
+    "FROM g",
+)
+def q57_array_funcs(spark, sf):
+    """Array-function breadth (§2.3 row 11): sort_array/array_distinct/
+    slice/array_intersect/transform over per-order quantity arrays. Arrays
+    are built sorted (collect_list order is partition-dependent) and every
+    derived array is emitted sorted + comma-joined so the hash compare is
+    layout-independent; array_intersect's result is re-sorted for the same
+    reason. One shuffle (the groupBy); everything after is row-local
+    codegen."""
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qs")
+    )
+    j = lambda c: F.concat_ws(",", F.expr(f"transform({c}, x -> cast(x as string))"))  # noqa: E731
+    return g.select(
+        "l_orderkey",
+        j("qs").alias("all_qty"),
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(sort_array(array_distinct(qs)), x -> cast(x as string))"
+            ),
+        ).alias("distinct_qty"),
+        F.concat_ws(
+            ",", F.expr("transform(slice(qs, 1, 3), x -> cast(x as string))")
+        ).alias("first3"),
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(sort_array(array_distinct("
+                "array_intersect(qs, array(1.0D, 2.0D, 3.0D)))), "
+                "x -> cast(x as string))"
+            ),
+        ).alias("small_qty"),
+        F.concat_ws(
+            ",", F.expr("transform(qs, x -> cast(x * 2 as string))")
+        ).alias("doubled"),
+        F.size("qs").cast("long").alias("n_items"),
+    )
