@@ -48,6 +48,7 @@ from .similarity import (
     scalar_quantize,
     unit_normalize,
 )
+from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history
 from .text import (
     bm25_scores,
@@ -94,8 +95,10 @@ __all__ = [
     "ngram_contamination",
     "bm25_scores",
     "ngram_vocabulary",
+    "compact_files",
     "hash_split",
     "merge_upsert",
+    "profile_columns",
     "scd2_history",
     "tfidf_top_terms",
     "unigram_nll",

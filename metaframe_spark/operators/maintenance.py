@@ -1,0 +1,112 @@
+"""Warehouse-maintenance operators: column profiling and small-file
+compaction.
+
+The reference has no maintenance surface (its 197-line wrapper stops at
+delegation); these are the ANALYZE/OPTIMIZE-shaped capabilities an
+engine operating a 100-TB lake needs, expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with ``n_rows``,
+    ``n_nulls``, ``n_distinct`` and min/max (as strings, so the output
+    schema is column-type-independent).
+
+    One aggregation pass over the input: all per-column statistics are
+    computed in a single ``agg`` (Spark plans the multi-column distinct
+    counts with one Expand + shuffle — input is scanned once), then the
+    one-row wide result is unpivoted row-locally into the long profile.
+
+    ``exact_distinct=False`` swaps ``count(DISTINCT c)`` for
+    ``approx_count_distinct`` (HLL) — at petabyte scale the exact
+    multi-distinct Expand multiplies the shuffled relation by the column
+    count, while HLL keeps it one sketch per column per partition; the
+    default stays exact because profile numbers feed data cards and
+    equality checks.
+    """
+    cols: List[str] = list(columns) if columns else list(df.columns)
+    distinct = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
+        )
+        aggs.append(distinct(c).cast("long").alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    struct_items = ", ".join(
+        f"named_struct('column', '{c}', 'n_nulls', _nulls_{c}, "
+        f"'n_distinct', _nd_{c}, 'min_value', _min_{c}, "
+        f"'max_value', _max_{c})"
+        for c in cols
+    )
+    return wide.select(
+        F.col("_rows").alias("n_rows"),
+        F.explode(F.expr(f"array({struct_items})")).alias("_s"),
+    ).select(
+        F.col("_s.column").alias("column"),
+        "n_rows",
+        F.col("_s.n_nulls").cast("long").alias("n_nulls"),
+        F.col("_s.n_distinct").alias("n_distinct"),
+        F.col("_s.min_value").alias("min_value"),
+        F.col("_s.max_value").alias("max_value"),
+    )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` (a directory of
+    ``format`` files) into ``dest_path`` with files sized near
+    ``target_file_bytes``. Returns the number of output files requested.
+
+    The fragmentation killer for table scans: a 100-TB table accreted
+    from streaming micro-batches carries millions of KB-sized files, and
+    every one costs a task + a footer read + (for parquet) an
+    unsplittable row group. Output file count is
+    ``ceil(total_input_bytes / target)`` from the source's file listing
+    (driver-side metadata only — no data pass), then one
+    ``repartition(n)`` round-robin shuffle rewrites the data evenly.
+    Row order is not preserved (compaction is a layout operation, not a
+    logical one).
+    """
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be > 0")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += status.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(format).load(src_path)
+    df.repartition(n_files).write.format(format).mode("overwrite").save(
+        dest_path
+    )
+    return n_files

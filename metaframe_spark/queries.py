@@ -2553,3 +2553,37 @@ def q57_array_funcs(spark, sf):
         ).alias("doubled"),
         F.size("qs").cast("long").alias("n_items"),
     )
+
+
+def _profile_col_sql(c):
+    return (
+        f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_value, "
+        f"CAST(max({c}) AS VARCHAR) AS max_value FROM orders"
+    )
+
+
+@query(
+    "q58_profile",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in (
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+    ),
+)
+def q58_profile(spark, sf):
+    """ANALYZE-style table profile (operators/maintenance.py::
+    profile_columns): per column, row/null/exact-distinct counts and
+    min/max — the data-card / stats-collection pass. One scan: all
+    per-column statistics in a single agg (multi-distinct planned via
+    one Expand), unpivoted row-locally; min/max stringified so the
+    profile schema is type-independent (double and timestamp rendering
+    verified identical cross-engine)."""
+    from .operators.maintenance import profile_columns
+
+    o = load_table(spark, sf, "orders")
+    return profile_columns(o.to_spark())

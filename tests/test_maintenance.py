@@ -1,0 +1,73 @@
+"""Unit tests for operators/maintenance.py — column profiling and
+small-file compaction."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.operators.maintenance import compact_files, profile_columns
+
+
+class TestProfileColumns:
+    def test_counts_nulls_and_distincts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (None, "b")],
+            "id long, name string",
+        )
+        got = {r.column: r for r in profile_columns(df).collect()}
+        assert set(got) == {"id", "name"}
+        assert got["id"].n_rows == 4
+        assert got["id"].n_nulls == 1
+        assert got["id"].n_distinct == 3  # NULL not counted
+        assert (got["id"].min_value, got["id"].max_value) == ("1", "3")
+        assert got["name"].n_nulls == 1
+        assert got["name"].n_distinct == 2
+        assert (got["name"].min_value, got["name"].max_value) == ("a", "b")
+
+    def test_approx_mode_close(self, spark):
+        df = spark.range(10_000).withColumnRenamed("id", "v")
+        exact = {
+            r.column: r.n_distinct
+            for r in profile_columns(df, exact_distinct=True).collect()
+        }
+        approx = {
+            r.column: r.n_distinct
+            for r in profile_columns(df, exact_distinct=False).collect()
+        }
+        assert exact["v"] == 10_000
+        assert abs(approx["v"] - 10_000) / 10_000 < 0.05
+
+    def test_column_subset(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a long, b string")
+        out = profile_columns(df, ["b"])
+        assert [r.column for r in out.collect()] == ["b"]
+
+
+class TestCompactFiles:
+    def test_compacts_many_small_files(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dest = str(tmp_path / "dest")
+        # 64 tiny files
+        spark.range(10_000).repartition(64).write.parquet(src)
+        n_src = len(glob.glob(os.path.join(src, "part-*")))
+        assert n_src == 64
+        total = sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(src, "part-*"))
+        )
+        n = compact_files(spark, src, dest, target_file_bytes=total // 4)
+        n_dest = len(glob.glob(os.path.join(dest, "part-*")))
+        assert n_dest == n <= 8  # ceil rounding can add one
+        # data preserved exactly
+        a = spark.read.parquet(src).agg(
+            F.count(F.lit(1)), F.sum("id")
+        ).collect()[0]
+        b = spark.read.parquet(dest).agg(
+            F.count(F.lit(1)), F.sum("id")
+        ).collect()[0]
+        assert tuple(a) == tuple(b) == (10_000, 49995000)
+
+    def test_rejects_bad_target(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            compact_files(spark, str(tmp_path), str(tmp_path / "d"), 0)

@@ -355,6 +355,7 @@ class TestCatalogPlanLint:
         "llm_corpus_stats", # the data card IS a one-row global agg
         "llm_perplexity",   # global total-token agg (one row)
         "llm_tfidf",        # global N agg (one row)
+        "q58_profile",      # table profile IS a one-row global agg (unpivoted)
         "q33_resample",     # min/max bounds agg for the grid (one row)
     }
 
