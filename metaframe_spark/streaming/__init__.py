@@ -247,3 +247,72 @@ def running_count_with_state(stream, key_col: str = "event_type", timeout_s: int
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_per_key(df, keys, seq_col):
+    """Collapse a CDC batch to its last change per key: ``max_by`` every
+    column on ``seq_col`` (one partial-aggregated shuffle on the keys, no
+    window sort). Ties on ``seq_col`` are broken arbitrarily — give CDC
+    feeds a total per-key order (offset, LSN) for deterministic replay."""
+    keys = list(keys)
+    others = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(
+        *[F.max_by(c, seq_col).alias(c) for c in others]
+    )
+
+
+def apply_cdc_stream(
+    stream,
+    base_path: str,
+    keys,
+    seq_col: str,
+    delete_col: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously apply a CDC change stream to a parquet base table:
+    each micro-batch is collapsed to its last change per key
+    (:func:`latest_per_key`), merged into the base with
+    :func:`~metaframe_spark.operators.merge.merge_upsert` (broadcast
+    anti + union — the base is scanned, never shuffled), written to a
+    staging directory and swapped in. Returns the started
+    ``StreamingQuery``; stop it (or use ``availableNow`` upstream) to
+    finish.
+
+    foreachBatch runs batches serially with exactly-once batch ids, so
+    the merge sequence is the stream order. The directory swap is
+    rename-based: atomic on HDFS/POSIX, best-effort on object stores —
+    at production scale put a transactional table format (Iceberg /
+    Delta) under the same ``merge_upsert`` plan instead; the relational
+    shape (this module's concern) is identical.
+    """
+    keys = list(keys)
+
+    def _apply(batch_df, batch_id: int):
+        from ..operators.merge import merge_upsert
+
+        spark = batch_df.sparkSession
+        delta = latest_per_key(batch_df, keys, seq_col)
+        base = spark.read.parquet(base_path)
+        merged = merge_upsert(
+            base, delta.select(*base.columns, *(
+                [delete_col] if delete_col else []
+            )), keys, delete_col
+        )
+        staging = base_path.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(base_path)
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        fs.rename(src, dst)
+
+    writer = (
+        stream.writeStream if not isinstance(stream, MetaFrame)
+        else stream.to_spark().writeStream
+    )
+    writer = writer.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -109,3 +109,60 @@ class TestScd2History:
             )
         )
         assert a == b
+
+
+class TestStreamingCdcApply:
+    def test_stream_of_cdc_batches_converges_to_batch_merge(
+        self, spark, tmp_path
+    ):
+        """foreachBatch + merge_upsert: a drained CDC file stream leaves
+        the parquet base equal to applying every change in order."""
+        from metaframe_spark.streaming import apply_cdc_stream
+
+        base_path = str(tmp_path / "base")
+        cdc_dir = tmp_path / "cdc"
+        cdc_dir.mkdir()
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(100)],
+            "id long, name string, amt double",
+        ).write.parquet(base_path)
+
+        # two CDC files -> (at least) two micro-batches; seq orders changes
+        b1 = [(1, "b1-upd", 11.0, False, 1), (200, "b1-ins", 2.0, False, 2),
+              (3, "x", 0.0, True, 3)]
+        b2 = [(1, "b2-upd", 12.0, False, 4),   # later update wins
+              (200, "x", 0.0, True, 5),        # b1's insert deleted
+              (201, "b2-ins", 3.0, False, 6)]
+        schema = "id long, name string, amt double, deleted boolean, seq long"
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+            str(cdc_dir / "f1")
+        )
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+            str(cdc_dir / "f2")
+        )
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(cdc_dir / "f1")).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(cdc_dir / "*"))
+        )
+        q = apply_cdc_stream(
+            stream, base_path, ["id"], "seq", delete_col="deleted",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r.id: (r.name, r.amt)
+            for r in spark.read.parquet(base_path).collect()
+        }
+        assert 3 not in got and 200 not in got         # deletes applied
+        assert got[201] == ("b2-ins", 3.0)             # later insert kept
+        assert got[1][0] in ("b1-upd", "b2-upd")       # update applied ...
+        if got[1][0] == "b2-upd":                      # ... last-wins if the
+            assert got[1][1] == 12.0                   # files split batches
+        assert got[0] == ("v0", 0.0)                   # untouched rows intact
+        assert len(got) == 100 - 1 + 1  # -id3, +id201 (id200 ins+del nets 0)
