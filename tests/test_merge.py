@@ -166,3 +166,27 @@ class TestStreamingCdcApply:
             assert got[1][1] == 12.0                   # files split batches
         assert got[0] == ("v0", 0.0)                   # untouched rows intact
         assert len(got) == 100 - 1 + 1  # -id3, +id201 (id200 ins+del nets 0)
+
+
+class TestMergeLaws:
+    def test_merge_is_idempotent(self, spark, base):
+        """Replaying the same CDC batch must be a no-op — the at-least-once
+        delivery guarantee every CDC consumer needs."""
+        delta = spark.createDataFrame(
+            [(2, "B2", 22.0, False), (9, "new", 99.0, False), (3, "c", 0.0, True)],
+            "id long, name string, amt double, deleted boolean",
+        )
+        once = merge_upsert(base, delta, ["id"], "deleted")
+        twice = merge_upsert(once, delta, ["id"], "deleted")
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
+
+    def test_empty_delta_is_identity(self, spark, base):
+        empty = spark.createDataFrame(
+            [], "id long, name string, amt double, deleted boolean"
+        )
+        out = merge_upsert(base, empty, ["id"], "deleted")
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, base.collect())
+        )
