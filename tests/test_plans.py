@@ -373,3 +373,46 @@ class TestCatalogPlanLint:
             if "Exchange SinglePartition" in plan and name not in self.SINGLE_OK:
                 failures.append(f"{name}: unallowlisted Exchange SinglePartition")
         assert not failures, "\n".join(failures)
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_injects_bloom_filter_on_fact_scan(self, spark):
+        """Runtime row-level filtering (Spark 3.3+): a selective filter on
+        the dim side of a non-broadcast join injects a bloom-filter
+        semi-filter (`might_contain`) onto the fact side BEFORE its
+        shuffle, so non-matching fact rows never cross the exchange. At
+        100 TB this triggers out of the box (the application side must
+        exceed `applicationSideScanSizeThreshold`, default 10 GB — lowered
+        here only because the test data is small)."""
+        saved = {}
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+                "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            li = load_table(spark, SF, "lineitem").to_spark()
+            o = (
+                load_table(spark, SF, "orders")
+                .to_spark()
+                .filter(F.col("o_totalprice") > 400000)
+            )
+            j = li.join(o, li.l_orderkey == o.o_orderkey)
+            j.write.format("noop").mode("overwrite").save()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan, plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
