@@ -185,3 +185,49 @@ class TestPackingProperties:
         assert quotas == largest_remainder_quotas(
             dict(reversed(list(weights.items()))), total
         )
+
+
+class TestHashSplitProperties:
+    @given(
+        fractions=st.dictionaries(
+            st.sampled_from(["train", "val", "test", "dev", "holdout"]),
+            st.floats(min_value=0.01, max_value=100, allow_nan=False),
+            min_size=1,
+            max_size=4,
+        ),
+        n=st.integers(min_value=1, max_value=300),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_split_matches_pure_python_md5_draw(self, spark, fractions, n):
+        """hash_split is a pure function of the key: an independent Python
+        md5 reimplementation assigns every row the same label for ANY
+        fraction dict — the cross-engine reproducibility contract."""
+        import hashlib
+        import math as m
+
+        from metaframe_spark.operators.sampling import hash_split
+
+        df = spark.range(n).withColumnRenamed("id", "doc_id")
+        got = {
+            r.doc_id: r.split
+            for r in hash_split(df, fractions, "doc_id").collect()
+        }
+
+        total = m.fsum(float(w) for w in fractions.values())
+        labels = sorted(fractions)
+        bounds = []
+        acc = 0.0
+        for label in labels[:-1]:
+            acc += float(fractions[label]) / total
+            bounds.append((label, acc))
+        for i in range(n):
+            draw = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                / float(2**32)
+            )
+            want = labels[-1]
+            for label, b in bounds:
+                if draw < b:
+                    want = label
+                    break
+            assert got[i] == want, (i, fractions)
