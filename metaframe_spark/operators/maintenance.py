@@ -9,6 +9,7 @@ engine operating a 100-TB lake needs, expressed Spark-first.
 from __future__ import annotations
 
 import math
+import re
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -37,6 +38,14 @@ def profile_columns(
     equality checks.
     """
     cols: List[str] = list(columns) if columns else list(df.columns)
+    # column names are interpolated into an expr string below — restrict to
+    # plain identifiers so exotic names fail loudly instead of mis-parsing
+    bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
+    if bad:
+        raise ValueError(
+            f"profile_columns requires identifier-safe column names; "
+            f"rename {bad!r} (e.g. withColumnRenamed) before profiling"
+        )
     distinct = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact_distinct

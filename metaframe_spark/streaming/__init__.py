@@ -299,14 +299,20 @@ def apply_cdc_stream(
             )), keys, delete_col
         )
         staging = base_path.rstrip("/") + f"._staging_{batch_id}"
+        backup = base_path.rstrip("/") + f"._replaced_{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         dst = jvm.org.apache.hadoop.fs.Path(base_path)
         src = jvm.org.apache.hadoop.fs.Path(staging)
+        bak = jvm.org.apache.hadoop.fs.Path(backup)
         fs = dst.getFileSystem(conf)
-        fs.delete(dst, True)
+        # move the old base aside BEFORE promoting staging: a crash between
+        # the two renames leaves both versions on disk (recoverable), never
+        # neither — the delete happens only after the promote succeeds
+        fs.rename(dst, bak)
         fs.rename(src, dst)
+        fs.delete(bak, True)
 
     writer = (
         stream.writeStream if not isinstance(stream, MetaFrame)

@@ -71,3 +71,12 @@ class TestCompactFiles:
     def test_rejects_bad_target(self, spark, tmp_path):
         with pytest.raises(ValueError):
             compact_files(spark, str(tmp_path), str(tmp_path / "d"), 0)
+
+
+class TestProfileGuards:
+    def test_rejects_non_identifier_column_names(self, spark):
+        df = spark.createDataFrame([(1,)], "a long").withColumnRenamed(
+            "a", "weird name"
+        )
+        with pytest.raises(ValueError, match="identifier-safe"):
+            profile_columns(df)
