@@ -143,3 +143,36 @@ def with_partition_stats(mf, key: str = "partition_stats"):
     }
     base = mf if isinstance(mf, MetaFrame) else MetaFrame(raw, {})
     return base.set_metadata(**{key: stats})
+
+
+def lint_plan(df, allow: Sequence[str] = ()) -> List[str]:
+    """Sweep a DataFrame's physical plan for scale-killers and return the
+    findings (empty list = clean) — the library form of the catalog-wide
+    plan lint `tests/test_plans.py` runs in CI, for users to gate their
+    own pipelines (e.g. ``assert not lint_plan(df)`` before a 100-TB run).
+
+    Detects: cartesian products, row-at-a-time Python UDF evaluation
+    (``BatchEvalPython`` — use Arrow/Pandas UDFs), broadcast nested-loop
+    joins, and single-partition exchanges (a global sort/window with no
+    partition key). ``allow`` suppresses named markers for plans where
+    the construct is legitimately bounded (a one-row global aggregate, a
+    broadcast against a bounded relation) — mirroring the test suite's
+    documented allowlists.
+
+    Works on MetaFrame or raw DataFrames; the plan is the *executed* plan
+    when available (post-AQE), else the spark plan.
+    """
+    raw = df.to_spark() if hasattr(df, "to_spark") else df
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    markers = {
+        "CartesianProduct": "cartesian product (unbounded pairwise blow-up)",
+        "BatchEvalPython": "row-at-a-time Python UDF (use pandas_udf/mapInPandas)",
+        "BroadcastNestedLoopJoin": "broadcast nested-loop join (per-row scan of broadcast side)",
+        "Exchange SinglePartition": "single-partition exchange (global sort/window bottleneck)",
+    }
+    allowed = set(allow)
+    return [
+        f"{marker}: {why}"
+        for marker, why in markers.items()
+        if marker in plan and marker not in allowed
+    ]

@@ -416,3 +416,32 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestLintPlanApi:
+    def test_clean_plan_reports_nothing(self, spark):
+        from metaframe_spark.scale import lint_plan
+
+        li = load_table(spark, SF, "lineitem")
+        df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+        assert lint_plan(df) == []
+
+    def test_flags_single_partition_window_and_allowlist(self, spark):
+        from pyspark.sql import Window
+
+        from metaframe_spark.scale import lint_plan
+
+        li = load_table(spark, SF, "lineitem").to_spark()
+        w = Window.orderBy("l_orderkey")  # global, partitionless window
+        df = li.withColumn("rn", F.row_number().over(w))
+        findings = lint_plan(df)
+        assert any("single-partition" in f for f in findings)
+        assert lint_plan(df, allow=["Exchange SinglePartition"]) == []
+
+    def test_flags_cartesian(self, spark):
+        from metaframe_spark.scale import lint_plan
+
+        a = load_table(spark, SF, "region").to_spark()
+        b = load_table(spark, SF, "nation").to_spark()
+        findings = lint_plan(a.crossJoin(b))
+        assert findings  # BNLJ or CartesianProduct depending on size/stats
