@@ -2587,3 +2587,66 @@ def q58_profile(spark, sf):
 
     o = load_table(spark, sf, "orders")
     return profile_columns(o.to_spark())
+
+
+@query(
+    "q59_time_funcs",
+    "SELECT event_id, "
+    "CAST(hour(ts) AS BIGINT) AS h, "
+    "CAST(minute(ts) AS BIGINT) AS mi, "
+    "CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
+    "strftime(CAST(ts AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m "
+    "FROM events",
+)
+def q59_time_funcs(spark, sf):
+    """Third date/time-function breadth entry (q23: year/month/add/diff;
+    q53: quarter/last_day/doy/iso-week): time-of-day extraction (hour/
+    minute), day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday — the oracle
+    offsets), epoch seconds, and month arithmetic with end-of-month
+    clamping (add_months ≡ + INTERVAL MONTH in both engines). All per-row
+    codegen on the scan."""
+    e = load_table(spark, sf, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.hour(ts).cast("long").alias("h"),
+        F.minute(ts).cast("long").alias("mi"),
+        F.dayofweek(F.to_date(ts)).cast("long").alias("dow"),
+        F.unix_timestamp(ts.cast("timestamp")).cast("long").alias("epoch_s"),
+        F.date_format(F.add_months(F.to_date(ts), 3), "yyyy-MM-dd").alias(
+            "plus3m"
+        ),
+    )
+
+
+@query(
+    "q60_conditional_expr",
+    "SELECT l_orderkey, l_linenumber, "
+    "least(l_quantity, l_discount * 100, l_tax * 100) AS lo, "
+    "greatest(l_quantity, l_discount * 100, l_tax * 100) AS hi, "
+    "CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' "
+    "ELSE 'small' END AS tier, "
+    "CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END "
+    "AS qty_per_disc "
+    "FROM lineitem",
+)
+def q60_conditional_expr(spark, sf):
+    """Conditional-expression breadth (§2.3 row 11; q27 covers coalesce/
+    nullif): variadic least/greatest, tiered CASE, and a guarded division
+    rendered as CASE. Per-row codegen; IEEE arithmetic and comparisons
+    are engine-identical so doubles hash-match unrounded."""
+    li = load_table(spark, sf, "lineitem")
+    q, d, t = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(q, d * 100, t * 100).alias("lo"),
+        F.greatest(q, d * 100, t * 100).alias("hi"),
+        F.when(q >= 40, "bulk").when(q >= 10, "mid").otherwise("small").alias(
+            "tier"
+        ),
+        F.when(d == 0, F.lit(None).cast("double")).otherwise(q / d).alias(
+            "qty_per_disc"
+        ),
+    )
