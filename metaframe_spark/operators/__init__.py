@@ -51,6 +51,7 @@ from .similarity import (
 from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history
 from .text import (
+    bigram_nll,
     bm25_scores,
     bpe_token_count,
     c4_line_filter,
@@ -93,6 +94,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "near_dup_groups",
     "ngram_contamination",
+    "bigram_nll",
     "bm25_scores",
     "ngram_vocabulary",
     "compact_files",

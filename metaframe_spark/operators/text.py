@@ -718,3 +718,70 @@ def unigram_nll(
             ).alias("unigram_nll"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy: mean over a document's
+    bigrams of ``-ln p(w2 | w1)`` with add-one (Laplace) smoothing,
+    ``p = (c(w1 w2) + 1) / (c(w1) + V)`` — the second-order companion to
+    :func:`unigram_nll` (conditional fluency, not just token rarity:
+    shuffled text keeps its unigram NLL but its bigram NLL explodes).
+
+    Returns ``(id_col, n_bigrams, bigram_nll)``; documents with fewer
+    than 2 tokens have no bigrams and are absent. All counts are corpus
+    totals; ``V`` is the distinct-unigram vocabulary size.
+
+    Scale shape: bigrams are formed ROW-LOCALLY from the token array
+    (``transform(sequence(...))`` — no self-join, no window over token
+    position); the only shuffled relations are the distinct (doc, bigram)
+    tf pairs, the bigram-keyed and unigram-keyed count rollups, and the
+    final doc rollup — all key-bounded with map-side partial aggregation.
+    The V and unigram-count relations join back by broadcast/hash join on
+    the first word. Per-(doc, bigram) contributions are rounded to 6 and
+    DECIMAL-summed (the cross-engine determinism rule shared with
+    bm25_scores / unigram_nll).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+    )
+    bg = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    )
+    tf = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus bigram counts: window over the tf relation (no re-tokenize)
+    cbg = F.sum("tf").over(Window.partitionBy("bg"))
+    # corpus unigram counts + vocabulary size from a second tokenize scan
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    p = (F.col("_cbg").cast("double") + 1.0) / (
+        F.col("c1").cast("double") + F.col("_v")
+    )
+    contrib = F.round(F.col("tf") * -F.log(p), 6).cast("decimal(18,6)")
+    return (
+        tf.withColumn("_cbg", cbg)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("_c").cast("double") / F.sum("tf"), 6
+            ).alias("bigram_nll"),
+        )
+    )

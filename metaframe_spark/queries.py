@@ -2650,3 +2650,36 @@ def q60_conditional_expr(spark, sf):
             "qty_per_disc"
         ),
     )
+
+
+@query(
+    "llm_bigram_nll",
+    "WITH t AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+    "  i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t WHERE len(toks) >= 2), "
+    "tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY doc_id, bg), "
+    "cbg AS (SELECT bg, sum(tf) AS cbg FROM tf GROUP BY bg), "
+    "uni AS (SELECT w1, count(*) AS c1 FROM ("
+    "  SELECT unnest(toks) AS w1 FROM t) GROUP BY w1), "
+    "v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni), "
+    "per AS (SELECT doc_id, tf, CAST(round(tf * -ln("
+    "  (CAST(cbg AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + vs)), 6) "
+    "  AS DECIMAL(18,6)) AS c "
+    "  FROM tf JOIN cbg USING (bg) "
+    "  JOIN uni ON split_part(bg, ' ', 1) = uni.w1 CROSS JOIN v) "
+    "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+    "round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS bigram_nll "
+    "FROM per GROUP BY doc_id",
+)
+def llm_bigram_nll(spark, sf):
+    """Bigram-LM fluency signal (operators/text.py::bigram_nll): mean
+    -ln p(w2|w1) with add-one smoothing, fit on the corpus itself — the
+    conditional companion to llm_perplexity (shuffled text keeps its
+    unigram score but fails this one). Bigrams are formed row-locally
+    from the token array; the oracle recomputes the full fit + scores
+    with the shared round-then-DECIMAL-sum determinism rule."""
+    from .operators.text import bigram_nll
+
+    d = load_table(spark, sf, "documents")
+    return bigram_nll(d.to_spark(), "text", "doc_id")

@@ -1448,3 +1448,57 @@ class TestHashSplit:
             ).collect()
         )
         assert a == b
+
+
+class TestBigramNll:
+    def test_matches_python_ground_truth(self, spark):
+        import collections
+        import math
+
+        from metaframe_spark.operators.text import bigram_nll
+
+        corpus = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat"),
+            (3, "x"),          # one token: no bigrams
+            (4, ""),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.bigram_nll)
+            for r in bigram_nll(df).collect()
+        }
+        docs = {i: t.lower().split() for i, t in corpus}
+        bgs = {
+            i: [f"{ts[j]} {ts[j+1]}" for j in range(len(ts) - 1)]
+            for i, ts in docs.items()
+        }
+        cbg = collections.Counter(b for bs in bgs.values() for b in bs)
+        c1 = collections.Counter(w for ts in docs.values() for w in ts)
+        vocab = len(c1)
+        want = {}
+        for i, bs in bgs.items():
+            if not bs:
+                continue
+            per = collections.Counter(bs)
+            s = sum(
+                round(c * -math.log((cbg[b] + 1) / (c1[b.split()[0]] + vocab)), 6)
+                for b, c in per.items()
+            )
+            want[i] = (len(bs), round(s / len(bs), 6))
+        assert got == want
+
+    def test_shuffled_text_scores_worse_than_fluent(self, spark):
+        """The signal unigram NLL cannot give: token-shuffled copies keep
+        their unigram stats but lose their bigram structure."""
+        from metaframe_spark.operators.text import bigram_nll
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        words = base.split()
+        shuffled = " ".join(
+            words[i] for i in [7, 2, 11, 0, 9, 4, 1, 10, 3, 8, 5, 6]
+        )
+        rows = [(i, base) for i in range(10)] + [(99, shuffled)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scores = {r.doc_id: r.bigram_nll for r in bigram_nll(df).collect()}
+        assert scores[99] > scores[0]

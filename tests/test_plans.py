@@ -341,6 +341,7 @@ class TestCatalogPlanLint:
     # every one is a cross against a BOUNDED broadcast relation (the
     # brute-force contract or a one-row scalar), never data x data
     BNLJ_OK = {
+        "llm_bigram_nll",   # one-row vocabulary-size scalar joined to tf relation
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
         "llm_ivf_topk",     # bounded centroid set x probe relation
@@ -351,6 +352,7 @@ class TestCatalogPlanLint:
     # entries with a legitimate Exchange SinglePartition: one-row global
     # aggregates (output IS one row) or constant-size grid builders
     SINGLE_OK = {
+        "llm_bigram_nll",   # global vocabulary-size agg (one row)
         "llm_bm25",         # global corpus-size agg (one row)
         "llm_corpus_stats", # the data card IS a one-row global agg
         "llm_perplexity",   # global total-token agg (one row)
