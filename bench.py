@@ -69,6 +69,14 @@ def main() -> int:
         for n in os.environ.get("BENCH_ONLY", "").split(",")
         if n.strip()
     }
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(
+            f"bench: BENCH_ONLY names not in the catalog: {sorted(unknown)}",
+            file=sys.stderr,
+        )
+    if only and not (only & set(QUERIES)):
+        raise SystemExit("bench: BENCH_ONLY matched no catalog entries")
     names = sorted(only & set(QUERIES) if only else QUERIES)
 
     times: dict[str, float] = {}

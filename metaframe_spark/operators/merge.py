@@ -37,11 +37,20 @@ def merge_upsert(
     keys: Sequence[str],
     delete_col: Optional[str] = None,
     broadcast_delta: bool = True,
+    seq_col: Optional[str] = None,
 ) -> DataFrame:
     """Merge a CDC ``delta`` into ``base``: delta rows win on key match
     (UPDATE), unmatched delta rows are inserted, and — when
     ``delete_col`` names a boolean column in ``delta`` — delta rows
     flagged true delete their key instead (and are not emitted).
+
+    **Precondition: the delta must hold at most ONE row per key** (SQL
+    MERGE raises on multiple matches; this plan would instead emit every
+    delta row for the key, i.e. duplicate output). Pass ``seq_col`` to
+    have the delta collapsed to its last change per key first (``max_by``
+    every column on ``seq_col`` — the same one-shuffle collapse
+    :func:`~metaframe_spark.streaming.latest_per_key` applies on the
+    streaming path, where batches already arrive collapsed).
 
     Both inputs must share the ``keys`` columns; the output schema is
     ``base``'s column set (``delete_col`` is dropped from emitted delta
@@ -59,6 +68,11 @@ def merge_upsert(
     rewritten driver-side.
     """
     keys = list(keys)
+    if seq_col is not None:
+        others = [c for c in delta.columns if c not in keys]
+        delta = delta.groupBy(*keys).agg(
+            *[F.max_by(c, seq_col).alias(c) for c in others]
+        )
     key_rel = delta.select(*keys)
     if broadcast_delta:
         key_rel = F.broadcast(key_rel)

@@ -193,6 +193,14 @@ def hash_split(
     Plan: a single codegen projection — md5 of the key's string form,
     first 8 hex chars as an integer draw in [0, 2^32), compared against
     cumulative weight boundaries. No exchange anywhere.
+
+    NULL keys: a NULL key has no md5 draw, so null-keyed rows are routed
+    explicitly — and deterministically — to the LARGEST-weight label
+    (ties broken alphabetically). This keeps unkeyed rows out of the
+    small eval splits (they would otherwise all land in whatever label
+    the ``otherwise`` branch happened to hold) and keeps the assignment a
+    pure function of the key. Filter nulls first if they should not be
+    split at all.
     """
     if not fractions:
         raise ValueError("fractions must be non-empty")
@@ -200,6 +208,7 @@ def hash_split(
     if total <= 0:
         raise ValueError("fractions must sum to > 0")
     key = F.col(by_col if by_col is not None else id_col)
+    largest = sorted(fractions, key=lambda l: (-float(fractions[l]), l))[0]
     draw = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
         "double"
     ) / F.lit(float(2**32))
@@ -217,4 +226,5 @@ def hash_split(
         if expr is None
         else expr.otherwise(F.lit(labels[-1]))
     )
+    expr = F.when(key.isNull(), F.lit(largest)).otherwise(expr)
     return df.withColumn(split_col, expr)

@@ -2477,6 +2477,7 @@ def q56_scd2(spark, sf):
 @query(
     "llm_hash_split",
     "SELECT doc_id, CASE "
+    "WHEN doc_id IS NULL THEN 'train' "
     "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     " / 4294967296.0 < 0.01 THEN 'test' "
     "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"

@@ -159,8 +159,14 @@ def lint_plan(df, allow: Sequence[str] = ()) -> List[str]:
     broadcast against a bounded relation) — mirroring the test suite's
     documented allowlists.
 
-    Works on MetaFrame or raw DataFrames; the plan is the *executed* plan
-    when available (post-AQE), else the spark plan.
+    Works on MetaFrame or raw DataFrames. The plan linted is the physical
+    plan *as of the call*: for an adaptive (AQE) query that has not run an
+    action yet this is the initial adaptive plan (``isFinalPlan=false``),
+    not the re-optimized final one — run an action first to lint the
+    post-AQE plan. Findings on the initial plan are still meaningful (a
+    cartesian or Python-UDF eval never appears at runtime unless it is in
+    the initial plan), but AQE may e.g. convert a flagged sort-merge path
+    to broadcast at runtime.
     """
     raw = df.to_spark() if hasattr(df, "to_spark") else df
     plan = raw._jdf.queryExecution().executedPlan().toString()

@@ -261,6 +261,96 @@ def latest_per_key(df, keys, seq_col):
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-constructor) for ``path`` via the session's JVM."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    return P(path).getFileSystem(conf), P
+
+
+def _staged_write_complete(fs, P, staging: str) -> bool:
+    """A staging dir is a complete table iff the committer's _SUCCESS
+    marker exists (a crash mid-write leaves files but no marker)."""
+    return bool(fs.exists(P(staging.rstrip("/") + "/_SUCCESS")))
+
+
+def _recover_swap_for_batch(spark, base_path: str, batch_id: int) -> Optional[str]:
+    """Repair a half-finished :func:`apply_cdc_stream` swap for one batch id.
+
+    Crash states and their repairs (base = ``base_path``, staging =
+    ``._staging_{id}``, backup = ``._replaced_{id}``):
+
+    * backup exists, base exists — crash after promote, before the backup
+      delete: the swap finished; drop the backup.
+    * backup exists, base missing, staging complete — crash between the
+      two renames: promote staging (it was fully written before the swap
+      began), then drop the backup.
+    * backup exists, base missing, staging missing/partial — restore the
+      backup as the base (the batch will be re-merged on retry).
+    * no backup — nothing mid-swap; any stale staging is overwritten by
+      the next attempt's write, so leave it.
+
+    Returns a short description of the action taken, or None if nothing
+    needed repair.
+    """
+    fs, P = _hadoop_fs(spark, base_path)
+    root = base_path.rstrip("/")
+    staging, backup = f"{root}._staging_{batch_id}", f"{root}._replaced_{batch_id}"
+    if not fs.exists(P(backup)):
+        return None
+    if fs.exists(P(base_path)):
+        fs.delete(P(backup), True)
+        return "dropped backup (promote had completed)"
+    if fs.exists(P(staging)) and _staged_write_complete(fs, P, staging):
+        if not fs.rename(P(staging), P(base_path)):
+            raise RuntimeError(
+                f"CDC recovery batch {batch_id}: failed to promote complete "
+                f"staging {staging} -> {base_path}; backup retained at {backup}"
+            )
+        fs.delete(P(backup), True)
+        return "promoted complete staging, dropped backup"
+    if not fs.rename(P(backup), P(base_path)):
+        raise RuntimeError(
+            f"CDC recovery batch {batch_id}: failed to restore backup "
+            f"{backup} -> {base_path}"
+        )
+    if fs.exists(P(staging)):
+        fs.delete(P(staging), True)
+    return "restored backup as base (staging incomplete)"
+
+
+def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:
+    """Restore the newest complete version of a CDC base table after a
+    crash mid-:func:`apply_cdc_stream`-swap.
+
+    Scans for ``{base}._staging_N`` / ``{base}._replaced_N`` leftovers and
+    repairs each batch id in ascending order via the same state machine the
+    stream itself uses on retry (:func:`_recover_swap_for_batch`). Safe to
+    run any time — a clean table is a no-op. Returns ``{batch_id: action}``
+    for every batch that needed repair.
+    """
+    import re
+
+    fs, P = _hadoop_fs(spark, base_path)
+    root = base_path.rstrip("/")
+    parent = P(root).getParent()
+    name = P(root).getName()
+    pat = re.compile(re.escape(name) + r"\._(?:staging|replaced)_(\d+)$")
+    ids = set()
+    if fs.exists(parent):
+        for st in fs.listStatus(parent):
+            m = pat.match(st.getPath().getName())
+            if m:
+                ids.add(int(m.group(1)))
+    actions: Dict[int, str] = {}
+    for bid in sorted(ids):
+        act = _recover_swap_for_batch(spark, base_path, bid)
+        if act:
+            actions[bid] = act
+    return actions
+
+
 def apply_cdc_stream(
     stream,
     base_path: str,
@@ -284,6 +374,16 @@ def apply_cdc_stream(
     at production scale put a transactional table format (Iceberg /
     Delta) under the same ``merge_upsert`` plan instead; the relational
     shape (this module's concern) is identical.
+
+    Crash safety: the old base is renamed aside BEFORE staging is
+    promoted, so a crash between the two renames leaves both versions on
+    disk (recoverable by :func:`recover_cdc_swap`), never neither. Every
+    ``FileSystem.rename`` return value is checked (Hadoop renames report
+    most failures by returning false, not raising) and the backup is
+    deleted only after the promoted base is verified to exist. A retried
+    batch id first repairs any half-finished swap left by a previous
+    attempt of the same batch (``merge_upsert`` is idempotent, so
+    re-merging an already-applied batch is safe).
     """
     keys = list(keys)
 
@@ -291,6 +391,9 @@ def apply_cdc_stream(
         from ..operators.merge import merge_upsert
 
         spark = batch_df.sparkSession
+        # a retried batch id may find debris from a crashed prior attempt:
+        # repair the swap first so the base read below is a complete table
+        _recover_swap_for_batch(spark, base_path, batch_id)
         delta = latest_per_key(batch_df, keys, seq_col)
         base = spark.read.parquet(base_path)
         merged = merge_upsert(
@@ -301,17 +404,28 @@ def apply_cdc_stream(
         staging = base_path.rstrip("/") + f"._staging_{batch_id}"
         backup = base_path.rstrip("/") + f"._replaced_{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        dst = jvm.org.apache.hadoop.fs.Path(base_path)
-        src = jvm.org.apache.hadoop.fs.Path(staging)
-        bak = jvm.org.apache.hadoop.fs.Path(backup)
-        fs = dst.getFileSystem(conf)
+        fs, P = _hadoop_fs(spark, base_path)
+        dst, src, bak = P(base_path), P(staging), P(backup)
         # move the old base aside BEFORE promoting staging: a crash between
         # the two renames leaves both versions on disk (recoverable), never
-        # neither — the delete happens only after the promote succeeds
-        fs.rename(dst, bak)
-        fs.rename(src, dst)
+        # neither — the delete happens only after the promote is verified
+        if not fs.rename(dst, bak):
+            raise RuntimeError(
+                f"CDC swap batch {batch_id}: failed to move base aside "
+                f"({base_path} -> {backup}); base left untouched"
+            )
+        if not fs.rename(src, dst):
+            # put the base back so the table stays readable, then fail
+            fs.rename(bak, dst)
+            raise RuntimeError(
+                f"CDC swap batch {batch_id}: failed to promote staging "
+                f"({staging} -> {base_path}); base restored from backup"
+            )
+        if not fs.exists(dst):
+            raise RuntimeError(
+                f"CDC swap batch {batch_id}: promoted base missing at "
+                f"{base_path}; backup retained at {backup}"
+            )
         fs.delete(bak, True)
 
     writer = (

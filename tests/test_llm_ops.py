@@ -1431,6 +1431,26 @@ class TestHashSplit:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_null_keys_route_to_largest_weight_label(self, spark):
+        """A NULL key has no md5 draw; null-keyed rows must land in the
+        largest-weight split (deterministically), never silently fall
+        through to the alphabetically-last label."""
+        from metaframe_spark.operators.sampling import hash_split
+
+        df = spark.createDataFrame(
+            [(1,), (None,), (None,)], "doc_id long"
+        )
+        got = {
+            r.doc_id: r.split
+            for r in hash_split(df, {"train": 98, "val": 1, "test": 1}).collect()
+        }
+        assert got[None] == "train"
+        # ties on weight break alphabetically
+        out2 = hash_split(
+            spark.createDataFrame([(None,)], "doc_id long"), {"b": 1, "a": 1}
+        ).collect()
+        assert out2[0].split == "a"
+
     def test_stable_under_repartition(self, spark):
         from metaframe_spark.operators.sampling import hash_split
 

@@ -190,3 +190,126 @@ class TestMergeLaws:
         assert sorted(map(tuple, out.collect())) == sorted(
             map(tuple, base.collect())
         )
+
+
+class TestCdcSwapRecovery:
+    """Crash states of apply_cdc_stream's backup-rename swap, repaired by
+    recover_cdc_swap. Each test fabricates the exact on-disk state a crash
+    at one point of the swap leaves behind."""
+
+    @staticmethod
+    def _write(spark, path, rows):
+        spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+
+    def test_crash_between_renames_promotes_complete_staging(
+        self, spark, tmp_path
+    ):
+        from metaframe_spark.streaming import recover_cdc_swap
+
+        base = tmp_path / "tbl"
+        self._write(spark, tmp_path / "tbl._replaced_3", [(1, "old")])
+        self._write(spark, tmp_path / "tbl._staging_3", [(1, "new")])
+        assert not base.exists()
+        actions = recover_cdc_swap(spark, str(base))
+        assert actions == {3: "promoted complete staging, dropped backup"}
+        assert [tuple(r) for r in spark.read.parquet(str(base)).collect()] == [
+            (1, "new")
+        ]
+        assert not (tmp_path / "tbl._replaced_3").exists()
+        assert not (tmp_path / "tbl._staging_3").exists()
+
+    def test_crash_mid_write_restores_backup(self, spark, tmp_path):
+        """Staging without _SUCCESS is a partial write: the backup (the old
+        complete base) must win and the partial staging must be dropped."""
+        from metaframe_spark.streaming import recover_cdc_swap
+
+        base = tmp_path / "tbl"
+        self._write(spark, tmp_path / "tbl._replaced_5", [(1, "old")])
+        staging = tmp_path / "tbl._staging_5"
+        self._write(spark, staging, [(1, "partial")])
+        (staging / "_SUCCESS").unlink()
+        actions = recover_cdc_swap(spark, str(base))
+        assert actions == {5: "restored backup as base (staging incomplete)"}
+        assert [tuple(r) for r in spark.read.parquet(str(base)).collect()] == [
+            (1, "old")
+        ]
+        assert not staging.exists()
+
+    def test_crash_before_backup_delete_drops_backup(self, spark, tmp_path):
+        from metaframe_spark.streaming import recover_cdc_swap
+
+        base = tmp_path / "tbl"
+        self._write(spark, base, [(1, "new")])
+        self._write(spark, tmp_path / "tbl._replaced_9", [(1, "old")])
+        actions = recover_cdc_swap(spark, str(base))
+        assert actions == {9: "dropped backup (promote had completed)"}
+        assert not (tmp_path / "tbl._replaced_9").exists()
+        assert [tuple(r) for r in spark.read.parquet(str(base)).collect()] == [
+            (1, "new")
+        ]
+
+    def test_clean_table_is_noop(self, spark, tmp_path):
+        from metaframe_spark.streaming import recover_cdc_swap
+
+        base = tmp_path / "tbl"
+        self._write(spark, base, [(1, "v")])
+        assert recover_cdc_swap(spark, str(base)) == {}
+
+    def test_retried_batch_repairs_then_converges(self, spark, tmp_path):
+        """A stream restarted over a half-swapped base (crash between the
+        renames) must first repair, then drain to the fully-merged state —
+        the foreachBatch retry path end-to-end."""
+        from metaframe_spark.streaming import apply_cdc_stream
+
+        base_path = tmp_path / "base"
+        self._write(spark, base_path, [(1, "v1"), (2, "v2")])
+        # simulate: batch 0 crashed after moving the base aside and before
+        # promoting its staging (which did finish its write)
+        import shutil
+
+        shutil.move(str(base_path), str(tmp_path / "base._replaced_0"))
+        self._write(spark, tmp_path / "base._staging_0", [(1, "b0"), (2, "v2")])
+
+        cdc = tmp_path / "cdc"
+        cdc.mkdir()
+        spark.createDataFrame(
+            [(2, "b1", False, 1)], "id long, v string, deleted boolean, seq long"
+        ).coalesce(1).write.parquet(str(cdc / "f1"))
+        stream = spark.readStream.schema(
+            "id long, v string, deleted boolean, seq long"
+        ).parquet(str(cdc / "*"))
+        q = apply_cdc_stream(
+            stream, str(base_path), ["id"], "seq", delete_col="deleted",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.id: r.v for r in spark.read.parquet(str(base_path)).collect()}
+        assert got == {1: "b0", 2: "b1"}  # batch-0 repair kept, batch-1 applied
+        leftovers = [p.name for p in tmp_path.iterdir() if "._" in p.name]
+        assert leftovers == []
+
+
+class TestMergeSeqCollapse:
+    def test_seq_col_collapses_multi_row_delta(self, spark, base):
+        """Without seq_col a multi-row-per-key delta violates the MERGE
+        precondition (duplicate output); with seq_col the delta is collapsed
+        to its last change per key first."""
+        delta = spark.createDataFrame(
+            [
+                (2, "first", 21.0, False, 1),
+                (2, "last", 22.0, False, 2),
+                (3, "x", 0.0, True, 3),   # delete wins (latest for key 3)
+                (3, "resurrect-earlier", 33.0, False, 1),
+            ],
+            "id long, name string, amt double, deleted boolean, seq long",
+        )
+        out = merge_upsert(base, delta, ["id"], "deleted", seq_col="seq")
+        got = {r.id: (r.name, r.amt) for r in out.collect()}
+        assert got == {1: ("a", 10.0), 2: ("last", 22.0), 4: ("d", 40.0)}
+        # and the output has no duplicate keys
+        assert out.count() == out.select("id").distinct().count()
