@@ -6,13 +6,16 @@ typed metadata struct, and run decode / feature-extraction as Arrow-batched
 ``mapInPandas`` stages so the Python boundary is crossed once per batch,
 never per row.
 
-The decode step tries a REAL codec first when one is importable: Pillow
-(PIL), probed inside the executor-side UDF so the plumbing works whether
-or not the driver environment has it. Payloads PIL cannot decode — and
-every payload when PIL is absent (this sandbox) — fall back to a
-deterministic sha256-derived stub, which keeps the whole pipeline
-SQL-reproducible for the DuckDB oracle. ``mode`` records which path ran:
-a real PIL mode string ("RGB", "L", ...) or ``"stub"``.
+Every media stage — metadata extraction, resize, frame sampling — tries a
+REAL codec first when one is importable: Pillow (PIL), probed inside the
+executor-side UDF so the plumbing works whether or not the driver
+environment has it. Payloads PIL cannot decode — and every payload when
+PIL is absent (this sandbox) — fall back to a deterministic stub
+(sha256-derived dims / byte-truncate / byte-slice), which keeps the whole
+pipeline SQL-reproducible for the DuckDB oracle. ``mode`` records which
+path ran in extraction: a real PIL mode string ("RGB", "L", ...) or
+``"stub"``. True video decode (keyframe pulls) needs ffmpeg and stays
+stubbed — PIL's multi-frame path covers animated GIF / multi-page TIFF.
 """
 
 from __future__ import annotations
@@ -146,24 +149,45 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched resize stage: binary payload in → binary payload out.
 
-    STUB resample (no codecs in this environment): the output payload is
-    the first ceil(len/4) bytes of the input — a deterministic,
-    SQL-reproducible stand-in for a 2×2 downsample. Swap the two marked
-    lines for decode → ``PIL.Image.resize`` → re-encode and the Spark
-    contract (schema, one Python crossing per Arrow batch, partition
-    preserved, no shuffle) is unchanged.
+    Real codec when available: the UDF probes for Pillow inside the
+    executor (same pattern as :func:`extract_media_metadata`) and, for
+    payloads PIL can decode, does decode → ``Image.resize((w, h))`` →
+    re-encode as PNG. Payloads PIL cannot decode — and every payload when
+    PIL is absent (this sandbox) — fall back to the deterministic
+    byte-truncate stub (first ceil(len/4) bytes, a SQL-reproducible
+    stand-in for a 2×2 downsample), which is what keeps the DuckDB oracle
+    valid on the fake text-byte payloads. The Spark contract is identical
+    on both paths: one Python crossing per Arrow batch, partitions
+    preserved, no shuffle.
     """
 
     def resize(batches: Iterator) -> Iterator:
+        import io as _io
+
         import pandas as pd
 
+        try:  # executor-side capability probe (mirrors extract_media_metadata)
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def one(p) -> bytes:
+            # None payloads pass through as empty — a real deployment would
+            # route them to a quarantine column instead of crashing the task
+            b = b"" if p is None else bytes(p)
+            if _Image is not None and b:
+                try:
+                    with _Image.open(_io.BytesIO(b)) as img:
+                        resized = img.resize((target_width, target_height))
+                        buf = _io.BytesIO()
+                        resized.save(buf, format="PNG")
+                        return buf.getvalue()
+                except Exception:
+                    pass  # not a decodable image — deterministic stub below
+            return b[: (len(b) + 3) // 4]
+
         for pdf in batches:
-            # STUB: byte-truncate stands in for decode+resample+encode
-            # (None payloads pass through as empty — a real decoder would
-            # route them to a quarantine column instead of crashing the task)
-            out = pdf["payload"].map(
-                lambda p: b"" if p is None else bytes(p)[: (len(p) + 3) // 4]
-            )
+            out = pdf["payload"].map(one)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -191,20 +215,62 @@ def sample_frames(
     where output cardinality exceeds input cardinality, which a scalar
     pandas_udf cannot express.
 
-    STUB extraction: frame j is the byte slice [j·frame_bytes, (j+1)·
-    frame_bytes); a real deployment replaces the slice with an ffmpeg
-    keyframe pull. Every payload emits at least one frame (possibly
-    empty), so downstream joins see every document. Output stays within
-    the input's partitions — the fan-out is row-local, no shuffle.
+    Real codec when available: the UDF probes for Pillow inside the
+    executor and, for payloads PIL decodes as MULTI-frame media (animated
+    GIF / multi-page TIFF — ``n_frames > 1``), samples up to ``max_frames``
+    evenly-strided frames and re-encodes each as PNG. True video needs an
+    ffmpeg keyframe pull — out of scope for PIL. Everything else — single-
+    frame images, undecodable payloads, and every payload when PIL is
+    absent (this sandbox) — uses the deterministic stub: frame j is the
+    byte slice [j·frame_bytes, (j+1)·frame_bytes), which keeps the DuckDB
+    oracle valid. Every payload emits at least one frame (possibly empty),
+    so downstream joins see every document. Output stays within the
+    input's partitions — the fan-out is row-local, no shuffle.
     """
 
     def frames(batches: Iterator) -> Iterator:
+        import io as _io
+
         import pandas as pd
+
+        try:  # executor-side capability probe (mirrors extract_media_metadata)
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def real_frames(b: bytes):
+            """PIL path: evenly-strided frames of multi-frame media, or None
+            to fall back to the stub (single frame / undecodable / no PIL)."""
+            if _Image is None or not b:
+                return None
+            try:
+                with _Image.open(_io.BytesIO(b)) as img:
+                    n_avail = getattr(img, "n_frames", 1)
+                    if n_avail <= 1:
+                        return None
+                    n = min(max_frames, n_avail)
+                    stride = n_avail / n
+                    out = []
+                    for j in range(n):
+                        img.seek(int(j * stride))
+                        buf = _io.BytesIO()
+                        img.convert("RGB").save(buf, format="PNG")
+                        out.append(buf.getvalue())
+                    return out
+            except Exception:
+                return None
 
         for pdf in batches:
             ids, idxs, chunks = [], [], []
             for i, p in zip(pdf[id_col], pdf["payload"]):
                 b = b"" if p is None else bytes(p)
+                real = real_frames(b)
+                if real is not None:
+                    for j, fr in enumerate(real):
+                        ids.append(i)
+                        idxs.append(j)
+                        chunks.append(fr)
+                    continue
                 n = min(max_frames, max(1, (len(b) + frame_bytes - 1) // frame_bytes))
                 for j in range(n):
                     ids.append(i)

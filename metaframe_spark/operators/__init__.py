@@ -24,6 +24,8 @@ from .dedup import (
     minhash_near_dup_pairs,
     near_dup_groups,
     ngram_contamination,
+    semantic_dedup,
+    semantic_dup_pairs,
     simhash_by_id,
     simhash_column,
     simhash_near_dup_pairs,
@@ -40,10 +42,12 @@ from .sampling import (
 from .asof import asof_join
 from .similarity import (
     ann_similarity_join,
+    assign_cells,
     ann_topk,
     brute_force_topk,
     cosine_expr,
     cosine_pairs_exact,
+    fit_sampled_centroids,
     ivf_topk,
     scalar_quantize,
     unit_normalize,
@@ -70,6 +74,7 @@ from .text import (
 
 __all__ = [
     "ann_similarity_join",
+    "assign_cells",
     "ann_topk",
     "asof_join",
     "bpe_token_count",
@@ -79,6 +84,7 @@ __all__ = [
     "content_hash",
     "cosine_expr",
     "cosine_pairs_exact",
+    "fit_sampled_centroids",
     "dedup_against",
     "dedup_survivors",
     "doc_fingerprint",
@@ -106,6 +112,8 @@ __all__ = [
     "unigram_nll",
     "normalize_text",
     "quality_features",
+    "semantic_dedup",
+    "semantic_dup_pairs",
     "span_dedup",
     "scalar_quantize",
     "shingles",

@@ -764,6 +764,138 @@ def dedup_against(
     )
 
 
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    min_cosine: float = 0.85,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+    kmeans_max_iter: int = 10,
+    kmeans_init: str = "k-means++",
+    max_cell_rows: int = 200_000,
+    gemm_margin: float = 1e-4,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells bound the quadratic — cosine pairs
+    are computed only WITHIN each cell, the way blocks bound
+    :func:`jaccard_similarity_pairs` — so cost is Σ|cell|² instead of N².
+    Cross-cell near-dups are missed by construction (that is the
+    approximation SemDeDup accepts; exact duplicates always share a cell
+    because assignment is a deterministic function of the vector).
+
+    Pipeline (every stage reused from the library):
+
+    1. centroids fit on a driver-side sample
+       (:func:`~metaframe_spark.operators.similarity.fit_sampled_centroids`);
+    2. distributed GEMM cell assignment
+       (:func:`~metaframe_spark.operators.similarity.assign_cells`);
+    3. per-cell pairs via ``applyInPandas``: one chunked float64 GEMM per
+       cell (BLAS at memory bandwidth); chunking keeps the score matrix
+       ~2M doubles regardless of cell size. Cells above ``max_cell_rows``
+       raise with a re-shard hint rather than silently OOMing the task;
+    4. GEMM only *nominates* (score ≥ min_cosine − ``gemm_margin``);
+       survivors are re-verified JVM-side with the sequential ``zip_with``
+       inner-product fold, so emitted cosines are bit-identical to a SQL
+       engine's (same contract as :func:`cosine_pairs_exact`).
+
+    ``n_cells=1`` skips the fit and is provably exhaustive (every pair is
+    within-cell) — the oracle-checkable setting, exactly as
+    ``ivf_topk(n_probe=n_lists)`` is the provably-exact IVF. Vectors must
+    be unit-normalized (:func:`unit_normalize`). Returns
+    (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .similarity import assign_cells, cosine_expr, fit_sampled_centroids
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dup_pairs: id column {id_col!r} has type "
+            f"{id_type.simpleString()}; the GEMM path carries ids as int64 "
+            "through numpy. Project a surrogate id first (e.g. "
+            "monotonically_increasing_id()) and join the original ids back"
+        )
+    cfeats = corpus.select(F.col(id_col), F.col(vec_col))
+    if n_cells <= 1:
+        assigned = cfeats.withColumn("_cell", F.lit(0))
+    else:
+        centroids = fit_sampled_centroids(
+            cfeats, n_cells, vec_col=vec_col, seed=seed,
+            max_fit_rows=max_fit_rows, max_iter=kmeans_max_iter,
+            init=kmeans_init, order_col=id_col,
+        )
+        assigned = assign_cells(cfeats, centroids, vec_col=vec_col)
+
+    cut = min_cosine - gemm_margin
+    cap = int(max_cell_rows)
+
+    def _cell_pairs(pdf):
+        # executor-side: numpy/pandas only, self-contained
+        import numpy as _np
+        import pandas as _pd
+
+        n = len(pdf)
+        if n > cap:
+            raise RuntimeError(
+                f"semantic_dup_pairs: cell with {n} rows exceeds "
+                f"max_cell_rows={cap}; raise n_cells (smaller cells) or "
+                "max_cell_rows (bigger executors)"
+            )
+        if n < 2:
+            return _pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        M = _np.ascontiguousarray(
+            _np.stack(pdf.iloc[:, 1].to_numpy()).astype(_np.float64)
+        )
+        ids = pdf.iloc[:, 0].to_numpy(dtype=_np.int64)
+        chunk = max(1, 2_000_000 // n)
+        outs_a, outs_b = [], []
+        for s in range(0, n, chunk):
+            S = M[s : s + chunk] @ M.T
+            keep = (S >= cut) & (ids[None, :] > ids[s : s + chunk, None])
+            li, ri = _np.nonzero(keep)
+            outs_a.append(ids[s : s + chunk][li])
+            outs_b.append(ids[ri])
+        return _pd.DataFrame(
+            {"id_a": _np.concatenate(outs_a), "id_b": _np.concatenate(outs_b)}
+        )
+
+    cand = assigned.select(id_col, vec_col, "_cell").groupBy("_cell").applyInPandas(
+        _cell_pairs, schema="id_a long, id_b long"
+    )
+    ea = cfeats.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = cfeats.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    min_cosine: float = 0.85,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """End-to-end semantic (embedding-cluster) dedup — the SemDeDup
+    composition: :func:`semantic_dup_pairs` (cell-bounded cosine pairs) →
+    :func:`near_dup_groups` (O(log d) connected components) →
+    :func:`dedup_survivors` (smallest id per component survives, unpaired
+    rows pass through). Returns the surviving rows of ``corpus``.
+    ``kwargs`` forward to :func:`semantic_dup_pairs`."""
+    pairs = semantic_dup_pairs(
+        corpus, min_cosine=min_cosine, n_cells=n_cells,
+        id_col=id_col, vec_col=vec_col, **kwargs,
+    )
+    return dedup_survivors(corpus, pairs, id_col=id_col)
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -20,6 +20,8 @@ def profile_columns(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
     exact_distinct: bool = True,
+    percentiles: Optional[Sequence[float]] = None,
+    exact_percentiles: bool = True,
 ) -> DataFrame:
     """ANALYZE-style column profile: one row per column with ``n_rows``,
     ``n_nulls``, ``n_distinct`` and min/max (as strings, so the output
@@ -36,8 +38,26 @@ def profile_columns(
     count, while HLL keeps it one sketch per column per partition; the
     default stays exact because profile numbers feed data cards and
     equality checks.
+
+    ``percentiles``: the ANALYZE-EXTENDED histogram block — e.g.
+    ``(0.25, 0.5, 0.75)`` adds ``p25``/``p50``/``p75`` double columns for
+    every NUMERIC profiled column (NULL for non-numeric), computed in the
+    SAME single agg pass. ``exact_percentiles=False`` swaps the exact
+    interpolated ``percentile`` (whose state is the full column per
+    group — fine for data cards at report time, heavy at petabyte scan
+    scale) for ``approx_percentile`` (t-digest sketch, bounded state —
+    the 100-TB shape, same lever as ``exact_distinct``). Values are
+    rounded to 6 decimals so exact mode is engine-reproducible.
     """
+    from pyspark.sql.types import NumericType
+
     cols: List[str] = list(columns) if columns else list(df.columns)
+    qs: List[float] = [float(q) for q in (percentiles or [])]
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"percentiles must be in [0, 1]: {qs!r}")
+    q_labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(q_labels)) != len(q_labels):
+        raise ValueError(f"duplicate percentiles: {qs!r}")
     # column names are interpolated into an expr string below — restrict to
     # plain identifiers so exotic names fail loudly instead of mis-parsing
     bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
@@ -51,6 +71,14 @@ def profile_columns(
         if exact_distinct
         else (lambda c: F.approx_count_distinct(F.col(c)))
     )
+    pctl = (
+        (lambda c, q: F.percentile(F.col(c), F.lit(q)))
+        if exact_percentiles
+        else (lambda c, q: F.approx_percentile(F.col(c), F.lit(q)))
+    )
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs.append(
@@ -59,11 +87,22 @@ def profile_columns(
         aggs.append(distinct(c).cast("long").alias(f"_nd_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+        for q, lbl in zip(qs, q_labels):
+            expr = (
+                F.round(pctl(c, q).cast("double"), 6)
+                if c in numeric
+                else F.lit(None).cast("double")
+            )
+            aggs.append(expr.alias(f"_{lbl}_{c}"))
     wide = df.agg(*aggs)
     struct_items = ", ".join(
-        f"named_struct('column', '{c}', 'n_nulls', _nulls_{c}, "
-        f"'n_distinct', _nd_{c}, 'min_value', _min_{c}, "
-        f"'max_value', _max_{c})"
+        (
+            f"named_struct('column', '{c}', 'n_nulls', _nulls_{c}, "
+            f"'n_distinct', _nd_{c}, 'min_value', _min_{c}, "
+            f"'max_value', _max_{c}"
+            + "".join(f", '{lbl}', _{lbl}_{c}" for lbl in q_labels)
+            + ")"
+        )
         for c in cols
     )
     return wide.select(
@@ -76,6 +115,7 @@ def profile_columns(
         F.col("_s.n_distinct").alias("n_distinct"),
         F.col("_s.min_value").alias("min_value"),
         F.col("_s.max_value").alias("max_value"),
+        *[F.col(f"_s.{lbl}").alias(lbl) for lbl in q_labels],
     )
 
 

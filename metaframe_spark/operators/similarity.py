@@ -121,6 +121,88 @@ def _fit_centroids(X, k: int, max_iter: int, init: str, seed: int):
     return centroids
 
 
+def fit_sampled_centroids(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+    max_iter: int = 20,
+    init: str = "k-means++",
+    n_rows: int = None,
+    order_col: str = None,
+) -> "np.ndarray":
+    """Fit k-means centroids on a driver-side sample of an embedding
+    column — the FAISS/ScaNN index-build shape: centroid quality needs a
+    representative sample, not every vector, and a 100k × d sample is
+    megabytes, so seeded numpy Lloyd's on the driver beats a distributed
+    fit's per-iteration job-scheduling overhead by orders of magnitude.
+    ``k`` is clamped to the sample size. Pass ``n_rows`` if the caller
+    already counted the corpus (saves a job).
+
+    ``order_col``: the fit indexes into the collected sample, so the
+    centroids depend on sample ROW ORDER — which ``toPandas`` inherits
+    from the physical partitioning. Passing an id column sorts the
+    (sample-bounded) rows first, making the fit — and everything derived
+    from the centroids — deterministic under repartitioning."""
+    import numpy as np
+
+    n = corpus.count() if n_rows is None else n_rows
+    fit_df = corpus
+    if n > max_fit_rows:
+        # oversample 20% above the cap so Bernoulli variance can't starve
+        # the fit, never above 1.0
+        fit_df = corpus.sample(fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed)
+    if order_col is not None:
+        fit_df = fit_df.orderBy(order_col)
+    X = np.stack(fit_df.select(vec_col).toPandas()[vec_col].to_numpy()).astype(
+        np.float64
+    )
+    return _fit_centroids(X, min(k, len(X)), max_iter, init, seed)
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Distributed nearest-centroid assignment: appends ``cell_col``
+    (int32 argmin cell, euclidean metric, ties to the lowest index) to the
+    input's columns. One ``mapInPandas`` pass, one float64 GEMM per Arrow
+    batch against the broadcast (k × d) centroid matrix — the shared
+    distributed half of IVF indexing (:func:`ivf_topk`) and semantic
+    dedup (:func:`~metaframe_spark.operators.dedup.semantic_dedup`).
+    Deterministic for fixed centroids, so downstream results are
+    reproducible on any partitioning."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = corpus.sparkSession
+    b_cent = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    schema = StructType(
+        corpus.schema.fields + [StructField(cell_col, IntegerType())]
+    )
+
+    def _assign(batches):
+        # executor-side: numpy/pandas only, self-contained
+        import numpy as _np
+
+        C = b_cent.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            # argmin over ||x||² − 2x·c + ||c||²; ||x||² constant per row
+            scores = -2.0 * (B @ C.T) + c2[None, :]
+            out = pdf.copy()
+            out[cell_col] = _np.argmin(scores, axis=1).astype(_np.int32)
+            yield out
+
+    return corpus.mapInPandas(_assign, schema=schema)
+
+
 def ann_similarity_join(
     left: DataFrame,
     right: DataFrame,
@@ -399,43 +481,18 @@ def ivf_topk(
     """
     import numpy as np
     from pyspark.sql import Window
-    from pyspark.sql.types import IntegerType, StructField, StructType
 
     cfeats = corpus.select(F.col(corpus_id), vec_col)
     n = cfeats.count()
     if n == 0:
         raise ValueError("ivf_topk: empty corpus")
-    fit_df = cfeats
-    if n > max_fit_rows:
-        # oversample 20% above the cap so Bernoulli variance can't starve
-        # the fit, never above 1.0
-        fit_df = cfeats.sample(fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed)
-    X = np.stack(fit_df.select(vec_col).toPandas()[vec_col].to_numpy()).astype(
-        np.float64
+    centroids = fit_sampled_centroids(
+        cfeats, n_lists, vec_col=vec_col, seed=seed, max_fit_rows=max_fit_rows,
+        max_iter=kmeans_max_iter, init=kmeans_init, n_rows=n,
+        order_col=corpus_id,
     )
-    k_eff = min(n_lists, len(X))
-    centroids = _fit_centroids(X, k_eff, kmeans_max_iter, kmeans_init, seed)
-
     spark = corpus.sparkSession
-    b_cent = spark.sparkContext.broadcast(centroids)
-    assign_schema = StructType(
-        cfeats.schema.fields + [StructField("_cell", IntegerType())]
-    )
-
-    def _assign(batches):
-        # executor-side: numpy/pandas only, self-contained
-        C = b_cent.value
-        c2 = (C * C).sum(axis=1)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            scores = -2.0 * (B @ C.T) + c2[None, :]
-            out = pdf.copy()
-            out["_cell"] = np.argmin(scores, axis=1).astype(np.int32)
-            yield out
-
-    indexed = cfeats.mapInPandas(_assign, schema=assign_schema)
+    indexed = assign_cells(cfeats, centroids, vec_col=vec_col)
 
     # tiny (n_lists x d) centroid relation — broadcast to rank cells per query
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]

@@ -2686,6 +2686,89 @@ def llm_bigram_nll(spark, sf):
     return bigram_nll(d.to_spark(), "text", "doc_id")
 
 
+def _profile_ext_col_sql(c, numeric):
+    qcols = (
+        ", ".join(
+            f"round(quantile_cont({c}, {q}), 6) AS p{int(q * 100)}"
+            for q in (0.25, 0.5, 0.75)
+        )
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50, "
+        "CAST(NULL AS DOUBLE) AS p75"
+    )
+    return (
+        f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_value, "
+        f"CAST(max({c}) AS VARCHAR) AS max_value, {qcols} FROM orders"
+    )
+
+
+@query(
+    "q61_profile_extended",
+    " UNION ALL ".join(
+        _profile_ext_col_sql(c, num)
+        for c, num in (
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_totalprice", True),
+            ("o_orderstatus", False),
+        )
+    ),
+)
+def q61_profile_extended(spark, sf):
+    """ANALYZE-EXTENDED profile (operators/maintenance.py::
+    profile_columns(percentiles=...)): q58's one-scan stats block plus
+    exact interpolated p25/p50/p75 per numeric column (NULL for
+    non-numeric) — the histogram row warehouse users expect next to
+    min/max. Still a SINGLE agg pass (percentiles ride the same Expand);
+    ``exact_percentiles=False`` is the documented petabyte lever
+    (t-digest approx_percentile, bounded state). Exact interpolation
+    (quantile_cont semantics) is engine-reproducible at round-6."""
+    from .operators.maintenance import profile_columns
+
+    o = load_table(spark, sf, "orders")
+    return profile_columns(
+        o.to_spark(),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        percentiles=(0.25, 0.5, 0.75),
+    )
+
+
+@query(
+    "llm_semantic_dedup",
+    "WITH RECURSIVE "
+    f"n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM n a JOIN n b "
+    "  ON a.vec_id < b.vec_id "
+    "  WHERE round(list_inner_product(a.emb, b.emb), 6) >= 0.35), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "  UNION SELECT id_b, id_a FROM p), "
+    "reach(id, r) AS (SELECT src, dst FROM e "
+    "  UNION SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src "
+    "    WHERE e.dst <> reach.id) "
+    "SELECT vec_id FROM embeddings "
+    "WHERE vec_id NOT IN (SELECT id FROM reach WHERE r < id)",
+)
+def llm_semantic_dedup(spark, sf):
+    """Semantic (embedding-cluster) dedup, SemDeDup-shaped (operators/
+    dedup.py::semantic_dedup): k-means cells bound the cosine quadratic →
+    within-cell chunked-GEMM pairs (JVM re-verified) → large/small-star
+    connected components → smallest-id survivor per component. Run here
+    with n_cells=1 — the provably-exhaustive setting (every pair is
+    within-cell), mirroring how llm_ivf_topk proves the IVF plumbing with
+    n_probe=n_lists — so the DuckDB oracle can recompute the exact result:
+    all-pairs cosine at the same threshold, transitive closure via a
+    recursive CTE, survivors = ids that reach no smaller id. The
+    production multi-cell path (pruned quadratic, recall < 1 across
+    cells) is pinned by pytest against this exhaustive baseline."""
+    from .operators import semantic_dedup, unit_normalize
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    return semantic_dedup(e, min_cosine=0.35, n_cells=1).select("vec_id")
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys

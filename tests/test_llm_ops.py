@@ -457,6 +457,72 @@ class TestMultimodal:
         for j in range(8):
             assert got[4][j] == b"z" * 256
 
+    def test_pil_resize_path(self, spark):
+        """Real-codec resize (skipped in codec-less sandboxes): a genuine
+        PNG payload is decoded, resampled to the target box and re-encoded,
+        while an undecodable payload in the SAME batch keeps the
+        byte-truncate stub."""
+        pytest.importorskip("PIL")
+        import io as _io
+
+        from PIL import Image
+
+        from metaframe_spark.multimodal import resize_media
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (31, 17), (200, 10, 10)).save(buf, format="PNG")
+        png = buf.getvalue()
+        df = spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r for r in resize_media(df, 8, 6).collect()}
+        with Image.open(_io.BytesIO(bytes(got[1].payload))) as out_img:
+            assert (out_img.width, out_img.height) == (8, 6)
+        assert bytes(got[2].payload) == b"not"  # ceil(12/4) stub bytes
+
+    def test_pil_frames_path(self, spark):
+        """Real-codec frame sampling (skipped in codec-less sandboxes): an
+        animated GIF yields its frames re-encoded as PNG; a single-frame
+        image and an undecodable payload keep the byte-slice stub."""
+        pytest.importorskip("PIL")
+        import io as _io
+
+        from PIL import Image
+
+        from metaframe_spark.multimodal import sample_frames
+
+        frames = [
+            Image.new("P", (5, 5), c) for c in (10, 20, 30, 40)
+        ]
+        buf = _io.BytesIO()
+        frames[0].save(
+            buf, format="GIF", save_all=True, append_images=frames[1:]
+        )
+        gif = buf.getvalue()
+        png_buf = _io.BytesIO()
+        Image.new("RGB", (5, 5)).save(png_buf, format="PNG")
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(gif)),
+                (2, bytearray(png_buf.getvalue())),
+                (3, bytearray(b"junk" * 100)),
+            ],
+            "doc_id long, payload binary",
+        )
+        got = {}
+        for r in sample_frames(df, frame_bytes=256, max_frames=3).collect():
+            got.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+        # animated GIF: 3 of 4 frames sampled, each a decodable PNG
+        assert set(got[1]) == {0, 1, 2}
+        for fr in got[1].values():
+            with Image.open(_io.BytesIO(fr)) as f:
+                assert (f.width, f.height) == (5, 5) and f.format == "PNG"
+        # single-frame image falls back to the stub byte slices
+        assert got[2][0] == png_buf.getvalue()[:256]
+        # undecodable payload: stub slices
+        assert got[3][0] == (b"junk" * 100)[:256]
+
 
 class TestIvf:
     def test_ivf_recall_and_probe_tradeoff(self, spark):
@@ -609,6 +675,100 @@ class TestCosineDupPairs:
         }
         assert got.issubset(truth)  # precision exact: threshold verified on candidates
         assert len(got) / len(truth) >= 0.9  # LSH recall
+
+
+class TestSemanticDedup:
+    """SemDeDup composition: cells bound the cosine quadratic; n_cells=1 is
+    provably exhaustive; multi-cell is the production (approximate) path."""
+
+    def _exact_survivors(self, spark, e, threshold):
+        from metaframe_spark.operators import cosine_pairs_exact, dedup_survivors
+
+        pairs = cosine_pairs_exact(e, min_cosine=threshold)
+        return {r.vec_id for r in dedup_survivors(e, pairs, "vec_id").select("vec_id").collect()}
+
+    def test_single_cell_equals_exhaustive(self, spark):
+        from metaframe_spark.operators import semantic_dedup, unit_normalize
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        got = {
+            r.vec_id
+            for r in semantic_dedup(e, min_cosine=0.35, n_cells=1)
+            .select("vec_id")
+            .collect()
+        }
+        assert got == self._exact_survivors(spark, e, 0.35)
+
+    def test_multi_cell_recall_and_precision(self, spark):
+        from metaframe_spark.operators import (
+            cosine_pairs_exact,
+            semantic_dup_pairs,
+            unit_normalize,
+        )
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        truth = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs_exact(e, min_cosine=0.35).collect()
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in semantic_dup_pairs(e, min_cosine=0.35, n_cells=4).collect()
+        }
+        # precision exact: every emitted pair is JVM re-verified at the
+        # threshold, so within-cell pairs are a subset of the truth
+        assert got.issubset(truth)
+        # recall: cross-cell pairs are missed by construction, but cells
+        # group similar vectors, so most near-dup mass stays within-cell
+        assert len(got) / len(truth) >= 0.25
+        # exact duplicates can NEVER straddle cells (assignment is a
+        # deterministic function of the vector)
+        dup = e.limit(1).select(
+            F.lit(9001).alias("vec_id"), "embedding"
+        )
+        e2 = e.select("vec_id", "embedding").unionByName(dup)
+        pairs2 = semantic_dup_pairs(e2, min_cosine=0.999, n_cells=8)
+        twins = {(r.id_a, r.id_b) for r in pairs2.collect()}
+        src = e.limit(1).collect()[0].vec_id
+        assert (src, 9001) in twins
+
+    def test_deterministic_under_repartition(self, spark):
+        from metaframe_spark.operators import semantic_dedup, unit_normalize
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark())
+        a = sorted(
+            r.vec_id
+            for r in semantic_dedup(e, min_cosine=0.35, n_cells=4)
+            .select("vec_id")
+            .collect()
+        )
+        b = sorted(
+            r.vec_id
+            for r in semantic_dedup(
+                e.repartition(17), min_cosine=0.35, n_cells=4
+            )
+            .select("vec_id")
+            .collect()
+        )
+        assert a == b
+
+    def test_id_type_guard(self, spark):
+        from metaframe_spark.operators import semantic_dup_pairs
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+        )
+        with pytest.raises(TypeError, match="surrogate id"):
+            semantic_dup_pairs(df)
+
+    def test_hot_cell_cap_raises_actionably(self, spark):
+        from metaframe_spark.operators import semantic_dup_pairs, unit_normalize
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark())
+        with pytest.raises(Exception, match="max_cell_rows"):
+            semantic_dup_pairs(
+                e, min_cosine=0.35, n_cells=1, max_cell_rows=10
+            ).count()
 
 
 class TestExactDedupRows:

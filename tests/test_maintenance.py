@@ -44,6 +44,47 @@ class TestProfileColumns:
         out = profile_columns(df, ["b"])
         assert [r.column for r in out.collect()] == ["b"]
 
+    def test_percentiles_numeric_and_null_for_strings(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "v long, s string"
+        )
+        got = {
+            r.column: r
+            for r in profile_columns(
+                df, percentiles=(0.25, 0.5, 0.75)
+            ).collect()
+        }
+        # exact interpolated quantiles of 1..4
+        assert (got["v"].p25, got["v"].p50, got["v"].p75) == (1.75, 2.5, 3.25)
+        assert (got["s"].p25, got["s"].p50, got["s"].p75) == (None, None, None)
+        # counts/min/max unchanged by the extension
+        assert got["v"].n_rows == 4 and got["v"].min_value == "1"
+
+    def test_percentiles_approx_mode_close_and_one_scan(self, spark):
+        df = spark.range(10_000).withColumnRenamed("id", "v")
+        got = {
+            r.column: r
+            for r in profile_columns(
+                df, percentiles=(0.5,), exact_percentiles=False
+            ).collect()
+        }
+        assert abs(got["v"].p50 - 4999.5) / 5000 < 0.05
+        # single aggregation pass: exactly one wide agg feeding the unpivot
+        plan = (
+            profile_columns(df, percentiles=(0.5,))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("Aggregate") <= 2  # partial+final of ONE agg
+
+    def test_percentiles_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "v long")
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            profile_columns(df, percentiles=(1.5,))
+        with pytest.raises(ValueError, match="duplicate"):
+            profile_columns(df, percentiles=(0.5, 0.50))
+
 
 class TestCompactFiles:
     def test_compacts_many_small_files(self, spark, tmp_path):
