@@ -45,6 +45,76 @@ def _materialize(df) -> None:
         handle.unpersist()
 
 
+def dispatch_microbench(spark, sf_dir: str, n_ops: int = 1000) -> dict:
+    """The SURVEY §6 sanity metric bench's interleaved ratio structurally
+    cannot measure (execution is plan-identical by construction): the cost
+    of plan CONSTRUCTION through the MetaFrame dispatch layer vs raw
+    PySpark — a 1000-transformation chain built through each path, plans
+    asserted byte-identical, per-call overhead reported in microseconds.
+    """
+    from pyspark.sql import functions as F
+
+    from metaframe_spark.core import MetaFrame
+    from metaframe_spark.io import load_table
+
+    raw0 = load_table(spark, sf_dir, "lineitem").to_spark().select(
+        "l_orderkey", "l_quantity"
+    )
+
+    def chain(df):
+        for i in range(n_ops):
+            df = df.filter(F.col("l_quantity") > (i % 50))
+        return df
+
+    # warm both paths (JVM/py4j first-touch)
+    chain(MetaFrame(raw0)).to_spark()
+    chain(raw0)
+
+    def flat(df):
+        # constant plan depth: same base, n_ops independent single calls —
+        # isolates per-call dispatch from the chain's growing analysis cost
+        cond = F.col("l_quantity") > 25
+        for _ in range(n_ops):
+            df.filter(cond)
+        return df
+
+    wrapped_s, raw_s, fw_s, fr_s = [], [], [], []
+    for i in range(5):
+        pairs = [
+            (wrapped_s, lambda: chain(MetaFrame(raw0))),
+            (raw_s, lambda: chain(raw0)),
+            (fw_s, lambda: flat(MetaFrame(raw0))),
+            (fr_s, lambda: flat(raw0)),
+        ]
+        if i % 2:
+            pairs.reverse()
+        results = {}
+        for lst, fn in pairs:
+            t0 = time.monotonic()
+            results[id(lst)] = fn()
+            lst.append(time.monotonic() - t0)
+    w = chain(MetaFrame(raw0))
+    r = chain(raw0)
+    plans_equal = (
+        w.to_spark()._jdf.queryExecution().analyzed().toString()
+        == r._jdf.queryExecution().analyzed().toString()
+    )
+    w_med, r_med = statistics.median(wrapped_s), statistics.median(raw_s)
+    fw_med, fr_med = statistics.median(fw_s), statistics.median(fr_s)
+    return {
+        "metric": "wrapper dispatch overhead (1000-op chain, construction only)",
+        "n_ops": n_ops,
+        "wrapped_sec": round(w_med, 4),
+        "raw_sec": round(r_med, 4),
+        "overhead_us_per_call": round((w_med - r_med) / n_ops * 1e6, 2),
+        "flat_wrapped_sec": round(fw_med, 4),
+        "flat_raw_sec": round(fr_med, 4),
+        "flat_overhead_us_per_call": round((fw_med - fr_med) / n_ops * 1e6, 2),
+        "raw_us_per_call": round(r_med / n_ops * 1e6, 2),
+        "plans_identical": plans_equal,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
@@ -57,6 +127,10 @@ def main() -> int:
     spark = get_session(
         "metaframe_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+
+    if os.environ.get("BENCH_DISPATCH", "0") == "1":
+        print(json.dumps(dispatch_microbench(spark, sf_dir)))
+        return 0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

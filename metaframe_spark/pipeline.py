@@ -46,6 +46,8 @@ def curate_corpus(
     line_filter: bool = False,
     dedup_spans: bool = False,
     split_fractions: Optional[Dict[str, float]] = None,
+    benchmark: Optional[DataFrame] = None,
+    benchmark_ngram: int = 8,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -65,6 +67,16 @@ def curate_corpus(
     With ``n_shards > 0`` the result carries ``seq`` (deterministic global
     interleave order) and ``shard`` columns, ready for a partitioned write
     via :func:`~metaframe_spark.operators.write_training_shards`'s layout.
+
+    ``benchmark`` (a DataFrame with ``text_col``) enables the
+    decontamination stage real curation always runs before training:
+    documents sharing any ``benchmark_ngram``-gram with the eval set are
+    dropped (:func:`~metaframe_spark.operators.ngram_contamination` —
+    broadcast benchmark shingles, GPT-3/PaLM-style collision check). The
+    default n=8 is deliberately longer than the dedup shingle n: short
+    n-grams collide by chance and would shred the corpus; 8+ means a
+    verbatim phrase leak. Runs after dedup (fewer rows to scan) and
+    before the quality gate.
 
     ``split_fractions`` (e.g. ``{"train": 98, "val": 1, "test": 1}``) adds
     a deterministic ``split`` column via
@@ -119,6 +131,16 @@ def curate_corpus(
     cur2 = cur2.localCheckpoint(eager=True)
     counts["near_dedup"] = cur2.count()
     cur.unpersist()
+
+    # 2c. optional benchmark decontamination (drop docs leaking eval text)
+    if benchmark is not None:
+        from .operators.dedup import ngram_contamination
+
+        contaminated = ngram_contamination(
+            cur2, benchmark, id_col, text_col, n=benchmark_ngram
+        ).select(id_col)
+        cur2 = cur2.join(contaminated, id_col, "left_anti")
+        counts["decontaminate"] = cur2.count()
 
     # 3. quality gate
     scored = quality_features(cur2, text_col)

@@ -131,3 +131,32 @@ def test_split_stage_is_deterministic_and_exhaustive(spark, messy):
     assert {(r.doc_id, r.split) for r in rows} == {
         (r.doc_id, r.split) for r in out2.select("doc_id", "split").collect()
     }
+
+
+def test_decontamination_stage_drops_benchmark_leaks(spark, messy):
+    """An injected verbatim benchmark phrase must get its host documents
+    dropped by the decontamination stage, leave clean documents alone, and
+    report the stage count."""
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    contaminated_ids = {30, 31, 32}
+    d = messy.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(*contaminated_ids),
+            F.concat(F.col("text"), F.lit(" " + leak)),
+        ).otherwise(F.col("text")),
+    )
+    bench = spark.createDataFrame(
+        [(1, f"question: {leak} ?")], "qid long, text string"
+    )
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.8,
+        benchmark=bench, benchmark_ngram=8,
+    )
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not (contaminated_ids & surviving)
+    assert counts["decontaminate"] == counts["near_dedup"] - len(contaminated_ids)
+    # without a benchmark the stage (and its count) is absent
+    _, counts2 = curate_corpus(d, min_quality=0.0, near_dup_jaccard=0.8)
+    assert "decontaminate" not in counts2
+    assert counts2["quality"] == counts["quality"] + len(contaminated_ids)

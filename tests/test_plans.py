@@ -447,3 +447,20 @@ class TestLintPlanApi:
         b = load_table(spark, SF, "nation").to_spark()
         findings = lint_plan(a.crossJoin(b))
         assert findings  # BNLJ or CartesianProduct depending on size/stats
+
+
+class TestDispatchOverhead:
+    def test_microbench_plans_identical_and_overhead_bounded(self, spark):
+        """SURVEY §6's 1000-op-chain sanity row (VERDICT r6 #4): the
+        wrapper's plan-construction cost per call must be noise next to
+        the py4j+analysis cost both paths pay, and the analyzed plans must
+        be byte-identical. The 1.5× bound is deliberately loose — measured
+        medians are ~1.0× ± noise (BASELINE.md records the numbers); this
+        test exists to catch a dispatch-layer regression that makes
+        construction super-linear or plan-visible."""
+        from bench import dispatch_microbench
+
+        out = dispatch_microbench(spark, SF, n_ops=200)
+        assert out["plans_identical"]
+        assert out["flat_wrapped_sec"] < 1.5 * out["flat_raw_sec"] + 0.1
+        assert out["wrapped_sec"] < 1.5 * out["raw_sec"] + 0.1
