@@ -41,13 +41,23 @@ def profile_columns(
 
     ``percentiles``: the ANALYZE-EXTENDED histogram block — e.g.
     ``(0.25, 0.5, 0.75)`` adds ``p25``/``p50``/``p75`` double columns for
-    every NUMERIC profiled column (NULL for non-numeric), computed in the
-    SAME single agg pass. ``exact_percentiles=False`` swaps the exact
-    interpolated ``percentile`` (whose state is the full column per
-    group — fine for data cards at report time, heavy at petabyte scan
-    scale) for ``approx_percentile`` (t-digest sketch, bounded state —
-    the 100-TB shape, same lever as ``exact_distinct``). Values are
-    rounded to 6 decimals so exact mode is engine-reproducible.
+    every NUMERIC profiled column (NULL for non-numeric).
+    ``exact_percentiles=False`` swaps the exact interpolated
+    ``percentile`` (whose state is the full column per group — fine for
+    data cards at report time, heavy at petabyte scan scale) for
+    ``approx_percentile`` (t-digest sketch, bounded state — the 100-TB
+    shape, same lever as ``exact_distinct``). Values are rounded to 6
+    decimals so exact mode is engine-reproducible.
+
+    Plan shape with percentiles: TWO one-row aggregations (distinct
+    counts in one, everything else in the other) cross-joined. Mixing
+    ``count(DISTINCT ...)`` with percentile aggregates in one agg makes
+    Spark ship the percentile value buffers through the distinct-agg
+    Expand shuffle — measured 6× slower at 150k rows and scaling with the
+    data; the split lets each agg plan its optimal shape and the join of
+    two one-row relations is free. Without percentiles the profile stays
+    a single agg pass, and each percentile column uses ONE array-form
+    ``percentile(c, array(...))`` buffer, not one buffer per quantile.
     """
     from pyspark.sql.types import NumericType
 
@@ -71,30 +81,38 @@ def profile_columns(
         if exact_distinct
         else (lambda c: F.approx_count_distinct(F.col(c)))
     )
-    pctl = (
-        (lambda c, q: F.percentile(F.col(c), F.lit(q)))
-        if exact_percentiles
-        else (lambda c, q: F.approx_percentile(F.col(c), F.lit(q)))
-    )
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
-    aggs = [F.count(F.lit(1)).alias("_rows")]
+    base_aggs = [F.count(F.lit(1)).alias("_rows")]
+    nd_aggs = []
     for c in cols:
-        aggs.append(
+        base_aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
         )
-        aggs.append(distinct(c).cast("long").alias(f"_nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
-        for q, lbl in zip(qs, q_labels):
-            expr = (
-                F.round(pctl(c, q).cast("double"), 6)
-                if c in numeric
-                else F.lit(None).cast("double")
-            )
-            aggs.append(expr.alias(f"_{lbl}_{c}"))
-    wide = df.agg(*aggs)
+        nd_aggs.append(distinct(c).cast("long").alias(f"_nd_{c}"))
+        base_aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        base_aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    if qs:
+        fn = "percentile" if exact_percentiles else "approx_percentile"
+        q_arr = "array(" + ", ".join(f"{q!r}D" for q in qs) + ")"
+        for c in cols:
+            for i, lbl in enumerate(q_labels):
+                expr = (
+                    F.round(
+                        F.expr(f"element_at({fn}({c}, {q_arr}), {i + 1})").cast(
+                            "double"
+                        ),
+                        6,
+                    )
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                )
+                base_aggs.append(expr.alias(f"_{lbl}_{c}"))
+        # distinct counts in their OWN one-row agg (see docstring)
+        wide = df.agg(*base_aggs).crossJoin(df.agg(*nd_aggs))
+    else:
+        wide = df.agg(*base_aggs, *nd_aggs)
     struct_items = ", ".join(
         (
             f"named_struct('column', '{c}', 'n_nulls', _nulls_{c}, "
