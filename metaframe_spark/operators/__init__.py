@@ -54,6 +54,7 @@ from .similarity import (
 )
 from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history
+from .web import domain_filter, url_features
 from .text import (
     bigram_nll,
     bm25_scores,
@@ -88,6 +89,7 @@ __all__ = [
     "dedup_against",
     "dedup_survivors",
     "doc_fingerprint",
+    "domain_filter",
     "exact_dedup",
     "exact_dedup_rows",
     "global_shuffle",
@@ -125,4 +127,5 @@ __all__ = [
     "token_count",
     "tokens",
     "unit_normalize",
+    "url_features",
 ]

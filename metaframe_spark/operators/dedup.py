@@ -776,6 +776,7 @@ def semantic_dup_pairs(
     kmeans_init: str = "k-means++",
     max_cell_rows: int = 200_000,
     gemm_margin: float = 1e-4,
+    gemm_chunk_target: int = 2_000_000,
 ) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells bound the quadratic — cosine pairs
@@ -831,6 +832,7 @@ def semantic_dup_pairs(
 
     cut = min_cosine - gemm_margin
     cap = int(max_cell_rows)
+    chunk_target = max(1, int(gemm_chunk_target))
 
     def _cell_pairs(pdf):
         # executor-side: numpy/pandas only, self-contained
@@ -850,7 +852,7 @@ def semantic_dup_pairs(
             _np.stack(pdf.iloc[:, 1].to_numpy()).astype(_np.float64)
         )
         ids = pdf.iloc[:, 0].to_numpy(dtype=_np.int64)
-        chunk = max(1, 2_000_000 // n)
+        chunk = max(1, chunk_target // n)
         outs_a, outs_b = [], []
         for s in range(0, n, chunk):
             S = M[s : s + chunk] @ M.T

@@ -1,0 +1,76 @@
+"""Web-provenance operators: URL feature extraction and domain filtering.
+
+Web-scale curation treats the source URL as a first-class quality signal:
+domain blocklists/allowlists (spam, SEO farms, adult), per-domain caps,
+scheme checks, and path-shape features all run before any content-based
+stage because they are metadata-only (no text scanned). The reference has
+no web surface (its 197-line wrapper stops at delegation) — this is
+brief-extension surface like the rest of the LLM-pipeline family.
+
+Everything here is per-row codegen (``try_parse_url`` is a JVM expression;
+the rest is string/array functions) — no shuffle, no Python, scan-bound
+at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append URL provenance features extracted row-locally:
+
+    * ``host`` — ``try_parse_url(url, 'HOST')`` (NULL for malformed URLs, never a task failure);
+    * ``domain`` — the last two host labels (``substring_index(host, '.',
+      -2)``), the registrable-domain approximation blocklists key on
+      (a full public-suffix-list lookup is a broadcast join against the
+      PSL relation — same plan shape, external data);
+    * ``is_https`` — scheme check;
+    * ``path_depth`` — number of non-empty ``/`` segments in the path.
+
+    All four are codegen expressions on the scan — zero shuffle — so the
+    domain cap / blocklist stages they feed stay metadata-only.
+    """
+    url = F.col(url_col)
+    host = F.try_parse_url(url, F.lit("HOST"))
+    path = F.try_parse_url(url, F.lit("PATH"))
+    return (
+        df.withColumn("host", host)
+        .withColumn("domain", F.substring_index(F.col("host"), ".", -2))
+        .withColumn(
+            "is_https",
+            F.coalesce(
+                F.try_parse_url(url, F.lit("PROTOCOL")) == F.lit("https"),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "path_depth",
+            F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("long"),
+        )
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked_domains: Iterable[str],
+    url_col: str = "url",
+    keep: bool = False,
+) -> DataFrame:
+    """Drop (or with ``keep=True``, retain only) rows whose registrable
+    domain is in ``blocked_domains`` — the blocklist/allowlist gate.
+
+    The domain list is lowered into an ``isin`` literal set (hashed
+    ``InSet`` beyond Catalyst's conversion threshold) evaluated on the
+    scan; for blocklists too large to inline (millions of domains), make
+    it a relation and anti-join — Spark broadcasts it. Matching is on the
+    :func:`url_features` domain normalization, case-insensitive.
+    """
+    blocked = sorted({d.strip().lower() for d in blocked_domains if d and d.strip()})
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    domain = F.lower(F.substring_index(host, ".", -2))
+    cond = domain.isin(blocked) if blocked else F.lit(False)
+    return df.filter(cond if keep else ~F.coalesce(cond, F.lit(False)))

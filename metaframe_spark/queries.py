@@ -2686,6 +2686,58 @@ def llm_bigram_nll(spark, sf):
     return bigram_nll(d.to_spark(), "text", "doc_id")
 
 
+@query(
+    "llm_url_features",
+    "WITH aug AS (SELECT doc_id, "
+    "  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) || "
+    "  'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
+    "  (['.com', '.org', '.net'])[CAST(doc_id % 3 AS INT) + 1] || "
+    "  repeat('/seg', CAST(doc_id % 4 AS INT)) || '?q=1' AS url "
+    "  FROM documents), "
+    "h AS (SELECT doc_id, url, "
+    "  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host FROM aug) "
+    "SELECT doc_id, url, host, "
+    "array_to_string(string_split(host, '.')[-2:], '.') AS domain, "
+    "url LIKE 'https://%' AS is_https, "
+    "CAST(len(list_filter(string_split(regexp_extract(url, "
+    "  '^[a-z]+://[^/?#]*([^?#]*)', 1), '/'), x -> x <> '')) AS BIGINT) "
+    "  AS path_depth FROM h",
+)
+def llm_url_features(spark, sf):
+    """Web-provenance features (operators/web.py::url_features): host via
+    the JVM ``parse_url`` expression, registrable-domain approximation
+    (last two host labels), scheme check, path depth — the metadata-only
+    stage domain blocklists/caps key on, all per-row codegen on the scan.
+    The synthetic corpus has no URL column, so a deterministic URL is
+    built from (doc_id, source) identically in BOTH engines (the
+    llm_pii_mask injection pattern); the oracle then proves Spark's
+    parse_url semantics agree with plain regex extraction on well-formed
+    URLs, byte-for-byte."""
+    from .operators.web import url_features
+
+    d = load_table(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("www."),
+            F.lower(F.col("source")),
+            (F.col("doc_id") % 5).cast("string"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.expr("repeat('/seg', CAST(doc_id % 4 AS INT))"),
+            F.lit("?q=1"),
+        ).alias("url"),
+    )
+    return url_features(aug.to_spark(), "url").select(
+        "doc_id", "url", "host", "domain", "is_https", "path_depth"
+    )
+
+
 def _profile_ext_col_sql(c, numeric):
     qcols = (
         ", ".join(

@@ -752,6 +752,26 @@ class TestSemanticDedup:
         )
         assert a == b
 
+    def test_chunked_gemm_path_matches_single_chunk(self, spark):
+        """The per-cell GEMM streams row-chunks sized so the score matrix
+        stays ~gemm_chunk_target doubles; a tiny target forces many chunks,
+        which must emit exactly the same pairs as one big chunk (chunk
+        boundary off-by-ones would drop or duplicate pairs)."""
+        from metaframe_spark.operators import semantic_dup_pairs, unit_normalize
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        one = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in semantic_dup_pairs(e, min_cosine=0.35, n_cells=1).collect()
+        }
+        many = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in semantic_dup_pairs(
+                e, min_cosine=0.35, n_cells=1, gemm_chunk_target=700
+            ).collect()
+        }
+        assert one == many and len(one) > 0
+
     def test_id_type_guard(self, spark):
         from metaframe_spark.operators import semantic_dup_pairs
 

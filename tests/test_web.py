@@ -1,0 +1,68 @@
+"""Unit tests for operators/web.py — URL features and domain filtering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.operators.web import domain_filter, url_features
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (1, "https://www.example.com/a/b/c?q=1"),
+        (2, "http://sub.deep.example.org/x"),
+        (3, "https://example.net"),
+        (4, "not a url at all"),
+        (5, None),
+        (6, "https://spam.bad-site.com/offer"),
+    ]
+    return spark.createDataFrame(rows, "id long, url string")
+
+
+class TestUrlFeatures:
+    def test_extracts_host_domain_scheme_depth(self, spark, urls):
+        got = {r.id: r for r in url_features(urls, "url").collect()}
+        assert got[1].host == "www.example.com"
+        assert got[1].domain == "example.com"
+        assert got[1].is_https is True
+        assert got[1].path_depth == 3
+        # multi-label host: domain is the LAST two labels
+        assert got[2].domain == "example.org"
+        assert got[2].is_https is False
+        assert got[2].path_depth == 1
+        # bare host, no path
+        assert (got[3].domain, got[3].path_depth) == ("example.net", 0)
+        # malformed / NULL URLs degrade to NULL host, never crash
+        assert got[4].host is None or got[4].host == ""
+        assert got[5].host is None
+        assert got[5].is_https is False
+
+    def test_no_exchange_in_plan(self, spark, urls):
+        plan = (
+            url_features(urls, "url")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestDomainFilter:
+    def test_blocklist_drops_matching_domains(self, spark, urls):
+        kept = {
+            r.id
+            for r in domain_filter(urls, ["bad-site.com", "EXAMPLE.ORG"]).collect()
+        }
+        # 6 blocked by domain; 2 blocked case-insensitively; malformed and
+        # NULL urls are NOT dropped by a blocklist (no domain to match)
+        assert kept == {1, 3, 4, 5}
+
+    def test_allowlist_mode(self, spark, urls):
+        kept = {
+            r.id
+            for r in domain_filter(urls, ["example.com"], keep=True).collect()
+        }
+        assert kept == {1}
+
+    def test_empty_blocklist_is_identity(self, spark, urls):
+        assert domain_filter(urls, []).count() == urls.count()
