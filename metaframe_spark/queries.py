@@ -1961,8 +1961,11 @@ def llm_char_entropy(spark, sf):
     """Character-entropy quality signal (bits/char): gibberish and
     base64-ish blobs score near log2(alphabet), filler near 0, prose in
     between — the standard cheap filter alongside llm_quality /
-    llm_repetition. Per-char explode in codegen, alphabet-bounded rollup,
-    decimal-summed rounded terms for cross-engine determinism."""
+    llm_repetition. Default row-local shape: zero-shuffle codegen
+    (distinct chars + replace-count + DECIMAL-summed rounded terms —
+    2.8× the explode shape on prose; the explode+rollup alternative for
+    alphabet-unbounded corpora is `row_local=False`, result-identical by
+    pinned test)."""
     from .operators.text import char_entropy
 
     d = load_table(spark, sf, "documents")
@@ -2736,6 +2739,94 @@ def llm_url_features(spark, sf):
     return url_features(aug.to_spark(), "url").select(
         "doc_id", "url", "host", "domain", "is_https", "path_depth"
     )
+
+
+@query(
+    "q62_null_safe_join",
+    "WITH l AS (SELECT nullif(l_linestatus, 'F') AS k, "
+    "  CAST(count(*) AS BIGINT) AS cnt_l FROM lineitem GROUP BY 1), "
+    "o AS (SELECT nullif(o_orderstatus, 'F') AS k, "
+    "  CAST(count(*) AS BIGINT) AS cnt_o FROM orders GROUP BY 1) "
+    "SELECT coalesce(l.k, o.k) AS k, cnt_l, cnt_o "
+    "FROM l FULL JOIN o ON l.k IS NOT DISTINCT FROM o.k",
+)
+def q62_null_safe_join(spark, sf):
+    """Null-safe equi-join breadth (§2.3 row 5): Spark's ``<=>``
+    (``Column.eqNullSafe``) ≡ SQL ``IS NOT DISTINCT FROM`` — NULL keys
+    MATCH each other instead of silently dropping, the semantics CDC and
+    dimension pipelines need when the business key is nullable. Both
+    sides are pre-aggregated (the null-safe comparison then joins two
+    tiny relations — broadcast; a null-safe join still hash-partitions on
+    the key, nulls land in one partition, so pre-aggregation is also the
+    scale shape: collapse before you join on a low-cardinality nullable
+    key). Full-outer keeps the unmatched-key row in the result."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    l_agg = (
+        li.select(F.nullif(F.col("l_linestatus"), F.lit("F")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt_l"))
+    )
+    o_agg = (
+        o.select(F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt_o"))
+    )
+    la, oa = l_agg.to_spark().alias("l"), o_agg.to_spark().alias("o")
+    return la.join(
+        oa, F.col("l.k").eqNullSafe(F.col("o.k")), "full"
+    ).select(
+        F.coalesce(F.col("l.k"), F.col("o.k")).alias("k"),
+        "cnt_l",
+        "cnt_o",
+    )
+
+
+@query(
+    "llm_domain_cap",
+    "WITH aug AS (SELECT doc_id, n_chars, "
+    "  'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
+    "  (['.com', '.org', '.net'])[CAST(doc_id % 3 AS INT) + 1] AS host "
+    "  FROM documents), "
+    "d AS (SELECT doc_id, n_chars, "
+    "  array_to_string(string_split(host, '.')[-2:], '.') AS domain FROM aug), "
+    "r AS (SELECT doc_id, domain, n_chars, "
+    "  CAST(row_number() OVER (PARTITION BY domain "
+    "    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS draw_rank FROM d) "
+    "SELECT doc_id, domain, n_chars, draw_rank FROM r WHERE draw_rank <= 3",
+)
+def llm_domain_cap(spark, sf):
+    """Per-domain cap — the web-curation stage after provenance
+    extraction: keep the best N documents per registrable domain
+    (operators/web.py::url_features → operators/sampling.py::
+    stratified_sample_exact(by=..., descending=True)). Ranking is by
+    n_chars (stand-in for a quality score) with the id tie-break, so the
+    cap is deterministic; the rank-filter plans WindowGroupLimit (every
+    partition pre-prunes to its own top-N per domain BEFORE the shuffle —
+    the shape that makes a cap affordable when one domain is 10% of the
+    crawl). Synthetic host injected from (doc_id, source) as in
+    llm_url_features."""
+    from .operators.sampling import stratified_sample_exact
+    from .operators.web import url_features
+
+    d = load_table(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://www."),
+            F.lower(F.col("source")),
+            (F.col("doc_id") % 5).cast("string"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    feat = url_features(aug.to_spark(), "url")
+    return stratified_sample_exact(
+        feat, ["domain"], 3, "doc_id", by="n_chars", descending=True
+    ).select("doc_id", "domain", "n_chars", "draw_rank")
 
 
 def _profile_ext_col_sql(c, numeric):

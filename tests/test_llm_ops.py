@@ -1198,6 +1198,28 @@ class TestStratifiedSample:
         ).collect():
             assert r.lo == 1 and r.hi == r.n
 
+    def test_by_column_turns_sample_into_best_n_cap(self, docs):
+        """`by=` ranks by a score instead of the md5 draw — the per-group
+        cap (e.g. per-domain, keep the longest/highest-quality n)."""
+        from metaframe_spark.operators import stratified_sample_exact
+
+        capped = stratified_sample_exact(
+            docs, ["lang"], 2, "doc_id", by="n_chars", descending=True
+        )
+        best = {}
+        for r in docs.select("lang", "doc_id", "n_chars").collect():
+            best.setdefault(r.lang, []).append((-r.n_chars, r.doc_id))
+        want = {
+            (lang, i)
+            for lang, rows in best.items()
+            for _, i in sorted(rows)[:2]
+        }
+        got = {(r.lang, r.doc_id) for r in capped.collect()}
+        assert got == want
+        # WindowGroupLimit still plans (pre-shuffle per-partition prune)
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
 
 class TestDecontamination:
     def test_overlap_counts_match_python_ground_truth(self, docs, spark):
@@ -1570,6 +1592,42 @@ class TestUnigramNll:
             map(tuple, unigram_nll(docs.repartition(13, "lang")).collect())
         )
         assert a == b
+
+
+class TestCharEntropy:
+    def test_row_local_equals_explode_shape(self, spark, docs):
+        """The zero-shuffle replace-count shape and the explode+rollup
+        shape must be result-identical (same rounding discipline)."""
+        from metaframe_spark.operators.text import char_entropy
+
+        a = sorted(map(tuple, char_entropy(docs, row_local=True).collect()))
+        b = sorted(map(tuple, char_entropy(docs, row_local=False).collect()))
+        assert a == b and len(a) > 0
+
+    def test_known_values_and_plan_shapes(self, spark):
+        import math
+
+        from metaframe_spark.operators.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in char_entropy(df).collect()}
+        assert 4 not in got  # empty text filtered
+        assert got[1].char_entropy == 0.0
+        assert got[2].char_entropy == 1.0
+        assert abs(got[3].char_entropy - 2.0) < 1e-6
+        assert got[3].n_chars == 4
+        # row-local default: no exchange anywhere in the plan
+        plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # multi-byte characters count as single chars in both shapes
+        uni = spark.createDataFrame([(9, "ééxx")], "doc_id long, text string")
+        r1 = char_entropy(uni).collect()[0]
+        r2 = char_entropy(uni, row_local=False).collect()[0]
+        assert r1.n_chars == 4 and tuple(r1) == tuple(r2)
+        assert r1.char_entropy == 1.0
 
 
 class TestHashSplit:
