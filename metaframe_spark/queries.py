@@ -2953,6 +2953,11 @@ _R6_DRIVER_BLESSED = frozenset(
 )
 
 # New-this-round entries to pin at the very front of the driver window.
+# ROUND-8 NOTE: after the r7 driver run blesses the current first-50, the
+# still-never-blessed tail is [llm_url_features, llm_domain_cap,
+# q62_null_safe_join] (registered late in r7, positions 51+). Next rotation:
+# move those plus any r8 additions into _ROTATE_FIRST and extend the
+# blessed set below with the r7-blessed keys.
 _ROTATE_FIRST: list = ["llm_semantic_dedup", "q61_profile_extended"]
 
 

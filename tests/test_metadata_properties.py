@@ -231,3 +231,52 @@ class TestHashSplitProperties:
                     want = label
                     break
             assert got[i] == want, (i, fractions)
+
+
+class TestWebAndEntropyFuzz:
+    """Arbitrary-input robustness for the round-7 codegen operators."""
+
+    @given(
+        urls=st.lists(
+            st.one_of(
+                st.none(),
+                st.text(max_size=40),
+                st.from_regex(
+                    r"https?://[a-z0-9.]{1,20}(/[a-z0-9]{0,8}){0,4}(\?q=[0-9]{1,3})?",
+                    fullmatch=True,
+                ),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_url_features_never_crashes(self, spark, urls):
+        """Garbage, NULL, and well-formed URLs in one batch: the feature
+        extraction must degrade (NULL host), never fail the task — the
+        crawl-data contract (real URL columns are full of junk)."""
+        from metaframe_spark.operators.web import url_features
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        rows = url_features(df, "url").collect()
+        assert len(rows) == len(urls)
+        for r in rows:
+            # a parsed host implies a consistent domain suffix
+            if r.host:
+                assert r.domain and r.host.endswith(r.domain.split(".")[-1])
+
+    @given(texts=st.lists(st.text(max_size=30), min_size=1, max_size=8))
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_char_entropy_shapes_agree_on_arbitrary_text(self, spark, texts):
+        """Row-local and explode shapes must agree on ANY unicode input
+        (surrogates excluded by hypothesis's text strategy default)."""
+        from metaframe_spark.operators.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, char_entropy(df, row_local=True).collect()))
+        b = sorted(map(tuple, char_entropy(df, row_local=False).collect()))
+        assert a == b
