@@ -5,8 +5,12 @@ wrapper and prints ONE JSON line for the driver (BENCH_r{N}.json).
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
-  BENCH_REPEAT         timed runs per query, median reported (default 5 —
-                       BASELINE.md specifies median-of-5 for t0 measurement)
+  BENCH_REPEAT         timed runs per query, median reported. Unset =
+                       adaptive: median-of-5 for entries warming under 1 s
+                       (noise is a large fraction of short timings), median-
+                       of-3 for slower entries (noise fraction small; keeps
+                       the 103-entry run inside the per-round budget). Set
+                       explicitly to force a fixed count.
   BENCH_BASELINE       also run each plan raw (no wrapper) interleaved and
                        report the per-query ratio — the ≤2× BASELINE gate of
                        BASELINE.md (default 1/on; set 0 to skip)
@@ -118,7 +122,8 @@ def dispatch_microbench(spark, sf_dir: str, n_ops: int = 1000) -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
-    repeat = int(os.environ.get("BENCH_REPEAT", "5"))
+    repeat_env = os.environ.get("BENCH_REPEAT")
+    repeat = int(repeat_env) if repeat_env else 5
     with_baseline = os.environ.get("BENCH_BASELINE", "1") == "1"
 
     from metaframe_spark.queries import QUERIES
@@ -159,10 +164,20 @@ def main() -> int:
         fn = QUERIES[name]
         # one warm-up pass builds the plan + fills the file-listing caches so
         # the timed runs measure execution, not first-touch setup
+        t_warm = time.monotonic()
         _materialize(fn(spark, sf_dir))
+        t_warm = time.monotonic() - t_warm
+        # adaptive repeat (only when BENCH_REPEAT is unset): short entries
+        # keep median-of-5 — scheduling noise is a large FRACTION of their
+        # time, so the ratio needs the extra samples — while entries over
+        # ~1 s drop to median-of-3 (noise is a small fraction; the extra
+        # runs buy nothing and the catalog-wide wall clock scales with the
+        # slow entries). Keeps the full run inside the per-round budget as
+        # the catalog grows.
+        n_runs = repeat if repeat_env else (5 if t_warm < 1.0 else 3)
         samples = []
         base_samples = []
-        for i in range(repeat):
+        for i in range(n_runs):
             # construction is INSIDE the timed section: eager operators
             # (iterative label propagation, KMeans fit) do their real work in
             # fn(), and excluding it would under-report them to ~0. For lazy
@@ -207,7 +222,7 @@ def main() -> int:
         "queries": times,
         "sf": sf_val,
         "cpus": cpus,
-        "repeat": repeat,
+        "repeat": repeat if repeat_env else "adaptive-5/3",
     }
     if ratios:
         out["vs_raw_pyspark"] = ratios
