@@ -48,6 +48,10 @@ def curate_corpus(
     split_fractions: Optional[Dict[str, float]] = None,
     benchmark: Optional[DataFrame] = None,
     benchmark_ngram: int = 8,
+    embeddings: Optional[DataFrame] = None,
+    embedding_col: str = "embedding",
+    semantic_min_cosine: float = 0.85,
+    semantic_cells: int = 16,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -77,6 +81,17 @@ def curate_corpus(
     n-grams collide by chance and would shred the corpus; 8+ means a
     verbatim phrase leak. Runs after dedup (fewer rows to scan) and
     before the quality gate.
+
+    ``embeddings`` (a DataFrame of ``id_col`` + ``embedding_col``) enables
+    SemDeDup-style semantic deduplication after the lexical stages:
+    vectors of the surviving documents are unit-normalized, near-duplicate
+    pairs found within k-means cells
+    (:func:`~metaframe_spark.operators.dedup.semantic_dup_pairs` with
+    ``semantic_min_cosine`` / ``semantic_cells``), and each duplicate
+    component keeps its smallest id. Lexical dedup first is the standard
+    order — exact/MinHash are cheap and shrink the vector workload;
+    semantic then catches paraphrases no shingle overlap can see.
+    Documents without an embedding row pass through untouched.
 
     ``split_fractions`` (e.g. ``{"train": 98, "val": 1, "test": 1}``) adds
     a deterministic ``split`` column via
@@ -141,6 +156,28 @@ def curate_corpus(
         ).select(id_col)
         cur2 = cur2.join(contaminated, id_col, "left_anti")
         counts["decontaminate"] = cur2.count()
+
+    # 2d. optional semantic (embedding) dedup on the lexical survivors
+    if embeddings is not None:
+        from .operators import unit_normalize
+        from .operators.dedup import semantic_dup_pairs
+
+        surv_emb = unit_normalize(
+            embeddings.join(cur2.select(id_col), id_col), embedding_col
+        )
+        sem_pairs = semantic_dup_pairs(
+            surv_emb,
+            min_cosine=semantic_min_cosine,
+            n_cells=semantic_cells,
+            id_col=id_col,
+            vec_col=embedding_col,
+        )
+        sem_groups = near_dup_groups(sem_pairs, "id_a", "id_b")
+        sem_losers = sem_groups.filter(F.col("id") != F.col("group_id")).select(
+            F.col("id").alias(id_col)
+        )
+        cur2 = cur2.join(sem_losers, id_col, "left_anti")
+        counts["semantic_dedup"] = cur2.count()
 
     # 3. quality gate
     scored = quality_features(cur2, text_col)

@@ -160,3 +160,36 @@ def test_decontamination_stage_drops_benchmark_leaks(spark, messy):
     _, counts2 = curate_corpus(d, min_quality=0.0, near_dup_jaccard=0.8)
     assert "decontaminate" not in counts2
     assert counts2["quality"] == counts["quality"] + len(contaminated_ids)
+
+
+def test_semantic_dedup_stage_drops_paraphrase_twins(spark, messy):
+    """Embedding-near-identical documents with NO lexical overlap must
+    lose to their smaller-id twin only when the semantic stage is on."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    ids = [r.doc_id for r in messy.select("doc_id").filter(
+        F.col("doc_id") < 10_000).collect()]
+    # 64-dim: P(cos >= 0.95) for two random gaussians is ~(1-t^2)^31.5,
+    # astronomically small - only the injected twin pair can match
+    vecs = {i: rng.normal(size=64).tolist() for i in ids}
+    # doc 41 gets (almost) doc 40's vector: a paraphrase pair
+    vecs[41] = [v * 1.001 for v in vecs[40]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "doc_id long, embedding array<double>"
+    )
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    out, counts = curate_corpus(
+        clean, min_quality=0.0, near_dup_jaccard=0.8,
+        embeddings=emb, semantic_min_cosine=0.95, semantic_cells=4,
+    )
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    base_out, base_counts = curate_corpus(
+        clean, min_quality=0.0, near_dup_jaccard=0.8
+    )
+    base_surviving = {r.doc_id for r in base_out.select("doc_id").collect()}
+    # without the stage both twins survive; with it, only the smaller id
+    if 40 in base_surviving and 41 in base_surviving:
+        assert 40 in surviving and 41 not in surviving
+        assert counts["semantic_dedup"] == counts["near_dedup"] - 1
+    assert "semantic_dedup" not in base_counts
