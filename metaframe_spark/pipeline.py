@@ -52,6 +52,8 @@ def curate_corpus(
     embedding_col: str = "embedding",
     semantic_min_cosine: float = 0.85,
     semantic_cells: int = 16,
+    url_col: Optional[str] = None,
+    blocked_domains: Optional[List[str]] = None,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -82,6 +84,12 @@ def curate_corpus(
     verbatim phrase leak. Runs after dedup (fewer rows to scan) and
     before the quality gate.
 
+    ``url_col`` + ``blocked_domains`` enable the domain blocklist gate
+    (:func:`~metaframe_spark.operators.web.domain_filter`) as the FIRST
+    stage — it is metadata-only (no text scanned), so running it before
+    any content stage is free yield: everything downstream processes
+    fewer rows.
+
     ``embeddings`` (a DataFrame of ``id_col`` + ``embedding_col``) enables
     SemDeDup-style semantic deduplication after the lexical stages:
     vectors of the surviving documents are unit-normalized, near-duplicate
@@ -102,6 +110,13 @@ def curate_corpus(
     groups in one split.)
     """
     counts: Dict[str, int] = {"input": df.count()}
+
+    # 0a. optional domain blocklist — metadata-only, so cheapest-first
+    if url_col is not None and blocked_domains:
+        from .operators.web import domain_filter
+
+        df = domain_filter(df, blocked_domains, url_col)
+        counts["domain_filter"] = df.count()
 
     # 0. optional C4 line scrub (drops boilerplate lines + emptied docs)
     if line_filter:

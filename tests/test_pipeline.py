@@ -193,3 +193,28 @@ def test_semantic_dedup_stage_drops_paraphrase_twins(spark, messy):
         assert 40 in surviving and 41 not in surviving
         assert counts["semantic_dedup"] == counts["near_dedup"] - 1
     assert "semantic_dedup" not in base_counts
+
+
+def test_domain_blocklist_stage_runs_first(spark, messy):
+    """Rows from blocked domains never reach the content stages; docs
+    without a parseable URL are NOT dropped by a blocklist."""
+    d = messy.filter(F.col("doc_id") < 10_000).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit("https://spam.example.com/p"), F.col("doc_id")),
+        ).when(
+            F.col("doc_id") % 50 == 1, F.lit("not a url")
+        ).otherwise(
+            F.concat(F.lit("https://ok.example.org/p"), F.col("doc_id")),
+        ),
+    )
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.8,
+        url_col="url", blocked_domains=["example.com"],
+    )
+    n_blocked = d.filter(F.col("doc_id") % 50 == 0).count()
+    assert counts["domain_filter"] == counts["input"] - n_blocked
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not any(i % 50 == 0 for i in surviving)
+    assert any(i % 50 == 1 for i in surviving)  # unparseable url kept
