@@ -145,7 +145,7 @@ def with_partition_stats(mf, key: str = "partition_stats"):
     return base.set_metadata(**{key: stats})
 
 
-def lint_plan(df, allow: Sequence[str] = ()) -> List[str]:
+def lint_plan(df, allow: Sequence[str] = (), execute: bool = False) -> List[str]:
     """Sweep a DataFrame's physical plan for scale-killers and return the
     findings (empty list = clean) — the library form of the catalog-wide
     plan lint `tests/test_plans.py` runs in CI, for users to gate their
@@ -162,13 +162,21 @@ def lint_plan(df, allow: Sequence[str] = ()) -> List[str]:
     Works on MetaFrame or raw DataFrames. The plan linted is the physical
     plan *as of the call*: for an adaptive (AQE) query that has not run an
     action yet this is the initial adaptive plan (``isFinalPlan=false``),
-    not the re-optimized final one — run an action first to lint the
-    post-AQE plan. Findings on the initial plan are still meaningful (a
-    cartesian or Python-UDF eval never appears at runtime unless it is in
-    the initial plan), but AQE may e.g. convert a flagged sort-merge path
-    to broadcast at runtime.
+    not the re-optimized final one. Findings on the initial plan are still
+    meaningful (a cartesian or Python-UDF eval never appears at runtime
+    unless it is in the initial plan), but AQE may e.g. convert a flagged
+    sort-merge path to broadcast at runtime. Pass ``execute=True`` to
+    materialize the plan through the ``noop`` sink first and lint the
+    FINAL post-AQE plan — full execution cost, exact runtime verdict; the
+    intended pattern is lint-initial cheaply in development, lint-final on
+    a sampled input before committing a 100-TB run.
     """
     raw = df.to_spark() if hasattr(df, "to_spark") else df
+    if execute:
+        # run THIS DataFrame's own QueryExecution (a noop-sink write would
+        # execute a separate write QE and leave this one's AQE un-finalized):
+        # toRdd().count() executes distributed and ships back one long
+        raw._jdf.queryExecution().toRdd().count()
     plan = raw._jdf.queryExecution().executedPlan().toString()
     markers = {
         "CartesianProduct": "cartesian product (unbounded pairwise blow-up)",

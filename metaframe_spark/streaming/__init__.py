@@ -325,10 +325,16 @@ def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:
     crash mid-:func:`apply_cdc_stream`-swap.
 
     Scans for ``{base}._staging_N`` / ``{base}._replaced_N`` leftovers and
-    repairs each batch id in ascending order via the same state machine the
-    stream itself uses on retry (:func:`_recover_swap_for_batch`). Safe to
-    run any time — a clean table is a no-op. Returns ``{batch_id: action}``
-    for every batch that needed repair.
+    repairs each batch id in DESCENDING order via the same state machine
+    the stream itself uses on retry (:func:`_recover_swap_for_batch`).
+    Descending is load-bearing: foreachBatch applies batches serially, so
+    the highest id's state is the newest — its crashed swap is repaired
+    first (restoring the newest complete version as the base), after which
+    every older batch's backup is provably stale debris and is dropped by
+    its own base-present rule. Ascending would restore an old backup as
+    the base and then mistake the newest batch's un-promoted staging for a
+    finished swap. Safe to run any time — a clean table is a no-op.
+    Returns ``{batch_id: action}`` for every batch that needed repair.
     """
     import re
 
@@ -344,7 +350,7 @@ def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:
             if m:
                 ids.add(int(m.group(1)))
     actions: Dict[int, str] = {}
-    for bid in sorted(ids):
+    for bid in sorted(ids, reverse=True):
         act = _recover_swap_for_batch(spark, base_path, bid)
         if act:
             actions[bid] = act

@@ -250,6 +250,31 @@ class TestCdcSwapRecovery:
             (1, "new")
         ]
 
+    def test_multiple_leftover_batches_repair_newest_first(self, spark, tmp_path):
+        """Debris from several batch ids: an old finished swap whose backup
+        delete crashed, AND the newest batch crashed between its two
+        renames. Batches apply serially, so the newest id's state wins:
+        repair runs DESCENDING — batch 7's complete staging is promoted as
+        the base, then batch 2's backup is recognized as stale debris and
+        dropped. (Ascending would restore the ancient backup as the base
+        and then mistake batch 7's un-promoted staging for a finished
+        swap, silently regressing the table.)"""
+        from metaframe_spark.streaming import recover_cdc_swap
+
+        base = tmp_path / "tbl"
+        # batch 2 finished long ago but its backup delete crashed
+        self._write(spark, tmp_path / "tbl._replaced_2", [(1, "ancient")])
+        # batch 7 crashed between the two renames (base currently missing)
+        self._write(spark, tmp_path / "tbl._replaced_7", [(1, "v7-old")])
+        self._write(spark, tmp_path / "tbl._staging_7", [(1, "v7-new")])
+        actions = recover_cdc_swap(spark, str(base))
+        assert actions[7] == "promoted complete staging, dropped backup"
+        assert actions[2] == "dropped backup (promote had completed)"
+        got = [tuple(r) for r in spark.read.parquet(str(base)).collect()]
+        assert got == [(1, "v7-new")]  # newest complete version wins
+        leftovers = sorted(p.name for p in tmp_path.iterdir() if "._" in p.name)
+        assert leftovers == []
+
     def test_clean_table_is_noop(self, spark, tmp_path):
         from metaframe_spark.streaming import recover_cdc_swap
 

@@ -466,3 +466,30 @@ class TestDispatchOverhead:
         assert out["plans_identical"]
         assert out["flat_wrapped_sec"] < 1.5 * out["flat_raw_sec"] + 0.1
         assert out["wrapped_sec"] < 1.5 * out["raw_sec"] + 0.1
+
+
+class TestLintPlanExecute:
+    def test_execute_lints_the_final_aqe_plan(self, spark):
+        """execute=True materializes first, so the linted plan is the
+        post-AQE final plan: a join AQE converts to broadcast at runtime
+        shows up converted, and isFinalPlan flips to true."""
+        from metaframe_spark.scale import lint_plan
+
+        li = load_table(spark, SF, "lineitem").to_spark()
+        o = load_table(spark, SF, "orders").to_spark()
+        df = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        assert lint_plan(df, execute=True) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+
+    def test_initial_plan_is_not_final(self, spark):
+        from metaframe_spark.scale import lint_plan
+
+        li = load_table(spark, SF, "lineitem").to_spark()
+        o = load_table(spark, SF, "orders").to_spark()
+        df = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey")
+        lint_plan(df)  # default: as-of-call, no execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=false" in plan
