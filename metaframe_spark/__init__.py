@@ -30,6 +30,10 @@ _EXPORTS = {
     "wrap": ("metaframe_spark.io", "wrap"),
     "read_file_stream": ("metaframe_spark.streaming", "read_file_stream"),
     "stream_exact_dedup": ("metaframe_spark.streaming", "stream_exact_dedup"),
+    "apply_cdc_stream": ("metaframe_spark.streaming", "apply_cdc_stream"),
+    "recover_cdc_swap": ("metaframe_spark.streaming", "recover_cdc_swap"),
+    "lint_plan": ("metaframe_spark.scale", "lint_plan"),
+    "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),
 }
 
