@@ -122,7 +122,7 @@ def dispatch_microbench(spark, sf_dir: str, n_ops: int = 1000) -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
-    repeat_env = os.environ.get("BENCH_REPEAT")
+    repeat_env = os.environ.get("BENCH_REPEAT") or None  # "" = unset
     repeat = int(repeat_env) if repeat_env else 5
     with_baseline = os.environ.get("BENCH_BASELINE", "1") == "1"
 
