@@ -804,8 +804,10 @@ def semantic_dup_pairs(
     ``n_cells=1`` skips the fit and is provably exhaustive (every pair is
     within-cell) — the oracle-checkable setting, exactly as
     ``ivf_topk(n_probe=n_lists)`` is the provably-exact IVF. Vectors must
-    be unit-normalized (:func:`unit_normalize`). Returns
-    (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    be unit-normalized (:func:`unit_normalize`) and ``id_col`` must be
+    unique (duplicate ids multiply pair rows through the re-verify
+    joins). Returns (id_a, id_b, cosine) with id_a < id_b, cosine
+    rounded to 6.
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -819,14 +821,28 @@ def semantic_dup_pairs(
             "through numpy. Project a surrogate id first (e.g. "
             "monotonically_increasing_id()) and join the original ids back"
         )
+    # Precondition: id_col must be UNIQUE. The re-verify stage joins the
+    # nominated (id_a, id_b) pairs back to the corpus on id, so each
+    # duplicated id multiplies its pairs' rows. Not checked here (a
+    # distinct-count job per call would tax every well-formed caller);
+    # exact_dedup first if uniqueness is in doubt.
     cfeats = corpus.select(F.col(id_col), F.col(vec_col))
     if n_cells <= 1:
         assigned = cfeats.withColumn("_cell", F.lit(0))
     else:
+        # count before the fit: an empty / single-row corpus can have no
+        # pairs, and the numpy centroid fit would otherwise die on a bare
+        # "need at least one array to stack". The count is reused by the
+        # fit's sampling decision (n_rows=) so it costs no extra job.
+        n = cfeats.count()
+        if n < 2:
+            return cfeats.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
         centroids = fit_sampled_centroids(
             cfeats, n_cells, vec_col=vec_col, seed=seed,
             max_fit_rows=max_fit_rows, max_iter=kmeans_max_iter,
-            init=kmeans_init, order_col=id_col,
+            init=kmeans_init, n_rows=n, order_col=id_col,
         )
         assigned = assign_cells(cfeats, centroids, vec_col=vec_col)
 

@@ -47,10 +47,12 @@ def merge_upsert(
     **Precondition: the delta must hold at most ONE row per key** (SQL
     MERGE raises on multiple matches; this plan would instead emit every
     delta row for the key, i.e. duplicate output). Pass ``seq_col`` to
-    have the delta collapsed to its last change per key first (``max_by``
-    every column on ``seq_col`` — the same one-shuffle collapse
-    :func:`~metaframe_spark.streaming.latest_per_key` applies on the
-    streaming path, where batches already arrive collapsed).
+    have the delta collapsed to its last change per key first —
+    ``max_by(struct(<all columns>), seq_col)`` so the winner is ONE
+    whole source row (never a column-mix of tied rows); ties on
+    ``seq_col`` pick an arbitrary but atomic row. Same one-shuffle
+    collapse :func:`~metaframe_spark.streaming.latest_per_key` applies
+    on the streaming path, where batches already arrive collapsed.
 
     Both inputs must share the ``keys`` columns; the output schema is
     ``base``'s column set (``delete_col`` is dropped from emitted delta
@@ -70,8 +72,18 @@ def merge_upsert(
     keys = list(keys)
     if seq_col is not None:
         others = [c for c in delta.columns if c not in keys]
-        delta = delta.groupBy(*keys).agg(
-            *[F.max_by(c, seq_col).alias(c) for c in others]
+        # one max_by over a packed struct, not one per column: a tie on
+        # seq_col must yield a single whole row, never a column-mix of
+        # two tied rows (independent per-column max_by calls may each
+        # pick a different tied row)
+        delta = (
+            delta.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c).alias(c) for c in others]), F.col(seq_col)
+                ).alias("_row")
+            )
+            .select(*keys, F.col("_row.*"))
         )
     key_rel = delta.select(*keys)
     if broadcast_delta:

@@ -101,8 +101,11 @@ def stratified_sample_exact(
     fully sorted. The md5 tie-break on ``id_col`` makes the sample
     well-defined even if ids hash-collide.
     """
+    # nulls_last in BOTH directions: plain asc() sorts NULL first, so a
+    # NULL ranking score would preferentially consume the per-stratum cap
+    # ahead of every real score (desc() already defaults to nulls-last)
     first = (
-        (F.col(by).desc() if descending else F.col(by).asc())
+        (F.col(by).desc_nulls_last() if descending else F.col(by).asc_nulls_last())
         if by is not None
         else F.md5(F.col(id_col).cast("string")).asc()
     )

@@ -141,18 +141,48 @@ def fit_sampled_centroids(
     already counted the corpus (saves a job).
 
     ``order_col``: the fit indexes into the collected sample, so the
-    centroids depend on sample ROW ORDER — which ``toPandas`` inherits
-    from the physical partitioning. Passing an id column sorts the
-    (sample-bounded) rows first, making the fit — and everything derived
-    from the centroids — deterministic under repartitioning."""
+    centroids depend on sample MEMBERSHIP and ROW ORDER. With an
+    ``order_col``, both are made partition-independent: membership is a
+    deterministic per-row hash draw on ``(order_col, seed)`` (Bernoulli
+    ``sample()`` draws per (seed, partition-index), so the sampled row
+    SET would shift with partition layout exactly when n > max_fit_rows),
+    and the surviving rows are sorted before collection. Result: the fit
+    — and everything derived from the centroids — is deterministic under
+    repartitioning at ANY corpus size. Without ``order_col`` the cheaper
+    Bernoulli path is used and determinism holds only for
+    n <= max_fit_rows (no sampling)."""
     import numpy as np
 
     n = corpus.count() if n_rows is None else n_rows
     fit_df = corpus
     if n > max_fit_rows:
-        # oversample 20% above the cap so Bernoulli variance can't starve
+        # oversample 20% above the cap so draw variance can't starve
         # the fit, never above 1.0
-        fit_df = corpus.sample(fraction=min(1.0, 1.2 * max_fit_rows / n), seed=seed)
+        frac = min(1.0, 1.2 * max_fit_rows / n)
+        if order_col is not None:
+            # partition-independent membership: uniform in [0,1) from the
+            # first 15 hex digits (60 bits) of md5(order_col, seed)
+            draw = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "\x00",
+                                F.col(order_col).cast("string"),
+                                F.lit(str(seed)),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / float(16**15)
+            )
+            fit_df = corpus.filter(draw < F.lit(frac))
+        else:
+            fit_df = corpus.sample(fraction=frac, seed=seed)
     if order_col is not None:
         fit_df = fit_df.orderBy(order_col)
     X = np.stack(fit_df.select(vec_col).toPandas()[vec_col].to_numpy()).astype(

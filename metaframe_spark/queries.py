@@ -2865,7 +2865,10 @@ def q61_profile_extended(spark, sf):
     profile_columns(percentiles=...)): q58's one-scan stats block plus
     exact interpolated p25/p50/p75 per numeric column (NULL for
     non-numeric) — the histogram row warehouse users expect next to
-    min/max. Still a SINGLE agg pass (percentiles ride the same Expand);
+    min/max. Deliberately TWO one-row aggregations cross-joined (two
+    scans): riding the percentile buffers on the distinct-agg Expand
+    multiplied their input 5x and measured 6x slower — the split shape
+    and the measurement are documented at maintenance.py (r7);
     ``exact_percentiles=False`` is the documented petabyte lever
     (t-digest approx_percentile, bounded state). Exact interpolation
     (quantile_cont semantics) is engine-reproducible at round-6."""
@@ -2952,19 +2955,83 @@ _R6_DRIVER_BLESSED = frozenset(
     ]
 )
 
+# Keys with a green row in CORRECTNESS_r07.json (the r7 driver window) —
+# folded into the blessed set per the round-8 rotation plan.
+_R7_DRIVER_BLESSED = frozenset(
+    [
+        "llm_semantic_dedup",
+        "q61_profile_extended",
+        "q32_sessionize",
+        "llm_cosine_dups",
+        "q33_resample",
+        "q34_pivot",
+        "q35_explode",
+        "q36_from_json",
+        "q37_higher_order",
+        "q38_regexp_extract",
+        "q39_map_funcs",
+        "q40_salted_agg",
+        "llm_dedup_incremental",
+        "llm_stratified_sample",
+        "llm_decontaminate",
+        "llm_vocab",
+        "llm_quantize",
+        "llm_global_shuffle",
+        "q41_percentiles",
+        "q42_grouping_sets",
+        "q43_ffill",
+        "llm_tfidf",
+        "llm_bm25",
+        "q44_fuzzy_match",
+        "q45_funnel",
+        "q46_retention",
+        "q47_rank_funcs",
+        "q48_percentiles_dist",
+        "q49_unpivot",
+        "llm_char_entropy",
+        "q50_rolling",
+        "q51_conditional_agg",
+        "llm_corpus_stats",
+        "q52_string_funcs",
+        "q53_date_funcs",
+        "q54_pk_broadcast_join",
+        "llm_c4_lines",
+        "llm_gopher_flags",
+        "llm_span_dedup",
+        "llm_pack_sequences",
+        "llm_mixture_sample",
+        "llm_perplexity",
+        "q55_merge_upsert",
+        "q56_scd2",
+        "llm_hash_split",
+        "q57_array_funcs",
+        "q58_profile",
+        "q59_time_funcs",
+        "q60_conditional_expr",
+        "llm_bigram_nll",
+    ]
+)
+
+_DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
+
 # New-this-round entries to pin at the very front of the driver window.
-# ROUND-8 NOTE: after the r7 driver run blesses the current first-50, the
-# still-never-blessed tail is [llm_url_features, llm_domain_cap,
-# q62_null_safe_join] (registered late in r7, positions 51+). Next rotation:
-# move those plus any r8 additions into _ROTATE_FIRST and extend the
-# blessed set below with the r7-blessed keys.
-_ROTATE_FIRST: list = ["llm_semantic_dedup", "q61_profile_extended"]
+# ROUND-8 ROTATION (executing the r7 note): the never-blessed tail from r7
+# — llm_url_features, llm_domain_cap, q62_null_safe_join (registered at
+# positions 51+, outside the driver's 50-entry window) — goes first, along
+# with every entry newly added this round.  With 100/103 prior entries
+# blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
+# completing full driver coverage of the catalog.
+_ROTATE_FIRST: list = [
+    "llm_url_features",
+    "llm_domain_cap",
+    "q62_null_safe_join",
+]
 
 
 def _rotate_registration() -> None:
     front = [k for k in _ROTATE_FIRST if k in QUERIES]
-    fresh = [k for k in QUERIES if k not in _R6_DRIVER_BLESSED and k not in front]
-    order = front + fresh + [k for k in QUERIES if k in _R6_DRIVER_BLESSED]
+    fresh = [k for k in QUERIES if k not in _DRIVER_BLESSED and k not in front]
+    order = front + fresh + [k for k in QUERIES if k in _DRIVER_BLESSED]
     for d in (QUERIES, ORACLE):
         snap = {k: d[k] for k in order if k in d}
         d.clear()

@@ -250,14 +250,23 @@ def running_count_with_state(stream, key_col: str = "event_type", timeout_s: int
 
 
 def latest_per_key(df, keys, seq_col):
-    """Collapse a CDC batch to its last change per key: ``max_by`` every
-    column on ``seq_col`` (one partial-aggregated shuffle on the keys, no
-    window sort). Ties on ``seq_col`` are broken arbitrarily — give CDC
-    feeds a total per-key order (offset, LSN) for deterministic replay."""
+    """Collapse a CDC batch to its last change per key:
+    ``max_by(struct(<all columns>), seq_col)`` — one partial-aggregated
+    shuffle on the keys, no window sort, and the winner is a single
+    whole source row (per-column ``max_by`` calls could each pick a
+    DIFFERENT row tied on ``seq_col``, mixing columns). Ties still pick
+    an arbitrary row — give CDC feeds a total per-key order (offset,
+    LSN) for deterministic replay."""
     keys = list(keys)
     others = [c for c in df.columns if c not in keys]
-    return df.groupBy(*keys).agg(
-        *[F.max_by(c, seq_col).alias(c) for c in others]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c).alias(c) for c in others]), F.col(seq_col)
+            ).alias("_row")
+        )
+        .select(*keys, F.col("_row.*"))
     )
 
 

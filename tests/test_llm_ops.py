@@ -790,6 +790,40 @@ class TestSemanticDedup:
                 e, min_cosine=0.35, n_cells=1, max_cell_rows=10
             ).count()
 
+    def test_empty_and_single_row_corpus_short_circuit(self, spark):
+        """An empty / 1-row corpus with n_cells > 1 has no pairs; it must
+        return an empty result, not die inside the numpy centroid fit
+        with a bare stack() error (ADVICE r7)."""
+        from metaframe_spark.operators import semantic_dup_pairs
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        out = semantic_dup_pairs(empty, min_cosine=0.5, n_cells=4)
+        assert out.count() == 0
+        assert out.columns == ["id_a", "id_b", "cosine"]
+        one = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        assert semantic_dup_pairs(one, min_cosine=0.5, n_cells=4).count() == 0
+
+    def test_sampled_fit_membership_is_partition_independent(self, spark):
+        """When n > max_fit_rows and order_col is given, the fit sample's
+        MEMBERSHIP (not just order) must not depend on partition layout:
+        Bernoulli sample() draws per (seed, partition-index), so the
+        hash-draw path is used instead (ADVICE r7 medium)."""
+        import numpy as np
+
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import fit_sampled_centroids
+
+        e = unit_normalize(load_table(spark, SF, "embeddings").to_spark())
+        kw = dict(vec_col="embedding", seed=7, max_fit_rows=200, order_col="vec_id")
+        a = fit_sampled_centroids(e, 4, **kw)
+        b = fit_sampled_centroids(e.repartition(13), 4, **kw)
+        c = fit_sampled_centroids(e.coalesce(1), 4, **kw)
+        assert np.array_equal(a, b) and np.array_equal(a, c)
+
 
 class TestExactDedupRows:
     def test_full_rows_survive(self, spark, docs):
@@ -1219,6 +1253,31 @@ class TestStratifiedSample:
         # WindowGroupLimit still plans (pre-shuffle per-partition prune)
         plan = capped._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+    def test_null_scores_never_consume_the_cap(self, spark):
+        """NULL ranking scores must rank LAST in both directions: plain
+        asc() sorts NULL first in Spark, which would let unscored rows
+        eat the per-stratum cap ahead of every real score (ADVICE r7)."""
+        from metaframe_spark.operators import stratified_sample_exact
+
+        df = spark.createDataFrame(
+            [
+                ("g", 1, None),
+                ("g", 2, 5.0),
+                ("g", 3, None),
+                ("g", 4, 1.0),
+                ("g", 5, 3.0),
+            ],
+            "grp string, doc_id long, score double",
+        )
+        asc = stratified_sample_exact(
+            df, ["grp"], 2, "doc_id", by="score", descending=False
+        )
+        assert {r.doc_id for r in asc.collect()} == {4, 5}
+        desc = stratified_sample_exact(
+            df, ["grp"], 2, "doc_id", by="score", descending=True
+        )
+        assert {r.doc_id for r in desc.collect()} == {2, 5}
 
 
 class TestDecontamination:

@@ -338,3 +338,36 @@ class TestMergeSeqCollapse:
         assert got == {1: ("a", 10.0), 2: ("last", 22.0), 4: ("d", 40.0)}
         # and the output has no duplicate keys
         assert out.count() == out.select("id").distinct().count()
+
+    def test_seq_tie_collapse_is_atomic(self, spark, base):
+        """Two delta rows tied on seq_col must collapse to ONE whole source
+        row — never a column-mix (e.g. the deleted flag from one tied row
+        with the amt from the other). The collapse is
+        max_by(struct(<all columns>), seq); per-column max_by calls could
+        each pick a different tied row (ADVICE r7)."""
+        from metaframe_spark.streaming import latest_per_key
+
+        delta = spark.createDataFrame(
+            [
+                (2, "alpha", 111.0, False, 5),
+                (2, "omega", 999.0, True, 5),  # tie on seq
+            ],
+            "id long, name string, amt double, deleted boolean, seq long",
+        )
+        legal = {("alpha", 111.0, False), ("omega", 999.0, True)}
+        # the collapse itself (shared with the streaming path)
+        for attempt in range(3):
+            rows = latest_per_key(
+                delta.repartition(2 + attempt), ["id"], "seq"
+            ).collect()
+            assert len(rows) == 1
+            r = rows[0]
+            assert (r.name, r.amt, r.deleted) in legal
+        # and through merge_upsert: key 2 is either updated with the
+        # non-deleted tied row or deleted by the deleted tied row —
+        # never updated with the deleted row's columns
+        out = merge_upsert(base, delta, ["id"], "deleted", seq_col="seq")
+        got = {r.id: (r.name, r.amt) for r in out.collect()}
+        assert got.get(2, ("alpha", 111.0))[0] != "omega" or 2 not in got
+        two = [v for k, v in got.items() if k == 2]
+        assert two in ([], [("alpha", 111.0)])
