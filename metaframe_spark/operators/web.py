@@ -14,32 +14,105 @@ at any scale.
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+def registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    psl: Optional[DataFrame] = None,
+    psl_suffix_col: str = "suffix",
+    max_suffix_labels: int = 3,
+) -> DataFrame:
+    """Append the registrable domain of ``host_col`` as ``out_col``.
+
+    Without ``psl``: the last-two-labels approximation
+    (``substring_index(host, '.', -2)``) — correct for .com/.org-style
+    single-label suffixes, over-merging under multi-label public suffixes
+    (every ``*.co.uk`` host collapses to ``co.uk``).
+
+    With ``psl`` (a relation of literal public suffixes, one per row in
+    ``psl_suffix_col`` — e.g. ``com``, ``co.uk``, ``com.au`` from the
+    Mozilla Public Suffix List): longest-suffix-match semantics. The
+    host's candidate suffixes (its last 1..``max_suffix_labels`` labels)
+    are each probed with a broadcast LEFT join against the (distinct,
+    lowercased) suffix relation; the longest match wins and the
+    registrable domain is that suffix plus one preceding label. A host
+    that IS a public suffix has no registrable domain (NULL); a host
+    matching no rule falls back to the last-2 approximation (the PSL's
+    implicit ``*`` rule: the bare TLD is the suffix). Wildcard/exception
+    PSL rules (``*.ck`` / ``!www.ck``) must be pre-expanded or dropped
+    when building the relation — only literal suffixes are matched.
+
+    Scale shape: ``max_suffix_labels`` broadcast hash joins against a
+    ~10k-row relation, each a no-shuffle probe on the scan — the same
+    metadata-only cost as the approximation, no row multiplication (no
+    explode). ``max_suffix_labels=3`` covers every common registry
+    (``co.uk``, ``com.au``, ``ac.jp``); raise it for the PSL's rare
+    4-label city suffixes.
+
+    The emitted domain is lowercased (DNS names are case-insensitive;
+    :func:`domain_filter` already matched case-insensitively).
+    """
+    host = F.lower(F.col(host_col))
+    approx = F.substring_index(host, ".", -2)
+    if psl is None:
+        return df.withColumn(out_col, approx)
+    n_host = F.size(F.split(host, r"\."))
+    out = df
+    for k in range(1, max_suffix_labels + 1):
+        rel = F.broadcast(
+            psl.select(
+                F.lower(F.col(psl_suffix_col)).alias(f"_psl_s{k}")
+            )
+            .filter(F.size(F.split(F.col(f"_psl_s{k}"), r"\.")) == k)
+            .distinct()
+            .withColumn(f"_psl_m{k}", F.lit(True))
+        )
+        out = out.join(
+            rel,
+            F.substring_index(host, ".", -k) == F.col(f"_psl_s{k}"),
+            "left",
+        )
+    dom = approx  # no rule matched -> implicit "*": TLD is the suffix
+    for k in range(1, max_suffix_labels + 1):  # longest match wins: build
+        dom = F.when(  # from shortest so later (longer) wraps earlier
+            F.col(f"_psl_m{k}"),
+            F.when(n_host > k, F.substring_index(host, ".", -(k + 1))),
+        ).otherwise(dom)
+    helper = [c for k in range(1, max_suffix_labels + 1) for c in (f"_psl_s{k}", f"_psl_m{k}")]
+    return out.withColumn(out_col, dom).drop(*helper)
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    psl: Optional[DataFrame] = None,
+    psl_suffix_col: str = "suffix",
+) -> DataFrame:
     """Append URL provenance features extracted row-locally:
 
     * ``host`` — ``try_parse_url(url, 'HOST')`` (NULL for malformed URLs, never a task failure);
-    * ``domain`` — the last two host labels (``substring_index(host, '.',
-      -2)``), the registrable-domain approximation blocklists key on
-      (a full public-suffix-list lookup is a broadcast join against the
-      PSL relation — same plan shape, external data);
+    * ``domain`` — the registrable domain: by default the last-two-labels
+      approximation (``substring_index(host, '.', -2)``); pass ``psl`` (a
+      public-suffix relation) for exact longest-suffix-match semantics —
+      see :func:`registrable_domain` for both contracts;
     * ``is_https`` — scheme check;
     * ``path_depth`` — number of non-empty ``/`` segments in the path.
 
-    All four are codegen expressions on the scan — zero shuffle — so the
+    All features are codegen expressions on the scan — zero shuffle
+    (``psl`` adds broadcast-probe joins, still shuffle-free) — so the
     domain cap / blocklist stages they feed stay metadata-only.
     """
     url = F.col(url_col)
     host = F.try_parse_url(url, F.lit("HOST"))
     path = F.try_parse_url(url, F.lit("PATH"))
-    return (
+    out = (
         df.withColumn("host", host)
-        .withColumn("domain", F.substring_index(F.col("host"), ".", -2))
         .withColumn(
             "is_https",
             F.coalesce(
@@ -52,6 +125,9 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("long"),
         )
     )
+    return registrable_domain(
+        out, "host", "domain", psl=psl, psl_suffix_col=psl_suffix_col
+    )
 
 
 def domain_filter(
@@ -59,6 +135,8 @@ def domain_filter(
     blocked_domains: Iterable[str],
     url_col: str = "url",
     keep: bool = False,
+    psl: Optional[DataFrame] = None,
+    psl_suffix_col: str = "suffix",
 ) -> DataFrame:
     """Drop (or with ``keep=True``, retain only) rows whose registrable
     domain is in ``blocked_domains`` — the blocklist/allowlist gate.
@@ -67,10 +145,28 @@ def domain_filter(
     ``InSet`` beyond Catalyst's conversion threshold) evaluated on the
     scan; for blocklists too large to inline (millions of domains), make
     it a relation and anti-join — Spark broadcasts it. Matching is on the
-    :func:`url_features` domain normalization, case-insensitive.
+    :func:`url_features` domain normalization, case-insensitive; pass
+    ``psl`` for exact registrable-domain matching (so a ``foo.co.uk``
+    block does not also require blocking every other ``*.co.uk`` site —
+    see :func:`registrable_domain`).
     """
     blocked = sorted({d.strip().lower() for d in blocked_domains if d and d.strip()})
+    if not blocked:
+        return df if not keep else df.filter(F.lit(False))
+    if psl is not None:
+        host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+        tmp = registrable_domain(
+            df.withColumn("_df_host", host),
+            "_df_host",
+            "_df_domain",
+            psl=psl,
+            psl_suffix_col=psl_suffix_col,
+        )
+        cond = F.col("_df_domain").isin(blocked)
+        return tmp.filter(
+            cond if keep else ~F.coalesce(cond, F.lit(False))
+        ).drop("_df_host", "_df_domain")
     host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
     domain = F.lower(F.substring_index(host, ".", -2))
-    cond = domain.isin(blocked) if blocked else F.lit(False)
+    cond = domain.isin(blocked)
     return df.filter(cond if keep else ~F.coalesce(cond, F.lit(False)))

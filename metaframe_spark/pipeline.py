@@ -54,6 +54,9 @@ def curate_corpus(
     semantic_cells: int = 16,
     url_col: Optional[str] = None,
     blocked_domains: Optional[List[str]] = None,
+    domain_cap: int = 0,
+    domain_quality_col: Optional[str] = None,
+    psl: Optional[DataFrame] = None,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -90,6 +93,20 @@ def curate_corpus(
     any content stage is free yield: everything downstream processes
     fewer rows.
 
+    ``url_col`` + ``domain_cap > 0`` add the per-domain cap every
+    web-curation run applies (C4/Gopher-style: a dominant crawl domain
+    must not swamp the corpus): at most ``domain_cap`` documents survive
+    per registrable domain. With ``domain_quality_col`` (a numeric
+    column of ``df``) the cap keeps the BEST-scored documents; without
+    it, a deterministic md5 draw. Runs right after the blocklist —
+    still metadata-only (:func:`~metaframe_spark.operators.web.
+    url_features` → :func:`~metaframe_spark.operators.
+    stratified_sample_exact`, a WindowGroupLimit that pre-prunes each
+    input partition to its own top-n before the shuffle). Rows whose
+    URL yields no domain (malformed/NULL) form one shared stratum and
+    are capped together. ``psl`` (a public-suffix relation) upgrades
+    both the blocklist and the cap to exact registrable domains.
+
     ``embeddings`` (a DataFrame of ``id_col`` + ``embedding_col``) enables
     SemDeDup-style semantic deduplication after the lexical stages:
     vectors of the surviving documents are unit-normalized, near-duplicate
@@ -115,8 +132,25 @@ def curate_corpus(
     if url_col is not None and blocked_domains:
         from .operators.web import domain_filter
 
-        df = domain_filter(df, blocked_domains, url_col)
+        df = domain_filter(df, blocked_domains, url_col, psl=psl)
         counts["domain_filter"] = df.count()
+
+    # 0b. optional per-domain cap — still metadata-only (+ the ranking
+    # column when domain_quality_col is set)
+    if url_col is not None and domain_cap > 0:
+        from .operators.sampling import stratified_sample_exact
+        from .operators.web import url_features
+
+        feat = url_features(df, url_col, psl=psl)
+        df = stratified_sample_exact(
+            feat,
+            ["domain"],
+            domain_cap,
+            id_col,
+            by=domain_quality_col,
+            descending=domain_quality_col is not None,
+        ).drop("host", "domain", "is_https", "path_depth", "draw_rank")
+        counts["domain_cap"] = df.count()
 
     # 0. optional C4 line scrub (drops boilerplate lines + emptied docs)
     if line_filter:

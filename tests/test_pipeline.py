@@ -218,3 +218,66 @@ def test_domain_blocklist_stage_runs_first(spark, messy):
     surviving = {r.doc_id for r in out.select("doc_id").collect()}
     assert not any(i % 50 == 0 for i in surviving)
     assert any(i % 50 == 1 for i in surviving)  # unparseable url kept
+
+
+def test_domain_cap_stage_caps_dominant_domain(spark, messy):
+    """A domain that dominates the crawl is capped to domain_cap docs —
+    keeping the highest-quality ones when domain_quality_col is set —
+    and every stage count is monotone non-increasing."""
+    d = messy.filter(F.col("doc_id") < 10_000).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0,  # 100 docs on one dominant domain
+            F.concat(F.lit("https://farm.seo-mill.com/p"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.org/p"),
+                F.col("doc_id"),
+            )
+        ),
+    ).withColumn("score", (F.col("doc_id") % 97).cast("double"))
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.8,
+        url_col="url", domain_cap=7, domain_quality_col="score",
+    )
+    assert counts["domain_cap"] <= counts["input"]
+    stages = list(counts.values())
+    assert stages == sorted(stages, reverse=True)  # monotone pipeline
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    dominant = [i for i in surviving if i % 5 == 0]
+    assert len(dominant) <= 7
+    # best-first: the survivors of the dominant domain are its top scores
+    cand = sorted(
+        (i for i in range(500) if i % 5 == 0),
+        key=lambda i: (-(i % 97), i),
+    )[:7]
+    # later content stages may drop a few more, so subset not equality
+    assert set(dominant).issubset(set(cand))
+    # the cap stage must not leak its helper columns into the output
+    assert "domain" not in out.columns and "draw_rank" not in out.columns
+
+
+def test_domain_cap_with_psl_keys_on_registrable_domain(spark):
+    """With a PSL relation, *.co.uk sites are capped per-site, not
+    merged into one 'co.uk' stratum."""
+    rows = [
+        (i, "text " + " ".join(f"w{i}x{j}" for j in range(30)),
+         f"https://{'alpha' if i % 2 == 0 else 'beta'}.co.uk/p{i}")
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    psl = spark.createDataFrame([("com",), ("co.uk",)], "suffix string")
+    _, merged = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.99,
+        url_col="url", domain_cap=5,
+    )
+    _, split = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.99,
+        url_col="url", domain_cap=5, psl=psl,
+    )
+    # approximation merges alpha+beta under co.uk -> one 5-doc stratum;
+    # the PSL keeps them apart -> 5 each
+    assert merged["domain_cap"] == 5
+    assert split["domain_cap"] == 10

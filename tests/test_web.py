@@ -66,3 +66,93 @@ class TestDomainFilter:
 
     def test_empty_blocklist_is_identity(self, spark, urls):
         assert domain_filter(urls, []).count() == urls.count()
+
+
+class TestRegistrableDomainPsl:
+    @pytest.fixture(scope="class")
+    def psl(self, spark):
+        # literal public suffixes, Mozilla-PSL style (1- and 2-label)
+        return spark.createDataFrame(
+            [("com",), ("org",), ("net",), ("co.uk",), ("com.au",), ("ac.jp",)],
+            "suffix string",
+        )
+
+    def test_multi_label_suffixes_distinguished(self, spark, psl):
+        """The last-2-label approximation collapses every *.co.uk host to
+        'co.uk'; the PSL path must keep foo.co.uk and bar.co.uk apart."""
+        from metaframe_spark.operators.web import registrable_domain
+
+        hosts = spark.createDataFrame(
+            [
+                (1, "www.foo.co.uk"),
+                (2, "bar.co.uk"),
+                (3, "deep.sub.baz.com.au"),
+                (4, "www.example.com"),
+                (5, "plain.ac.jp"),
+            ],
+            "id long, host string",
+        )
+        approx = {
+            r.id: r.domain for r in registrable_domain(hosts).collect()
+        }
+        # the documented over-merge the PSL fixes
+        assert approx[1] == approx[2] == "co.uk"
+        exact = {
+            r.id: r.domain
+            for r in registrable_domain(hosts, psl=psl).collect()
+        }
+        assert exact[1] == "foo.co.uk"
+        assert exact[2] == "bar.co.uk"
+        assert exact[3] == "baz.com.au"
+        assert exact[4] == "example.com"
+        assert exact[5] == "plain.ac.jp"
+
+    def test_host_that_is_a_public_suffix_has_no_domain(self, spark, psl):
+        from metaframe_spark.operators.web import registrable_domain
+
+        hosts = spark.createDataFrame(
+            [(1, "co.uk"), (2, "com")], "id long, host string"
+        )
+        got = {r.id: r.domain for r in registrable_domain(hosts, psl=psl).collect()}
+        assert got == {1: None, 2: None}
+
+    def test_unlisted_tld_falls_back_to_last_two_labels(self, spark, psl):
+        """No PSL rule -> the implicit '*' rule: the bare TLD is the
+        suffix, registrable = last two labels."""
+        from metaframe_spark.operators.web import registrable_domain
+
+        hosts = spark.createDataFrame(
+            [(1, "www.thing.zz"), (2, None)], "id long, host string"
+        )
+        got = {r.id: r.domain for r in registrable_domain(hosts, psl=psl).collect()}
+        assert got == {1: "thing.zz", 2: None}
+
+    def test_matching_is_case_insensitive_and_output_lowercase(self, spark, psl):
+        from metaframe_spark.operators.web import registrable_domain
+
+        hosts = spark.createDataFrame(
+            [(1, "WWW.Foo.CO.UK")], "id long, host string"
+        )
+        got = registrable_domain(hosts, psl=psl).collect()[0].domain
+        assert got == "foo.co.uk"
+
+    def test_url_features_psl_passthrough_and_plan_is_broadcast_only(
+        self, spark, psl
+    ):
+        """url_features(psl=...) keys `domain` on the PSL, and the added
+        joins are all broadcast probes: the CORPUS side is never
+        exchanged (the only shuffles allowed are the dedup of the tiny
+        suffix relation itself, keyed on _psl_s columns)."""
+        urls = spark.createDataFrame(
+            [(1, "https://www.foo.co.uk/a"), (2, "https://www.example.com/b")],
+            "id long, url string",
+        )
+        feat = url_features(urls, "url", psl=psl)
+        got = {r.id: r.domain for r in feat.collect()}
+        assert got == {1: "foo.co.uk", 2: "example.com"}
+        plan = feat._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "_psl_s" in line, f"corpus-side shuffle: {line}"
