@@ -764,6 +764,79 @@ def dedup_against(
     )
 
 
+def _reshard_hot_cells(
+    assigned: DataFrame,
+    centroids,
+    fit_X,
+    n_rows: int,
+    n_cells: int,
+    cap: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_fit_rows: int,
+    kmeans_max_iter: int,
+    kmeans_init: str,
+) -> DataFrame:
+    """Split projected-hot k-means cells one level deeper.
+
+    Per-cell load is PROJECTED driver-side from the already-collected fit
+    sample (counts of the sample's nearest-centroid assignment, scaled by
+    n/|sample|) — zero extra distributed jobs on the no-hot-cell path.
+    Cells projected above ``0.6 * cap`` (the safety factor absorbs
+    sampling error; a ±2% estimate at a 100k sample never hides a truly
+    hot cell behind a 40% margin) are re-counted exactly, and each
+    still-hot cell gets a secondary sampled k-means fit over ITS rows
+    (2·ceil(size/cap) sub-centroids, cell-distinct seed) and a composite
+    cell id beyond the primary range. One level only: a sub-cell still
+    above ``cap`` hits the executor guard, which at that point means
+    near-identical vector mass no clustering can separate.
+
+    The assignment relation is persisted only when a hot cell is found
+    (it is then scanned once per hot cell for the sub-fits plus once by
+    the pairs stage); the common path touches nothing.
+    """
+    import numpy as np
+
+    from .similarity import assign_cells, fit_sampled_centroids
+
+    C = np.asarray(centroids, dtype=np.float64)
+    scores = -2.0 * (fit_X @ C.T) + (C * C).sum(axis=1)[None, :]
+    sample_counts = np.bincount(
+        np.argmin(scores, axis=1), minlength=len(C)
+    )
+    scale = n_rows / max(1, len(fit_X))
+    hot_est = [int(c) for c in np.nonzero(sample_counts * scale > 0.6 * cap)[0]]
+    if not hot_est:
+        return assigned
+    assigned = assigned.persist()
+    parts = [assigned.filter(~F.col("_cell").isin(hot_est))]
+    next_cell = int(n_cells)
+    for c in hot_est:
+        cell_rows = assigned.filter(F.col("_cell") == c)
+        sub = cell_rows.select(id_col, vec_col)
+        sz = sub.count()
+        if sz <= cap:  # projection overshot; the cell is fine as-is
+            parts.append(cell_rows)
+            continue
+        k_sub = max(2, -(-2 * sz // cap))
+        subcent = fit_sampled_centroids(
+            sub, k_sub, vec_col=vec_col, seed=seed + 101 + c,
+            max_fit_rows=max_fit_rows, max_iter=kmeans_max_iter,
+            init=kmeans_init, n_rows=sz, order_col=id_col,
+        )
+        parts.append(
+            assign_cells(sub, subcent, vec_col=vec_col).withColumn(
+                "_cell", (F.col("_cell") + F.lit(next_cell)).cast("int")
+            )
+        )
+        next_cell += int(k_sub)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     min_cosine: float = 0.85,
@@ -777,6 +850,7 @@ def semantic_dup_pairs(
     max_cell_rows: int = 200_000,
     gemm_margin: float = 1e-4,
     gemm_chunk_target: int = 2_000_000,
+    reshard_hot_cells: bool = True,
 ) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-shaped (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells bound the quadratic — cosine pairs
@@ -794,8 +868,19 @@ def semantic_dup_pairs(
        (:func:`~metaframe_spark.operators.similarity.assign_cells`);
     3. per-cell pairs via ``applyInPandas``: one chunked float64 GEMM per
        cell (BLAS at memory bandwidth); chunking keeps the score matrix
-       ~2M doubles regardless of cell size. Cells above ``max_cell_rows``
-       raise with a re-shard hint rather than silently OOMing the task;
+       ~2M doubles regardless of cell size. Hot cells (projected above
+       ``max_cell_rows``) are automatically re-sharded ONE level when
+       ``reshard_hot_cells`` (default): the driver projects per-cell load
+       from the already-collected fit sample (zero extra distributed
+       jobs), and each projected-hot cell gets its own secondary sampled
+       k-means split — the SemDeDup approximation applied one level
+       deeper, so sub-cell-straddling pairs inside a former hot cell are
+       the (additional) recall cost. A cell still above the cap at the
+       executor raises rather than silently OOMing the task — after a
+       split that means near-identical vector mass k-means cannot
+       separate (raise ``max_cell_rows``), and with
+       ``reshard_hot_cells=False`` (or ``n_cells=1``, where exhaustive
+       semantics forbid splitting) it is the hard guard;
     4. GEMM only *nominates* (score ≥ min_cosine − ``gemm_margin``);
        survivors are re-verified JVM-side with the sequential ``zip_with``
        inner-product fold, so emitted cosines are bit-identical to a SQL
@@ -839,12 +924,20 @@ def semantic_dup_pairs(
             return cfeats.sparkSession.createDataFrame(
                 [], "id_a long, id_b long, cosine double"
             )
-        centroids = fit_sampled_centroids(
+        centroids, fit_X = fit_sampled_centroids(
             cfeats, n_cells, vec_col=vec_col, seed=seed,
             max_fit_rows=max_fit_rows, max_iter=kmeans_max_iter,
             init=kmeans_init, n_rows=n, order_col=id_col,
+            return_sample=True,
         )
         assigned = assign_cells(cfeats, centroids, vec_col=vec_col)
+        if reshard_hot_cells:
+            assigned = _reshard_hot_cells(
+                assigned, centroids, fit_X, n,
+                n_cells=n_cells, cap=int(max_cell_rows), id_col=id_col,
+                vec_col=vec_col, seed=seed, max_fit_rows=max_fit_rows,
+                kmeans_max_iter=kmeans_max_iter, kmeans_init=kmeans_init,
+            )
 
     cut = min_cosine - gemm_margin
     cap = int(max_cell_rows)
@@ -860,7 +953,10 @@ def semantic_dup_pairs(
             raise RuntimeError(
                 f"semantic_dup_pairs: cell with {n} rows exceeds "
                 f"max_cell_rows={cap}; raise n_cells (smaller cells) or "
-                "max_cell_rows (bigger executors)"
+                "max_cell_rows (bigger executors). If reshard_hot_cells "
+                "already split this cell, its vectors are too "
+                "near-identical for k-means to separate — raise "
+                "max_cell_rows"
             )
         if n < 2:
             return _pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")

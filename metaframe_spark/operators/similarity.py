@@ -131,6 +131,7 @@ def fit_sampled_centroids(
     init: str = "k-means++",
     n_rows: int = None,
     order_col: str = None,
+    return_sample: bool = False,
 ) -> "np.ndarray":
     """Fit k-means centroids on a driver-side sample of an embedding
     column — the FAISS/ScaNN index-build shape: centroid quality needs a
@@ -188,7 +189,11 @@ def fit_sampled_centroids(
     X = np.stack(fit_df.select(vec_col).toPandas()[vec_col].to_numpy()).astype(
         np.float64
     )
-    return _fit_centroids(X, min(k, len(X)), max_iter, init, seed)
+    cent = _fit_centroids(X, min(k, len(X)), max_iter, init, seed)
+    # return_sample hands the (bounded, already-collected) fit matrix back
+    # so callers can derive driver-side estimates — e.g. per-cell load
+    # projections — without a second distributed pass
+    return (cent, X) if return_sample else cent
 
 
 def assign_cells(

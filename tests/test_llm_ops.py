@@ -790,6 +790,47 @@ class TestSemanticDedup:
                 e, min_cosine=0.35, n_cells=1, max_cell_rows=10
             ).count()
 
+    def test_hot_cells_auto_reshard_one_level(self, spark):
+        """A degenerate single-cluster corpus overflows every primary
+        cell; reshard_hot_cells must split the hot cells once (secondary
+        sampled k-means, composite cell ids) and complete — previously
+        this raised — with dedup survivors ⊇ the exact (n_cells=1)
+        survivors, since a split only removes edges (sub-cell-straddling
+        pairs), never adds them."""
+        import numpy as np
+
+        from metaframe_spark.operators import semantic_dedup, semantic_dup_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=8)
+        X = base[None, :] + 0.05 * rng.normal(size=(400, 8))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in X[i]]) for i in range(400)],
+            "vec_id long, embedding array<double>",
+        )
+        kw = dict(min_cosine=0.999, n_cells=4, max_cell_rows=60)
+        with pytest.raises(Exception, match="max_cell_rows"):
+            semantic_dup_pairs(df, reshard_hot_cells=False, **kw).count()
+        got = semantic_dedup(df, **kw)  # reshard on by default
+        surv = {r.vec_id for r in got.select("vec_id").collect()}
+        exact = {
+            r.vec_id
+            for r in semantic_dedup(df, min_cosine=0.999, n_cells=1)
+            .select("vec_id")
+            .collect()
+        }
+        assert surv.issuperset(exact)
+        assert len(surv) < 400  # the cluster does contain near-dups
+        # and resharding is deterministic under repartitioning
+        surv2 = {
+            r.vec_id
+            for r in semantic_dedup(df.repartition(11), **kw)
+            .select("vec_id")
+            .collect()
+        }
+        assert surv == surv2
+
     def test_empty_and_single_row_corpus_short_circuit(self, spark):
         """An empty / 1-row corpus with n_cells > 1 has no pairs; it must
         return an empty result, not die inside the numpy centroid fit

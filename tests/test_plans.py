@@ -378,6 +378,45 @@ class TestCatalogPlanLint:
                 failures.append(f"{name}: unallowlisted Exchange SinglePartition")
         assert not failures, "\n".join(failures)
 
+    # the catalog's expensive tail (slowest entries in BENCH_local_r7 —
+    # the plans where a runtime scale-killer would hurt most); kept as an
+    # explicit list so a rename fails loudly rather than silently
+    # un-linting an entry
+    EXPENSIVE_TAIL = [
+        "llm_semantic_dedup",
+        "llm_neardup_groups",
+        "q58_profile",
+        "q41_percentiles",
+        "llm_simhash_pairs",
+        "q28",
+        "llm_ann_topk",
+        "llm_ivf_topk",
+        "q48_percentiles_dist",
+        "llm_cosine_dups",
+    ]
+
+    def test_expensive_tail_final_post_aqe_plans_clean(self, spark):
+        """lint_plan(execute=True) on the 10 slowest catalog entries: the
+        initial-plan sweep above can in principle diverge from what AQE
+        actually runs, so the expensive tail is executed and its FINAL
+        (isFinalPlan=true) physical plans are swept with the same
+        documented allowlists. q58's one-row global profile is the only
+        tail entry with a declared SinglePartition; none allow cartesians
+        or row-at-a-time Python."""
+        from metaframe_spark.scale import lint_plan
+
+        assert set(self.EXPENSIVE_TAIL) <= set(QUERIES)
+        failures = []
+        for name in self.EXPENSIVE_TAIL:
+            allow = (["Exchange SinglePartition"] if name in self.SINGLE_OK else []) + (
+                ["BroadcastNestedLoopJoin"] if name in self.BNLJ_OK else []
+            )
+            findings = lint_plan(
+                QUERIES[name](spark, SF), allow=allow, execute=True
+            )
+            failures += [f"{name}: {f}" for f in findings]
+        assert not failures, "\n".join(failures)
+
 
 class TestRuntimeBloomFilter:
     def test_selective_dim_injects_bloom_filter_on_fact_scan(self, spark):
