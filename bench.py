@@ -9,7 +9,7 @@ Env knobs:
                        adaptive: median-of-5 for entries warming under 1 s
                        (noise is a large fraction of short timings), median-
                        of-3 for slower entries (noise fraction small; keeps
-                       the 103-entry run inside the per-round budget). Set
+                       the full-catalog run inside the per-round budget). Set
                        explicitly to force a fixed count.
   BENCH_BASELINE       also run each plan raw (no wrapper) interleaved and
                        report the per-query ratio — the ≤2× BASELINE gate of

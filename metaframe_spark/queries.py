@@ -2783,6 +2783,69 @@ def q62_null_safe_join(spark, sf):
 
 
 @query(
+    "q63_map_hof",
+    "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt, "
+    "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumv "
+    "  FROM events GROUP BY 1, 2) "
+    "SELECT user_id, "
+    "round(max(CASE WHEN event_type = 'click' THEN sumv END) / "
+    "  max(CASE WHEN event_type = 'click' THEN cnt END), 6) AS click_avg_value, "
+    "max(CASE WHEN upper(event_type) = 'PURCHASE' THEN cnt END) AS purchases_uc, "
+    "CAST(count(CASE WHEN cnt > 2 THEN 1 END) AS INT) AS n_frequent_types, "
+    "CAST(sum(cnt) * 2 AS BIGINT) AS double_total "
+    "FROM c GROUP BY 1",
+)
+def q63_map_hof(spark, sf):
+    """Map HIGHER-ORDER functions (§2.3 row 11 — the last uncovered
+    family after q39's construction/access): per-user event-type maps of
+    counts and value-sums, then
+
+    * ``map_zip_with`` — per-type average value (sums map ÷ counts map),
+      probed at 'click';
+    * ``transform_keys`` — keys uppercased, probed at 'PURCHASE';
+    * ``map_filter`` — how many types occur more than twice;
+    * ``transform_values`` + ``aggregate(map_values)`` — doubled counts
+      folded back to a scalar.
+
+    Every lambda is a JVM codegen expression (no Python); the maps are
+    engine-internal, so as in q39 the oracle checks the SQL-observable
+    probes, which only match if each HOF transformed the map correctly.
+    Value sums ride the q29 DECIMAL(18,6) cast so both engines add
+    exactly; the division then happens on identical doubles."""
+    e = load_table(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sumv"),
+    )
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("mc"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "sumv")))
+        ).alias("mv"),
+    )
+    return m.select(
+        "user_id",
+        F.element_at(
+            F.map_zip_with("mc", "mv", lambda k, cnt, sv: F.round(sv / cnt, 6)),
+            "click",
+        ).alias("click_avg_value"),
+        F.element_at(
+            F.transform_keys("mc", lambda k, v: F.upper(k)), "PURCHASE"
+        ).alias("purchases_uc"),
+        F.size(F.map_filter("mc", lambda k, v: v > 2))
+        .cast("int")
+        .alias("n_frequent_types"),
+        F.aggregate(
+            F.map_values(F.transform_values("mc", lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("double_total"),
+    )
+
+
+@query(
     "llm_domain_cap",
     "WITH aug AS (SELECT doc_id, n_chars, "
     "  'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
@@ -3022,6 +3085,7 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
+    "q63_map_hof",
     "llm_url_features",
     "llm_domain_cap",
     "q62_null_safe_join",
