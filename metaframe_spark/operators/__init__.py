@@ -35,8 +35,10 @@ from .percentiles import grouped_exact_percentiles
 from .sampling import (
     global_shuffle,
     hash_split,
+    mixture_report,
     shard_assignments,
     stratified_sample_exact,
+    weighted_sample_exact,
     write_training_shards,
 )
 from .asof import asof_join
@@ -54,7 +56,7 @@ from .similarity import (
 )
 from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history
-from .web import domain_filter, url_features
+from .web import domain_filter, registrable_domain, url_features
 from .text import (
     bigram_nll,
     bm25_scores,
@@ -108,6 +110,7 @@ __all__ = [
     "compact_files",
     "hash_split",
     "merge_upsert",
+    "mixture_report",
     "profile_columns",
     "scd2_history",
     "tfidf_top_terms",
@@ -123,9 +126,11 @@ __all__ = [
     "simhash_column",
     "simhash_near_dup_pairs",
     "stratified_sample_exact",
+    "weighted_sample_exact",
     "write_training_shards",
     "token_count",
     "tokens",
     "unit_normalize",
+    "registrable_domain",
     "url_features",
 ]

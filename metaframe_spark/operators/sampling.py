@@ -243,3 +243,119 @@ def hash_split(
     )
     expr = F.when(key.isNull(), F.lit(largest)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata: Sequence[str] = (),
+    seed: int = 0,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis exponential-race form (A-ES, Inf. Proc. Lett.
+    2006): every row draws ``key = -ln(u) / w`` with ``u`` a uniform in
+    (0, 1), and the ``k`` SMALLEST keys win; inclusion probability is
+    proportional to weight, exactly the "subsample the corpus, favoring
+    high-quality documents" step of a curation run.
+
+    Like every sampler in this module the draw is derandomized: ``u``
+    comes from the md5 of ``(id, seed)``, so the sample is a pure
+    function of the data — identical on any partitioning, on reruns, and
+    across engines (a SQL oracle recomputes it). ``u`` is the first 15
+    hex digits (60 bits) offset by +0.5, so it is never exactly 0 (no
+    infinite key) and never 1.
+
+    Rows with NULL or non-positive weight have zero inclusion
+    probability and are excluded (documented A-ES domain; filter or
+    clamp upstream to include them).
+
+    With ``strata``, k rows are kept per stratum and the plan is the
+    WindowGroupLimit shape (each input partition pre-prunes to its own
+    top-k before the shuffle). Without strata the global top-k plans as
+    ``TakeOrderedAndProject`` — a distributed per-partition prune + one
+    bounded merge, never a full global sort. Output carries ``key_col``
+    (the draw key) and ``draw_rank`` (1-based, ties broken by id).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**15))
+    key = -F.log(u) / w
+    scored = df.filter(w > 0).withColumn(key_col, key)
+    if strata:
+        win = Window.partitionBy(*strata).orderBy(
+            F.col(key_col).asc(), F.col(id_col).asc()
+        )
+        return scored.withColumn(
+            "draw_rank", F.row_number().over(win).cast("long")
+        ).filter(F.col("draw_rank") <= k)
+    top = scored.orderBy(F.col(key_col).asc(), F.col(id_col).asc()).limit(k)
+    # rank the k survivors; the window input is at most k rows, so the
+    # single partition is bounded by construction
+    win = Window.orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+    return top.withColumn("draw_rank", F.row_number().over(win).cast("long"))
+
+
+def mixture_report(
+    df: DataFrame,
+    by: Sequence[str],
+    weight_col: str = None,
+) -> DataFrame:
+    """Data-card mixture report: per ``by`` combination, the document
+    count, summed weight (e.g. token or character count), and each
+    one's share of the corpus total — the table every training-data
+    card prints ("X% of tokens are lang=en / source=web").
+
+    Two partial-aggregated shuffles on bounded relations: one groupBy on
+    ``by`` (output cardinality = distinct combinations, small by
+    definition for a report) and one one-row global rollup of the same
+    relation, broadcast back across the groups. Weight sums ride a
+    DECIMAL(38,6) cast so shares are identical on any addition order /
+    engine.
+    """
+    by = list(by)
+    docs = F.count(F.lit(1)).alias("docs")
+    aggs = [docs]
+    if weight_col is not None:
+        aggs.append(
+            F.sum(F.col(weight_col).cast("decimal(38,6)")).alias("_w")
+        )
+    g = df.groupBy(*by).agg(*aggs)
+    tot_aggs = [F.sum("docs").alias("_tot_docs")]
+    if weight_col is not None:
+        tot_aggs.append(F.sum("_w").alias("_tot_w"))
+    tot = g.agg(*tot_aggs)
+    out = g.crossJoin(F.broadcast(tot))
+    cols = by + [
+        F.col("docs"),
+        F.round(F.col("docs") / F.col("_tot_docs"), 6).alias("doc_share"),
+    ]
+    if weight_col is not None:
+        # divide as DOUBLE (the decimal sums are exact; double division
+        # is IEEE-identical across engines, while decimal-division result
+        # scales are engine-specific)
+        cols += [
+            F.col("_w").cast("double").alias("weight"),
+            F.round(
+                F.col("_w").cast("double") / F.col("_tot_w").cast("double"), 6
+            ).alias("weight_share"),
+        ]
+    return out.select(*cols)

@@ -2846,6 +2846,156 @@ def q63_map_hof(spark, sf):
 
 
 @query(
+    "q64_salted_join",
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1",
+)
+def q64_salted_join(spark, sf):
+    """Skew-resistant salted equi-join (scale.py::salted_join) under the
+    oracle: the fact side is salted by a within-key-varying column
+    (l_linenumber), the dim side replicated n_salts ways, and the join
+    runs on (key, salt) — the manual decomposition for hot keys when the
+    dim is too big to broadcast yet small enough to replicate. The
+    oracle is the PLAIN join + group-by; a hash match proves the salted
+    plan is exactly equivalent (no row lost to a salt value no left row
+    hashed to, none duplicated by the replication). The revenue sum
+    rides the q29 DECIMAL cast so both engines add exactly. q40 blesses
+    the salted AGGREGATION; this blesses the join form."""
+    from .scale import salted_join
+
+    li = load_table(spark, sf, "lineitem").to_spark().select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = load_table(spark, sf, "orders").to_spark().select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, o, ["l_orderkey"], n_salts=8, left_salt_cols=["l_linenumber"])
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "llm_weighted_sample",
+    "WITH w AS (SELECT doc_id, lang, n_chars, "
+    "  -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)) "
+    "    AS BIGINT) + 0.5) / 1152921504606846976.0) / n_chars AS sample_key "
+    "  FROM documents WHERE n_chars > 0), "
+    "r AS (SELECT doc_id, lang, n_chars, sample_key, "
+    "  CAST(row_number() OVER (PARTITION BY lang "
+    "    ORDER BY sample_key, doc_id) AS BIGINT) AS draw_rank FROM w) "
+    "SELECT doc_id, lang, n_chars, round(sample_key, 6) AS sample_key, "
+    "draw_rank FROM r WHERE draw_rank <= 5",
+)
+def llm_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (operators/sampling.py::
+    weighted_sample_exact — Efraimidis–Spirakis A-ES exponential race):
+    per-language, keep the 5 docs with the smallest -ln(u)/w keys,
+    inclusion probability proportional to n_chars. The draw is
+    derandomized (u from md5(doc_id, seed)), so the oracle recomputes
+    the identical sample key-for-key: a hash match proves draw, domain
+    filter (w > 0), ranking, and tie-break all agree across engines.
+    Plan: WindowGroupLimit (per-partition top-k pre-prune before the one
+    stratum shuffle) — the same shape as the quota sampler."""
+    from .operators.sampling import weighted_sample_exact
+
+    d = load_table(spark, sf, "documents")
+    out = weighted_sample_exact(
+        d.to_spark(), 5, "n_chars", "doc_id", strata=["lang"], seed=7
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("sample_key", 6).alias("sample_key"),
+        "draw_rank",
+    )
+
+
+@query(
+    "llm_mix_report",
+    "WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS docs, "
+    "  sum(n_chars) AS w FROM documents GROUP BY 1, 2), "
+    "t AS (SELECT sum(docs) AS td, sum(w) AS tw FROM g) "
+    "SELECT lang, source, docs, "
+    "round(CAST(docs AS DOUBLE) / td, 6) AS doc_share, "
+    "CAST(w AS DOUBLE) AS weight, "
+    "round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight_share "
+    "FROM g, t",
+)
+def llm_mix_report(spark, sf):
+    """Data-card mixture report (operators/sampling.py::mixture_report):
+    per (lang, source), document count, summed character weight, and
+    each cell's share of the corpus totals — the mixture table every
+    training run prints before sampling. Two bounded shuffles: the
+    group-by (cardinality = distinct mixture cells) and a one-row global
+    rollup broadcast back across cells; weight sums ride a DECIMAL cast,
+    shares divide as IEEE doubles on both engines."""
+    from .operators.sampling import mixture_report
+
+    d = load_table(spark, sf, "documents")
+    return mixture_report(d.to_spark(), ["lang", "source"], "n_chars")
+
+
+@query(
+    "llm_psl_domains",
+    "WITH h AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'co.uk' "
+    "  ELSE 'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
+    "  (['.com', '.co.uk', '.com.au', '.zz'])[CAST(doc_id % 4 AS INT) + 1] "
+    "  END AS host FROM documents) "
+    "SELECT doc_id, host, CASE "
+    "WHEN host IN ('com', 'org', 'net', 'co.uk', 'com.au') THEN NULL "
+    "WHEN array_to_string(string_split(host, '.')[-2:], '.') "
+    "  IN ('co.uk', 'com.au') "
+    "  THEN array_to_string(string_split(host, '.')[-3:], '.') "
+    "ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain "
+    "FROM h",
+)
+def llm_psl_domains(spark, sf):
+    """Public-suffix-list registrable domains (operators/web.py::
+    registrable_domain): longest-suffix match against a PSL relation via
+    depth-bucketed broadcast probes — ``foo.co.uk`` stays distinct from
+    ``bar.co.uk`` instead of collapsing to ``co.uk`` the way the last-2
+    approximation does. The synthetic hosts mix 1-label (.com) and
+    2-label (.co.uk/.com.au) suffixes, an UNLISTED TLD (.zz — exercises
+    the implicit '*' fallback), and hosts that ARE a public suffix
+    (domain = NULL). The oracle reimplements longest-suffix-match
+    relationally for the same suffix set; a hash match proves the
+    broadcast-join matcher implements the PSL algorithm."""
+    from .operators.web import registrable_domain
+
+    d = load_table(spark, sf, "documents")
+    hosts = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("co.uk"))
+        .otherwise(
+            F.concat(
+                F.lit("www."),
+                F.lower(F.col("source")),
+                (F.col("doc_id") % 5).cast("string"),
+                F.element_at(
+                    F.array(
+                        F.lit(".com"), F.lit(".co.uk"), F.lit(".com.au"), F.lit(".zz")
+                    ),
+                    (F.col("doc_id") % 4 + 1).cast("int"),
+                ),
+            )
+        )
+        .alias("host"),
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("net",), ("co.uk",), ("com.au",)], "suffix string"
+    )
+    return registrable_domain(hosts.to_spark(), "host", "domain", psl=psl).select(
+        "doc_id", "host", "domain"
+    )
+
+
+@query(
     "llm_domain_cap",
     "WITH aug AS (SELECT doc_id, n_chars, "
     "  'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
@@ -3086,6 +3236,10 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
     "q63_map_hof",
+    "q64_salted_join",
+    "llm_weighted_sample",
+    "llm_mix_report",
+    "llm_psl_domains",
     "llm_url_features",
     "llm_domain_cap",
     "q62_null_safe_join",

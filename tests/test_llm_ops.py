@@ -1860,3 +1860,98 @@ class TestBigramNll:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         scores = {r.doc_id: r.bigram_nll for r in bigram_nll(df).collect()}
         assert scores[99] > scores[0]
+
+
+class TestWeightedSample:
+    def test_matches_manual_aes_formula(self, spark, docs):
+        """The sample must equal the A-ES formula computed independently
+        in Python over the collected frame (same md5 draw, same
+        -ln(u)/w key, same per-stratum top-k)."""
+        import hashlib
+        import math
+
+        from metaframe_spark.operators import weighted_sample_exact
+
+        rows = docs.select("doc_id", "lang", "n_chars").collect()
+        want = {}
+        for r in rows:
+            if not r.n_chars or r.n_chars <= 0:
+                continue
+            h = int(hashlib.md5(f"{r.doc_id}:7".encode()).hexdigest()[:15], 16)
+            u = (h + 0.5) / float(16**15)
+            key = -math.log(u) / r.n_chars
+            want.setdefault(r.lang, []).append((key, r.doc_id))
+        expect = {
+            (i, rank + 1)
+            for lang, ks in want.items()
+            for rank, (_, i) in enumerate(sorted(ks)[:5])
+        }
+        out = weighted_sample_exact(
+            docs, 5, "n_chars", "doc_id", strata=["lang"], seed=7
+        )
+        got = {(r.doc_id, r.draw_rank) for r in out.collect()}
+        assert got == expect
+        # deterministic under repartitioning
+        got2 = {
+            (r.doc_id, r.draw_rank)
+            for r in weighted_sample_exact(
+                docs.repartition(13), 5, "n_chars", "doc_id",
+                strata=["lang"], seed=7,
+            ).collect()
+        }
+        assert got2 == got
+
+    def test_weight_biases_inclusion_and_nonpositive_excluded(self, spark):
+        from metaframe_spark.operators import weighted_sample_exact
+
+        rows = [(i, 1.0) for i in range(200)] + [
+            (1000, 1e9),  # overwhelming weight: key ~ 0
+            (1001, 0.0),  # zero weight: excluded
+            (1002, None),  # null weight: excluded
+            (1003, -5.0),  # negative: excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r.doc_id for r in weighted_sample_exact(df, 10, "w", "doc_id").collect()}
+        assert 1000 in got  # P(miss) ~ (1e-9-scale keys lose) — deterministic here
+        assert got.isdisjoint({1001, 1002, 1003})
+        assert len(got) == 10
+
+    def test_global_path_plans_take_ordered(self, spark, docs):
+        from metaframe_spark.operators import weighted_sample_exact
+
+        out = weighted_sample_exact(docs, 5, "n_chars", "doc_id")
+        assert out.count() == 5
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_strata_path_plans_window_group_limit(self, spark, docs):
+        from metaframe_spark.operators import weighted_sample_exact
+
+        out = weighted_sample_exact(docs, 5, "n_chars", "doc_id", strata=["lang"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestMixtureReport:
+    def test_counts_and_shares_exact(self, spark):
+        from metaframe_spark.operators import mixture_report
+
+        df = spark.createDataFrame(
+            [("en", 10), ("en", 30), ("de", 20), ("fr", 40)],
+            "lang string, n long",
+        )
+        got = {r.lang: r for r in mixture_report(df, ["lang"], "n").collect()}
+        assert got["en"].docs == 2 and got["en"].weight == 40.0
+        assert abs(got["en"].doc_share - 0.5) < 1e-12
+        assert abs(got["en"].weight_share - 0.4) < 1e-12
+        assert abs(sum(r.doc_share for r in got.values()) - 1.0) < 1e-9
+        assert abs(sum(r.weight_share for r in got.values()) - 1.0) < 1e-9
+
+    def test_without_weight_col(self, spark):
+        from metaframe_spark.operators import mixture_report
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "g string"
+        )
+        got = {r.g: r for r in mixture_report(df, ["g"]).collect()}
+        assert got["a"].docs == 2 and "weight" not in got["a"].asDict()

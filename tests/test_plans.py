@@ -345,6 +345,7 @@ class TestCatalogPlanLint:
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
         "llm_ivf_topk",     # bounded centroid set x probe relation
+        "llm_mix_report",   # one-row corpus-totals rollup joined to mixture cells
         "llm_perplexity",   # one-row total-token scalar joined to tf relation
         "llm_tfidf",        # one-row N (corpus size) joined to tf relation
         "q33_resample",     # constant-size time-grid x event-type domain
@@ -356,6 +357,7 @@ class TestCatalogPlanLint:
         "llm_bigram_nll",   # global vocabulary-size agg (one row)
         "llm_bm25",         # global corpus-size agg (one row)
         "llm_corpus_stats", # the data card IS a one-row global agg
+        "llm_mix_report",   # global corpus-totals rollup (one row)
         "llm_perplexity",   # global total-token agg (one row)
         "llm_tfidf",        # global N agg (one row)
         "q58_profile",      # table profile IS a one-row global agg (unpivoted)
