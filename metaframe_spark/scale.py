@@ -190,3 +190,44 @@ def lint_plan(df, allow: Sequence[str] = (), execute: bool = False) -> List[str]
         for marker, why in markers.items()
         if marker in plan and marker not in allowed
     ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED (and optionally per-bucket-sorted)
+    table — the co-location contract for repeated big-to-big joins.
+
+    Bucketing is the pre-shuffle: rows are hash-distributed into
+    ``n_buckets`` files per partition by ``keys`` AT WRITE TIME, and the
+    bucket spec is recorded in the catalog. Every later equi-join or
+    aggregation on ``keys`` between tables bucketed the same way then
+    plans WITHOUT an Exchange on either side (see
+    ``tests/test_scale.py`` for the pinned plan) — at 100 TB that is the
+    difference between re-shuffling the fact table on every query and
+    shuffling it once at ingest. ``sort_cols`` additionally sorts within
+    each bucket file, which removes the join's Sort as well
+    (sort-merge directly on the bucket streams).
+
+    Spark requires ``saveAsTable`` for bucketing (the spec lives in the
+    metastore; a bare path write cannot carry it). Choose ``n_buckets``
+    so one bucket of the LARGER table is a few hundred MB — buckets are
+    the unit of join-task parallelism, and both sides must use the SAME
+    count (or integer multiples, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("bucketing requires at least one key column")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, keys[0], *keys[1:])
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

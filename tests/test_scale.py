@@ -235,3 +235,79 @@ class TestDistributedPercentiles:
             )
         with pytest.raises(ValueError, match="group_cols"):
             grouped_exact_percentiles(df, [], "v", [(0.5, "p50")])
+
+
+class TestBucketedTables:
+    def test_bucketed_join_has_no_exchange(self, spark, li):
+        """Two tables bucketed the same way on the join key: the
+        sort-merge join must read the bucket streams directly — zero
+        Exchange on either side. This is the shuffle-once-at-ingest
+        contract write_bucketed exists for."""
+        from metaframe_spark.scale import write_bucketed
+
+        o = load_table(spark, SF, "orders").to_spark().select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        lis = li.select("l_orderkey", "l_quantity")
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                lis, "t_li_bucketed", ["l_orderkey"], 8,
+                sort_cols=["l_orderkey"],
+            )
+            write_bucketed(
+                o, "t_o_bucketed", ["o_orderkey"], 8,
+                sort_cols=["o_orderkey"],
+            )
+            bl = spark.table("t_li_bucketed")
+            bo = spark.table("t_o_bucketed")
+            j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            assert j.count() == lis.join(o, lis.l_orderkey == o.o_orderkey).count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # per-bucket sort recorded: the join needs no extra Sort of
+            # the bucketed streams (SortMergeJoin consumes them directly)
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+            spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+            spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+    def test_bucket_pruning_on_key_equality(self, spark, li):
+        """An equality filter on the bucket key scans ONE bucket, not
+        all of them — the metadata-only pruning that makes point lookups
+        on a bucketed fact table O(1/n_buckets) of the scan."""
+        from metaframe_spark.scale import write_bucketed
+
+        saved = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+        # the planner auto-downgrades a bucketed scan when no join/agg
+        # consumes the distribution; pin it on so the pruning is visible
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            write_bucketed(
+                li.select("l_orderkey", "l_quantity"),
+                "t_prune_bucketed", ["l_orderkey"], 8,
+            )
+            bl = spark.table("t_prune_bucketed")
+            q = bl.filter(F.col("l_orderkey") == 1)
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved
+            )
+            spark.sql("DROP TABLE IF EXISTS t_prune_bucketed")
+
+    def test_write_bucketed_validates_args(self, spark, li):
+        from metaframe_spark.scale import write_bucketed
+
+        with pytest.raises(ValueError, match="key column"):
+            write_bucketed(li, "t_x", [], 8)
+        with pytest.raises(ValueError, match="n_buckets"):
+            write_bucketed(li, "t_x", ["l_orderkey"], 0)
