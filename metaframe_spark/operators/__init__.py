@@ -56,6 +56,7 @@ from .similarity import (
 )
 from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history
+from .classifier import fit_quality_classifier, score_quality
 from .web import domain_filter, registrable_domain, url_features
 from .text import (
     bigram_nll,
@@ -87,6 +88,7 @@ __all__ = [
     "content_hash",
     "cosine_expr",
     "cosine_pairs_exact",
+    "fit_quality_classifier",
     "fit_sampled_centroids",
     "dedup_against",
     "dedup_survivors",
@@ -132,5 +134,6 @@ __all__ = [
     "tokens",
     "unit_normalize",
     "registrable_domain",
+    "score_quality",
     "url_features",
 ]

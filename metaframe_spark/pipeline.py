@@ -57,6 +57,8 @@ def curate_corpus(
     domain_cap: int = 0,
     domain_quality_col: Optional[str] = None,
     psl: Optional[DataFrame] = None,
+    quality_model: Optional[Dict] = None,
+    min_classifier_prob: float = 0.5,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -106,6 +108,14 @@ def curate_corpus(
     URL yields no domain (malformed/NULL) form one shared stratum and
     are capped together. ``psl`` (a public-suffix relation) upgrades
     both the blocklist and the cap to exact registrable domains.
+
+    ``quality_model`` (the dict from
+    :func:`~metaframe_spark.operators.classifier.fit_quality_classifier`,
+    or hand-specified weights) adds the LEARNED quality filter after the
+    heuristic gate: documents scoring below ``min_classifier_prob``
+    under :func:`~metaframe_spark.operators.classifier.score_quality`
+    are dropped — the fastText-style wiki-vs-crawl stage of
+    GPT-3/LLaMA-era pipelines.
 
     ``embeddings`` (a DataFrame of ``id_col`` + ``embedding_col``) enables
     SemDeDup-style semantic deduplication after the lexical stages:
@@ -232,6 +242,19 @@ def curate_corpus(
     scored = quality_features(cur2, text_col)
     kept = scored.filter(F.col("quality_score") >= min_quality)
     counts["quality"] = kept.count()
+
+    # 3b. optional learned quality classifier (fastText-style filter —
+    # runs after the heuristic gate so the scoring scan sees fewer rows)
+    if quality_model is not None:
+        from .operators.classifier import score_quality
+
+        probs = score_quality(kept, quality_model, text_col, id_col).select(
+            id_col, "quality_prob"
+        )
+        kept = kept.join(probs, id_col).filter(
+            F.col("quality_prob") >= min_classifier_prob
+        ).drop("quality_prob")
+        counts["classifier"] = kept.count()
 
     # 4. language filter
     if keep_langs:

@@ -2996,6 +2996,54 @@ def llm_psl_domains(spark, sf):
 
 
 @query(
+    "llm_quality_classifier",
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
+    "  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
+    "  t -> t <> ''))) AS term FROM documents), "
+    "w(term, wt) AS (VALUES ('spark', 1.2), ('fast', 0.9), ('query', 0.6), "
+    "  ('the', 0.2), ('batch', 0.4), ('vector', 0.5), ('slow', -1.1), "
+    "  ('dup', -0.8)), "
+    "hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_vocab_hits, "
+    "  SUM(CAST(round(wt, 6) AS DECIMAL(18,6))) AS z "
+    "  FROM tok t JOIN w ON t.term = w.term GROUP BY 1) "
+    "SELECT d.doc_id, coalesce(n_vocab_hits, 0) AS n_vocab_hits, "
+    "round(1.0 / (1.0 + exp(-(-0.75 + CAST(coalesce(z, 0) AS DOUBLE)))), 6) "
+    "  AS quality_prob "
+    "FROM documents d LEFT JOIN hits USING (doc_id)",
+)
+def llm_quality_classifier(spark, sf):
+    """FastText-style quality-classifier SCORING (operators/
+    classifier.py::score_quality): sigmoid(bias + Σ weight over each
+    doc's distinct vocabulary terms) — the learned-filter stage between
+    heuristic quality flags and training. One tokenize scan, distinct
+    (doc, term) pairs inner-broadcast-joined against the KB-sized weight
+    relation (only vocabulary hits shuffle), one doc-keyed sum;
+    contributions round-then-DECIMAL-sum so addition order is
+    irrelevant. The weights here are fixed literals so the oracle can
+    recompute the identical scores; the driver-side FIT
+    (fit_quality_classifier — bounded hash-draw sample, deterministic
+    numpy logistic regression) is pinned in tests/test_llm_ops.py
+    against held-out separation and repartition-invariance."""
+    from .operators.classifier import score_quality
+
+    d = load_table(spark, sf, "documents")
+    model = {
+        "weights": {
+            "spark": 1.2,
+            "fast": 0.9,
+            "query": 0.6,
+            "the": 0.2,
+            "batch": 0.4,
+            "vector": 0.5,
+            "slow": -1.1,
+            "dup": -0.8,
+        },
+        "bias": -0.75,
+    }
+    return score_quality(d.to_spark(), model)
+
+
+@query(
     "llm_domain_cap",
     "WITH aug AS (SELECT doc_id, n_chars, "
     "  'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
@@ -3240,6 +3288,7 @@ _ROTATE_FIRST: list = [
     "llm_weighted_sample",
     "llm_mix_report",
     "llm_psl_domains",
+    "llm_quality_classifier",
     "llm_url_features",
     "llm_domain_cap",
     "q62_null_safe_join",

@@ -1955,3 +1955,98 @@ class TestMixtureReport:
         )
         got = {r.g: r for r in mixture_report(df, ["g"]).collect()}
         assert got["a"].docs == 2 and "weight" not in got["a"].asDict()
+
+
+class TestQualityClassifier:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        """Separable synthetic corpora: 'good' docs use fluent-ish
+        vocabulary, 'bad' docs use spammy vocabulary, with overlap."""
+        good_terms = ["the", "clear", "prose", "article", "science", "well"]
+        bad_terms = ["buy", "click", "casino", "xxx", "free", "winner"]
+        shared = ["and", "of", "page"]
+
+        def mk(terms, base):
+            rows = []
+            for i in range(120):
+                words = [terms[(i + j) % len(terms)] for j in range(8)]
+                words += [shared[(i + j) % len(shared)] for j in range(3)]
+                rows.append((base + i, " ".join(words)))
+            return rows
+
+        pos = spark.createDataFrame(mk(good_terms, 0), "doc_id long, text string")
+        neg = spark.createDataFrame(mk(bad_terms, 10_000), "doc_id long, text string")
+        return pos, neg
+
+    def test_fit_separates_heldout_and_is_deterministic(self, spark, corpora):
+        from metaframe_spark.operators import fit_quality_classifier, score_quality
+
+        pos, neg = corpora
+        model = fit_quality_classifier(pos, neg, vocab_size=50, max_iter=300)
+        # positive vocabulary gets positive weight, negative gets negative
+        assert model["weights"].get("prose", 0) > 0
+        assert model["weights"].get("casino", 0) < 0
+        # held-out-style check: score fresh docs built from each vocabulary
+        test = spark.createDataFrame(
+            [
+                (1, "a clear science article the well prose"),
+                (2, "click free casino winner buy xxx"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.quality_prob for r in score_quality(test, model).collect()}
+        assert got[1] > 0.8 and got[2] < 0.2
+        # fit is a pure function of the data: identical under repartition
+        model2 = fit_quality_classifier(
+            pos.repartition(7), neg.repartition(5), vocab_size=50, max_iter=300
+        )
+        assert model2 == model
+
+    def test_score_matches_manual_sigmoid(self, spark):
+        import math
+
+        from metaframe_spark.operators import score_quality
+
+        model = {"weights": {"a": 0.5, "b": -0.25}, "bias": 0.1}
+        df = spark.createDataFrame(
+            [
+                (1, "a b c"),
+                (2, "c d"),       # no vocab hit -> sigmoid(bias)
+                (3, "a a a b"),   # distinct terms: duplicates count once
+                (4, "   "),       # token-less -> sigmoid(bias)
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_vocab_hits, r.quality_prob) for r in
+               score_quality(df, model).collect()}
+        sig = lambda z: round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert got[1] == (2, sig(0.1 + 0.5 - 0.25))
+        assert got[2] == (0, sig(0.1))
+        assert got[3] == (2, sig(0.1 + 0.5 - 0.25))
+        assert got[4] == (0, sig(0.1))
+
+    def test_empty_weights_scores_bias_everywhere(self, spark):
+        import math
+
+        from metaframe_spark.operators import score_quality
+
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        got = score_quality(df, {"weights": {}, "bias": -1.0}).collect()[0]
+        assert got.quality_prob == round(1.0 / (1.0 + math.exp(1.0)), 6)
+
+    def test_fit_raises_on_empty_corpus(self, spark):
+        from metaframe_spark.operators import fit_quality_classifier
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        some = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="at least one"):
+            fit_quality_classifier(some, empty)
+
+    def test_scoring_plan_is_broadcast_and_single_doc_shuffle(self, spark, docs):
+        from metaframe_spark.operators import score_quality
+
+        model = {"weights": {"the": 0.3, "spark": 0.7}, "bias": 0.0}
+        out = score_quality(docs, model)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan   # weight relation never shuffled
+        assert "BatchEvalPython" not in plan

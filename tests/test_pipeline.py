@@ -281,3 +281,29 @@ def test_domain_cap_with_psl_keys_on_registrable_domain(spark):
     # the PSL keeps them apart -> 5 each
     assert merged["domain_cap"] == 5
     assert split["domain_cap"] == 10
+
+
+def test_classifier_stage_filters_low_scoring_docs(spark, messy):
+    """quality_model adds the learned filter after the heuristic gate:
+    docs whose vocabulary scores below min_classifier_prob are dropped,
+    stage counts stay monotone."""
+    base = messy.filter(F.col("doc_id") < 10_000)
+    model = {"weights": {"slow": -4.0, "dup": -4.0}, "bias": 1.0}
+    out, counts = curate_corpus(
+        base, min_quality=0.0, near_dup_jaccard=0.8,
+        quality_model=model, min_classifier_prob=0.5,
+    )
+    assert "classifier" in counts
+    stages = list(counts.values())
+    assert stages == sorted(stages, reverse=True)
+    # every survivor scores >= 0.5 under the model re-applied directly
+    from metaframe_spark.operators import score_quality
+
+    surv_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    rescored = {
+        r.doc_id: r.quality_prob
+        for r in score_quality(base, model).collect()
+    }
+    # dropped := heuristic-surviving docs under 0.5; none of them remain
+    assert all(rescored[i] >= 0.5 for i in surv_ids)
+    assert counts["classifier"] < counts["quality"]  # the gate really bit
