@@ -2996,6 +2996,60 @@ def llm_psl_domains(spark, sf):
 
 
 @query(
+    "q65_bitwise",
+    "SELECT l_returnflag, "
+    "CAST(bit_and(l_linenumber) AS BIGINT) AS band, "
+    "CAST(bit_or(l_linenumber) AS BIGINT) AS bor, "
+    "CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor, "
+    "CAST(bit_and(l_linenumber & 5) AS BIGINT) AS band_masked, "
+    "CAST(max(l_linenumber << 2) AS BIGINT) AS max_shifted, "
+    "CAST(count(*) AS BIGINT) AS cnt "
+    "FROM lineitem GROUP BY 1",
+)
+def q65_bitwise(spark, sf):
+    """Bitwise aggregate + scalar family (§2.3 rows 6/11): bit_and /
+    bit_or / bit_xor grouped aggregates plus scalar mask (&) and shift
+    (shiftleft) feeding an aggregate — flag-word rollups (permission
+    masks, feature bitsets) done engine-side. All codegen; the
+    aggregates partial-combine map-side like any algebraic agg. BIGINT
+    casts on both engines pin the dtype (Spark int vs DuckDB int32
+    would hash-mismatch)."""
+    li = load_table(spark, sf, "lineitem")
+    n = F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(n).cast("long").alias("band"),
+        F.bit_or(n).cast("long").alias("bor"),
+        F.bit_xor(n).cast("long").alias("bxor"),
+        F.bit_and(n.bitwiseAND(F.lit(5))).cast("long").alias("band_masked"),
+        F.max(F.shiftleft(n, 2)).cast("long").alias("max_shifted"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q66_string_agg",
+    "SELECT n_regionkey, "
+    "string_agg(n_name, ',' ORDER BY n_name) AS members, "
+    "CAST(count(*) AS BIGINT) AS n_members "
+    "FROM nation GROUP BY 1",
+)
+def q66_string_agg(spark, sf):
+    """Ordered string aggregation (LISTAGG / string_agg — §2.3 row 6):
+    per-region member list, deterministically sorted inside the group
+    via array_sort(collect_list(...)) then array_join — Spark's
+    composition of the SQL-standard LISTAGG ... WITHIN GROUP. Grouped
+    collect_list is bounded here by the dimension's fan-out (nations
+    per region); at scale this stays safe exactly when the group
+    payload is dimension-bounded — for unbounded groups use the top-k
+    or sampling operators instead (documented contract)."""
+    n = load_table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("members"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@query(
     "llm_quality_classifier",
     "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
     "  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
@@ -3289,6 +3343,8 @@ _ROTATE_FIRST: list = [
     "llm_mix_report",
     "llm_psl_domains",
     "llm_quality_classifier",
+    "q65_bitwise",
+    "q66_string_agg",
     "llm_url_features",
     "llm_domain_cap",
     "q62_null_safe_join",
