@@ -88,8 +88,16 @@ def fit_quality_classifier(
         if n > n_max:
             frac = min(1.0, 1.2 * n_max / n)
             rel = df.filter(_hash_draw(id_col, seed) < F.lit(frac))
+        # sort by id BEFORE collecting: both the over-draw truncation and
+        # the design-matrix ROW ORDER (numpy float-sum order in the
+        # gradient) must be partition-layout-independent, not inherited
+        # from toPandas's physical order — the fit_sampled_centroids
+        # order_col contract
         rows = (
-            rel.select(F.array_distinct(tokens(F.col(text_col))).alias("t"))
+            rel.select(
+                F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("t")
+            )
+            .orderBy(id_col)
             .toPandas()["t"]
             .tolist()
         )

@@ -2001,6 +2001,18 @@ class TestQualityClassifier:
             pos.repartition(7), neg.repartition(5), vocab_size=50, max_iter=300
         )
         assert model2 == model
+        # ...including when the SAMPLING path triggers (n > max_fit_rows):
+        # membership is a hash draw and the design matrix is id-sorted, so
+        # neither the sampled set nor the float-sum order can follow the
+        # partition layout
+        ms1 = fit_quality_classifier(
+            pos, neg, vocab_size=50, max_iter=100, max_fit_rows=60
+        )
+        ms2 = fit_quality_classifier(
+            pos.repartition(11), neg.coalesce(1), vocab_size=50,
+            max_iter=100, max_fit_rows=60,
+        )
+        assert ms1 == ms2 and ms1 != model  # a real subsample, same answer
 
     def test_score_matches_manual_sigmoid(self, spark):
         import math
