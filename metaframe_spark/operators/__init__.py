@@ -21,6 +21,7 @@ from .dedup import (
     exact_dedup_rows,
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
+    minhash_near_dup_against,
     minhash_near_dup_pairs,
     near_dup_groups,
     ngram_contamination,
@@ -103,6 +104,7 @@ __all__ = [
     "jaccard_similarity_pairs",
     "language_scores",
     "minhash_candidate_pairs",
+    "minhash_near_dup_against",
     "minhash_near_dup_pairs",
     "near_dup_groups",
     "ngram_contamination",

@@ -764,6 +764,128 @@ def dedup_against(
     )
 
 
+def minhash_near_dup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bands: int = 16,
+    band_rows: int = 3,
+    min_jaccard: float = 0.7,
+    seed: int = 42,
+    persist: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-duplicate detection: pairs of ``new`` documents
+    that near-match an already-ingested ``seen`` corpus — the sibling of
+    :func:`dedup_against` for fuzzy matches (today's crawl vs everything
+    ingested so far, without re-comparing the historical corpus to
+    itself).
+
+    Same banded MinHash + exact-Jaccard-verify machinery as
+    :func:`minhash_near_dup_pairs`, but the candidate join is STRICTLY
+    cross-side — new band keys against seen band keys — so the work is
+    O(new × collision rate), never new×new or seen×seen, and the two id
+    namespaces may overlap freely (no ``id_a < id_b`` trick is needed or
+    used). At steady state ``seen``'s band relation is the thing to
+    persist across runs: it is (id, band, key) — b small rows per
+    document, no shingle arrays — the signature-store pattern.
+
+    Returns (new_id, seen_id, n_inter, n_union, jaccard), one row per
+    cross near-match at ``min_jaccard``. To drop the matched new docs::
+
+        survivors = new.join(
+            pairs.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col, "left_anti")
+    """
+    from ..scale import fan_out
+
+    def _hashed(df_):
+        return (
+            fan_out(df_)
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .filter(F.size("_toks") >= shingle_n)
+            .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
+            .select(
+                id_col,
+                F.expr("transform(_shs, s -> xxhash64(s))").alias("_sh"),
+            )
+            .withColumn("_n", F.size("_sh"))
+        )
+
+    n_perms = n_bands * band_rows
+    perms = (
+        f"transform(sequence(0, {n_perms - 1}), "
+        f"p -> array_min(transform(_sh, h -> xxhash64(h, {seed} + p))))"
+    )
+
+    def _bands(hashed):
+        return hashed.withColumn("_perms", F.expr(perms)).select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), "
+                    f"j -> xxhash64(slice(_perms, j * {band_rows} + 1, {band_rows}), j))"
+                )
+            ).alias("_band", "_bk"),
+        )
+
+    h_new, h_seen = _hashed(new), _hashed(seen)
+    if persist:
+        h_new, h_seen = h_new.persist(), h_seen.persist()
+    cand = (
+        _bands(h_new)
+        .alias("a")
+        .join(
+            _bands(h_seen).alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bk") == F.col("b._bk")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("seen_id"),
+        )
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    sh_a = h_new.select(
+        F.col(id_col).alias("new_id"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("_n").alias("_na"),
+    )
+    sh_b = h_seen.select(
+        F.col(id_col).alias("seen_id"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("_n").alias("_nb"),
+    )
+    out = (
+        cand.join(sh_a, "new_id")
+        .join(sh_b, "seen_id")
+        .select(
+            "new_id",
+            "seen_id",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("n_inter"),
+            (F.col("_na") + F.col("_nb")).cast("long").alias("_nsum"),
+        )
+        .select(
+            "new_id",
+            "seen_id",
+            "n_inter",
+            (F.col("_nsum") - F.col("n_inter")).alias("n_union"),
+        )
+        .filter(F.col("n_inter") >= F.lit(min_jaccard) * F.col("n_union"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / F.col("n_union").cast("double"), 6),
+        )
+        .select("new_id", "seen_id", "n_inter", "n_union", "jaccard")
+    )
+    if persist:
+        out = out.localCheckpoint(eager=True)
+        h_new.unpersist()
+        h_seen.unpersist()
+    return out
+
+
 def _reshard_hot_cells(
     assigned: DataFrame,
     centroids,

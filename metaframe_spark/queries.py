@@ -2996,6 +2996,48 @@ def llm_psl_domains(spark, sf):
 
 
 @query(
+    "llm_neardup_incremental",
+    "WITH seen AS (SELECT doc_id, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "new AS (SELECT doc_id, toks FROM (SELECT "
+    f"  doc_id + {_TWIN_OFFSET} AS doc_id, "
+    "  list_filter(string_split(lower(trim(regexp_replace("
+    f"    text || '{_TWIN_SUFFIX}', '\\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks "
+    "  FROM documents)), "
+    f"fs AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM seen WHERE len(toks) >= 3), "
+    f"fn AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM new WHERE len(toks) >= 3) "
+    "SELECT new_id, seen_id, n_inter, n_union, "
+    "round(n_inter / CAST(n_union AS DOUBLE), 6) AS jaccard FROM ("
+    "  SELECT a.doc_id AS new_id, b.doc_id AS seen_id, "
+    "  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, "
+    "  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) "
+    "    AS n_union FROM fn a CROSS JOIN fs b) "
+    "WHERE n_inter >= 0.7 * n_union",
+)
+def llm_neardup_incremental(spark, sf):
+    """Incremental near-dup detection (operators/dedup.py::
+    minhash_near_dup_against): today's snapshot (the perturbed twin
+    corpus — every doc a known near-match of its original) banded
+    against the SEEN corpus (the originals), candidates strictly
+    cross-side, exact Jaccard verify. The sibling of
+    llm_dedup_incremental for fuzzy matches. The oracle is the
+    EXHAUSTIVE new×seen Jaccard cross join, so a hash match proves
+    cross-side LSH recall 1.0 on this corpus on top of exact
+    precision."""
+    from .operators import minhash_near_dup_against
+
+    d = load_table(spark, sf, "documents")
+    new = d.select(
+        (F.col("doc_id") + F.lit(_TWIN_OFFSET).cast("long")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TWIN_SUFFIX)).alias("text"),
+    )
+    return minhash_near_dup_against(
+        new.to_spark(), d.to_spark().select("doc_id", "text"), min_jaccard=0.7
+    )
+
+
+@query(
     "q65_bitwise",
     "SELECT l_returnflag, "
     "CAST(bit_and(l_linenumber) AS BIGINT) AS band, "
@@ -3345,6 +3387,7 @@ _ROTATE_FIRST: list = [
     "llm_quality_classifier",
     "q65_bitwise",
     "q66_string_agg",
+    "llm_neardup_incremental",
     "llm_url_features",
     "llm_domain_cap",
     "q62_null_safe_join",

@@ -2062,3 +2062,69 @@ class TestQualityClassifier:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan   # weight relation never shuffled
         assert "BatchEvalPython" not in plan
+
+
+class TestNearDupAgainst:
+    def test_cross_side_only_and_survivor_pattern(self, spark, docs):
+        """Pairs are strictly new x seen: two near-identical docs BOTH on
+        the new side must not pair with each other, only with their seen
+        matches; and the documented anti-join drops exactly the matched
+        new docs."""
+        from metaframe_spark.operators import minhash_near_dup_against
+
+        seen = docs.select("doc_id", "text").filter(F.col("doc_id") < 300)
+        # new side: perturbed twins of seen docs 0-49 (cross matches) and
+        # UNSEEN docs 300+ (no cross match expected for the organic tail
+        # check below we only assert the twins) — plus two new-side
+        # near-identical siblings that must NOT pair with each other
+        twins = (
+            docs.filter(F.col("doc_id") < 50)
+            .select(
+                (F.col("doc_id") + 20_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+        )
+        base = docs.filter(F.col("doc_id") == 0).select("text").collect()[0].text
+        sibs = spark.createDataFrame(
+            [(30_001, base + " sib"), (30_002, base + " sib")],
+            "doc_id long, text string",
+        )
+        new = twins.unionByName(sibs)
+        pairs = minhash_near_dup_against(new, seen, min_jaccard=0.7)
+        got = {(r.new_id, r.seen_id) for r in pairs.collect()}
+        # every twin found its seen original
+        for i in range(50):
+            assert (i + 20_000, i) in got
+        # the new-side siblings pair with the seen original, never each other
+        assert (30_001, 30_002) not in got and (30_002, 30_001) not in got
+        assert (30_001, 0) in got and (30_002, 0) in got
+        # ids never straddle columns: new ids only in new_id
+        assert all(n >= 20_000 and s < 300 for n, s in got)
+        # survivor pattern from the docstring
+        survivors = new.join(
+            pairs.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        assert survivors.count() == new.count() - pairs.select("new_id").distinct().count()
+
+    def test_overlapping_id_namespaces_are_safe(self, spark, docs):
+        """new and seen may reuse the same id values — no id_a < id_b
+        trick is involved, so collisions cannot drop or merge pairs."""
+        from metaframe_spark.operators import minhash_near_dup_against
+
+        seen = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+        new = seen.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" tail"))
+        )  # SAME ids as seen
+        pairs = minhash_near_dup_against(new, seen, min_jaccard=0.7)
+        got = {(r.new_id, r.seen_id) for r in pairs.collect()}
+        for i in range(20):
+            assert (i, i) in got
+
+    def test_empty_new_side(self, spark, docs):
+        from metaframe_spark.operators import minhash_near_dup_against
+
+        seen = docs.select("doc_id", "text").limit(50)
+        empty = seen.filter(F.lit(False))
+        assert minhash_near_dup_against(empty, seen).count() == 0
