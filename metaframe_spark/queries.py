@@ -3092,6 +3092,35 @@ def q66_string_agg(spark, sf):
 
 
 @query(
+    "q67_variant",
+    "SELECT event_type, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "  AS sum_k, "
+    "CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) "
+    "  > 50 THEN 1 END) AS BIGINT) AS n_big, "
+    "CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY 1",
+)
+def q67_variant(spark, sf):
+    """Semi-structured VARIANT path (Spark 4's open-format binary JSON —
+    §2.3 row 11's modern sibling of q26's get_json_object):
+    ``parse_json`` once into a VariantType column, then typed
+    ``try_variant_get`` extraction feeding aggregates. Parsing to
+    variant happens on the scan and the typed access avoids re-parsing
+    the JSON text per path (the whole point of variant vs per-path
+    get_json_object at scale); try_ semantics make malformed documents
+    NULL instead of task failures. The oracle reads the same paths with
+    DuckDB's JSON extraction."""
+    e = load_table(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
     "llm_quality_classifier",
     "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
     "  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
@@ -3387,6 +3416,7 @@ _ROTATE_FIRST: list = [
     "llm_quality_classifier",
     "q65_bitwise",
     "q66_string_agg",
+    "q67_variant",
     "llm_neardup_incremental",
     "llm_url_features",
     "llm_domain_cap",
