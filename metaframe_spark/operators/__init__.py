@@ -56,7 +56,8 @@ from .similarity import (
     unit_normalize,
 )
 from .maintenance import compact_files, profile_columns
-from .merge import merge_upsert, scd2_history
+from .merge import merge_upsert, scd2_history, snapshot_diff
+from .timeseries import interpolate_linear
 from .classifier import fit_quality_classifier, score_quality
 from .web import domain_filter, registrable_domain, url_features
 from .text import (
@@ -113,6 +114,7 @@ __all__ = [
     "ngram_vocabulary",
     "compact_files",
     "hash_split",
+    "interpolate_linear",
     "merge_upsert",
     "mixture_report",
     "profile_columns",
@@ -137,5 +139,6 @@ __all__ = [
     "unit_normalize",
     "registrable_domain",
     "score_quality",
+    "snapshot_diff",
     "url_features",
 ]

@@ -125,3 +125,65 @@ def scd2_history(
         .withColumn(valid_to, nxt)
         .withColumn(current_flag, nxt.isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """Classify every key across two snapshots of a table as ``added``
+    (new only), ``removed`` (old only), ``changed`` (both, any
+    ``compare_cols`` differs — NULL-safe comparison, so NULL→NULL is
+    unchanged and NULL→value is a change) or ``unchanged`` — the
+    corpus/dimension drift report run between ingests, and the
+    pre-flight for a CDC backfill (feed the ``changed``+``added`` keys
+    to :func:`merge_upsert`).
+
+    ``compare_cols`` defaults to every shared non-key column. Returns
+    one row per key: the key columns, ``status_col``, and nothing else —
+    join back on the keys for payloads (keeps wide columns out of the
+    diff shuffle beyond the one comparison pass).
+
+    **Precondition: ``keys`` must be unique within each snapshot** (it
+    is a key) — duplicate keys multiply rows through the join.
+    NULL-valued keys never equi-match, so such rows classify as
+    ``added`` + ``removed`` rather than pairing up.
+
+    Scale shape: ONE full-outer equi-join on the keys (both sides
+    shuffle on the key columns once; AQE broadcasts a small side), the
+    comparison evaluated as a codegen conjunction of null-safe
+    equalities — no hashing detour, no second pass, no driver-side
+    state.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias(status_col))

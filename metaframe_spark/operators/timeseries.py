@@ -1,0 +1,79 @@
+"""Time-series repair operators: gap interpolation between observations.
+
+q43 (forward fill) carries the LAST observation forward; telemetry and
+feature pipelines usually want the linear blend between the surrounding
+observations instead. Both are single key-partitioned window passes — one
+shuffle on the keys, per-partition sort, no self-join and no range join
+at any scale. No counterpart in the reference (its 197-line wrapper stops
+at delegation); brief-extension surface like the rest of the pipeline
+family.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fill NULL ``value_col`` rows per key by LINEAR interpolation
+    between the nearest non-NULL observations in ``ts_col`` order:
+    ``prev + (next − prev) · (ts − prev_ts) / (next_ts − prev_ts)``.
+
+    Leading NULLs (no earlier observation) and trailing NULLs (no later
+    one) stay NULL — compose with a forward/backward fill if edges
+    should be clamped instead. Non-NULL rows pass through unchanged.
+    ``ts_col`` may be numeric or timestamp (timestamps interpolate on
+    their microsecond epoch). Equal-``ts`` neighbors would divide by
+    zero; the interpolation guards with ``nullif``, so a NULL bracketed
+    by two observations at the SAME timestamp stays NULL rather than
+    raising — pass ``tiebreak_cols`` to make the scan order itself
+    deterministic under ts ties (the q43/scd2 contract).
+
+    Scale shape: exactly TWO window evaluations over one key-partitioned
+    sort — ``last(struct(ts, v)) IGNORE NULLS`` over the preceding frame
+    and ``first(...)`` over the following frame — planned as a single
+    Window exec (same partition, same order), i.e. one shuffle on
+    ``keys`` total. No self-join, no range join, state bounded by the
+    frame machinery.
+    """
+    keys = list(keys)
+    out_col = out_col or value_col
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, TimestampNTZType):
+        # unix_micros rejects NTZ; the session runs UTC (get_session), so
+        # the cast is a type change, not a clock shift
+        t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    elif isinstance(dt, TimestampType):
+        t = F.unix_micros(F.col(ts_col)).cast("double")
+    else:
+        t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    order = [F.asc(ts_col)] + [F.asc(c) for c in tiebreak_cols]
+    obs = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+    prev = F.last(obs, ignorenulls=True).over(
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(obs, ignorenulls=True).over(
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    frac = (t - prev["t"]) / F.nullif(nxt["t"] - prev["t"], F.lit(0.0))
+    filled = F.when(v.isNotNull(), v).otherwise(
+        prev["v"] + (nxt["v"] - prev["v"]) * frac
+    )
+    return df.withColumn(out_col, filled)

@@ -3121,6 +3121,103 @@ def q67_variant(spark, sf):
 
 
 @query(
+    "q68_interpolate",
+    "WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t, "
+    "  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events), "
+    "w AS (SELECT event_id, t, v, "
+    "  last_value(v IGNORE NULLS) OVER pw AS pv, "
+    "  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER pw AS pt, "
+    "  first_value(v IGNORE NULLS) OVER nw AS nv, "
+    "  first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt "
+    "  FROM e WINDOW "
+    "  pw AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "  nw AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
+    "SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v "
+    "  ELSE pv + (nv - pv) * (t - pt) / nullif(nt - pt, 0) END, 6) AS v_filled "
+    "FROM w",
+)
+def q68_interpolate(spark, sf):
+    """Linear gap interpolation (operators/timeseries.py::
+    interpolate_linear): NULL readings (every 5th event, injected
+    identically in both engines) are filled with the linear blend of
+    the nearest surrounding observations per user, on the microsecond
+    epoch axis; leading/trailing gaps stay NULL, equal-timestamp
+    brackets degrade to NULL via the nullif guard. q43 is the
+    carry-forward repair; this is the telemetry-standard blend. One
+    key-partitioned sort, two window frames, no self-join. The oracle
+    re-derives prev/next observation pairs with IGNORE NULLS windows —
+    split prev-value/prev-ts expressions are safe because both are
+    non-NULL on exactly the same rows."""
+    from .operators.timeseries import interpolate_linear
+
+    e = load_table(spark, sf, "events")
+    gapped = e.to_spark().select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = interpolate_linear(
+        gapped, ["user_id"], "ts", "v", out_col="v_filled",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", F.round("v_filled", 6).alias("v_filled"))
+
+
+@query(
+    "q69_snapshot_diff",
+    "WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), "
+    "n AS (SELECT o_orderkey, o_orderstatus, "
+    "  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 "
+    "    ELSE o_totalprice END AS o_totalprice "
+    "  FROM orders WHERE o_orderkey % 13 <> 0 "
+    "  UNION ALL "
+    "  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice "
+    "  FROM orders WHERE o_orderkey % 11 = 0) "
+    "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+    "CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+    "  WHEN n.o_orderkey IS NULL THEN 'removed' "
+    "  WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus "
+    "    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice "
+    "    THEN 'unchanged' ELSE 'changed' END AS diff_status "
+    "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey",
+)
+def q69_snapshot_diff(spark, sf):
+    """Snapshot drift report (operators/merge.py::snapshot_diff): the
+    orders table vs a deterministically perturbed next snapshot (every
+    13th key removed, every 11th re-added under a new key, every 7th
+    repriced) classified added / removed / changed / unchanged per key —
+    the between-ingest corpus-drift report and the CDC-backfill
+    pre-flight. One full-outer equi-join, null-safe codegen comparison,
+    no hashing detour; the oracle is the literal FULL OUTER JOIN + CASE
+    with IS NOT DISTINCT FROM."""
+    from .operators.merge import snapshot_diff
+
+    o = load_table(spark, sf, "orders").to_spark().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+            )
+        )
+    )
+    return snapshot_diff(o, new, ["o_orderkey"])
+
+
+@query(
     "llm_quality_classifier",
     "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
     "  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
@@ -3417,6 +3514,8 @@ _ROTATE_FIRST: list = [
     "q65_bitwise",
     "q66_string_agg",
     "q67_variant",
+    "q68_interpolate",
+    "q69_snapshot_diff",
     "llm_neardup_incremental",
     "llm_url_features",
     "llm_domain_cap",

@@ -2128,3 +2128,52 @@ class TestNearDupAgainst:
         seen = docs.select("doc_id", "text").limit(50)
         empty = seen.filter(F.lit(False))
         assert minhash_near_dup_against(empty, seen).count() == 0
+
+
+class TestInterpolateLinear:
+    def test_interpolation_math_and_edges(self, spark):
+        from metaframe_spark.operators import interpolate_linear
+
+        rows = [
+            # key g: observations at t=0 (v=10) and t=10 (v=30), gaps at 2, 5
+            ("g", 0.0, 10.0), ("g", 2.0, None), ("g", 5.0, None), ("g", 10.0, 30.0),
+            # leading and trailing gaps stay NULL
+            ("h", 0.0, None), ("h", 1.0, 5.0), ("h", 2.0, None),
+        ]
+        df = spark.createDataFrame(rows, "k string, t double, v double")
+        got = {
+            (r.k, r.t): r.v
+            for r in interpolate_linear(df, ["k"], "t", "v").collect()
+        }
+        assert got[("g", 2.0)] == 10.0 + (30.0 - 10.0) * 0.2
+        assert got[("g", 5.0)] == 10.0 + (30.0 - 10.0) * 0.5
+        assert got[("g", 0.0)] == 10.0 and got[("g", 10.0)] == 30.0  # pass-through
+        assert got[("h", 0.0)] is None and got[("h", 2.0)] is None
+
+    def test_equal_ts_bracket_degrades_to_null(self, spark):
+        from metaframe_spark.operators import interpolate_linear
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 0, 4.0), ("g", 1.0, 1, None), ("g", 1.0, 2, 8.0)],
+            "k string, t double, seq int, v double",
+        )
+        out = interpolate_linear(
+            df, ["k"], "t", "v", tiebreak_cols=["seq"]
+        ).filter(F.col("seq") == 1)
+        assert out.collect()[0].v is None  # nullif guard, no divide error
+
+    def test_single_window_exchange(self, spark):
+        """Both frames ride ONE key-partitioned sort: exactly one
+        hash-partition exchange in the plan."""
+        from metaframe_spark.operators import interpolate_linear
+
+        df = spark.createDataFrame(
+            [("g", float(i), None if i % 3 == 0 else float(i)) for i in range(30)],
+            "k string, t double, v double",
+        )
+        plan = (
+            interpolate_linear(df, ["k"], "t", "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -371,3 +371,50 @@ class TestMergeSeqCollapse:
         assert got.get(2, ("alpha", 111.0))[0] != "omega" or 2 not in got
         two = [v for k, v in got.items() if k == 2]
         assert two in ([], [("alpha", 111.0)])
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        from metaframe_spark.operators import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+            "id long, name string, amt double",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "a", 10.0),     # unchanged
+                (2, "b", 21.0),     # changed (value)
+                (3, "c", None),     # unchanged (NULL == NULL null-safely)
+                (5, "e", 50.0),     # added
+            ],                      # 4 removed
+            "id long, name string, amt double",
+        )
+        got = {r.id: r.diff_status for r in snapshot_diff(old, new, ["id"]).collect()}
+        assert got == {
+            1: "unchanged", 2: "changed", 3: "unchanged",
+            4: "removed", 5: "added",
+        }
+
+    def test_null_to_value_is_changed_and_subset_compare(self, spark):
+        from metaframe_spark.operators import snapshot_diff
+
+        old = spark.createDataFrame([(1, None, "x")], "id long, v string, w string")
+        new = spark.createDataFrame([(1, "now", "y")], "id long, v string, w string")
+        assert snapshot_diff(old, new, ["id"]).collect()[0].diff_status == "changed"
+        # restricting compare_cols ignores the w drift
+        old2 = spark.createDataFrame([(1, "s", "x")], "id long, v string, w string")
+        new2 = spark.createDataFrame([(1, "s", "y")], "id long, v string, w string")
+        assert (
+            snapshot_diff(old2, new2, ["id"], compare_cols=["v"])
+            .collect()[0].diff_status
+            == "unchanged"
+        )
+
+    def test_requires_keys(self, spark, base):
+        from metaframe_spark.operators import snapshot_diff
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="keys"):
+            snapshot_diff(base, base, [])
