@@ -59,13 +59,18 @@ def curate_corpus(
     psl: Optional[DataFrame] = None,
     quality_model: Optional[Dict] = None,
     min_classifier_prob: float = 0.5,
+    stage_counts: bool = True,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
     ``stage_counts`` records the surviving row count after each stage —
     the per-stage yield report every curation run needs for its data card.
-    The counts force one action per stage; for a fire-and-forget pipeline
-    call the stages directly and count once at the end.
+    The counts force one action (an extra scan of that stage's relation)
+    per stage; pass ``stage_counts=False`` for the fire-and-forget mode,
+    which skips every intermediate count — only the actions the pipeline
+    NEEDS (the near-dup checkpoint chain) run, and the returned dict
+    holds just ``input``, ``near_dedup`` (free: a cached scan of the
+    already-materialized checkpoint) and ``output``.
 
     ``line_filter=True`` prepends the C4 line-level scrub
     (:func:`~metaframe_spark.operators.c4_line_filter`);
@@ -143,7 +148,8 @@ def curate_corpus(
         from .operators.web import domain_filter
 
         df = domain_filter(df, blocked_domains, url_col, psl=psl)
-        counts["domain_filter"] = df.count()
+        if stage_counts:
+            counts["domain_filter"] = df.count()
 
     # 0b. optional per-domain cap — still metadata-only (+ the ranking
     # column when domain_quality_col is set)
@@ -160,18 +166,21 @@ def curate_corpus(
             by=domain_quality_col,
             descending=domain_quality_col is not None,
         ).drop("host", "domain", "is_https", "path_depth", "draw_rank")
-        counts["domain_cap"] = df.count()
+        if stage_counts:
+            counts["domain_cap"] = df.count()
 
     # 0. optional C4 line scrub (drops boilerplate lines + emptied docs)
     if line_filter:
         from .operators.text import c4_line_filter
 
         df = c4_line_filter(df, text_col).drop("n_lines_kept", "n_lines_total")
-        counts["line_filter"] = df.count()
+        if stage_counts:
+            counts["line_filter"] = df.count()
 
     # 1. exact dedup (full surviving rows, min-id survivor)
     cur = exact_dedup_rows(df, text_col, id_col)
-    counts["exact_dedup"] = cur.count()
+    if stage_counts:
+        counts["exact_dedup"] = cur.count()
 
     # 1b. optional global span dedup (cross-corpus boilerplate removal)
     if dedup_spans:
@@ -182,7 +191,8 @@ def curate_corpus(
             .drop("n_spans_removed")
             .filter(F.length(F.col(text_col)) > 0)
         )
-        counts["span_dedup"] = cur.count()
+        if stage_counts:
+            counts["span_dedup"] = cur.count()
     # stage 2 traverses this twice (minhash pipeline + the anti-join);
     # released as soon as cur2 is checkpointed below
     cur = cur.persist()
@@ -214,7 +224,8 @@ def curate_corpus(
             cur2, benchmark, id_col, text_col, n=benchmark_ngram
         ).select(id_col)
         cur2 = cur2.join(contaminated, id_col, "left_anti")
-        counts["decontaminate"] = cur2.count()
+        if stage_counts:
+            counts["decontaminate"] = cur2.count()
 
     # 2d. optional semantic (embedding) dedup on the lexical survivors
     if embeddings is not None:
@@ -236,12 +247,14 @@ def curate_corpus(
             F.col("id").alias(id_col)
         )
         cur2 = cur2.join(sem_losers, id_col, "left_anti")
-        counts["semantic_dedup"] = cur2.count()
+        if stage_counts:
+            counts["semantic_dedup"] = cur2.count()
 
     # 3. quality gate
     scored = quality_features(cur2, text_col)
     kept = scored.filter(F.col("quality_score") >= min_quality)
-    counts["quality"] = kept.count()
+    if stage_counts:
+        counts["quality"] = kept.count()
 
     # 3b. optional learned quality classifier (fastText-style filter —
     # runs after the heuristic gate so the scoring scan sees fewer rows)
@@ -254,14 +267,16 @@ def curate_corpus(
         kept = kept.join(probs, id_col).filter(
             F.col("quality_prob") >= min_classifier_prob
         ).drop("quality_prob")
-        counts["classifier"] = kept.count()
+        if stage_counts:
+            counts["classifier"] = kept.count()
 
     # 4. language filter
     if keep_langs:
         kept = language_scores(kept, text_col).filter(
             F.col("predicted_lang").isin(list(keep_langs))
         )
-        counts["language"] = kept.count()
+        if stage_counts:
+            counts["language"] = kept.count()
 
     # 5. deterministic interleave (+ optional sharding)
     out = (

@@ -307,3 +307,18 @@ def test_classifier_stage_filters_low_scoring_docs(spark, messy):
     # dropped := heuristic-surviving docs under 0.5; none of them remain
     assert all(rescored[i] >= 0.5 for i in surv_ids)
     assert counts["classifier"] < counts["quality"]  # the gate really bit
+
+
+def test_stage_counts_false_skips_intermediate_actions(spark, messy):
+    base = messy.filter(F.col("doc_id") < 10_000)
+    out_full, full = curate_corpus(base, min_quality=0.0, near_dup_jaccard=0.8)
+    out_min, minimal = curate_corpus(
+        base, min_quality=0.0, near_dup_jaccard=0.8, stage_counts=False
+    )
+    assert set(minimal) == {"input", "near_dedup", "output"}
+    assert minimal["input"] == full["input"]
+    assert minimal["output"] == full["output"]
+    # same curated result either way
+    a = sorted(r.doc_id for r in out_full.select("doc_id").collect())
+    b = sorted(r.doc_id for r in out_min.select("doc_id").collect())
+    assert a == b
