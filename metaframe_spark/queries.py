@@ -3218,6 +3218,43 @@ def q69_snapshot_diff(spark, sf):
 
 
 @query(
+    "q70_stats_agg",
+    "WITH e AS (SELECT event_type, value AS y, "
+    "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS x FROM events) "
+    "SELECT event_type, "
+    "round(corr(y, x), 6) AS corr_yx, "
+    "round(covar_samp(y, x), 6) AS covar_yx, "
+    "round(regr_slope(y, x), 6) AS slope, "
+    "round(regr_intercept(y, x), 6) AS intercept, "
+    "CAST(regr_count(y, x) AS BIGINT) AS n_pairs, "
+    "round(stddev_samp(y), 6) AS sd_y "
+    "FROM e GROUP BY 1",
+)
+def q70_stats_agg(spark, sf):
+    """Statistical aggregate family (§2.3 row 6 breadth): Pearson
+    correlation, sample covariance, least-squares slope/intercept
+    (SQL-standard regr_*), pair count, and sample stddev per group —
+    the exploratory-stats pass a feature pipeline runs before modeling.
+    All algebraic aggregates (bounded state, map-side partial combine);
+    x is pulled from the variant/JSON path as in q67. Both engines use
+    the same definitional formulas; results round to 6 so partial-agg
+    addition order cannot flip a digit."""
+    e = load_table(spark, sf, "events")
+    y = F.col("value")
+    x = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.to_spark().select("event_type", y.alias("y"), x.alias("x")).groupBy(
+        "event_type"
+    ).agg(
+        F.round(F.corr("y", "x"), 6).alias("corr_yx"),
+        F.round(F.covar_samp("y", "x"), 6).alias("covar_yx"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.regr_count("y", "x").cast("long").alias("n_pairs"),
+        F.round(F.stddev_samp("y"), 6).alias("sd_y"),
+    )
+
+
+@query(
     "llm_quality_classifier",
     "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
     "  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
@@ -3516,6 +3553,7 @@ _ROTATE_FIRST: list = [
     "q67_variant",
     "q68_interpolate",
     "q69_snapshot_diff",
+    "q70_stats_agg",
     "llm_neardup_incremental",
     "llm_url_features",
     "llm_domain_cap",
