@@ -1,0 +1,123 @@
+"""Custom Python data sources (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference delegates every read to Spark built-ins (its 197-line
+wrapper has no source surface); this module demonstrates the engine's
+EXTENSIBILITY contract for sources Spark does not ship: schema
+declaration, partition planning (one ``InputPartition`` per split, so
+generation/ingest parallelizes across the cluster), and Arrow-friendly
+row emission — the same three things a production connector (a feed API,
+an internal record service) must implement.
+
+:class:`SyntheticCorpusDataSource` is the load-test source: deterministic
+documents-table rows generated on executors straight from the partition
+spec — no files, no storage, any volume. Sizing a 100-TB shuffle
+experiment needs terabytes of input the test cluster may not have room
+to store; a generated source sidesteps storage entirely while staying
+reproducible (every row is a pure function of (seed, row index), so two
+clusters generate byte-identical corpora).
+
+Usage::
+
+    from metaframe_spark.sources import register_synthetic_corpus
+    register_synthetic_corpus(spark)
+    df = (spark.read.format("synthetic_corpus")
+          .option("rows", 1_000_000).option("partitions", 64)
+          .option("seed", 7).load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+_LANGS = ["en", "de", "fr", "es", "it"]
+_SOURCES = ["web", "wiki", "books", "code"]
+_WORDS = [
+    "the", "data", "spark", "query", "join", "filter", "table", "row",
+    "batch", "stream", "merge", "sort", "hash", "scan", "window", "value",
+]
+
+
+class _CorpusPartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class _CorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 42))
+        if self.n_rows < 0:
+            raise ValueError("rows must be >= 0")
+
+    def partitions(self):
+        # contiguous row-index ranges: each split generates its slice
+        # independently on an executor — parallelism = n_parts, no
+        # driver-side data, no skew (ranges differ by at most one row)
+        per = -(-self.n_rows // self.n_parts) if self.n_rows else 0
+        parts = []
+        for i in range(self.n_parts):
+            start = i * per
+            end = min(self.n_rows, start + per)
+            if start >= end and self.n_rows:
+                break
+            parts.append(_CorpusPartition(start, end, self.seed))
+        return parts or [_CorpusPartition(0, 0, self.seed)]
+
+    def read(self, partition):
+        # executor-side: every row is a pure function of (seed, index) —
+        # reproducible on any cluster, any partition count
+        import hashlib
+
+        for i in range(partition.start, partition.end):
+            h = int.from_bytes(
+                hashlib.md5(f"{partition.seed}:{i}".encode()).digest()[:8], "big"
+            )
+            n_words = 10 + h % 90
+            words = [
+                _WORDS[(h >> (j % 48)) % len(_WORDS) ^ (i + j) % len(_WORDS)]
+                for j in range(n_words)
+            ]
+            text = " ".join(words)
+            yield (
+                i,
+                text,
+                _LANGS[h % len(_LANGS)],
+                _SOURCES[(h >> 8) % len(_SOURCES)],
+                len(text),
+            )
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """``spark.read.format("synthetic_corpus")`` — see module docstring."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_corpus"
+
+    def schema(self):
+        return _SCHEMA
+
+    def reader(self, schema):
+        return _CorpusReader(self.options)
+
+
+def register_synthetic_corpus(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(SyntheticCorpusDataSource)

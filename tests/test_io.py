@@ -217,3 +217,55 @@ def test_csv_permissive_mode_isolates_corrupt_records(spark, tmp_path):
         .csv(str(tmp_path))
     )
     assert {r.id for r in clean.collect()} == {1, 3}
+
+
+class TestSyntheticCorpusSource:
+    """Spark 4 Python DataSource (metaframe_spark/sources): schema,
+    partition planning, determinism — the extensibility contract a
+    production connector implements."""
+
+    def _load(self, spark, **opts):
+        from metaframe_spark.sources import register_synthetic_corpus
+
+        register_synthetic_corpus(spark)
+        r = spark.read.format("synthetic_corpus")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def test_rows_schema_and_parallelism(self, spark):
+        df = self._load(spark, rows=1000, partitions=8, seed=7)
+        assert df.count() == 1000
+        assert [f.name for f in df.schema.fields] == [
+            "doc_id", "text", "lang", "source", "n_chars",
+        ]
+        assert df.rdd.getNumPartitions() == 8
+        # ids form the exact 0..n-1 range (contiguous splits, no overlap)
+        import pyspark.sql.functions as F
+
+        agg = df.agg(
+            F.min("doc_id"), F.max("doc_id"), F.count_distinct("doc_id")
+        ).collect()[0]
+        assert tuple(agg) == (0, 999, 1000)
+        # n_chars really is the text length
+        assert df.filter(F.length("text") != F.col("n_chars")).count() == 0
+
+    def test_deterministic_across_partitionings(self, spark):
+        a = self._load(spark, rows=300, partitions=3, seed=9).collect()
+        b = self._load(spark, rows=300, partitions=11, seed=9).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        c = self._load(spark, rows=300, partitions=3, seed=10).collect()
+        assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+    def test_composes_with_operators(self, spark):
+        from metaframe_spark.operators import exact_dedup_rows, token_count
+        import pyspark.sql.functions as F
+
+        df = self._load(spark, rows=400, partitions=4, seed=3)
+        deduped = exact_dedup_rows(df, "text", "doc_id")
+        assert 0 < deduped.count() <= 400
+        toks = df.select(token_count(F.col("text")).alias("t"))
+        assert toks.agg(F.min("t")).collect()[0][0] >= 10
+
+    def test_empty_source(self, spark):
+        assert self._load(spark, rows=0).count() == 0
