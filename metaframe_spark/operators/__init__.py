@@ -42,7 +42,7 @@ from .sampling import (
     weighted_sample_exact,
     write_training_shards,
 )
-from .asof import asof_join
+from .asof import asof_join, interval_join
 from .similarity import (
     ann_similarity_join,
     assign_cells,
@@ -115,6 +115,7 @@ __all__ = [
     "compact_files",
     "hash_split",
     "interpolate_linear",
+    "interval_join",
     "merge_upsert",
     "mixture_report",
     "profile_columns",

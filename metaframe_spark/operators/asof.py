@@ -240,3 +240,77 @@ def global_asof_join(
         + [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
     )
     return matched.filter(F.col("_tag") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    keys: Sequence[str] = (),
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval equi-bucketed join: every ``points`` row paired
+    with every ``intervals`` row whose ``[start_col, end_col)`` half-open
+    range contains its ``point_col`` (optionally also matching on
+    ``keys`` equi-columns) — IP-range lookup, event-in-session-window
+    tagging, price-band classification.
+
+    The naive formulation — ``points JOIN intervals ON p >= s AND p < e``
+    — has no equi-condition, so Spark plans a BroadcastNestedLoopJoin
+    (or a cartesian), scanning every interval per point: the classic
+    range-join scale trap. This operator makes it an EQUI join: the
+    number line is cut into ``bucket_width``-sized buckets, each
+    interval row is exploded to the buckets it overlaps, each point maps
+    to its single bucket, and the join runs on (keys…, bucket) with the
+    containment predicate as a post-filter. A (point, interval) match is
+    found exactly once — in the point's own bucket — so no dedup pass is
+    needed.
+
+    Cost model: shuffled volume is |points| + Σ per-interval bucket
+    spans. Pick ``bucket_width`` near the TYPICAL interval length —
+    each interval then explodes to ~2 rows; a width 100× too small
+    multiplies the interval relation 100×, and an interval spanning more
+    than ``max_buckets_per_interval`` buckets raises with the widen-it
+    hint rather than silently exploding the relation. Degenerate
+    (empty/backwards) intervals match nothing and are dropped.
+
+    Numeric point/bound columns join on their doubles; returns the
+    point columns plus the interval columns (name collisions other than
+    ``keys`` must be resolved by the caller beforehand).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    keys = list(keys)
+    w = float(bucket_width)
+    p = F.col(point_col).cast("double")
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    first_b = F.floor(s / F.lit(w)).cast("long")
+    # covering floor(end/w) even when end sits exactly on a boundary is
+    # harmless (one extra bucket row; the containment post-filter is
+    # exact) and avoids a float-fragile boundary nudge
+    last_b = F.floor(e / F.lit(w)).cast("long")
+    span = last_b - first_b + 1
+    last_checked = F.when(
+        span > max_buckets_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: an interval spans more than "
+                    f"{max_buckets_per_interval} buckets; raise bucket_width "
+                    "toward the typical interval length (got span="
+                ),
+                span.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(last_b)
+    ivals = intervals.filter(e > s).withColumn(
+        "_bucket", F.explode(F.sequence(first_b, last_checked))
+    )
+    pts = points.withColumn("_bucket", F.floor(p / F.lit(w)).cast("long"))
+    joined = pts.join(ivals, keys + ["_bucket"]).filter((p >= s) & (p < e))
+    return joined.drop("_bucket")

@@ -3255,6 +3255,42 @@ def q70_stats_agg(spark, sf):
 
 
 @query(
+    "q71_interval_join",
+    "WITH iv AS (SELECT i AS interval_id, CAST(i * 4 AS DOUBLE) AS lo, "
+    "  CAST(i * 4 + 6 AS DOUBLE) AS hi FROM range(50) t(i)) "
+    "SELECT e.event_id, iv.interval_id "
+    "FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi",
+)
+def q71_interval_join(spark, sf):
+    """Bucketed point-in-interval join (operators/asof.py::
+    interval_join): events classified into overlapping value bands
+    [4i, 4i+6). The naive BETWEEN join has no equi-condition — Spark
+    plans a nested-loop scan of every interval per point; this operator
+    buckets the number line (width = typical interval length), explodes
+    each interval to its ~2 covered buckets, and joins EQUI on the
+    bucket with exact containment as a post-filter — each match found
+    exactly once in the point's own bucket, no dedup pass. The oracle
+    is the naive theta join, so a hash match proves the bucketed
+    decomposition finds exactly the contained pairs."""
+    from .operators.asof import interval_join
+
+    e = load_table(spark, sf, "events")
+    iv = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("interval_id"),
+            (F.col("id") * 4).cast("double").alias("lo"),
+            (F.col("id") * 4 + 6).cast("double").alias("hi"),
+        )
+    )
+    out = interval_join(
+        e.to_spark().select("event_id", "value"), iv, "value", "lo", "hi",
+        bucket_width=6.0,
+    )
+    return out.select("event_id", "interval_id")
+
+
+@query(
     "llm_quality_classifier",
     "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
     "  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
@@ -3554,6 +3590,7 @@ _ROTATE_FIRST: list = [
     "q68_interpolate",
     "q69_snapshot_diff",
     "q70_stats_agg",
+    "q71_interval_join",
     "llm_neardup_incremental",
     "llm_url_features",
     "llm_domain_cap",

@@ -133,3 +133,91 @@ class TestGlobalAsof:
         ]
         assert big_window_lines, "expected the main window in the plan"
         assert all("_bkt" in l for l in big_window_lines)
+
+
+class TestIntervalJoin:
+    def test_matches_naive_theta_join_and_boundaries(self, spark):
+        from metaframe_spark.operators import interval_join
+
+        pts = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([0.0, 3.9999, 4.0, 5.5, 8.0, 11.99, 12.0, -1.0, 100.0])],
+            "pid long, p double",
+        )
+        iv = spark.createDataFrame(
+            [(0, 0.0, 4.0), (1, 4.0, 12.0), (2, 2.0, 6.0), (3, 12.0, 12.0)],
+            "iid long, lo double, hi double",
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(pts, iv, "p", "lo", "hi", bucket_width=4.0).collect()
+        }
+        want = {
+            (r.pid, r.iid)
+            for r in pts.join(
+                iv, (pts.p >= iv.lo) & (pts.p < iv.hi)
+            ).collect()
+        }
+        assert got == want
+        # half-open semantics: 4.0 is in [4,12) but not [0,4); empty
+        # interval [12,12) matches nothing; 12.0 not in [4,12)
+        assert (2, 1) in got and (2, 0) not in got
+        assert all(i != 3 for _, i in got)
+        assert (6, 1) not in got
+
+    def test_no_duplicate_matches_across_buckets(self, spark):
+        """A long interval spans many buckets; each contained point must
+        still pair with it exactly once (found in the point's bucket)."""
+        from metaframe_spark.operators import interval_join
+
+        pts = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "pid long, p double"
+        )
+        iv = spark.createDataFrame([(7, 10.0, 90.0)], "iid long, lo double, hi double")
+        out = interval_join(pts, iv, "p", "lo", "hi", bucket_width=5.0)
+        assert out.count() == 80  # 10..89, each exactly once
+        assert out.select("pid").distinct().count() == 80
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        from metaframe_spark.operators import interval_join
+
+        pts = spark.range(1000).select(
+            F.col("id").alias("pid"), (F.col("id") % 97).cast("double").alias("p")
+        )
+        iv = spark.range(20).select(
+            F.col("id").alias("iid"),
+            (F.col("id") * 5).cast("double").alias("lo"),
+            (F.col("id") * 5 + 8).cast("double").alias("hi"),
+        )
+        out = interval_join(pts, iv, "p", "lo", "hi", bucket_width=8.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_span_guard_raises_actionably(self, spark):
+        from metaframe_spark.operators import interval_join
+
+        pts = spark.createDataFrame([(1, 5.0)], "pid long, p double")
+        iv = spark.createDataFrame([(1, 0.0, 1e6)], "iid long, lo double, hi double")
+        with pytest.raises(Exception, match="bucket_width"):
+            interval_join(
+                pts, iv, "p", "lo", "hi", bucket_width=1.0,
+                max_buckets_per_interval=100,
+            ).count()
+
+    def test_equi_keys_restrict_matches(self, spark):
+        from metaframe_spark.operators import interval_join
+
+        pts = spark.createDataFrame(
+            [("a", 1, 5.0), ("b", 2, 5.0)], "k string, pid long, p double"
+        )
+        iv = spark.createDataFrame(
+            [("a", 10, 0.0, 10.0)], "k string, iid long, lo double, hi double"
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(
+                pts, iv, "p", "lo", "hi", bucket_width=10.0, keys=["k"]
+            ).collect()
+        }
+        assert got == {(1, 10)}
