@@ -53,6 +53,7 @@ def asof_join(
     suffix: str = "_asof",
     allow_global: bool = False,
     global_buckets: int = 0,
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward', inclusive) or the
@@ -61,6 +62,13 @@ def asof_join(
     Returns all left columns plus ``on+suffix`` (the matched right
     timestamp) and each requested right column as ``col+suffix``.
     Unmatched left rows keep NULLs (left-outer semantics).
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): a match further than
+    this from the left timestamp is discarded — the matched columns go
+    NULL exactly as if no right row existed, so a stale quote never
+    decorates a trade from hours later. Units: the column's own units
+    for numeric ``on``; SECONDS for timestamp/date ``on``. Applied as a
+    row-local post-mask — plan shape is unchanged.
 
     A *global* as-of (``by=None``) has no key to partition the window on.
     Pass ``global_buckets=N`` to run it scalably: time is range-bucketed on
@@ -73,10 +81,11 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     by_list = [by] if isinstance(by, str) else list(by or [])
     if not by_list and global_buckets > 1:
-        return global_asof_join(
+        out = global_asof_join(
             left, right, on=on, right_cols=right_cols, direction=direction,
             suffix=suffix, n_buckets=global_buckets,
         )
+        return _apply_asof_tolerance(out, on, suffix, right_cols or [], tolerance)
     if not by_list and not allow_global:
         raise ValueError(
             "global as-of (by=None) runs in a single window partition — "
@@ -127,7 +136,34 @@ def asof_join(
         + [F.col("_m._on").alias(on + suffix)]
         + [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
     )
-    return matched.filter(F.col("_tag") == 1).select(*out_cols)
+    out = matched.filter(F.col("_tag") == 1).select(*out_cols)
+    return _apply_asof_tolerance(out, on, suffix, right_cols, tolerance)
+
+
+def _apply_asof_tolerance(
+    df: DataFrame,
+    on: str,
+    suffix: str,
+    right_cols: Sequence[str],
+    tolerance: Optional[float],
+) -> DataFrame:
+    """NULL out the matched columns where |left.on − matched.on| exceeds
+    ``tolerance`` (native units for numeric, seconds for temporal) — the
+    pandas merge_asof tolerance contract as a codegen post-mask."""
+    if tolerance is None:
+        return df
+    if tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+    dtype = df.schema[on].dataType
+    scale = (
+        1e6 if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)) else 1.0
+    )
+    t = _orderable_key(on, dtype)
+    m = _orderable_key(on + suffix, df.schema[on + suffix].dataType)
+    ok = m.isNotNull() & (F.abs(t - m) <= F.lit(float(tolerance) * scale))
+    for c in [on + suffix] + [c + suffix for c in right_cols]:
+        df = df.withColumn(c, F.when(ok, F.col(c)))
+    return df
 
 
 def global_asof_join(

@@ -221,3 +221,80 @@ class TestIntervalJoin:
             ).collect()
         }
         assert got == {(1, 10)}
+
+
+class TestAsofTolerance:
+    def test_numeric_tolerance_masks_stale_matches(self, spark):
+        from metaframe_spark.operators import asof_join
+
+        left = spark.createDataFrame(
+            [("k", 10.0), ("k", 100.0)], "g string, ts double"
+        )
+        right = spark.createDataFrame(
+            [("k", 8.0, 1.0), ("k", 50.0, 2.0)], "g string, ts double, px double"
+        )
+        out = {
+            r.ts: (r.ts_asof, r.px_asof)
+            for r in asof_join(
+                left, right, on="ts", by="g", right_cols=["px"], tolerance=5.0
+            ).collect()
+        }
+        assert out[10.0] == (8.0, 1.0)        # gap 2 <= 5: kept
+        assert out[100.0] == (None, None)     # gap 50 > 5: masked
+        # without tolerance the stale match is kept
+        out2 = {
+            r.ts: r.px_asof
+            for r in asof_join(
+                left, right, on="ts", by="g", right_cols=["px"]
+            ).collect()
+        }
+        assert out2[100.0] == 2.0
+
+    def test_timestamp_tolerance_in_seconds(self, spark):
+        import datetime as dt
+
+        from metaframe_spark.operators import asof_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [("k", t0 + dt.timedelta(seconds=90))], "g string, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [("k", t0, 7.0)], "g string, ts timestamp, px double"
+        )
+        kept = asof_join(
+            left, right, on="ts", by="g", right_cols=["px"], tolerance=120
+        ).collect()[0]
+        assert kept.px_asof == 7.0
+        masked = asof_join(
+            left, right, on="ts", by="g", right_cols=["px"], tolerance=60
+        ).collect()[0]
+        assert masked.px_asof is None and masked.ts_asof is None
+
+    def test_tolerance_on_global_bucketed_path(self, spark):
+        from metaframe_spark.operators import asof_join
+
+        left = spark.createDataFrame(
+            [(float(i),) for i in range(0, 100, 10)], "ts double"
+        )
+        right = spark.createDataFrame(
+            [(float(i), float(i)) for i in range(0, 100, 25)],
+            "ts double, v double",
+        )
+        out = {
+            r.ts: r.v_asof
+            for r in asof_join(
+                left, right, on="ts", right_cols=["v"],
+                global_buckets=4, tolerance=6.0,
+            ).collect()
+        }
+        # e.g. left 30 matches right 25 (gap 5, kept); left 40 -> 25 (gap 15, masked)
+        assert out[30.0] == 25.0
+        assert out[40.0] is None
+
+    def test_negative_tolerance_raises(self, spark):
+        from metaframe_spark.operators import asof_join
+
+        df = spark.createDataFrame([("k", 1.0)], "g string, ts double")
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(df, df, on="ts", by="g", tolerance=-1)
