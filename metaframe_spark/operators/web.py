@@ -170,3 +170,55 @@ def domain_filter(
     domain = F.lower(F.substring_index(host, ".", -2))
     cond = domain.isin(blocked)
     return df.filter(cond if keep else ~F.coalesce(cond, F.lit(False)))
+
+
+def extract_html_text(col) -> "F.Column":
+    """Plain text of an HTML document — the boilerplate-strip stage every
+    web-curation pipeline (C4/RefinedWeb-style) runs before any text
+    analysis, as a pure codegen expression chain (no parser library, no
+    Python, scan-bound at any scale):
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their text is
+       code, not content) and ``<!-- -->`` comments — non-greedy
+       dot-matches-newline regexes;
+    2. turn the block-level separators ``<br>``/``</p>``/``</div>``/
+       ``</li>``/``</h1..6>``/``</tr>`` into newlines so words from
+       adjacent blocks don't fuse;
+    3. strip every remaining tag;
+    4. decode the six entities that dominate real pages (&amp; &lt; &gt;
+       &quot; &#39;/&apos; &nbsp;) — &amp; LAST, so ``&amp;lt;`` decodes
+       to the literal ``&lt;`` and never to ``<``;
+    5. collapse horizontal whitespace and blank-line runs.
+
+    A regex, not an HTML5 parser: malformed nesting degrades gracefully
+    (unclosed tags strip anyway; a stray ``<`` swallows text up to the
+    next ``>`` — or is kept verbatim if none follows). For DOM-accurate extraction plug a Pandas-UDF parser in
+    the same column position — this expression is the
+    dependency-free scale path. Returns a trimmed string column.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # 1. script/style elements + comments ((?is) = case-insensitive,
+    # dot-matches-newline; non-greedy so sibling elements survive)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # 2. block separators -> newline
+    c = F.regexp_replace(
+        c, r"(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr)\s*>", "\n"
+    )
+    # 3. every remaining tag
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # 4. entities (&amp; last)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ):
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, "&amp;", "&")
+    # 5. whitespace discipline: collapse horizontal runs, trim line ends,
+    # squeeze blank-line runs
+    c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")  # trim() strips spaces only
+    return F.trim(c)

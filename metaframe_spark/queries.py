@@ -3290,6 +3290,76 @@ def q71_interval_join(spark, sf):
     return out.select("event_id", "interval_id")
 
 
+def _html_extract_sql(inner: str) -> str:
+    """DuckDB form of operators.web.extract_html_text — the identical
+    regexp_replace chain (RE2 on both engines; DuckDB needs the explicit
+    'g' option where Spark replaces globally by default)."""
+    steps = [
+        (r"(?is)<script\b[^>]*>.*?</script\s*>", "' '"),
+        (r"(?is)<style\b[^>]*>.*?</style\s*>", "' '"),
+        (r"(?s)<!--.*?-->", "' '"),
+        (r"(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr)\s*>", "chr(10)"),
+        (r"(?s)<[^>]+>", "' '"),
+        ("&lt;", "'<'"),
+        ("&gt;", "'>'"),
+        ("&quot;", "'\"'"),
+        ("&#39;", "''''"),
+        ("&apos;", "''''"),
+        ("&nbsp;", "' '"),
+        ("&amp;", "'&'"),
+        (r"[ \t\x0b\f\r]+", "' '"),
+        (r" ?\n ?", "chr(10)"),
+        (r"\n{2,}", "chr(10)"),
+        (r"^\n+|\n+$", "''"),
+    ]
+    expr = inner
+    for pat, repl in steps:
+        expr = f"regexp_replace({expr}, '{pat}'" + f", {repl}, 'g')"
+    return f"trim({expr})"
+
+
+@query(
+    "llm_html_extract",
+    "WITH h AS (SELECT doc_id, "
+    "  '<html><head><style>p{c}</style><script>var x=' || doc_id || "
+    "  ';</script></head><body><!-- ' || source || ' --><h1>' || "
+    "  upper(source) || '</h1><p>' || substr(text, 1, 120) || "
+    "  ' &amp; tail</p><div>d&nbsp;' || CAST(doc_id AS VARCHAR) || "
+    "  '</div></body></html>' AS html FROM documents) "
+    f"SELECT doc_id, {_html_extract_sql('html')} AS extracted FROM h",
+)
+def llm_html_extract(spark, sf):
+    """HTML boilerplate stripping (operators/web.py::extract_html_text —
+    the RefinedWeb/C4 raw-crawl→text stage): script/style elements and
+    comments dropped wholesale, block separators become newlines, tags
+    stripped, the dominant entities decoded (&amp; last, so double
+    escapes stay literal), whitespace disciplined — one codegen
+    regexp_replace chain, no parser library, no Python, scan-bound. The
+    corpus has no HTML column, so a deterministic page is wrapped around
+    each document identically in both engines (the llm_url_features
+    pattern); the oracle runs the byte-identical RE2 chain, so a hash
+    match proves every stage of the strip."""
+    from .operators.web import extract_html_text
+
+    d = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{c}</style><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><!-- "),
+        F.col("source"),
+        F.lit(" --><h1>"),
+        F.upper(F.col("source")),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" &amp; tail</p><div>d&nbsp;"),
+        F.col("doc_id").cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    return d.to_spark().select(
+        "doc_id", extract_html_text(html).alias("extracted")
+    )
+
+
 @query(
     "llm_quality_classifier",
     "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
@@ -3591,6 +3661,7 @@ _ROTATE_FIRST: list = [
     "q69_snapshot_diff",
     "q70_stats_agg",
     "q71_interval_join",
+    "llm_html_extract",
     "llm_neardup_incremental",
     "llm_url_features",
     "llm_domain_cap",

@@ -156,3 +156,41 @@ class TestRegistrableDomainPsl:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "_psl_s" in line, f"corpus-side shuffle: {line}"
+
+
+class TestExtractHtmlText:
+    def test_full_strip_semantics(self, spark):
+        from metaframe_spark.operators.web import extract_html_text
+
+        html = (
+            '<html><head><style>p {color:red}</style>'
+            '<SCRIPT type="text/javascript">var x = "<p>not text</p>";'
+            '</script></head><body><!-- hidden comment -->'
+            '<h1>Title</h1><p>Hello &amp;lt; world &nbsp; x</p>'
+            '<div>tail</div><ul><li>a</li><li>b</li></ul>'
+            'line<br>break 5 &lt; 7 &amp; 8 &gt; 2</body></html>'
+        )
+        df = spark.createDataFrame([(html,)], "h string")
+        got = df.select(extract_html_text("h").alias("t")).collect()[0].t
+        assert got == (
+            "Title\nHello &lt; world x\ntail\na\nb\nline\nbreak 5 < 7 & 8 > 2"
+        )
+
+    def test_script_content_never_leaks(self, spark):
+        from metaframe_spark.operators.web import extract_html_text
+
+        df = spark.createDataFrame(
+            [('<p>ok</p><script>\nsecret();\n</script><p>fine</p>',)],
+            "h string",
+        )
+        got = df.select(extract_html_text("h").alias("t")).collect()[0].t
+        assert "secret" not in got and got == "ok\nfine"
+
+    def test_plain_text_passthrough_and_empty(self, spark):
+        from metaframe_spark.operators.web import extract_html_text
+
+        df = spark.createDataFrame(
+            [("just words, no markup",), ("",)], "h string"
+        )
+        got = [r.t for r in df.select(extract_html_text("h").alias("t")).collect()]
+        assert got == ["just words, no markup", ""]
