@@ -60,6 +60,7 @@ def curate_corpus(
     quality_model: Optional[Dict] = None,
     min_classifier_prob: float = 0.5,
     stage_counts: bool = True,
+    html_input: bool = False,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -71,6 +72,12 @@ def curate_corpus(
     NEEDS (the near-dup checkpoint chain) run, and the returned dict
     holds just ``input``, ``near_dedup`` (free: a cached scan of the
     already-materialized checkpoint) and ``output``.
+
+    ``html_input=True`` treats ``text_col`` as raw HTML and rewrites it
+    to extracted plain text first
+    (:func:`~metaframe_spark.operators.web.extract_html_text` — a
+    row-local codegen rewrite, so it adds no stage count of its own);
+    every later stage then sees clean text.
 
     ``line_filter=True`` prepends the C4 line-level scrub
     (:func:`~metaframe_spark.operators.c4_line_filter`);
@@ -168,6 +175,14 @@ def curate_corpus(
         ).drop("host", "domain", "is_https", "path_depth", "draw_rank")
         if stage_counts:
             counts["domain_cap"] = df.count()
+
+    # 0c. optional HTML -> text extraction (raw-crawl input): a pure
+    # per-row codegen rewrite of text_col, so no count of its own — the
+    # next counted stage reflects it
+    if html_input:
+        from .operators.web import extract_html_text
+
+        df = df.withColumn(text_col, extract_html_text(text_col))
 
     # 0. optional C4 line scrub (drops boilerplate lines + emptied docs)
     if line_filter:

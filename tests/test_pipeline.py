@@ -322,3 +322,18 @@ def test_stage_counts_false_skips_intermediate_actions(spark, messy):
     a = sorted(r.doc_id for r in out_full.select("doc_id").collect())
     b = sorted(r.doc_id for r in out_min.select("doc_id").collect())
     assert a == b
+
+
+def test_html_input_stage_strips_markup_before_curation(spark):
+    rows = [
+        (i, "<html><body><script>x()</script><p>doc %d "
+            "unique words here now</p></body></html>" % i)
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.95, html_input=True
+    )
+    texts = [r.text for r in out.select("text").collect()]
+    assert texts and all("<" not in t and "script" not in t for t in texts)
+    assert all(t.startswith("doc ") for t in texts)
