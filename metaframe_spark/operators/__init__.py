@@ -24,6 +24,7 @@ from .dedup import (
     minhash_near_dup_against,
     minhash_near_dup_pairs,
     near_dup_groups,
+    bloom_contamination,
     ngram_contamination,
     semantic_dedup,
     semantic_dup_pairs,
@@ -57,7 +58,7 @@ from .similarity import (
 )
 from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history, snapshot_diff
-from .timeseries import interpolate_linear
+from .timeseries import densify, interpolate_linear
 from .classifier import fit_quality_classifier, score_quality
 from .web import domain_filter, registrable_domain, url_features
 from .text import (
@@ -108,12 +109,14 @@ __all__ = [
     "minhash_near_dup_against",
     "minhash_near_dup_pairs",
     "near_dup_groups",
+    "bloom_contamination",
     "ngram_contamination",
     "bigram_nll",
     "bm25_scores",
     "ngram_vocabulary",
     "compact_files",
     "hash_split",
+    "densify",
     "interpolate_linear",
     "interval_join",
     "merge_upsert",

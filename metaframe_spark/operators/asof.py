@@ -56,8 +56,10 @@ def asof_join(
     tolerance: Optional[float] = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the latest right row with
-    ``right.on <= left.on`` (direction='backward', inclusive) or the
-    earliest with ``right.on >= left.on`` ('forward'), within ``by`` groups.
+    ``right.on <= left.on`` (direction='backward', inclusive), the
+    earliest with ``right.on >= left.on`` ('forward'), or whichever of
+    those two is closest in time ('nearest', ties go to the backward
+    match), within ``by`` groups.
 
     Returns all left columns plus ``on+suffix`` (the matched right
     timestamp) and each requested right column as ``col+suffix``.
@@ -77,9 +79,15 @@ def asof_join(
     :func:`global_asof_join`. ``allow_global=True`` without buckets keeps
     the single-partition window (fine for small frames).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     by_list = [by] if isinstance(by, str) else list(by or [])
+    if direction == "nearest" and not by_list and global_buckets > 1:
+        raise ValueError(
+            "direction='nearest' is not supported with the bucketed global "
+            "plan (a nearest match can live in either neighbor bucket); "
+            "pass by=<keys>, or allow_global=True for small frames"
+        )
     if not by_list and global_buckets > 1:
         out = global_asof_join(
             left, right, on=on, right_cols=right_cols, direction=direction,
@@ -115,20 +123,46 @@ def asof_join(
     )
     unioned = r_tag.unionByName(l_tag)
 
-    order = [F.col("_t").asc(), F.col("_tag").asc()]
-    if direction == "forward":
-        # earliest right at-or-after: reverse time, keep right-before-left at
-        # equal timestamps so the match stays inclusive
-        order = [F.col("_t").desc(), F.col("_tag").asc()]
-    w = (
-        Window.partitionBy(*by_list)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ) if by_list else (
-        Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order_b = [F.col("_t").asc(), F.col("_tag").asc()]
+    # forward = earliest right at-or-after: reverse time, keep
+    # right-before-left at equal timestamps so the match stays inclusive
+    order_f = [F.col("_t").desc(), F.col("_tag").asc()]
 
-    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    def _frame(order):
+        w = Window.partitionBy(*by_list) if by_list else Window
+        return w.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+
+    if direction == "nearest":
+        # Both one-sided candidates over the SAME union (one shuffle on the
+        # by-keys, two per-partition sorts), then a row-local pick of the
+        # closer timestamp; a tie prefers the backward (earlier) match.
+        dtype = unioned.schema["_t"].dataType
+
+        def _num(c):
+            if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            return c.cast("double")
+
+        matched = unioned.withColumn(
+            "_mb", F.last("_r", ignorenulls=True).over(_frame(order_b))
+        ).withColumn("_mf", F.last("_r", ignorenulls=True).over(_frame(order_f)))
+        pick_b = F.col("_mf").isNull() | (
+            F.col("_mb").isNotNull()
+            & (
+                F.abs(_num(F.col("_t")) - _num(F.col("_mb._on")))
+                <= F.abs(_num(F.col("_mf._on")) - _num(F.col("_t")))
+            )
+        )
+        matched = matched.withColumn(
+            "_m", F.when(pick_b, F.col("_mb")).otherwise(F.col("_mf"))
+        )
+    else:
+        order = order_b if direction == "backward" else order_f
+        matched = unioned.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(_frame(order))
+        )
     out_cols = (
         [F.col(c) for c in by_list]
         + [F.col("_t").alias(on)]

@@ -35,24 +35,39 @@ def content_hash(col) -> Column:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = None,
 ) -> DataFrame:
-    """Keep one survivor (lowest id) per distinct normalized content.
+    """Keep one survivor per distinct normalized content: the lowest id
+    by default, or — with ``quality_col`` — the HIGHEST-quality copy
+    (ties broken by lowest id), the "keep canonical" policy pipelines
+    want when duplicates differ in upstream cleanliness. NULL quality
+    ranks below every real score; ``id_col`` must be numeric for the
+    tie-break (it is negated inside the ordering struct).
 
-    Single hash-shuffle on the 256-bit content digest; ``min_by`` keeps the
-    survivor id with map-side partial aggregation (no window sort, no
-    second shuffle). Returns (hash, survivor id, group size).
+    Single hash-shuffle on the 256-bit content digest either way;
+    ``min``/``max_by`` keep the survivor with map-side partial
+    aggregation (no window sort, no second shuffle). Returns
+    (hash, survivor id, group size).
     """
+    cols = [content_hash(F.col(text_col)).alias("content_sha256"), F.col(id_col)]
+    if quality_col is not None:
+        cols.append(
+            F.coalesce(F.col(quality_col).cast("double"), F.lit(float("-inf"))).alias(
+                "_q"
+            )
+        )
+        survivor = F.max_by(
+            id_col, F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid"))
+        ).alias(id_col)
+    else:
+        survivor = F.min(id_col).alias(id_col)
     return (
-        df.select(
-            content_hash(F.col(text_col)).alias("content_sha256"),
-            F.col(id_col),
-        )
+        df.select(*cols)
         .groupBy("content_sha256")
-        .agg(
-            F.min(id_col).alias(id_col),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
+        .agg(survivor, F.count(F.lit(1)).alias("n_copies"))
     )
 
 
@@ -1168,6 +1183,86 @@ def ngram_contamination(
     )
     return (
         corp_sh.join(bench_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """:func:`ngram_contamination` for benchmark sets too large to
+    broadcast as STRINGS: broadcast a Bloom filter of the benchmark's
+    shingles instead, prefilter corpus shingles through it map-side, and
+    exact-verify the survivors. The output is identical to the exact
+    operator (the verify join removes every false positive) — the bloom
+    stage only bounds how much corpus data reaches a shuffle.
+
+    The filter is a relation, not a driver object: benchmark shingles
+    hash to ``n_hashes`` bit positions in a ``n_bits``-wide space, the
+    positions OR-fold into 64-bit words via ``bit_or`` partial
+    aggregation, and the resulting word table (``n_bits/64`` rows max —
+    8 MB of longs at the 2^22 default, usually far less) broadcast-joins
+    against corpus shingle word indexes. Each of the ``n_hashes`` probes
+    is an inner broadcast join + bit test, so a shingle with an absent
+    word drops immediately and progressively fewer rows reach each probe.
+    Only bloom SURVIVORS (true hits + the small false-positive fraction,
+    ~(set_bits/n_bits)^n_hashes of the corpus) reach the exact semi-join
+    verify — the one shuffle whose left side scales with hits, not with
+    the corpus.
+    """
+    if n_bits < 64:
+        raise ValueError("n_bits must be >= 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    bench_sh = (
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(F.explode(F.array_distinct(shingles("_toks", n))).alias("_sh"))
+        .distinct()
+    )
+
+    def _pos(i):
+        return F.pmod(F.xxhash64(F.col("_sh"), F.lit(i)), F.lit(n_bits))
+
+    words = (
+        bench_sh.select(
+            F.explode(F.array(*[_pos(i) for i in range(n_hashes)])).alias("_p")
+        )
+        .select(
+            F.floor(F.col("_p") / 64).cast("long").alias("_w"),
+            F.expr("shiftleft(cast(1 AS bigint), cast(_p % 64 AS int))").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_word"))
+    )
+
+    cand = (
+        corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(id_col, F.explode(F.array_distinct(shingles("_toks", n))).alias("_sh"))
+    )
+    for i in range(n_hashes):
+        wi = words.select(
+            F.col("_w").alias(f"_w{i}"), F.col("_word").alias(f"_word{i}")
+        )
+        cand = (
+            cand.withColumn("_p", _pos(i))
+            .withColumn(f"_w{i}", F.floor(F.col("_p") / 64).cast("long"))
+            .join(F.broadcast(wi), f"_w{i}")
+            .filter(
+                F.expr(f"(shiftright(_word{i}, cast(_p % 64 AS int)) & 1) = 1")
+            )
+            .drop("_p", f"_w{i}", f"_word{i}")
+        )
+    return (
+        cand.join(bench_sh, "_sh", "semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -11,7 +11,7 @@ family.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -77,3 +77,41 @@ def interpolate_linear(
         prev["v"] + (nxt["v"] - prev["v"]) * frac
     )
     return df.withColumn(out_col, filled)
+
+
+def densify(
+    df: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    fill: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Calendar gap-fill: complete each key's daily grid between its own
+    first and last observed ``date_col``, left-joining the observed rows
+    back in and filling the named columns of the synthesized gap days
+    with constants (unnamed columns stay NULL on gap days).
+
+    ``df`` is expected to be pre-aggregated to one row per (keys, day) —
+    the usual shape after a daily ``groupBy`` — so the output is exactly
+    the dense grid. Spans are PER KEY (a sensor that reported for one
+    week densifies one week, not the table's full history).
+
+    Scale shape: the span relation is one tiny per-key min/max aggregate;
+    ``sequence() + explode`` fans it back out to span-length rows (work
+    proportional to the OUTPUT grid, never a cross join against a global
+    calendar); the final join is keyed on (keys, day) — the same shuffle
+    key on both sides, and the grid side arrives pre-partitioned by key
+    from the explode. No window, no driver collect.
+    """
+    keys = list(keys)
+    df = df.to_spark() if hasattr(df, "to_spark") else df
+    grid = (
+        df.groupBy(*keys)
+        .agg(F.min(date_col).alias("_lo"), F.max(date_col).alias("_hi"))
+        .select(
+            *keys, F.explode(F.sequence("_lo", "_hi")).alias(date_col)
+        )
+    )
+    out = grid.join(df, keys + [date_col], "left")
+    for col, val in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return out

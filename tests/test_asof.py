@@ -60,6 +60,62 @@ class TestAsof:
         assert out["l2"] == (None, None)  # nothing after 12:00 for key 1
         assert out["l3"][1] == 300.0  # equal timestamp matches (inclusive)
 
+    def test_nearest_picks_closer_side(self, frames):
+        left, right = frames
+        out = _by_label(
+            asof_join(
+                left, right, on="ts", by="k", right_cols=["v"], direction="nearest"
+            ).collect()
+        )
+        assert out["l1"][1] == 100.0  # 10:00: 09:30 (30m) beats 11:00 (60m)
+        assert out["l2"][1] == 200.0  # 12:00: only a backward candidate exists
+        assert out["l3"][1] == 300.0  # equal timestamp, distance 0
+        assert out["l4"] == (None, None)  # no right rows for key 3
+
+    def test_nearest_forward_when_closer_and_tie_backward(self, spark):
+        df = lambda rows, schema: spark.createDataFrame(rows, schema)
+        left = df([(1, 10.0, "fwd"), (2, 10.0, "tie")], "k long, ts double, lbl string")
+        right = df(
+            [
+                (1, 2.0, 1.0), (1, 11.0, 2.0),   # forward (|1|) beats backward (|8|)
+                (2, 5.0, 3.0), (2, 15.0, 4.0),   # exact tie (|5|) -> backward wins
+            ],
+            "k long, ts double, v double",
+        )
+        out = _by_label(
+            asof_join(left, right, on="ts", by="k", right_cols=["v"], direction="nearest").collect()
+        )
+        assert out["fwd"] == (11.0, 2.0)
+        assert out["tie"] == (5.0, 3.0)
+
+    def test_nearest_single_exchange_plan(self, frames):
+        """nearest = two sorts over ONE key-partitioned exchange, no join."""
+        left, right = frames
+        plan = (
+            asof_join(left, right, on="ts", by="k", right_cols=["v"], direction="nearest")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_nearest_global_bucketed_refused(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="nearest"):
+            asof_join(
+                left, right, on="ts", direction="nearest", global_buckets=8
+            )
+
+    def test_nearest_respects_tolerance(self, frames):
+        left, right = frames
+        out = _by_label(
+            asof_join(
+                left, right, on="ts", by="k", right_cols=["v"],
+                direction="nearest", tolerance=1800.0,
+            ).collect()
+        )
+        assert out["l1"][1] == 100.0   # 30 min away — kept
+        assert out["l2"] == (None, None)  # closest is 60 min away — masked
+
     def test_left_row_count_preserved(self, frames):
         left, right = frames
         assert asof_join(left, right, on="ts", by="k").count() == left.count()

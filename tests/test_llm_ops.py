@@ -2,6 +2,8 @@
 LSH candidate-set properties, banded-join completeness, ANN recall, and the
 multimodal mapInPandas plumbing."""
 
+import datetime
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -48,6 +50,28 @@ class TestExactDedup:
         out = exact_dedup(docs.unionAll(docs), "text", "doc_id")
         ids = {r.doc_id for r in out.select("doc_id").collect()}
         assert ids == {r.doc_id for r in docs.select("doc_id").collect()}
+
+    def test_quality_col_keeps_best_copy(self, spark):
+        rows = [
+            (1, "same text", 5.0),
+            (2, "same text", 9.0),   # highest quality -> survivor
+            (3, "same text", 9.0),   # quality tie -> lower id (2) wins
+            (4, "other text", None),
+            (5, "other text", 1.0),  # NULL quality ranks below any score
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        out = {
+            r.doc_id: r.n_copies
+            for r in exact_dedup(df, "text", "doc_id", quality_col="q").collect()
+        }
+        assert out == {2: 3, 5: 2}
+
+    def test_quality_col_all_null_falls_back_to_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(7, "t", None), (3, "t", None)], "doc_id long, text string, q double"
+        )
+        out = exact_dedup(df, "text", "doc_id", quality_col="q").collect()
+        assert out[0].doc_id == 3 and out[0].n_copies == 2
 
 
 class TestMinHash:
@@ -1357,6 +1381,65 @@ class TestDecontamination:
         assert ngram_contamination(docs, bench, n=3).count() == 0
 
 
+class TestBloomContamination:
+    def test_output_identical_to_exact_operator(self, docs, spark):
+        """The bloom stage is a prefilter, not an approximation: output
+        must equal ngram_contamination exactly (verify removes FPs)."""
+        from metaframe_spark.operators import bloom_contamination, ngram_contamination
+
+        bench = docs.filter(F.col("doc_id") % 11 == 0)
+        corpus = docs.filter(F.col("doc_id") % 11 != 0)
+        exact = {
+            (r.doc_id, r.n_overlap)
+            for r in ngram_contamination(corpus, bench, n=3).collect()
+        }
+        bloom = {
+            (r.doc_id, r.n_overlap)
+            for r in bloom_contamination(corpus, bench, n=3).collect()
+        }
+        assert bloom == exact and len(exact) > 0
+
+    def test_tiny_filter_saturates_but_stays_exact(self, docs, spark):
+        """64 bits for thousands of shingles -> every bloom probe passes;
+        the verify join still yields the exact answer."""
+        from metaframe_spark.operators import bloom_contamination, ngram_contamination
+
+        bench = docs.filter(F.col("doc_id") % 11 == 0)
+        corpus = docs.filter(F.col("doc_id") % 11 != 0).limit(40)
+        exact = {
+            (r.doc_id, r.n_overlap)
+            for r in ngram_contamination(corpus, bench, n=3).collect()
+        }
+        bloom = {
+            (r.doc_id, r.n_overlap)
+            for r in bloom_contamination(
+                corpus, bench, n=3, n_bits=64, n_hashes=1
+            ).collect()
+        }
+        assert bloom == exact
+
+    def test_parameter_guards(self, docs):
+        from metaframe_spark.operators import bloom_contamination
+
+        with pytest.raises(ValueError, match="n_bits"):
+            bloom_contamination(docs, docs, n_bits=32)
+        with pytest.raises(ValueError, match="n_hashes"):
+            bloom_contamination(docs, docs, n_hashes=0)
+
+    def test_word_relation_is_broadcast(self, docs):
+        """The bloom word table must reach the corpus side as a broadcast
+        join — the corpus never shuffles for the prefilter."""
+        from metaframe_spark.operators import bloom_contamination
+
+        bench = docs.filter(F.col("doc_id") % 11 == 0)
+        corpus = docs.filter(F.col("doc_id") % 11 != 0)
+        plan = (
+            bloom_contamination(corpus, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") >= 2  # one per hash probe
+
+
 class TestVocabulary:
     def test_matches_python_ground_truth(self, docs):
         from metaframe_spark.operators.text import ngram_vocabulary
@@ -2177,3 +2260,40 @@ class TestInterpolateLinear:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestDensify:
+    def test_fills_per_key_gaps_with_constants(self, spark):
+        from metaframe_spark.operators import densify
+
+        D = datetime.date
+        rows = [
+            ("a", D(2024, 1, 1), 3, 1.5),
+            ("a", D(2024, 1, 4), 1, 2.0),  # gap: Jan 2, Jan 3
+            ("b", D(2024, 2, 1), 7, 9.0),  # single-day span, no gaps
+        ]
+        df = spark.createDataFrame(rows, "k string, d date, n long, s double")
+        out = {
+            (r.k, r.d.isoformat()): (r.n, r.s)
+            for r in densify(df, ["k"], "d", fill={"n": 0, "s": 0.0}).collect()
+        }
+        assert len(out) == 5  # a: 4 days, b: 1 day — spans are PER KEY
+        assert out[("a", "2024-01-02")] == (0, 0.0)
+        assert out[("a", "2024-01-03")] == (0, 0.0)
+        assert out[("a", "2024-01-01")] == (3, 1.5)  # observed rows untouched
+        assert out[("b", "2024-02-01")] == (7, 9.0)
+        assert ("b", "2024-01-02") not in out  # b never densifies a's span
+
+    def test_unfilled_columns_stay_null_on_gap_days(self, spark):
+        from metaframe_spark.operators import densify
+
+        D = datetime.date
+        df = spark.createDataFrame(
+            [("a", D(2024, 1, 1), 3, "x"), ("a", D(2024, 1, 3), 1, "y")],
+            "k string, d date, n long, lbl string",
+        )
+        out = {
+            r.d.isoformat(): (r.n, r.lbl)
+            for r in densify(df, ["k"], "d", fill={"n": 0}).collect()
+        }
+        assert out["2024-01-02"] == (0, None)
