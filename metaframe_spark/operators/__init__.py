@@ -60,7 +60,7 @@ from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history, snapshot_diff
 from .timeseries import densify, interpolate_linear
 from .classifier import fit_quality_classifier, score_quality
-from .web import domain_filter, registrable_domain, url_features
+from .web import canonicalize_url, domain_filter, registrable_domain, url_features
 from .text import (
     bigram_nll,
     bm25_scores,
@@ -144,5 +144,6 @@ __all__ = [
     "registrable_domain",
     "score_quality",
     "snapshot_diff",
+    "canonicalize_url",
     "url_features",
 ]

@@ -222,3 +222,56 @@ def extract_html_text(col) -> "F.Column":
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     c = F.regexp_replace(c, r"^\n+|\n+$", "")  # trim() strips spaces only
     return F.trim(c)
+
+
+#: query parameters stripped by canonicalize_url's default policy —
+#: click-tracking decorations that fragment dedup keys without changing
+#: the fetched resource. Matched by prefix against the "name=value" pair.
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "yclid", "mc_eid")
+
+
+def canonicalize_url(col, tracking_prefixes=TRACKING_PARAM_PREFIXES) -> "F.Column":
+    """Canonical form of a URL for dedup/grouping: lowercased scheme and
+    host, fragment removed, the scheme's default port dropped (other
+    ports kept), trailing slashes stripped from the path, and
+    click-tracking query parameters (``tracking_prefixes``, matched by
+    prefix against each ``name=value`` pair) removed — remaining
+    parameters keep their original ORDER (reordering would conflate
+    semantically different URLs on servers that care). A string with no
+    ``scheme://`` passes through unchanged rather than turning into
+    garbage mid-pipeline.
+
+    Crawl dedup keys on this: the same page arrives as
+    ``HTTP://Site.com/a/?utm_source=x#frag`` and ``http://site.com/a``
+    and must collapse. One codegen regexp/array-function chain on the
+    scan — no UDF, no shuffle, scan-bound at any scale (the
+    llm_url_canonical catalog entry hash-proves the chain against a
+    DuckDB replica).
+    """
+    u = col if not isinstance(col, str) else F.col(col)
+    base = F.regexp_replace(u, "#.*", "")  # fragment off first
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]+)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path_part = F.regexp_replace(path, "/+$", "")
+    query = F.regexp_extract(base, r"\?([^#]*)", 1)
+
+    def _keep(x):
+        cond = x != ""
+        for p in tracking_prefixes:
+            cond = cond & ~x.startswith(p)
+        return cond
+
+    q = F.array_join(F.filter(F.split(query, "&"), _keep), "&")
+    query_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    )

@@ -3839,6 +3839,227 @@ def llm_bloom_decontaminate(spark, sf):
     )
 
 
+@query(
+    "q77_minmax_by",
+    "WITH r AS (SELECT event_type, event_id, value, "
+    "  row_number() OVER (PARTITION BY event_type "
+    "    ORDER BY value DESC, event_id DESC) AS rhi, "
+    "  row_number() OVER (PARTITION BY event_type "
+    "    ORDER BY value ASC, event_id ASC) AS rlo "
+    "  FROM events) "
+    "SELECT event_type, "
+    "max(CASE WHEN rhi = 1 THEN event_id END) AS hi_id, "
+    "round(max(value), 6) AS hi_v, "
+    "max(CASE WHEN rlo = 1 THEN event_id END) AS lo_id, "
+    "round(min(value), 6) AS lo_v "
+    "FROM r GROUP BY 1",
+)
+def q77_minmax_by(spark, sf):
+    """Argmin/argmax aggregates (§2.3 row 6): per event type, WHICH event
+    carries the extreme value — max_by/min_by over a (value, id) ordering
+    struct, so ties break deterministically on the id without a window.
+    One partial-agg shuffle; the oracle needs TWO row_number windows (a
+    full sort) to say the same thing — exactly the shape max_by avoids
+    at scale. DuckDB's max_by can't take a struct ordering key, hence
+    the window formulation there."""
+    e = load_table(spark, sf, "events")
+    ordk = F.struct(F.col("value"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", ordk).alias("hi_id"),
+        F.round(F.max("value"), 6).alias("hi_v"),
+        F.min_by("event_id", ordk).alias("lo_id"),
+        F.round(F.min("value"), 6).alias("lo_v"),
+    )
+
+
+@query(
+    "q80_sort_nulls",
+    "SELECT 'desc_nulls_last' AS mode, event_id, round(v, 6) AS v FROM ("
+    "  SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v "
+    "  FROM events ORDER BY v DESC NULLS LAST, event_id LIMIT 50) "
+    "UNION ALL "
+    "SELECT 'asc_nulls_first' AS mode, event_id, round(v, 6) AS v FROM ("
+    "  SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v "
+    "  FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 50)",
+)
+def q80_sort_nulls(spark, sf):
+    """Explicit NULL placement in ordered top-k (§2.3 row 8 breadth):
+    desc_nulls_last picks the 50 largest real readings, asc_nulls_first
+    proves NULLs sort ahead of every value — tagged and unioned. The
+    cross-engine trap this entry pins: Spark's bare ASC defaults to
+    NULLS FIRST where DuckDB defaults to NULLS LAST, so both sides spell
+    the placement explicitly. Each arm plans as TakeOrderedAndProject
+    (per-partition top-k, never a global sort); ids tie-break for a
+    total order."""
+    e = load_table(spark, sf, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    base = e.select("event_id", v.alias("v"))
+    hi = (
+        base.orderBy(F.desc_nulls_last("v"), F.asc("event_id"))
+        .limit(50)
+        .select(F.lit("desc_nulls_last").alias("mode"), "event_id", F.round("v", 6).alias("v"))
+    )
+    lo = (
+        base.orderBy(F.asc_nulls_first("v"), F.asc("event_id"))
+        .limit(50)
+        .select(F.lit("asc_nulls_first").alias("mode"), "event_id", F.round("v", 6).alias("v"))
+    )
+    return hi.unionAll(lo.to_spark())
+
+
+@query(
+    "llm_label_centroids",
+    "SELECT label, CAST(r.i AS BIGINT) AS dim, "
+    "round(avg(CAST(embedding[r.i + 1] AS DOUBLE)), 6) AS mean_x, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) r "
+    "GROUP BY 1, 2",
+)
+def llm_label_centroids(spark, sf):
+    """DISTRIBUTED centroid computation (mean-pooling per label): the
+    embedding column posexplodes to (label, dim, x) and partial-averages
+    on the bounded (label × dim) key — the fully-distributed alternative
+    to similarity.py's sampled driver-side k-means fit when exact class
+    centroids are the product (class prototypes, nearest-class-mean
+    classifiers, per-cluster drift reports). One shuffle whose key count
+    is labels × dims regardless of corpus size; no driver collect, no
+    vector ever materialized whole. float→double cast is exact; the mean
+    rounds to 6 so partial-sum addition order cannot flip a digit.
+    DuckDB has no UNNEST WITH ORDINALITY, so the oracle uses the q74
+    LATERAL-range idiom."""
+    e = load_table(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "llm_html_links",
+    "WITH h AS (SELECT doc_id, "
+    "  '<p><a href=\"https://www.' || lower(source) || "
+    "  CAST(doc_id % 5 AS VARCHAR) || '.com/a\">x</a> and "
+    "  <a href=\"http://cdn' || CAST(doc_id % 3 AS VARCHAR) || "
+    "  '.assets' || CAST(doc_id % 2 AS VARCHAR) || '.net/img\">y</a></p>' "
+    "  AS html FROM documents), "
+    "l AS (SELECT unnest(regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)) "
+    "  AS link FROM h), "
+    "d2 AS (SELECT regexp_extract(link, '^[a-z]+://([^/?#]+)', 1) AS host FROM l) "
+    "SELECT array_to_string(string_split(host, '.')[-2:], '.') AS domain, "
+    "CAST(count(*) AS BIGINT) AS n_links FROM d2 GROUP BY 1",
+)
+def llm_html_links(spark, sf):
+    """Outlink extraction + domain rollup — the link-graph signal web
+    curation computes alongside text extraction (host authority, spam
+    neighborhoods): pull every href with one regexp_extract_all pass,
+    explode hits only, reduce to registrable-domain counts. Codegen
+    scan → explode(hits) → one bounded-key shuffle; the corpus has no
+    HTML column, so a two-link page is wrapped around each document
+    identically in both engines (the llm_html_extract pattern)."""
+    d = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<p><a href="https://www.'),
+        F.lower(F.col("source")),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.com/a">x</a> and \n  <a href="http://cdn'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".assets"),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit('.net/img">y</a></p>'),
+    )
+    links = d.select(
+        F.explode(F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)).alias(
+            "link"
+        )
+    )
+    host = F.regexp_extract("link", "^[a-z]+://([^/?#]+)", 1)
+    return (
+        links.select(F.substring_index(host, ".", -2).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+_CANON_TRACK_SQL = (
+    "x -> x <> '' AND NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'fbclid') "
+    "AND NOT starts_with(x, 'gclid') AND NOT starts_with(x, 'msclkid') "
+    "AND NOT starts_with(x, 'yclid') AND NOT starts_with(x, 'mc_eid')"
+)
+
+
+@query(
+    "llm_url_canonical",
+    "WITH aug AS (SELECT doc_id, "
+    "  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://www.' END) || "
+    "  lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
+    "  (['.com', '.org', '.net'])[CAST(doc_id % 3 AS INT) + 1] || "
+    "  (CASE WHEN doc_id % 5 = 0 THEN ':443' "
+    "        WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) || "
+    "  repeat('/seg', CAST(doc_id % 3 AS INT)) || "
+    "  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || "
+    "  '?utm_source=t&q=' || CAST(doc_id % 7 AS VARCHAR) || "
+    "  (CASE WHEN doc_id % 6 = 0 THEN '&fbclid=zz#top' ELSE '' END) AS url "
+    "  FROM documents), "
+    "b AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS base FROM aug), "
+    "p AS (SELECT doc_id, url, "
+    "  lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+    "  regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1) AS auth, "
+    "  regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path, "
+    "  regexp_extract(base, '\\?([^#]*)', 1) AS query FROM b), "
+    "c AS (SELECT doc_id, url, scheme, "
+    "  lower(regexp_extract(auth, '^([^:]+)', 1)) AS host, "
+    "  regexp_extract(auth, ':([0-9]+)$', 1) AS port, "
+    "  regexp_replace(path, '/+$', '') AS path_c, "
+    f"  array_to_string(list_filter(string_split(query, '&'), {_CANON_TRACK_SQL}), '&') AS q "
+    "  FROM p) "
+    "SELECT doc_id, url, scheme || '://' || host || "
+    "(CASE WHEN (scheme = 'http' AND port = '80') "
+    "  OR (scheme = 'https' AND port = '443') OR port = '' "
+    "  THEN '' ELSE ':' || port END) || path_c || "
+    "(CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon FROM c",
+)
+def llm_url_canonical(spark, sf):
+    """URL canonicalization (operators/web.py::canonicalize_url) — the
+    crawl-dedup key: scheme/host lowercased, fragment off, default port
+    dropped (:8080 survives, :443 survives on http), trailing slashes
+    stripped, tracking params (utm_*/fbclid/...) removed with surviving
+    params in original order. One codegen regexp/array chain on the
+    scan. The synthetic URL varies case, port, path depth, trailing
+    slash, tracking params and fragment by doc_id, built identically in
+    both engines (llm_url_features pattern); the oracle replays the
+    byte-identical chain so a hash match proves every rule."""
+    from .operators.web import canonicalize_url
+
+    d = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("http://www.")
+        ),
+        F.lower(F.col("source")),
+        (F.col("doc_id") % 5).cast("string"),
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.expr("repeat('/seg', CAST(doc_id % 3 AS INT))"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=t&q="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("&fbclid=zz#top")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url(url).alias("canon"),
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -3946,6 +4167,11 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
+    "q77_minmax_by",
+    "q80_sort_nulls",
+    "llm_label_centroids",
+    "llm_html_links",
+    "llm_url_canonical",
     "q72_bitmap_distinct",
     "q73_gapfill",
     "q74_posexplode",

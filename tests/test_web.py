@@ -194,3 +194,51 @@ class TestExtractHtmlText:
         )
         got = [r.t for r in df.select(extract_html_text("h").alias("t")).collect()]
         assert got == ["just words, no markup", ""]
+
+
+class TestCanonicalizeUrl:
+    def _canon(self, spark, urls):
+        from metaframe_spark.operators.web import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        return [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+
+    def test_case_port_fragment_slash_rules(self, spark):
+        got = self._canon(spark, [
+            "HTTP://Site.COM:80/A/b/?utm_source=x#frag",
+            "https://site.com:443/a",
+            "https://site.com:8443/a",      # non-default port survives
+            "http://site.com:443/a",        # 443 is NOT http's default
+            "http://site.com///",           # trailing slashes all stripped
+        ])
+        assert got == [
+            "http://site.com/A/b",          # path case preserved, host lowered
+            "https://site.com/a",
+            "https://site.com:8443/a",
+            "http://site.com:443/a",
+            "http://site.com",
+        ]
+
+    def test_tracking_params_dropped_order_preserved(self, spark):
+        got = self._canon(spark, [
+            "http://a.com/p?utm_source=x&b=2&fbclid=y&a=1",
+            "http://a.com/p?utm_source=x&gclid=1",   # query empties -> no '?'
+            "http://a.com/p?keep=1&keep2=2",
+        ])
+        assert got == [
+            "http://a.com/p?b=2&a=1",   # survivors keep original order
+            "http://a.com/p",
+            "http://a.com/p?keep=1&keep2=2",
+        ]
+
+    def test_schemeless_passthrough(self, spark):
+        got = self._canon(spark, ["not a url", "www.site.com/x?utm_source=1"])
+        assert got == ["not a url", "www.site.com/x?utm_source=1"]
+
+    def test_same_page_variants_collapse(self, spark):
+        variants = [
+            "HTTP://Site.com:80/a/?utm_source=x#frag",
+            "http://site.com/a?fbclid=z",
+            "http://site.com/a/",
+        ]
+        assert len(set(self._canon(spark, variants))) == 1
