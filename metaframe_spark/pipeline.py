@@ -53,6 +53,7 @@ def curate_corpus(
     semantic_min_cosine: float = 0.85,
     semantic_cells: int = 16,
     url_col: Optional[str] = None,
+    url_dedup: bool = False,
     blocked_domains: Optional[List[str]] = None,
     domain_cap: int = 0,
     domain_quality_col: Optional[str] = None,
@@ -100,6 +101,15 @@ def curate_corpus(
     n-grams collide by chance and would shred the corpus; 8+ means a
     verbatim phrase leak. Runs after dedup (fewer rows to scan) and
     before the quality gate.
+
+    ``url_col`` + ``url_dedup=True`` prepend canonical-URL dedup: the
+    same page fetched as ``HTTP://Site.com/a/?utm_source=x`` and
+    ``http://site.com/a`` collapses to its lowest-id fetch before any
+    content is scanned (:func:`~metaframe_spark.operators.web.
+    canonicalize_url` — one codegen chain plus one shuffle on the
+    canonical key). Runs FIRST: refetch duplicates are the cheapest rows
+    to drop and exact content dedup cannot see them when mirrors differ
+    in boilerplate.
 
     ``url_col`` + ``blocked_domains`` enable the domain blocklist gate
     (:func:`~metaframe_spark.operators.web.domain_filter`) as the FIRST
@@ -149,6 +159,23 @@ def curate_corpus(
     groups in one split.)
     """
     counts: Dict[str, int] = {"input": df.count()}
+
+    # 0a0. optional canonical-URL dedup — metadata-only and the cheapest
+    # duplicate class there is (refetches of one page), so it runs first
+    if url_col is not None and url_dedup:
+        from pyspark.sql import Window
+
+        from .operators.web import canonicalize_url
+
+        w = Window.partitionBy("_canon").orderBy(F.col(id_col).asc())
+        df = (
+            df.withColumn("_canon", canonicalize_url(url_col))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_canon", "_rn")
+        )
+        if stage_counts:
+            counts["url_dedup"] = df.count()
 
     # 0a. optional domain blocklist — metadata-only, so cheapest-first
     if url_col is not None and blocked_domains:

@@ -195,6 +195,36 @@ def test_semantic_dedup_stage_drops_paraphrase_twins(spark, messy):
     assert "semantic_dedup" not in base_counts
 
 
+def test_url_dedup_stage_collapses_refetch_variants(spark, messy):
+    """The same page under tracking-param/case/trailing-slash URL
+    variants keeps only its lowest-id fetch, BEFORE any content stage;
+    distinct pages on the same domain are untouched."""
+    d = messy.filter(F.col("doc_id") < 10_000)
+    # docs 0-4 are five fetches of ONE page (url variants); the rest are
+    # distinct pages
+    url = (
+        F.when(F.col("doc_id") == 0, F.lit("HTTP://Site.com:80/a/?utm_source=x#f"))
+        .when(F.col("doc_id") == 1, F.lit("http://site.com/a?fbclid=z"))
+        .when(F.col("doc_id") == 2, F.lit("http://site.com/a/"))
+        .when(F.col("doc_id") == 3, F.lit("http://SITE.com/a"))
+        .when(F.col("doc_id") == 4, F.lit("http://site.com/a?utm_b=1"))
+        .otherwise(F.concat(F.lit("http://site.com/p"), F.col("doc_id")))
+    )
+    d = d.withColumn("url", url)
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.8,
+        url_col="url", url_dedup=True,
+    )
+    assert counts["url_dedup"] == counts["input"] - 4
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in surviving and not ({1, 2, 3, 4} & surviving)
+    # stage order: url_dedup is the first count after input
+    assert list(counts)[:2] == ["input", "url_dedup"]
+    # counts stay monotone non-increasing
+    vals = list(counts.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
 def test_domain_blocklist_stage_runs_first(spark, messy):
     """Rows from blocked domains never reach the content stages; docs
     without a parseable URL are NOT dropped by a blocklist."""
