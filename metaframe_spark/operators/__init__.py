@@ -62,6 +62,7 @@ from .timeseries import densify, interpolate_linear
 from .classifier import fit_quality_classifier, score_quality
 from .web import canonicalize_url, domain_filter, registrable_domain, url_features
 from .text import (
+    clean_text,
     bigram_nll,
     bm25_scores,
     bpe_token_count,
@@ -112,6 +113,7 @@ __all__ = [
     "bloom_contamination",
     "ngram_contamination",
     "bigram_nll",
+    "clean_text",
     "bm25_scores",
     "ngram_vocabulary",
     "compact_files",

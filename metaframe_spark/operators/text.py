@@ -34,6 +34,33 @@ def normalize_text(col) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+#: characters clean_text DELETES: C0 controls (except \t \n), DEL, the
+#: zero-width family and the BOM — invisible bytes that fragment dedup
+#: keys and token counts without changing what a reader sees.
+CLEAN_DELETE_RE = "[\\x00-\\x08\\x0B-\\x1F\\x7F​‌‍﻿]"
+#: 1:1 typography fold: curly quotes -> ASCII quotes, en/em dash -> '-',
+#: NBSP -> space. Kept as a translate() pair so both engines apply the
+#: identical mapping in one pass.
+CLEAN_TRANSLATE_SRC = "‘’‚“”„–— "
+CLEAN_TRANSLATE_DST = "'''\"\"\"-- "
+
+
+def clean_text(col) -> Column:
+    """Unicode hygiene for crawled text (the CCNet/OSCAR-style scrub that
+    runs before any hashing or tokenization): strip invisible characters
+    (C0 controls, DEL, zero-widths, BOM), fold curly quotes and dashes
+    to their ASCII forms, turn NBSP into a plain space and the ellipsis
+    character into ``...``. Mojibake-lite — no charset re-decoding, just
+    the high-frequency offenders that make byte-identical paragraphs
+    hash differently across mirrors. Row-local codegen (one
+    regexp_replace + one translate + one replace), zero shuffle;
+    idempotent, so re-running a partially-cleaned corpus is safe."""
+    c = col if not isinstance(col, str) else F.col(col)
+    c = F.regexp_replace(c, CLEAN_DELETE_RE, "")
+    c = F.translate(c, CLEAN_TRANSLATE_SRC, CLEAN_TRANSLATE_DST)
+    return F.regexp_replace(c, "…", "...")
+
+
 def tokens(col) -> Column:
     """Whitespace tokens of the normalized text (array<string>).
 

@@ -62,6 +62,7 @@ def curate_corpus(
     min_classifier_prob: float = 0.5,
     stage_counts: bool = True,
     html_input: bool = False,
+    unicode_clean: bool = False,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -78,7 +79,11 @@ def curate_corpus(
     to extracted plain text first
     (:func:`~metaframe_spark.operators.web.extract_html_text` — a
     row-local codegen rewrite, so it adds no stage count of its own);
-    every later stage then sees clean text.
+    every later stage then sees clean text. ``unicode_clean=True`` then
+    applies the typography/invisible-character scrub
+    (:func:`~metaframe_spark.operators.clean_text`) — also a row-local
+    rewrite with no stage count; run it whenever the corpus mixes
+    mirrors, or dedup keys fragment on curly quotes and zero-widths.
 
     ``line_filter=True`` prepends the C4 line-level scrub
     (:func:`~metaframe_spark.operators.c4_line_filter`);
@@ -210,6 +215,14 @@ def curate_corpus(
         from .operators.web import extract_html_text
 
         df = df.withColumn(text_col, extract_html_text(text_col))
+
+    # 0d. optional unicode scrub — same no-count contract as 0c (pure
+    # row-local rewrite); after HTML extraction so entities' output is
+    # scrubbed too
+    if unicode_clean:
+        from .operators.text import clean_text
+
+        df = df.withColumn(text_col, clean_text(text_col))
 
     # 0. optional C4 line scrub (drops boilerplate lines + emptied docs)
     if line_filter:

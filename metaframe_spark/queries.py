@@ -4060,6 +4060,43 @@ def llm_url_canonical(spark, sf):
     )
 
 
+@query(
+    "llm_text_clean",
+    "WITH dirty AS (SELECT doc_id, "
+    "  '“Q' || CAST(doc_id % 7 AS VARCHAR) || '”—' || chr(160) || "
+    "  substr(text, 1, 100) || chr(8203) || '…' || chr(7) || '’s' AS t "
+    "  FROM documents) "
+    "SELECT doc_id, replace(translate(regexp_replace(t, "
+    "'[\\x00-\\x08\\x0B-\\x1F\\x7F​‌‍﻿]', '', 'g'), "
+    "'‘’‚“”„–—' || chr(160), "
+    "repeat(chr(39), 3) || '\"\"\"-- '), '…', '...') AS cleaned "
+    "FROM dirty",
+)
+def llm_text_clean(spark, sf):
+    """Unicode hygiene scrub (operators/text.py::clean_text — the
+    CCNet/OSCAR-style pass before any hashing or tokenization):
+    invisible characters deleted (C0 controls, DEL, zero-widths, BOM),
+    curly quotes/dashes folded to ASCII, NBSP to space, ellipsis to
+    '...'. Byte-identical paragraphs that differ only in typography or
+    stray control bytes hash identically afterwards. One
+    regexp_replace + translate + replace — row-local codegen, zero
+    shuffle. The corpus is clean ASCII, so a deterministic mojibake
+    wrapper is injected from doc_id identically in both engines
+    (llm_pii_mask pattern); the oracle replays the same three-step
+    chain, so the hash match proves each mapping."""
+    from .operators.text import clean_text
+
+    d = load_table(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("“Q"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("”— "),
+        F.substring("text", 1, 100),
+        F.lit("​…\x07’s"),
+    )
+    return d.select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -4167,6 +4204,7 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
+    "llm_text_clean",
     "q77_minmax_by",
     "q80_sort_nulls",
     "llm_label_centroids",

@@ -1777,6 +1777,40 @@ class TestUnigramNll:
         assert a == b
 
 
+class TestCleanText:
+    CASES = [
+        ("“Hi” ‘there’", '"Hi" \'there\''),
+        ("a—b–c", "a-b-c"),
+        ("x y", "x y"),                      # NBSP -> plain space
+        ("a​b‌c‍d﻿e", "abcde"),  # zero-widths deleted
+        ("wait… ok", "wait... ok"),
+        ("bell\x07 and\x00null", "bell andnull"),  # C0 controls deleted
+        ("tab\tand\nnewline", "tab\tand\nnewline"),  # \t \n preserved
+        ("plain ascii.", "plain ascii."),
+    ]
+
+    def test_mapping_table(self, spark):
+        from metaframe_spark.operators import clean_text
+
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(self.CASES)], "i long, t string"
+        )
+        got = {
+            r.i: r.c for r in df.select("i", clean_text("t").alias("c")).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (i, got[i], want)
+
+    def test_idempotent(self, spark):
+        from metaframe_spark.operators import clean_text
+
+        df = spark.createDataFrame(
+            [(s,) for s, _ in self.CASES], "t string"
+        ).select(clean_text("t").alias("once"))
+        twice = df.select(clean_text("once").alias("twice"), "once")
+        assert twice.filter(F.col("twice") != F.col("once")).count() == 0
+
+
 class TestCharEntropy:
     def test_row_local_equals_explode_shape(self, spark, docs):
         """The zero-shuffle replace-count shape and the explode+rollup

@@ -195,6 +195,25 @@ def test_semantic_dedup_stage_drops_paraphrase_twins(spark, messy):
     assert "semantic_dedup" not in base_counts
 
 
+def test_unicode_clean_stage_unifies_typography_variants(spark):
+    """With unicode_clean=True, two copies of a paragraph differing only
+    in curly quotes / NBSP / zero-widths become exact duplicates and
+    collapse in the exact-dedup stage."""
+    base = "said hello there and more words follow here"
+    fancy = "said ​“hello” there and more words follow here"
+    df = spark.createDataFrame(
+        [(1, base.replace("hello", '"hello"')), (2, fancy)],
+        "doc_id long, text string",
+    )
+    _, counts = curate_corpus(
+        df, min_quality=0.0, near_dup_jaccard=0.99, unicode_clean=True
+    )
+    assert counts["exact_dedup"] == 1
+    # without the scrub they stay distinct
+    _, counts2 = curate_corpus(df, min_quality=0.0, near_dup_jaccard=0.99)
+    assert counts2["exact_dedup"] == 2
+
+
 def test_url_dedup_stage_collapses_refetch_variants(spark, messy):
     """The same page under tracking-param/case/trailing-slash URL
     variants keeps only its lowest-id fetch, BEFORE any content stage;

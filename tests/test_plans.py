@@ -385,6 +385,7 @@ class TestCatalogPlanLint:
     # explicit list so a rename fails loudly rather than silently
     # un-linting an entry
     EXPENSIVE_TAIL = [
+        "llm_bloom_decontaminate",  # joined the tail in round 8 (~1.9 s)
         "llm_semantic_dedup",
         "llm_neardup_groups",
         "q58_profile",
