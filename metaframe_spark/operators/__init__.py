@@ -60,6 +60,7 @@ from .maintenance import compact_files, profile_columns
 from .merge import merge_upsert, scd2_history, snapshot_diff
 from .timeseries import densify, interpolate_linear
 from .classifier import fit_quality_classifier, score_quality
+from .graph import pagerank
 from .web import canonicalize_url, domain_filter, registrable_domain, url_features
 from .text import (
     clean_text,
@@ -147,5 +148,6 @@ __all__ = [
     "score_quality",
     "snapshot_diff",
     "canonicalize_url",
+    "pagerank",
     "url_features",
 ]

@@ -1,0 +1,101 @@
+"""Graph analytics over edge relations: damped PageRank.
+
+Connected components (dedup.py::near_dup_groups, large-star/small-star)
+covers the clustering side of graph work; this module adds the ranking
+side — the domain-authority signal web curation mixes into quality
+scores (a page on a heavily-referenced domain is a different prior than
+one on a link farm). No counterpart in the reference (its 197-line
+wrapper stops at delegation); brief-extension surface like the rest of
+the pipeline family.
+
+Scale design: every iteration is ONE equi-join of the edge list with the
+current rank relation (keyed on the source node) plus ONE aggregation
+keyed on the destination node — the standard Pregel-without-Pregel
+shape. No all-pairs anything, no driver-side matrices; the single
+driver action is the node COUNT (one scalar, needed as a literal in the
+teleport term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: cross-engine-exact accumulator for rank mass: contributions are cast
+#: to this decimal type BEFORE the sum, making the addition
+#: order-independent (the queries.py module doc's _dsum argument, at the
+#: precision rank fractions need).
+_PR_DEC = "decimal(28,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Damped PageRank over a directed edge list (duplicate edges count
+    as parallel edges). Returns (node, pr) for every node appearing as a
+    source or destination.
+
+    Semantics: ``pr_0 = 1/N``;
+    ``pr_{t+1}(v) = (1-d)/N + d * Σ_{u→v} m_{uv} · pr_t(u) / outdeg(u)``
+    with ``m_{uv}`` the edge multiplicity and ``outdeg`` counted WITH
+    multiplicity. Dangling-node mass is dropped, not redistributed —
+    ranks are comparable scores, not a probability distribution (the
+    usual choice when the product is an ordering signal; document it on
+    the data card).
+
+    Determinism: rank mass is summed in ``DECIMAL(28,18)``, so partial
+    aggregation order cannot change a bit of the result; every other
+    step is per-row IEEE arithmetic — two engines running this recipe
+    agree exactly (hash-proved by the llm_domain_pagerank oracle).
+
+    Scale shape per iteration: one hash join of edges (keyed ``src``)
+    against the rank relation and one aggregation keyed ``dst`` — both
+    shuffles on bounded node keys, edge relation never replicated. The
+    out-degree relation is computed once. ``n_iter`` is a fixed unrolled
+    loop (PageRank converges geometrically; 10-20 iterations is the
+    standard operating range).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError("damping must be in [0, 1]")
+    e = edges.to_spark() if hasattr(edges, "to_spark") else edges
+    e = e.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    nodes.persist()
+    n = nodes.count()  # the one driver scalar (teleport term literal)
+    teleport = (1.0 - damping) / n
+    pr = nodes.withColumn("_pr", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(deg, "_s")
+            .join(pr.select(F.col("node").alias("_s"), "_pr"), "_s")
+            .select(F.col("_d"), (F.col("_pr") / F.col("_deg")).alias("_c"))
+        )
+        mass = contrib.groupBy("_d").agg(
+            F.sum(F.col("_c").cast(_PR_DEC)).cast("double").alias("_m")
+        )
+        pr = nodes.join(
+            mass.select(F.col("_d").alias("node"), "_m"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("_m"), F.lit(0.0))
+            ).alias("_pr"),
+        )
+    out = pr.select("node", F.col("_pr").alias("pr"))
+    # the node relation is re-read every iteration; release the cache
+    # after the consuming action (the oracle-harness/_mf_persisted
+    # contract, same as dedup.minhash_near_dup_pairs)
+    out._mf_persisted = nodes
+    return out

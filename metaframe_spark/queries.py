@@ -4097,6 +4097,132 @@ def llm_text_clean(spark, sf):
     return d.select("doc_id", clean_text(dirty).alias("cleaned"))
 
 
+@query(
+    "q81_cogroup",
+    "WITH o AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders, "
+    "  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM orders "
+    "  WHERE o_custkey % 19 = 3 GROUP BY 1), "
+    "c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 19 = 3) "
+    "SELECT coalesce(o.k, c.k) AS custkey, "
+    "coalesce(n_orders, 0) AS n_orders, "
+    "CAST(coalesce(cents, 0) AS DOUBLE) / 100 AS sum_price "
+    "FROM o FULL JOIN c ON o.k = c.k",
+)
+def q81_cogroup(spark, sf):
+    """Two-sided Arrow grouped-map (§2.3 row 17's remaining shape):
+    ``cogroup(...).applyInPandas`` joins each customer's order batch with
+    its customer batch INSIDE pandas — the escape hatch for per-key
+    logic no join+agg can express (here a SQL-expressible stand-in so
+    the oracle can hash-check the plumbing). Keys from either side
+    survive (customers with no orders emit zeros — cogroup's full-outer
+    contract). Money sums in integer CENTS inside pandas: int64
+    addition is order-independent, so the nondeterministic Arrow batch
+    order cannot wiggle a double sum. One co-partitioned shuffle pair,
+    Arrow-batched both directions, no driver collect. Restricted to a
+    deterministic 1/19 customer slice: per-group pandas dispatch costs
+    ~100 µs/group regardless of group size, and the plumbing is proved
+    as well on 8k groups as on 150k — the full-corpus shape for this
+    computation is q08/q81's plain join+agg, not a grouped UDF."""
+    import pandas as pd
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") % 19 == 3)
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") % 19 == 3)
+
+    def per_customer(key, orders_pdf, cust_pdf):
+        cents = (
+            orders_pdf["o_totalprice"].mul(100).round().astype("int64").sum()
+            if len(orders_pdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(orders_pdf)],
+                "sum_price": [cents / 100.0],
+            }
+        )
+
+    grouped = (
+        o.to_spark()
+        .groupBy(F.col("o_custkey").alias("k"))
+        .cogroup(c.to_spark().groupBy(F.col("c_custkey").alias("k")))
+    )
+    return grouped.applyInPandas(
+        per_customer, schema="custkey long, n_orders long, sum_price double"
+    )
+
+
+_PR_EDGES_SQL = (
+    "(SELECT lower(source) || CAST(doc_id % 7 AS VARCHAR) || '.org' AS s, "
+    " lower(source) || CAST(doc_id % 5 AS VARCHAR) || '.com' AS d FROM documents "
+    " UNION ALL "
+    " SELECT lower(source) || CAST(doc_id % 7 AS VARCHAR) || '.org', "
+    " 'assets' || CAST(doc_id % 2 AS VARCHAR) || '.net' FROM documents)"
+)
+
+#: one damped-PageRank sweep in SQL: rank mass summed in DECIMAL(28,18)
+#: (order-independent), teleport/damping arithmetic forced to DOUBLE so
+#: both engines run the identical IEEE recipe (DuckDB decimal literals
+#: would otherwise compute (1.0-0.85) exactly and diverge in the last bit).
+_PR_STEP_SQL = (
+    "SELECT n2.node, "
+    "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n "
+    "+ CAST(0.85 AS DOUBLE) * coalesce(mm.m, CAST(0.0 AS DOUBLE)) AS pr "
+    "FROM nodes n2 CROSS JOIN nn LEFT JOIN ("
+    "  SELECT e.d, CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(28,18))) AS DOUBLE) AS m "
+    "  FROM e JOIN deg USING (s) JOIN {prev} p ON p.node = e.s GROUP BY e.d"
+    ") mm ON mm.d = n2.node"
+)
+
+
+@query(
+    "llm_domain_pagerank",
+    f"WITH e AS (SELECT * FROM {_PR_EDGES_SQL} t), "
+    "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), "
+    "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e), "
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+    "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn), "
+    f"pr1 AS ({_PR_STEP_SQL.format(prev='pr0')}), "
+    f"pr2 AS ({_PR_STEP_SQL.format(prev='pr1')}) "
+    "SELECT node, round(pr, 6) AS pr FROM pr2",
+)
+def llm_domain_pagerank(spark, sf):
+    """Domain authority via damped PageRank (operators/graph.py) — the
+    link-graph ranking signal web curation mixes into quality priors,
+    run for two unrolled iterations over the synthetic outlink graph
+    (page domain → linked domain, built from doc_id/source identically
+    in both engines; multiplicities are real parallel edges). Each
+    iteration is one edge⋈rank hash join plus one dst-keyed aggregate —
+    the Pregel shape without Pregel; rank mass sums in DECIMAL(28,18) so
+    partial-agg order cannot move a bit, which is what lets a DuckDB
+    replica of the identical recipe hash-match double-typed ranks.
+    Dangling mass dropped by contract (documented in the operator)."""
+    from .operators.graph import pagerank
+
+    d = load_table(spark, sf, "documents")
+    src = F.concat(
+        F.lower(F.col("source")), (F.col("doc_id") % 7).cast("string"), F.lit(".org")
+    )
+    e1 = d.select(
+        src.alias("src"),
+        F.concat(
+            F.lower(F.col("source")), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com"),
+        ).alias("dst"),
+    )
+    e2 = d.select(
+        src.alias("src"),
+        F.concat(
+            F.lit("assets"), (F.col("doc_id") % 2).cast("string"), F.lit(".net")
+        ).alias("dst"),
+    )
+    edges = e1.unionAll(e2.to_spark())
+    pr = pagerank(edges, n_iter=2, damping=0.85)
+    out = pr.select("node", F.round("pr", 6).alias("pr"))
+    out._mf_persisted = getattr(pr, "_mf_persisted", None)
+    return out
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -4204,6 +4330,8 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
+    "llm_domain_pagerank",
+    "q81_cogroup",
     "llm_text_clean",
     "q77_minmax_by",
     "q80_sort_nulls",

@@ -2331,3 +2331,56 @@ class TestDensify:
             for r in densify(df, ["k"], "d", fill={"n": 0}).collect()
         }
         assert out["2024-01-02"] == (0, None)
+
+
+class TestPageRank:
+    def test_hand_computed_one_iteration(self, spark):
+        """A->B, A->C, B->C; C dangling. N=3, pr0=1/3, one sweep:
+        pr(A)=0.15/3; pr(B)=0.05+0.85*(1/6); pr(C)=0.05+0.85*(1/6+1/3)."""
+        from metaframe_spark.operators import pagerank
+
+        e = spark.createDataFrame(
+            [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+        )
+        out = pagerank(e, n_iter=1)
+        got = {r.node: r.pr for r in out.collect()}
+        out._mf_persisted.unpersist()
+        assert got["A"] == pytest.approx(0.05)
+        assert got["B"] == pytest.approx(0.05 + 0.85 / 6)
+        assert got["C"] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 3))
+
+    def test_parallel_edges_double_the_contribution(self, spark):
+        from metaframe_spark.operators import pagerank
+
+        # A->B twice, A->C once: B receives 2/3 of A's mass
+        e = spark.createDataFrame(
+            [("A", "B"), ("A", "B"), ("A", "C")], "src string, dst string"
+        )
+        out = pagerank(e, n_iter=1)
+        got = {r.node: r.pr for r in out.collect()}
+        out._mf_persisted.unpersist()
+        assert got["B"] == pytest.approx(0.05 + 0.85 * (2 / 3) * (1 / 3))
+        assert got["C"] == pytest.approx(0.05 + 0.85 * (1 / 3) * (1 / 3))
+
+    def test_deterministic_under_repartition(self, spark):
+        """Decimal-summed mass: identical BITS regardless of layout."""
+        from metaframe_spark.operators import pagerank
+
+        rows = [(f"n{i % 17}", f"n{(i * 7 + 3) % 17}") for i in range(400)]
+        e = spark.createDataFrame(rows, "src string, dst string")
+        a = pagerank(e, n_iter=3)
+        ga = {r.node: r.pr for r in a.collect()}
+        a._mf_persisted.unpersist()
+        b = pagerank(e.repartition(13), n_iter=3)
+        gb = {r.node: r.pr for r in b.collect()}
+        b._mf_persisted.unpersist()
+        assert ga == gb  # exact equality, not approx
+
+    def test_parameter_guards(self, spark):
+        from metaframe_spark.operators import pagerank
+
+        e = spark.createDataFrame([("A", "B")], "src string, dst string")
+        with pytest.raises(ValueError, match="n_iter"):
+            pagerank(e, n_iter=0)
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(e, damping=1.5)
