@@ -4323,6 +4323,14 @@ _R7_DRIVER_BLESSED = frozenset(
 _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 
 # New-this-round entries to pin at the very front of the driver window.
+#
+# ROUND-9 NOTE (execute at the start of round 9): fold every key with a
+# green row in CORRECTNESS_r08.json into a `_R8_DRIVER_BLESSED` frozenset
+# (union into `_DRIVER_BLESSED`), then reset `_ROTATE_FIRST` to the
+# round-9 additions only. The r8 window holds the 35 never-blessed keys
+# below (all 17 r8-first-wave + 18 second-wave additions) + 15 blessed
+# backfill — count new r9 entries so never-blessed stays <= 50.
+#
 # ROUND-8 ROTATION (executing the r7 note): the never-blessed tail from r7
 # — llm_url_features, llm_domain_cap, q62_null_safe_join (registered at
 # positions 51+, outside the driver's 50-entry window) — goes first, along
