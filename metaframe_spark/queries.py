@@ -4223,6 +4223,37 @@ def llm_domain_pagerank(spark, sf):
     return out
 
 
+@query(
+    "q82_make_datetime",
+    "SELECT event_id, "
+    "make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT), "
+    "  CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT), "
+    "  CAST(minute(ts) AS BIGINT), CAST(CAST(second(ts) AS BIGINT) AS DOUBLE)) "
+    "  AS rebuilt_ts, "
+    "strftime(make_date(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT), "
+    "  CAST(day(ts) AS BIGINT)), '%Y-%m-%d') AS d "
+    "FROM events",
+)
+def q82_make_datetime(spark, sf):
+    """Datetime CONSTRUCTORS (§2.3 row 11's remaining sub-family —
+    q23/q53/q59 only ever extract): make_timestamp / make_date rebuilt
+    from the extracted fields of each event's own timestamp, a
+    round-trip that proves extraction and construction agree to the
+    second in both engines (sub-second digits drop with second()'s
+    integer contract — stated, not hidden). Row-local codegen; dates
+    render as strings (q53 idiom)."""
+    e = load_table(spark, sf, "events")
+    t = F.col("ts")
+    y, mo, d = F.year(t), F.month(t), F.dayofmonth(t)
+    return e.select(
+        "event_id",
+        F.make_timestamp(
+            y, mo, d, F.hour(t), F.minute(t), F.second(t).cast("double")
+        ).alias("rebuilt_ts"),
+        F.date_format(F.make_date(y, mo, d), "yyyy-MM-dd").alias("d"),
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -4338,6 +4369,7 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
+    "q82_make_datetime",
     "llm_domain_pagerank",
     "q81_cogroup",
     "llm_text_clean",
