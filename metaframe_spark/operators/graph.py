@@ -73,6 +73,11 @@ def pagerank(
     )
     nodes.persist()
     n = nodes.count()  # the one driver scalar (teleport term literal)
+    if n == 0:
+        # empty edge list -> empty ranking, not a ZeroDivisionError
+        out = nodes.withColumn("pr", F.lit(0.0)).select("node", "pr")
+        out._mf_persisted = nodes
+        return out
     teleport = (1.0 - damping) / n
     pr = nodes.withColumn("_pr", F.lit(1.0 / n))
     for _ in range(n_iter):

@@ -2384,3 +2384,11 @@ class TestPageRank:
             pagerank(e, n_iter=0)
         with pytest.raises(ValueError, match="damping"):
             pagerank(e, damping=1.5)
+
+    def test_empty_edges_yield_empty_ranking(self, spark):
+        from metaframe_spark.operators import pagerank
+
+        e = spark.createDataFrame([], "src string, dst string")
+        out = pagerank(e, n_iter=2)
+        assert out.columns == ["node", "pr"] and out.count() == 0
+        out._mf_persisted.unpersist()
