@@ -385,6 +385,8 @@ class TestCatalogPlanLint:
     # explicit list so a rename fails loudly rather than silently
     # un-linting an entry
     EXPENSIVE_TAIL = [
+        "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
+        "llm_neardup_incremental",  # top-12 in the r8 full run (~2.1 s)
         "q81_cogroup",              # joined the tail in round 8 (~3.7 s)
         "llm_domain_pagerank",      # joined the tail in round 8 (~2.0 s)
         "llm_bloom_decontaminate",  # joined the tail in round 8 (~1.9 s)
