@@ -23,11 +23,21 @@ Usage::
     df = (spark.read.format("synthetic_corpus")
           .option("rows", 1_000_000).option("partitions", 64)
           .option("seed", 7).load())
+
+    # streaming face: a replayable feed of the same rows
+    stream = (spark.readStream.format("synthetic_corpus")
+              .option("rows_per_batch", 500).option("max_rows", 10_000)
+              .load())
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -58,6 +68,27 @@ class _CorpusPartition(InputPartition):
         self.start, self.end, self.seed = start, end, seed
 
 
+def _gen_row(seed: int, i: int):
+    """Row i of the corpus for this seed — a pure function, identical on
+    any executor, any partition layout, batch or streaming."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+    n_words = 10 + h % 90
+    words = [
+        _WORDS[(h >> (j % 48)) % len(_WORDS) ^ (i + j) % len(_WORDS)]
+        for j in range(n_words)
+    ]
+    text = " ".join(words)
+    return (
+        i,
+        text,
+        _LANGS[h % len(_LANGS)],
+        _SOURCES[(h >> 8) % len(_SOURCES)],
+        len(text),
+    )
+
+
 class _CorpusReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
@@ -83,25 +114,41 @@ class _CorpusReader(DataSourceReader):
     def read(self, partition):
         # executor-side: every row is a pure function of (seed, index) —
         # reproducible on any cluster, any partition count
-        import hashlib
-
         for i in range(partition.start, partition.end):
-            h = int.from_bytes(
-                hashlib.md5(f"{partition.seed}:{i}".encode()).digest()[:8], "big"
-            )
-            n_words = 10 + h % 90
-            words = [
-                _WORDS[(h >> (j % 48)) % len(_WORDS) ^ (i + j) % len(_WORDS)]
-                for j in range(n_words)
-            ]
-            text = " ".join(words)
-            yield (
-                i,
-                text,
-                _LANGS[h % len(_LANGS)],
-                _SOURCES[(h >> 8) % len(_SOURCES)],
-                len(text),
-            )
+            yield _gen_row(partition.seed, i)
+
+
+class _CorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same corpus: a replayable, offset-tracked
+    feed (Spark 4 ``SimpleDataSourceStreamReader``). The offset is just
+    the next row index, so `readBetweenOffsets` regenerates any
+    microbatch exactly (rows are pure functions of (seed, index)) —
+    replay after failure is byte-identical and exactly-once end-to-end.
+    ``rows_per_batch`` bounds each microbatch; ``max_rows`` (0 =
+    unbounded) lets tests and backfills drain to a fixed row count, after
+    which the reader reports no new data."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 0))
+        self.seed = int(options.get("seed", 42))
+        if self.rows_per_batch < 1:
+            raise ValueError("rows_per_batch must be >= 1")
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        lo = start["index"]
+        hi = lo + self.rows_per_batch
+        if self.max_rows:
+            hi = max(lo, min(hi, self.max_rows))
+        return iter([_gen_row(self.seed, i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_gen_row(self.seed, i) for i in range(start["index"], end["index"])]
+        )
 
 
 class SyntheticCorpusDataSource(DataSource):
@@ -116,6 +163,9 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema):
         return _CorpusReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _CorpusStreamReader(self.options)
 
 
 def register_synthetic_corpus(spark) -> None:

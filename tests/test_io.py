@@ -269,3 +269,43 @@ class TestSyntheticCorpusSource:
 
     def test_empty_source(self, spark):
         assert self._load(spark, rows=0).count() == 0
+
+    def test_stream_reader_drains_exactly_once_and_matches_batch(self, spark):
+        """The streaming face (SimpleDataSourceStreamReader): offset-
+        tracked microbatches drain max_rows rows exactly once, and the
+        rows are byte-identical to the batch read of the same (seed, n)
+        — the replayable-feed contract."""
+        import time
+
+        from metaframe_spark.sources import register_synthetic_corpus
+
+        register_synthetic_corpus(spark)
+        stream = (
+            spark.readStream.format("synthetic_corpus")
+            .option("rows_per_batch", 37)   # deliberately not a divisor
+            .option("max_rows", 200)
+            .option("seed", 11)
+            .load()
+        )
+        assert stream.isStreaming
+        name = "synth_stream_sink"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table(name).count() >= 200:
+                    break
+                time.sleep(0.5)
+            got = sorted(map(tuple, spark.table(name).collect()))
+        finally:
+            q.stop()
+        want = sorted(
+            map(tuple, self._load(spark, rows=200, seed=11).collect())
+        )
+        assert len(got) == 200          # drained, no duplicates past max_rows
+        assert got == want              # streamed rows == batch rows
