@@ -104,6 +104,15 @@ def densify(
     """
     keys = list(keys)
     df = df.to_spark() if hasattr(df, "to_spark") else df
+    from pyspark.sql.types import DateType
+
+    if not isinstance(df.schema[date_col].dataType, DateType):
+        raise ValueError(
+            f"densify expects a DATE column for {date_col!r} (got "
+            f"{df.schema[date_col].dataType.simpleString()}); cast "
+            "timestamps to date first — sequence() over timestamps would "
+            "step at a different grain than the daily grid"
+        )
     grid = (
         df.groupBy(*keys)
         .agg(F.min(date_col).alias("_lo"), F.max(date_col).alias("_hi"))

@@ -2318,6 +2318,16 @@ class TestDensify:
         assert out[("b", "2024-02-01")] == (7, 9.0)
         assert ("b", "2024-01-02") not in out  # b never densifies a's span
 
+    def test_rejects_non_date_column(self, spark):
+        from metaframe_spark.operators import densify
+
+        df = spark.createDataFrame(
+            [("a", datetime.datetime(2024, 1, 1), 1)],
+            "k string, d timestamp, n long",
+        )
+        with pytest.raises(ValueError, match="DATE column"):
+            densify(df, ["k"], "d")
+
     def test_unfilled_columns_stay_null_on_gap_days(self, spark):
         from metaframe_spark.operators import densify
 
