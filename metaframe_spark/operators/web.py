@@ -232,8 +232,8 @@ TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "yclid", "mc_ei
 
 def canonicalize_url(col, tracking_prefixes=TRACKING_PARAM_PREFIXES) -> "F.Column":
     """Canonical form of a URL for dedup/grouping: lowercased scheme and
-    host, fragment removed, the scheme's default port dropped (other
-    ports kept), trailing slashes stripped from the path, and
+    host, fragment and userinfo removed, the scheme's default port
+    dropped (other ports kept), trailing slashes stripped from the path, and
     click-tracking query parameters (``tracking_prefixes``, matched by
     prefix against each ``name=value`` pair) removed — remaining
     parameters keep their original ORDER (reordering would conflate
@@ -252,6 +252,10 @@ def canonicalize_url(col, tracking_prefixes=TRACKING_PARAM_PREFIXES) -> "F.Colum
     base = F.regexp_replace(u, "#.*", "")  # fragment off first
     scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    # userinfo (user:pass@) is stripped from the canonical form — it is
+    # never part of the page identity and would otherwise be read as the
+    # host by the regexes below
+    auth = F.regexp_replace(auth, "^[^@]*@", "")
     host = F.lower(F.regexp_extract(auth, r"^([^:]+)", 1))
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
     default_port = (
