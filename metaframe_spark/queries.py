@@ -4254,6 +4254,63 @@ def q82_make_datetime(spark, sf):
     )
 
 
+@query(
+    "q83_union_by_name",
+    "SELECT c_custkey AS k, round(c_acctbal, 6) AS bal, "
+    "CAST(NULL AS VARCHAR) AS sname FROM customer "
+    "UNION ALL BY NAME "
+    "SELECT s_suppkey AS k, CAST(NULL AS DOUBLE) AS bal, s_name AS sname "
+    "FROM supplier",
+)
+def q83_union_by_name(spark, sf):
+    """Schema-evolution union (§2.3 row 9's remaining variant):
+    unionByName(allowMissingColumns=True) — the append a pipeline does
+    when one input has grown columns the other lacks; missing columns
+    fill with NULL and alignment is BY NAME, not by position (positional
+    unionAll would silently zip k against bal). DuckDB spells the same
+    operation UNION ALL BY NAME. Pure merge — no shuffle at all."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 6).alias("bal")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("k"), F.col("s_name").alias("sname")
+    )
+    return c.unionByName(s.to_spark(), allowMissingColumns=True)
+
+
+@query(
+    "q84_json_array",
+    "WITH j AS (SELECT doc_id, '[' || CAST(doc_id % 5 AS VARCHAR) || ',' || "
+    "  CAST(doc_id % 7 AS VARCHAR) || ',' || CAST(doc_id % 11 AS VARCHAR) || ']' "
+    "  AS s FROM documents), "
+    "a AS (SELECT doc_id, CAST(s AS INT[]) AS arr FROM j) "
+    "SELECT doc_id, CAST(len(arr) AS INT) AS n, arr[1] AS first_v, "
+    "arr[-1] AS last_v, CAST(list_sum(arr) AS INT) AS total "
+    "FROM a",
+)
+def q84_json_array(spark, sf):
+    """JSON ARRAY parsing (q36 covers only the struct path): a JSON array
+    string parsed to array<int> with from_json, then indexed from both
+    ends (element_at supports negative indexes, matching DuckDB's
+    1-based/-1-based list indexing) and folded with the aggregate()
+    higher-order sum. Row-local codegen on the scan; the array text is
+    synthesized from doc_id identically in both engines."""
+    d = load_table(spark, sf, "documents")
+    s = F.concat(
+        F.lit("["), (F.col("doc_id") % 5).cast("string"),
+        F.lit(","), (F.col("doc_id") % 7).cast("string"),
+        F.lit(","), (F.col("doc_id") % 11).cast("string"), F.lit("]"),
+    )
+    a = d.select("doc_id", F.from_json(s, "array<int>").alias("arr"))
+    return a.select(
+        "doc_id",
+        F.size("arr").alias("n"),
+        F.element_at("arr", 1).alias("first_v"),
+        F.element_at("arr", -1).alias("last_v"),
+        F.expr("aggregate(arr, 0, (acc, x) -> acc + x)").alias("total"),
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -4369,6 +4426,8 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
 # completing full driver coverage of the catalog.
 _ROTATE_FIRST: list = [
+    "q83_union_by_name",
+    "q84_json_array",
     "q82_make_datetime",
     "llm_domain_pagerank",
     "q81_cogroup",
