@@ -4415,8 +4415,8 @@ _DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
 # ROUND-9 NOTE (execute at the start of round 9): fold every key with a
 # green row in CORRECTNESS_r08.json into a `_R8_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), then reset `_ROTATE_FIRST` to the
-# round-9 additions only. The r8 window holds the 35 never-blessed keys
-# below (all 17 r8-first-wave + 18 second-wave additions) + 15 blessed
+# round-9 additions only. The r8 window holds the 38 never-blessed keys
+# below (17 r8-first-wave + 21 second-wave additions) + 12 blessed
 # backfill — count new r9 entries so never-blessed stays <= 50.
 #
 # ROUND-8 ROTATION (executing the r7 note): the never-blessed tail from r7
