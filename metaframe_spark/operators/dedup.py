@@ -971,6 +971,11 @@ def _reshard_hot_cells(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # hand the pinned cache back through the _mf_persisted release
+    # contract (same as pagerank / minhash_near_dup_pairs) so callers can
+    # unpersist after the consuming action instead of leaking it for the
+    # session
+    out._mf_persisted = assigned
     return out
 
 
@@ -1118,12 +1123,16 @@ def semantic_dup_pairs(
     )
     ea = cfeats.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = cfeats.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
+    result = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select("id_a", "id_b", F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+    # propagate the hot-cell reshard's pinned cache (if any) to the
+    # relation the caller actually consumes, so it can be released there
+    result._mf_persisted = getattr(assigned, "_mf_persisted", None)
+    return result
 
 
 def semantic_dedup(
@@ -1144,7 +1153,9 @@ def semantic_dedup(
         corpus, min_cosine=min_cosine, n_cells=n_cells,
         id_col=id_col, vec_col=vec_col, **kwargs,
     )
-    return dedup_survivors(corpus, pairs, id_col=id_col)
+    out = dedup_survivors(corpus, pairs, id_col=id_col)
+    out._mf_persisted = getattr(pairs, "_mf_persisted", None)
+    return out
 
 
 def ngram_contamination(

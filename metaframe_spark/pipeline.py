@@ -172,9 +172,19 @@ def curate_corpus(
 
         from .operators.web import canonicalize_url
 
+        # NULL-url docs are NOT duplicates of each other: give each one a
+        # private partition key (derived from its id) so they all survive,
+        # matching domain_filter's keep-unparseable contract — and avoiding
+        # the one-giant-partition skew a shared NULL key would create.
         w = Window.partitionBy("_canon").orderBy(F.col(id_col).asc())
         df = (
-            df.withColumn("_canon", canonicalize_url(url_col))
+            df.withColumn(
+                "_canon",
+                F.coalesce(
+                    canonicalize_url(url_col),
+                    F.concat(F.lit("\x00id:"), F.col(id_col).cast("string")),
+                ),
+            )
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_canon", "_rn")
@@ -196,15 +206,25 @@ def curate_corpus(
         from .operators.sampling import stratified_sample_exact
         from .operators.web import url_features
 
-        feat = url_features(df, url_col, psl=psl)
+        # url_features/stratified_sample_exact emit fixed column names;
+        # stash any input columns that clash so caller data survives the
+        # stage (rename is metadata-only — no extra jobs)
+        _feature_names = ("host", "domain", "is_https", "path_depth", "draw_rank")
+        _stash = {c: f"_mf_stash_{c}" for c in df.columns if c in _feature_names}
+        work = df
+        for c, t in _stash.items():
+            work = work.withColumnRenamed(c, t)
+        feat = url_features(work, _stash.get(url_col, url_col), psl=psl)
         df = stratified_sample_exact(
             feat,
             ["domain"],
             domain_cap,
-            id_col,
-            by=domain_quality_col,
+            _stash.get(id_col, id_col),
+            by=_stash.get(domain_quality_col, domain_quality_col),
             descending=domain_quality_col is not None,
-        ).drop("host", "domain", "is_https", "path_depth", "draw_rank")
+        ).drop(*_feature_names)
+        for c, t in _stash.items():
+            df = df.withColumnRenamed(t, c)
         if stage_counts:
             counts["domain_cap"] = df.count()
 

@@ -4408,62 +4408,99 @@ _R7_DRIVER_BLESSED = frozenset(
     ]
 )
 
-_DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED
+# Keys with a green row in CORRECTNESS_r08.json (the r8 driver window, 50/50
+# green) — folded into the blessed set per the round-9 rotation plan.
+_R8_DRIVER_BLESSED = frozenset(
+    [f"q{i:02d}" for i in range(1, 13)]
+    + [
+        "q62_null_safe_join",
+        "q63_map_hof",
+        "q64_salted_join",
+        "q65_bitwise",
+        "q66_string_agg",
+        "q67_variant",
+        "q68_interpolate",
+        "q69_snapshot_diff",
+        "q70_stats_agg",
+        "q71_interval_join",
+        "q72_bitmap_distinct",
+        "q73_gapfill",
+        "q74_posexplode",
+        "q75_try_funcs",
+        "q76_regex_funcs",
+        "q77_minmax_by",
+        "q78_asof_nearest",
+        "q79_set_ops_all",
+        "q80_sort_nulls",
+        "q81_cogroup",
+        "q82_make_datetime",
+        "q83_union_by_name",
+        "q84_json_array",
+        "llm_bloom_decontaminate",
+        "llm_dedup_keep_best",
+        "llm_domain_cap",
+        "llm_domain_pagerank",
+        "llm_html_extract",
+        "llm_html_links",
+        "llm_label_centroids",
+        "llm_mix_report",
+        "llm_neardup_incremental",
+        "llm_psl_domains",
+        "llm_quality_classifier",
+        "llm_text_clean",
+        "llm_url_canonical",
+        "llm_url_features",
+        "llm_weighted_sample",
+    ]
+)
+
+_DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED | _R8_DRIVER_BLESSED
 
 # New-this-round entries to pin at the very front of the driver window.
 #
-# ROUND-9 NOTE (execute at the start of round 9): fold every key with a
-# green row in CORRECTNESS_r08.json into a `_R8_DRIVER_BLESSED` frozenset
-# (union into `_DRIVER_BLESSED`), then reset `_ROTATE_FIRST` to the
-# round-9 additions only. The r8 window holds the 38 never-blessed keys
-# below (17 r8-first-wave + 21 second-wave additions) + 12 blessed
-# backfill — count new r9 entries so never-blessed stays <= 50.
+# ROUND-9 ROTATION (executing the r8 note): every catalog key now carries a
+# green driver CORRECTNESS row (r02-r08 union == catalog), so the window is
+# pure re-verification budget.  Order: round-9 additions first (never
+# checked anywhere), then the OLDEST-blessed entries — q13..q30 plus the
+# first llm_* wave were last driver-checked in r02-r06 and are due a
+# regression re-check.  The `_rotate_registration` backfill (blessed keys in
+# registration order) supplies the rest of the 50-slot window.
 #
-# ROUND-8 ROTATION (executing the r7 note): the never-blessed tail from r7
-# — llm_url_features, llm_domain_cap, q62_null_safe_join (registered at
-# positions 51+, outside the driver's 50-entry window) — goes first, along
-# with every entry newly added this round.  With 100/103 prior entries
-# blessed, the r8 window = 3 tail + new r8 entries + long-blessed backfill,
-# completing full driver coverage of the catalog.
+# ROUND-10 NOTE (execute at the start of round 10): fold every key with a
+# green row in CORRECTNESS_r09.json into a `_R9_DRIVER_BLESSED` frozenset
+# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-10
+# additions + the next-oldest blessed block (q31_asof..q61 were last
+# driver-checked r06-r07).
 _ROTATE_FIRST: list = [
-    "q83_union_by_name",
-    "q84_json_array",
-    "q82_make_datetime",
-    "llm_domain_pagerank",
-    "q81_cogroup",
-    "llm_text_clean",
-    "q77_minmax_by",
-    "q80_sort_nulls",
-    "llm_label_centroids",
-    "llm_html_links",
-    "llm_url_canonical",
-    "q72_bitmap_distinct",
-    "q73_gapfill",
-    "q74_posexplode",
-    "q75_try_funcs",
-    "q76_regex_funcs",
-    "q78_asof_nearest",
-    "q79_set_ops_all",
-    "llm_dedup_keep_best",
-    "llm_bloom_decontaminate",
-    "q63_map_hof",
-    "q64_salted_join",
-    "llm_weighted_sample",
-    "llm_mix_report",
-    "llm_psl_domains",
-    "llm_quality_classifier",
-    "q65_bitwise",
-    "q66_string_agg",
-    "q67_variant",
-    "q68_interpolate",
-    "q69_snapshot_diff",
-    "q70_stats_agg",
-    "q71_interval_join",
-    "llm_html_extract",
-    "llm_neardup_incremental",
-    "llm_url_features",
-    "llm_domain_cap",
-    "q62_null_safe_join",
+    # round-9 additions (never driver-checked before)
+    "q85_hll_sketch",
+    "q86_blocklist_antijoin",
+    "llm_pagerank_redistribute",
+    "llm_minhash_store",
+    "q87_approx_topk",
+    "q88_window_dedup_rank",
+    # oldest-blessed regression re-checks (last driver-checked r02-r06)
+    *[f"q{i:02d}" for i in range(13, 31)],
+    "q19b",
+    "q31_asof",
+    "llm_exact_dedup",
+    "llm_quality",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_ngram_jaccard",
+    "llm_cosine_topk",
+    "llm_minhash_pairs",
+    "llm_simhash_pairs",
+    "llm_ann_topk",
+    "llm_multimodal_extract",
+    "llm_token_count",
+    "llm_chunks",
+    "llm_neardup_groups",
+    "llm_ivf_topk",
+    "llm_pii_mask",
+    "llm_repetition",
+    "llm_multimodal_resize",
+    "llm_multimodal_frames",
 ]
 
 

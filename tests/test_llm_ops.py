@@ -2402,3 +2402,37 @@ class TestPageRank:
         out = pagerank(e, n_iter=2)
         assert out.columns == ["node", "pr"] and out.count() == 0
         out._mf_persisted.unpersist()
+
+
+class TestSemanticPersistRelease:
+    def test_reshard_hands_back_pinned_cache(self, spark):
+        """When hot-cell resharding persists the assignment relation, the
+        pairs relation must expose it via the _mf_persisted release
+        contract (pagerank/minhash pattern) so callers can unpersist
+        after their consuming action instead of leaking the cache for
+        the session (ADVICE r8 low)."""
+        import numpy as np
+
+        from metaframe_spark.operators import semantic_dup_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=8)
+        X = base[None, :] + 0.05 * rng.normal(size=(300, 8))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in X[i]]) for i in range(300)],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = semantic_dup_pairs(
+            df, min_cosine=0.999, n_cells=4, max_cell_rows=50
+        )
+        pairs.count()
+        pinned = getattr(pairs, "_mf_persisted", None)
+        assert pinned is not None and pinned.storageLevel.useMemory
+        pinned.unpersist()
+        assert not pinned.storageLevel.useMemory
+        # the common (no hot cell) path pins nothing
+        cold = semantic_dup_pairs(
+            df, min_cosine=0.999, n_cells=4, max_cell_rows=100_000
+        )
+        assert getattr(cold, "_mf_persisted", None) is None

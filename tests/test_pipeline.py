@@ -386,3 +386,54 @@ def test_html_input_stage_strips_markup_before_curation(spark):
     texts = [r.text for r in out.select("text").collect()]
     assert texts and all("<" not in t and "script" not in t for t in texts)
     assert all(t.startswith("doc ") for t in texts)
+
+
+def test_url_dedup_keeps_all_null_url_docs(spark):
+    """Documents WITHOUT a URL are not duplicates of each other: the
+    url_dedup stage must keep every NULL-url row (each gets a private
+    id-derived partition key — also the skew fix: no one-giant-NULL
+    window partition), matching domain_filter's keep-unparseable
+    contract (ADVICE r8 medium)."""
+    rows = [
+        (i,
+         "doc %d with its own words " % i + " ".join(f"t{i}x{j}" for j in range(20)),
+         None if i % 2 == 0 else "http://site.com/a?utm_source=%d" % (i % 3))
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.99,
+        url_col="url", url_dedup=True,
+    )
+    # 20 NULL-url docs all survive; the 20 url'd docs collapse to ONE
+    # page (utm_source is a tracking param and strips entirely)
+    assert counts["url_dedup"] == 20 + 1
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    assert {i for i in range(40) if i % 2 == 0} <= surviving
+
+
+def test_domain_cap_preserves_colliding_input_columns(spark):
+    """An input corpus that already carries host/domain/is_https/
+    path_depth/draw_rank columns must keep that data through the
+    domain_cap stage (url_features' outputs are computed under stashed
+    names; ADVICE r8 low)."""
+    rows = [
+        (i,
+         "doc %d words " % i + " ".join(f"c{i}y{j}" for j in range(25)),
+         f"https://site{i % 3}.org/p{i}",
+         f"userdomain{i}", i * 10)
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, domain string, draw_rank long"
+    )
+    out, counts = curate_corpus(
+        d, min_quality=0.0, near_dup_jaccard=0.99,
+        url_col="url", domain_cap=5,
+    )
+    assert counts["domain_cap"] == 15  # 3 domains x cap 5
+    assert "domain" in out.columns and "draw_rank" in out.columns
+    got = {(r.doc_id, r.domain, r.draw_rank)
+           for r in out.select("doc_id", "domain", "draw_rank").collect()}
+    for i, dom, dr in got:
+        assert dom == f"userdomain{i}" and dr == i * 10
