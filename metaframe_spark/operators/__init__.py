@@ -22,6 +22,7 @@ from .dedup import (
     jaccard_similarity_pairs,
     minhash_candidate_pairs,
     minhash_near_dup_against,
+    minhash_signatures,
     minhash_near_dup_pairs,
     near_dup_groups,
     bloom_contamination,
@@ -56,7 +57,13 @@ from .similarity import (
     scalar_quantize,
     unit_normalize,
 )
-from .maintenance import compact_files, profile_columns
+from .maintenance import (
+    compact_files,
+    distinct_sketches,
+    merge_distinct_sketches,
+    profile_columns,
+    sketch_estimates,
+)
 from .merge import merge_upsert, scd2_history, snapshot_diff
 from .timeseries import densify, interpolate_linear
 from .classifier import fit_quality_classifier, score_quality
@@ -109,6 +116,7 @@ __all__ = [
     "language_scores",
     "minhash_candidate_pairs",
     "minhash_near_dup_against",
+    "minhash_signatures",
     "minhash_near_dup_pairs",
     "near_dup_groups",
     "bloom_contamination",
@@ -118,6 +126,9 @@ __all__ = [
     "bm25_scores",
     "ngram_vocabulary",
     "compact_files",
+    "distinct_sketches",
+    "merge_distinct_sketches",
+    "sketch_estimates",
     "hash_split",
     "densify",
     "interpolate_linear",

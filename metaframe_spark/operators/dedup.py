@@ -779,9 +779,49 @@ def dedup_against(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable MinHash SIGNATURE STORE relation for a corpus:
+    ``(id, shingle_hashes array<bigint>, n_shingles, shingle_n)`` — the
+    per-document distinct-shingle hash set every banded near-dup
+    operator derives its permutations/bands from, with the raw text
+    dropped. Write it once per ingested snapshot
+    (``.write.parquet(path)``) and feed it back to
+    :func:`minhash_near_dup_against` via ``seen_signatures`` on later
+    runs: today's crawl is then checked against ALL of history without
+    re-tokenizing (or even storing) the historical text. Band keys are
+    a cheap derived transform of ``shingle_hashes``, so the store is
+    parameter-light — only ``shingle_n`` is baked in (carried as a
+    column; the consumer validates it), while ``n_bands``/``band_rows``/
+    ``seed`` remain free per query.
+
+    Per document the store holds one hash per distinct shingle (8 bytes
+    each) — typically ~1/10th of the text it replaces, and exactly the
+    relation the verify stage needs for exact-Jaccard precision.
+    """
+    from ..scale import fan_out
+
+    return (
+        fan_out(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
+        .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
+        .select(
+            id_col,
+            F.expr("transform(_shs, s -> xxhash64(s))").alias("shingle_hashes"),
+        )
+        .withColumn("n_shingles", F.size("shingle_hashes"))
+        .withColumn("shingle_n", F.lit(int(shingle_n)))
+    )
+
+
 def minhash_near_dup_against(
     new: DataFrame,
-    seen: DataFrame,
+    seen: "DataFrame | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
@@ -790,6 +830,7 @@ def minhash_near_dup_against(
     min_jaccard: float = 0.7,
     seed: int = 42,
     persist: bool = True,
+    seen_signatures: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental NEAR-duplicate detection: pairs of ``new`` documents
     that near-match an already-ingested ``seen`` corpus — the sibling of
@@ -802,9 +843,15 @@ def minhash_near_dup_against(
     cross-side — new band keys against seen band keys — so the work is
     O(new × collision rate), never new×new or seen×seen, and the two id
     namespaces may overlap freely (no ``id_a < id_b`` trick is needed or
-    used). At steady state ``seen``'s band relation is the thing to
-    persist across runs: it is (id, band, key) — b small rows per
-    document, no shingle arrays — the signature-store pattern.
+    used).
+
+    Pass EITHER ``seen`` (raw text — tokenized/shingled on the fly) OR
+    ``seen_signatures`` (a :func:`minhash_signatures` relation, usually
+    reloaded from parquet): the signature-store path skips re-tokenizing
+    history entirely — at steady state the store is the only trace of
+    past snapshots this operator needs. A store built with a different
+    ``shingle_n`` than this call raises (the stored and fresh shingle
+    spaces would silently never collide).
 
     Returns (new_id, seen_id, n_inter, n_union, jaccard), one row per
     cross near-match at ``min_jaccard``. To drop the matched new docs::
@@ -813,19 +860,20 @@ def minhash_near_dup_against(
             pairs.select(F.col("new_id").alias(id_col)).distinct(),
             id_col, "left_anti")
     """
-    from ..scale import fan_out
+    if (seen is None) == (seen_signatures is None):
+        raise ValueError(
+            "minhash_near_dup_against: pass exactly one of seen= (raw "
+            "text) or seen_signatures= (a minhash_signatures relation)"
+        )
 
     def _hashed(df_):
         return (
-            fan_out(df_)
-            .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-            .filter(F.size("_toks") >= shingle_n)
-            .withColumn("_shs", F.array_distinct(shingles("_toks", shingle_n)))
+            minhash_signatures(df_, id_col, text_col, shingle_n)
             .select(
                 id_col,
-                F.expr("transform(_shs, s -> xxhash64(s))").alias("_sh"),
+                F.col("shingle_hashes").alias("_sh"),
+                F.col("n_shingles").alias("_n"),
             )
-            .withColumn("_n", F.size("_sh"))
         )
 
     n_perms = n_bands * band_rows
@@ -845,7 +893,34 @@ def minhash_near_dup_against(
             ).alias("_band", "_bk"),
         )
 
-    h_new, h_seen = _hashed(new), _hashed(seen)
+    h_new = _hashed(new)
+    if seen_signatures is not None:
+        missing = {"shingle_hashes", "n_shingles", "shingle_n"} - set(
+            seen_signatures.columns
+        )
+        if missing or id_col not in seen_signatures.columns:
+            raise ValueError(
+                "seen_signatures is not a minhash_signatures relation "
+                f"(missing columns: {sorted(missing) + ([id_col] if id_col not in seen_signatures.columns else [])!r})"
+            )
+        # cheap action with an early-out: any row with a foreign shingle_n
+        # proves a parameter mismatch that would otherwise yield silent
+        # zero-recall (stored and fresh shingle spaces never collide)
+        if not seen_signatures.filter(
+            F.col("shingle_n") != shingle_n
+        ).isEmpty():
+            raise ValueError(
+                f"seen_signatures was built with a different shingle_n "
+                f"than this call's shingle_n={shingle_n}; rebuild the "
+                "store or match the parameter"
+            )
+        h_seen = seen_signatures.select(
+            id_col,
+            F.col("shingle_hashes").alias("_sh"),
+            F.col("n_shingles").alias("_n"),
+        )
+    else:
+        h_seen = _hashed(seen)
     if persist:
         h_new, h_seen = h_new.persist(), h_seen.persist()
     cand = (

@@ -137,6 +137,100 @@ def profile_columns(
     )
 
 
+def distinct_sketches(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Optional[Sequence[str]] = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """MERGEABLE distinct-count sketches: one binary Datasketches-HLL
+    sketch per (group, column) via ``hll_sketch_agg`` — the incremental
+    answer to "distinct users across daily runs" at 100 TB: sketch each
+    day's partition once, persist the few-KB sketches, and merge across
+    runs (:func:`merge_distinct_sketches`) without ever rescanning
+    history. ``profile_columns(exact_distinct=False)`` uses the same HLL
+    machinery but throws the state away per run; this keeps it.
+
+    Returns ``group_by`` columns (none → one global row) plus a
+    ``{col}_sketch`` binary column per entry of ``columns``. NULLs are
+    not counted (``hll_sketch_agg`` semantics, matching
+    ``count(DISTINCT c)``). ``lg_k`` is the sketch precision knob
+    (2^lg_k buckets; relative error ≈ 1.04/√2^lg_k — ~1.6% at the
+    default 12) and must match across runs that will be merged.
+
+    One aggregation pass, partial sketches combined map-side like any
+    algebraic agg — per-partition state is ``len(columns)`` sketches,
+    independent of row count.
+    """
+    if not columns:
+        raise ValueError("distinct_sketches: columns must be non-empty")
+    aggs = [
+        F.hll_sketch_agg(F.col(c), F.lit(int(lg_k))).alias(f"{c}_sketch")
+        for c in columns
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def merge_distinct_sketches(
+    *sketch_dfs: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge sketch relations from multiple runs (days, snapshots,
+    backfills) into one: union the inputs and ``hll_union_agg`` every
+    ``*_sketch`` column per group. Register-wise max — order- and
+    SPLIT-independent: merging any partition of the stream (2-way,
+    30-way, re-ordered) produces the identical register state, hence the
+    identical estimate (hash-proved by q85_hll_sketch). The one caveat:
+    a MERGED sketch estimates with the composite estimator, while a
+    single-pass sketch uses the slightly tighter HIP estimator — so a
+    merged estimate can differ from a one-shot estimate by a fraction of
+    the ~1.04/√2^lg_k error band (both are within it; in the small-n
+    coupon-exact range they agree exactly). Inputs must share schema and
+    ``lg_k`` (mismatched precisions raise in the union agg rather than
+    silently degrading).
+    """
+    if not sketch_dfs:
+        raise ValueError("merge_distinct_sketches: need at least one input")
+    u = sketch_dfs[0]
+    for other in sketch_dfs[1:]:
+        u = u.unionByName(other)
+    sketch_cols = [c for c in u.columns if c.endswith("_sketch")]
+    if not sketch_cols:
+        raise ValueError(
+            "merge_distinct_sketches: no *_sketch columns in input "
+            f"(columns: {u.columns!r})"
+        )
+    aggs = [F.hll_union_agg(F.col(c)).alias(c) for c in sketch_cols]
+    if group_by:
+        return u.groupBy(*group_by).agg(*aggs)
+    return u.agg(*aggs)
+
+
+def sketch_estimates(
+    sketches: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Distinct-count estimates from a sketch relation: every
+    ``{col}_sketch`` binary column becomes a ``{col}_distinct`` long via
+    ``hll_sketch_estimate``. Row-local (the sketches are already
+    aggregated) — no shuffle. Small cardinalities sit in the sketch's
+    exact (coupon) range, so day-over-day dashboards on modest groups
+    are exact; large ones carry the ~1.04/√2^lg_k relative error.
+    """
+    keys = list(group_by or [])
+    outs = [F.col(k) for k in keys]
+    for c in sketches.columns:
+        if c.endswith("_sketch"):
+            outs.append(
+                F.hll_sketch_estimate(F.col(c))
+                .cast("long")
+                .alias(c[: -len("_sketch")] + "_distinct")
+            )
+    return sketches.select(*outs)
+
+
 def compact_files(
     spark,
     src_path: str,

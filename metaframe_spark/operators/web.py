@@ -132,29 +132,71 @@ def url_features(
 
 def domain_filter(
     df: DataFrame,
-    blocked_domains: Iterable[str],
+    blocked_domains: "Iterable[str] | DataFrame",
     url_col: str = "url",
     keep: bool = False,
     psl: Optional[DataFrame] = None,
     psl_suffix_col: str = "suffix",
+    max_inline: int = 1000,
+    domain_col: str = "domain",
 ) -> DataFrame:
     """Drop (or with ``keep=True``, retain only) rows whose registrable
     domain is in ``blocked_domains`` — the blocklist/allowlist gate.
 
-    The domain list is lowered into an ``isin`` literal set (hashed
-    ``InSet`` beyond Catalyst's conversion threshold) evaluated on the
-    scan; for blocklists too large to inline (millions of domains), make
-    it a relation and anti-join — Spark broadcasts it. Matching is on the
-    :func:`url_features` domain normalization, case-insensitive; pass
-    ``psl`` for exact registrable-domain matching (so a ``foo.co.uk``
-    block does not also require blocking every other ``*.co.uk`` site —
-    see :func:`registrable_domain`).
+    Two physical shapes, switched on blocklist size (the merge_upsert
+    ``broadcast_delta`` pattern):
+
+    * small lists (≤ ``max_inline`` entries) lower into an ``isin``
+      literal set (hashed ``InSet`` beyond Catalyst's conversion
+      threshold) evaluated on the scan — zero joins, zero jobs;
+    * bigger lists — a real blocklist is Pi-hole-class, 10⁶ domains,
+      far past what belongs in a plan literal — become a relation and a
+      LEFT ANTI (or LEFT SEMI for ``keep=True``) hash join on the
+      normalized domain. Only the blocklist's domain column ships;
+      Spark/AQE broadcasts it while it fits (a million domains is
+      ~20 MB) and falls back to a shuffled join beyond that, so the
+      corpus is never collected or replicated. ``blocked_domains`` may
+      also BE a DataFrame directly (column ``domain_col``) — the usual
+      case, read from the blocklist's own store.
+
+    Either shape keeps rows whose URL has no parseable host (NULL
+    domain never matches a blocklist; the unparseable-URL contract
+    tested in test_pipeline). Matching is on the :func:`url_features`
+    domain normalization, case-insensitive; pass ``psl`` for exact
+    registrable-domain matching (so a ``foo.co.uk`` block does not also
+    require blocking every other ``*.co.uk`` site — see
+    :func:`registrable_domain`).
     """
-    blocked = sorted({d.strip().lower() for d in blocked_domains if d and d.strip()})
-    if not blocked:
-        return df if not keep else df.filter(F.lit(False))
+    blocked_rel: Optional[DataFrame] = None
+    if isinstance(blocked_domains, DataFrame) or hasattr(
+        blocked_domains, "to_spark"
+    ):
+        rel = (
+            blocked_domains.to_spark()
+            if hasattr(blocked_domains, "to_spark")
+            else blocked_domains
+        )
+        if domain_col not in rel.columns:
+            raise ValueError(
+                f"blocked_domains relation has no {domain_col!r} column "
+                f"(columns: {rel.columns!r})"
+            )
+        blocked_rel = rel.select(
+            F.lower(F.trim(F.col(domain_col))).alias("_blk_domain")
+        ).distinct()
+    else:
+        blocked = sorted(
+            {d.strip().lower() for d in blocked_domains if d and d.strip()}
+        )
+        if not blocked:
+            return df if not keep else df.filter(F.lit(False))
+        if len(blocked) > max_inline:
+            blocked_rel = df.sparkSession.createDataFrame(
+                [(d,) for d in blocked], "_blk_domain string"
+            )
+
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
     if psl is not None:
-        host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
         tmp = registrable_domain(
             df.withColumn("_df_host", host),
             "_df_host",
@@ -162,14 +204,21 @@ def domain_filter(
             psl=psl,
             psl_suffix_col=psl_suffix_col,
         )
-        cond = F.col("_df_domain").isin(blocked)
-        return tmp.filter(
-            cond if keep else ~F.coalesce(cond, F.lit(False))
-        ).drop("_df_host", "_df_domain")
-    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
-    domain = F.lower(F.substring_index(host, ".", -2))
-    cond = domain.isin(blocked)
-    return df.filter(cond if keep else ~F.coalesce(cond, F.lit(False)))
+        dom_col, work = F.col("_df_domain"), tmp
+    else:
+        dom_col, work = F.lower(F.substring_index(host, ".", -2)), df
+
+    if blocked_rel is None:
+        cond = dom_col.isin(blocked)
+        out = work.filter(cond if keep else ~F.coalesce(cond, F.lit(False)))
+    else:
+        joined = work.withColumn("_df_join_domain", F.lower(dom_col)).join(
+            blocked_rel,
+            F.col("_df_join_domain") == F.col("_blk_domain"),
+            "left_semi" if keep else "left_anti",
+        )
+        out = joined.drop("_df_join_domain")
+    return out.drop("_df_host", "_df_domain") if psl is not None else out
 
 
 def extract_html_text(col) -> "F.Column":

@@ -2995,8 +2995,11 @@ def llm_psl_domains(spark, sf):
     )
 
 
-@query(
-    "llm_neardup_incremental",
+#: exhaustive new×seen Jaccard oracle for the incremental near-dup
+#: operators — shared by llm_neardup_incremental (raw-text seen side)
+#: and llm_minhash_store (signature-store seen side): both MUST produce
+#: the identical pair set.
+_NEARDUP_INCR_ORACLE = (
     "WITH seen AS (SELECT doc_id, "
     f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
     "  FROM documents), "
@@ -3013,8 +3016,11 @@ def llm_psl_domains(spark, sf):
     "  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, "
     "  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) "
     "    AS n_union FROM fn a CROSS JOIN fs b) "
-    "WHERE n_inter >= 0.7 * n_union",
+    "WHERE n_inter >= 0.7 * n_union"
 )
+
+
+@query("llm_neardup_incremental", _NEARDUP_INCR_ORACLE)
 def llm_neardup_incremental(spark, sf):
     """Incremental near-dup detection (operators/dedup.py::
     minhash_near_dup_against): today's snapshot (the perturbed twin
@@ -3034,6 +3040,38 @@ def llm_neardup_incremental(spark, sf):
     )
     return minhash_near_dup_against(
         new.to_spark(), d.to_spark().select("doc_id", "text"), min_jaccard=0.7
+    )
+
+
+@query("llm_minhash_store", _NEARDUP_INCR_ORACLE)
+def llm_minhash_store(spark, sf):
+    """MinHash signature-store round-trip (operators/dedup.py::
+    minhash_signatures + minhash_near_dup_against(seen_signatures=)):
+    the SEEN corpus is reduced to its persistable signature relation
+    (id, distinct-shingle hashes), written to parquet, reloaded, and
+    today's snapshot (the perturbed twin corpus) is checked against the
+    RELOADED store — history's text is never re-tokenized (or even
+    read). The oracle is the same exhaustive new×seen Jaccard cross
+    join as llm_neardup_incremental, so a hash match proves the store
+    path is pair-for-pair identical to the raw-text path: persistence
+    is lossless."""
+    import tempfile
+
+    from .operators import minhash_near_dup_against, minhash_signatures
+
+    d = load_table(spark, sf, "documents")
+    new = d.select(
+        (F.col("doc_id") + F.lit(_TWIN_OFFSET).cast("long")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TWIN_SUFFIX)).alias("text"),
+    )
+    store = tempfile.mkdtemp(prefix="mf_sig_store_") + "/signatures"
+    minhash_signatures(d.to_spark().select("doc_id", "text")).write.mode(
+        "overwrite"
+    ).parquet(store)
+    return minhash_near_dup_against(
+        new.to_spark(),
+        seen_signatures=spark.read.parquet(store),
+        min_jaccard=0.7,
     )
 
 
@@ -4223,6 +4261,73 @@ def llm_domain_pagerank(spark, sf):
     return out
 
 
+#: the redistribute-mode sweep: identical to _PR_STEP_SQL plus the
+#: dangling-mass term — D_t summed in DECIMAL(28,18) over nodes with no
+#: out-edge, spread uniformly (dm/n) inside the damped paren, matching
+#: the operator's expression shape op-for-op so doubles agree bitwise.
+_PR_STEP_RD_SQL = (
+    "SELECT n2.node, "
+    "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n "
+    "+ CAST(0.85 AS DOUBLE) * (coalesce(mm.m, CAST(0.0 AS DOUBLE)) "
+    "  + dd.dm / nn.n) AS pr "
+    "FROM nodes n2 CROSS JOIN nn CROSS JOIN ("
+    "  SELECT CAST(coalesce(SUM(CAST(p.pr AS DECIMAL(28,18))), 0) AS DOUBLE) AS dm "
+    "  FROM {prev} p WHERE p.node NOT IN (SELECT s FROM e)"
+    ") dd LEFT JOIN ("
+    "  SELECT e.d, CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(28,18))) AS DOUBLE) AS m "
+    "  FROM e JOIN deg USING (s) JOIN {prev} p ON p.node = e.s GROUP BY e.d"
+    ") mm ON mm.d = n2.node"
+)
+
+
+@query(
+    "llm_pagerank_redistribute",
+    f"WITH e AS (SELECT * FROM {_PR_EDGES_SQL} t), "
+    "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), "
+    "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e), "
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+    "pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn), "
+    f"pr1 AS ({_PR_STEP_RD_SQL.format(prev='pr0')}), "
+    f"pr2 AS ({_PR_STEP_RD_SQL.format(prev='pr1')}) "
+    "SELECT node, round(pr, 6) AS pr FROM pr2",
+)
+def llm_pagerank_redistribute(spark, sf):
+    """PageRank with dangling-mass REDISTRIBUTION (operators/graph.py::
+    pagerank(dangling='redistribute')) — the probability-distribution
+    variant users coming from NetworkX/GraphFrames expect: each sweep,
+    the rank mass of sink nodes (here the .com/.net link targets, which
+    never appear as sources) is spread uniformly over all nodes instead
+    of vanishing, so Σpr stays 1. Adds one anti-join + one-row
+    decimal-summed aggregate per iteration, broadcast into the rank
+    update; the oracle replays the identical recipe in DuckDB and the
+    hash match proves both the redistribution arithmetic and its
+    determinism."""
+    from .operators.graph import pagerank
+
+    d = load_table(spark, sf, "documents")
+    src = F.concat(
+        F.lower(F.col("source")), (F.col("doc_id") % 7).cast("string"), F.lit(".org")
+    )
+    e1 = d.select(
+        src.alias("src"),
+        F.concat(
+            F.lower(F.col("source")), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com"),
+        ).alias("dst"),
+    )
+    e2 = d.select(
+        src.alias("src"),
+        F.concat(
+            F.lit("assets"), (F.col("doc_id") % 2).cast("string"), F.lit(".net")
+        ).alias("dst"),
+    )
+    edges = e1.unionAll(e2.to_spark())
+    pr = pagerank(edges, n_iter=2, damping=0.85, dangling="redistribute")
+    out = pr.select("node", F.round("pr", 6).alias("pr"))
+    out._mf_persisted = getattr(pr, "_mf_persisted", None)
+    return out
+
+
 @query(
     "q82_make_datetime",
     "SELECT event_id, "
@@ -4309,6 +4414,141 @@ def q84_json_array(spark, sf):
         F.element_at("arr", -1).alias("last_v"),
         F.expr("aggregate(arr, 0, (acc, x) -> acc + x)").alias("total"),
     )
+
+
+@query(
+    "q85_hll_sketch",
+    "SELECT o_orderpriority, "
+    "CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct, "
+    "TRUE AS merge_consistent, TRUE AS within_5pct "
+    "FROM orders GROUP BY 1",
+)
+def q85_hll_sketch(spark, sf):
+    """Mergeable distinct-count sketches (operators/maintenance.py::
+    distinct_sketches / merge_distinct_sketches / sketch_estimates,
+    SURVEY §2.3 row 6's incremental face): orders split into two 'daily
+    runs' (o_orderkey parity), each sketched per priority group with
+    Datasketches HLL (hll_sketch_agg), the runs merged via hll_union_agg
+    and estimated — the 100 TB pattern where per-day sketches persist
+    and history is never rescanned. The oracled columns: the exact
+    per-group distinct count, merge_consistent (the 2-way-split merge
+    estimate == a 3-way-split merge estimate — register-wise max makes
+    the merged register state independent of HOW the stream was
+    partitioned, so ANY divergence means the merge machinery broke; a
+    merged sketch is NOT compared to the one-shot sketch, whose HIP
+    estimator legitimately differs within the error band) and
+    within_5pct (merged estimate within 5% of exact; lg_k=12's rsd is
+    ~1.6%, so a breach means the sketch itself broke) — both
+    deterministically TRUE and hash-checked as such."""
+    from .operators.maintenance import (
+        distinct_sketches,
+        merge_distinct_sketches,
+        sketch_estimates,
+    )
+
+    o = load_table(spark, sf, "orders")
+    gb, cols = ["o_orderpriority"], ["o_custkey"]
+
+    def merged_est(n_parts, alias):
+        parts = [
+            distinct_sketches(
+                o.filter(F.col("o_orderkey") % n_parts == i).to_spark(),
+                cols,
+                group_by=gb,
+            )
+            for i in range(n_parts)
+        ]
+        return sketch_estimates(
+            merge_distinct_sketches(*parts, group_by=gb), group_by=gb
+        ).withColumnRenamed("o_custkey_distinct", alias)
+
+    m2 = merged_est(2, "m2")
+    m3 = merged_est(3, "m3")
+    exact = o.groupBy(*gb).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        exact.join(m2, gb)
+        .join(m3, gb)
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            (F.col("m2") == F.col("m3")).alias("merge_consistent"),
+            (
+                F.abs(F.col("m2") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@query(
+    "q86_blocklist_antijoin",
+    "WITH base AS (SELECT doc_id, "
+    "  lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
+    "  (['.com', '.org', '.net'])[CAST(doc_id % 3 AS INT) + 1] AS domain, "
+    "  CAST(doc_id % 2 AS INT) AS par, CAST(doc_id % 4 AS INT) AS segs "
+    "  FROM documents), "
+    "aug AS (SELECT doc_id, domain, "
+    "  (CASE WHEN par = 0 THEN 'https://' ELSE 'http://' END) || 'www.' || "
+    "  domain || repeat('/seg', segs) || '?q=1' AS url FROM base), "
+    "blk AS (SELECT DISTINCT domain FROM base "
+    "  WHERE doc_id % 7 = 0 AND domain LIKE '%.org' "
+    "  UNION ALL SELECT 'blk' || CAST(i AS VARCHAR) || '.example' "
+    "  FROM range(20000) t(i)) "
+    "SELECT doc_id, url FROM aug "
+    "WHERE domain NOT IN (SELECT domain FROM blk)",
+)
+def q86_blocklist_antijoin(spark, sf):
+    """Blocklist at real scale (operators/web.py::domain_filter relation
+    path): a 20k-entry generated junk blocklist UNION the .org domains
+    actually hit by every seventh document (the tld slice keeps the
+    block selective — blocking ALL hit domains would cover the whole
+    15-combo synthetic domain space, a trivially-empty result),
+    passed as a RELATION — far
+    past max_inline, so the filter is a LEFT ANTI hash join on the
+    normalized registrable domain (broadcast while the list fits,
+    shuffled beyond; never a plan-text literal set). Same synthetic URL
+    construction as llm_url_features; the oracle anti-joins the
+    identically-derived domain, so the hash match proves the join path
+    implements exactly the literal-set semantics at list sizes the
+    literal path cannot take."""
+    from .operators.web import domain_filter
+
+    d = load_table(spark, sf, "documents")
+    tld = F.element_at(
+        F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    dom = F.concat(
+        F.lower(F.col("source")), (F.col("doc_id") % 5).cast("string"), tld
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("www."),
+            dom,
+            F.repeat(F.lit("/seg"), (F.col("doc_id") % 4).cast("int")),
+            F.lit("?q=1"),
+        ).alias("url"),
+    )
+    blk_real = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(dom.alias("domain"))
+        .filter(F.col("domain").endswith(".org"))
+        .distinct()
+    )
+    blk_junk = spark.range(20000).select(
+        F.concat(F.lit("blk"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "domain"
+        )
+    )
+    blocklist = blk_real.to_spark().unionByName(blk_junk)
+    return domain_filter(urls.to_spark(), blocklist, url_col="url")
 
 
 # -- driver-window registration rotation (round 7) ----------------------------
@@ -4477,8 +4717,6 @@ _ROTATE_FIRST: list = [
     "q86_blocklist_antijoin",
     "llm_pagerank_redistribute",
     "llm_minhash_store",
-    "q87_approx_topk",
-    "q88_window_dedup_rank",
     # oldest-blessed regression re-checks (last driver-checked r02-r06)
     *[f"q{i:02d}" for i in range(13, 31)],
     "q19b",

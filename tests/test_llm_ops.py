@@ -2247,6 +2247,78 @@ class TestNearDupAgainst:
         assert minhash_near_dup_against(empty, seen).count() == 0
 
 
+class TestMinhashSignatureStore:
+    def test_persisted_store_round_trip_identical_pairs(
+        self, spark, docs, tmp_path
+    ):
+        """The signature-store contract: persist minhash_signatures to
+        parquet, reload, and minhash_near_dup_against(seen_signatures=)
+        yields the EXACT pair set (ids, counts, jaccards) of the
+        raw-text path — persistence is lossless."""
+        from metaframe_spark.operators import (
+            minhash_near_dup_against,
+            minhash_signatures,
+        )
+
+        seen = docs.select("doc_id", "text").filter(F.col("doc_id") < 300)
+        new = (
+            docs.filter(F.col("doc_id") < 60)
+            .select(
+                (F.col("doc_id") + 20_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+        )
+        path = str(tmp_path / "sig_store")
+        minhash_signatures(seen).write.parquet(path)
+        reloaded = spark.read.parquet(path)
+        via_store = {
+            (r.new_id, r.seen_id, r.n_inter, r.n_union, r.jaccard)
+            for r in minhash_near_dup_against(
+                new, seen_signatures=reloaded, min_jaccard=0.7
+            ).collect()
+        }
+        direct = {
+            (r.new_id, r.seen_id, r.n_inter, r.n_union, r.jaccard)
+            for r in minhash_near_dup_against(
+                new, seen, min_jaccard=0.7
+            ).collect()
+        }
+        assert via_store == direct and len(direct) >= 60
+
+    def test_store_schema_and_shingle_n_column(self, spark, docs):
+        from metaframe_spark.operators import minhash_signatures
+
+        sig = minhash_signatures(docs.select("doc_id", "text"), shingle_n=4)
+        assert set(sig.columns) == {
+            "doc_id", "shingle_hashes", "n_shingles", "shingle_n"
+        }
+        row = sig.limit(1).collect()[0]
+        assert row.shingle_n == 4
+        assert row.n_shingles == len(row.shingle_hashes)
+        assert len(set(row.shingle_hashes)) == row.n_shingles  # distinct
+
+    def test_guards(self, spark, docs):
+        """Exactly one seen side; mismatched shingle_n raises instead of
+        silently returning zero matches; malformed stores raise."""
+        import pytest
+
+        from metaframe_spark.operators import (
+            minhash_near_dup_against,
+            minhash_signatures,
+        )
+
+        d = docs.select("doc_id", "text").limit(20)
+        sig = minhash_signatures(d, shingle_n=5)
+        with pytest.raises(ValueError, match="exactly one"):
+            minhash_near_dup_against(d, d, seen_signatures=sig)
+        with pytest.raises(ValueError, match="exactly one"):
+            minhash_near_dup_against(d)
+        with pytest.raises(ValueError, match="shingle_n"):
+            minhash_near_dup_against(d, seen_signatures=sig, shingle_n=3)
+        with pytest.raises(ValueError, match="not a minhash_signatures"):
+            minhash_near_dup_against(d, seen_signatures=d.select("doc_id"))
+
+
 class TestInterpolateLinear:
     def test_interpolation_math_and_edges(self, spark):
         from metaframe_spark.operators import interpolate_linear
@@ -2402,6 +2474,74 @@ class TestPageRank:
         out = pagerank(e, n_iter=2)
         assert out.columns == ["node", "pr"] and out.count() == 0
         out._mf_persisted.unpersist()
+
+    def test_redistribute_hand_computed_and_mass_conserving(self, spark):
+        """A->B, A->C, B->C; C dangling, D_0 = 1/3 spread over N=3:
+        pr(v) = 0.05 + 0.85*(m(v) + 1/9), and Σpr stays 1 (probability
+        distribution — the NetworkX/GraphFrames convention)."""
+        from metaframe_spark.operators import pagerank
+
+        e = spark.createDataFrame(
+            [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+        )
+        out = pagerank(e, n_iter=1, dangling="redistribute")
+        got = {r.node: r.pr for r in out.collect()}
+        out._mf_persisted.unpersist()
+        assert got["A"] == pytest.approx(0.05 + 0.85 * (1 / 9))
+        assert got["B"] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 9))
+        assert got["C"] == pytest.approx(0.05 + 0.85 * (1 / 2 + 1 / 9))
+        assert sum(got.values()) == pytest.approx(1.0)
+        # still a distribution after several sweeps, and bit-deterministic
+        # under repartitioning (decimal-summed dangling term included)
+        a = pagerank(e, n_iter=4, dangling="redistribute")
+        ga = {r.node: r.pr for r in a.collect()}
+        a._mf_persisted.unpersist()
+        assert sum(ga.values()) == pytest.approx(1.0)
+        b = pagerank(e.repartition(7), n_iter=4, dangling="redistribute")
+        gb = {r.node: r.pr for r in b.collect()}
+        b._mf_persisted.unpersist()
+        assert ga == gb  # exact equality, not approx
+
+    def test_no_dangling_nodes_modes_agree(self, spark):
+        """On a graph where every node has an out-edge, redistribute and
+        drop are the same function."""
+        from metaframe_spark.operators import pagerank
+
+        rows = [(f"n{i % 11}", f"n{(i * 5 + 2) % 11}") for i in range(60)]
+        e = spark.createDataFrame(rows, "src string, dst string")
+        a = pagerank(e, n_iter=3)
+        ga = {r.node: r.pr for r in a.collect()}
+        a._mf_persisted.unpersist()
+        b = pagerank(e, n_iter=3, dangling="redistribute")
+        gb = {r.node: r.pr for r in b.collect()}
+        b._mf_persisted.unpersist()
+        assert ga == gb
+
+    def test_checkpoint_every_is_a_no_op_on_results(self, spark):
+        """Lineage truncation must not move a bit in either mode."""
+        from metaframe_spark.operators import pagerank
+
+        rows = [(f"n{i % 17}", f"n{(i * 7 + 3) % 17}") for i in range(400)]
+        # add a dangling sink so redistribute has real work to do
+        rows += [(f"n{i % 17}", "sink") for i in range(17)]
+        e = spark.createDataFrame(rows, "src string, dst string")
+        for mode in ("drop", "redistribute"):
+            a = pagerank(e, n_iter=5, dangling=mode)
+            ga = {r.node: r.pr for r in a.collect()}
+            a._mf_persisted.unpersist()
+            b = pagerank(e, n_iter=5, dangling=mode, checkpoint_every=2)
+            gb = {r.node: r.pr for r in b.collect()}
+            b._mf_persisted.unpersist()
+            assert ga == gb
+
+    def test_new_parameter_guards(self, spark):
+        from metaframe_spark.operators import pagerank
+
+        e = spark.createDataFrame([("A", "B")], "src string, dst string")
+        with pytest.raises(ValueError, match="dangling"):
+            pagerank(e, dangling="teleport")
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            pagerank(e, checkpoint_every=-1)
 
 
 class TestSemanticPersistRelease:

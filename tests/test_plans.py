@@ -346,6 +346,7 @@ class TestCatalogPlanLint:
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_mix_report",   # one-row corpus-totals rollup joined to mixture cells
+        "llm_pagerank_redistribute",  # one-row dangling-mass scalar joined into each rank sweep
         "llm_perplexity",   # one-row total-token scalar joined to tf relation
         "llm_tfidf",        # one-row N (corpus size) joined to tf relation
         "q33_resample",     # constant-size time-grid x event-type domain
@@ -358,6 +359,7 @@ class TestCatalogPlanLint:
         "llm_bm25",         # global corpus-size agg (one row)
         "llm_corpus_stats", # the data card IS a one-row global agg
         "llm_mix_report",   # global corpus-totals rollup (one row)
+        "llm_pagerank_redistribute",  # global dangling-mass agg per sweep (one row)
         "llm_perplexity",   # global total-token agg (one row)
         "llm_tfidf",        # global N agg (one row)
         "q58_profile",      # table profile IS a one-row global agg (unpivoted)

@@ -67,6 +67,60 @@ class TestDomainFilter:
     def test_empty_blocklist_is_identity(self, spark, urls):
         assert domain_filter(urls, []).count() == urls.count()
 
+    def test_large_list_anti_join_path_equals_literal_path(self, spark, urls):
+        """A Pi-hole-class blocklist (>max_inline entries) must switch to
+        the LEFT ANTI join shape — same survivors as the literal path,
+        no giant InSet in the plan — and keep=True becomes LEFT SEMI."""
+        big = [f"junk{i}.example" for i in range(12_000)] + [
+            "bad-site.com", "EXAMPLE.ORG",
+        ]
+        out = domain_filter(urls, big)  # default max_inline=1000 -> join
+        kept = {r.id for r in out.collect()}
+        assert kept == {1, 3, 4, 5}  # identical to the literal-path test
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "junk77.example" not in plan  # list is data, not plan text
+        sem = domain_filter(urls, big + ["example.com"], keep=True)
+        assert {r.id for r in sem.collect()} == {1, 2, 6}
+        sem_plan = sem._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in sem_plan
+
+    def test_dataframe_blocklist_input(self, spark, urls):
+        """The usual 100 TB shape: the blocklist is already a relation
+        (read from its own store) — passed directly, joined, original
+        columns untouched."""
+        blk = spark.createDataFrame(
+            [(" Bad-Site.COM ",), ("example.org",), (None,)],
+            "domain string",
+        )
+        out = domain_filter(urls, blk)
+        assert {r.id for r in out.collect()} == {1, 3, 4, 5}
+        assert out.columns == urls.columns
+        with pytest.raises(ValueError, match="no 'domain' column"):
+            domain_filter(urls, blk.withColumnRenamed("domain", "d"))
+        # and with a custom column name
+        assert {
+            r.id
+            for r in domain_filter(
+                urls, blk.withColumnRenamed("domain", "d"), domain_col="d"
+            ).collect()
+        } == {1, 3, 4, 5}
+
+    def test_relation_path_with_psl(self, spark, urls):
+        """PSL-exact matching composes with the relation path: blocking
+        deep.example.org (the PSL-registrable domain under a hypothetical
+        'org' suffix) via a DataFrame blocklist."""
+        psl = spark.createDataFrame(
+            [("com",), ("org",), ("net",)], "suffix string"
+        )
+        blk = spark.createDataFrame(
+            [(f"blk{i}.net",) for i in range(5)] + [("example.org",)],
+            "domain string",
+        )
+        out = domain_filter(urls, blk, psl=psl)
+        assert {r.id for r in out.collect()} == {1, 3, 4, 5, 6}
+        assert out.columns == urls.columns  # helper cols dropped
+
 
 class TestRegistrableDomainPsl:
     @pytest.fixture(scope="class")
