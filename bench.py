@@ -231,15 +231,18 @@ def main() -> int:
     # The driver keeps only a truncated tail of stdout (r8 lost 43 of 136
     # per-entry ratios that way), so the FULL record also lands in a
     # stable repo-root sidecar the next judge can diff entry-by-entry.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
-    )
-    try:
-        with open(sidecar, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as exc:  # stdout line is still the contract
-        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+    # BENCH_ONLY diagnostic reruns skip it — a filtered run must not
+    # clobber the canonical full-catalog record.
+    if not only:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+        )
+        try:
+            with open(sidecar, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as exc:  # stdout line is still the contract
+            print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 

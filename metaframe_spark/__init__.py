@@ -32,6 +32,10 @@ _EXPORTS = {
     "stream_exact_dedup": ("metaframe_spark.streaming", "stream_exact_dedup"),
     "apply_cdc_stream": ("metaframe_spark.streaming", "apply_cdc_stream"),
     "recover_cdc_swap": ("metaframe_spark.streaming", "recover_cdc_swap"),
+    "stream_distinct_sketches": (
+        "metaframe_spark.streaming",
+        "stream_distinct_sketches",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

@@ -329,6 +329,106 @@ def _recover_swap_for_batch(spark, base_path: str, batch_id: int) -> Optional[st
     return "restored backup as base (staging incomplete)"
 
 
+def _swap_in_base(spark, base_path: str, staging: str, batch_id: int,
+                  label: str = "CDC swap") -> None:
+    """Promote a fully-written ``staging`` directory over ``base_path``
+    with the backup-rename protocol shared by :func:`apply_cdc_stream`
+    and :func:`stream_distinct_sketches`: move the old base aside FIRST
+    (a crash between the two renames leaves both versions on disk —
+    recoverable by :func:`_recover_swap_for_batch` — never neither),
+    promote, verify, and only then delete the backup. Every
+    ``FileSystem.rename`` return value is checked (Hadoop renames report
+    most failures by returning false, not raising)."""
+    backup = base_path.rstrip("/") + f"._replaced_{batch_id}"
+    fs, P = _hadoop_fs(spark, base_path)
+    dst, src, bak = P(base_path), P(staging), P(backup)
+    if not fs.rename(dst, bak):
+        raise RuntimeError(
+            f"{label} batch {batch_id}: failed to move base aside "
+            f"({base_path} -> {backup}); base left untouched"
+        )
+    if not fs.rename(src, dst):
+        # put the base back so the table stays readable, then fail
+        fs.rename(bak, dst)
+        raise RuntimeError(
+            f"{label} batch {batch_id}: failed to promote staging "
+            f"({staging} -> {base_path}); base restored from backup"
+        )
+    if not fs.exists(dst):
+        raise RuntimeError(
+            f"{label} batch {batch_id}: promoted base missing at "
+            f"{base_path}; backup retained at {backup}"
+        )
+    fs.delete(bak, True)
+
+
+def stream_distinct_sketches(
+    stream,
+    store_path: str,
+    columns,
+    group_by=None,
+    lg_k: int = 12,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously maintain a mergeable distinct-count SKETCH STORE from
+    a stream: each micro-batch is sketched
+    (:func:`~metaframe_spark.operators.maintenance.distinct_sketches`)
+    and hll-union-merged into the parquet store at ``store_path``
+    (:func:`~metaframe_spark.operators.maintenance.merge_distinct_sketches`)
+    — the streaming face of the incremental-stats story: "distinct users
+    ever / per group, updated continuously", with per-group state a few
+    KB regardless of stream volume, readable at ANY moment via
+    ``sketch_estimates(spark.read.parquet(store_path), group_by)``.
+
+    Retry-safe WITHOUT idempotence bookkeeping: HLL union is
+    register-wise max, so re-merging a replayed batch's sketch into a
+    store that already contains it is a mathematical no-op — this is the
+    rare aggregation whose at-least-once IS exactly-once. Crash safety
+    for the store itself is the same staged-write + backup-rename swap
+    as :func:`apply_cdc_stream` (repairable any time with
+    :func:`recover_cdc_swap` on ``store_path``). The first batch creates
+    the store; a missing ``store_path`` is not an error.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger —
+    drains what exists, then stops; re-launch on the same
+    ``checkpoint_dir`` to continue incrementally).
+    """
+    from ..operators.maintenance import distinct_sketches, merge_distinct_sketches
+
+    keys = list(group_by) if group_by else None
+    cols = list(columns)
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        _recover_swap_for_batch(spark, store_path, batch_id)
+        batch_sk = distinct_sketches(batch_df, cols, group_by=keys, lg_k=lg_k)
+        fs, P = _hadoop_fs(spark, store_path)
+        staging = store_path.rstrip("/") + f"._staging_{batch_id}"
+        has_store = fs.exists(P(store_path))
+        if has_store:
+            merged = merge_distinct_sketches(
+                spark.read.parquet(store_path), batch_sk, group_by=keys
+            )
+        else:
+            merged = batch_sk
+        merged.write.mode("overwrite").parquet(staging)
+        if has_store:
+            _swap_in_base(spark, store_path, staging, batch_id,
+                          label="sketch-store swap")
+        elif not fs.rename(P(staging), P(store_path)):
+            raise RuntimeError(
+                f"sketch-store swap batch {batch_id}: failed to promote "
+                f"first-batch staging ({staging} -> {store_path})"
+            )
+
+    writer = (
+        stream.to_spark() if isinstance(stream, MetaFrame) else stream
+    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:
     """Restore the newest complete version of a CDC base table after a
     crash mid-:func:`apply_cdc_stream`-swap.
@@ -417,31 +517,8 @@ def apply_cdc_stream(
             )), keys, delete_col
         )
         staging = base_path.rstrip("/") + f"._staging_{batch_id}"
-        backup = base_path.rstrip("/") + f"._replaced_{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        fs, P = _hadoop_fs(spark, base_path)
-        dst, src, bak = P(base_path), P(staging), P(backup)
-        # move the old base aside BEFORE promoting staging: a crash between
-        # the two renames leaves both versions on disk (recoverable), never
-        # neither — the delete happens only after the promote is verified
-        if not fs.rename(dst, bak):
-            raise RuntimeError(
-                f"CDC swap batch {batch_id}: failed to move base aside "
-                f"({base_path} -> {backup}); base left untouched"
-            )
-        if not fs.rename(src, dst):
-            # put the base back so the table stays readable, then fail
-            fs.rename(bak, dst)
-            raise RuntimeError(
-                f"CDC swap batch {batch_id}: failed to promote staging "
-                f"({staging} -> {base_path}); base restored from backup"
-            )
-        if not fs.exists(dst):
-            raise RuntimeError(
-                f"CDC swap batch {batch_id}: promoted base missing at "
-                f"{base_path}; backup retained at {backup}"
-            )
-        fs.delete(bak, True)
+        _swap_in_base(spark, base_path, staging, batch_id, label="CDC swap")
 
     writer = (
         stream.writeStream if not isinstance(stream, MetaFrame)

@@ -387,6 +387,7 @@ class TestCatalogPlanLint:
     # explicit list so a rename fails loudly rather than silently
     # un-linting an entry
     EXPENSIVE_TAIL = [
+        "llm_minhash_store",        # joined the tail in round 9 (~2.7 s: parquet round-trip + band join)
         "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
         "llm_neardup_incremental",  # top-12 in the r8 full run (~2.1 s)
         "q81_cogroup",              # joined the tail in round 8 (~3.7 s)

@@ -454,3 +454,101 @@ def test_transform_with_state_running_totals(spark, stream_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+class TestStreamDistinctSketches:
+    def _estimates(self, spark, store, keys):
+        from metaframe_spark.operators.maintenance import sketch_estimates
+
+        return {
+            tuple(getattr(r, k) for k in keys): r.user_distinct
+            for r in sketch_estimates(
+                spark.read.parquet(store), group_by=keys
+            ).collect()
+        }
+
+    def test_multi_batch_store_matches_batch_exact(self, spark, tmp_path):
+        """Two micro-batches drain into the sketch store; per-group
+        estimates equal the batch-mode exact distinct counts (coupon
+        range) over the concatenated input."""
+        from metaframe_spark.streaming import stream_distinct_sketches
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [(i % 3, i % 67) for i in range(300)], "grp int, user int"
+        )
+        b2 = spark.createDataFrame(
+            [(i % 3, (i * 7) % 131) for i in range(300)], "grp int, user int"
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "store")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_distinct_sketches(
+            stream, store, ["user"], group_by=["grp"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = self._estimates(spark, store, ["grp"])
+        want = {
+            (r.grp,): r.d
+            for r in b1.union(b2)
+            .groupBy("grp")
+            .agg(F.countDistinct("user").alias("d"))
+            .collect()
+        }
+        assert got == want
+
+    def test_continuation_and_replay_idempotence(self, spark, tmp_path):
+        """Re-launching on the same checkpoint after new files arrive
+        extends the store incrementally; re-draining EVERYTHING on a
+        fresh checkpoint (every batch replayed into the existing store)
+        leaves the estimates unchanged — HLL merge makes at-least-once
+        delivery exactly-once."""
+        from metaframe_spark.streaming import stream_distinct_sketches
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [(0, i % 97) for i in range(200)], "grp int, user int"
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        store = str(tmp_path / "store")
+        schema = b1.schema
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*"))
+            )
+            q = stream_distinct_sketches(
+                stream, store, ["user"], group_by=["grp"],
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain("ckpt")
+        assert self._estimates(spark, store, ["grp"]) == {(0,): 97}
+        # new file arrives; same checkpoint -> only f2 is read
+        b2 = spark.createDataFrame(
+            [(0, 100 + (i % 31)) for i in range(100)], "grp int, user int"
+        )
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        drain("ckpt")
+        assert self._estimates(spark, store, ["grp"]) == {(0,): 97 + 31}
+        # full replay into the EXISTING store (fresh checkpoint):
+        # register-wise max absorbs every duplicate batch
+        drain("ckpt_replay")
+        assert self._estimates(spark, store, ["grp"]) == {(0,): 97 + 31}
