@@ -231,6 +231,341 @@ def sketch_estimates(
     return sketches.select(*outs)
 
 
+def moment_sketches(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """MERGEABLE moment sketches: per (group, numeric column) a struct
+    ``{col}_moments`` of ``{n, sum, sumsq, min, max}`` — the exact
+    incremental companion to :func:`distinct_sketches`: persist one tiny
+    row per group per run and fold mean/std/min/max/count across runs
+    (:func:`merge_moment_sketches` → :func:`moment_estimates`) without
+    rescanning history. Unlike HLL this store is EXACT: sums and
+    sums-of-squares are algebraic, so merged estimates equal a
+    from-scratch pass over the concatenated data.
+
+    Determinism contract: ``sum`` is ``DECIMAL(38,6)`` (values quantized
+    to 6 decimal places, |x| < 1e12) and ``sumsq`` ``DECIMAL(38,12)`` —
+    decimal addition is associative/commutative, so the stored state is
+    bit-identical under ANY partitioning or merge order (double sums are
+    not; same idiom as pagerank's DECIMAL rank mass). min/max stay
+    double (order statistics are exact in any type). Inputs with more
+    than 6 significant decimals are quantized; metrics far beyond 1e12
+    overflow the decimal and need a rescale first — this store targets
+    bounded pipeline metrics (quality scores, lengths, prices, counts).
+
+    One aggregation pass, map-side partial like any algebraic agg;
+    per-partition state is a handful of numbers per (group, column).
+    """
+    from pyspark.sql.types import NumericType
+
+    if not columns:
+        raise ValueError("moment_sketches: columns must be non-empty")
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    bad = [c for c in columns if c not in numeric]
+    if bad:
+        raise ValueError(
+            f"moment_sketches: non-numeric columns {bad!r} "
+            f"(numeric columns present: {sorted(numeric)!r})"
+        )
+    aggs = [
+        F.struct(
+            F.count(F.col(c)).alias("n"),
+            F.sum(F.col(c).cast("decimal(28,6)")).alias("sum"),
+            F.sum(
+                F.col(c).cast("decimal(18,6)") * F.col(c).cast("decimal(18,6)")
+            ).alias("sumsq"),
+            F.min(F.col(c).cast("double")).alias("min"),
+            F.max(F.col(c).cast("double")).alias("max"),
+        ).alias(f"{c}_moments")
+        for c in columns
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def merge_moment_sketches(
+    *moment_dfs: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge moment-sketch relations from multiple runs: counts and
+    (decimal-exact) sums add, min/min and max/max fold — the merged
+    state is IDENTICAL to sketching the concatenated inputs in one pass,
+    for any split and any merge order. Output schema equals the input
+    sketch schema, so stores re-merge indefinitely (day → month → year
+    rollups at a few rows per group per level)."""
+    if not moment_dfs:
+        raise ValueError("merge_moment_sketches: need at least one input")
+    u = moment_dfs[0]
+    for other in moment_dfs[1:]:
+        u = u.unionByName(other)
+    mcols = [c for c in u.columns if c.endswith("_moments")]
+    if not mcols:
+        raise ValueError(
+            "merge_moment_sketches: no *_moments columns in input "
+            f"(columns: {u.columns!r})"
+        )
+    aggs = [
+        F.struct(
+            F.sum(F.col(f"{m}.n")).cast("long").alias("n"),
+            F.sum(F.col(f"{m}.sum")).cast("decimal(38,6)").alias("sum"),
+            F.sum(F.col(f"{m}.sumsq")).cast("decimal(38,12)").alias("sumsq"),
+            F.min(F.col(f"{m}.min")).alias("min"),
+            F.max(F.col(f"{m}.max")).alias("max"),
+        ).alias(m)
+        for m in mcols
+    ]
+    if group_by:
+        return u.groupBy(*group_by).agg(*aggs)
+    return u.agg(*aggs)
+
+
+def moment_estimates(
+    moments: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Statistics from a moment-sketch relation: every ``{col}_moments``
+    struct becomes ``{col}_count/mean/std/min/max`` (std is the SAMPLE
+    standard deviation; NULL below 2 observations, mean NULL at 0).
+    Row-local — the sketches are already aggregated, no shuffle. The
+    double math runs on decimal-exact inputs, so estimates are identical
+    regardless of how many runs the store was accreted from; values are
+    rounded to 6 decimals (the repo-wide reproducibility idiom)."""
+    keys = list(group_by or [])
+    outs = [F.col(k) for k in keys]
+    for m in moments.columns:
+        if not m.endswith("_moments"):
+            continue
+        base = m[: -len("_moments")]
+        n = F.col(f"{m}.n")
+        s = F.col(f"{m}.sum").cast("double")
+        s2 = F.col(f"{m}.sumsq").cast("double")
+        nd = n.cast("double")
+        var = (s2 - s * s / nd) / (nd - 1)
+        outs += [
+            n.alias(f"{base}_count"),
+            F.when(n >= 1, F.round(s / nd, 6)).alias(f"{base}_mean"),
+            F.when(n >= 2, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)).alias(
+                f"{base}_std"
+            ),
+            F.col(f"{m}.min").alias(f"{base}_min"),
+            F.col(f"{m}.max").alias(f"{base}_max"),
+        ]
+    return moments.select(*outs)
+
+
+def histogram_sketch(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """MERGEABLE equi-width histogram: per group a struct ``{col}_hist``
+    of ``{lo, hi, below, above, counts}`` with ``counts[i]`` the EXACT
+    number of values in bin i of ``[lo, hi]`` (``hi`` inclusive in the
+    last bin; values outside the range land in the unbounded ``below``/
+    ``above`` tallies). This is the quantile-digest persistence story
+    (SURVEY §2.3 row 6): ``approx_percentile``'s t-digest state cannot
+    be persisted or merged across Spark runs, but exact bin counts can —
+    bin-sum merge (:func:`merge_histograms`) is associative, so per-day
+    histograms fold into month/year quantile estimates
+    (:func:`histogram_quantile_estimates`) with error bounded by one bin
+    width, never rescanning history.
+
+    Plan shape: one ``groupBy(keys, bin)`` count (partial map-side, the
+    shuffled relation is at most ``groups × (n_bins + 2)`` rows
+    regardless of input size), then a per-group assembly of the dense
+    counts array via a map lookup over ``sequence(0, n_bins-1)`` — no
+    per-bin aggregate expressions, so ``n_bins`` scales to thousands
+    without codegen blow-up. Groups whose values are all NULL are absent
+    from the output (nothing was observed).
+
+    The bin rule ``least(floor((x - lo) / ((hi - lo) / n_bins)),
+    n_bins - 1)`` is plain double arithmetic — any engine reproduces the
+    exact same assignment, which is what lets the q88 oracle hash-match
+    bin contents across Spark and DuckDB.
+    """
+    if not n_bins >= 1:
+        raise ValueError(f"histogram_sketch: n_bins must be >= 1 ({n_bins})")
+    if not float(lo) < float(hi):
+        raise ValueError(f"histogram_sketch: need lo < hi ({lo!r} >= {hi!r})")
+    lo, hi = float(lo), float(hi)
+    w = (hi - lo) / n_bins
+    keys = list(group_by or [])
+    x = F.col(column).cast("double")
+    bin_ = (
+        F.when(x.isNull(), F.lit(None))
+        .when(x < lo, F.lit(-1))
+        .when(x > hi, F.lit(n_bins))
+        .otherwise(F.least(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(n_bins - 1)))
+    ).cast("int")
+    per_bin = (
+        df.select(*keys, bin_.alias("_bin"))
+        .filter(F.col("_bin").isNotNull())
+        .groupBy(*keys, "_bin")
+        .count()
+    )
+    g = per_bin.groupBy(*keys) if keys else per_bin.groupBy()
+    assembled = g.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bin"), F.col("count")))
+        ).alias("_m")
+    )
+    zero = F.lit(0).cast("long")
+    return assembled.select(
+        *keys,
+        F.struct(
+            F.lit(lo).alias("lo"),
+            F.lit(hi).alias("hi"),
+            F.coalesce(F.element_at("_m", F.lit(-1)), zero).alias("below"),
+            F.coalesce(F.element_at("_m", F.lit(n_bins)), zero).alias("above"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i), zero),
+            ).alias("counts"),
+        ).alias(f"{column}_hist"),
+    )
+
+
+def merge_histograms(
+    *hist_dfs: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge histogram relations from multiple runs: below/above/counts
+    add element-wise per group — exact, order- and split-independent.
+    Mismatched bin specs (different lo/hi/n_bins) cannot be merged
+    meaningfully and raise AT EXECUTION per group via ``assert_true``
+    rather than silently misaligning bins. The element-wise array sum
+    folds a ``collect_list`` of the runs' count arrays — state is
+    (runs × n_bins) longs per group, bounded by the number of runs being
+    merged in one call, not by data volume."""
+    if not hist_dfs:
+        raise ValueError("merge_histograms: need at least one input")
+    u = hist_dfs[0]
+    for other in hist_dfs[1:]:
+        u = u.unionByName(other)
+    hcols = [c for c in u.columns if c.endswith("_hist")]
+    if not hcols:
+        raise ValueError(
+            "merge_histograms: no *_hist columns in input "
+            f"(columns: {u.columns!r})"
+        )
+    keys = list(group_by or [])
+    zero = F.lit(0).cast("long")
+    tmp_aggs, final_cols = [], [F.col(k) for k in keys]
+    for m in hcols:
+        tmp_aggs += [
+            F.min(F.col(f"{m}.lo")).alias(f"_{m}_lo_mn"),
+            F.max(F.col(f"{m}.lo")).alias(f"_{m}_lo_mx"),
+            F.min(F.col(f"{m}.hi")).alias(f"_{m}_hi_mn"),
+            F.max(F.col(f"{m}.hi")).alias(f"_{m}_hi_mx"),
+            F.min(F.size(F.col(f"{m}.counts"))).alias(f"_{m}_nb_mn"),
+            F.max(F.size(F.col(f"{m}.counts"))).alias(f"_{m}_nb_mx"),
+            F.sum(F.col(f"{m}.below")).alias(f"_{m}_below"),
+            F.sum(F.col(f"{m}.above")).alias(f"_{m}_above"),
+            F.collect_list(F.col(f"{m}.counts")).alias(f"_{m}_cl"),
+        ]
+        consistent = (
+            (F.col(f"_{m}_lo_mn") == F.col(f"_{m}_lo_mx"))
+            & (F.col(f"_{m}_hi_mn") == F.col(f"_{m}_hi_mx"))
+            & (F.col(f"_{m}_nb_mn") == F.col(f"_{m}_nb_mx"))
+        )
+        cl = F.col(f"_{m}_cl")
+        summed = F.aggregate(
+            cl,
+            F.transform(F.element_at(cl, 1), lambda _: zero),
+            lambda acc, a: F.zip_with(acc, a, lambda p, q: p + q),
+        )
+        final_cols.append(
+            F.struct(
+                # assert_true returns NULL when the check holds and raises
+                # otherwise — gating lo on it keeps the check in the plan
+                # (a free-standing checked column would be pruned away)
+                F.when(
+                    F.assert_true(
+                        consistent,
+                        F.lit(f"merge_histograms: mismatched bin specs for {m}"),
+                    ).isNull(),
+                    F.col(f"_{m}_lo_mn"),
+                ).alias("lo"),
+                F.col(f"_{m}_hi_mn").alias("hi"),
+                F.col(f"_{m}_below").alias("below"),
+                F.col(f"_{m}_above").alias("above"),
+                summed.alias("counts"),
+            ).alias(m)
+        )
+    g = u.groupBy(*keys) if keys else u.groupBy()
+    return g.agg(*tmp_aggs).select(*final_cols)
+
+
+def histogram_quantile_estimates(
+    hists: DataFrame,
+    quantiles: Sequence[float],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram relation: every ``{col}_hist``
+    struct yields ``{col}_p{q}`` doubles by the cumulative-count walk
+    with linear interpolation inside the target bin — error is bounded
+    by one bin width against the true in-range quantile (both live in
+    the bin holding rank ``q × n``), the classic equi-width trade: bin
+    count buys precision, and the store stays mergeable where t-digest
+    state is not. Estimates cover the IN-RANGE distribution only
+    (``below``/``above`` are unbounded bins — nothing to interpolate);
+    a group with zero in-range observations estimates NULL.
+
+    Row-local on an already-aggregated relation (one row per group); the
+    cumulative array is built with higher-order functions — O(n_bins²)
+    per row, trivial at histogram-sized n_bins.
+    """
+    qs = [float(q) for q in quantiles]
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1]: {qs!r}")
+    labels = [f"p{q * 100:g}".replace(".", "_") for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantiles: {qs!r}")
+    keys = list(group_by or [])
+    outs = [F.col(k) for k in keys]
+    for m in hists.columns:
+        if not m.endswith("_hist"):
+            continue
+        base = m[: -len("_hist")]
+        counts = F.col(f"{m}.counts")
+        lo = F.col(f"{m}.lo")
+        w = (F.col(f"{m}.hi") - lo) / F.size(counts)
+        cum = F.transform(
+            counts,
+            lambda _, i: F.aggregate(
+                F.slice(counts, F.lit(1), i + 1),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        total = F.element_at(cum, -1)
+        for q, lbl in zip(qs, labels):
+            # greatest(..., tiny) makes q→0 resolve to the left edge of the
+            # first occupied bin instead of dividing by an empty bin 0
+            target = F.greatest(F.lit(q) * total.cast("double"), F.lit(1e-12))
+            idx = F.size(F.filter(cum, lambda c: c.cast("double") < target))
+            prev = F.when(idx == 0, F.lit(0).cast("long")).otherwise(
+                F.element_at(cum, idx)
+            )
+            cnt = F.element_at(counts, idx + 1)
+            est = lo + w * (
+                idx.cast("double")
+                + (target - prev.cast("double")) / cnt.cast("double")
+            )
+            outs.append(
+                F.when(total > 0, F.round(est, 6)).alias(f"{base}_{lbl}")
+            )
+    return hists.select(*outs)
+
+
 def compact_files(
     spark,
     src_path: str,

@@ -4551,6 +4551,179 @@ def q86_blocklist_antijoin(spark, sf):
     return domain_filter(urls.to_spark(), blocklist, url_col="url")
 
 
+@query(
+    "q87_moments_store",
+    "WITH a AS (SELECT l_returnflag, "
+    "  count(l_quantity) AS n, count(l_extendedprice) AS np, "
+    "  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s, "
+    "  CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * "
+    "           CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS s2, "
+    "  MIN(CAST(l_quantity AS DOUBLE)) AS mn, "
+    "  MAX(CAST(l_quantity AS DOUBLE)) AS mx, "
+    "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS ps, "
+    "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * "
+    "           CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS ps2 "
+    "  FROM lineitem GROUP BY 1) "
+    "SELECT l_returnflag, CAST(n AS BIGINT) AS qty_count, "
+    "ROUND(s / n, 6) AS qty_mean, "
+    "ROUND(SQRT(GREATEST((s2 - s * s / n) / (n - 1), 0)), 6) AS qty_std, "
+    "mn AS qty_min, mx AS qty_max, "
+    "ROUND(ps / np, 6) AS price_mean, "
+    "ROUND(SQRT(GREATEST((ps2 - ps * ps / np) / (np - 1), 0)), 6) AS price_std "
+    "FROM a",
+)
+def q87_moments_store(spark, sf):
+    """Mergeable EXACT moment sketches (operators/maintenance.py::
+    moment_sketches / merge_moment_sketches / moment_estimates — the
+    exact companion to q85's HLL store, SURVEY §2.3 row 6's incremental
+    face): lineitem split into three 'daily runs' (l_orderkey mod 3),
+    each reduced per return flag to {n, decimal-exact sum, sumsq, min,
+    max}, the runs merged by algebraic fold and the statistics read out.
+    Because the sums are DECIMAL (order-independent addition), the
+    merged mean/std/min/max/count are hash-IDENTICAL to the oracle's
+    one-pass computation over the full table — the store proves
+    "accrete per-day, never rescan history" loses nothing, not even
+    floating-point determinism. (The oracle's sumsq casts say
+    DECIMAL(19,6) where the operator uses (18,6): DuckDB executes a
+    width-18 multiply in int64 and overflows, width 19 forces hugeint —
+    the quantized VALUES are identical either way.)"""
+    from .operators.maintenance import (
+        merge_moment_sketches,
+        moment_estimates,
+        moment_sketches,
+    )
+
+    li = load_table(spark, sf, "lineitem").to_spark().select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    gb = ["l_returnflag"]
+    parts = [
+        moment_sketches(
+            li.filter(F.col("l_orderkey") % 3 == i), ["qty", "price"], group_by=gb
+        )
+        for i in range(3)
+    ]
+    est = moment_estimates(
+        merge_moment_sketches(*parts, group_by=gb), group_by=gb
+    )
+    return est.select(
+        "l_returnflag",
+        "qty_count",
+        "qty_mean",
+        "qty_std",
+        "qty_min",
+        "qty_max",
+        "price_mean",
+        "price_std",
+    )
+
+
+@query(
+    "q88_histogram_quantiles",
+    "WITH b AS (SELECT l_returnflag, "
+    "  CASE WHEN l_extendedprice < 0 THEN -1 "
+    "       WHEN l_extendedprice > 120000 THEN 120 "
+    "       ELSE LEAST(CAST(FLOOR(l_extendedprice / (120000.0 / 120)) AS INT), "
+    "                  119) END AS bin "
+    "  FROM lineitem WHERE l_extendedprice IS NOT NULL) "
+    "SELECT l_returnflag, "
+    "CAST(SUM(CASE WHEN bin = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below, "
+    "CAST(SUM(CASE WHEN bin = 120 THEN 1 ELSE 0 END) AS BIGINT) AS n_above, "
+    "CAST(SUM(CASE WHEN bin BETWEEN 0 AND 119 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_in_range, "
+    "CAST(SUM(CASE WHEN bin BETWEEN 0 AND 119 THEN bin + 1 ELSE 0 END) "
+    "  AS BIGINT) AS hist_checksum, "
+    "TRUE AS p50_ok, TRUE AS p90_ok "
+    "FROM b GROUP BY 1",
+)
+def q88_histogram_quantiles(spark, sf):
+    """Mergeable quantile digests via exact equi-width histograms
+    (operators/maintenance.py::histogram_sketch / merge_histograms /
+    histogram_quantile_estimates): approx_percentile's t-digest state
+    cannot be persisted or merged across Spark runs, but exact bin
+    counts can — lineitem split into two runs (l_orderkey parity), each
+    histogrammed per return flag over [0, 120000] × 120 bins, bin-sum
+    merged, quantiles interpolated from the cumulative walk. Oracled
+    hard: n_below/n_above/n_in_range and a rank-weighted hist_checksum
+    (sum of bin_idx+1 over rows) pin EVERY bin's content to DuckDB's
+    independently-computed bin assignment (the bin rule is plain double
+    arithmetic both engines evaluate identically), and p50_ok/p90_ok
+    assert the interpolated estimates sit within two bin widths of
+    Spark's exact percentile — deterministically TRUE (estimate and
+    exact quantile live in the same or adjacent bin when counts are
+    exact)."""
+    from .operators.maintenance import (
+        histogram_quantile_estimates,
+        histogram_sketch,
+        merge_histograms,
+    )
+
+    li = load_table(spark, sf, "lineitem").to_spark()
+    gb = ["l_returnflag"]
+    lo, hi, n_bins = 0.0, 120000.0, 120
+    w = (hi - lo) / n_bins
+    parts = [
+        histogram_sketch(
+            li.filter(F.col("l_orderkey") % 2 == i),
+            "l_extendedprice",
+            lo,
+            hi,
+            n_bins,
+            group_by=gb,
+        )
+        for i in range(2)
+    ]
+    h = merge_histograms(*parts, group_by=gb)
+    counts = F.col("l_extendedprice_hist.counts")
+    zero = F.lit(0).cast("long")
+    stats = h.select(
+        "l_returnflag",
+        F.col("l_extendedprice_hist.below").alias("n_below"),
+        F.col("l_extendedprice_hist.above").alias("n_above"),
+        F.aggregate(counts, zero, lambda a, x: a + x).alias("n_in_range"),
+        F.aggregate(
+            F.zip_with(
+                counts,
+                F.sequence(F.lit(1), F.size(counts)),
+                lambda c, i: c * i,
+            ),
+            zero,
+            lambda a, x: a + x,
+        ).alias("hist_checksum"),
+        "l_extendedprice_hist",
+    )
+    # the stat columns ride through histogram_quantile_estimates as
+    # passthrough keys — one histogram pipeline execution, not two
+    est = histogram_quantile_estimates(
+        stats,
+        [0.5, 0.9],
+        group_by=gb + ["n_below", "n_above", "n_in_range", "hist_checksum"],
+    )
+    exact = li.groupBy(*gb).agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("_e50"),
+        F.expr("percentile(l_extendedprice, 0.9D)").alias("_e90"),
+    )
+    return (
+        est.join(exact, gb)
+        .select(
+            "l_returnflag",
+            "n_below",
+            "n_above",
+            "n_in_range",
+            "hist_checksum",
+            (
+                F.abs(F.col("l_extendedprice_p50") - F.col("_e50")) <= 2 * w
+            ).alias("p50_ok"),
+            (
+                F.abs(F.col("l_extendedprice_p90") - F.col("_e90")) <= 2 * w
+            ).alias("p90_ok"),
+        )
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -4717,6 +4890,8 @@ _ROTATE_FIRST: list = [
     "q86_blocklist_antijoin",
     "llm_pagerank_redistribute",
     "llm_minhash_store",
+    "q87_moments_store",
+    "q88_histogram_quantiles",
     # oldest-blessed regression re-checks (last driver-checked r02-r06)
     *[f"q{i:02d}" for i in range(13, 31)],
     "q19b",

@@ -255,3 +255,304 @@ class TestDistinctSketches:
         b = distinct_sketches(df, ["v"], lg_k=14)
         with pytest.raises(Exception):
             sketch_estimates(merge_distinct_sketches(a, b)).collect()
+
+
+class TestMomentSketches:
+    def _mk(self, spark):
+        return spark.createDataFrame(
+            [(i % 3, i, float(i % 17) + 0.25, float((i * 7) % 101)) for i in range(600)],
+            "g int, k long, x double, y double",
+        )
+
+    def test_merge_of_runs_equals_one_shot_and_exact(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_moment_sketches,
+            moment_estimates,
+            moment_sketches,
+        )
+
+        df = self._mk(spark)
+        parts = [
+            moment_sketches(df.filter(F.col("k") % 3 == i), ["x", "y"], group_by=["g"])
+            for i in range(3)
+        ]
+        merged = moment_estimates(
+            merge_moment_sketches(*parts, group_by=["g"]), group_by=["g"]
+        )
+        one = moment_estimates(
+            moment_sketches(df, ["x", "y"], group_by=["g"]), group_by=["g"]
+        )
+        got = sorted(merged.collect())
+        assert got == sorted(one.collect())
+        exact = {
+            r.g: r
+            for r in df.groupBy("g")
+            .agg(
+                F.count("x").alias("n"),
+                F.round(F.avg("x"), 6).alias("m"),
+                F.round(F.stddev("x"), 6).alias("s"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx"),
+            )
+            .collect()
+        }
+        for r in got:
+            e = exact[r.g]
+            assert (r.x_count, r.x_mean, r.x_std, r.x_min, r.x_max) == (
+                e.n, e.m, e.s, e.mn, e.mx,
+            )
+
+    def test_split_independence_bitwise(self, spark):
+        """The stored decimal state is identical under ANY split of the
+        input — not just the estimates, the sketch rows themselves."""
+        from metaframe_spark.operators.maintenance import (
+            merge_moment_sketches,
+            moment_sketches,
+        )
+
+        df = self._mk(spark)
+
+        def store(n_parts):
+            parts = [
+                moment_sketches(
+                    df.filter(F.col("k") % n_parts == i), ["x"], group_by=["g"]
+                )
+                for i in range(n_parts)
+            ]
+            return sorted(merge_moment_sketches(*parts, group_by=["g"]).collect())
+
+        assert store(2) == store(5)
+
+    def test_remerge_of_merged_stores(self, spark):
+        """Day -> month -> year rollup: merging already-merged stores is
+        the same as sketching everything at once (schema-stable fold)."""
+        from metaframe_spark.operators.maintenance import (
+            merge_moment_sketches,
+            moment_sketches,
+        )
+
+        df = self._mk(spark)
+        days = [
+            moment_sketches(df.filter(F.col("k") % 4 == i), ["x"], group_by=["g"])
+            for i in range(4)
+        ]
+        month_a = merge_moment_sketches(days[0], days[1], group_by=["g"])
+        month_b = merge_moment_sketches(days[2], days[3], group_by=["g"])
+        year = merge_moment_sketches(month_a, month_b, group_by=["g"])
+        one = moment_sketches(df, ["x"], group_by=["g"])
+        assert sorted(year.collect()) == sorted(one.collect())
+
+    def test_parquet_round_trip(self, spark, tmp_path):
+        from metaframe_spark.operators.maintenance import (
+            merge_moment_sketches,
+            moment_estimates,
+            moment_sketches,
+        )
+
+        df = self._mk(spark)
+        old = moment_sketches(df.filter(F.col("k") < 300), ["x"], group_by=["g"])
+        old.write.parquet(str(tmp_path / "store"))
+        reloaded = spark.read.parquet(str(tmp_path / "store"))
+        new = moment_sketches(df.filter(F.col("k") >= 300), ["x"], group_by=["g"])
+        via_store = moment_estimates(
+            merge_moment_sketches(reloaded, new, group_by=["g"]), group_by=["g"]
+        )
+        direct = moment_estimates(
+            moment_sketches(df, ["x"], group_by=["g"]), group_by=["g"]
+        )
+        assert sorted(via_store.collect()) == sorted(direct.collect())
+
+    def test_global_mode_nulls_and_degenerate_counts(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            moment_estimates,
+            moment_sketches,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (3.0,), (None,)], "v double"
+        )
+        r = moment_estimates(moment_sketches(df, ["v"])).collect()[0]
+        assert (r.v_count, r.v_mean, r.v_min, r.v_max) == (2, 2.0, 1.0, 3.0)
+        empty = spark.createDataFrame([(None,)], "v double")
+        r0 = moment_estimates(moment_sketches(empty, ["v"])).collect()[0]
+        assert (r0.v_count, r0.v_mean, r0.v_std) == (0, None, None)
+        one = spark.createDataFrame([(5.0,)], "v double")
+        r1 = moment_estimates(moment_sketches(one, ["v"])).collect()[0]
+        assert (r1.v_count, r1.v_mean, r1.v_std) == (1, 5.0, None)
+
+    def test_guards(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_moment_sketches,
+            moment_sketches,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "v long, s string")
+        with pytest.raises(ValueError, match="non-empty"):
+            moment_sketches(df, [])
+        with pytest.raises(ValueError, match="non-numeric"):
+            moment_sketches(df, ["s"])
+        with pytest.raises(ValueError, match="at least one"):
+            merge_moment_sketches()
+        with pytest.raises(ValueError, match="_moments"):
+            merge_moment_sketches(df)
+
+
+class TestHistogramSketch:
+    def _mk(self, spark):
+        return spark.createDataFrame(
+            [(i % 2, i, float(i % 23) - 2.0) for i in range(460)],
+            "g int, k long, x double",
+        )
+
+    def test_bin_counts_exact_and_edges(self, spark):
+        """Bin assignment parity with an independent computation,
+        including the edges: x < lo -> below, x > hi -> above, x == hi
+        -> LAST bin (inclusive upper edge)."""
+        from metaframe_spark.operators.maintenance import histogram_sketch
+
+        df = self._mk(spark)  # x in [-2, 20]
+        lo, hi, nb = 0.0, 18.0, 9  # w = 2.0
+        h = {
+            r.g: r.x_hist
+            for r in histogram_sketch(df, "x", lo, hi, nb, group_by=["g"]).collect()
+        }
+        ref = df.select(
+            "g",
+            F.when(F.col("x") < lo, -1)
+            .when(F.col("x") > hi, nb)
+            .otherwise(F.least(F.floor((F.col("x") - lo) / 2.0), F.lit(nb - 1)))
+            .cast("int")
+            .alias("b"),
+        )
+        want = {
+            (r.g, r.b): r["count"] for r in ref.groupBy("g", "b").count().collect()
+        }
+        for g, hist in h.items():
+            assert hist.below == want.get((g, -1), 0)
+            assert hist.above == want.get((g, nb), 0)
+            assert list(hist.counts) == [want.get((g, i), 0) for i in range(nb)]
+        # x == hi lands in the last bin, not above
+        edge = spark.createDataFrame([(18.0,), (18.00001,)], "x double")
+        e = histogram_sketch(edge, "x", lo, hi, nb).collect()[0].x_hist
+        assert (e.counts[nb - 1], e.above) == (1, 1)
+
+    def test_merge_split_independent_and_remergeable(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_sketch,
+            merge_histograms,
+        )
+
+        df = self._mk(spark)
+
+        def merged(n_parts):
+            parts = [
+                histogram_sketch(
+                    df.filter(F.col("k") % n_parts == i), "x", 0.0, 18.0, 9,
+                    group_by=["g"],
+                )
+                for i in range(n_parts)
+            ]
+            return sorted(merge_histograms(*parts, group_by=["g"]).collect())
+
+        one = sorted(
+            histogram_sketch(df, "x", 0.0, 18.0, 9, group_by=["g"]).collect()
+        )
+        assert merged(2) == merged(4) == one
+
+    def test_quantiles_within_bin_width(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_quantile_estimates,
+            histogram_sketch,
+        )
+
+        df = self._mk(spark).filter(F.col("x") >= 0.0)  # in-range only
+        w = 21.0 / 42
+        h = histogram_sketch(df, "x", 0.0, 21.0, 42, group_by=["g"])
+        est = {
+            r.g: r
+            for r in histogram_quantile_estimates(
+                h, [0.25, 0.5, 0.9], group_by=["g"]
+            ).collect()
+        }
+        exact = {
+            r.g: r
+            for r in df.groupBy("g")
+            .agg(
+                F.expr("percentile(x, 0.25D)").alias("p25"),
+                F.expr("percentile(x, 0.5D)").alias("p50"),
+                F.expr("percentile(x, 0.9D)").alias("p90"),
+            )
+            .collect()
+        }
+        for g in exact:
+            assert abs(est[g].x_p25 - exact[g].p25) <= 2 * w
+            assert abs(est[g].x_p50 - exact[g].p50) <= 2 * w
+            assert abs(est[g].x_p90 - exact[g].p90) <= 2 * w
+
+    def test_empty_in_range_estimates_null(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_quantile_estimates,
+            histogram_sketch,
+        )
+
+        df = spark.createDataFrame([(100.0,), (200.0,)], "x double")
+        h = histogram_sketch(df, "x", 0.0, 10.0, 5)
+        r = histogram_quantile_estimates(h, [0.5]).collect()[0]
+        assert r.x_p50 is None
+        hist = h.collect()[0].x_hist
+        assert (hist.above, sum(hist.counts)) == (2, 0)
+
+    def test_parquet_round_trip(self, spark, tmp_path):
+        from metaframe_spark.operators.maintenance import (
+            histogram_sketch,
+            merge_histograms,
+        )
+
+        df = self._mk(spark)
+        old = histogram_sketch(
+            df.filter(F.col("k") < 230), "x", 0.0, 18.0, 9, group_by=["g"]
+        )
+        old.write.parquet(str(tmp_path / "store"))
+        reloaded = spark.read.parquet(str(tmp_path / "store"))
+        new = histogram_sketch(
+            df.filter(F.col("k") >= 230), "x", 0.0, 18.0, 9, group_by=["g"]
+        )
+        via = sorted(merge_histograms(reloaded, new, group_by=["g"]).collect())
+        one = sorted(
+            histogram_sketch(df, "x", 0.0, 18.0, 9, group_by=["g"]).collect()
+        )
+        assert via == one
+
+    def test_mismatched_specs_raise(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_sketch,
+            merge_histograms,
+        )
+
+        df = self._mk(spark)
+        a = histogram_sketch(df, "x", 0.0, 18.0, 9, group_by=["g"])
+        b = histogram_sketch(df, "x", 0.0, 20.0, 9, group_by=["g"])
+        with pytest.raises(Exception, match="mismatched bin specs"):
+            merge_histograms(a, b, group_by=["g"]).collect()
+
+    def test_guards(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_quantile_estimates,
+            histogram_sketch,
+            merge_histograms,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="n_bins"):
+            histogram_sketch(df, "x", 0.0, 1.0, 0)
+        with pytest.raises(ValueError, match="lo < hi"):
+            histogram_sketch(df, "x", 2.0, 1.0, 4)
+        with pytest.raises(ValueError, match="at least one"):
+            merge_histograms()
+        with pytest.raises(ValueError, match="_hist"):
+            merge_histograms(df)
+        h = histogram_sketch(df, "x", 0.0, 1.0, 4)
+        with pytest.raises(ValueError, match="quantiles"):
+            histogram_quantile_estimates(h, [0.0])
+        with pytest.raises(ValueError, match="duplicate"):
+            histogram_quantile_estimates(h, [0.5, 0.50])

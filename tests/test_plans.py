@@ -388,6 +388,7 @@ class TestCatalogPlanLint:
     # un-linting an entry
     EXPENSIVE_TAIL = [
         "llm_minhash_store",        # joined the tail in round 9 (~2.7 s: parquet round-trip + band join)
+        "q88_histogram_quantiles",  # joined the tail in round 9 (~3 s: 2-run histogram merge + exact-percentile validation column)
         "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
         "llm_neardup_incremental",  # top-12 in the r8 full run (~2.1 s)
         "q81_cogroup",              # joined the tail in round 8 (~3.7 s)
