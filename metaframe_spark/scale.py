@@ -192,6 +192,101 @@ def lint_plan(df, allow: Sequence[str] = (), execute: bool = False) -> List[str]
     ]
 
 
+def zorder_code(df: DataFrame, z_cols: Sequence[str], bits_per_col: int = 8,
+                rel_err: float = 0.001) -> Column:
+    """A Z-order (Morton) key over ``z_cols``: each column is mapped to a
+    ``2^bits_per_col``-bucket EQUI-DEPTH code via approx-quantile
+    boundaries, and the codes' bits are interleaved into one long.
+    Sorting by this key clusters rows so that every contiguous run is a
+    tight hyper-rectangle in ALL the dimensions at once — the multi-column
+    generalization of sorting by one column.
+
+    Equi-depth (not equi-width) bucketing makes the curve skew-proof: a
+    hot value range still spreads over many codes. Boundary computation is
+    one ``approxQuantile`` pass (Greenwald-Khanna, driver state bounded by
+    ``1/rel_err``); the per-row mapping is a row-local count over the
+    boundary literal array (``2^bits_per_col`` comparisons — 256 at the
+    default — negligible next to parquet decode). NULLs code to bucket 0
+    (they cluster in the low corner, like NULLS FIRST). Supported types:
+    numeric, timestamp, date.
+    """
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    if not z_cols:
+        raise ValueError("zorder: z_cols must be non-empty")
+    if bits_per_col * len(z_cols) > 62:
+        raise ValueError(
+            f"zorder: {bits_per_col} bits × {len(z_cols)} cols exceeds the "
+            "62-bit long budget; lower bits_per_col"
+        )
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    xs = []
+    for c in z_cols:
+        t = dtypes.get(c)
+        if isinstance(t, (NumericType, TimestampType)):
+            xs.append(F.col(c).cast("double"))
+        elif isinstance(t, DateType):
+            xs.append(F.col(c).cast("timestamp").cast("double"))
+        else:
+            raise ValueError(
+                f"zorder: column {c!r} has unsupported type {t} "
+                "(numeric/timestamp/date only)"
+            )
+    n_buckets = 2 ** bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    proj = df.select(*[x.alias(f"_zq_{i}") for i, x in enumerate(xs)])
+    bounds = proj.stat.approxQuantile(
+        [f"_zq_{i}" for i in range(len(xs))], probs, rel_err
+    )
+    ncols = len(xs)
+    z = F.lit(0).cast("long")
+    for k, (x, bnds) in enumerate(zip(xs, bounds)):
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        code = F.size(F.filter(arr, lambda b: b <= x)).cast("long")
+        for j in range(bits_per_col):
+            bit = F.shiftright(code, j).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, j * ncols + k)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    z_cols: Sequence[str],
+    n_files: int,
+    bits_per_col: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    rel_err: float = 0.001,
+) -> None:
+    """Persist ``df`` Z-ORDERED on ``z_cols`` into ``n_files`` files —
+    the multi-column data-skipping layout. A single-column sort prunes
+    scans filtered on that column and nothing else; interleaving the
+    bits (:func:`zorder_code`) gives every file a tight min/max envelope
+    in EVERY z column, so parquet row-group statistics (and any
+    file-level min/max index) skip most of a 100-TB table for selective
+    predicates on ANY of the z columns — the layout Delta/Iceberg
+    OPTIMIZE ZORDER applies, produced here with plain range partitioning.
+
+    One quantile pass + one range-partition shuffle + a per-file sort;
+    like :func:`compact_files` this is a layout operation — row order is
+    whatever the curve dictates. ``n_files`` is the clustering (and
+    later scan-parallelism) granule: aim for a few hundred MB each.
+    """
+    if n_files < 1:
+        raise ValueError("write_zordered: n_files must be >= 1")
+    z = zorder_code(df, z_cols, bits_per_col=bits_per_col, rel_err=rel_err)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

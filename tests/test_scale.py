@@ -311,3 +311,117 @@ class TestBucketedTables:
             write_bucketed(li, "t_x", [], 8)
         with pytest.raises(ValueError, match="n_buckets"):
             write_bucketed(li, "t_x", ["l_orderkey"], 0)
+
+
+class TestZOrder:
+    def _grid(self, spark):
+        # the full 100x100 grid, one point per cell (id = 100*y + x)
+        return spark.range(10_000).select(
+            (F.col("id") % 100).cast("int").alias("x"),
+            (F.col("id") / 100).cast("int").alias("y"),
+            F.col("id").alias("payload"),
+        )
+
+    def _file_spans(self, spark, path):
+        r = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        return (
+            r.groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+                F.min("y").alias("y_lo"),
+                F.max("y").alias("y_hi"),
+            )
+            .collect()
+        )
+
+    def test_content_preserved_and_files_tight_in_both_dims(
+        self, spark, tmp_path
+    ):
+        from metaframe_spark.scale import write_zordered
+
+        df = self._grid(spark)
+        zpath = str(tmp_path / "zordered")
+        write_zordered(df, zpath, ["x", "y"], n_files=16)
+        back = spark.read.parquet(zpath)
+        assert back.count() == 10_000
+        assert (
+            sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+        )
+        # x-sorted baseline: tight in x, but every file spans ALL of y
+        xpath = str(tmp_path / "xsorted")
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.parquet(xpath)
+        )
+        zspans = self._file_spans(spark, zpath)
+        xspans = self._file_spans(spark, xpath)
+        assert len(zspans) == 16
+        zsy = sum(r.sy for r in zspans) / len(zspans)
+        xsy = sum(r.sy for r in xspans) / len(xspans)
+        # 16 z-files over 8-bit codes = 2 leading bits per dim -> each file
+        # covers ~1/4 of each range (span ~25); x-sorted files span ~99 in y
+        assert zsy < 0.5 * xsy, (zsy, xsy)
+        # averages, not max: a range-partition boundary that straddles a
+        # high-bit transition legitimately gives ONE file a wide span
+        zsx = sum(r.sx for r in zspans) / len(zspans)
+        assert zsx < 50 and zsy < 50, (zsx, zsy)
+        # data skipping on the NON-leading dim: a narrow y band intersects
+        # few z-files but every x-sorted file
+        zhit = sum(1 for r in zspans if r.y_lo <= 10 <= r.y_hi)
+        xhit = sum(1 for r in xspans if r.y_lo <= 10 <= r.y_hi)
+        assert zhit <= len(zspans) // 2 < xhit == len(xspans)
+
+    def test_equi_depth_absorbs_skew(self, spark, tmp_path):
+        """A hot value in x must not collapse the curve: equi-depth codes
+        spread the hot range across files, keeping file sizes balanced."""
+        from metaframe_spark.scale import write_zordered
+
+        df = spark.range(8_000).select(
+            F.when(F.col("id") % 2 == 0, 7)
+            .otherwise(F.col("id") % 1000)
+            .cast("int")
+            .alias("x"),
+            (F.col("id") % 97).cast("int").alias("y"),
+        )
+        path = str(tmp_path / "skewed")
+        write_zordered(df, path, ["x", "y"], n_files=8)
+        sizes = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .count()
+            .collect()
+        )
+        counts = sorted(r["count"] for r in sizes)
+        assert len(counts) == 8
+        assert counts[-1] <= 3 * counts[0], counts
+
+    def test_null_and_type_handling(self, spark, tmp_path):
+        from metaframe_spark.scale import write_zordered, zorder_code
+
+        df = spark.createDataFrame(
+            [(None, 1.5), (3, 2.5), (8, None)], "x int, y double"
+        )
+        path = str(tmp_path / "withnulls")
+        write_zordered(df, path, ["x", "y"], n_files=1, bits_per_col=4)
+        assert spark.read.parquet(path).count() == 3
+        dated = spark.createDataFrame([("2024-01-02", 1)], "d string, v int").select(
+            F.col("d").cast("date").alias("d"), "v"
+        )
+        assert dated.select(
+            zorder_code(dated, ["d", "v"], bits_per_col=4).alias("z")
+        ).collect()[0].z is not None
+
+    def test_guards(self, spark):
+        from metaframe_spark.scale import write_zordered, zorder_code
+
+        df = spark.createDataFrame([("a", 1)], "s string, v int")
+        with pytest.raises(ValueError, match="non-empty"):
+            zorder_code(df, [])
+        with pytest.raises(ValueError, match="unsupported type"):
+            zorder_code(df, ["s"])
+        with pytest.raises(ValueError, match="62-bit"):
+            zorder_code(df, ["v"], bits_per_col=63)
+        with pytest.raises(ValueError, match="n_files"):
+            write_zordered(df, "/tmp/never", ["v"], n_files=0)
