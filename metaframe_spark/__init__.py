@@ -36,6 +36,14 @@ _EXPORTS = {
         "metaframe_spark.streaming",
         "stream_distinct_sketches",
     ),
+    "stream_moment_sketches": (
+        "metaframe_spark.streaming",
+        "stream_moment_sketches",
+    ),
+    "stream_histogram_sketches": (
+        "metaframe_spark.streaming",
+        "stream_histogram_sketches",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

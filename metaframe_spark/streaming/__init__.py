@@ -362,6 +362,70 @@ def _swap_in_base(spark, base_path: str, staging: str, batch_id: int,
     fs.delete(bak, True)
 
 
+def _stream_sketch_store(stream, store_path: str, sketch, merge,
+                         checkpoint_dir: Optional[str], high_water: bool):
+    """Shared foreachBatch machinery for the continuously-maintained
+    sketch stores: per micro-batch, ``sketch(batch_df)`` reduces the
+    batch and ``merge(store_df, batch_sketch)`` folds it into the
+    parquet store at ``store_path``, under the same crash-safe
+    staged-write + backup-rename swap as :func:`apply_cdc_stream`
+    (repairable any time with :func:`recover_cdc_swap`).
+
+    ``high_water=True`` adds exactly-once bookkeeping for ADDITIVE
+    sketches (sums/counts, where re-merging a replayed batch would
+    double-count): every store row carries ``_last_batch``, the highest
+    batch id folded in, and a batch with ``batch_id <= _last_batch`` is
+    skipped. Structured Streaming replays batch ids in order within one
+    checkpoint, so the single high-water mark is sufficient — the
+    standard foreachBatch idempotence recipe. It protects against
+    crash/retry replays on the store's OWN checkpoint; one store, one
+    checkpoint is the contract (a fresh checkpoint restarts batch ids
+    at 0 and would be skipped against an old store's mark).
+    ``high_water=False`` is for merges that are naturally idempotent
+    (HLL register-max)."""
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        _recover_swap_for_batch(spark, store_path, batch_id)
+        fs, P = _hadoop_fs(spark, store_path)
+        has_store = fs.exists(P(store_path))
+        prior = spark.read.parquet(store_path) if has_store else None
+        if high_water and has_store:
+            last = prior.agg({"_last_batch": "max"}).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded into the store
+        batch_sk = sketch(batch_df)
+        if has_store:
+            merged = merge(
+                prior.drop("_last_batch") if high_water else prior, batch_sk
+            )
+        else:
+            merged = batch_sk
+        if high_water:
+            from pyspark.sql import functions as F
+
+            merged = merged.withColumn(
+                "_last_batch", F.lit(batch_id).cast("long")
+            )
+        staging = store_path.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if has_store:
+            _swap_in_base(spark, store_path, staging, batch_id,
+                          label="sketch-store swap")
+        elif not fs.rename(P(staging), P(store_path)):
+            raise RuntimeError(
+                f"sketch-store swap batch {batch_id}: failed to promote "
+                f"first-batch staging ({staging} -> {store_path})"
+            )
+
+    writer = (
+        stream.to_spark() if isinstance(stream, MetaFrame) else stream
+    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_distinct_sketches(
     stream,
     store_path: str,
@@ -383,11 +447,10 @@ def stream_distinct_sketches(
     Retry-safe WITHOUT idempotence bookkeeping: HLL union is
     register-wise max, so re-merging a replayed batch's sketch into a
     store that already contains it is a mathematical no-op — this is the
-    rare aggregation whose at-least-once IS exactly-once. Crash safety
-    for the store itself is the same staged-write + backup-rename swap
-    as :func:`apply_cdc_stream` (repairable any time with
-    :func:`recover_cdc_swap` on ``store_path``). The first batch creates
-    the store; a missing ``store_path`` is not an error.
+    rare aggregation whose at-least-once IS exactly-once (the additive
+    stores below need the ``_last_batch`` high-water mark instead).
+    The first batch creates the store; a missing ``store_path`` is not
+    an error.
 
     Returns the started ``StreamingQuery`` (``availableNow`` trigger —
     drains what exists, then stops; re-launch on the same
@@ -397,36 +460,84 @@ def stream_distinct_sketches(
 
     keys = list(group_by) if group_by else None
     cols = list(columns)
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        lambda b: distinct_sketches(b, cols, group_by=keys, lg_k=lg_k),
+        lambda store, new: merge_distinct_sketches(store, new, group_by=keys),
+        checkpoint_dir,
+        high_water=False,
+    )
 
-    def _apply(batch_df, batch_id: int):
-        spark = batch_df.sparkSession
-        _recover_swap_for_batch(spark, store_path, batch_id)
-        batch_sk = distinct_sketches(batch_df, cols, group_by=keys, lg_k=lg_k)
-        fs, P = _hadoop_fs(spark, store_path)
-        staging = store_path.rstrip("/") + f"._staging_{batch_id}"
-        has_store = fs.exists(P(store_path))
-        if has_store:
-            merged = merge_distinct_sketches(
-                spark.read.parquet(store_path), batch_sk, group_by=keys
-            )
-        else:
-            merged = batch_sk
-        merged.write.mode("overwrite").parquet(staging)
-        if has_store:
-            _swap_in_base(spark, store_path, staging, batch_id,
-                          label="sketch-store swap")
-        elif not fs.rename(P(staging), P(store_path)):
-            raise RuntimeError(
-                f"sketch-store swap batch {batch_id}: failed to promote "
-                f"first-batch staging ({staging} -> {store_path})"
-            )
 
-    writer = (
-        stream.to_spark() if isinstance(stream, MetaFrame) else stream
-    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+def stream_moment_sketches(
+    stream,
+    store_path: str,
+    columns,
+    group_by=None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously maintain the EXACT moment store
+    (:func:`~metaframe_spark.operators.maintenance.moment_sketches` /
+    ``merge_moment_sketches``) from a stream: running count/mean/std/
+    min/max per group, readable at any moment via
+    ``moment_estimates(spark.read.parquet(store_path).drop("_last_batch"),
+    group_by)``. Moment sums are ADDITIVE — a replayed micro-batch would
+    double-count — so the store carries the ``_last_batch`` high-water
+    mark (see :func:`_stream_sketch_store`): at-least-once delivery
+    becomes exactly-once, and because the sums are decimal-exact the
+    continuously-accreted statistics hash-match a batch pass over
+    everything the stream ever delivered."""
+    from ..operators.maintenance import merge_moment_sketches, moment_sketches
+
+    keys = list(group_by) if group_by else None
+    cols = list(columns)
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        lambda b: moment_sketches(b, cols, group_by=keys),
+        lambda store, new: merge_moment_sketches(store, new, group_by=keys),
+        checkpoint_dir,
+        high_water=True,
+    )
+
+
+def stream_histogram_sketches(
+    stream,
+    store_path: str,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_by=None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously maintain the mergeable histogram store
+    (:func:`~metaframe_spark.operators.maintenance.histogram_sketch` /
+    ``merge_histograms``) from a stream: running quantile estimates per
+    group (error bounded by one bin width), readable at any moment via
+    ``histogram_quantile_estimates(spark.read.parquet(store_path)
+    .drop("_last_batch"), [...], group_by)``. Bin counts are ADDITIVE,
+    so exactly-once comes from the ``_last_batch`` high-water mark, as
+    with :func:`stream_moment_sketches`.
+
+    One caveat the batch operator does not have: a micro-batch whose
+    rows all fall in groups with no in-range values contributes nothing
+    for those groups (same as batch), but a group must appear in SOME
+    batch with at least one non-null value to exist in the store."""
+    from ..operators.maintenance import histogram_sketch, merge_histograms
+
+    keys = list(group_by) if group_by else None
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        lambda b: histogram_sketch(
+            b, column, lo, hi, n_bins, group_by=keys
+        ),
+        lambda store, new: merge_histograms(store, new, group_by=keys),
+        checkpoint_dir,
+        high_water=True,
+    )
 
 
 def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:

@@ -552,3 +552,127 @@ class TestStreamDistinctSketches:
         # register-wise max absorbs every duplicate batch
         drain("ckpt_replay")
         assert self._estimates(spark, store, ["grp"]) == {(0,): 97 + 31}
+
+
+class TestStreamAdditiveSketchStores:
+    """Moment/histogram stores are ADDITIVE (a replayed batch would
+    double-count) — exactly-once comes from the _last_batch high-water
+    mark, not from merge idempotence like the HLL store."""
+
+    def _drain(self, spark, fn, src, ckpt, schema, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = fn(stream, **kw, checkpoint_dir=str(ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_moment_store_matches_batch_exact_and_skips_replays(
+        self, spark, tmp_path
+    ):
+        from metaframe_spark.operators.maintenance import moment_estimates
+        from metaframe_spark.streaming import stream_moment_sketches
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [(i % 3, float(i % 13) + 0.5) for i in range(300)], "g int, x double"
+        )
+        b2 = spark.createDataFrame(
+            [(i % 3, float((i * 7) % 31)) for i in range(300)], "g int, x double"
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "store")
+
+        def estimates():
+            return {
+                r.g: (r.x_count, r.x_mean, r.x_std, r.x_min, r.x_max)
+                for r in moment_estimates(
+                    spark.read.parquet(store).drop("_last_batch"),
+                    group_by=["g"],
+                ).collect()
+            }
+
+        self._drain(
+            spark, stream_moment_sketches, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, columns=["x"], group_by=["g"],
+        )
+        got = estimates()
+        want = {
+            r.g: (r.n, r.m, r.s, r.mn, r.mx)
+            for r in b1.union(b2)
+            .groupBy("g")
+            .agg(
+                F.count("x").alias("n"),
+                F.round(F.avg("x"), 6).alias("m"),
+                F.round(F.stddev("x"), 6).alias("s"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+        # a fresh checkpoint re-delivers every batch with RESTARTED ids
+        # (0, 1) <= the store's high-water mark -> all skipped, store
+        # unchanged: the additive store does not double-count replays
+        self._drain(
+            spark, stream_moment_sketches, src, tmp_path / "ckpt_replay",
+            b1.schema, store_path=store, columns=["x"], group_by=["g"],
+        )
+        assert estimates() == want
+        # continuation on the ORIGINAL checkpoint: a new file is batch 2 >
+        # high-water 1 -> applied
+        b3 = spark.createDataFrame([(0, 1000.0)], "g int, x double")
+        b3.coalesce(1).write.parquet(str(src / "f3"))
+        self._drain(
+            spark, stream_moment_sketches, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, columns=["x"], group_by=["g"],
+        )
+        got3 = estimates()
+        assert got3[0][0] == want[0][0] + 1
+        assert got3[0][4] == 1000.0
+        assert got3[1] == want[1] and got3[2] == want[2]
+
+    def test_histogram_store_matches_batch_exact(self, spark, tmp_path):
+        from metaframe_spark.operators.maintenance import (
+            histogram_quantile_estimates,
+            histogram_sketch,
+        )
+        from metaframe_spark.streaming import stream_histogram_sketches
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [(i % 2, float(i % 23)) for i in range(230)], "g int, x double"
+        )
+        b2 = spark.createDataFrame(
+            [(i % 2, float((i * 3) % 29) - 2.0) for i in range(290)],
+            "g int, x double",
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "store")
+        self._drain(
+            spark, stream_histogram_sketches, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, column="x", lo=0.0, hi=23.0, n_bins=23,
+            group_by=["g"],
+        )
+        got = sorted(
+            spark.read.parquet(store).drop("_last_batch").collect()
+        )
+        want = sorted(
+            histogram_sketch(
+                b1.union(b2), "x", 0.0, 23.0, 23, group_by=["g"]
+            ).collect()
+        )
+        assert got == want
+        # the store is quantile-readable at any moment
+        est = histogram_quantile_estimates(
+            spark.read.parquet(store).drop("_last_batch"), [0.5], group_by=["g"]
+        ).collect()
+        assert all(r.x_p50 is not None for r in est)
