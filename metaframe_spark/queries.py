@@ -4867,53 +4867,141 @@ _R8_DRIVER_BLESSED = frozenset(
     ]
 )
 
-_DRIVER_BLESSED = _R6_DRIVER_BLESSED | _R7_DRIVER_BLESSED | _R8_DRIVER_BLESSED
+_R9_DRIVER_BLESSED = frozenset(
+    [
+        "llm_ann_topk",
+        "llm_chunks",
+        "llm_cosine_topk",
+        "llm_exact_dedup",
+        "llm_fingerprint",
+        "llm_ivf_topk",
+        "llm_lang_id",
+        "llm_minhash_pairs",
+        "llm_minhash_store",
+        "llm_multimodal_extract",
+        "llm_multimodal_frames",
+        "llm_multimodal_resize",
+        "llm_neardup_groups",
+        "llm_ngram_jaccard",
+        "llm_pagerank_redistribute",
+        "llm_pii_mask",
+        "llm_quality",
+        "llm_repetition",
+        "llm_simhash_pairs",
+        "llm_token_count",
+        "q01",
+        "q02",
+        "q03",
+        "q04",
+        "q05",
+        "q06",
+        "q13",
+        "q14",
+        "q15",
+        "q16",
+        "q17",
+        "q18",
+        "q19",
+        "q19b",
+        "q20",
+        "q21",
+        "q22",
+        "q23",
+        "q24",
+        "q25",
+        "q26",
+        "q27",
+        "q28",
+        "q29",
+        "q30",
+        "q31_asof",
+        "q85_hll_sketch",
+        "q86_blocklist_antijoin",
+        "q87_moments_store",
+        "q88_histogram_quantiles",
+    ]
+)
+
+_DRIVER_BLESSED = (
+    _R6_DRIVER_BLESSED
+    | _R7_DRIVER_BLESSED
+    | _R8_DRIVER_BLESSED
+    | _R9_DRIVER_BLESSED
+)
 
 # New-this-round entries to pin at the very front of the driver window.
 #
-# ROUND-9 ROTATION (executing the r8 note): every catalog key now carries a
-# green driver CORRECTNESS row (r02-r08 union == catalog), so the window is
-# pure re-verification budget.  Order: round-9 additions first (never
-# checked anywhere), then the OLDEST-blessed entries — q13..q30 plus the
-# first llm_* wave were last driver-checked in r02-r06 and are due a
-# regression re-check.  The `_rotate_registration` backfill (blessed keys in
-# registration order) supplies the rest of the 50-slot window.
+# ROUND-10 ROTATION (executing the r9 note): the r02-r09 blessing union still
+# equals the catalog, so the window remains pure re-verification budget.
+# Order: round-10 additions first (never driver-checked), then the
+# OLDEST-blessed block — the 50 keys last driver-checked in round 7
+# (q32_sessionize..q61_profile_extended plus the r7 llm_* wave).  With the
+# r10 additions in front, the last few r7 keys overflow the 50-slot window
+# and roll to round 11 — put the cheapest/most-stable ones at the tail.
 #
-# ROUND-10 NOTE (execute at the start of round 10): fold every key with a
-# green row in CORRECTNESS_r09.json into a `_R9_DRIVER_BLESSED` frozenset
-# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-10
-# additions + the next-oldest blessed block (q31_asof..q61 were last
-# driver-checked r06-r07).
+# ROUND-11 NOTE (execute at the start of round 11): fold every key with a
+# green row in CORRECTNESS_r10.json into a `_R10_DRIVER_BLESSED` frozenset
+# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-11
+# additions + the next-oldest blessed block (the r8 wave: q07-q12,
+# q62..q84, llm_bloom_decontaminate..llm_weighted_sample — last
+# driver-checked r08) plus any r7 keys that overflowed this window.
 _ROTATE_FIRST: list = [
-    # round-9 additions (never driver-checked before)
-    "q85_hll_sketch",
-    "q86_blocklist_antijoin",
-    "llm_pagerank_redistribute",
-    "llm_minhash_store",
-    "q87_moments_store",
-    "q88_histogram_quantiles",
-    # oldest-blessed regression re-checks (last driver-checked r02-r06)
-    *[f"q{i:02d}" for i in range(13, 31)],
-    "q19b",
-    "q31_asof",
-    "llm_exact_dedup",
-    "llm_quality",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_ngram_jaccard",
-    "llm_cosine_topk",
-    "llm_minhash_pairs",
-    "llm_simhash_pairs",
-    "llm_ann_topk",
-    "llm_multimodal_extract",
-    "llm_token_count",
-    "llm_chunks",
-    "llm_neardup_groups",
-    "llm_ivf_topk",
-    "llm_pii_mask",
-    "llm_repetition",
-    "llm_multimodal_resize",
-    "llm_multimodal_frames",
+    # round-10 additions (never driver-checked before)
+    "q89_heavy_hitters",
+    "llm_ivf_store",
+    "q90_sketch_compact",
+    # oldest-blessed regression re-checks (last driver-checked r07)
+    "q32_sessionize",
+    "q33_resample",
+    "q34_pivot",
+    "q35_explode",
+    "q36_from_json",
+    "q37_higher_order",
+    "q38_regexp_extract",
+    "q39_map_funcs",
+    "q40_salted_agg",
+    "q41_percentiles",
+    "q42_grouping_sets",
+    "q43_ffill",
+    "q44_fuzzy_match",
+    "q45_funnel",
+    "q46_retention",
+    "q47_rank_funcs",
+    "q48_percentiles_dist",
+    "q49_unpivot",
+    "q50_rolling",
+    "q51_conditional_agg",
+    "q52_string_funcs",
+    "q53_date_funcs",
+    "q54_pk_broadcast_join",
+    "q55_merge_upsert",
+    "q56_scd2",
+    "q57_array_funcs",
+    "q58_profile",
+    "q59_time_funcs",
+    "q60_conditional_expr",
+    "q61_profile_extended",
+    "llm_semantic_dedup",
+    "llm_span_dedup",
+    "llm_decontaminate",
+    "llm_dedup_incremental",
+    "llm_cosine_dups",
+    "llm_quantize",
+    "llm_vocab",
+    "llm_tfidf",
+    "llm_bm25",
+    "llm_perplexity",
+    "llm_bigram_nll",
+    "llm_char_entropy",
+    "llm_gopher_flags",
+    "llm_c4_lines",
+    "llm_corpus_stats",
+    "llm_pack_sequences",
+    "llm_stratified_sample",
+    "llm_mixture_sample",
+    # tail: cheapest/most-stable — these overflow to round 11
+    "llm_hash_split",
+    "llm_global_shuffle",
 ]
 
 
