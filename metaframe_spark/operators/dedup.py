@@ -905,9 +905,10 @@ def minhash_near_dup_against(
             )
         # cheap action with an early-out: any row with a foreign shingle_n
         # proves a parameter mismatch that would otherwise yield silent
-        # zero-recall (stored and fresh shingle spaces never collide)
+        # zero-recall (stored and fresh shingle spaces never collide);
+        # null-safe so a malformed store with NULL shingle_n also raises
         if not seen_signatures.filter(
-            F.col("shingle_n") != shingle_n
+            ~F.col("shingle_n").eqNullSafe(F.lit(int(shingle_n)))
         ).isEmpty():
             raise ValueError(
                 f"seen_signatures was built with a different shingle_n "

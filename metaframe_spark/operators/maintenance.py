@@ -251,9 +251,14 @@ def moment_sketches(
     bit-identical under ANY partitioning or merge order (double sums are
     not; same idiom as pagerank's DECIMAL rank mass). min/max stay
     double (order statistics are exact in any type). Inputs with more
-    than 6 significant decimals are quantized; metrics far beyond 1e12
+    than 6 significant decimals are quantized; metrics at or beyond 1e12
     overflow the decimal and need a rescale first — this store targets
     bounded pipeline metrics (quality scores, lengths, prices, counts).
+    Overflow fails loudly regardless of ``spark.sql.ansi.enabled``: with
+    ANSI on the cast itself raises, and with ANSI off (where a cast
+    silently NULLs) an explicit row-level guard raises instead, so an
+    out-of-range value can never skew ``std`` by dropping out of
+    ``sumsq`` while still being counted in ``n``.
 
     One aggregation pass, map-side partial like any algebraic agg;
     per-partition state is a handful of numbers per (group, column).
@@ -271,13 +276,27 @@ def moment_sketches(
             f"moment_sketches: non-numeric columns {bad!r} "
             f"(numeric columns present: {sorted(numeric)!r})"
         )
+    def _checked18(c: str) -> "F.Column":
+        # decimal(18,6) holds |x| < 1e12.  With ANSI off an overflowing
+        # cast silently NULLs; the When-guard turns that into a loud
+        # raise_error (never evaluated on in-range rows — When is lazy),
+        # and with ANSI on the cast inside the condition raises itself.
+        q = F.col(c).cast("decimal(18,6)")
+        return F.when(
+            F.col(c).isNotNull() & q.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"moment_sketches: a value in column {c!r} overflows "
+                    "decimal(18,6) (|x| >= 1e12); rescale the metric first"
+                )
+            ).cast("decimal(18,6)"),
+        ).otherwise(q)
+
     aggs = [
         F.struct(
             F.count(F.col(c)).alias("n"),
-            F.sum(F.col(c).cast("decimal(28,6)")).alias("sum"),
-            F.sum(
-                F.col(c).cast("decimal(18,6)") * F.col(c).cast("decimal(18,6)")
-            ).alias("sumsq"),
+            F.sum(_checked18(c).cast("decimal(28,6)")).alias("sum"),
+            F.sum(_checked18(c) * _checked18(c)).alias("sumsq"),
             F.min(F.col(c).cast("double")).alias("min"),
             F.max(F.col(c).cast("double")).alias("max"),
         ).alias(f"{c}_moments")

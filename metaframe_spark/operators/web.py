@@ -167,6 +167,20 @@ def domain_filter(
     require blocking every other ``*.co.uk`` site — see
     :func:`registrable_domain`).
     """
+    # collision-proof helper names: a corpus already carrying e.g.
+    # `_blk_domain` would make the equi-join condition ambiguous (or
+    # silently clobber user data on withColumn) — suffix until free
+    def _free(name: str) -> str:
+        cols = set(df.columns)
+        while name in cols:
+            name += "_x"
+        return name
+
+    blk_c = _free("_blk_domain")
+    join_c = _free("_df_join_domain")
+    host_c = _free("_df_host")
+    dom_c = _free("_df_domain")
+
     blocked_rel: Optional[DataFrame] = None
     if isinstance(blocked_domains, DataFrame) or hasattr(
         blocked_domains, "to_spark"
@@ -182,7 +196,7 @@ def domain_filter(
                 f"(columns: {rel.columns!r})"
             )
         blocked_rel = rel.select(
-            F.lower(F.trim(F.col(domain_col))).alias("_blk_domain")
+            F.lower(F.trim(F.col(domain_col))).alias(blk_c)
         ).distinct()
     else:
         blocked = sorted(
@@ -192,19 +206,19 @@ def domain_filter(
             return df if not keep else df.filter(F.lit(False))
         if len(blocked) > max_inline:
             blocked_rel = df.sparkSession.createDataFrame(
-                [(d,) for d in blocked], "_blk_domain string"
+                [(d,) for d in blocked], f"{blk_c} string"
             )
 
     host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
     if psl is not None:
         tmp = registrable_domain(
-            df.withColumn("_df_host", host),
-            "_df_host",
-            "_df_domain",
+            df.withColumn(host_c, host),
+            host_c,
+            dom_c,
             psl=psl,
             psl_suffix_col=psl_suffix_col,
         )
-        dom_col, work = F.col("_df_domain"), tmp
+        dom_col, work = F.col(dom_c), tmp
     else:
         dom_col, work = F.lower(F.substring_index(host, ".", -2)), df
 
@@ -212,13 +226,13 @@ def domain_filter(
         cond = dom_col.isin(blocked)
         out = work.filter(cond if keep else ~F.coalesce(cond, F.lit(False)))
     else:
-        joined = work.withColumn("_df_join_domain", F.lower(dom_col)).join(
+        joined = work.withColumn(join_c, F.lower(dom_col)).join(
             blocked_rel,
-            F.col("_df_join_domain") == F.col("_blk_domain"),
+            F.col(join_c) == F.col(blk_c),
             "left_semi" if keep else "left_anti",
         )
-        out = joined.drop("_df_join_domain")
-    return out.drop("_df_host", "_df_domain") if psl is not None else out
+        out = joined.drop(join_c)
+    return out.drop(host_c, dom_c) if psl is not None else out
 
 
 def extract_html_text(col) -> "F.Column":

@@ -349,10 +349,16 @@ def _swap_in_base(spark, base_path: str, staging: str, batch_id: int,
         )
     if not fs.rename(src, dst):
         # put the base back so the table stays readable, then fail
-        fs.rename(bak, dst)
+        if fs.rename(bak, dst):
+            raise RuntimeError(
+                f"{label} batch {batch_id}: failed to promote staging "
+                f"({staging} -> {base_path}); base restored from backup"
+            )
         raise RuntimeError(
             f"{label} batch {batch_id}: failed to promote staging "
-            f"({staging} -> {base_path}); base restored from backup"
+            f"({staging} -> {base_path}) AND the backup restore failed; "
+            f"base is missing — backup retained at {backup}, run "
+            "recover_cdc_swap to restore it"
         )
     if not fs.exists(dst):
         raise RuntimeError(

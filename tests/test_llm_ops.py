@@ -2317,6 +2317,16 @@ class TestMinhashSignatureStore:
             minhash_near_dup_against(d, seen_signatures=sig, shingle_n=3)
         with pytest.raises(ValueError, match="not a minhash_signatures"):
             minhash_near_dup_against(d, seen_signatures=d.select("doc_id"))
+        # a malformed store with NULL shingle_n must ALSO raise (ADVICE r9:
+        # a non-null-safe != filter dropped NULL rows, passing validation
+        # and silently contributing zero-recall rows)
+        from pyspark.sql import functions as F
+
+        nulled = sig.withColumn(
+            "shingle_n", F.lit(None).cast("int")
+        )
+        with pytest.raises(ValueError, match="shingle_n"):
+            minhash_near_dup_against(d, seen_signatures=nulled, shingle_n=5)
 
 
 class TestInterpolateLinear:

@@ -342,6 +342,33 @@ class TestMomentSketches:
         one = moment_sketches(df, ["x"], group_by=["g"])
         assert sorted(year.collect()) == sorted(one.collect())
 
+    def test_overflow_raises_even_with_ansi_off(self, spark):
+        """|x| >= 1e12 overflows the decimal(18,6) sumsq operand; with
+        ANSI off the cast alone would silently NULL (skewing std while n
+        still counts the row) — the explicit row guard must raise
+        regardless of the ANSI setting (ADVICE r9: maintenance.py)."""
+        from metaframe_spark.operators.maintenance import moment_sketches
+
+        df = spark.createDataFrame(
+            [(0, 1.5), (0, 2.0e12), (1, 3.0)], "g int, x double"
+        )
+        prev = spark.conf.get("spark.sql.ansi.enabled", None)
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            try:
+                with pytest.raises(
+                    Exception, match="overflow|OUT_OF_RANGE|1e12"
+                ):
+                    moment_sketches(df, ["x"], group_by=["g"]).collect()
+            finally:
+                if prev is not None:
+                    spark.conf.set("spark.sql.ansi.enabled", prev)
+                else:
+                    spark.conf.unset("spark.sql.ansi.enabled")
+        # in-range values still work in both modes
+        assert moment_sketches(df.filter(F.col("x") < 1e11), ["x"],
+                               group_by=["g"]).count() == 2
+
     def test_parquet_round_trip(self, spark, tmp_path):
         from metaframe_spark.operators.maintenance import (
             merge_moment_sketches,

@@ -303,3 +303,46 @@ class TestCanonicalizeUrl:
             "http://site.com/a/",
         ]
         assert len(set(self._canon(spark, variants))) == 1
+
+
+class TestDomainFilterHelperCollisions:
+    """An input corpus that already carries one of domain_filter's internal
+    helper column names must neither break the equi-join (ambiguous column)
+    nor lose the user's data (ADVICE r9: web.py helper-name collision)."""
+
+    def _urls_with(self, spark, extra_col):
+        rows = [
+            (1, "https://www.example.com/a", "keepme1"),
+            (2, "https://spam.bad-site.com/x", "keepme2"),
+        ]
+        return spark.createDataFrame(
+            rows, f"id long, url string, {extra_col} string"
+        )
+
+    @pytest.mark.parametrize(
+        "col", ["_blk_domain", "_df_join_domain", "_df_host", "_df_domain"]
+    )
+    def test_relation_path_survives_collision(self, spark, col):
+        urls = self._urls_with(spark, col)
+        blk = spark.createDataFrame(
+            [(f"blocked{i}.com",) for i in range(3)] + [("bad-site.com",)],
+            "domain string",
+        )
+        out = domain_filter(urls, blk)
+        assert [r.id for r in out.collect()] == [1]
+        assert col in out.columns
+        assert out.filter(F.col(col) == "keepme1").count() == 1
+
+    def test_inline_overflow_path_survives_collision(self, spark):
+        urls = self._urls_with(spark, "_blk_domain")
+        big = [f"blocked{i}.com" for i in range(1500)] + ["bad-site.com"]
+        out = domain_filter(urls, big)  # > max_inline -> relation join
+        assert [r.id for r in out.collect()] == [1]
+        assert out.filter(F.col("_blk_domain") == "keepme1").count() == 1
+
+    def test_psl_path_survives_collision(self, spark):
+        urls = self._urls_with(spark, "_df_domain")
+        psl = spark.createDataFrame([("com",)], "suffix string")
+        out = domain_filter(urls, ["bad-site.com"], psl=psl)
+        assert [r.id for r in out.collect()] == [1]
+        assert out.filter(F.col("_df_domain") == "keepme1").count() == 1
