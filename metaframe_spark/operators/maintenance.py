@@ -585,6 +585,358 @@ def histogram_quantile_estimates(
     return hists.select(*outs)
 
 
+def term_sketches(
+    df: DataFrame,
+    column: str,
+    group_by: Optional[Sequence[str]] = None,
+    max_terms: Optional[int] = None,
+) -> DataFrame:
+    """MERGEABLE frequent-terms (heavy-hitters) sketches — the fourth
+    member of the incremental-stats family (distinct counts →
+    :func:`distinct_sketches`, moments → :func:`moment_sketches`,
+    quantiles → :func:`histogram_sketch`): per run, the EXACT per-group
+    term counts, optionally pruned to the top ``max_terms`` per group.
+    Persist one small relation per run and fold top-k term rankings
+    across runs (:func:`merge_term_sketches` →
+    :func:`frequent_term_estimates`) without rescanning history —
+    ``ngram_vocabulary`` computes the same ranking per run and throws
+    the state away; this keeps it.
+
+    Output rows: ``group_by`` keys + ``term`` (string), ``count``
+    (long, the term's EXACT count in this run), ``max_err`` (long,
+    always 0 for a fresh sketch — counts are exact) and ``prune_bound``
+    (long, constant per group: the LARGEST count discarded by the
+    top-``max_terms`` prune, 0 when nothing was pruned). The bound is
+    the SpaceSaving/Misra-Gries guarantee carrier: any term ABSENT from
+    this run's sketch has true count ≤ ``prune_bound`` in this run, so
+    a merged count can undercount by at most the sum of the pruned
+    runs' bounds — which the merge exposes per row as ``max_err``.
+    With ``max_terms`` ≥ the group's distinct-term count (or ``None``),
+    nothing is pruned and the whole pipeline is provably exact
+    (``max_err`` stays 0) — the same n_probe=n_lists trick the IVF
+    oracle uses. NULL terms are not counted (``count(DISTINCT)``/HLL
+    semantics).
+
+    Plan shape: one partial-aggregated ``groupBy(keys, term)`` count —
+    the shuffled relation is the distinct (group, term) vocabulary, not
+    the input rows — then, only when pruning, one window pass
+    partitioned by the group keys (rank + full-partition max over the
+    pruned tail in the same shuffle)."""
+    keys = list(group_by or [])
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(*keys, F.col(column).cast("string").alias("term"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    zero = F.lit(0).cast("long")
+    if max_terms is None:
+        return counts.withColumn("max_err", zero).withColumn(
+            "prune_bound", zero
+        )
+    if max_terms < 1:
+        raise ValueError(f"term_sketches: max_terms must be >= 1 ({max_terms})")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc("term"))
+    wg = Window.partitionBy(*keys)
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "prune_bound",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("_rn") > max_terms, F.col("count"))
+                ).over(wg),
+                zero,
+            ),
+        )
+        .filter(F.col("_rn") <= max_terms)
+        .drop("_rn")
+        .withColumn("max_err", zero)
+        .select(*keys, "term", "count", "max_err", "prune_bound")
+    )
+
+
+def merge_term_sketches(
+    *sketch_dfs: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    run_col: Optional[str] = None,
+) -> DataFrame:
+    """Merge term-sketch relations from multiple runs: per (group, term)
+    the stored counts SUM (each run's count is exact for its slice), and
+    the undercount bound composes by the Misra-Gries merge rule — a term
+    can only be undercounted in the runs it was PRUNED from, so
+
+    ``max_err = Σ_present max_err + (Σ_all runs prune_bound
+    − Σ_present prune_bound)``
+
+    i.e. the carried-in errors of the rows that were present plus every
+    absent run's prune bound. The output's ``prune_bound`` is the
+    per-group TOTAL bound (a term absent from every run has true count
+    ≤ it), so the merged relation has the same schema and the same
+    [count, count + max_err] / prune_bound contract as a fresh sketch —
+    stores re-merge indefinitely (day → month → year), and when nothing
+    was ever pruned every bound is 0 and the merge is EXACT and
+    split-independent (hash-proved by q89_heavy_hitters).
+
+    Run identity: each positional DataFrame is one run, unless
+    ``run_col`` names a column whose distinct values identify runs
+    WITHIN each input (the store-compaction shape — a store directory
+    holding many runs is one DataFrame). ``run_col`` is consumed, not
+    emitted. Shuffles touch only sketch-sized relations (vocabulary
+    rows, never raw data)."""
+    if not sketch_dfs:
+        raise ValueError("merge_term_sketches: need at least one input")
+    keys = list(group_by or [])
+    need = {"term", "count", "max_err", "prune_bound"}
+    tagged = []
+    for i, s in enumerate(sketch_dfs):
+        missing = need - set(s.columns)
+        if missing:
+            raise ValueError(
+                f"merge_term_sketches: input {i} is not a term sketch "
+                f"(missing columns {sorted(missing)!r})"
+            )
+        rid = (
+            F.concat_ws(
+                "\x00", F.lit(str(i)), F.col(run_col).cast("string")
+            )
+            if run_col is not None
+            else F.lit(str(i))
+        )
+        cols = [*keys, "term", "count", "max_err", "prune_bound"]
+        tagged.append(s.select(*cols, rid.alias("_mf_run")))
+    u = tagged[0]
+    for other in tagged[1:]:
+        u = u.unionByName(other)
+    # per-(run, group) bound: constant within a run-group by construction
+    # (max is a no-op on well-formed sketches, and tolerant of drift)
+    per_run = u.groupBy(*keys, "_mf_run").agg(
+        F.max("prune_bound").alias("_mf_rb")
+    )
+    total = per_run.groupBy(*keys).agg(
+        F.sum("_mf_rb").cast("long").alias("_mf_total_bound")
+    )
+    merged = u.groupBy(*keys, "term").agg(
+        F.sum("count").cast("long").alias("count"),
+        F.sum("max_err").cast("long").alias("_mf_present_err"),
+        F.sum("prune_bound").cast("long").alias("_mf_present_bound"),
+    )
+    joined = (
+        merged.join(total, keys)
+        if keys
+        else merged.crossJoin(F.broadcast(total))
+    )
+    return joined.select(
+        *keys,
+        "term",
+        "count",
+        (
+            F.col("_mf_present_err")
+            + F.col("_mf_total_bound")
+            - F.col("_mf_present_bound")
+        )
+        .cast("long")
+        .alias("max_err"),
+        F.col("_mf_total_bound").alias("prune_bound"),
+    )
+
+
+def prune_term_sketch(
+    sketch: DataFrame,
+    max_terms: int,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Shrink a term sketch to its top ``max_terms`` rows per group
+    (by stored count, ties broken by term — the deterministic ranking
+    :func:`frequent_term_estimates` uses). The group's ``prune_bound``
+    rises to cover the discarded rows: a newly-pruned term's true count
+    is at most its ``count + max_err``, so the new bound is
+    ``max(old prune_bound, max over pruned (count + max_err))`` — the
+    retention knob for a store that would otherwise accrete every term
+    ever seen."""
+    if max_terms < 1:
+        raise ValueError(
+            f"prune_term_sketch: max_terms must be >= 1 ({max_terms})"
+        )
+    from pyspark.sql import Window
+
+    keys = list(group_by or [])
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc("term"))
+    wg = Window.partitionBy(*keys)
+    pruned_upper = F.max(
+        F.when(F.col("_rn") > max_terms, F.col("count") + F.col("max_err"))
+    ).over(wg)
+    return (
+        sketch.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "prune_bound",
+            F.greatest(
+                F.col("prune_bound"),
+                F.coalesce(pruned_upper, F.lit(0).cast("long")),
+            ).cast("long"),
+        )
+        .filter(F.col("_rn") <= max_terms)
+        .drop("_rn")
+    )
+
+
+def frequent_term_estimates(
+    sketch: DataFrame,
+    k: int,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Top-k heavy hitters from a term-sketch relation: per group the k
+    highest stored counts (ties by term, so the ranking is
+    deterministic), each with its ``[count, count + max_err]`` bracket.
+    ``rank`` is by the stored LOWER bound — when ``max_err`` > 0 two
+    terms closer than their error brackets can legitimately swap (the
+    standard SpaceSaving caveat); when the sketches were never pruned
+    every ``max_err`` is 0 and the ranking is the exact one. Row-local
+    but for the one rank window over the already-aggregated relation."""
+    from pyspark.sql import Window
+
+    keys = list(group_by or [])
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc("term"))
+    return (
+        sketch.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "term", "count", "max_err", "rank")
+    )
+
+
+_SKETCH_SUFFIXES = ("_sketch", "_moments", "_hist")
+_TERM_SKETCH_COLS = frozenset(["term", "count", "max_err", "prune_bound"])
+
+
+def compact_sketch_relation(
+    df: DataFrame,
+    run_col: str,
+    coarsen,
+    keep_since=None,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Re-merge a sketch store's aged runs into coarser grains — the
+    retention story for stores that grow by one partition per run
+    forever: rows older than ``keep_since`` have ``run_col`` rewritten
+    by ``coarsen`` (a Column or SQL expression string, e.g.
+    ``date_trunc('week', run_day)``) and are re-merged per (coarse run,
+    group); rows at or after ``keep_since`` pass through untouched
+    (``keep_since=None`` compacts everything). Because every merge in
+    the family is exact (moments, histograms, term counts) or
+    register-wise (HLL), the compacted store's estimates are IDENTICAL
+    to the uncompacted store's — proved by q90_sketch_compact's hash
+    oracle and the bit-equality unit tests.
+
+    Sketch kinds are detected by column shape — ``*_sketch`` (HLL),
+    ``*_moments``, ``*_hist`` structs merge in ONE groupBy pass over
+    the aged slice (they share the same algebraic-fold shape); a
+    relation carrying ``term/count/max_err/prune_bound`` is a term
+    sketch and merges by the Misra-Gries rule with the ORIGINAL
+    ``run_col`` values as run identity. ``group_by`` defaults to every
+    column that is not the run column and not sketch state. Output
+    schema equals input schema, so compaction composes (day → week →
+    month) and the result re-merges like any store."""
+    if run_col not in df.columns:
+        raise ValueError(
+            f"compact_sketch_relation: run_col {run_col!r} not in input "
+            f"(columns: {df.columns!r})"
+        )
+    coarse = F.expr(coarsen) if isinstance(coarsen, str) else coarsen
+    is_term = _TERM_SKETCH_COLS <= set(df.columns)
+    sketch_cols = [
+        c for c in df.columns if c.endswith(_SKETCH_SUFFIXES) and c != run_col
+    ]
+    if not is_term and not sketch_cols:
+        raise ValueError(
+            "compact_sketch_relation: input has no sketch state "
+            f"(*_sketch / *_moments / *_hist columns or the term-sketch "
+            f"shape); columns: {df.columns!r}"
+        )
+    state = set(sketch_cols) | (_TERM_SKETCH_COLS if is_term else set())
+    keys = (
+        list(group_by)
+        if group_by is not None
+        else [c for c in df.columns if c != run_col and c not in state]
+    )
+    order = df.columns
+    if keep_since is not None:
+        aged = df.filter(F.col(run_col) < F.lit(keep_since))
+        recent = df.filter(~(F.col(run_col) < F.lit(keep_since)))
+    else:
+        aged, recent = df, None
+    aged = aged.withColumn("_mf_coarse", coarse)
+    gb = ["_mf_coarse", *keys]
+    if is_term:
+        merged = merge_term_sketches(aged, group_by=gb, run_col=run_col)
+    else:
+        # one groupBy folds every non-histogram sketch column; histograms
+        # need their two-step assembly, so they merge separately and join
+        # back on the (coarse run, keys) — both sides are sketch-sized
+        hists = [c for c in sketch_cols if c.endswith("_hist")]
+        flat = [c for c in sketch_cols if not c.endswith("_hist")]
+        merged = None
+        if flat:
+            aggs = []
+            for c in flat:
+                if c.endswith("_sketch"):
+                    aggs.append(F.hll_union_agg(F.col(c)).alias(c))
+                else:  # _moments
+                    aggs.append(
+                        F.struct(
+                            F.sum(F.col(f"{c}.n")).cast("long").alias("n"),
+                            F.sum(F.col(f"{c}.sum"))
+                            .cast("decimal(38,6)")
+                            .alias("sum"),
+                            F.sum(F.col(f"{c}.sumsq"))
+                            .cast("decimal(38,12)")
+                            .alias("sumsq"),
+                            F.min(F.col(f"{c}.min")).alias("min"),
+                            F.max(F.col(f"{c}.max")).alias("max"),
+                        ).alias(c)
+                    )
+            merged = aged.groupBy(*gb).agg(*aggs)
+        if hists:
+            h = merge_histograms(
+                aged.select(*gb, *hists), group_by=gb
+            )
+            merged = h if merged is None else merged.join(h, gb)
+    merged = merged.withColumnRenamed("_mf_coarse", run_col).select(*order)
+    return merged if recent is None else merged.unionByName(
+        recent.select(*order)
+    )
+
+
+def compact_sketch_store(
+    spark,
+    src_path: str,
+    dest_path: str,
+    run_col: str,
+    coarsen,
+    keep_since=None,
+    group_by: Optional[Sequence[str]] = None,
+    format: str = "parquet",
+) -> DataFrame:
+    """Disk-to-disk :func:`compact_sketch_relation`: read the store at
+    ``src_path``, re-merge runs older than ``keep_since`` into
+    ``coarsen``-grained ones, and write the result to ``dest_path``
+    partitioned by ``run_col`` — one output directory per surviving
+    grain, so the file count tracks grains (a store accreting a
+    partition per day forever compacts day → week → month without
+    estimate drift). Writes to a NEW path rather than in place — swap
+    is the caller's atomic rename, same discipline as the CDC sink.
+    Returns the compacted relation (lazily re-read from ``dest_path``,
+    so downstream plans scan the compacted layout)."""
+    df = spark.read.format(format).load(src_path)
+    out = compact_sketch_relation(
+        df, run_col, coarsen, keep_since=keep_since, group_by=group_by
+    )
+    out.write.mode("overwrite").partitionBy(run_col).format(format).save(
+        dest_path
+    )
+    return spark.read.format(format).load(dest_path)
+
+
 def compact_files(
     spark,
     src_path: str,

@@ -238,6 +238,62 @@ def assign_cells(
     return corpus.mapInPandas(_assign, schema=schema)
 
 
+def write_ivf_index(spark, centroids, path: str, format: str = "parquet") -> int:
+    """Persist an IVF centroid matrix as a tiny ``(cell int, centroid
+    array<double>)`` relation — the index-build-once story
+    :func:`ivf_topk` was missing: ``fit_sampled_centroids`` →
+    ``write_ivf_index`` pays the k-means fit ONE time, and every later
+    query batch reloads the few-KB relation
+    (:func:`read_ivf_index` → ``ivf_topk(centroids=...)``) instead of
+    re-counting and re-fitting the corpus per call — the same
+    persistable-state pattern as the MinHash signature store and the
+    sketch stores. Returns the number of lists written."""
+    rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    if not rows:
+        raise ValueError("write_ivf_index: empty centroid matrix")
+    d = len(rows[0][1])
+    if any(len(v) != d for _, v in rows):
+        raise ValueError("write_ivf_index: ragged centroid matrix")
+    # one output file via repartition(1) — coalesce(1) over a local
+    # relation hits a pathological ~4 s planning stall on Spark 4.1
+    # (measured; repartition's round-robin exchange of k rows is ~0.4 s)
+    spark.createDataFrame(rows, "cell int, centroid array<double>").repartition(
+        1
+    ).write.mode("overwrite").format(format).save(path)
+    return len(rows)
+
+
+def read_ivf_index(spark, path: str, format: str = "parquet"):
+    """Load a persisted IVF index back into the (k × d) numpy centroid
+    matrix ``ivf_topk(centroids=...)`` / ``assign_cells`` take. Validates
+    the relation is a well-formed index — contiguous cells 0..k-1, one
+    row each, equal-length vectors — so a corrupted or non-index path
+    fails loudly instead of silently mis-assigning every vector."""
+    import numpy as np
+
+    rows = spark.read.format(format).load(path).collect()
+    if not rows:
+        raise ValueError(f"read_ivf_index: no rows at {path!r}")
+    try:
+        cells = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"read_ivf_index: {path!r} is not an IVF index "
+            f"(need cell int, centroid array<double>): {e}"
+        )
+    if [c for c, _ in cells] != list(range(len(cells))):
+        raise ValueError(
+            f"read_ivf_index: cells at {path!r} are not contiguous 0..k-1: "
+            f"{[c for c, _ in cells]!r}"
+        )
+    d = len(cells[0][1])
+    if any(len(v) != d or any(x is None for x in v) for _, v in cells):
+        raise ValueError(f"read_ivf_index: ragged or NULL centroids at {path!r}")
+    return np.asarray([v for _, v in cells], dtype=np.float64)
+
+
 def ann_similarity_join(
     left: DataFrame,
     right: DataFrame,
@@ -490,10 +546,21 @@ def ivf_topk(
     max_fit_rows: int = 100_000,
     kmeans_max_iter: int = 20,
     kmeans_init: str = "k-means++",
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the corpus
     into ``n_lists`` cells; each query probes only its ``n_probe`` nearest
     cells, so the scan cost drops to ~n_probe/n_lists of brute force.
+
+    ``centroids``: a pre-fit (k × d) matrix — typically
+    :func:`read_ivf_index` on a store written once by
+    ``fit_sampled_centroids`` + :func:`write_ivf_index` — skips the
+    per-call corpus count and k-means fit entirely, so the index-build
+    cost is paid once and amortized over every query batch;
+    ``n_lists`` is then taken from the matrix (a conflicting explicit
+    value raises rather than silently probing a different index).
+    Results are exact-given-centroids either way: the cell layout only
+    moves WHICH candidates are probed, never their cosine.
 
     Scale shape, index build: the centroids are FIT ON A SAMPLE capped at
     ``max_fit_rows`` — centroid quality needs a representative sample, not
@@ -518,14 +585,28 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cfeats = corpus.select(F.col(corpus_id), vec_col)
-    n = cfeats.count()
-    if n == 0:
-        raise ValueError("ivf_topk: empty corpus")
-    centroids = fit_sampled_centroids(
-        cfeats, n_lists, vec_col=vec_col, seed=seed, max_fit_rows=max_fit_rows,
-        max_iter=kmeans_max_iter, init=kmeans_init, n_rows=n,
-        order_col=corpus_id,
-    )
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        if centroids.ndim != 2 or len(centroids) == 0:
+            raise ValueError(
+                f"ivf_topk: centroids must be a non-empty (k, d) matrix "
+                f"(got shape {centroids.shape!r})"
+            )
+        if n_lists not in (len(centroids), 16):  # 16 == the default
+            raise ValueError(
+                f"ivf_topk: n_lists={n_lists} conflicts with the "
+                f"{len(centroids)}-list centroid matrix passed in"
+            )
+        n_lists = len(centroids)
+    else:
+        n = cfeats.count()
+        if n == 0:
+            raise ValueError("ivf_topk: empty corpus")
+        centroids = fit_sampled_centroids(
+            cfeats, n_lists, vec_col=vec_col, seed=seed,
+            max_fit_rows=max_fit_rows, max_iter=kmeans_max_iter,
+            init=kmeans_init, n_rows=n, order_col=corpus_id,
+        )
     spark = corpus.sparkSession
     indexed = assign_cells(cfeats, centroids, vec_col=vec_col)
 

@@ -971,8 +971,10 @@ def llm_neardup_groups(spark, sf):
     return near_dup_groups(pairs)
 
 
-@query(
-    "llm_ivf_topk",
+#: shared by llm_ivf_topk (in-line fit) and llm_ivf_store (persisted
+#: index): both probe EVERY cell (n_probe = n_lists), so both must be
+#: pair-for-pair identical to this exact brute-force top-k.
+_IVF_EXACT_ORACLE = (
     f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
     "q AS (SELECT vec_id AS q_id, emb FROM n WHERE vec_id >= 8 AND vec_id < 16) "
     "SELECT q_id, vec_id, cosine, r FROM ("
@@ -980,8 +982,11 @@ def llm_neardup_groups(spark, sf):
     "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
     "    round(list_inner_product(q.emb, c.emb), 6) DESC, c.vec_id) AS BIGINT) AS r "
     "  FROM n c, q) "
-    "WHERE r <= 5",
+    "WHERE r <= 5"
 )
+
+
+@query("llm_ivf_topk", _IVF_EXACT_ORACLE)
 def llm_ivf_topk(spark, sf):
     """IVF top-k with every cell probed (n_probe = n_lists): the probe
     join and per-cell exact cosine are exercised end-to-end while recall
@@ -4729,6 +4734,186 @@ def q88_histogram_quantiles(spark, sf):
                 F.abs(F.col("l_extendedprice_p90") - F.col("_e90")) <= 2 * w
             ).alias("p90_ok"),
         )
+    )
+
+
+@query(
+    "q89_heavy_hitters",
+    "WITH t AS (SELECT doc_id, lang, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "g AS (SELECT lang, unnest(toks) AS term FROM t), "
+    "c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt "
+    "  FROM g GROUP BY 1, 2), "
+    "r AS (SELECT lang, term, cnt, "
+    "  CAST(row_number() OVER (PARTITION BY lang "
+    "    ORDER BY cnt DESC, term) AS BIGINT) AS rnk FROM c) "
+    "SELECT lang, term, cnt AS count, CAST(0 AS BIGINT) AS max_err, "
+    "rnk AS rank FROM r WHERE rnk <= 10",
+)
+def q89_heavy_hitters(spark, sf):
+    """Mergeable frequent-terms (heavy-hitters) store — the fourth
+    member of the incremental-stats quartet (operators/maintenance.py::
+    term_sketches / merge_term_sketches / frequent_term_estimates,
+    SURVEY §2.3 row 6's incremental face, next to q85's HLL distinct,
+    q87's moments and q88's histogram quantiles): the corpus is split
+    into three 'daily runs' (doc_id mod 3), each reduced per language
+    to its top-64 unigram counts, the runs merged by the Misra-Gries
+    rule and the top-10 per language read out. Because max_terms=64
+    exceeds every language's distinct-unigram count, nothing is ever
+    pruned, every SpaceSaving bound is 0 and the merged ranking is
+    provably EXACT (the n_probe=n_lists trick) — so the oracle's
+    from-scratch one-pass count over the full corpus hash-matches,
+    max_err column included. The pruned/bounded regime is covered by
+    the prune-bound unit tests (tests/test_maintenance.py). Scale
+    shape: shuffles carry only the (lang, term) vocabulary relation,
+    never corpus rows."""
+    from .operators.maintenance import (
+        frequent_term_estimates,
+        merge_term_sketches,
+        term_sketches,
+    )
+    from .operators.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = d.to_spark().select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    parts = [
+        term_sketches(
+            toks.filter(F.col("doc_id") % 3 == i),
+            "term",
+            group_by=["lang"],
+            max_terms=64,
+        )
+        for i in range(3)
+    ]
+    merged = merge_term_sketches(*parts, group_by=["lang"])
+    return frequent_term_estimates(merged, 10, group_by=["lang"])
+
+
+@query("llm_ivf_store", _IVF_EXACT_ORACLE)
+def llm_ivf_store(spark, sf):
+    """Persistable IVF centroid index (operators/similarity.py::
+    write_ivf_index / read_ivf_index + ivf_topk(centroids=...)): the
+    k-means index is FIT ONCE, written to parquet as the tiny (cell,
+    centroid) relation, reloaded, and the query batch probes the
+    RELOADED index — the per-call corpus count + fit that llm_ivf_topk
+    pays (the r9 verdict's missing piece) is paid exactly once and
+    amortized over every later batch, the same persistable-state
+    pattern as the MinHash signature store. With n_probe = n_lists
+    every cell is probed, so the result is pair-for-pair the exact
+    brute-force top-k REGARDLESS of where the persisted centroids
+    landed — the same oracle as llm_ivf_topk hash-matches, proving the
+    store round-trip is lossless."""
+    import tempfile
+
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        fit_sampled_centroids,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cent = fit_sampled_centroids(
+        e.select("vec_id", "embedding"), 8, seed=42, max_iter=5,
+        init="random", order_col="vec_id",
+    )
+    path = tempfile.mkdtemp(prefix="mf_ivf_store_") + "/index"
+    write_ivf_index(spark, cent, path)
+    return ivf_topk(
+        e, q, k=5, n_probe=8, centroids=read_ivf_index(spark, path)
+    )
+
+
+@query(
+    "q90_sketch_compact",
+    "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
+    "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
+    "s AS (SELECT event_type, count(cents) AS n, "
+    "  CAST(SUM(CAST(cents AS DECIMAL(28,6))) AS DOUBLE) AS sm, "
+    "  CAST(SUM(CAST(cents AS DECIMAL(19,6)) * "
+    "           CAST(cents AS DECIMAL(19,6))) AS DOUBLE) AS s2, "
+    "  MIN(cents) AS mn, MAX(cents) AS mx FROM v GROUP BY 1), "
+    "g AS (SELECT event_type, CAST(count(DISTINCT "
+    "  CASE WHEN run_day < DATE '2024-01-21' "
+    "       THEN CAST(date_trunc('week', run_day) AS DATE) "
+    "       ELSE run_day END) AS BIGINT) AS n_grains FROM v GROUP BY 1) "
+    "SELECT s.event_type, CAST(n AS BIGINT) AS cents_count, "
+    "ROUND(sm / n, 6) AS cents_mean, "
+    "ROUND(SQRT(GREATEST((s2 - sm * sm / n) / (n - 1), 0)), 6) AS cents_std, "
+    "mn AS cents_min, mx AS cents_max, n_grains "
+    "FROM s JOIN g ON s.event_type = g.event_type",
+)
+def q90_sketch_compact(spark, sf):
+    """Sketch-store retention (operators/maintenance.py::
+    compact_sketch_store): a per-day moments store over events (one row
+    per (day, event_type), written to parquet partitioned by day — the
+    one-partition-per-run-forever growth mode) is COMPACTED day→week
+    for runs older than 2024-01-21 while recent days pass through
+    untouched, then the compacted store alone is merged and read out.
+    Because the moment merge is decimal-exact and associative, the
+    compacted store's statistics are hash-IDENTICAL to the oracle's
+    one-pass computation over the raw events — aging a store to
+    coarser grains loses nothing, not even float determinism.
+    ``n_grains`` counts the surviving run partitions per type (weeks
+    for the aged range + days for the recent one), pinning that
+    compaction actually coarsened the layout and kept the recent days
+    fine-grained. The metric is floor(value·100) ('cents') so the
+    decimal quantization is the identical IEEE op on both engines.
+    HLL/histogram/term-store compaction is covered by the bit-equality
+    unit tests (tests/test_maintenance.py)."""
+    import datetime
+    import tempfile
+
+    from .operators.maintenance import (
+        compact_sketch_store,
+        merge_moment_sketches,
+        moment_estimates,
+        moment_sketches,
+    )
+
+    ev = load_table(spark, sf, "events").to_spark().select(
+        "event_type",
+        F.to_date("ts").alias("run_day"),
+        (F.floor(F.col("value") * 100)).cast("double").alias("cents"),
+    )
+    daily = moment_sketches(ev, ["cents"], group_by=["run_day", "event_type"])
+    root = tempfile.mkdtemp(prefix="mf_sketch_store_")
+    daily.write.mode("overwrite").partitionBy("run_day").parquet(
+        root + "/daily"
+    )
+    compacted = compact_sketch_store(
+        spark,
+        root + "/daily",
+        root + "/compacted",
+        run_col="run_day",
+        coarsen=F.date_trunc("week", F.col("run_day")).cast("date"),
+        keep_since=datetime.date(2024, 1, 21),
+    )
+    est = moment_estimates(
+        merge_moment_sketches(
+            compacted.select("event_type", "cents_moments"),
+            group_by=["event_type"],
+        ),
+        group_by=["event_type"],
+    )
+    grains = compacted.groupBy("event_type").agg(
+        F.countDistinct("run_day").alias("n_grains")
+    )
+    return est.join(grains, "event_type").select(
+        "event_type",
+        "cents_count",
+        "cents_mean",
+        "cents_std",
+        "cents_min",
+        "cents_max",
+        "n_grains",
     )
 
 

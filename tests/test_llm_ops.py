@@ -591,6 +591,83 @@ class TestIvf:
         assert got == exact
 
 
+class TestIvfIndexStore:
+    """write_ivf_index / read_ivf_index / ivf_topk(centroids=...): the
+    fit-once, query-many index persistence path (r9 verdict gap #3)."""
+
+    def test_round_trip_and_store_path_pair_identical(self, spark, tmp_path):
+        import numpy as np
+
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            ivf_topk,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        emb = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        cent = fit_sampled_centroids(
+            emb.select("vec_id", "embedding"), 8, seed=7, order_col="vec_id"
+        )
+        path = str(tmp_path / "index")
+        assert write_ivf_index(spark, cent, path) == 8
+        loaded = read_ivf_index(spark, path)
+        assert loaded.shape == np.asarray(cent).shape
+        assert np.allclose(loaded, np.asarray(cent))
+        # persisted-index probe == in-line fit probe, pair for pair, at
+        # partial n_probe too (same centroids -> same cells -> same pairs)
+        inline = sorted(
+            map(
+                tuple,
+                ivf_topk(emb, q, k=5, n_probe=3, centroids=cent).collect(),
+            )
+        )
+        stored = sorted(
+            map(
+                tuple,
+                ivf_topk(emb, q, k=5, n_probe=3, centroids=loaded).collect(),
+            )
+        )
+        assert inline == stored
+        # and at n_probe = n_lists the stored index is exact brute force
+        exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+        full = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(emb, q, k=5, n_probe=8, centroids=loaded).collect()
+        }
+        assert full == exact
+
+    def test_validation(self, spark, tmp_path):
+        import numpy as np
+
+        from metaframe_spark.operators.similarity import (
+            ivf_topk,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        with pytest.raises(ValueError, match="empty"):
+            write_ivf_index(spark, [], str(tmp_path / "e"))
+        with pytest.raises(ValueError, match="ragged"):
+            write_ivf_index(spark, [[1.0, 2.0], [3.0]], str(tmp_path / "r"))
+        bad = str(tmp_path / "bad")
+        spark.createDataFrame(
+            [(0, [1.0]), (2, [2.0])], "cell int, centroid array<double>"
+        ).write.parquet(bad)
+        with pytest.raises(ValueError, match="contiguous"):
+            read_ivf_index(spark, bad)
+        emb = unit_normalize(load_table(spark, SF, "embeddings").to_spark())
+        q = emb.limit(2).select(F.col("vec_id").alias("q_id"), "embedding")
+        cent = np.zeros((8, 64))
+        with pytest.raises(ValueError, match="conflicts"):
+            ivf_topk(emb, q, n_lists=4, n_probe=2, centroids=cent)
+        with pytest.raises(ValueError, match="matrix"):
+            ivf_topk(emb, q, centroids=np.zeros((0, 64)))
+
+
 class TestNearDupGroups:
     def test_connected_components_and_survivors(self, spark, docs):
         from metaframe_spark.operators.dedup import dedup_survivors, near_dup_groups

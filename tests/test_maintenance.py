@@ -583,3 +583,421 @@ class TestHistogramSketch:
             histogram_quantile_estimates(h, [0.0])
         with pytest.raises(ValueError, match="duplicate"):
             histogram_quantile_estimates(h, [0.5, 0.50])
+
+
+class TestTermSketches:
+    """Mergeable frequent-terms store (term_sketches / merge_term_sketches /
+    prune_term_sketch / frequent_term_estimates) — the fourth member of the
+    incremental-stats quartet."""
+
+    def _corpus(self, spark):
+        # skewed vocabulary: t0 dominates, a long tail of singletons
+        rows = []
+        for i in range(400):
+            g = i % 2
+            if i % 4 != 3:
+                rows.append((i, g, f"t{i % 7}"))
+            else:
+                rows.append((i, g, f"rare{i}"))
+        return spark.createDataFrame(rows, "doc_id long, g int, term string")
+
+    def _direct(self, df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("g", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias("count"))
+                .collect(),
+            )
+        )
+
+    def test_split_independent_and_exact_when_unpruned(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = self._corpus(spark)
+
+        def merged(n_parts):
+            parts = [
+                term_sketches(
+                    df.filter(F.col("doc_id") % n_parts == i),
+                    "term",
+                    group_by=["g"],
+                )
+                for i in range(n_parts)
+            ]
+            return sorted(
+                map(tuple, merge_term_sketches(*parts, group_by=["g"]).collect())
+            )
+
+        m2, m3 = merged(2), merged(3)
+        assert m2 == m3  # split-independent
+        # unpruned merge is EXACT: counts equal a one-pass groupBy, every
+        # bound is zero
+        assert [(g, t, c) for (g, t, c, _, _) in m2] == self._direct(df)
+        assert all(e == 0 and b == 0 for (_, _, _, e, b) in m2)
+
+    def test_prune_bound_brackets_true_counts(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = self._corpus(spark)
+        truth = {(g, t): c for (g, t, c) in self._direct(df)}
+        parts = [
+            term_sketches(
+                df.filter(F.col("doc_id") % 3 == i),
+                "term",
+                group_by=["g"],
+                max_terms=4,
+            )
+            for i in range(3)
+        ]
+        merged = merge_term_sketches(*parts, group_by=["g"]).collect()
+        assert merged, "pruned merge produced no rows"
+        seen = set()
+        bound = {}
+        for r in merged:
+            # stored count is a LOWER bound; count + max_err an UPPER bound
+            assert r["count"] <= truth[(r["g"], r["term"])] <= r["count"] + r["max_err"]
+            seen.add((r["g"], r["term"]))
+            bound[r["g"]] = r["prune_bound"]
+        # any term absent from the merged sketch has true count <= the
+        # group's total prune bound
+        for (g, t), c in truth.items():
+            if (g, t) not in seen:
+                assert c <= bound[g]
+
+    def test_remerge_composes(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = self._corpus(spark)
+        parts = [
+            term_sketches(
+                df.filter(F.col("doc_id") % 4 == i),
+                "term",
+                group_by=["g"],
+                max_terms=5,
+            )
+            for i in range(4)
+        ]
+        flat = merge_term_sketches(*parts, group_by=["g"])
+        staged = merge_term_sketches(
+            merge_term_sketches(parts[0], parts[1], group_by=["g"]),
+            merge_term_sketches(parts[2], parts[3], group_by=["g"]),
+            group_by=["g"],
+        )
+        assert sorted(map(tuple, flat.collect())) == sorted(
+            map(tuple, staged.collect())
+        )
+
+    def test_run_col_equals_positional(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = self._corpus(spark)
+        parts = [
+            term_sketches(
+                df.filter(F.col("doc_id") % 2 == i), "term", group_by=["g"]
+            )
+            for i in range(2)
+        ]
+        positional = merge_term_sketches(*parts, group_by=["g"])
+        store = parts[0].withColumn("day", F.lit(1)).unionByName(
+            parts[1].withColumn("day", F.lit(2))
+        )
+        via_col = merge_term_sketches(store, group_by=["g"], run_col="day")
+        assert sorted(map(tuple, positional.collect())) == sorted(
+            map(tuple, via_col.collect())
+        )
+
+    def test_prune_raises_bound_and_estimates_rank(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            frequent_term_estimates,
+            prune_term_sketch,
+            term_sketches,
+        )
+
+        df = self._corpus(spark)
+        sk = term_sketches(df, "term", group_by=["g"])
+        pruned = prune_term_sketch(sk, 3, group_by=["g"])
+        per_g = {}
+        for r in pruned.collect():
+            per_g.setdefault(r["g"], []).append(r)
+        truth = {(g, t): c for (g, t, c) in self._direct(df)}
+        for g, rows in per_g.items():
+            assert len(rows) == 3
+            kept_min = min(r["count"] for r in rows)
+            new_bound = rows[0]["prune_bound"]
+            # the new bound covers every discarded term...
+            for (gg, t), c in truth.items():
+                if gg == g and t not in {r["term"] for r in rows}:
+                    assert c <= new_bound
+            # ...and never exceeds the smallest kept count (ties break to
+            # keep, so the largest discarded count is <= kept_min)
+            assert new_bound <= kept_min
+        est = frequent_term_estimates(sk, 2, group_by=["g"])
+        for r in est.collect():
+            assert r["rank"] in (1, 2) and r["max_err"] == 0
+
+    def test_parquet_round_trip(self, spark, tmp_path):
+        from metaframe_spark.operators.maintenance import (
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = self._corpus(spark)
+        sk = term_sketches(df, "term", group_by=["g"], max_terms=5)
+        p = str(tmp_path / "terms")
+        sk.write.parquet(p)
+        reloaded = spark.read.parquet(p)
+        a = merge_term_sketches(sk, sk, group_by=["g"])
+        b = merge_term_sketches(reloaded, reloaded, group_by=["g"])
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_errors(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            merge_term_sketches,
+            prune_term_sketch,
+            term_sketches,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "g int, term string")
+        with pytest.raises(ValueError, match="max_terms"):
+            term_sketches(df, "term", max_terms=0)
+        with pytest.raises(ValueError, match="at least one"):
+            merge_term_sketches()
+        with pytest.raises(ValueError, match="not a term sketch"):
+            merge_term_sketches(df)
+        sk = term_sketches(df, "term")
+        with pytest.raises(ValueError, match="max_terms"):
+            prune_term_sketch(sk, 0)
+
+    def test_null_terms_not_counted_and_global_group(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            frequent_term_estimates,
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("b",)], "term string"
+        )
+        sk = term_sketches(df, "term")
+        got = {r["term"]: r["count"] for r in sk.collect()}
+        assert got == {"a": 2, "b": 1}
+        merged = merge_term_sketches(sk, sk)  # global (no group_by)
+        est = frequent_term_estimates(merged, 1)
+        [top] = est.collect()
+        assert (top["term"], top["count"], top["rank"]) == ("a", 4, 1)
+
+
+class TestCompactSketchStore:
+    """compact_sketch_relation / compact_sketch_store: day->week re-merge
+    with estimates identical to the uncompacted store."""
+
+    def _daily(self, spark):
+        import datetime
+
+        rows = [
+            (datetime.date(2024, 1, 1 + i % 10), i % 3, float(i % 17), i % 5)
+            for i in range(300)
+        ]
+        return spark.createDataFrame(rows, "day date, g int, x double, u int")
+
+    def test_moments_and_hll_identical(self, spark):
+        import datetime
+
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+            distinct_sketches,
+            merge_distinct_sketches,
+            merge_moment_sketches,
+            moment_estimates,
+            moment_sketches,
+            sketch_estimates,
+        )
+
+        df = self._daily(spark)
+        daily = moment_sketches(df, ["x"], group_by=["day", "g"]).join(
+            distinct_sketches(df, ["u"], group_by=["day", "g"]), ["day", "g"]
+        )
+        comp = compact_sketch_relation(
+            daily,
+            "day",
+            F.date_trunc("week", F.col("day")).cast("date"),
+            keep_since=datetime.date(2024, 1, 8),
+        )
+        # schema preserved -> store re-merges like any store
+        assert comp.columns == daily.columns
+        # aged days collapsed to week starts; recent days untouched
+        grains = {r["day"] for r in comp.select("day").distinct().collect()}
+        assert datetime.date(2024, 1, 1) in grains
+        assert datetime.date(2024, 1, 9) in grains
+        assert datetime.date(2024, 1, 3) not in grains
+
+        def stats(rel):
+            return sorted(
+                map(
+                    tuple,
+                    moment_estimates(
+                        merge_moment_sketches(
+                            rel.select("g", "x_moments"), group_by=["g"]
+                        ),
+                        group_by=["g"],
+                    ).collect(),
+                )
+            )
+
+        def distincts(rel):
+            return sorted(
+                map(
+                    tuple,
+                    sketch_estimates(
+                        merge_distinct_sketches(
+                            rel.select("g", "u_sketch"), group_by=["g"]
+                        ),
+                        group_by=["g"],
+                    ).collect(),
+                )
+            )
+
+        assert stats(comp) == stats(daily)  # bit-identical (decimal sums)
+        assert distincts(comp) == distincts(daily)  # register-identical
+
+    def test_histogram_identical(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+            histogram_quantile_estimates,
+            histogram_sketch,
+            merge_histograms,
+        )
+
+        df = self._daily(spark)
+        daily = histogram_sketch(df, "x", 0.0, 17.0, 17, group_by=["day", "g"])
+        comp = compact_sketch_relation(
+            daily, "day", F.date_trunc("week", F.col("day")).cast("date")
+        )
+
+        def qs(rel):
+            return sorted(
+                map(
+                    tuple,
+                    histogram_quantile_estimates(
+                        merge_histograms(rel.drop("day"), group_by=["g"]),
+                        [0.5, 0.9],
+                        group_by=["g"],
+                    ).collect(),
+                )
+            )
+
+        assert qs(comp) == qs(daily)
+
+    def test_term_store_identical(self, spark):
+        import datetime
+
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+            frequent_term_estimates,
+            merge_term_sketches,
+            term_sketches,
+        )
+
+        df = self._daily(spark).withColumn(
+            "term", F.concat(F.lit("w"), (F.col("u") + F.col("g")).cast("string"))
+        )
+        days = [r["day"] for r in df.select("day").distinct().collect()]
+        store = None
+        for d in days:
+            sk = term_sketches(
+                df.filter(F.col("day") == d), "term", group_by=["g"]
+            ).withColumn("day", F.lit(d))
+            store = sk if store is None else store.unionByName(sk)
+        comp = compact_sketch_relation(
+            store,
+            "day",
+            F.date_trunc("week", F.col("day")).cast("date"),
+            keep_since=datetime.date(2024, 1, 8),
+        )
+        assert comp.columns == store.columns
+
+        def top(rel):
+            return sorted(
+                map(
+                    tuple,
+                    frequent_term_estimates(
+                        merge_term_sketches(rel, group_by=["g"], run_col="day"),
+                        3,
+                        group_by=["g"],
+                    ).collect(),
+                )
+            )
+
+        assert top(comp) == top(store)
+
+    def test_store_round_trip_partitioned(self, spark, tmp_path):
+        import datetime
+
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_store,
+            merge_moment_sketches,
+            moment_estimates,
+            moment_sketches,
+        )
+
+        df = self._daily(spark)
+        daily = moment_sketches(df, ["x"], group_by=["day", "g"])
+        src, dst = str(tmp_path / "daily"), str(tmp_path / "compacted")
+        daily.write.partitionBy("day").parquet(src)
+        out = compact_sketch_store(
+            spark,
+            src,
+            dst,
+            run_col="day",
+            coarsen=F.date_trunc("week", F.col("day")).cast("date"),
+            keep_since=datetime.date(2024, 1, 8),
+        )
+        # layout: one directory per surviving grain
+        import glob as _glob
+        import os as _os
+
+        dirs = {
+            _os.path.basename(p)
+            for p in _glob.glob(_os.path.join(dst, "day=*"))
+        }
+        assert "day=2024-01-01" in dirs and "day=2024-01-09" in dirs
+        assert "day=2024-01-03" not in dirs
+
+        def stats(rel):
+            return sorted(
+                map(
+                    tuple,
+                    moment_estimates(
+                        merge_moment_sketches(
+                            rel.select("g", "x_moments"), group_by=["g"]
+                        ),
+                        group_by=["g"],
+                    ).collect(),
+                )
+            )
+
+        assert stats(out) == stats(daily)
+
+    def test_errors(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "day int, v int")
+        with pytest.raises(ValueError, match="run_col"):
+            compact_sketch_relation(df, "nope", F.col("day"))
+        with pytest.raises(ValueError, match="no sketch state"):
+            compact_sketch_relation(df, "day", F.col("day"))

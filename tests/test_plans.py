@@ -345,6 +345,7 @@ class TestCatalogPlanLint:
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
         "llm_ivf_topk",     # bounded centroid set x probe relation
+        "llm_ivf_store",    # same probe shape, centroids from the persisted index
         "llm_mix_report",   # one-row corpus-totals rollup joined to mixture cells
         "llm_pagerank_redistribute",  # one-row dangling-mass scalar joined into each rank sweep
         "llm_perplexity",   # one-row total-token scalar joined to tf relation
@@ -387,6 +388,7 @@ class TestCatalogPlanLint:
     # explicit list so a rename fails loudly rather than silently
     # un-linting an entry
     EXPENSIVE_TAIL = [
+        "llm_ivf_store",            # joined the tail in round 10 (~3.2 s: per-iteration fit + index round-trip + probe)
         "llm_minhash_store",        # joined the tail in round 9 (~2.7 s: parquet round-trip + band join)
         "q88_histogram_quantiles",  # joined the tail in round 9 (~3 s: 2-run histogram merge + exact-percentile validation column)
         "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
