@@ -44,6 +44,10 @@ _EXPORTS = {
         "metaframe_spark.streaming",
         "stream_histogram_sketches",
     ),
+    "stream_term_sketches": (
+        "metaframe_spark.streaming",
+        "stream_term_sketches",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

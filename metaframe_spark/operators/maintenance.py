@@ -927,7 +927,16 @@ def compact_sketch_store(
     is the caller's atomic rename, same discipline as the CDC sink.
     Returns the compacted relation (lazily re-read from ``dest_path``,
     so downstream plans scan the compacted layout)."""
-    df = spark.read.format(format).load(src_path)
+    try:
+        df = spark.read.format(format).load(src_path)
+    except Exception as e:
+        # a run-partitioned store with zero rows writes no data files at
+        # all, so the read cannot infer a schema — surface that as the
+        # contract violation it is instead of a schema-inference error
+        raise ValueError(
+            f"compact_sketch_store: no readable sketch store at "
+            f"{src_path!r} (missing or empty): {e}"
+        ) from e
     out = compact_sketch_relation(
         df, run_col, coarsen, keep_since=keep_since, group_by=group_by
     )

@@ -186,9 +186,12 @@ def fit_sampled_centroids(
             fit_df = corpus.sample(fraction=frac, seed=seed)
     if order_col is not None:
         fit_df = fit_df.orderBy(order_col)
-    X = np.stack(fit_df.select(vec_col).toPandas()[vec_col].to_numpy()).astype(
-        np.float64
-    )
+    sample = fit_df.select(vec_col).toPandas()[vec_col].to_numpy()
+    if len(sample) == 0:
+        raise ValueError(
+            "fit_sampled_centroids: empty corpus (no vectors to fit on)"
+        )
+    X = np.stack(sample).astype(np.float64)
     cent = _fit_centroids(X, min(k, len(X)), max_iter, init, seed)
     # return_sample hands the (bounded, already-collected) fit matrix back
     # so callers can derive driver-side estimates — e.g. per-cell load
@@ -607,30 +610,44 @@ def ivf_topk(
             max_fit_rows=max_fit_rows, max_iter=kmeans_max_iter,
             init=kmeans_init, n_rows=n, order_col=corpus_id,
         )
-    spark = corpus.sparkSession
     indexed = assign_cells(cfeats, centroids, vec_col=vec_col)
+    probed = _probe_cells(queries, centroids, query_id, vec_col, n_probe)
+    return _topk_within_cells(probed, indexed, k, corpus_id, query_id, vec_col)
 
-    # tiny (n_lists x d) centroid relation — broadcast to rank cells per query
+
+def _probe_cells(queries, centroids, query_id, vec_col, n_probe):
+    """Rank every query against the broadcast (n_lists × d) centroid
+    relation and keep its ``n_probe`` nearest cells — the shared probe
+    half of :func:`ivf_topk` and :func:`ivf_topk_stored`. Cells are
+    ranked by EUCLIDEAN distance — the same metric KMeans used to
+    assign corpus vectors; ranking by dot product would mis-order cells
+    whenever centroid norms differ (centroids are not unit-norm),
+    missing even exact-duplicate neighbors."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     cdf = spark.createDataFrame(centers, "_cell int, _cvec array<double>")
-
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
-    # rank probe cells by EUCLIDEAN distance — the same metric KMeans used
-    # to assign corpus vectors. Ranking by dot product would mis-order
-    # cells whenever centroid norms differ (centroids are not unit-norm),
-    # missing even exact-duplicate neighbors.
     sqdist = F.expr(
         "aggregate(zip_with(_qvec, _cvec, (x, y) -> (cast(x as double) - y) * "
         "(cast(x as double) - y)), 0D, (acc, v) -> acc + v)"
     )
     wq = Window.partitionBy(query_id).orderBy(F.asc("_cdist"), F.asc("_cell"))
-    probed = (
+    return (
         q.crossJoin(F.broadcast(cdf))
         .withColumn("_cdist", sqdist)
         .withColumn("_cr", F.row_number().over(wq))
         .filter(F.col("_cr") <= n_probe)
         .select(query_id, "_qvec", "_cell")
     )
+
+
+def _topk_within_cells(probed, indexed, k, corpus_id, query_id, vec_col):
+    """Exact cosine inside the probed cells + per-query rank window —
+    the shared verify half of the IVF paths. ``indexed`` must carry a
+    ``_cell`` column aligned with the probe's centroid indices."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
@@ -644,6 +661,71 @@ def ivf_topk(
         .filter(F.col("r") <= k)
         .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
     )
+
+
+def write_ivf_corpus(
+    corpus: DataFrame,
+    centroids,
+    path: str,
+    vec_col: str = "embedding",
+    format: str = "parquet",
+) -> None:
+    """Materialize the corpus CELL-PARTITIONED on disk — the serving
+    layout that makes IVF probes cheap at 100 TB: one ``assign_cells``
+    pass (Arrow-batched GEMM against the broadcast centroid matrix)
+    writes every vector under its ``cell=N`` directory, so a later
+    :func:`ivf_topk_stored` probe reads ONLY the probed cells' files
+    (partition pruning at the scan — ~n_probe/n_lists of the bytes)
+    instead of re-assigning the whole corpus per query batch, which is
+    what :func:`ivf_topk` must do. Pair with :func:`write_ivf_index`
+    (the centroids MUST be the same matrix, or probes will look in the
+    wrong cells — persist them together)."""
+    assigned = assign_cells(corpus, centroids, vec_col=vec_col, cell_col="cell")
+    assigned.write.mode("overwrite").partitionBy("cell").format(format).save(
+        path
+    )
+
+
+def ivf_topk_stored(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    format: str = "parquet",
+) -> DataFrame:
+    """IVF top-k against a :func:`write_ivf_corpus` layout: the query
+    batch ranks cells against the (tiny, typically
+    :func:`read_ivf_index`-loaded) centroid matrix, the union of probed
+    cell ids — AT MOST ``n_lists`` values, independent of query count —
+    is collected and pushed as a PARTITION FILTER on the corpus scan,
+    and exact cosine + the rank window run inside the surviving cells.
+    The scan therefore reads only the probed partitions' files
+    (pinned by ``PartitionFilters``/file-count assertions in
+    tests/test_llm_ops.py) — the static-pruning guarantee a plain
+    equi-join would only get if dynamic partition pruning happened to
+    fire. Results are pair-for-pair identical to
+    ``ivf_topk(centroids=...)`` on the same centroids; at
+    n_probe = n_lists it is exact brute force reading every cell."""
+    import numpy as np
+
+    centroids = np.asarray(centroids, dtype=np.float64)
+    probed = _probe_cells(queries, centroids, query_id, vec_col, n_probe)
+    # bounded driver read: the DISTINCT probed cells, <= n_lists ints
+    cells = sorted(
+        r["_cell"] for r in probed.select("_cell").distinct().collect()
+    )
+    indexed = (
+        spark.read.format(format)
+        .load(corpus_path)
+        .filter(F.col("cell").isin(cells))
+        .select(F.col(corpus_id), vec_col, F.col("cell").alias("_cell"))
+    )
+    return _topk_within_cells(probed, indexed, k, corpus_id, query_id, vec_col)
 
 
 def scalar_quantize(

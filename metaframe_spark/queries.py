@@ -4831,6 +4831,42 @@ def llm_ivf_store(spark, sf):
     )
 
 
+@query("llm_ivf_corpus", _IVF_EXACT_ORACLE)
+def llm_ivf_corpus(spark, sf):
+    """Cell-partitioned IVF serving layout (operators/similarity.py::
+    write_ivf_corpus + ivf_topk_stored): the corpus is materialized
+    once, partitioned by its assigned cell, and the query batch's probe
+    becomes a STATIC PARTITION FILTER on the corpus scan — only the
+    probed cells' files are read (~n_probe/n_lists of the bytes; pinned
+    by the PartitionFilters assertion in tests/test_llm_ops.py) instead
+    of re-assigning every vector per batch as llm_ivf_topk must. Here
+    n_probe = n_lists so every partition is probed and the result is
+    pair-for-pair the exact brute-force top-k — the shared oracle
+    hash-matches, proving the partitioned layout loses nothing. The
+    partial-probe regime (the production setting, where pruning
+    actually skips files) is covered by the unit tests."""
+    import tempfile
+
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        fit_sampled_centroids,
+        ivf_topk_stored,
+        write_ivf_corpus,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cent = fit_sampled_centroids(
+        e.select("vec_id", "embedding"), 8, seed=42, max_iter=5,
+        init="random", order_col="vec_id",
+    )
+    path = tempfile.mkdtemp(prefix="mf_ivf_corpus_") + "/corpus"
+    write_ivf_corpus(e.select("vec_id", "embedding"), cent, path)
+    return ivf_topk_stored(spark, path, q, cent, k=5, n_probe=8)
+
+
 @query(
     "q90_sketch_compact",
     "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
@@ -5142,6 +5178,7 @@ _ROTATE_FIRST: list = [
     # round-10 additions (never driver-checked before)
     "q89_heavy_hitters",
     "llm_ivf_store",
+    "llm_ivf_corpus",
     "q90_sketch_compact",
     # oldest-blessed regression re-checks (last driver-checked r07)
     "q32_sessionize",

@@ -546,6 +546,45 @@ def stream_histogram_sketches(
     )
 
 
+def stream_term_sketches(
+    stream,
+    store_path: str,
+    column: str,
+    group_by=None,
+    max_terms: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously maintain the mergeable frequent-terms store
+    (:func:`~metaframe_spark.operators.maintenance.term_sketches` /
+    ``merge_term_sketches``) from a stream — the streaming face of the
+    fourth incremental-stats member: running top-k terms per group,
+    readable at any moment via
+    ``frequent_term_estimates(spark.read.parquet(store_path)
+    .drop("_last_batch"), k, group_by)``. Term counts are ADDITIVE, so
+    exactly-once comes from the ``_last_batch`` high-water mark, as
+    with :func:`stream_moment_sketches`.
+
+    ``max_terms`` prunes each micro-batch's sketch before the fold; the
+    Misra-Gries ``max_err``/``prune_bound`` bracket composes through
+    the per-batch merges exactly as in the batch path, and with
+    ``max_terms=None`` (or ≥ the live vocabulary) the continuously
+    accreted counts hash-match a batch pass over everything the stream
+    ever delivered. To ALSO bound the STORE's row count (a pruned batch
+    still unions new terms in), compact it offline with
+    :func:`~metaframe_spark.operators.maintenance.prune_term_sketch`."""
+    from ..operators.maintenance import merge_term_sketches, term_sketches
+
+    keys = list(group_by) if group_by else None
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        lambda b: term_sketches(b, column, group_by=keys, max_terms=max_terms),
+        lambda store, new: merge_term_sketches(store, new, group_by=keys),
+        checkpoint_dir,
+        high_water=True,
+    )
+
+
 def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:
     """Restore the newest complete version of a CDC base table after a
     crash mid-:func:`apply_cdc_stream`-swap.

@@ -23,6 +23,9 @@ TABLES = [
 #: operators that REFUSE empty input by contract (clear error > silent junk)
 EXPECTED_RAISE = {
     "llm_ivf_topk": ValueError,        # ivf_topk: k-means needs a corpus
+    "llm_ivf_store": ValueError,       # fit_sampled_centroids: empty corpus
+    "llm_ivf_corpus": ValueError,      # fit_sampled_centroids: empty corpus
+    "q90_sketch_compact": ValueError,  # empty store has no data files to read
 }
 
 #: global (ungrouped) aggregates: SQL semantics return exactly ONE summary

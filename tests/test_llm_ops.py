@@ -640,6 +640,56 @@ class TestIvfIndexStore:
         }
         assert full == exact
 
+    def test_cell_partitioned_corpus_prunes_scan(self, spark, tmp_path):
+        """write_ivf_corpus + ivf_topk_stored: the probe becomes a
+        PARTITION FILTER on the corpus scan — only the probed cells'
+        files are read (the ~n_probe/n_lists byte reduction that makes
+        IVF serving cheap at 100 TB), and results are pair-for-pair
+        identical to the in-line assignment path on the same centroids."""
+        import re
+
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            ivf_topk,
+            ivf_topk_stored,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        cent = fit_sampled_centroids(
+            emb.select("vec_id", "embedding"), 8, seed=3, order_col="vec_id"
+        )
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(emb.select("vec_id", "embedding"), cent, path)
+
+        q_many = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        stored = ivf_topk_stored(spark, path, q_many, cent, k=5, n_probe=3)
+        inline = ivf_topk(emb, q_many, k=5, n_probe=3, centroids=cent)
+        assert sorted(map(tuple, stored.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        # full probe on the stored layout is exact brute force
+        exact = {
+            (r.q_id, r.vec_id) for r in brute_force_topk(emb, q_many, k=5).collect()
+        }
+        full = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk_stored(
+                spark, path, q_many, cent, k=5, n_probe=8
+            ).collect()
+        }
+        assert full == exact
+        # one query, n_probe=2: the corpus scan's PartitionFilters carries
+        # exactly the 2 probed cell ids — a static prune, not best-effort DPP
+        q_one = q_many.limit(1)
+        one = ivf_topk_stored(spark, path, q_one, cent, k=5, n_probe=2)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+        assert m, f"no static partition filter on the corpus scan:\n{plan}"
+        assert len(m.group(1).split(",")) == 2, m.group(0)
+
     def test_validation(self, spark, tmp_path):
         import numpy as np
 

@@ -676,3 +676,78 @@ class TestStreamAdditiveSketchStores:
             spark.read.parquet(store).drop("_last_batch"), [0.5], group_by=["g"]
         ).collect()
         assert all(r.x_p50 is not None for r in est)
+
+    def test_term_store_matches_batch_exact_and_skips_replays(
+        self, spark, tmp_path
+    ):
+        from metaframe_spark.operators.maintenance import (
+            frequent_term_estimates,
+            term_sketches,
+        )
+        from metaframe_spark.streaming import stream_term_sketches
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [(i % 2, f"t{i % 9}") for i in range(270)], "g int, w string"
+        )
+        b2 = spark.createDataFrame(
+            [(i % 2, f"t{(i * 5) % 11}") for i in range(220)], "g int, w string"
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "store")
+
+        def top():
+            return sorted(
+                map(
+                    tuple,
+                    frequent_term_estimates(
+                        spark.read.parquet(store).drop("_last_batch"),
+                        5,
+                        group_by=["g"],
+                    ).collect(),
+                )
+            )
+
+        self._drain(
+            spark, stream_term_sketches, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, column="w", group_by=["g"],
+        )
+        # unpruned continuous accretion == one batch pass over everything
+        want = sorted(
+            map(
+                tuple,
+                frequent_term_estimates(
+                    term_sketches(b1.union(b2), "w", group_by=["g"]),
+                    5,
+                    group_by=["g"],
+                ).collect(),
+            )
+        )
+        assert top() == want
+        # fresh checkpoint replays both batches with restarted ids -> both
+        # skipped by the high-water mark, counts not doubled
+        self._drain(
+            spark, stream_term_sketches, src, tmp_path / "ckpt_replay",
+            b1.schema, store_path=store, column="w", group_by=["g"],
+        )
+        assert top() == want
+        # continuation applies only the new file; pruned batches carry their
+        # Misra-Gries bounds through the fold
+        b3 = spark.createDataFrame(
+            [(0, "boom")] * 50 + [(0, "tail")], "g int, w string"
+        )
+        b3.coalesce(1).write.parquet(str(src / "f3"))
+        self._drain(
+            spark, stream_term_sketches, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, column="w", group_by=["g"], max_terms=1,
+        )
+        rows = {
+            (r["g"], r["term"]): r
+            for r in spark.read.parquet(store).drop("_last_batch").collect()
+        }
+        boom = rows[(0, "boom")]
+        assert boom["count"] == 50
+        # "tail" was pruned from batch 2's sketch, so group 0's bound >= 1
+        assert boom["prune_bound"] >= 1
