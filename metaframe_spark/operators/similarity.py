@@ -677,12 +677,24 @@ def write_ivf_corpus(
     :func:`ivf_topk_stored` probe reads ONLY the probed cells' files
     (partition pruning at the scan — ~n_probe/n_lists of the bytes)
     instead of re-assigning the whole corpus per query batch, which is
-    what :func:`ivf_topk` must do. Pair with :func:`write_ivf_index`
-    (the centroids MUST be the same matrix, or probes will look in the
-    wrong cells — persist them together)."""
+    what :func:`ivf_topk` must do.
+
+    The centroid index is co-persisted under ``{path}/_ivf_index`` —
+    the underscore prefix hides it from the corpus scan's file index,
+    and it travels WITH the layout it defines, so a probe can never
+    pair the partitions with the wrong centroids (probing a layout
+    with foreign centroids silently looks in the wrong cells;
+    :func:`ivf_topk_stored` loads the co-persisted matrix by default
+    and REJECTS a conflicting explicit one)."""
     assigned = assign_cells(corpus, centroids, vec_col=vec_col, cell_col="cell")
     assigned.write.mode("overwrite").partitionBy("cell").format(format).save(
         path
+    )
+    write_ivf_index(
+        corpus.sparkSession,
+        centroids,
+        path.rstrip("/") + "/_ivf_index",
+        format=format,
     )
 
 
@@ -690,7 +702,7 @@ def ivf_topk_stored(
     spark,
     corpus_path: str,
     queries: DataFrame,
-    centroids,
+    centroids=None,
     k: int = 5,
     n_probe: int = 4,
     corpus_id: str = "vec_id",
@@ -710,10 +722,35 @@ def ivf_topk_stored(
     equi-join would only get if dynamic partition pruning happened to
     fire. Results are pair-for-pair identical to
     ``ivf_topk(centroids=...)`` on the same centroids; at
-    n_probe = n_lists it is exact brute force reading every cell."""
+    n_probe = n_lists it is exact brute force reading every cell.
+
+    ``centroids=None`` (the default) loads the matrix co-persisted by
+    :func:`write_ivf_corpus` under ``{corpus_path}/_ivf_index`` —
+    guaranteed to be the matrix that defined the cell layout. An
+    explicit matrix is checked against the co-persisted one when it
+    exists: a mismatch means the caller is probing this layout with a
+    FOREIGN index (every lookup would silently land in wrong cells)
+    and raises instead."""
     import numpy as np
 
-    centroids = np.asarray(centroids, dtype=np.float64)
+    index_path = corpus_path.rstrip("/") + "/_ivf_index"
+    if centroids is None:
+        centroids = read_ivf_index(spark, index_path, format=format)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        try:
+            stored = read_ivf_index(spark, index_path, format=format)
+        except Exception:
+            stored = None  # pre-r10 layout without a co-persisted index
+        if stored is not None and (
+            stored.shape != centroids.shape
+            or not np.allclose(stored, centroids)
+        ):
+            raise ValueError(
+                "ivf_topk_stored: the centroids passed in differ from the "
+                f"index co-persisted with the layout at {corpus_path!r} — "
+                "probing with a foreign index reads the wrong cells"
+            )
     probed = _probe_cells(queries, centroids, query_id, vec_col, n_probe)
     # bounded driver read: the DISTINCT probed cells, <= n_lists ints
     cells = sorted(

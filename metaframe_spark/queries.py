@@ -4792,6 +4792,82 @@ def q89_heavy_hitters(spark, sf):
     return frequent_term_estimates(merged, 10, group_by=["lang"])
 
 
+@query(
+    "q91_heavy_hitters_pruned",
+    "WITH t AS (SELECT doc_id, lang, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "g AS (SELECT doc_id, lang, unnest(toks) AS term FROM t), "
+    "runs AS (SELECT doc_id % 2 AS run, lang, term, count(*) AS cnt "
+    "  FROM g GROUP BY 1, 2, 3), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY run, lang "
+    "  ORDER BY cnt DESC, term) AS rn FROM runs), "
+    "bounds AS (SELECT run, lang, "
+    "  coalesce(max(CASE WHEN rn > 5 THEN cnt END), 0) AS pb "
+    "  FROM ranked GROUP BY 1, 2), "
+    "kept AS (SELECT run, lang, term, cnt FROM ranked WHERE rn <= 5), "
+    "total AS (SELECT lang, sum(pb) AS total_pb FROM bounds GROUP BY 1), "
+    "merged AS (SELECT k.lang, k.term, SUM(k.cnt) AS cnt, "
+    "  SUM(b.pb) AS present_pb FROM kept k "
+    "  JOIN bounds b ON k.run = b.run AND k.lang = b.lang GROUP BY 1, 2), "
+    "truth AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS true_count "
+    "  FROM g GROUP BY 1, 2) "
+    "SELECT m.lang, m.term, CAST(m.cnt AS BIGINT) AS count, "
+    "CAST(t.total_pb - m.present_pb AS BIGINT) AS max_err, "
+    "CAST(t.total_pb AS BIGINT) AS prune_bound, tr.true_count, "
+    "(m.cnt <= tr.true_count AND "
+    " tr.true_count <= m.cnt + t.total_pb - m.present_pb) AS bracket_ok "
+    "FROM merged m JOIN total t ON m.lang = t.lang "
+    "JOIN truth tr ON m.lang = tr.lang AND m.term = tr.term",
+)
+def q91_heavy_hitters_pruned(spark, sf):
+    """The PRUNED heavy-hitters regime, hash-pinned (q89 proves the
+    exact/unpruned path; this entry pins the Misra-Gries bound
+    machinery itself): two runs each keep only their top-5 terms per
+    language (the 31-term vocabulary makes the prune real), the merge
+    composes counts and bounds, and the oracle REPLAYS the identical
+    deterministic algorithm in SQL — per-run exact counts, top-5 by
+    (count DESC, term), per-run bound = max pruned count, merged
+    max_err = Σ absent runs' bounds — so every stored count, error
+    bound and group bound hash-matches. ``bracket_ok`` additionally
+    joins the full-corpus TRUE counts and asserts
+    count ≤ true ≤ count + max_err row by row in BOTH engines —
+    deterministically TRUE by the SpaceSaving guarantee, and a hash
+    mismatch would mean the bound stopped being a bound."""
+    from .operators.maintenance import merge_term_sketches, term_sketches
+    from .operators.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = d.to_spark().select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    parts = [
+        term_sketches(
+            toks.filter(F.col("doc_id") % 2 == i),
+            "term",
+            group_by=["lang"],
+            max_terms=5,
+        )
+        for i in range(2)
+    ]
+    merged = merge_term_sketches(*parts, group_by=["lang"])
+    truth = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    return merged.join(truth, ["lang", "term"]).select(
+        "lang",
+        "term",
+        "count",
+        "max_err",
+        "prune_bound",
+        "true_count",
+        (
+            (F.col("count") <= F.col("true_count"))
+            & (F.col("true_count") <= F.col("count") + F.col("max_err"))
+        ).alias("bracket_ok"),
+    )
+
+
 @query("llm_ivf_store", _IVF_EXACT_ORACLE)
 def llm_ivf_store(spark, sf):
     """Persistable IVF centroid index (operators/similarity.py::
@@ -4864,7 +4940,9 @@ def llm_ivf_corpus(spark, sf):
     )
     path = tempfile.mkdtemp(prefix="mf_ivf_corpus_") + "/corpus"
     write_ivf_corpus(e.select("vec_id", "embedding"), cent, path)
-    return ivf_topk_stored(spark, path, q, cent, k=5, n_probe=8)
+    # centroids auto-load from the co-persisted {path}/_ivf_index — the
+    # probe provably uses the matrix that defined the cell layout
+    return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
 
 
 @query(
@@ -5177,6 +5255,7 @@ _DRIVER_BLESSED = (
 _ROTATE_FIRST: list = [
     # round-10 additions (never driver-checked before)
     "q89_heavy_hitters",
+    "q91_heavy_hitters_pruned",
     "llm_ivf_store",
     "llm_ivf_corpus",
     "q90_sketch_compact",

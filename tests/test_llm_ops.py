@@ -670,6 +670,19 @@ class TestIvfIndexStore:
         assert sorted(map(tuple, stored.collect())) == sorted(
             map(tuple, inline.collect())
         )
+        # default centroids=None auto-loads the co-persisted index — same
+        # result, and a FOREIGN matrix is rejected instead of silently
+        # probing the wrong cells
+        auto = ivf_topk_stored(spark, path, q_many, k=5, n_probe=3)
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, stored.collect())
+        )
+        import numpy as np
+
+        with pytest.raises(ValueError, match="foreign index"):
+            ivf_topk_stored(
+                spark, path, q_many, np.asarray(cent) + 1.0, k=5, n_probe=3
+            )
         # full probe on the stored layout is exact brute force
         exact = {
             (r.q_id, r.vec_id) for r in brute_force_topk(emb, q_many, k=5).collect()
