@@ -48,6 +48,10 @@ _EXPORTS = {
         "metaframe_spark.streaming",
         "stream_term_sketches",
     ),
+    "stream_neardup_dedup": (
+        "metaframe_spark.streaming",
+        "stream_neardup_dedup",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

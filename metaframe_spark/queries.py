@@ -5249,9 +5249,13 @@ _DRIVER_BLESSED = (
 # ROUND-11 NOTE (execute at the start of round 11): fold every key with a
 # green row in CORRECTNESS_r10.json into a `_R10_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-11
-# additions + the next-oldest blessed block (the r8 wave: q07-q12,
-# q62..q84, llm_bloom_decontaminate..llm_weighted_sample — last
-# driver-checked r08) plus any r7 keys that overflowed this window.
+# additions + the FIVE r7 keys that overflowed this round's 50-slot window
+# (llm_pack_sequences, llm_stratified_sample, llm_mixture_sample,
+# llm_hash_split, llm_global_shuffle — still last driver-checked r07) +
+# the next-oldest blessed block (the r8 wave: q07-q12, q62..q84,
+# llm_bloom_decontaminate..llm_weighted_sample — last driver-checked r08).
+# The r10 window was: 5 new (q89, q91, llm_ivf_store, llm_ivf_corpus,
+# q90) + 45 r7-blessed re-checks.
 _ROTATE_FIRST: list = [
     # round-10 additions (never driver-checked before)
     "q89_heavy_hitters",

@@ -585,6 +585,118 @@ def stream_term_sketches(
     )
 
 
+def stream_neardup_dedup(
+    stream,
+    store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bands: int = 16,
+    band_rows: int = 3,
+    min_jaccard: float = 0.7,
+    seed: int = 42,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuous-ingest NEAR-duplicate dedup against an accreting
+    MinHash signature store — the streaming composition of the batch
+    operators (``minhash_near_dup_pairs`` → ``dedup_survivors`` for
+    within-batch, ``minhash_near_dup_against(seen_signatures=...)`` for
+    batch-vs-history): per micro-batch, documents near-matching either
+    a batch sibling (lowest id survives) or ANY previously-ingested
+    survivor are dropped, the survivors land under
+    ``{out_path}/batch={id}`` and ONLY survivors' signatures join the
+    store at ``store_path`` — history is never re-tokenized and its
+    text is never retained, so cross-history state is the signature
+    relation, not the corpus. :func:`stream_exact_dedup` bounds its
+    state by a watermark horizon because byte-identical repeats recur
+    forever; near-dup ingestion needs the unbounded-history guarantee,
+    and the signature store is the bounded-BY-CONTENT form of it.
+
+    Exactly-once: the store carries a ``_last_batch`` high-water mark —
+    a replayed batch id is skipped entirely — and each batch's
+    survivors are written to their OWN ``batch={id}`` directory with
+    overwrite, so a crash between the output write and the store swap
+    replays into an identical overwrite, never a duplicate append. The
+    store swap itself is the crash-safe staged rename of
+    :func:`apply_cdc_stream` (repairable via :func:`recover_cdc_swap`).
+
+    Caveat shared with every MinHash operator here: documents shorter
+    than ``shingle_n`` tokens have no shingles and never match — pair
+    with :func:`stream_exact_dedup` upstream if byte-identical shorts
+    matter. Returns the started ``StreamingQuery`` (availableNow)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        dedup_survivors,
+        minhash_near_dup_against,
+        minhash_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        _recover_swap_for_batch(spark, store_path, batch_id)
+        fs, P = _hadoop_fs(spark, store_path)
+        has_store = fs.exists(P(store_path))
+        prior = spark.read.parquet(store_path) if has_store else None
+        if has_store:
+            last = prior.agg(F.max("_last_batch")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: output + store already final
+        pairs = minhash_near_dup_pairs(
+            batch_df, id_col, text_col, shingle_n=shingle_n,
+            n_bands=n_bands, band_rows=band_rows,
+            min_jaccard=min_jaccard, seed=seed,
+        )
+        local = dedup_survivors(batch_df, pairs, id_col)
+        if has_store:
+            hits = minhash_near_dup_against(
+                local.select(id_col, text_col),
+                seen_signatures=prior.drop("_last_batch"),
+                id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+                n_bands=n_bands, band_rows=band_rows,
+                min_jaccard=min_jaccard, seed=seed,
+            )
+            survivors = local.join(
+                hits.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        else:
+            survivors = local
+        # re-computed twice below (output + signatures) — pin one result
+        survivors = survivors.persist()
+        try:
+            survivors.write.mode("overwrite").parquet(
+                out_path.rstrip("/") + f"/batch={batch_id}"
+            )
+            sigs = minhash_signatures(
+                survivors.select(id_col, text_col),
+                id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+            ).withColumn("_last_batch", F.lit(batch_id).cast("long"))
+            merged = prior.unionByName(sigs) if has_store else sigs
+            staging = store_path.rstrip("/") + f"._staging_{batch_id}"
+            merged.write.mode("overwrite").parquet(staging)
+        finally:
+            survivors.unpersist()
+        if has_store:
+            _swap_in_base(spark, store_path, staging, batch_id,
+                          label="neardup signature-store swap")
+        elif not fs.rename(P(staging), P(store_path)):
+            raise RuntimeError(
+                f"neardup signature-store swap batch {batch_id}: failed to "
+                f"promote first-batch staging ({staging} -> {store_path})"
+            )
+
+    writer = (
+        stream.to_spark() if isinstance(stream, MetaFrame) else stream
+    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def recover_cdc_swap(spark, base_path: str) -> Dict[int, str]:
     """Restore the newest complete version of a CDC base table after a
     crash mid-:func:`apply_cdc_stream`-swap.

@@ -751,3 +751,99 @@ class TestStreamAdditiveSketchStores:
         assert boom["count"] == 50
         # "tail" was pruned from batch 2's sketch, so group 0's bound >= 1
         assert boom["prune_bound"] >= 1
+
+
+class TestStreamNeardupDedup:
+    """Continuous-ingest near-dup dedup against the accreting signature
+    store: within-batch losers drop (lowest id survives), cross-history
+    matches drop, only survivors' signatures enter the store, replays are
+    no-ops, and history text is never retained."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_two_batches_then_replay(self, spark, tmp_path):
+        from metaframe_spark.streaming import stream_neardup_dedup
+
+        # six documents with DISJOINT vocabularies (any shared base would
+        # make them near-dups of each other and collapse to one survivor)
+        texts = {
+            i: " ".join(f"w{i}x{j} token{i}y{j} lex{i}z{j}" for j in range(12))
+            for i in range(1, 7)
+        }
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = self._mk(
+            spark,
+            [(i, texts[i]) for i in range(1, 7)]
+            + [(7, texts[1] + "tiny extra tail")],  # within-batch dup of 1
+        )
+        b2 = self._mk(
+            spark,
+            [
+                (11, texts[2] + "another small tail"),  # cross-history dup of 2
+                (12, "a completely different document about galaxies "
+                     "colliding in deep space far beyond the known rim "
+                     + "star cluster " * 6),
+                (13, "a completely different document about galaxies "
+                     "colliding in deep space far beyond the known rim "
+                     + "star cluster " * 6 + "extra"),  # within-batch dup of 12
+            ],
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "sigstore")
+        out = str(tmp_path / "out")
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*"))
+            )
+            q = stream_neardup_dedup(
+                stream, store, out, checkpoint_dir=str(tmp_path / ckpt)
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain("ckpt")
+        surv = {
+            r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        assert surv == {1, 2, 3, 4, 5, 6, 12}
+        sigs = spark.read.parquet(store)
+        assert {r.doc_id for r in sigs.select("doc_id").collect()} == surv
+        # history text is never retained
+        assert "text" not in sigs.columns
+        assert sigs.agg({"_last_batch": "max"}).collect()[0][0] == 1
+        # full replay on a fresh checkpoint: batch ids restart at 0 <=
+        # high-water 1 -> both skipped; outputs and store byte-stable
+        before = sorted(map(tuple, sigs.drop("_last_batch").collect()))
+        drain("ckpt_replay")
+        assert {
+            r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+        } == surv
+        after = sorted(
+            map(
+                tuple,
+                spark.read.parquet(store).drop("_last_batch").collect(),
+            )
+        )
+        assert after == before
+        # continuation: a new file is batch 2 > high-water -> applied;
+        # a near-dup of a BATCH-0 survivor is caught by the store alone
+        b3 = self._mk(
+            spark,
+            [(21, texts[5] + "late arriving twin"), (22, "fresh short")],
+        )
+        b3.coalesce(1).write.parquet(str(src / "f3"))
+        drain("ckpt")
+        surv3 = {
+            r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        # 21 near-matches doc 5 from two batches ago; 22 is too short to
+        # shingle (documented caveat) and passes through
+        assert surv3 == surv | {22}
