@@ -815,6 +815,7 @@ def compact_sketch_relation(
     coarsen,
     keep_since=None,
     group_by: Optional[Sequence[str]] = None,
+    max_terms: Optional[int] = None,
 ) -> DataFrame:
     """Re-merge a sketch store's aged runs into coarser grains — the
     retention story for stores that grow by one partition per run
@@ -836,7 +837,16 @@ def compact_sketch_relation(
     ``run_col`` values as run identity. ``group_by`` defaults to every
     column that is not the run column and not sketch state. Output
     schema equals input schema, so compaction composes (day → week →
-    month) and the result re-merges like any store."""
+    month) and the result re-merges like any store.
+
+    ``max_terms`` (term stores only): after each coarse grain's merge,
+    :func:`prune_term_sketch` caps the grain at its top ``max_terms``
+    rows per group — the row-count retention knob a term store needs on
+    top of grain coarsening (merging alone UNIONS vocabularies, so an
+    uncapped compacted grain can hold every term its days ever saw);
+    the discarded tail folds into the grain's ``prune_bound`` so the
+    bracket contract survives. Estimates are then exact only down to
+    that bound (q90-style bit-identity holds with ``max_terms=None``)."""
     if run_col not in df.columns:
         raise ValueError(
             f"compact_sketch_relation: run_col {run_col!r} not in input "
@@ -865,10 +875,17 @@ def compact_sketch_relation(
         recent = df.filter(~(F.col(run_col) < F.lit(keep_since)))
     else:
         aged, recent = df, None
+    if max_terms is not None and not is_term:
+        raise ValueError(
+            "compact_sketch_relation: max_terms applies only to term "
+            f"sketches (columns: {df.columns!r})"
+        )
     aged = aged.withColumn("_mf_coarse", coarse)
     gb = ["_mf_coarse", *keys]
     if is_term:
         merged = merge_term_sketches(aged, group_by=gb, run_col=run_col)
+        if max_terms is not None:
+            merged = prune_term_sketch(merged, max_terms, group_by=gb)
     else:
         # one groupBy folds every non-histogram sketch column; histograms
         # need their two-step assembly, so they merge separately and join
@@ -916,6 +933,7 @@ def compact_sketch_store(
     keep_since=None,
     group_by: Optional[Sequence[str]] = None,
     format: str = "parquet",
+    max_terms: Optional[int] = None,
 ) -> DataFrame:
     """Disk-to-disk :func:`compact_sketch_relation`: read the store at
     ``src_path``, re-merge runs older than ``keep_since`` into
@@ -938,7 +956,8 @@ def compact_sketch_store(
             f"{src_path!r} (missing or empty): {e}"
         ) from e
     out = compact_sketch_relation(
-        df, run_col, coarsen, keep_since=keep_since, group_by=group_by
+        df, run_col, coarsen, keep_since=keep_since, group_by=group_by,
+        max_terms=max_terms,
     )
     out.write.mode("overwrite").partitionBy(run_col).format(format).save(
         dest_path

@@ -669,6 +669,7 @@ def write_ivf_corpus(
     path: str,
     vec_col: str = "embedding",
     format: str = "parquet",
+    quantize_bits: "int | None" = None,
 ) -> None:
     """Materialize the corpus CELL-PARTITIONED on disk — the serving
     layout that makes IVF probes cheap at 100 TB: one ``assign_cells``
@@ -685,13 +686,43 @@ def write_ivf_corpus(
     pair the partitions with the wrong centroids (probing a layout
     with foreign centroids silently looks in the wrong cells;
     :func:`ivf_topk_stored` loads the co-persisted matrix by default
-    and REJECTS a conflicting explicit one)."""
+    and REJECTS a conflicting explicit one).
+
+    ``quantize_bits`` stores SQ codes instead of the float vectors —
+    the FAISS IVF-SQ layout: cells are assigned on the ORIGINAL floats
+    (full assignment precision), the stored column becomes
+    ``array<int>`` codes (8× smaller than float64 at 8 bits — at 100 TB
+    that is the difference between the hot set fitting in page cache or
+    not), and the per-dimension bounds co-persist under
+    ``{path}/_sq_bounds`` so the probe can decode. The probe then ranks
+    by the ASYMMETRIC score — float query × midpoint-reconstructed
+    corpus vector — trading a bounded quantization error for the byte
+    reduction (recall/ranking drift is bounded by half a code bin per
+    dimension)."""
     assigned = assign_cells(corpus, centroids, vec_col=vec_col, cell_col="cell")
+    spark = corpus.sparkSession
+    if quantize_bits is not None:
+        # bounds from the RAW corpus (column-pruned scan) so the stats
+        # pass does not pull a second GEMM through assign_cells
+        mins, spans = _sq_bounds(corpus, vec_col)
+        assigned = assigned.withColumn(
+            vec_col, _sq_encode_expr(vec_col, mins, spans, quantize_bits)
+        )
     assigned.write.mode("overwrite").partitionBy("cell").format(format).save(
         path
     )
+    if quantize_bits is not None:
+        spark.createDataFrame(
+            [
+                (i, float(m), float(s), int(quantize_bits))
+                for i, (m, s) in enumerate(zip(mins, spans))
+            ],
+            "pos int, mn double, span double, n_bits int",
+        ).repartition(1).write.mode("overwrite").format(format).save(
+            path.rstrip("/") + "/_sq_bounds"
+        )
     write_ivf_index(
-        corpus.sparkSession,
+        spark,
         centroids,
         path.rstrip("/") + "/_ivf_index",
         format=format,
@@ -762,6 +793,27 @@ def ivf_topk_stored(
         .filter(F.col("cell").isin(cells))
         .select(F.col(corpus_id), vec_col, F.col("cell").alias("_cell"))
     )
+    # a quantized layout (write_ivf_corpus(quantize_bits=...)) carries its
+    # per-dimension bounds — decode to midpoint reconstructions so the rank
+    # score is the asymmetric float-query × reconstructed-corpus product
+    bounds_path = corpus_path.rstrip("/") + "/_sq_bounds"
+    try:
+        bounds = spark.read.format(format).load(bounds_path).collect()
+    except Exception:
+        bounds = None
+    if bounds:
+        d = len(bounds)
+        mins, spans = [0.0] * d, [1.0] * d
+        for r in bounds:
+            mins[r["pos"]], spans[r["pos"]] = r["mn"], r["span"]
+        n_bits = {int(r["n_bits"]) for r in bounds}
+        if len(n_bits) != 1:
+            raise ValueError(
+                f"ivf_topk_stored: inconsistent n_bits in {bounds_path!r}"
+            )
+        indexed = indexed.withColumn(
+            vec_col, dequantize_expr(vec_col, mins, spans, n_bits.pop())
+        )
     return _topk_within_cells(probed, indexed, k, corpus_id, query_id, vec_col)
 
 
@@ -769,7 +821,8 @@ def scalar_quantize(
     df: DataFrame,
     vec_col: str = "embedding",
     n_bits: int = 8,
-) -> DataFrame:
+    return_bounds: bool = False,
+):
     """Per-dimension scalar quantization (SQ8 for ``n_bits=8``) — the
     standard memory lever for planet-scale ANN: a float32 corpus shrinks
     4× (float64: 8×) while IVF/LSH recall degrades only marginally.
@@ -786,7 +839,20 @@ def scalar_quantize(
     floor — bit-identical across engines, so the codes are
     oracle-checkable.
     """
-    levels = (1 << n_bits) - 1
+    mins, spans = _sq_bounds(df, vec_col)
+    out = df.withColumn(
+        vec_col, _sq_encode_expr(vec_col, mins, spans, n_bits)
+    )
+    # return_bounds hands back the per-dimension (mins, spans) the codes
+    # were built with — required to DECODE (dequantize_expr) or to persist
+    # the bounds alongside a quantized store (write_ivf_corpus)
+    return (out, mins, spans) if return_bounds else out
+
+
+def _sq_bounds(df: DataFrame, vec_col: str):
+    """Per-dimension (mins, spans) of an embedding column: posexplode +
+    partial-aggregated groupBy — shuffles exactly d rows; constant
+    dimensions get span 1 so they encode to 0."""
     stats = (
         df.select(F.posexplode(vec_col).alias("_pos", "_v"))
         .groupBy("_pos")
@@ -801,11 +867,35 @@ def scalar_quantize(
     for r in stats:
         mins[r["_pos"]] = r["_mn"]
         spans[r["_pos"]] = (r["_mx"] - r["_mn"]) if r["_mx"] > r["_mn"] else 1.0
-    mins_sql = "array(" + ", ".join(f"{m!r}D" for m in mins) + ")"
-    spans_sql = "array(" + ", ".join(f"{s!r}D" for s in spans) + ")"
-    code = (
+    return mins, spans
+
+
+def _sq_encode_expr(vec_col: str, mins, spans, n_bits: int) -> Column:
+    """The SQ encode: ``least(floor((x - min) / span * 2^bits), 2^bits-1)``
+    per dimension, bounds inlined as array literals (codegen, no join)."""
+    levels = (1 << n_bits) - 1
+    mins_sql = "array(" + ", ".join(f"{float(m)!r}D" for m in mins) + ")"
+    spans_sql = "array(" + ", ".join(f"{float(s)!r}D" for s in spans) + ")"
+    return F.expr(
         f"transform({vec_col}, (x, i) -> cast(least(floor("
         f"(cast(x as double) - element_at({mins_sql}, i + 1)) / "
         f"element_at({spans_sql}, i + 1) * {levels + 1}), {levels}L) as int))"
     )
-    return df.withColumn(vec_col, F.expr(code))
+
+
+def dequantize_expr(vec_col: str, mins, spans, n_bits: int = 8) -> Column:
+    """Midpoint reconstruction of :func:`scalar_quantize` codes:
+    ``mins[i] + (code + 0.5) * spans[i] / 2^n_bits`` per dimension — the
+    standard SQ decode (the midpoint halves the worst-case error of the
+    bin's left edge). Bounds are inlined as array LITERALS, so decoding
+    is one codegen ``transform`` with no join and no Python; the
+    arithmetic is plain IEEE multiply/divide/add, bit-identical across
+    engines, which is what lets the llm_ivf_sq oracle recompute the
+    same reconstruction."""
+    mins_sql = "array(" + ", ".join(f"{float(m)!r}D" for m in mins) + ")"
+    spans_sql = "array(" + ", ".join(f"{float(s)!r}D" for s in spans) + ")"
+    return F.expr(
+        f"transform({vec_col}, (c, i) -> element_at({mins_sql}, i + 1) + "
+        f"(cast(c as double) + 0.5D) * element_at({spans_sql}, i + 1) "
+        f"/ {1 << n_bits}D)"
+    )

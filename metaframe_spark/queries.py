@@ -4946,6 +4946,65 @@ def llm_ivf_corpus(spark, sf):
 
 
 @query(
+    "llm_ivf_sq",
+    f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
+    "stats AS (SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx "
+    "  FROM n CROSS JOIN range(1, 65) r(i) GROUP BY i), "
+    "s AS (SELECT list(mn ORDER BY i) AS mins, "
+    "  list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS spans "
+    "  FROM stats), "
+    "rc AS (SELECT vec_id, list_transform(range(1, 65), i -> "
+    "  mins[i] + (CAST(least(floor((emb[i] - mins[i]) / spans[i] * 256), "
+    "  255) AS DOUBLE) + 0.5) * spans[i] / 256) AS remb FROM n, s), "
+    "q AS (SELECT vec_id AS q_id, emb FROM n WHERE vec_id >= 8 AND vec_id < 16) "
+    "SELECT q_id, vec_id, cosine, rk AS r FROM ("
+    "  SELECT q.q_id, c.vec_id, "
+    "  round(list_inner_product(q.emb::DOUBLE[], c.remb::DOUBLE[]), 6) AS cosine, "
+    "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
+    "    round(list_inner_product(q.emb::DOUBLE[], c.remb::DOUBLE[]), 6) DESC, "
+    "    c.vec_id) AS BIGINT) AS rk "
+    "  FROM rc c, q) WHERE rk <= 5",
+)
+def llm_ivf_sq(spark, sf):
+    """SQ8-quantized IVF serving layout (operators/similarity.py::
+    write_ivf_corpus(quantize_bits=8) + ivf_topk_stored auto-decode):
+    the cell-partitioned corpus stores array<int> codes — 8× smaller
+    than float64, the FAISS IVF-SQ memory lever — with the
+    per-dimension bounds co-persisted under {path}/_sq_bounds; the
+    probe decodes midpoint reconstructions (min + (code+0.5)·span/256,
+    one codegen transform, bounds inlined as literals) and ranks by
+    the ASYMMETRIC float-query × reconstructed-corpus product. Every
+    step — bounds, encode, decode, dot, 6-decimal round — is plain
+    IEEE arithmetic, so the oracle replays the identical chain and
+    hash-matches. n_probe = n_lists probes every cell, making the
+    result exact WITH RESPECT TO the reconstructed space regardless of
+    where the centroids landed (recall vs the float space is the
+    quantization trade, measured ~0.98 @ k=5 in the unit tests)."""
+    import tempfile
+
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        fit_sampled_centroids,
+        ivf_topk_stored,
+        write_ivf_corpus,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cent = fit_sampled_centroids(
+        e.select("vec_id", "embedding"), 8, seed=42, max_iter=5,
+        init="random", order_col="vec_id",
+    )
+    path = tempfile.mkdtemp(prefix="mf_ivf_sq_") + "/corpus"
+    write_ivf_corpus(
+        e.select("vec_id", "embedding"), cent, path, quantize_bits=8
+    )
+    return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
+
+
+@query(
     "q90_sketch_compact",
     "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
     "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
@@ -5262,6 +5321,7 @@ _ROTATE_FIRST: list = [
     "q91_heavy_hitters_pruned",
     "llm_ivf_store",
     "llm_ivf_corpus",
+    "llm_ivf_sq",
     "q90_sketch_compact",
     # oldest-blessed regression re-checks (last driver-checked r07)
     "q32_sessionize",

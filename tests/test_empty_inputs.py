@@ -25,6 +25,7 @@ EXPECTED_RAISE = {
     "llm_ivf_topk": ValueError,        # ivf_topk: k-means needs a corpus
     "llm_ivf_store": ValueError,       # fit_sampled_centroids: empty corpus
     "llm_ivf_corpus": ValueError,      # fit_sampled_centroids: empty corpus
+    "llm_ivf_sq": ValueError,          # fit_sampled_centroids: empty corpus
     "q90_sketch_compact": ValueError,  # empty store has no data files to read
 }
 

@@ -703,6 +703,65 @@ class TestIvfIndexStore:
         assert m, f"no static partition filter on the corpus scan:\n{plan}"
         assert len(m.group(1).split(",")) == 2, m.group(0)
 
+    def test_quantized_layout_decodes_and_ranks(self, spark, tmp_path):
+        """write_ivf_corpus(quantize_bits=8): array<int> codes on disk
+        (8x smaller than float64), bounds co-persisted, the probe decodes
+        midpoint reconstructions and ranks by the asymmetric product —
+        deterministic, and recall vs the float ranking stays high."""
+        from metaframe_spark.operators.similarity import (
+            dequantize_expr,
+            fit_sampled_centroids,
+            ivf_topk_stored,
+            scalar_quantize,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(load_table(spark, SF, "embeddings").to_spark()).cache()
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        cent = fit_sampled_centroids(
+            emb.select("vec_id", "embedding"), 8, seed=3, order_col="vec_id"
+        )
+        path = str(tmp_path / "sq")
+        write_ivf_corpus(
+            emb.select("vec_id", "embedding"), cent, path, quantize_bits=8
+        )
+        assert dict(spark.read.parquet(path).dtypes)["embedding"] == "array<int>"
+        got = ivf_topk_stored(spark, path, q, k=5, n_probe=8)
+        rows = sorted(map(tuple, got.collect()))
+        # deterministic across invocations (fresh plan, same store)
+        again = sorted(
+            map(
+                tuple,
+                ivf_topk_stored(spark, path, q, k=5, n_probe=8).collect(),
+            )
+        )
+        assert rows == again
+        exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+        recall = len(exact & {(r[0], r[1]) for r in rows}) / len(exact)
+        assert recall >= 0.9, recall
+        # encode->decode round trip reconstructs within half a bin per dim
+        qdf, mins, spans = scalar_quantize(
+            emb.select("vec_id", "embedding"), return_bounds=True
+        )
+        err = (
+            qdf.withColumn(
+                "remb", dequantize_expr("embedding", mins, spans, 8)
+            )
+            .join(emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id")
+            .select(
+                F.expr(
+                    "aggregate(zip_with(remb, orig, (a, b) -> "
+                    "abs(a - cast(b as double))), 0D, "
+                    "(acc, v) -> greatest(acc, v))"
+                ).alias("maxerr")
+            )
+            .agg(F.max("maxerr"))
+            .collect()[0][0]
+        )
+        assert err <= max(spans) / 256 / 2 + 1e-12, err
+
     def test_validation(self, spark, tmp_path):
         import numpy as np
 

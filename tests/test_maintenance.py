@@ -991,9 +991,53 @@ class TestCompactSketchStore:
 
         assert stats(out) == stats(daily)
 
+    def test_term_store_cap_keeps_bracket(self, spark):
+        """max_terms caps each compacted grain's row count; the pruned
+        tail folds into prune_bound so surviving rows still bracket the
+        true counts and absent terms stay bounded."""
+        import datetime
+
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+            term_sketches,
+        )
+
+        df = self._daily(spark).withColumn(
+            "term", F.concat(F.lit("w"), (F.col("u") + F.col("g")).cast("string"))
+        )
+        days = [r["day"] for r in df.select("day").distinct().collect()]
+        store = None
+        for d in days:
+            sk = term_sketches(
+                df.filter(F.col("day") == d), "term", group_by=["g"]
+            ).withColumn("day", F.lit(d))
+            store = sk if store is None else store.unionByName(sk)
+        capped = compact_sketch_relation(
+            store, "day", F.lit(datetime.date(2024, 1, 1)), max_terms=2
+        )
+        truth = {
+            (r["g"], r["term"]): r["cnt"]
+            for r in df.groupBy("g", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        rows = capped.collect()
+        per_g = {}
+        for r in rows:
+            assert r["count"] <= truth[(r["g"], r["term"])] <= r["count"] + r["max_err"]
+            per_g.setdefault(r["g"], []).append(r)
+        for g, rs in per_g.items():
+            assert len(rs) <= 2  # the cap held
+            bound = rs[0]["prune_bound"]
+            kept = {r["term"] for r in rs}
+            for (gg, t), c in truth.items():
+                if gg == g and t not in kept:
+                    assert c <= bound
+
     def test_errors(self, spark):
         from metaframe_spark.operators.maintenance import (
             compact_sketch_relation,
+            moment_sketches,
         )
 
         df = spark.createDataFrame([(1, 2)], "day int, v int")
@@ -1001,3 +1045,10 @@ class TestCompactSketchStore:
             compact_sketch_relation(df, "nope", F.col("day"))
         with pytest.raises(ValueError, match="no sketch state"):
             compact_sketch_relation(df, "day", F.col("day"))
+        m = moment_sketches(
+            spark.createDataFrame([(1, 2.0)], "day int, x double"),
+            ["x"],
+            group_by=["day"],
+        )
+        with pytest.raises(ValueError, match="term"):
+            compact_sketch_relation(m, "day", F.col("day"), max_terms=3)

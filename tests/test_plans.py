@@ -347,6 +347,7 @@ class TestCatalogPlanLint:
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
         "llm_ivf_corpus",   # same probe shape over the cell-partitioned layout
+        "llm_ivf_sq",       # same probe shape over the quantized layout
         "llm_mix_report",   # one-row corpus-totals rollup joined to mixture cells
         "llm_pagerank_redistribute",  # one-row dangling-mass scalar joined into each rank sweep
         "llm_perplexity",   # one-row total-token scalar joined to tf relation
@@ -391,6 +392,7 @@ class TestCatalogPlanLint:
     EXPENSIVE_TAIL = [
         "llm_ivf_store",            # joined the tail in round 10 (~3.2 s: per-iteration fit + index round-trip + probe)
         "llm_ivf_corpus",           # joined the tail in round 10 (~3.7 s: per-iteration fit + partitioned corpus write + probe)
+        "llm_ivf_sq",               # joined the tail in round 10 (fit + quantized corpus write + decode probe)
         "llm_minhash_store",        # joined the tail in round 9 (~2.7 s: parquet round-trip + band join)
         "q88_histogram_quantiles",  # joined the tail in round 9 (~3 s: 2-run histogram merge + exact-percentile validation column)
         "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
