@@ -1,0 +1,170 @@
+"""Deequ-style data-quality expectations: declare constraints, get one
+verdict row per rule — the validation gate a 100 TB ingest runs before
+promoting a snapshot (reference has no quality surface; this is the
+extension tier next to the ANALYZE-style profiler in maintenance.py).
+
+Design for scale: every ROW-LOCAL rule (not_null, range, regex, in_set,
+custom sql) folds into ONE aggregation pass over the table — a rule is
+just a `sum(violation_indicator)` column, so 50 rules still scan once
+and partial-aggregate map-side. Only rules that genuinely need their own
+shape pay for it: `unique` is one distinct-count per column set (its own
+agg, combined into the same pass where possible) and `foreign_key` is a
+left-anti join against the (typically broadcast) reference relation.
+The verdict relation is tiny (one row per rule) and composes with the
+CDC/stream machinery (validate the batch, swap only if everything
+passed)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rule types whose violation test is a per-row boolean — all of these
+#: fold into the single aggregation pass
+_ROW_LOCAL = ("not_null", "range", "regex", "in_set", "sql")
+
+
+def _violation_expr(rule: Dict[str, Any]) -> "F.Column":
+    """Per-row TRUE-if-violated expression for a row-local rule."""
+    kind = rule["type"]
+    if kind == "not_null":
+        return F.col(rule["column"]).isNull()
+    if kind == "range":
+        c = F.col(rule["column"])
+        cond = F.lit(False)
+        if "min" in rule:
+            cond = cond | (c < F.lit(rule["min"]))
+        if "max" in rule:
+            cond = cond | (c > F.lit(rule["max"]))
+        # NULLs are not range violations (declare not_null separately)
+        return F.coalesce(cond, F.lit(False))
+    if kind == "regex":
+        return ~F.coalesce(
+            F.col(rule["column"]).rlike(rule["pattern"]), F.lit(False)
+        )
+    if kind == "in_set":
+        return ~F.coalesce(
+            F.col(rule["column"]).isin(list(rule["values"])), F.lit(False)
+        )
+    if kind == "sql":
+        # the rule's predicate states what MUST HOLD; violation = NOT holds
+        return ~F.coalesce(F.expr(rule["predicate"]), F.lit(False))
+    raise ValueError(f"validate_expectations: unknown rule type {kind!r}")
+
+
+def _rule_label(rule: Dict[str, Any]) -> str:
+    kind = rule["type"]
+    if kind == "unique":
+        return f"unique({','.join(rule['columns'])})"
+    if kind == "foreign_key":
+        return f"foreign_key({rule['column']}->{rule['ref_column']})"
+    if kind == "sql":
+        return f"sql({rule['predicate']})"
+    if kind == "range":
+        lo, hi = rule.get("min", ""), rule.get("max", "")
+        return f"range({rule['column']},{lo},{hi})"
+    if kind == "regex":
+        return f"regex({rule['column']})"
+    return f"{kind}({rule['column']})"
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: Sequence[Dict[str, Any]],
+) -> DataFrame:
+    """Evaluate declarative data-quality rules; returns one row per rule:
+    ``(rule string, passed boolean, n_violations long, n_rows long)``.
+
+    Supported rule dicts:
+
+    * ``{"type": "not_null", "column": c}`` — no NULLs in ``c``;
+    * ``{"type": "range", "column": c, "min": lo, "max": hi}`` — values
+      inside ``[lo, hi]`` (either bound optional; NULLs pass — declare
+      ``not_null`` separately, one concern per rule);
+    * ``{"type": "regex", "column": c, "pattern": p}`` — every non-NULL
+      value matches ``p`` (NULL violates — an unmatchable value);
+    * ``{"type": "in_set", "column": c, "values": [...]}`` — domain check;
+    * ``{"type": "sql", "predicate": "<boolean expr>"}`` — arbitrary
+      row-level invariant (violation = predicate false or NULL);
+    * ``{"type": "unique", "columns": [c, ...]}`` — the column set is a
+      candidate key (no combination occurs twice; NULL-containing rows
+      are exempt, matching SQL UNIQUE semantics);
+    * ``{"type": "foreign_key", "column": c, "ref": DataFrame,
+      "ref_column": r}`` — every non-NULL ``c`` exists in ``ref.r``
+      (left-anti join; broadcast when the reference fits).
+
+    All row-local rules share ONE aggregation pass regardless of rule
+    count; ``unique`` rules ride the same pass as paired
+    count/count-distinct aggregates; each ``foreign_key`` costs one
+    anti-join count. Empty input passes every rule (vacuous truth) —
+    gate on ``n_rows`` if emptiness itself is a failure."""
+    rules = list(rules)
+    if not rules:
+        raise ValueError("validate_expectations: rules must be non-empty")
+    labels = [_rule_label(r) for r in rules]
+    if len(set(labels)) != len(labels):
+        dup = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(f"validate_expectations: duplicate rules {dup!r}")
+
+    aggs: List["F.Column"] = [F.count(F.lit(1)).alias("_n_rows")]
+    fk_rules = []
+    for i, rule in enumerate(rules):
+        kind = rule["type"]
+        if kind in _ROW_LOCAL:
+            aggs.append(
+                F.sum(_violation_expr(rule).cast("long")).alias(f"_v_{i}")
+            )
+        elif kind == "unique":
+            cols = [F.col(c) for c in rule["columns"]]
+            non_null = F.lit(True)
+            for c in cols:
+                non_null = non_null & c.isNotNull()
+            key = F.when(non_null, F.struct(*cols))
+            # duplicates = (rows with a key) - (distinct keys); exempting
+            # NULL-containing rows mirrors SQL UNIQUE
+            aggs.append(
+                (F.count(key) - F.countDistinct(key)).alias(f"_v_{i}")
+            )
+        elif kind == "foreign_key":
+            fk_rules.append((i, rule))
+        else:
+            raise ValueError(
+                f"validate_expectations: unknown rule type {kind!r}"
+            )
+
+    wide = df.agg(*aggs)
+    for i, rule in fk_rules:
+        ref = rule["ref"]
+        ref = ref.to_spark() if hasattr(ref, "to_spark") else ref
+        orphans = (
+            df.select(F.col(rule["column"]).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .join(
+                ref.select(F.col(rule["ref_column"]).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias(f"_v_{i}"))
+        )
+        wide = wide.crossJoin(F.broadcast(orphans))
+
+    # labels are interpolated into an expr string — escape embedded quotes
+    # (sql-rule predicates routinely contain them)
+    struct_items = ", ".join(
+        "named_struct('rule', '{}', 'n_violations', "
+        "cast(coalesce(_v_{}, 0) as bigint))".format(
+            labels[i].replace("\\", "\\\\").replace("'", "\\'"), i
+        )
+        for i in range(len(rules))
+    )
+    return wide.select(
+        F.col("_n_rows").alias("n_rows"),
+        F.explode(F.expr(f"array({struct_items})")).alias("_s"),
+    ).select(
+        F.col("_s.rule").alias("rule"),
+        (F.col("_s.n_violations") == 0).alias("passed"),
+        F.col("_s.n_violations").alias("n_violations"),
+        F.col("n_rows"),
+    )

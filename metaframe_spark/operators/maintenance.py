@@ -965,6 +965,115 @@ def compact_sketch_store(
     return spark.read.format(format).load(dest_path)
 
 
+def histogram_drift(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between two histogram-sketch relations sharing
+    a bin spec — the data-quality monitor the sketch stores were built
+    to feed: compare yesterday's (or last month's compacted) histogram
+    against today's WITHOUT touching raw data. Per group and per
+    ``{col}_hist`` column present in both inputs, emits:
+
+    * ``{col}_psi`` — Population Stability Index,
+      ``Σ (p_i − q_i)·ln(p_i / q_i)`` over the in-range bins with zero
+      proportions floored at ``epsilon`` (the standard smoothing; the
+      classic alert thresholds are ~0.1 warn / 0.25 act);
+    * ``{col}_ks`` — the Kolmogorov–Smirnov statistic,
+      ``max_i |cdf_a(i) − cdf_b(i)|`` over bin edges — exact for the
+      binned distributions (true KS is approximated to bin resolution);
+    * ``{col}_n_a`` / ``{col}_n_b`` — the in-range counts.
+
+    Mismatched bin specs cannot be compared and raise AT EXECUTION per
+    group (``assert_true``, same discipline as ``merge_histograms``).
+    Groups present in only one input are dropped (inner join — drift is
+    defined over the intersection; count a one-sided group as born/dead
+    in inventory terms, not drifted). Row-local after one key-equi join
+    of two already-aggregated sketch relations — no data rescan, state
+    independent of input volume. Values round to 6 decimals (the
+    repo-wide reproducibility idiom; q92's oracle recomputes them)."""
+    keys = list(group_by or [])
+    a_cols = {c for c in hist_a.columns if c.endswith("_hist")}
+    b_cols = {c for c in hist_b.columns if c.endswith("_hist")}
+    both = sorted(a_cols & b_cols)
+    if not both:
+        raise ValueError(
+            "histogram_drift: no shared *_hist columns "
+            f"(a: {sorted(a_cols)!r}, b: {sorted(b_cols)!r})"
+        )
+    a = hist_a.select(*keys, *[F.col(m).alias(f"_a_{m}") for m in both])
+    b = hist_b.select(*keys, *[F.col(m).alias(f"_b_{m}") for m in both])
+    j = a.join(b, keys) if keys else a.crossJoin(b)
+    eps = F.lit(float(epsilon))
+    outs = [F.col(k) for k in keys]
+    for m in both:
+        base = m[: -len("_hist")]
+        ca, cb = F.col(f"_a_{m}.counts"), F.col(f"_b_{m}.counts")
+        spec_ok = (
+            (F.col(f"_a_{m}.lo") == F.col(f"_b_{m}.lo"))
+            & (F.col(f"_a_{m}.hi") == F.col(f"_b_{m}.hi"))
+            & (F.size(ca) == F.size(cb))
+        )
+        na = F.aggregate(ca, F.lit(0).cast("long"), lambda x, y: x + y)
+        nb = F.aggregate(cb, F.lit(0).cast("long"), lambda x, y: x + y)
+        # proportions floored at epsilon (PSI is undefined on zeros); the
+        # fold runs in ascending bin order on a fixed-length array, so the
+        # double summation order is engine-reproducible
+        terms = F.zip_with(
+            ca,
+            cb,
+            lambda x, y: (
+                lambda p, q: (p - q) * F.log(p / q)
+            )(
+                F.greatest(x.cast("double") / na.cast("double"), eps),
+                F.greatest(y.cast("double") / nb.cast("double"), eps),
+            ),
+        )
+        psi = F.aggregate(terms, F.lit(0.0), lambda x, y: x + y)
+        cum_diff = F.zip_with(
+            F.transform(
+                ca,
+                lambda _, i: F.aggregate(
+                    F.slice(ca, F.lit(1), i + 1),
+                    F.lit(0).cast("long"),
+                    lambda x, y: x + y,
+                ),
+            ),
+            F.transform(
+                cb,
+                lambda _, i: F.aggregate(
+                    F.slice(cb, F.lit(1), i + 1),
+                    F.lit(0).cast("long"),
+                    lambda x, y: x + y,
+                ),
+            ),
+            lambda x, y: F.abs(
+                x.cast("double") / na.cast("double")
+                - y.cast("double") / nb.cast("double")
+            ),
+        )
+        ks = F.array_max(cum_diff)
+        # a side with zero IN-RANGE observations has no distribution to
+        # compare (all mass in below/above) — NULL, not NaN from 0-division
+        defined = (na > 0) & (nb > 0)
+        gated = F.when(
+            F.assert_true(
+                spec_ok, F.lit(f"histogram_drift: mismatched bin specs for {m}")
+            ).isNull()
+            & defined,
+            F.round(psi, 6),
+        )
+        outs += [
+            gated.alias(f"{base}_psi"),
+            F.when(defined, F.round(ks, 6)).alias(f"{base}_ks"),
+            na.alias(f"{base}_n_a"),
+            nb.alias(f"{base}_n_b"),
+        ]
+    return j.select(*outs)
+
+
 def compact_files(
     spark,
     src_path: str,

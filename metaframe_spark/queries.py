@@ -5090,6 +5090,155 @@ def q90_sketch_compact(spark, sf):
     )
 
 
+@query(
+    "q92_drift_psi",
+    "WITH b AS (SELECT l_returnflag AS g, l_orderkey % 2 AS side, "
+    "  LEAST(CAST(FLOOR(l_extendedprice / 2000.0) AS INT), 59) AS bin "
+    "  FROM lineitem WHERE l_extendedprice IS NOT NULL "
+    "  AND l_extendedprice >= 0 AND l_extendedprice <= 120000), "
+    "spine AS (SELECT DISTINCT g FROM b), "
+    "bins AS (SELECT g, side, CAST(i AS INT) AS bin FROM spine "
+    "  CROSS JOIN range(2) s(side) CROSS JOIN range(60) r(i)), "
+    "cnt AS (SELECT g, side, bin, count(*) AS c FROM b GROUP BY 1, 2, 3), "
+    "arr AS (SELECT bins.g, bins.side, "
+    "  list(coalesce(cnt.c, 0) ORDER BY bins.bin) AS counts "
+    "  FROM bins LEFT JOIN cnt ON bins.g = cnt.g AND bins.side = cnt.side "
+    "  AND bins.bin = cnt.bin GROUP BY bins.g, bins.side), "
+    "w AS (SELECT a.g, a.counts AS ca, b2.counts AS cb FROM arr a "
+    "  JOIN arr b2 ON a.g = b2.g WHERE a.side = 0 AND b2.side = 1), "
+    "t AS (SELECT g, ca, cb, list_sum(ca) AS na, list_sum(cb) AS nb FROM w) "
+    "SELECT g AS l_returnflag, "
+    "round(list_sum(list_transform(range(1, 61), i -> "
+    "  (GREATEST(ca[i] / CAST(na AS DOUBLE), 1e-6) "
+    "   - GREATEST(cb[i] / CAST(nb AS DOUBLE), 1e-6)) "
+    "  * ln(GREATEST(ca[i] / CAST(na AS DOUBLE), 1e-6) "
+    "       / GREATEST(cb[i] / CAST(nb AS DOUBLE), 1e-6)))), 6) AS psi, "
+    "round(list_aggregate(list_transform(range(1, 61), i -> "
+    "  abs(list_sum(ca[1:i]) / CAST(na AS DOUBLE) "
+    "      - list_sum(cb[1:i]) / CAST(nb AS DOUBLE))), 'max'), 6) AS ks, "
+    "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b "
+    "FROM t",
+)
+def q92_drift_psi(spark, sf):
+    """Distribution-drift monitor over the histogram stores
+    (operators/maintenance.py::histogram_drift): lineitem split into
+    two 'runs' (l_orderkey parity), each reduced to a 60-bin
+    l_extendedprice histogram per return flag, then PSI (smoothed at
+    1e-6) and the binned KS statistic computed BETWEEN the runs from
+    the sketches alone — the data-quality check a store feeds daily
+    without rescanning raw data. The oracle rebuilds the identical
+    dense bin arrays in DuckDB and replays the same proportion /
+    ln-ratio / cumulative-walk arithmetic (ascending-bin fold order on
+    both engines), so psi, ks and both counts hash-match. The parity
+    split makes the halves statistically close — the PSI values being
+    small-but-nonzero is exactly the no-drift baseline a monitor
+    alerts against."""
+    from .operators.maintenance import histogram_drift, histogram_sketch
+
+    li = load_table(spark, sf, "lineitem").to_spark()
+    gb = ["l_returnflag"]
+    parts = [
+        histogram_sketch(
+            li.filter(F.col("l_orderkey") % 2 == i),
+            "l_extendedprice",
+            0.0,
+            120000.0,
+            60,
+            group_by=gb,
+        )
+        for i in range(2)
+    ]
+    d = histogram_drift(parts[0], parts[1], group_by=gb)
+    return d.select(
+        "l_returnflag",
+        F.col("l_extendedprice_psi").alias("psi"),
+        F.col("l_extendedprice_ks").alias("ks"),
+        F.col("l_extendedprice_n_a").alias("n_a"),
+        F.col("l_extendedprice_n_b").alias("n_b"),
+    )
+
+
+@query(
+    "q93_expectations",
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders), "
+    "v AS ("
+    "  SELECT 'not_null(o_orderkey)' AS rule, "
+    "    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS nv "
+    "  FROM orders "
+    "  UNION ALL SELECT 'range(o_totalprice,0,100000)', "
+    "    CAST(count(*) FILTER (WHERE o_totalprice < 0 "
+    "      OR o_totalprice > 100000) AS BIGINT) FROM orders "
+    "  UNION ALL SELECT 'regex(o_orderstatus)', "
+    "    CAST(count(*) FILTER (WHERE o_orderstatus IS NULL "
+    "      OR NOT regexp_matches(o_orderstatus, '^[OFP]$')) AS BIGINT) "
+    "    FROM orders "
+    "  UNION ALL SELECT 'in_set(o_orderpriority)', "
+    "    CAST(count(*) FILTER (WHERE o_orderpriority IS NULL OR "
+    "      o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', "
+    "      '4-NOT SPECIFIED', '5-LOW')) AS BIGINT) FROM orders "
+    "  UNION ALL SELECT 'sql(o_orderdate >= DATE''1992-01-01'')', "
+    "    CAST(count(*) FILTER (WHERE o_orderdate IS NULL "
+    "      OR NOT (o_orderdate >= DATE '1992-01-01')) AS BIGINT) "
+    "    FROM orders "
+    "  UNION ALL SELECT 'unique(o_orderkey)', "
+    "    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) "
+    "    FROM orders "
+    "  UNION ALL SELECT 'unique(o_custkey)', "
+    "    CAST(count(o_custkey) - count(DISTINCT o_custkey) AS BIGINT) "
+    "    FROM orders "
+    "  UNION ALL SELECT 'foreign_key(o_custkey->c_custkey)', "
+    "    CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL "
+    "      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer "
+    "      WHERE c_custkey IS NOT NULL)) AS BIGINT)) "
+    "SELECT rule, nv = 0 AS passed, nv AS n_violations, n_rows "
+    "FROM v CROSS JOIN n",
+)
+def q93_expectations(spark, sf):
+    """Deequ-style declarative data-quality gate (operators/
+    expectations.py::validate_expectations): eight constraints over
+    orders — not_null, range (with a deliberately-tight bound so a
+    deterministic violation count proves the counting, not just the
+    booleans), regex domain, in_set domain, an arbitrary row-level SQL
+    invariant, candidate-key uniqueness on both the true PK and a
+    non-key (again: real duplicate counts), and referential integrity
+    into customer. All six row-local rules and both uniqueness checks
+    fold into ONE aggregation pass over the table (50 rules would still
+    scan once, partial-aggregated map-side); the foreign key is one
+    anti-join against the broadcast-sized distinct reference. The
+    oracle recomputes every verdict independently, so rule labels,
+    pass/fail booleans AND exact violation counts hash-match."""
+    from .operators.expectations import validate_expectations
+
+    o = load_table(spark, sf, "orders").to_spark()
+    c = load_table(spark, sf, "customer").to_spark()
+    rules = [
+        {"type": "not_null", "column": "o_orderkey"},
+        {"type": "range", "column": "o_totalprice", "min": 0, "max": 100000},
+        {"type": "regex", "column": "o_orderstatus", "pattern": "^[OFP]$"},
+        {
+            "type": "in_set",
+            "column": "o_orderpriority",
+            "values": [
+                "1-URGENT",
+                "2-HIGH",
+                "3-MEDIUM",
+                "4-NOT SPECIFIED",
+                "5-LOW",
+            ],
+        },
+        {"type": "sql", "predicate": "o_orderdate >= DATE'1992-01-01'"},
+        {"type": "unique", "columns": ["o_orderkey"]},
+        {"type": "unique", "columns": ["o_custkey"]},
+        {
+            "type": "foreign_key",
+            "column": "o_custkey",
+            "ref": c,
+            "ref_column": "c_custkey",
+        },
+    ]
+    return validate_expectations(o, rules)
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -5308,13 +5457,14 @@ _DRIVER_BLESSED = (
 # ROUND-11 NOTE (execute at the start of round 11): fold every key with a
 # green row in CORRECTNESS_r10.json into a `_R10_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-11
-# additions + the FIVE r7 keys that overflowed this round's 50-slot window
-# (llm_pack_sequences, llm_stratified_sample, llm_mixture_sample,
+# additions + the EIGHT r7 keys that overflowed this round's 50-slot
+# window (llm_gopher_flags, llm_c4_lines, llm_corpus_stats,
+# llm_pack_sequences, llm_stratified_sample, llm_mixture_sample,
 # llm_hash_split, llm_global_shuffle — still last driver-checked r07) +
 # the next-oldest blessed block (the r8 wave: q07-q12, q62..q84,
-# llm_bloom_decontaminate..llm_weighted_sample — last driver-checked r08).
-# The r10 window was: 5 new (q89, q91, llm_ivf_store, llm_ivf_corpus,
-# q90) + 45 r7-blessed re-checks.
+# llm_bloom_decontaminate..llm_weighted_sample — last driver-checked
+# r08). The r10 window was: 8 new (q89, q91, llm_ivf_store,
+# llm_ivf_corpus, llm_ivf_sq, q90, q92, q93) + 42 r7-blessed re-checks.
 _ROTATE_FIRST: list = [
     # round-10 additions (never driver-checked before)
     "q89_heavy_hitters",
@@ -5323,6 +5473,8 @@ _ROTATE_FIRST: list = [
     "llm_ivf_corpus",
     "llm_ivf_sq",
     "q90_sketch_compact",
+    "q92_drift_psi",
+    "q93_expectations",
     # oldest-blessed regression re-checks (last driver-checked r07)
     "q32_sessionize",
     "q33_resample",

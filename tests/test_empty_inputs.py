@@ -60,6 +60,12 @@ def test_query_on_empty_tables(spark, empty_sf, name):
         rows = df.collect()
         assert len(rows) == (6 if name == "q58_profile" else 4)
         assert all(r.n_rows == 0 and r.n_distinct == 0 for r in rows)
+    elif name == "q93_expectations":
+        # an expectations report IS one row per rule; an empty table
+        # passes every rule vacuously (gate on n_rows if that matters)
+        rows = df.collect()
+        assert len(rows) == 8
+        assert all(r.passed and r.n_violations == 0 and r.n_rows == 0 for r in rows)
     else:
         assert df.count() == 0
     assert len(df.columns) > 0

@@ -1,0 +1,125 @@
+"""validate_expectations: Deequ-style declarative data-quality gate —
+every row-local rule folds into one aggregation pass; unique and
+foreign_key verdicts match hand-computed truths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metaframe_spark.operators.expectations import validate_expectations
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 30, "a@x.com", 10),
+            (2, "bob", 200, "bad-email", 10),
+            (3, None, 25, "c@x.com", 20),
+            (4, "dora", None, None, 99),
+            (4, "dupe", 40, "d@x.com", 20),
+        ],
+        "id long, name string, age int, email string, dept long",
+    )
+
+
+@pytest.fixture()
+def depts(spark):
+    return spark.createDataFrame([(10,), (20,)], "dept_id long")
+
+
+class TestValidateExpectations:
+    def test_verdicts_and_counts(self, spark, people, depts):
+        rules = [
+            {"type": "not_null", "column": "id"},
+            {"type": "not_null", "column": "name"},
+            {"type": "range", "column": "age", "min": 0, "max": 120},
+            {"type": "regex", "column": "email",
+             "pattern": r"^[^@\s]+@[^@\s]+\.[^@\s]+$"},
+            {"type": "in_set", "column": "dept", "values": [10, 20]},
+            {"type": "sql", "predicate": "id > 0"},
+            {"type": "unique", "columns": ["id"]},
+            {"type": "unique", "columns": ["id", "name"]},
+            {"type": "foreign_key", "column": "dept", "ref": depts,
+             "ref_column": "dept_id"},
+        ]
+        got = {
+            r["rule"]: (r["passed"], r["n_violations"], r["n_rows"])
+            for r in validate_expectations(people, rules).collect()
+        }
+        assert len(got) == 9
+        assert all(n == 5 for (_, _, n) in got.values())
+        assert got["not_null(id)"] == (True, 0, 5)
+        assert got["not_null(name)"] == (False, 1, 5)
+        # age 200 violates; NULL age passes range (not_null is separate)
+        assert got["range(age,0,120)"] == (False, 1, 5)
+        # bad-email + NULL email both violate regex
+        assert got["regex(email)"] == (False, 2, 5)
+        assert got["in_set(dept)"] == (False, 1, 5)  # dept 99
+        assert got["sql(id > 0)"] == (True, 0, 5)
+        assert got["unique(id)"] == (False, 1, 5)  # id 4 twice -> 1 dup
+        # (id, name) pairs are all distinct
+        assert got["unique(id,name)"] == (True, 0, 5)
+        assert got["foreign_key(dept->dept_id)"] == (False, 1, 5)  # 99
+
+    def test_null_handling_in_unique_and_fk(self, spark, depts):
+        df = spark.createDataFrame(
+            [(None, 10), (None, None), (1, 10)], "k long, dept long"
+        )
+        got = {
+            r["rule"]: (r["passed"], r["n_violations"])
+            for r in validate_expectations(
+                df,
+                [
+                    {"type": "unique", "columns": ["k"]},
+                    {"type": "foreign_key", "column": "dept", "ref": depts,
+                     "ref_column": "dept_id"},
+                ],
+            ).collect()
+        }
+        # SQL UNIQUE semantics: NULL keys are exempt
+        assert got["unique(k)"] == (True, 0)
+        # NULL fk values are not orphans
+        assert got["foreign_key(dept->dept_id)"] == (True, 0)
+
+    def test_one_scan_for_row_local_rules(self, spark, people):
+        """Ten row-local rules + two uniques must still plan ONE
+        aggregation over the input (one partial + one final)."""
+        rules = (
+            [{"type": "not_null", "column": c} for c in people.columns]
+            + [{"type": "range", "column": "age", "min": 0},
+               {"type": "range", "column": "dept", "max": 1000},
+               {"type": "sql", "predicate": "id is not null"},
+               {"type": "unique", "columns": ["id"]},
+               {"type": "unique", "columns": ["name"]}]
+        )
+        out = validate_expectations(people, rules)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Aggregate") <= 2
+        assert out.count() == len(rules)
+
+    def test_empty_input_passes_vacuously(self, spark, people):
+        got = validate_expectations(
+            people.limit(0),
+            [{"type": "not_null", "column": "id"},
+             {"type": "unique", "columns": ["id"]}],
+        ).collect()
+        assert all(r["passed"] and r["n_rows"] == 0 for r in got)
+
+    def test_guards(self, spark, people):
+        with pytest.raises(ValueError, match="non-empty"):
+            validate_expectations(people, [])
+        with pytest.raises(ValueError, match="unknown rule type"):
+            validate_expectations(people, [{"type": "nope", "column": "id"}])
+        with pytest.raises(ValueError, match="duplicate rules"):
+            validate_expectations(
+                people,
+                [{"type": "not_null", "column": "id"},
+                 {"type": "not_null", "column": "id"}],
+            )
+
+    def test_quoted_predicate_label_survives(self, spark, people):
+        rules = [{"type": "sql", "predicate": "name != 'zz'"}]
+        [r] = validate_expectations(people, rules).collect()
+        assert r["rule"] == "sql(name != 'zz')"
+        # NULL name fails the predicate (NOT coalesced to violation)
+        assert (r["passed"], r["n_violations"]) == (False, 1)

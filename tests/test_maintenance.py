@@ -1052,3 +1052,70 @@ class TestCompactSketchStore:
         )
         with pytest.raises(ValueError, match="term"):
             compact_sketch_relation(m, "day", F.col("day"), max_terms=3)
+
+
+class TestHistogramDrift:
+    def _hist(self, spark, vals, g=0):
+        from metaframe_spark.operators.maintenance import histogram_sketch
+
+        df = spark.createDataFrame([(g, float(v)) for v in vals], "g int, x double")
+        return histogram_sketch(df, "x", 0.0, 10.0, 5, group_by=["g"])
+
+    def test_identical_distributions_zero_drift(self, spark):
+        from metaframe_spark.operators.maintenance import histogram_drift
+
+        vals = [0.5, 2.5, 4.5, 6.5, 8.5] * 10
+        d = histogram_drift(
+            self._hist(spark, vals), self._hist(spark, vals), group_by=["g"]
+        ).collect()[0]
+        assert d["x_psi"] == 0.0 and d["x_ks"] == 0.0
+        assert d["x_n_a"] == d["x_n_b"] == 50
+
+    def test_known_shift_hand_computed(self, spark):
+        """All mass in bin 0 vs all in bin 4: PSI = 2·(1−ε)·ln((1−ε)/ε)
+        with ε the smoothing floor; KS = 1 − ε-ish exactness aside,
+        hand-check against the closed forms."""
+        import math
+
+        from metaframe_spark.operators.maintenance import histogram_drift
+
+        a = self._hist(spark, [0.5] * 20)
+        b = self._hist(spark, [8.5] * 20)
+        d = histogram_drift(a, b, group_by=["g"], epsilon=1e-6).collect()[0]
+        p, q = 1.0, 1e-6
+        want_psi = round(2 * (p - q) * math.log(p / q), 6)
+        assert abs(d["x_psi"] - want_psi) < 1e-6
+        assert d["x_ks"] == 1.0  # cdfs are a full bin apart at every edge
+
+    def test_moderate_drift_between_and_ks_bounds(self, spark):
+        from metaframe_spark.operators.maintenance import histogram_drift
+
+        a = self._hist(spark, [0.5] * 10 + [2.5] * 10)
+        b = self._hist(spark, [0.5] * 15 + [2.5] * 5)
+        d = histogram_drift(a, b, group_by=["g"]).collect()[0]
+        assert 0 < d["x_psi"] < 1
+        assert abs(d["x_ks"] - 0.25) < 1e-9  # |10/20 - 15/20| at edge 0
+
+    def test_mismatched_specs_raise_and_missing_hist_raises(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_drift,
+            histogram_sketch,
+        )
+
+        a = self._hist(spark, [1.0])
+        df = spark.createDataFrame([(0, 1.0)], "g int, x double")
+        b = histogram_sketch(df, "x", 0.0, 20.0, 5, group_by=["g"])
+        with pytest.raises(Exception, match="mismatched bin specs"):
+            histogram_drift(a, b, group_by=["g"]).collect()
+        with pytest.raises(ValueError, match="_hist"):
+            histogram_drift(df, df, group_by=["g"])
+
+    def test_groups_intersect_only(self, spark):
+        from metaframe_spark.operators.maintenance import histogram_drift
+
+        a = self._hist(spark, [1.0] * 5, g=0).unionByName(
+            self._hist(spark, [2.0] * 5, g=1)
+        )
+        b = self._hist(spark, [1.0] * 5, g=0)
+        got = histogram_drift(a, b, group_by=["g"]).collect()
+        assert [r["g"] for r in got] == [0]

@@ -354,6 +354,7 @@ class TestCatalogPlanLint:
         "llm_tfidf",        # one-row N (corpus size) joined to tf relation
         "q33_resample",     # constant-size time-grid x event-type domain
         "q61_profile_extended",  # one-row stats agg x one-row distinct agg
+        "q93_expectations",  # one-row rule-verdict agg x one-row fk-orphan count
     }
     # entries with a legitimate Exchange SinglePartition: one-row global
     # aggregates (output IS one row) or constant-size grid builders
@@ -366,6 +367,7 @@ class TestCatalogPlanLint:
         "llm_perplexity",   # global total-token agg (one row)
         "llm_tfidf",        # global N agg (one row)
         "q58_profile",      # table profile IS a one-row global agg (unpivoted)
+        "q93_expectations", # the rule-verdict relation IS a one-row global agg (unpivoted)
         "q61_profile_extended",  # same one-row global profile, + percentiles
         "q33_resample",     # min/max bounds agg for the grid (one row)
     }
