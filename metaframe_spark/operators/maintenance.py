@@ -965,6 +965,130 @@ def compact_sketch_store(
     return spark.read.format(format).load(dest_path)
 
 
+def bottomk_sample_sketch(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    group_by: Optional[Sequence[str]] = None,
+    seed: int = 42,
+    payload: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """MERGEABLE bottom-k (KMV) sample sketch — the fifth incremental
+    statistic (distinct → HLL, moments, quantiles → histograms, top
+    terms → Misra-Gries, and now a UNIFORM SAMPLE): per group, the k
+    rows whose ``md5(id, seed)`` draw keys are smallest. Because the
+    draw key is a pure function of the id, the bottom-k of a UNION is
+    exactly the bottom-k of the per-run bottom-k's —
+    :func:`merge_bottomk_samples` is provably EXACT and split/order
+    independent (hash-proved by q94_bottomk_sample), so per-day sample
+    sketches fold into month/year samples without ever rescanning
+    history, and the accreted sample is identical to sampling the
+    concatenated data in one pass. The hash draw makes membership
+    partition-layout-independent too (the same derandomization as
+    ``weighted_sample_exact``).
+
+    Output rows: ``group_by`` keys + ``id_col``, optional ``payload``
+    columns carried alongside, and ``draw_key`` (the hex draw,
+    persisted so merges never re-hash). Duplicate ids share a draw key
+    — dedupe upstream if ids can repeat across runs (the merge keeps
+    one row per (group, id)). Doubles as a KMV distinct-count sketch:
+    with n distinct ids, E[k-th smallest normalized key] ≈ k/(n+1)
+    (:func:`kmv_distinct_estimates`).
+
+    Plan shape: one projection + one rank window per group (the same
+    WindowGroupLimit top-k pruning the samplers use) — the shuffled
+    relation is capped at the input rows, the state at groups × k."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"bottomk_sample_sketch: k must be >= 1 ({k})")
+    keys = list(group_by or [])
+    cols = [*keys, id_col, *(payload or [])]
+    # the same ':'-separated derandomized draw the samplers use (and the
+    # q94 oracle can replay: md5(cast(id as varchar) || ':<seed>'))
+    draw = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"), F.asc(id_col))
+    return (
+        df.select(*cols)
+        .filter(F.col(id_col).isNotNull())
+        .withColumn("draw_key", draw)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def merge_bottomk_samples(
+    *sample_dfs: DataFrame,
+    k: int,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge bottom-k sample sketches from multiple runs: union, drop
+    duplicate ids (same id ⇒ same draw key in every run), re-rank by
+    draw key and keep the k smallest per group. EXACT: the result is
+    identical to :func:`bottomk_sample_sketch` over the concatenated
+    inputs, for any split and any merge order — a deterministic
+    function of the distinct id set. Inputs must share ``k`` seeds
+    (different seeds produce disjoint key spaces and merge to
+    garbage; the draw key travels with the row precisely so merges
+    never re-hash)."""
+    if not sample_dfs:
+        raise ValueError("merge_bottomk_samples: need at least one input")
+    keys = list(group_by or [])
+    u = sample_dfs[0]
+    for other in sample_dfs[1:]:
+        u = u.unionByName(other)
+    if "draw_key" not in u.columns:
+        raise ValueError(
+            "merge_bottomk_samples: inputs are not bottom-k sketches "
+            f"(no draw_key column; columns: {u.columns!r})"
+        )
+    from pyspark.sql import Window
+
+    id_col = [c for c in u.columns if c not in keys and c != "draw_key"][0]
+    w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"), F.asc(id_col))
+    return (
+        u.dropDuplicates([*keys, id_col])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_distinct_estimates(
+    samples: DataFrame,
+    k: int,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """KMV distinct-count estimate from a bottom-k sample sketch: with
+    the k-th smallest draw key at normalized position ``u`` in [0, 1),
+    the unbiased estimator is ``(k − 1) / u``; groups holding fewer
+    than k rows are EXACT (the sketch has every id). The 128-bit md5
+    key is normalized by its first 15 hex digits (60 bits — the same
+    uniform-draw trick the samplers use). Error ~ 1/√k, the classic
+    KMV bound; this rides for free on the sample store where HLL
+    (:func:`distinct_sketches`) is the purpose-built estimator."""
+    keys = list(group_by or [])
+    g = samples.groupBy(*keys) if keys else samples.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max("draw_key").alias("_kth"),
+    )
+    u = (
+        F.conv(F.substring(F.col("_kth"), 1, 15), 16, 10).cast("double")
+        / float(16**15)
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        (F.lit(float(k - 1))) / u
+    )
+    return agg.select(
+        *keys, F.round(est, 6).alias("distinct_estimate"),
+        F.col("_n").alias("sample_size"),
+    )
+
+
 def histogram_drift(
     hist_a: DataFrame,
     hist_b: DataFrame,

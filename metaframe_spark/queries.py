@@ -5239,6 +5239,65 @@ def q93_expectations(spark, sf):
     return validate_expectations(o, rules)
 
 
+@query(
+    "q94_bottomk_sample",
+    "WITH w AS (SELECT lang, doc_id, n_chars, "
+    "  md5(CAST(doc_id AS VARCHAR) || ':42') AS draw_key "
+    "  FROM documents WHERE doc_id IS NOT NULL), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+    "  ORDER BY draw_key, doc_id) AS rn FROM w), "
+    "s AS (SELECT lang, doc_id, n_chars, draw_key FROM r WHERE rn <= 10), "
+    "e AS (SELECT lang, CAST(count(*) AS BIGINT) AS sample_size, "
+    "  round(CASE WHEN count(*) < 10 THEN CAST(count(*) AS DOUBLE) "
+    "    ELSE 9.0 / (CAST(('0x' || substring(max(draw_key), 1, 15)) AS BIGINT) "
+    "      / 1152921504606846976.0) END, 6) AS distinct_estimate "
+    "  FROM s GROUP BY 1) "
+    "SELECT s.lang, s.doc_id, s.n_chars, s.draw_key, "
+    "e.distinct_estimate, e.sample_size "
+    "FROM s JOIN e ON s.lang = e.lang",
+)
+def q94_bottomk_sample(spark, sf):
+    """Mergeable bottom-k (KMV) sample store — the fifth incremental
+    statistic (operators/maintenance.py::bottomk_sample_sketch /
+    merge_bottomk_samples / kmv_distinct_estimates): the corpus split
+    into three 'daily runs' (doc_id mod 3), each reduced per language
+    to the 10 rows with the smallest md5(doc_id, seed) draw keys, the
+    runs merged — and because the draw key is a pure function of the
+    id, the merged sample is PROVABLY identical to sampling the full
+    corpus in one pass (the oracle computes exactly that directly), so
+    a uniform evaluation/data-card sample accretes across runs without
+    ever rescanning history. Each sample row carries the group's KMV
+    distinct-count estimate ((k−1)/u at the k-th smallest normalized
+    key — exact below k, ~1/√k error above), the free by-product that
+    makes the store a distinct sketch too. One rank window per run +
+    one per merge, all WindowGroupLimit-pruned before the shuffle."""
+    from .operators.maintenance import (
+        bottomk_sample_sketch,
+        kmv_distinct_estimates,
+        merge_bottomk_samples,
+    )
+
+    d = load_table(spark, sf, "documents").to_spark().select(
+        "lang", "doc_id", "n_chars"
+    )
+    parts = [
+        bottomk_sample_sketch(
+            d.filter(F.col("doc_id") % 3 == i),
+            "doc_id",
+            10,
+            group_by=["lang"],
+            payload=["n_chars"],
+        )
+        for i in range(3)
+    ]
+    merged = merge_bottomk_samples(*parts, k=10, group_by=["lang"])
+    est = kmv_distinct_estimates(merged, 10, group_by=["lang"])
+    return merged.join(est, "lang").select(
+        "lang", "doc_id", "n_chars", "draw_key",
+        "distinct_estimate", "sample_size",
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -5457,14 +5516,15 @@ _DRIVER_BLESSED = (
 # ROUND-11 NOTE (execute at the start of round 11): fold every key with a
 # green row in CORRECTNESS_r10.json into a `_R10_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-11
-# additions + the EIGHT r7 keys that overflowed this round's 50-slot
-# window (llm_gopher_flags, llm_c4_lines, llm_corpus_stats,
-# llm_pack_sequences, llm_stratified_sample, llm_mixture_sample,
-# llm_hash_split, llm_global_shuffle — still last driver-checked r07) +
-# the next-oldest blessed block (the r8 wave: q07-q12, q62..q84,
-# llm_bloom_decontaminate..llm_weighted_sample — last driver-checked
-# r08). The r10 window was: 8 new (q89, q91, llm_ivf_store,
-# llm_ivf_corpus, llm_ivf_sq, q90, q92, q93) + 42 r7-blessed re-checks.
+# additions + the NINE r7 keys that overflowed this round's 50-slot
+# window (llm_char_entropy, llm_gopher_flags, llm_c4_lines,
+# llm_corpus_stats, llm_pack_sequences, llm_stratified_sample,
+# llm_mixture_sample, llm_hash_split, llm_global_shuffle — still last
+# driver-checked r07) + the next-oldest blessed block (the r8 wave:
+# q07-q12, q62..q84, llm_bloom_decontaminate..llm_weighted_sample —
+# last driver-checked r08). The r10 window was: 9 new (q89, q91,
+# llm_ivf_store, llm_ivf_corpus, llm_ivf_sq, q90, q92, q93, q94) +
+# 41 r7-blessed re-checks.
 _ROTATE_FIRST: list = [
     # round-10 additions (never driver-checked before)
     "q89_heavy_hitters",
@@ -5475,6 +5535,7 @@ _ROTATE_FIRST: list = [
     "q90_sketch_compact",
     "q92_drift_psi",
     "q93_expectations",
+    "q94_bottomk_sample",
     # oldest-blessed regression re-checks (last driver-checked r07)
     "q32_sessionize",
     "q33_resample",

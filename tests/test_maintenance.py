@@ -1119,3 +1119,137 @@ class TestHistogramDrift:
         b = self._hist(spark, [1.0] * 5, g=0)
         got = histogram_drift(a, b, group_by=["g"]).collect()
         assert [r["g"] for r in got] == [0]
+
+
+class TestBottomkSampleSketch:
+    """Mergeable bottom-k (KMV) sample store: merged samples are exactly
+    the one-pass sample (pure function of the id set), and the KMV
+    distinct estimate is exact below k / within the 1/sqrt(k) band above."""
+
+    def _corpus(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, i % 4, f"p{i}") for i in range(n)],
+            "id long, g int, extra string",
+        )
+
+    def test_merge_equals_one_pass_any_split(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            merge_bottomk_samples,
+        )
+
+        df = self._corpus(spark)
+        direct = sorted(
+            map(
+                tuple,
+                bottomk_sample_sketch(
+                    df, "id", 7, group_by=["g"], payload=["extra"]
+                ).collect(),
+            )
+        )
+        for n_parts in (2, 5):
+            parts = [
+                bottomk_sample_sketch(
+                    df.filter(F.col("id") % n_parts == i),
+                    "id",
+                    7,
+                    group_by=["g"],
+                    payload=["extra"],
+                )
+                for i in range(n_parts)
+            ]
+            merged = sorted(
+                map(
+                    tuple,
+                    merge_bottomk_samples(
+                        *parts, k=7, group_by=["g"]
+                    ).collect(),
+                )
+            )
+            assert merged == direct
+        # staged re-merge composes too
+        parts = [
+            bottomk_sample_sketch(
+                df.filter(F.col("id") % 4 == i), "id", 7,
+                group_by=["g"], payload=["extra"],
+            )
+            for i in range(4)
+        ]
+        staged = merge_bottomk_samples(
+            merge_bottomk_samples(parts[0], parts[1], k=7, group_by=["g"]),
+            merge_bottomk_samples(parts[2], parts[3], k=7, group_by=["g"]),
+            k=7,
+            group_by=["g"],
+        )
+        assert sorted(map(tuple, staged.collect())) == direct
+
+    def test_duplicate_ids_across_runs_collapse(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            merge_bottomk_samples,
+        )
+
+        df = self._corpus(spark, 50)
+        a = bottomk_sample_sketch(df, "id", 5, group_by=["g"])
+        merged = merge_bottomk_samples(a, a, a, k=5, group_by=["g"])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, a.collect())
+        )
+
+    def test_kmv_estimate_exact_below_k_and_banded_above(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            kmv_distinct_estimates,
+        )
+
+        small = self._corpus(spark, 12)  # 3 ids per group < k
+        est = {
+            r["g"]: (r["distinct_estimate"], r["sample_size"])
+            for r in kmv_distinct_estimates(
+                bottomk_sample_sketch(small, "id", 8, group_by=["g"]),
+                8,
+                group_by=["g"],
+            ).collect()
+        }
+        assert all(v == (3.0, 3) for v in est.values())
+        big = spark.range(20_000).select(F.col("id"), F.lit(0).alias("g"))
+        [r] = kmv_distinct_estimates(
+            bottomk_sample_sketch(big, "id", 256, group_by=["g"]),
+            256,
+            group_by=["g"],
+        ).collect()
+        # 1/sqrt(256) ~ 6.3% rsd; allow 4 sigma
+        assert abs(r["distinct_estimate"] - 20_000) / 20_000 < 0.25
+        assert r["sample_size"] == 256
+
+    def test_uniformity_across_groups(self, spark):
+        """The sample is hash-uniform: sampled ids' parity should be
+        roughly balanced (a smoke check that no ordering bias leaks)."""
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+        )
+
+        df = spark.range(10_000).select(F.col("id"), F.lit(0).alias("g"))
+        got = bottomk_sample_sketch(df, "id", 400, group_by=["g"]).collect()
+        even = sum(1 for r in got if r["id"] % 2 == 0)
+        assert 120 <= even <= 280  # 400/2 ± ~4 sigma
+
+    def test_guards(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            merge_bottomk_samples,
+        )
+
+        df = self._corpus(spark, 10)
+        with pytest.raises(ValueError, match="k must be"):
+            bottomk_sample_sketch(df, "id", 0)
+        with pytest.raises(ValueError, match="at least one"):
+            merge_bottomk_samples(k=3)
+        with pytest.raises(ValueError, match="draw_key"):
+            merge_bottomk_samples(df, k=3)
+        # NULL ids are excluded (no draw key to assign)
+        withnull = df.unionByName(
+            spark.createDataFrame([(None, 0, "x")], df.schema)
+        )
+        got = bottomk_sample_sketch(withnull, "id", 100, group_by=["g"])
+        assert got.filter(F.col("id").isNull()).count() == 0
