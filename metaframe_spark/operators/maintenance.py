@@ -872,7 +872,12 @@ def compact_sketch_relation(
     order = df.columns
     if keep_since is not None:
         aged = df.filter(F.col(run_col) < F.lit(keep_since))
-        recent = df.filter(~(F.col(run_col) < F.lit(keep_since)))
+        # NULL-run rows (malformed store data) must not VANISH: a bare
+        # negated comparison is NULL for them, filtering them out of BOTH
+        # splits — coalesce keeps them in the untouched passthrough
+        recent = df.filter(
+            F.coalesce(~(F.col(run_col) < F.lit(keep_since)), F.lit(True))
+        )
     else:
         aged, recent = df, None
     if max_terms is not None and not is_term:

@@ -771,6 +771,8 @@ def ivf_topk_stored(
         centroids = np.asarray(centroids, dtype=np.float64)
         try:
             stored = read_ivf_index(spark, index_path, format=format)
+        except ValueError:
+            raise  # a CORRUPT co-persisted index is an error, not absence
         except Exception:
             stored = None  # pre-r10 layout without a co-persisted index
         if stored is not None and (

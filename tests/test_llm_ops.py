@@ -702,6 +702,13 @@ class TestIvfIndexStore:
         m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
         assert m, f"no static partition filter on the corpus scan:\n{plan}"
         assert len(m.group(1).split(",")) == 2, m.group(0)
+        # a CORRUPT co-persisted index must raise, not be treated as absent
+        # (written LAST — it poisons the layout for any later probe)
+        spark.createDataFrame(
+            [(0, [1.0]), (5, [2.0])], "cell int, centroid array<double>"
+        ).write.mode("overwrite").parquet(path + "/_ivf_index")
+        with pytest.raises(ValueError, match="contiguous"):
+            ivf_topk_stored(spark, path, q_many, cent, k=5, n_probe=3)
 
     def test_quantized_layout_decodes_and_ranks(self, spark, tmp_path):
         """write_ivf_corpus(quantize_bits=8): array<int> codes on disk

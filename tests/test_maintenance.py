@@ -991,6 +991,31 @@ class TestCompactSketchStore:
 
         assert stats(out) == stats(daily)
 
+    def test_null_run_rows_pass_through_not_vanish(self, spark):
+        """A malformed store row with NULL run value must survive the
+        keep_since split untouched (a bare negated comparison is NULL for
+        it, which would silently drop it from BOTH splits)."""
+        import datetime
+
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+            moment_sketches,
+        )
+
+        df = self._daily(spark)
+        daily = moment_sketches(df, ["x"], group_by=["day", "g"])
+        nulled = daily.limit(1).withColumn(
+            "day", F.lit(None).cast("date")
+        )
+        store = daily.unionByName(nulled)
+        comp = compact_sketch_relation(
+            store,
+            "day",
+            F.date_trunc("week", F.col("day")).cast("date"),
+            keep_since=datetime.date(2024, 1, 8),
+        )
+        assert comp.filter(F.col("day").isNull()).count() == 1
+
     def test_term_store_cap_keeps_bracket(self, spark):
         """max_terms caps each compacted grain's row count; the pruned
         tail folds into prune_bound so surviving rows still bracket the
