@@ -820,7 +820,7 @@ def minhash_signatures(
 
 
 def minhash_near_dup_against(
-    new: DataFrame,
+    new: "DataFrame | None" = None,
     seen: "DataFrame | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -831,6 +831,7 @@ def minhash_near_dup_against(
     seed: int = 42,
     persist: bool = True,
     seen_signatures: "DataFrame | None" = None,
+    new_signatures: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental NEAR-duplicate detection: pairs of ``new`` documents
     that near-match an already-ingested ``seen`` corpus — the sibling of
@@ -851,7 +852,11 @@ def minhash_near_dup_against(
     history entirely — at steady state the store is the only trace of
     past snapshots this operator needs. A store built with a different
     ``shingle_n`` than this call raises (the stored and fresh shingle
-    spaces would silently never collide).
+    spaces would silently never collide). The NEW side takes the same
+    pair — ``new`` (raw text) or ``new_signatures`` — so a caller that
+    already built today's signatures (to append them to the store
+    afterwards, as ``stream_neardup_dedup`` does) never tokenizes the
+    batch twice.
 
     Returns (new_id, seen_id, n_inter, n_union, jaccard), one row per
     cross near-match at ``min_jaccard``. To drop the matched new docs::
@@ -864,6 +869,39 @@ def minhash_near_dup_against(
         raise ValueError(
             "minhash_near_dup_against: pass exactly one of seen= (raw "
             "text) or seen_signatures= (a minhash_signatures relation)"
+        )
+    if (new is None) == (new_signatures is None):
+        raise ValueError(
+            "minhash_near_dup_against: pass exactly one of new= (raw "
+            "text) or new_signatures= (a minhash_signatures relation)"
+        )
+
+    def _sig_side(sigs, label):
+        missing = {"shingle_hashes", "n_shingles", "shingle_n"} - set(
+            sigs.columns
+        )
+        if missing or id_col not in sigs.columns:
+            raise ValueError(
+                f"{label} is not a minhash_signatures relation "
+                f"(missing columns: "
+                f"{sorted(missing) + ([id_col] if id_col not in sigs.columns else [])!r})"
+            )
+        # cheap action with an early-out: any row with a foreign shingle_n
+        # proves a parameter mismatch that would otherwise yield silent
+        # zero-recall (stored and fresh shingle spaces never collide);
+        # null-safe so a malformed store with NULL shingle_n also raises
+        if not sigs.filter(
+            ~F.col("shingle_n").eqNullSafe(F.lit(int(shingle_n)))
+        ).isEmpty():
+            raise ValueError(
+                f"{label} was built with a different shingle_n "
+                f"than this call's shingle_n={shingle_n}; rebuild the "
+                "store or match the parameter"
+            )
+        return sigs.select(
+            id_col,
+            F.col("shingle_hashes").alias("_sh"),
+            F.col("n_shingles").alias("_n"),
         )
 
     def _hashed(df_):
@@ -893,33 +931,13 @@ def minhash_near_dup_against(
             ).alias("_band", "_bk"),
         )
 
-    h_new = _hashed(new)
+    h_new = (
+        _sig_side(new_signatures, "new_signatures")
+        if new_signatures is not None
+        else _hashed(new)
+    )
     if seen_signatures is not None:
-        missing = {"shingle_hashes", "n_shingles", "shingle_n"} - set(
-            seen_signatures.columns
-        )
-        if missing or id_col not in seen_signatures.columns:
-            raise ValueError(
-                "seen_signatures is not a minhash_signatures relation "
-                f"(missing columns: {sorted(missing) + ([id_col] if id_col not in seen_signatures.columns else [])!r})"
-            )
-        # cheap action with an early-out: any row with a foreign shingle_n
-        # proves a parameter mismatch that would otherwise yield silent
-        # zero-recall (stored and fresh shingle spaces never collide);
-        # null-safe so a malformed store with NULL shingle_n also raises
-        if not seen_signatures.filter(
-            ~F.col("shingle_n").eqNullSafe(F.lit(int(shingle_n)))
-        ).isEmpty():
-            raise ValueError(
-                f"seen_signatures was built with a different shingle_n "
-                f"than this call's shingle_n={shingle_n}; rebuild the "
-                "store or match the parameter"
-            )
-        h_seen = seen_signatures.select(
-            id_col,
-            F.col("shingle_hashes").alias("_sh"),
-            F.col("n_shingles").alias("_n"),
-        )
+        h_seen = _sig_side(seen_signatures, "seen_signatures")
     else:
         h_seen = _hashed(seen)
     if persist:

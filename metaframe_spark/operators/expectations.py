@@ -66,7 +66,12 @@ def _rule_label(rule: Dict[str, Any]) -> str:
         lo, hi = rule.get("min", ""), rule.get("max", "")
         return f"range({rule['column']},{lo},{hi})"
     if kind == "regex":
-        return f"regex({rule['column']})"
+        # the pattern is part of the identity — two different regexes on
+        # one column are distinct rules, not duplicates
+        return f"regex({rule['column']},{rule['pattern']})"
+    if kind == "in_set":
+        vals = ",".join(str(v) for v in rule["values"])
+        return f"in_set({rule['column']},[{vals}])"
     return f"{kind}({rule['column']})"
 
 

@@ -1029,6 +1029,7 @@ def merge_bottomk_samples(
     *sample_dfs: DataFrame,
     k: int,
     group_by: Optional[Sequence[str]] = None,
+    id_col: Optional[str] = None,
 ) -> DataFrame:
     """Merge bottom-k sample sketches from multiple runs: union, drop
     duplicate ids (same id ⇒ same draw key in every run), re-rank by
@@ -1038,7 +1039,14 @@ def merge_bottomk_samples(
     function of the distinct id set. Inputs must share ``k`` seeds
     (different seeds produce disjoint key spaces and merge to
     garbage; the draw key travels with the row precisely so merges
-    never re-hash)."""
+    never re-hash).
+
+    ``id_col`` names the id column explicitly; when omitted it is
+    inferred as the first column that is neither a group key nor
+    ``draw_key`` — correct for sketches in :func:`bottomk_sample_sketch`
+    output order, but a re-selected sketch with a payload column moved
+    before the id would dedupe on the wrong column, so pass it
+    explicitly for relations you did not just build."""
     if not sample_dfs:
         raise ValueError("merge_bottomk_samples: need at least one input")
     keys = list(group_by or [])
@@ -1052,7 +1060,13 @@ def merge_bottomk_samples(
         )
     from pyspark.sql import Window
 
-    id_col = [c for c in u.columns if c not in keys and c != "draw_key"][0]
+    if id_col is None:
+        id_col = [c for c in u.columns if c not in keys and c != "draw_key"][0]
+    elif id_col not in u.columns:
+        raise ValueError(
+            f"merge_bottomk_samples: id_col {id_col!r} not in input "
+            f"(columns: {u.columns!r})"
+        )
     w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"), F.asc(id_col))
     return (
         u.dropDuplicates([*keys, id_col])
@@ -1074,7 +1088,15 @@ def kmv_distinct_estimates(
     key is normalized by its first 15 hex digits (60 bits — the same
     uniform-draw trick the samplers use). Error ~ 1/√k, the classic
     KMV bound; this rides for free on the sample store where HLL
-    (:func:`distinct_sketches`) is the purpose-built estimator."""
+    (:func:`distinct_sketches`) is the purpose-built estimator.
+
+    ``k`` MUST be the k the sketch was built/merged with: a group
+    holding MORE than k rows proves a mismatch and raises at execution
+    (a too-small k would divide at the wrong rank). The converse — a
+    sketch built with a SMALLER k than passed — is undetectable from
+    the relation alone (a k'-row group looks exactly like an exact
+    small group) and would report sample sizes as "exact" counts, so
+    carry k alongside the store path."""
     keys = list(group_by or [])
     g = samples.groupBy(*keys) if keys else samples.groupBy()
     agg = g.agg(
@@ -1085,8 +1107,21 @@ def kmv_distinct_estimates(
         F.conv(F.substring(F.col("_kth"), 1, 15), 16, 10).cast("double")
         / float(16**15)
     )
-    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
-        (F.lit(float(k - 1))) / u
+    est = (
+        F.when(
+            # assert_true is NULL when the check holds and raises otherwise;
+            # the never-true isNotNull() branch keeps it in the plan
+            F.assert_true(
+                F.col("_n") <= k,
+                F.lit(
+                    "kmv_distinct_estimates: a group holds more rows than "
+                    f"k={k} — the sketch was built with a larger k"
+                ),
+            ).isNotNull(),
+            F.lit(None).cast("double"),
+        )
+        .when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / u)
     )
     return agg.select(
         *keys, F.round(est, 6).alias("distinct_estimate"),

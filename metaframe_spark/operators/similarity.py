@@ -540,7 +540,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: "int | None" = None,
     n_probe: int = 4,
     corpus_id: str = "vec_id",
     query_id: str = "q_id",
@@ -560,10 +560,13 @@ def ivf_topk(
     ``fit_sampled_centroids`` + :func:`write_ivf_index` — skips the
     per-call corpus count and k-means fit entirely, so the index-build
     cost is paid once and amortized over every query batch;
-    ``n_lists`` is then taken from the matrix (a conflicting explicit
-    value raises rather than silently probing a different index).
-    Results are exact-given-centroids either way: the cell layout only
-    moves WHICH candidates are probed, never their cosine.
+    ``n_lists`` is then taken from the matrix (ANY explicit value that
+    disagrees raises — the default is ``None``, not a number, precisely
+    so an explicit 16 is distinguishable from "unset"). The pre-fit
+    path never counts the corpus (that is its point), so an empty
+    corpus returns an empty result there instead of raising as the fit
+    path does. Results are exact-given-centroids either way: the cell
+    layout only moves WHICH candidates are probed, never their cosine.
 
     Scale shape, index build: the centroids are FIT ON A SAMPLE capped at
     ``max_fit_rows`` — centroid quality needs a representative sample, not
@@ -595,13 +598,15 @@ def ivf_topk(
                 f"ivf_topk: centroids must be a non-empty (k, d) matrix "
                 f"(got shape {centroids.shape!r})"
             )
-        if n_lists not in (len(centroids), 16):  # 16 == the default
+        if n_lists is not None and n_lists != len(centroids):
             raise ValueError(
                 f"ivf_topk: n_lists={n_lists} conflicts with the "
                 f"{len(centroids)}-list centroid matrix passed in"
             )
         n_lists = len(centroids)
     else:
+        if n_lists is None:
+            n_lists = 16
         n = cfeats.count()
         if n == 0:
             raise ValueError("ivf_topk: empty corpus")
@@ -784,7 +789,12 @@ def ivf_topk_stored(
                 f"index co-persisted with the layout at {corpus_path!r} — "
                 "probing with a foreign index reads the wrong cells"
             )
-    probed = _probe_cells(queries, centroids, query_id, vec_col, n_probe)
+    # the probe feeds BOTH the driver-side distinct-cell collect and the
+    # final join — persist it so the queries × centroids ranking runs once;
+    # released via the repo-wide _mf_persisted handle contract
+    probed = _probe_cells(
+        queries, centroids, query_id, vec_col, n_probe
+    ).persist()
     # bounded driver read: the DISTINCT probed cells, <= n_lists ints
     cells = sorted(
         r["_cell"] for r in probed.select("_cell").distinct().collect()
@@ -801,8 +811,11 @@ def ivf_topk_stored(
     bounds_path = corpus_path.rstrip("/") + "/_sq_bounds"
     try:
         bounds = spark.read.format(format).load(bounds_path).collect()
-    except Exception:
+    except Exception as e:
+        if type(e).__name__ != "AnalysisException":
+            raise  # a real read failure, not mere absence of the relation
         bounds = None
+    vec_dtype = dict(indexed.dtypes).get(vec_col, "")
     if bounds:
         d = len(bounds)
         mins, spans = [0.0] * d, [1.0] * d
@@ -816,7 +829,21 @@ def ivf_topk_stored(
         indexed = indexed.withColumn(
             vec_col, dequantize_expr(vec_col, mins, spans, n_bits.pop())
         )
-    return _topk_within_cells(probed, indexed, k, corpus_id, query_id, vec_col)
+    elif vec_dtype.startswith("array<int") or vec_dtype.startswith(
+        "array<smallint"
+    ):
+        # integer codes with no readable bounds: ranking raw codes as if
+        # they were vectors returns plausible-looking WRONG neighbors —
+        # refuse instead (crash between corpus and bounds writes, deleted
+        # sidecar, wrong path)
+        raise ValueError(
+            f"ivf_topk_stored: {corpus_path!r} stores quantized codes "
+            f"({vec_dtype}) but no readable {bounds_path!r} — rewrite the "
+            "layout or restore the bounds relation"
+        )
+    out = _topk_within_cells(probed, indexed, k, corpus_id, query_id, vec_col)
+    out._mf_persisted = probed
+    return out
 
 
 def scalar_quantize(

@@ -5168,11 +5168,12 @@ def q92_drift_psi(spark, sf):
     "  UNION ALL SELECT 'range(o_totalprice,0,100000)', "
     "    CAST(count(*) FILTER (WHERE o_totalprice < 0 "
     "      OR o_totalprice > 100000) AS BIGINT) FROM orders "
-    "  UNION ALL SELECT 'regex(o_orderstatus)', "
+    "  UNION ALL SELECT 'regex(o_orderstatus,^[OFP]$)', "
     "    CAST(count(*) FILTER (WHERE o_orderstatus IS NULL "
     "      OR NOT regexp_matches(o_orderstatus, '^[OFP]$')) AS BIGINT) "
     "    FROM orders "
-    "  UNION ALL SELECT 'in_set(o_orderpriority)', "
+    "  UNION ALL SELECT 'in_set(o_orderpriority,[1-URGENT,2-HIGH,"
+    "3-MEDIUM,4-NOT SPECIFIED,5-LOW])', "
     "    CAST(count(*) FILTER (WHERE o_orderpriority IS NULL OR "
     "      o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', "
     "      '4-NOT SPECIFIED', '5-LOW')) AS BIGINT) FROM orders "
@@ -5290,7 +5291,9 @@ def q94_bottomk_sample(spark, sf):
         )
         for i in range(3)
     ]
-    merged = merge_bottomk_samples(*parts, k=10, group_by=["lang"])
+    merged = merge_bottomk_samples(
+        *parts, k=10, group_by=["lang"], id_col="doc_id"
+    )
     est = kmv_distinct_estimates(merged, 10, group_by=["lang"])
     return merged.join(est, "lang").select(
         "lang", "doc_id", "n_chars", "draw_key",

@@ -650,36 +650,37 @@ def stream_neardup_dedup(
             min_jaccard=min_jaccard, seed=seed,
         )
         local = dedup_survivors(batch_df, pairs, id_col)
-        if has_store:
-            hits = minhash_near_dup_against(
-                local.select(id_col, text_col),
-                seen_signatures=prior.drop("_last_batch"),
-                id_col=id_col, text_col=text_col, shingle_n=shingle_n,
-                n_bands=n_bands, band_rows=band_rows,
-                min_jaccard=min_jaccard, seed=seed,
-            )
-            survivors = local.join(
-                hits.select(F.col("new_id").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            )
-        else:
-            survivors = local
-        # re-computed twice below (output + signatures) — pin one result
-        survivors = survivors.persist()
+        # tokenize/shingle/hash the batch survivors ONCE: these signatures
+        # serve both the against-store check and the store append
+        local_sigs = minhash_signatures(
+            local.select(id_col, text_col),
+            id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        ).persist()
         try:
+            if has_store:
+                hits = minhash_near_dup_against(
+                    new_signatures=local_sigs,
+                    seen_signatures=prior.drop("_last_batch"),
+                    id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+                    n_bands=n_bands, band_rows=band_rows,
+                    min_jaccard=min_jaccard, seed=seed,
+                )
+                dead = hits.select(F.col("new_id").alias(id_col)).distinct()
+                survivors = local.join(dead, id_col, "left_anti")
+                surv_sigs = local_sigs.join(dead, id_col, "left_anti")
+            else:
+                survivors, surv_sigs = local, local_sigs
             survivors.write.mode("overwrite").parquet(
                 out_path.rstrip("/") + f"/batch={batch_id}"
             )
-            sigs = minhash_signatures(
-                survivors.select(id_col, text_col),
-                id_col=id_col, text_col=text_col, shingle_n=shingle_n,
-            ).withColumn("_last_batch", F.lit(batch_id).cast("long"))
+            sigs = surv_sigs.withColumn(
+                "_last_batch", F.lit(batch_id).cast("long")
+            )
             merged = prior.unionByName(sigs) if has_store else sigs
             staging = store_path.rstrip("/") + f"._staging_{batch_id}"
             merged.write.mode("overwrite").parquet(staging)
         finally:
-            survivors.unpersist()
+            local_sigs.unpersist()
         if has_store:
             _swap_in_base(spark, store_path, staging, batch_id,
                           label="neardup signature-store swap")

@@ -53,8 +53,8 @@ class TestValidateExpectations:
         # age 200 violates; NULL age passes range (not_null is separate)
         assert got["range(age,0,120)"] == (False, 1, 5)
         # bad-email + NULL email both violate regex
-        assert got["regex(email)"] == (False, 2, 5)
-        assert got["in_set(dept)"] == (False, 1, 5)  # dept 99
+        assert got[r"regex(email,^[^@\s]+@[^@\s]+\.[^@\s]+$)"] == (False, 2, 5)
+        assert got["in_set(dept,[10,20])"] == (False, 1, 5)  # dept 99
         assert got["sql(id > 0)"] == (True, 0, 5)
         assert got["unique(id)"] == (False, 1, 5)  # id 4 twice -> 1 dup
         # (id, name) pairs are all distinct
@@ -116,6 +116,24 @@ class TestValidateExpectations:
                 [{"type": "not_null", "column": "id"},
                  {"type": "not_null", "column": "id"}],
             )
+
+    def test_two_regexes_on_one_column_are_distinct_rules(self, spark, people):
+        """The pattern is part of a regex rule's identity (and the value
+        set of an in_set's) — two different checks on one column must not
+        be rejected as duplicates."""
+        rules = [
+            {"type": "regex", "column": "email", "pattern": "^[^@]+@"},
+            {"type": "regex", "column": "email", "pattern": r"\.com$"},
+            {"type": "in_set", "column": "dept", "values": [10, 20]},
+            {"type": "in_set", "column": "dept", "values": [10, 20, 99]},
+        ]
+        got = {
+            r["rule"]: r["n_violations"]
+            for r in validate_expectations(people, rules).collect()
+        }
+        assert len(got) == 4
+        assert got["in_set(dept,[10,20])"] == 1
+        assert got["in_set(dept,[10,20,99])"] == 0
 
     def test_quoted_predicate_label_survives(self, spark, people):
         rules = [{"type": "sql", "predicate": "name != 'zz'"}]

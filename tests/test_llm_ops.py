@@ -748,6 +748,13 @@ class TestIvfIndexStore:
         exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
         recall = len(exact & {(r[0], r[1]) for r in rows}) / len(exact)
         assert recall >= 0.9, recall
+        # quantized codes WITHOUT readable bounds must refuse, not rank raw
+        # int codes as vectors (crash between corpus and bounds writes)
+        import shutil
+
+        shutil.rmtree(path + "/_sq_bounds")
+        with pytest.raises(ValueError, match="quantized codes"):
+            ivf_topk_stored(spark, path, q, k=5, n_probe=8).collect()
         # encode->decode round trip reconstructs within half a bin per dim
         qdf, mins, spans = scalar_quantize(
             emb.select("vec_id", "embedding"), return_bounds=True

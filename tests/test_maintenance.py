@@ -1187,11 +1187,24 @@ class TestBottomkSampleSketch:
                 map(
                     tuple,
                     merge_bottomk_samples(
-                        *parts, k=7, group_by=["g"]
+                        *parts, k=7, group_by=["g"], id_col="id"
                     ).collect(),
                 )
             )
             assert merged == direct
+            # a REORDERED sketch (payload before the id) still merges
+            # correctly with an explicit id_col — positional inference
+            # would dedupe on the payload and shrink the sample
+            reordered = [
+                p.select("g", "extra", "id", "draw_key") for p in parts
+            ]
+            re_merged = sorted(
+                (r["g"], r["id"], r["extra"], r["draw_key"])
+                for r in merge_bottomk_samples(
+                    *reordered, k=7, group_by=["g"], id_col="id"
+                ).collect()
+            )
+            assert re_merged == direct
         # staged re-merge composes too
         parts = [
             bottomk_sample_sketch(
@@ -1272,6 +1285,16 @@ class TestBottomkSampleSketch:
             merge_bottomk_samples(k=3)
         with pytest.raises(ValueError, match="draw_key"):
             merge_bottomk_samples(df, k=3)
+        from metaframe_spark.operators.maintenance import (
+            kmv_distinct_estimates,
+        )
+
+        sk = bottomk_sample_sketch(df, "id", 3, group_by=["g"])
+        with pytest.raises(ValueError, match="id_col"):
+            merge_bottomk_samples(sk, k=3, id_col="nope")
+        # k smaller than the sketch's k is a detectable mismatch -> raise
+        with pytest.raises(Exception, match="larger k"):
+            kmv_distinct_estimates(sk, 1, group_by=["g"]).collect()
         # NULL ids are excluded (no draw key to assign)
         withnull = df.unionByName(
             spark.createDataFrame([(None, 0, "x")], df.schema)
