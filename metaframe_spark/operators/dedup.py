@@ -819,6 +819,128 @@ def minhash_signatures(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+    shingle_n: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin family) — the deterministic sibling of
+    :func:`minhash_near_dup_pairs`: all pairs with shingle-set Jaccard
+    ≥ ``min_jaccard``, GUARANTEED complete (MinHash banding has a
+    ~1e-3 per-pair miss probability at the threshold boundary; the
+    prefix filter has zero, by the prefix lemma). Same output schema
+    ``(id_a, id_b, n_inter, n_union, jaccard)``.
+
+    The prefix lemma: order every document's distinct shingles by one
+    GLOBAL total order (rarest-first — document frequency, ties by
+    value) and keep each document's first ``n − ⌈t·n⌉ + 1`` shingles.
+    ``J(A,B) ≥ t`` forces ``|A∩B| ≥ ⌈t·max(|A|,|B|)⌉``, and an overlap
+    that large cannot avoid BOTH prefixes — so equi-joining on prefix
+    shingles finds every qualifying pair, and exact verification keeps
+    precision exact too.
+
+    Scale shape: the frequency join and the per-doc re-sort shuffle the
+    exploded (id, shingle) relation — the same volume the banded
+    operators explode — and the candidate join runs on PREFIX shingles
+    only, which are by construction the RAREST in the corpus, so the
+    equi-join fan-out is inherently skew-resistant (the common shingles
+    that would blow up a naive token join never enter a prefix at
+    selective thresholds). Work scales with candidate count, never
+    all-pairs. The length filter ``min(n) ≥ t·max(n)`` prunes
+    impossible pairs before verification."""
+    if not (0.0 < min_jaccard <= 1.0):
+        raise ValueError(
+            f"prefix_filter_pairs: min_jaccard must be in (0, 1] "
+            f"({min_jaccard})"
+        )
+    t = float(min_jaccard)
+    base = minhash_signatures(df, id_col, text_col, shingle_n).select(
+        id_col,
+        F.col("shingle_hashes").alias("_sh"),
+        F.col("n_shingles").alias("_n"),
+    )
+    if persist:
+        base = base.persist()
+    tok = base.select(id_col, "_n", F.explode("_sh").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first total order: (document frequency, hash value) — every
+    # document sorts by the SAME order, which the prefix lemma requires
+    ordered = (
+        tok.join(freq, "_tok")
+        .groupBy(id_col, "_n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+    )
+    pref = ordered.select(
+        F.col(id_col),
+        F.col("_n"),
+        F.explode(
+            F.expr(
+                f"slice(transform(_ord, s -> s._tok), 1, "
+                f"cast(_n - ceil({t!r}D * _n) + 1 as int))"
+            )
+        ).alias("_tok"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: J >= t needs min(n) >= t * max(n)
+            & (F.col("a._n").cast("double") >= t * F.col("b._n"))
+            & (F.col("b._n").cast("double") >= t * F.col("a._n")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("_n").alias("_na"),
+    )
+    sh_b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+    out = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "n_union", (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("long")
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            >= t * F.col("n_union").cast("double")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
+            ).alias("jaccard"),
+        )
+    )
+    if persist:
+        out._mf_persisted = base
+    return out
+
+
 def minhash_near_dup_against(
     new: "DataFrame | None" = None,
     seen: "DataFrame | None" = None,

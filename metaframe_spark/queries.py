@@ -767,8 +767,11 @@ def llm_cosine_topk(spark, sf):
     return brute_force_topk(e.to_spark(), q.to_spark(), k=5)
 
 
-@query(
-    "llm_minhash_pairs",
+#: exhaustive all-pairs Jaccard over the twin corpus — shared by
+#: llm_minhash_pairs (probabilistic-recall banding: the hash match proves
+#: recall 1.0 ON THIS CORPUS) and llm_prefix_jaccard (prefix filtering:
+#: the hash match confirms the lemma's GUARANTEED completeness).
+_ALLPAIRS_JACCARD_ORACLE = (
     "WITH f AS ("
     f"  SELECT doc_id, {_SHINGLE_SQL} AS sh "
     f"  FROM (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM {_CORPUS_SQL}) "
@@ -779,8 +782,11 @@ def llm_cosine_topk(spark, sf):
     "  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, "
     "  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union "
     "  FROM f a JOIN f b ON a.doc_id < b.doc_id) "
-    "WHERE n_inter >= 0.7 * n_union",
+    "WHERE n_inter >= 0.7 * n_union"
 )
+
+
+@query("llm_minhash_pairs", _ALLPAIRS_JACCARD_ORACLE)
 def llm_minhash_pairs(spark, sf):
     """MinHash-LSH near-duplicate pairs at Jaccard >= 0.7 over the
     twin-injected corpus (the near-dup regime — VERDICT r2/r3: the old 0.8
@@ -796,6 +802,29 @@ def llm_minhash_pairs(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return minhash_near_dup_pairs(
+        _twin_corpus(d), "doc_id", "text", min_jaccard=0.7
+    ).select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+
+
+@query("llm_prefix_jaccard", _ALLPAIRS_JACCARD_ORACLE)
+def llm_prefix_jaccard(spark, sf):
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/dedup.py::prefix_filter_pairs, the SSJoin/PPJoin family)
+    over the same twin corpus and threshold as llm_minhash_pairs: every
+    document keeps only its n − ⌈t·n⌉ + 1 globally-RAREST shingles, the
+    candidate join runs on those prefixes (skew-resistant by
+    construction — common shingles never enter a prefix), and exact
+    verification keeps precision exact. Unlike the banded MinHash
+    sibling — whose oracle match proves recall 1.0 on this corpus but
+    is probabilistic in general — the prefix lemma guarantees
+    completeness at ANY corpus: a qualifying pair's overlap cannot
+    avoid both prefixes. Shares the exhaustive all-pairs oracle, so the
+    hash match pins the whole pipeline (ordering, prefix length, length
+    filter, verify) pair-for-pair."""
+    from .operators.dedup import prefix_filter_pairs
+
+    d = load_table(spark, sf, "documents")
+    return prefix_filter_pairs(
         _twin_corpus(d), "doc_id", "text", min_jaccard=0.7
     ).select("id_a", "id_b", "n_inter", "n_union", "jaccard")
 
@@ -5519,15 +5548,16 @@ _DRIVER_BLESSED = (
 # ROUND-11 NOTE (execute at the start of round 11): fold every key with a
 # green row in CORRECTNESS_r10.json into a `_R10_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-11
-# additions + the NINE r7 keys that overflowed this round's 50-slot
-# window (llm_char_entropy, llm_gopher_flags, llm_c4_lines,
-# llm_corpus_stats, llm_pack_sequences, llm_stratified_sample,
-# llm_mixture_sample, llm_hash_split, llm_global_shuffle — still last
-# driver-checked r07) + the next-oldest blessed block (the r8 wave:
-# q07-q12, q62..q84, llm_bloom_decontaminate..llm_weighted_sample —
-# last driver-checked r08). The r10 window was: 9 new (q89, q91,
-# llm_ivf_store, llm_ivf_corpus, llm_ivf_sq, q90, q92, q93, q94) +
-# 41 r7-blessed re-checks.
+# additions + the TEN r7 keys that overflowed this round's 50-slot
+# window (llm_bigram_nll, llm_char_entropy, llm_gopher_flags,
+# llm_c4_lines, llm_corpus_stats, llm_pack_sequences,
+# llm_stratified_sample, llm_mixture_sample, llm_hash_split,
+# llm_global_shuffle — still last driver-checked r07) + the next-oldest
+# blessed block (the r8 wave: q07-q12, q62..q84,
+# llm_bloom_decontaminate..llm_weighted_sample — last driver-checked
+# r08). The r10 window was: 10 new (q89, q91, llm_ivf_store,
+# llm_ivf_corpus, llm_ivf_sq, q90, q92, q93, q94, llm_prefix_jaccard)
+# + 40 r7-blessed re-checks.
 _ROTATE_FIRST: list = [
     # round-10 additions (never driver-checked before)
     "q89_heavy_hitters",
@@ -5539,6 +5569,7 @@ _ROTATE_FIRST: list = [
     "q92_drift_psi",
     "q93_expectations",
     "q94_bottomk_sample",
+    "llm_prefix_jaccard",
     # oldest-blessed regression re-checks (last driver-checked r07)
     "q32_sessionize",
     "q33_resample",

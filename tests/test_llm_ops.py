@@ -2799,3 +2799,64 @@ class TestSemanticPersistRelease:
             df, min_cosine=0.999, n_cells=4, max_cell_rows=100_000
         )
         assert getattr(cold, "_mf_persisted", None) is None
+
+
+class TestPrefixFilterPairs:
+    """Exact set-similarity join via prefix filtering: complete by the
+    prefix lemma (not probabilistically like MinHash banding), exact
+    precision via verification."""
+
+    def test_matches_exhaustive_on_twin_corpus(self, spark, docs):
+        from metaframe_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+            prefix_filter_pairs,
+        )
+
+        d = docs.select("doc_id", "text")
+        twins = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" twin tail")).alias("text"),
+        )
+        corpus = d.unionByName(twins)
+        for t in (0.5, 0.7, 0.9):
+            a = sorted(
+                map(
+                    tuple,
+                    prefix_filter_pairs(corpus, min_jaccard=t).collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    minhash_near_dup_pairs(
+                        corpus, "doc_id", "text", min_jaccard=t
+                    ).collect(),
+                )
+            )
+            assert a == b and (t > 0.9 or len(a) > 0)
+
+    def test_threshold_boundary_inclusive(self, spark):
+        from metaframe_spark.operators.dedup import prefix_filter_pairs
+
+        # J(a, b) = 3/5 exactly: shingle sets of sizes 4 and 4 with 3 common
+        a = "w1 w2 w3 w4 w5 w6"   # shingles: w1w2w3, w2w3w4, w3w4w5, w4w5w6
+        b = "w2 w3 w4 w5 w6 w7"   # shares w2w3w4, w3w4w5, w4w5w6
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        got = prefix_filter_pairs(df, min_jaccard=0.6).collect()
+        assert len(got) == 1 and got[0]["jaccard"] == 0.6
+        assert (got[0]["n_inter"], got[0]["n_union"]) == (3, 5)
+        # just above the boundary: excluded
+        assert prefix_filter_pairs(df, min_jaccard=0.61).count() == 0
+
+    def test_short_docs_excluded_and_guard(self, spark):
+        import pytest as _pytest
+
+        from metaframe_spark.operators.dedup import prefix_filter_pairs
+
+        df = spark.createDataFrame(
+            [(1, "only two"), (2, "only two")], "doc_id long, text string"
+        )
+        # < shingle_n tokens -> no shingles -> no pairs (documented caveat)
+        assert prefix_filter_pairs(df).count() == 0
+        with _pytest.raises(ValueError, match="min_jaccard"):
+            prefix_filter_pairs(df, min_jaccard=0.0)

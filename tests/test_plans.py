@@ -395,6 +395,7 @@ class TestCatalogPlanLint:
         "llm_ivf_store",            # joined the tail in round 10 (~3.2 s: per-iteration fit + index round-trip + probe)
         "llm_ivf_corpus",           # joined the tail in round 10 (~3.7 s: per-iteration fit + partitioned corpus write + probe)
         "llm_ivf_sq",               # joined the tail in round 10 (fit + quantized corpus write + decode probe)
+        "llm_prefix_jaccard",       # joined the tail in round 10 (~3.8 s: frequency join + prefix self-join + exact verify)
         "llm_minhash_store",        # joined the tail in round 9 (~2.7 s: parquet round-trip + band join)
         "q88_histogram_quantiles",  # joined the tail in round 9 (~3 s: 2-run histogram merge + exact-percentile validation column)
         "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
