@@ -5528,89 +5528,97 @@ _R9_DRIVER_BLESSED = frozenset(
     ]
 )
 
+# Keys with a green row in CORRECTNESS_r10.json (the r10 driver window, 50/50
+# green) — folded into the blessed set per the round-10 rotation note.
+_R10_DRIVER_BLESSED = frozenset(
+    [
+        "q89_heavy_hitters",
+        "q91_heavy_hitters_pruned",
+        "llm_ivf_store",
+        "llm_ivf_corpus",
+        "llm_ivf_sq",
+        "q90_sketch_compact",
+        "q92_drift_psi",
+        "q93_expectations",
+        "q94_bottomk_sample",
+        "llm_prefix_jaccard",
+        "q32_sessionize",
+        "q33_resample",
+        "q34_pivot",
+        "q35_explode",
+        "q36_from_json",
+        "q37_higher_order",
+        "q38_regexp_extract",
+        "q39_map_funcs",
+        "q40_salted_agg",
+        "q41_percentiles",
+        "q42_grouping_sets",
+        "q43_ffill",
+        "q44_fuzzy_match",
+        "q45_funnel",
+        "q46_retention",
+        "q47_rank_funcs",
+        "q48_percentiles_dist",
+        "q49_unpivot",
+        "q50_rolling",
+        "q51_conditional_agg",
+        "q52_string_funcs",
+        "q53_date_funcs",
+        "q54_pk_broadcast_join",
+        "q55_merge_upsert",
+        "q56_scd2",
+        "q57_array_funcs",
+        "q58_profile",
+        "q59_time_funcs",
+        "q60_conditional_expr",
+        "q61_profile_extended",
+        "llm_semantic_dedup",
+        "llm_span_dedup",
+        "llm_decontaminate",
+        "llm_dedup_incremental",
+        "llm_cosine_dups",
+        "llm_quantize",
+        "llm_vocab",
+        "llm_tfidf",
+        "llm_bm25",
+        "llm_perplexity",
+    ]
+)
+
 _DRIVER_BLESSED = (
     _R6_DRIVER_BLESSED
     | _R7_DRIVER_BLESSED
     | _R8_DRIVER_BLESSED
     | _R9_DRIVER_BLESSED
+    | _R10_DRIVER_BLESSED
 )
 
 # New-this-round entries to pin at the very front of the driver window.
 #
-# ROUND-10 ROTATION (executing the r9 note): the r02-r09 blessing union still
-# equals the catalog, so the window remains pure re-verification budget.
-# Order: round-10 additions first (never driver-checked), then the
-# OLDEST-blessed block — the 50 keys last driver-checked in round 7
-# (q32_sessionize..q61_profile_extended plus the r7 llm_* wave).  With the
-# r10 additions in front, the last few r7 keys overflow the 50-slot window
-# and roll to round 11 — put the cheapest/most-stable ones at the tail.
+# ROUND-11 ROTATION (executing the r10 note): the r02-r10 blessing union
+# still equals the catalog, so everything beyond the round-11 additions is
+# pure re-verification budget.  Order: round-11 additions first (never
+# driver-checked), then the TEN r7 keys that overflowed the r10 window
+# (last driver-checked r07), then the oldest-blessed block — the r8 wave
+# (q07-q12, q62..q84, llm_bloom_decontaminate..llm_weighted_sample, last
+# driver-checked r08).  Keys past slot 50 overflow to round 12 — cheapest/
+# most-stable at the tail.
 #
-# ROUND-11 NOTE (execute at the start of round 11): fold every key with a
-# green row in CORRECTNESS_r10.json into a `_R10_DRIVER_BLESSED` frozenset
-# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-11
-# additions + the TEN r7 keys that overflowed this round's 50-slot
-# window (llm_bigram_nll, llm_char_entropy, llm_gopher_flags,
-# llm_c4_lines, llm_corpus_stats, llm_pack_sequences,
-# llm_stratified_sample, llm_mixture_sample, llm_hash_split,
-# llm_global_shuffle — still last driver-checked r07) + the next-oldest
-# blessed block (the r8 wave: q07-q12, q62..q84,
-# llm_bloom_decontaminate..llm_weighted_sample — last driver-checked
-# r08). The r10 window was: 10 new (q89, q91, llm_ivf_store,
-# llm_ivf_corpus, llm_ivf_sq, q90, q92, q93, q94, llm_prefix_jaccard)
-# + 40 r7-blessed re-checks.
+# ROUND-12 NOTE (execute at the start of round 12): fold every key with a
+# green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
+# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
+# additions + whatever r8-wave keys overflowed this round's 50-slot window
+# (count the r11 additions at the front to know how many) + the next-oldest
+# blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
+# r9 llm_* keys — last driver-checked r09).
 _ROTATE_FIRST: list = [
-    # round-10 additions (never driver-checked before)
-    "q89_heavy_hitters",
-    "q91_heavy_hitters_pruned",
-    "llm_ivf_store",
-    "llm_ivf_corpus",
-    "llm_ivf_sq",
-    "q90_sketch_compact",
-    "q92_drift_psi",
-    "q93_expectations",
-    "q94_bottomk_sample",
-    "llm_prefix_jaccard",
-    # oldest-blessed regression re-checks (last driver-checked r07)
-    "q32_sessionize",
-    "q33_resample",
-    "q34_pivot",
-    "q35_explode",
-    "q36_from_json",
-    "q37_higher_order",
-    "q38_regexp_extract",
-    "q39_map_funcs",
-    "q40_salted_agg",
-    "q41_percentiles",
-    "q42_grouping_sets",
-    "q43_ffill",
-    "q44_fuzzy_match",
-    "q45_funnel",
-    "q46_retention",
-    "q47_rank_funcs",
-    "q48_percentiles_dist",
-    "q49_unpivot",
-    "q50_rolling",
-    "q51_conditional_agg",
-    "q52_string_funcs",
-    "q53_date_funcs",
-    "q54_pk_broadcast_join",
-    "q55_merge_upsert",
-    "q56_scd2",
-    "q57_array_funcs",
-    "q58_profile",
-    "q59_time_funcs",
-    "q60_conditional_expr",
-    "q61_profile_extended",
-    "llm_semantic_dedup",
-    "llm_span_dedup",
-    "llm_decontaminate",
-    "llm_dedup_incremental",
-    "llm_cosine_dups",
-    "llm_quantize",
-    "llm_vocab",
-    "llm_tfidf",
-    "llm_bm25",
-    "llm_perplexity",
+    # round-11 additions (never driver-checked before) are prepended here
+    # as they are implemented — see the registrations below.
+    "llm_ivf_append",
+    "llm_image_neardup",
+    "q95_anomaly_rules",
+    "q96_drift_from_store",
+    # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",
     "llm_gopher_flags",
@@ -5619,9 +5627,54 @@ _ROTATE_FIRST: list = [
     "llm_pack_sequences",
     "llm_stratified_sample",
     "llm_mixture_sample",
-    # tail: cheapest/most-stable — these overflow to round 11
     "llm_hash_split",
     "llm_global_shuffle",
+    # oldest-blessed regression re-checks (last driver-checked r08)
+    "q07",
+    "q08",
+    "q09",
+    "q10",
+    "q11",
+    "q12",
+    "q62_null_safe_join",
+    "q63_map_hof",
+    "q64_salted_join",
+    "q65_bitwise",
+    "q66_string_agg",
+    "q67_variant",
+    "q68_interpolate",
+    "q69_snapshot_diff",
+    "q70_stats_agg",
+    "q71_interval_join",
+    "q72_bitmap_distinct",
+    "q73_gapfill",
+    "q74_posexplode",
+    "q75_try_funcs",
+    "q76_regex_funcs",
+    "q77_minmax_by",
+    "q78_asof_nearest",
+    "q79_set_ops_all",
+    "q80_sort_nulls",
+    "q81_cogroup",
+    "llm_neardup_incremental",
+    "llm_quality_classifier",
+    "llm_domain_pagerank",
+    "llm_bloom_decontaminate",
+    "llm_dedup_keep_best",
+    "llm_label_centroids",
+    "llm_weighted_sample",
+    "llm_domain_cap",
+    "llm_html_extract",
+    "llm_html_links",
+    "llm_psl_domains",
+    "llm_mix_report",
+    "llm_text_clean",
+    "llm_url_canonical",
+    "llm_url_features",
+    # tail: cheapest/most-stable — these overflow to round 12
+    "q82_make_datetime",
+    "q83_union_by_name",
+    "q84_json_array",
 ]
 
 
