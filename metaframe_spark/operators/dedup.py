@@ -851,7 +851,17 @@ def prefix_filter_pairs(
     that would blow up a naive token join never enter a prefix at
     selective thresholds). Work scales with candidate count, never
     all-pairs. The length filter ``min(n) ≥ t·max(n)`` prunes
-    impossible pairs before verification."""
+    impossible pairs before verification.
+
+    Float robustness (ADVICE r10): every ``t·n`` comparison subtracts a
+    1e-9 epsilon before ``ceil``/``>=`` so double rounding can never
+    round an exact integer product UP (e.g. ``0.1*10 →
+    1.0000000000000002 → ceil 2``, which would shorten the prefix below
+    what the lemma requires, or reject an exact-boundary pair). The
+    epsilon only ever LENGTHENS prefixes / LOOSENS pruning — for
+    integer ``n ≤ 1e6`` the product's rounding error is < 1e-10, so no
+    sub-threshold pair can sneak in — keeping completeness guaranteed
+    and precision exact."""
     if not (0.0 < min_jaccard <= 1.0):
         raise ValueError(
             f"prefix_filter_pairs: min_jaccard must be in (0, 1] "
@@ -883,8 +893,10 @@ def prefix_filter_pairs(
         F.col("_n"),
         F.explode(
             F.expr(
+                # required overlap = ceil(t*n); subtract 1e-9 so float
+                # rounding above an exact integer never SHORTENS the prefix
                 f"slice(transform(_ord, s -> s._tok), 1, "
-                f"cast(_n - ceil({t!r}D * _n) + 1 as int))"
+                f"cast(_n - ceil({t!r}D * _n - 1e-9D) + 1 as int))"
             )
         ).alias("_tok"),
     )
@@ -894,9 +906,10 @@ def prefix_filter_pairs(
             pref.alias("b"),
             (F.col("a._tok") == F.col("b._tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            # length filter: J >= t needs min(n) >= t * max(n)
-            & (F.col("a._n").cast("double") >= t * F.col("b._n"))
-            & (F.col("b._n").cast("double") >= t * F.col("a._n")),
+            # length filter: J >= t needs min(n) >= t * max(n); the 1e-9
+            # slack keeps exact-boundary pairs (verify re-checks exactly)
+            & (F.col("a._n").cast("double") >= t * F.col("b._n") - 1e-9)
+            & (F.col("b._n").cast("double") >= t * F.col("a._n") - 1e-9),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -923,8 +936,10 @@ def prefix_filter_pairs(
             "n_union", (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("long")
         )
         .filter(
+            # integer n_inter vs once-rounded product: error < 1e-10 at
+            # n_union <= 1e6, so the epsilon admits no sub-threshold pair
             F.col("n_inter").cast("double")
-            >= t * F.col("n_union").cast("double")
+            >= t * F.col("n_union").cast("double") - 1e-9
         )
         .select(
             "id_a",

@@ -950,6 +950,22 @@ def compact_sketch_store(
     is the caller's atomic rename, same discipline as the CDC sink.
     Returns the compacted relation (lazily re-read from ``dest_path``,
     so downstream plans scan the compacted layout)."""
+    # enforce the "NEW path" contract (ADVICE r10): the compaction plan
+    # reads src_path LAZILY while mode('overwrite') deletes dest_path
+    # first — dest == src (or either nested in the other) would destroy
+    # the store the job is still reading, possibly the only copy
+    norm_src = src_path.rstrip("/")
+    norm_dest = dest_path.rstrip("/")
+    if (
+        norm_dest == norm_src
+        or norm_dest.startswith(norm_src + "/")
+        or norm_src.startswith(norm_dest + "/")
+    ):
+        raise ValueError(
+            f"compact_sketch_store: dest_path {dest_path!r} overlaps "
+            f"src_path {src_path!r}; the overwrite would delete the store "
+            "being read — write to a NEW path and atomic-rename afterwards"
+        )
     try:
         df = spark.read.format(format).load(src_path)
     except Exception as e:
@@ -1041,12 +1057,14 @@ def merge_bottomk_samples(
     garbage; the draw key travels with the row precisely so merges
     never re-hash).
 
-    ``id_col`` names the id column explicitly; when omitted it is
-    inferred as the first column that is neither a group key nor
-    ``draw_key`` — correct for sketches in :func:`bottomk_sample_sketch`
-    output order, but a re-selected sketch with a payload column moved
-    before the id would dedupe on the wrong column, so pass it
-    explicitly for relations you did not just build."""
+    The merge keys on ``draw_key`` itself (ADVICE r10): the draw key is
+    a pure function of the id, so ``(group, id)`` duplicates are exactly
+    ``(group, draw_key)`` duplicates and the post-dedup key is unique
+    per group, making the rank order total — no id-column inference,
+    so a re-projected sketch with a payload column ahead of the id can
+    no longer silently dedupe on the payload. ``id_col`` is accepted
+    for back-compat and validated against the columns when given, but
+    the result does not depend on it."""
     if not sample_dfs:
         raise ValueError("merge_bottomk_samples: need at least one input")
     keys = list(group_by or [])
@@ -1060,16 +1078,14 @@ def merge_bottomk_samples(
         )
     from pyspark.sql import Window
 
-    if id_col is None:
-        id_col = [c for c in u.columns if c not in keys and c != "draw_key"][0]
-    elif id_col not in u.columns:
+    if id_col is not None and id_col not in u.columns:
         raise ValueError(
             f"merge_bottomk_samples: id_col {id_col!r} not in input "
             f"(columns: {u.columns!r})"
         )
-    w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"), F.asc(id_col))
+    w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"))
     return (
-        u.dropDuplicates([*keys, id_col])
+        u.dropDuplicates([*keys, "draw_key"])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
@@ -1222,18 +1238,18 @@ def histogram_drift(
         # a side with zero IN-RANGE observations has no distribution to
         # compare (all mass in below/above) — NULL, not NaN from 0-division
         defined = (na > 0) & (nb > 0)
-        gated = F.when(
-            F.assert_true(
-                spec_ok, F.lit(f"histogram_drift: mismatched bin specs for {m}")
-            ).isNull()
-            & defined,
-            F.round(psi, 6),
-        )
+        # EVERY output column carries the spec check (ADVICE r10): if only
+        # {col}_ks survives projection pruning, the assert must still run —
+        # otherwise zip_with NULL-pads unequal-length count arrays and
+        # array_max returns a silently wrong KS instead of raising
+        checked = F.assert_true(
+            spec_ok, F.lit(f"histogram_drift: mismatched bin specs for {m}")
+        ).isNull()
         outs += [
-            gated.alias(f"{base}_psi"),
-            F.when(defined, F.round(ks, 6)).alias(f"{base}_ks"),
-            na.alias(f"{base}_n_a"),
-            nb.alias(f"{base}_n_b"),
+            F.when(checked & defined, F.round(psi, 6)).alias(f"{base}_psi"),
+            F.when(checked & defined, F.round(ks, 6)).alias(f"{base}_ks"),
+            F.when(checked, na).alias(f"{base}_n_a"),
+            F.when(checked, nb).alias(f"{base}_n_b"),
         ]
     return j.select(*outs)
 

@@ -2848,6 +2848,32 @@ class TestPrefixFilterPairs:
         # just above the boundary: excluded
         assert prefix_filter_pairs(df, min_jaccard=0.61).count() == 0
 
+    def test_float_boundary_thresholds(self, spark):
+        """ADVICE r10: thresholds whose float product overshoots an exact
+        integer (0.1*10 -> 1.0000000000000002) used to (a) shorten the
+        prefix below the lemma's requirement, (b) reject exact-boundary
+        pairs in the length filter, and (c) reject them in verify.
+
+        Construction hits all three at once: doc A has 10 shingles whose
+        globally-COMMONEST (df=2, so rarest-first sorts it LAST) is the
+        single shingle of 3-token doc B -> J = 1/10 = t exactly.  The
+        buggy ceil dropped that shingle from A's prefix (9 < 10), the
+        buggy length filter rejected 1 >= 1.0000000000000002, and the
+        buggy verify rejected n_inter=1 >= 0.1*10."""
+        from metaframe_spark.operators.dedup import prefix_filter_pairs
+
+        a = " ".join([f"a{i}" for i in range(1, 10)] + ["s1", "s2", "s3"])
+        b = "s1 s2 s3"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        got = prefix_filter_pairs(df, min_jaccard=0.1).collect()
+        assert len(got) == 1
+        assert (got[0]["n_inter"], got[0]["n_union"]) == (1, 10)
+        assert got[0]["jaccard"] == 0.1
+        # t=0.2 with n=10: ceil(0.2*10 - eps) must stay 2, prefix 9 — the
+        # J=0.1 pair is now sub-threshold and must disappear (no false
+        # accept from the epsilon slack)
+        assert prefix_filter_pairs(df, min_jaccard=0.2).count() == 0
+
     def test_short_docs_excluded_and_guard(self, spark):
         import pytest as _pytest
 

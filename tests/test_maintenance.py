@@ -991,6 +991,28 @@ class TestCompactSketchStore:
 
         assert stats(out) == stats(daily)
 
+    def test_overlapping_dest_refused(self, spark, tmp_path):
+        """ADVICE r10: mode('overwrite') on dest while the plan lazily
+        reads src would destroy the store being read — same-path and
+        nested-path dests must be refused before anything is deleted."""
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_store,
+            moment_sketches,
+        )
+
+        df = self._daily(spark)
+        daily = moment_sketches(df, ["x"], group_by=["day", "g"])
+        src = str(tmp_path / "store")
+        daily.write.partitionBy("day").parquet(src)
+        for bad in (src, src + "/", src + "/nested", str(tmp_path)):
+            with pytest.raises(ValueError, match="overlaps"):
+                compact_sketch_store(
+                    spark, src, bad, run_col="day",
+                    coarsen=F.date_trunc("week", F.col("day")).cast("date"),
+                )
+        # the refusal happened before any delete: store still readable
+        assert spark.read.parquet(src).count() == daily.count()
+
     def test_null_run_rows_pass_through_not_vanish(self, spark):
         """A malformed store row with NULL run value must survive the
         keep_since split untouched (a bare negated comparison is NULL for
@@ -1132,6 +1154,12 @@ class TestHistogramDrift:
         b = histogram_sketch(df, "x", 0.0, 20.0, 5, group_by=["g"])
         with pytest.raises(Exception, match="mismatched bin specs"):
             histogram_drift(a, b, group_by=["g"]).collect()
+        # ADVICE r10: the spec check must survive projection pruning — a
+        # caller selecting ONLY the ks (or count) column used to skip the
+        # assert and get a silently wrong NULL-padded zip_with result
+        for col in ("x_ks", "x_n_a", "x_n_b"):
+            with pytest.raises(Exception, match="mismatched bin specs"):
+                histogram_drift(a, b, group_by=["g"]).select(col).collect()
         with pytest.raises(ValueError, match="_hist"):
             histogram_drift(df, df, group_by=["g"])
 
@@ -1205,6 +1233,16 @@ class TestBottomkSampleSketch:
                 ).collect()
             )
             assert re_merged == direct
+            # ADVICE r10: the merge keys on draw_key, so the reordered
+            # sketch is correct WITHOUT an explicit id_col too (the old
+            # positional inference deduped on the payload here)
+            re_merged_noid = sorted(
+                (r["g"], r["id"], r["extra"], r["draw_key"])
+                for r in merge_bottomk_samples(
+                    *reordered, k=7, group_by=["g"]
+                ).collect()
+            )
+            assert re_merged_noid == direct
         # staged re-merge composes too
         parts = [
             bottomk_sample_sketch(
