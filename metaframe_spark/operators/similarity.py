@@ -734,6 +734,128 @@ def write_ivf_corpus(
     )
 
 
+def append_ivf_corpus(
+    spark,
+    corpus_path: str,
+    new_corpus: DataFrame,
+    vec_col: str = "embedding",
+    format: str = "parquet",
+) -> None:
+    """Append new vectors to a :func:`write_ivf_corpus` layout — the
+    FAISS ``add()`` analogue a continuously-ingesting 100 TB serving
+    store needs: assigning a delta batch with the STORED centroids and
+    appending per-cell files costs one Arrow GEMM pass over the delta
+    plus an append write of just the touched cells, versus
+    re-assigning and rewriting the entire corpus (the only option the
+    write-once layout offered).
+
+    Invariants the append preserves, loudly:
+
+    * **The stored index is the only index.** Cells are assigned with
+      the co-persisted ``{path}/_ivf_index`` matrix — there is no
+      ``centroids=`` parameter, so a foreign matrix can never split
+      the layout into two incompatible cell spaces. A path without a
+      readable co-persisted index is refused (pre-r10 layouts must be
+      rewritten once via :func:`write_ivf_corpus`).
+    * **Stored bounds, never refit.** A quantized layout
+      (``write_ivf_corpus(quantize_bits=...)``) encodes the delta with
+      the STORED ``{path}/_sq_bounds`` — refitting bounds on the union
+      would silently re-code nothing yet decode EVERYTHING differently,
+      corrupting every existing vector's reconstruction. Delta values
+      outside the stored range clamp to the edge codes, the standard
+      SQ behavior for out-of-sample points.
+    * **Schema and dimension pinned.** The delta's columns must match
+      the stored data columns exactly and every delta vector's length
+      must equal the index dimension — checked by a codegen
+      ``assert_true`` that rides the assignment scan (no extra pass),
+      so a ragged or transposed batch fails instead of GEMM-ing
+      garbage.
+
+    After the append, :func:`ivf_topk_stored` probes the union — with
+    ``n_probe = n_lists`` the result is pair-for-pair the exact
+    brute-force top-k over the unioned corpus (the ``llm_ivf_append``
+    oracle proves this hash-exactly), and at partial probe the recall
+    story is unchanged because the cell space is unchanged."""
+    index_path = corpus_path.rstrip("/") + "/_ivf_index"
+    try:
+        centroids = read_ivf_index(spark, index_path, format=format)
+    except ValueError:
+        raise  # corrupt index: read_ivf_index's message says what's wrong
+    except Exception:
+        raise ValueError(
+            f"append_ivf_corpus: no readable IVF index at {index_path!r} — "
+            "appending without the layout's own centroids would assign new "
+            "vectors into a different cell space; rewrite the layout once "
+            "with write_ivf_corpus to co-persist its index"
+        )
+    existing = spark.read.format(format).load(corpus_path)
+    want = sorted(c for c in existing.columns if c != "cell")
+    got = sorted(new_corpus.columns)
+    if got != want:
+        raise ValueError(
+            f"append_ivf_corpus: delta columns {got!r} do not match the "
+            f"stored data columns {want!r} at {corpus_path!r}"
+        )
+    d = int(centroids.shape[1])
+    # dimension guard rides the assignment scan as codegen — no extra pass
+    guarded = new_corpus.withColumn(
+        vec_col,
+        F.when(
+            F.assert_true(
+                F.size(F.col(vec_col)) == F.lit(d),
+                F.lit(
+                    f"append_ivf_corpus: delta vector dimension must be {d} "
+                    f"to match the index at {index_path!r}"
+                ),
+            ).isNull(),
+            F.col(vec_col),
+        ),
+    )
+    assigned = assign_cells(guarded, centroids, vec_col=vec_col, cell_col="cell")
+    bounds_path = corpus_path.rstrip("/") + "/_sq_bounds"
+    try:
+        bounds = spark.read.format(format).load(bounds_path).collect()
+    except Exception as e:
+        if type(e).__name__ != "AnalysisException":
+            raise  # a real read failure, not mere absence of the relation
+        bounds = None
+    vec_dtype = dict(existing.dtypes).get(vec_col, "")
+    if bounds:
+        if len(bounds) != d:
+            raise ValueError(
+                f"append_ivf_corpus: {bounds_path!r} has {len(bounds)} "
+                f"dimensions but the index is {d}-dimensional"
+            )
+        mins, spans = [0.0] * d, [1.0] * d
+        for r in bounds:
+            mins[r["pos"]], spans[r["pos"]] = r["mn"], r["span"]
+        n_bits = {int(r["n_bits"]) for r in bounds}
+        if len(n_bits) != 1:
+            raise ValueError(
+                f"append_ivf_corpus: inconsistent n_bits in {bounds_path!r}"
+            )
+        # encode with the STORED bounds; the encode's least(..., top_code)
+        # clamps high overshoot, greatest(..., 0) clamps low overshoot —
+        # out-of-sample deltas land on the edge codes instead of escaping
+        # the code range the decode expects
+        enc = _sq_encode_expr(vec_col, mins, spans, n_bits.pop())
+        assigned = assigned.withColumn(
+            vec_col, F.transform(enc, lambda c: F.greatest(c, F.lit(0)))
+        )
+    elif vec_dtype.startswith("array<int") or vec_dtype.startswith(
+        "array<smallint"
+    ):
+        raise ValueError(
+            f"append_ivf_corpus: {corpus_path!r} stores quantized codes "
+            f"({vec_dtype}) but no readable {bounds_path!r} — appending "
+            "float vectors would mix code and float spaces; restore the "
+            "bounds relation or rewrite the layout"
+        )
+    assigned.write.mode("append").partitionBy("cell").format(format).save(
+        corpus_path
+    )
+
+
 def ivf_topk_stored(
     spark,
     corpus_path: str,

@@ -4974,6 +4974,49 @@ def llm_ivf_corpus(spark, sf):
     return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
 
 
+@query("llm_ivf_append", _IVF_EXACT_ORACLE)
+def llm_ivf_append(spark, sf):
+    """Appendable IVF serving corpus (operators/similarity.py::
+    append_ivf_corpus — the FAISS add() analogue, r10 verdict gap #2):
+    the layout is built from a BASE split (vec_id % 4 != 0) only, then
+    the remaining quarter of the corpus is appended — assigned with the
+    co-persisted STORED centroids (no foreign matrix can enter) and
+    written as per-cell appends, one Arrow GEMM pass over just the
+    delta instead of the full rewrite the write-once layout required.
+    The probe then runs over the union with n_probe = n_lists, so the
+    result must be pair-for-pair the exact brute-force top-k over the
+    ENTIRE corpus — the shared oracle hash-matches even though the
+    centroids never saw the appended quarter, proving appended vectors
+    are first-class residents of the cell space (probe-after-append ≡
+    from-scratch rewrite of the unioned corpus). Quantized append
+    (stored-bounds encode, never refit) and partial-probe parity are
+    pinned in tests/test_llm_ops.py::TestAppendIvfCorpus."""
+    import tempfile
+
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        append_ivf_corpus,
+        fit_sampled_centroids,
+        ivf_topk_stored,
+        write_ivf_corpus,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark()).select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    cent = fit_sampled_centroids(
+        base, 8, seed=42, max_iter=5, init="random", order_col="vec_id"
+    )
+    path = tempfile.mkdtemp(prefix="mf_ivf_append_") + "/corpus"
+    write_ivf_corpus(base, cent, path)
+    append_ivf_corpus(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
+
+
 @query(
     "llm_ivf_sq",
     f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
