@@ -407,40 +407,38 @@ def simhash_by_id(
     return votes.select(id_col, acc.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    fp: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    fp_col: str = "simhash",
+    bits: int = 64,
     max_hamming: int = 3,
     n_bands: int = 4,
-    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate pairs with Hamming(simhash) <= max_hamming.
-
-    Banded LSH on the fingerprint: the fingerprint bits split into
-    ``n_bands`` sub-bands; by pigeonhole any pair within Hamming distance
-    ``n_bands - 1`` agrees on at least one full band, so the band-equality
-    self-join generates all such pairs as candidates (plus collisions), and
-    ``bit_count(xor)`` verifies exactly — output is IDENTICAL to an
-    exhaustive all-pairs Hamming scan, at O(band-bucket collisions) cost.
-    ``token_hash="md5"`` makes the fingerprint DuckDB-reproducible (see
-    :data:`_TOKEN_HASHES`) so the whole operator is oracle-checkable.
-    """
+    """Banded Hamming self-join over an (id, fingerprint) relation — the
+    shared engine under :func:`simhash_near_dup_pairs` (text SimHash) and
+    :func:`~metaframe_spark.multimodal.image_near_dup_pairs` (perceptual
+    dHash): the ``bits``-wide fingerprint splits into ``n_bands``
+    sub-bands; by pigeonhole any pair within Hamming distance
+    ``n_bands - 1`` agrees on at least one full band, so the
+    band-equality equi-join generates all such pairs as candidates (plus
+    collisions) and ``bit_count(xor)`` verifies exactly — output is
+    IDENTICAL to an exhaustive all-pairs Hamming scan, at
+    O(band-bucket collisions) cost, never all-pairs. All codegen: the
+    band explode, equi-join, and xor popcount stay JVM-side."""
     assert max_hamming < n_bands, "banding guarantees recall only for hamming < n_bands"
-    bits = _TOKEN_HASHES[token_hash][1]
     assert bits % n_bands == 0, "fingerprint width must divide into bands"
     width = bits // n_bands
-    sh = simhash_by_id(df, id_col, text_col, token_hash=token_hash)
-    bands = sh.select(
+    bands = fp.select(
         id_col,
-        "simhash",
+        F.col(fp_col).alias("_fp"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}), b -> "
-                f"struct(b AS band, shiftright(simhash, b * {width}) & {(1 << width) - 1} AS v))"
+                f"struct(b AS band, shiftright({fp_col}, b * {width}) & {(1 << width) - 1} AS v))"
             )
         ).alias("bv"),
-    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    ).select(id_col, "_fp", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -453,15 +451,42 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._fp").alias("_fp_a"),
+            F.col("b._fp").alias("_fp_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"))
+        cand.withColumn("hamming", F.bit_count(F.expr("_fp_a ^ _fp_b")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) <= max_hamming — the
+    SimHash fingerprint (:func:`simhash_by_id`) fed through the shared
+    banded-Hamming engine (:func:`hamming_near_dup_pairs`; see there for
+    the pigeonhole completeness argument). ``token_hash="md5"`` makes the
+    fingerprint DuckDB-reproducible (see :data:`_TOKEN_HASHES`) so the
+    whole operator is oracle-checkable.
+    """
+    bits = _TOKEN_HASHES[token_hash][1]
+    sh = simhash_by_id(df, id_col, text_col, token_hash=token_hash)
+    return hamming_near_dup_pairs(
+        sh,
+        id_col,
+        "simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
     )
 
 

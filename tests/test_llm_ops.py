@@ -548,6 +548,152 @@ class TestMultimodal:
         assert got[3][0] == (b"junk" * 100)[:256]
 
 
+class TestImageDhash:
+    """image_dhash / image_near_dup_pairs: perceptual near-dup for binary
+    payloads (r10 verdict gap #3) — dHash fingerprints through the shared
+    banded-Hamming engine."""
+
+    @staticmethod
+    def _stub_dhash(b: bytes) -> int:
+        if not b:
+            return 0
+        n = len(b)
+        px = [b[k % n] for k in range(72)]
+        v = 0
+        for r in range(8):
+            for c in range(8):
+                if px[r * 9 + c] > px[r * 9 + c + 1]:
+                    v |= 1 << (r * 8 + c)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def test_stub_fingerprint_known_values(self, spark):
+        from metaframe_spark.multimodal import image_dhash
+
+        payloads = [
+            b"",  # empty -> 0
+            b"\x00" * 100,  # constant image: no strict descent -> 0
+            bytes(range(72)),  # strictly increasing row-major -> 0
+            bytes(reversed(range(72))),  # strictly decreasing -> all 64 bits
+            b"abcadefbghicjkl",  # wrapping (n < 72) mixed case
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: (r.dhash, r.mode) for r in image_dhash(df).collect()}
+        assert got[0] == (0, "stub")
+        assert got[1] == (0, "stub")
+        assert got[2] == (0, "stub")
+        assert got[3] == (-1, "stub")  # all 64 bits set == signed -1
+        assert got[4] == (self._stub_dhash(payloads[4]), "stub")
+        # deterministic across invocations
+        again = {r.doc_id: (r.dhash, r.mode) for r in image_dhash(df).collect()}
+        assert again == got
+
+    def test_perceptual_locality_of_stub(self, spark, docs):
+        """A single-byte edit inside the 72-byte grid flips at most two
+        comparison bits per grid occurrence — near payloads land within a
+        small Hamming distance while unrelated payloads sit ~32 apart."""
+        from metaframe_spark.multimodal import attach_demo_payload, image_dhash
+
+        base = attach_demo_payload(docs.limit(20), "text")
+        edited = attach_demo_payload(
+            docs.limit(20)
+            .withColumn(
+                "text",
+                F.expr("concat(substr(text, 1, 9), 'Z', substr(text, 11))"),
+            ),
+            "text",
+        ).withColumn("doc_id", F.col("doc_id") + 100000)
+        fp = image_dhash(base.unionByName(edited))
+        rows = {r.doc_id: r.dhash for r in fp.collect()}
+        import random
+
+        near = [
+            bin((rows[i] ^ rows[i + 100000]) & ((1 << 64) - 1)).count("1")
+            for i in range(20)
+            if i in rows and i + 100000 in rows
+        ]
+        assert near and max(near) <= 6  # <= 2 bits per wrap occurrence
+        rng = random.Random(7)
+        ids = sorted(i for i in rows if i < 100000)
+        far = [
+            bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+            for a, b in [(rng.choice(ids), rng.choice(ids)) for _ in range(30)]
+            if a != b
+        ]
+        assert sum(far) / len(far) > 15  # unrelated payloads are far apart
+
+    def test_banded_pairs_complete_vs_exhaustive(self, spark, docs):
+        """Pigeonhole completeness: image_near_dup_pairs (banded) must
+        equal the exhaustive all-pairs Hamming scan over the same
+        fingerprints — pairs AND hamming values."""
+        from metaframe_spark.multimodal import (
+            attach_demo_payload,
+            image_dhash,
+            image_near_dup_pairs,
+        )
+
+        base = docs.select("doc_id", "text")
+        edited = base.withColumn(
+            "text", F.expr("concat(substr(text, 1, 9), 'Z', substr(text, 11))")
+        ).withColumn("doc_id", F.col("doc_id") + 100000)
+        corpus = attach_demo_payload(base.unionByName(edited), "text")
+        banded = image_near_dup_pairs(corpus, max_hamming=3, n_bands=4)
+        got = {(r.id_a, r.id_b): r.hamming for r in banded.collect()}
+        fp = image_dhash(corpus).select("doc_id", "dhash")
+        a, b = fp.alias("a"), fp.alias("b")
+        exhaustive = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(F.expr("a.dhash ^ b.dhash")).cast("int").alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+        )
+        want = {(r.id_a, r.id_b): r.h for r in exhaustive.collect()}
+        assert got == want
+        # at least some injected twins are inside the threshold
+        assert any(p[1] - p[0] == 100000 for p in got)
+
+    def test_pil_dhash_path(self, spark):
+        """Real-codec path (skipped in codec-less sandboxes): a flat-color
+        PNG hashes to 0, a left-right gradient sets every comparison bit in
+        a stable pattern, and a re-encode of the same pixels collides."""
+        pytest.importorskip("PIL")
+        import io as _io
+
+        from PIL import Image
+
+        from metaframe_spark.multimodal import image_dhash
+
+        def png(img):
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            return bytearray(buf.getvalue())
+
+        flat = Image.new("L", (32, 32), 128)
+        grad = Image.new("L", (32, 32))
+        grad.putdata([255 - (x * 8) % 256 for y in range(32) for x in range(32)])
+        df = spark.createDataFrame(
+            [
+                (1, png(flat)),
+                (2, png(grad)),
+                (3, png(grad.convert("RGB"))),  # re-encode, same pixels
+                (4, bytearray(b"not an image")),
+            ],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: (r.dhash, r.mode) for r in image_dhash(df).collect()}
+        assert got[1] == (0, "dhash")
+        assert got[2][1] == "dhash" and got[2][0] != 0
+        # mode-converted re-encode of identical pixels: hamming 0 or tiny
+        xor = (got[2][0] ^ got[3][0]) & ((1 << 64) - 1)
+        assert bin(xor).count("1") <= 2
+        assert got[4][1] == "stub"
+
+
 class TestIvf:
     def test_ivf_recall_and_probe_tradeoff(self, spark):
         from metaframe_spark.operators.similarity import ivf_topk
