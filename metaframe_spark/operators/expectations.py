@@ -21,6 +21,10 @@ from typing import Any, Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: anomaly-rule history statistics → the aggregate replayed over the
+#: trailing window (exact percentile / avg — both engine-reproducible)
+_HISTORY_STATS = ("median", "mean")
+
 #: rule types whose violation test is a per-row boolean — all of these
 #: fold into the single aggregation pass
 _ROW_LOCAL = ("not_null", "range", "regex", "in_set", "sql")
@@ -172,4 +176,156 @@ def validate_expectations(
         (F.col("_s.n_violations") == 0).alias("passed"),
         F.col("_s.n_violations").alias("n_violations"),
         F.col("n_rows"),
+    )
+
+
+def _anomaly_label(rule: Dict[str, Any]) -> str:
+    kind = rule["type"]
+    m = rule["metric"]
+    k = int(rule.get("window", 7))
+    if kind == "within_history":
+        tol = float(rule.get("tol", 0.1))
+        stat = rule.get("stat", "median")
+        return f"within_history({m},tol={tol:g},window={k},{stat})"
+    if kind == "within_envelope":
+        side = rule["side"]
+        slack = float(rule.get("slack", 0.0))
+        return f"within_envelope({m},{side},window={k},slack={slack:g})"
+    raise ValueError(f"validate_anomalies: unknown rule type {kind!r}")
+
+
+def validate_anomalies(
+    store: DataFrame,
+    rules: Sequence[Dict[str, Any]],
+    run_col: str = "run",
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Deequ-style ANOMALY detection over a persisted moment-sketch store
+    (:func:`~metaframe_spark.operators.maintenance.moment_sketches` rows,
+    one per (run, group)) — the bridge between :func:`validate_expectations`
+    (absolute rules on one snapshot) and the sketch stores: "is today's
+    run consistent with its own trailing history?", answered WITHOUT
+    rescanning any historical data. The store is the only input; history
+    cost is O(runs × groups) tiny sketch rows.
+
+    Rule dicts (``metric`` names any estimate column the store exposes —
+    ``{col}_count`` / ``{col}_mean`` / ``{col}_std`` / ``{col}_min`` /
+    ``{col}_max``):
+
+    * ``{"type": "within_history", "metric": m, "tol": t, "window": k,
+      "stat": "median"|"mean"}`` — the LATEST run's value must satisfy
+      ``|obs − stat(trailing k runs)| ≤ t·|stat|`` (Deequ's relative
+      rate-of-change strategy; median is robust to a single bad run
+      in-window);
+    * ``{"type": "within_envelope", "metric": m, "side": "upper"|"lower",
+      "window": k, "slack": s}`` — the latest value must not exceed the
+      trailing window's max (+``slack``) / fall below its min (−``slack``)
+      — new-extremes detection (a max outside every previous run's max
+      means the metric's support itself moved).
+
+    Output: one row per (group, rule) —
+    ``(*group_by, run, rule, observed, expected, n_history, passed)``
+    where ``run`` is the group's latest run, ``expected`` the trailing
+    statistic (history median/mean or envelope bound), ``n_history`` how
+    many trailing in-window runs existed, and ``passed`` NULL when
+    ``n_history = 0`` (no history ⇒ no verdict — gate on ``n_history``
+    if a cold store must itself alarm). Observed/expected round to 6
+    decimals (the repo-wide reproducibility idiom; the exact
+    ``percentile`` and plain avg make every verdict replayable in SQL —
+    the q95 oracle does exactly that).
+
+    Plan shape: the estimates are row-local over the already-aggregated
+    store; one rank window orders runs per group and ALL rules fold into
+    a single conditional-aggregation pass over the trailing rows (50
+    rules still make one pass), joined back to the single latest row per
+    group. Each group alarms against its own latest run (a group whose
+    feed stalled yesterday is compared where its history ends — stalls
+    are caught by pairing a ``{col}_count`` rule with run-freshness
+    checks upstream). The store must hold ONE row per (run, group), which
+    is what ``moment_sketches``/``merge_moment_sketches`` emit."""
+    from pyspark.sql import Window
+
+    from .maintenance import moment_estimates
+
+    rules = list(rules)
+    if not rules:
+        raise ValueError("validate_anomalies: rules must be non-empty")
+    keys = list(group_by or [])
+    est = moment_estimates(store, group_by=[run_col, *keys])
+    labels = [_anomaly_label(r) for r in rules]
+    if len(set(labels)) != len(labels):
+        dup = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(f"validate_anomalies: duplicate rules {dup!r}")
+    for r in rules:
+        if r["metric"] not in est.columns:
+            raise ValueError(
+                f"validate_anomalies: metric {r['metric']!r} not in the "
+                f"store's estimates (available: "
+                f"{[c for c in est.columns if c != run_col and c not in keys]!r})"
+            )
+        if int(r.get("window", 7)) < 1:
+            raise ValueError("validate_anomalies: window must be >= 1")
+        if r["type"] == "within_history" and r.get("stat", "median") not in _HISTORY_STATS:
+            raise ValueError(
+                f"validate_anomalies: stat must be one of {_HISTORY_STATS}"
+            )
+        if r["type"] == "within_envelope" and r["side"] not in ("upper", "lower"):
+            raise ValueError("validate_anomalies: side must be upper|lower")
+
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.desc(run_col))
+    ranked = est.withColumn("_rk", F.row_number().over(w))
+    # all rules share one conditional-aggregation pass over trailing rows
+    aggs = []
+    for i, rule in enumerate(rules):
+        m, k = rule["metric"], int(rule.get("window", 7))
+        in_win = f"case when _rk between 2 and {k + 1} then `{m}` end"
+        if rule["type"] == "within_history":
+            fn = (
+                f"percentile({in_win}, 0.5)"
+                if rule.get("stat", "median") == "median"
+                else f"avg({in_win})"
+            )
+        else:
+            fn = f"{'max' if rule['side'] == 'upper' else 'min'}({in_win})"
+        aggs.append(F.expr(fn).cast("double").alias(f"_e_{i}"))
+        aggs.append(F.expr(f"count({in_win})").alias(f"_h_{i}"))
+    hist = ranked.groupBy(*keys).agg(*aggs)
+    latest = ranked.filter(F.col("_rk") == 1).drop("_rk")
+    j = latest.join(hist, keys) if keys else latest.crossJoin(hist)
+
+    items = []
+    for i, rule in enumerate(rules):
+        obs = F.round(F.col(rule["metric"]).cast("double"), 6)
+        nh = F.col(f"_h_{i}")
+        if rule["type"] == "within_history":
+            exp_ = F.round(F.col(f"_e_{i}"), 6)
+            tol = float(rule.get("tol", 0.1))
+            ok = F.abs(obs - exp_) <= F.lit(tol) * F.abs(exp_)
+        else:
+            slack = float(rule.get("slack", 0.0))
+            if rule["side"] == "upper":
+                exp_ = F.round(F.col(f"_e_{i}") + F.lit(slack), 6)
+                ok = obs <= exp_
+            else:
+                exp_ = F.round(F.col(f"_e_{i}") - F.lit(slack), 6)
+                ok = obs >= exp_
+        items.append(
+            F.struct(
+                F.lit(labels[i]).alias("rule"),
+                obs.alias("observed"),
+                exp_.alias("expected"),
+                nh.alias("n_history"),
+                F.when(nh > 0, ok).alias("passed"),
+            )
+        )
+    return j.select(
+        *keys, F.col(run_col), F.explode(F.array(*items)).alias("_s")
+    ).select(
+        *keys,
+        run_col,
+        F.col("_s.rule").alias("rule"),
+        F.col("_s.observed").alias("observed"),
+        F.col("_s.expected").alias("expected"),
+        F.col("_s.n_history").alias("n_history"),
+        F.col("_s.passed").alias("passed"),
     )

@@ -1254,6 +1254,70 @@ def histogram_drift(
     return j.select(*outs)
 
 
+def histogram_drift_from_store(
+    store: DataFrame,
+    run_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    window: int = 1,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Drift of the LATEST run against its own trailing history, straight
+    from a persisted histogram store — the anomaly-detection face of
+    :func:`histogram_drift`: instead of the caller hand-picking two
+    sketch relations, the store (one row per (run, group) with
+    ``{col}_hist`` structs, as :func:`histogram_sketch` writes per run)
+    is ranked by recency per group, the trailing ``window`` runs are
+    folded into one baseline via :func:`merge_histograms` (bin-sum merge
+    is exact, so the baseline equals a histogram over the concatenated
+    trailing data), and PSI + binned KS compare latest-vs-baseline. No
+    raw data is rescanned; cost is O(runs × groups) sketch rows.
+
+    ``window=1`` is day-over-day ("PSI vs previous run", the classic
+    monitor); ``window=7`` is day-vs-trailing-week, robust to one odd
+    day in the baseline. Output: per group, the group's latest run
+    value as ``run_col``, ``n_runs_baseline`` (how many trailing runs
+    existed, ≤ window), and ``histogram_drift``'s ``{col}_psi/ks/n_a/
+    n_b`` columns (a = latest, b = merged baseline). Groups with NO
+    trailing runs drop out (inner join — drift against nothing is
+    undefined; a cold group alarms via the expectations tier, not
+    here). Each group compares against its own latest run, matching
+    :func:`~metaframe_spark.operators.expectations.validate_anomalies`.
+    Mismatched bin specs across runs raise at execution (inherited from
+    ``merge_histograms``/``histogram_drift``)."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("histogram_drift_from_store: window must be >= 1")
+    keys = list(group_by or [])
+    hcols = [c for c in store.columns if c.endswith("_hist")]
+    if not hcols:
+        raise ValueError(
+            "histogram_drift_from_store: no *_hist columns in store "
+            f"(columns: {store.columns!r})"
+        )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.desc(run_col))
+    ranked = store.withColumn("_rk", F.row_number().over(w))
+    latest = ranked.filter(F.col("_rk") == 1).select(*keys, run_col, *hcols)
+    trailing = ranked.filter(
+        (F.col("_rk") >= 2) & (F.col("_rk") <= window + 1)
+    )
+    baseline = merge_histograms(
+        trailing.select(*keys, *hcols), group_by=keys
+    )
+    n_base = trailing.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_runs_baseline")
+    )
+    d = histogram_drift(
+        latest.drop(run_col), baseline, group_by=keys, epsilon=epsilon
+    )
+    meta = latest.select(*keys, run_col)
+    if keys:
+        out = meta.join(n_base, keys).join(d, keys)
+    else:
+        out = meta.crossJoin(n_base).crossJoin(d)
+    return out
+
+
 def compact_files(
     spark,
     src_path: str,

@@ -5419,6 +5419,194 @@ def q94_bottomk_sample(spark, sf):
     )
 
 
+@query(
+    "q95_anomaly_rules",
+    "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
+    "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
+    "e AS (SELECT event_type, run_day, CAST(count(cents) AS BIGINT) AS cnt, "
+    "  round(CAST(SUM(CAST(cents AS DECIMAL(28,6))) AS DOUBLE) / count(cents), 6) AS mean, "
+    "  min(cents) AS mn, max(cents) AS mx FROM v GROUP BY 1, 2), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "  ORDER BY run_day DESC) AS rk FROM e), "
+    "h AS (SELECT event_type, "
+    "  quantile_cont(CASE WHEN rk BETWEEN 2 AND 8 THEN CAST(cnt AS DOUBLE) END, 0.5) AS med_cnt, "
+    "  count(CASE WHEN rk BETWEEN 2 AND 8 THEN cnt END) AS h_cnt, "
+    "  quantile_cont(CASE WHEN rk BETWEEN 2 AND 8 THEN mean END, 0.5) AS med_mean, "
+    "  count(CASE WHEN rk BETWEEN 2 AND 8 THEN mean END) AS h_mean, "
+    "  max(CASE WHEN rk BETWEEN 2 AND 8 THEN mx END) AS env_mx, "
+    "  count(CASE WHEN rk BETWEEN 2 AND 8 THEN mx END) AS h_mx, "
+    "  min(CASE WHEN rk BETWEEN 2 AND 8 THEN mn END) AS env_mn, "
+    "  count(CASE WHEN rk BETWEEN 2 AND 8 THEN mn END) AS h_mn "
+    "  FROM r GROUP BY 1), "
+    "l AS (SELECT *, strftime(run_day, '%Y-%m-%d') AS run_day_s FROM r WHERE rk = 1) "
+    "SELECT l.event_type, l.run_day_s AS run_day, "
+    "'within_history(cents_count,tol=0.5,window=7,median)' AS rule, "
+    "round(CAST(cnt AS DOUBLE), 6) AS observed, round(med_cnt, 6) AS expected, "
+    "CAST(h_cnt AS BIGINT) AS n_history, "
+    "CASE WHEN h_cnt > 0 THEN abs(round(CAST(cnt AS DOUBLE), 6) - round(med_cnt, 6)) "
+    "  <= 0.5 * abs(round(med_cnt, 6)) END AS passed "
+    "FROM l JOIN h USING (event_type) "
+    "UNION ALL SELECT l.event_type, l.run_day_s, "
+    "'within_history(cents_mean,tol=0.1,window=7,median)', "
+    "round(mean, 6), round(med_mean, 6), CAST(h_mean AS BIGINT), "
+    "CASE WHEN h_mean > 0 THEN abs(round(mean, 6) - round(med_mean, 6)) "
+    "  <= 0.1 * abs(round(med_mean, 6)) END "
+    "FROM l JOIN h USING (event_type) "
+    "UNION ALL SELECT l.event_type, l.run_day_s, "
+    "'within_envelope(cents_max,upper,window=7,slack=0)', "
+    "round(mx, 6), round(env_mx + 0.0, 6), CAST(h_mx AS BIGINT), "
+    "CASE WHEN h_mx > 0 THEN round(mx, 6) <= round(env_mx + 0.0, 6) END "
+    "FROM l JOIN h USING (event_type) "
+    "UNION ALL SELECT l.event_type, l.run_day_s, "
+    "'within_envelope(cents_min,lower,window=7,slack=0)', "
+    "round(mn, 6), round(env_mn - 0.0, 6), CAST(h_mn AS BIGINT), "
+    "CASE WHEN h_mn > 0 THEN round(mn, 6) >= round(env_mn - 0.0, 6) END "
+    "FROM l JOIN h USING (event_type)",
+)
+def q95_anomaly_rules(spark, sf):
+    """Anomaly rules over the persisted moment-sketch store
+    (operators/expectations.py::validate_anomalies — Deequ's
+    anomaly-detection face, r10 verdict next-#4): a per-day moments
+    store over events (one tiny row per (day, event_type)) is the ONLY
+    input; each type's LATEST day is judged against its own trailing
+    7-day history — row count and mean within a relative band of the
+    trailing median (the rate-of-change strategy), max/min inside the
+    trailing envelope (new-extremes detection) — without rescanning any
+    raw history. All four rules fold into ONE conditional-aggregation
+    pass over the ranked store rows. The metric is floor(value·100)
+    ('cents', the q90 idiom) and the store sums are decimal-exact, so
+    the oracle recomputes every estimate, the exact interpolated median
+    (quantile_cont ≡ Spark percentile), both rounded bounds, and every
+    pass/fail verdict — labels, observed, expected, n_history AND
+    booleans hash-match."""
+    from .operators.expectations import validate_anomalies
+    from .operators.maintenance import moment_sketches
+
+    ev = load_table(spark, sf, "events").to_spark().select(
+        "event_type",
+        F.to_date("ts").alias("run_day"),
+        (F.floor(F.col("value") * 100)).cast("double").alias("cents"),
+    )
+    store = moment_sketches(ev, ["cents"], group_by=["run_day", "event_type"])
+    rules = [
+        {
+            "type": "within_history",
+            "metric": "cents_count",
+            "tol": 0.5,
+            "window": 7,
+            "stat": "median",
+        },
+        {
+            "type": "within_history",
+            "metric": "cents_mean",
+            "tol": 0.1,
+            "window": 7,
+            "stat": "median",
+        },
+        {
+            "type": "within_envelope",
+            "metric": "cents_max",
+            "side": "upper",
+            "window": 7,
+            "slack": 0,
+        },
+        {
+            "type": "within_envelope",
+            "metric": "cents_min",
+            "side": "lower",
+            "window": 7,
+            "slack": 0,
+        },
+    ]
+    out = validate_anomalies(
+        store, rules, run_col="run_day", group_by=["event_type"]
+    )
+    # dates travel as strings (the repo-wide oracle idiom: the harness
+    # normalizes DuckDB dates to midnight timestamps otherwise)
+    return out.withColumn("run_day", F.date_format("run_day", "yyyy-MM-dd"))
+
+
+@query(
+    "q96_drift_from_store",
+    "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
+    "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
+    "r AS (SELECT event_type, run_day, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY run_day DESC) AS rk "
+    "  FROM (SELECT DISTINCT event_type, run_day FROM v)), "
+    "b AS (SELECT v.event_type, CASE WHEN r.rk = 1 THEN 0 ELSE 1 END AS side, "
+    "  LEAST(CAST(FLOOR(v.cents / 2000.0) AS INT), 49) AS bin "
+    "  FROM v JOIN r USING (event_type, run_day) "
+    "  WHERE r.rk <= 8 AND v.cents >= 0 AND v.cents <= 100000), "
+    "spine AS (SELECT DISTINCT event_type FROM b), "
+    "bins AS (SELECT event_type, side, CAST(i AS INT) AS bin FROM spine "
+    "  CROSS JOIN range(2) s(side) CROSS JOIN range(50) g(i)), "
+    "cnt AS (SELECT event_type, side, bin, count(*) AS c FROM b GROUP BY 1, 2, 3), "
+    "arr AS (SELECT bins.event_type, bins.side, "
+    "  list(coalesce(cnt.c, 0) ORDER BY bins.bin) AS counts "
+    "  FROM bins LEFT JOIN cnt ON bins.event_type = cnt.event_type "
+    "  AND bins.side = cnt.side AND bins.bin = cnt.bin GROUP BY 1, 2), "
+    "w AS (SELECT a.event_type, a.counts AS ca, b2.counts AS cb FROM arr a "
+    "  JOIN arr b2 ON a.event_type = b2.event_type "
+    "  WHERE a.side = 0 AND b2.side = 1), "
+    "t AS (SELECT event_type, ca, cb, list_sum(ca) AS na, list_sum(cb) AS nb FROM w), "
+    "meta AS (SELECT event_type, max(run_day) AS run_day FROM v GROUP BY 1), "
+    "nbase AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs_baseline "
+    "  FROM r WHERE rk BETWEEN 2 AND 8 GROUP BY 1) "
+    "SELECT t.event_type, strftime(meta.run_day, '%Y-%m-%d') AS run_day, nbase.n_runs_baseline, "
+    "round(list_sum(list_transform(range(1, 51), i -> "
+    "  (GREATEST(ca[i] / CAST(na AS DOUBLE), 1e-6) "
+    "   - GREATEST(cb[i] / CAST(nb AS DOUBLE), 1e-6)) "
+    "  * ln(GREATEST(ca[i] / CAST(na AS DOUBLE), 1e-6) "
+    "       / GREATEST(cb[i] / CAST(nb AS DOUBLE), 1e-6)))), 6) AS psi, "
+    "round(list_aggregate(list_transform(range(1, 51), i -> "
+    "  abs(list_sum(ca[1:i]) / CAST(na AS DOUBLE) "
+    "      - list_sum(cb[1:i]) / CAST(nb AS DOUBLE))), 'max'), 6) AS ks, "
+    "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b "
+    "FROM t JOIN meta ON t.event_type = meta.event_type "
+    "JOIN nbase ON t.event_type = nbase.event_type",
+)
+def q96_drift_from_store(spark, sf):
+    """Latest-vs-history drift straight from a persisted histogram store
+    (operators/maintenance.py::histogram_drift_from_store — the
+    anomaly-detection face of q92's histogram_drift): a per-day 50-bin
+    cents histogram store over events is ranked by recency per
+    event_type, the trailing 7 runs are folded into ONE baseline via the
+    exact bin-sum merge (provably equal to a histogram over the
+    concatenated trailing days — which is exactly how the oracle builds
+    side 1), and PSI + binned KS compare each type's latest day against
+    its own trailing week. No raw data is rescanned; the monitor's cost
+    is O(runs × groups) sketch rows. The oracle rebuilds the identical
+    dense bin arrays from the raw events, replays the same smoothed
+    proportion / ln-ratio / cumulative-walk arithmetic in ascending bin
+    order, and hash-matches psi, ks, both in-range counts, the latest
+    run day AND the baseline run count."""
+    from .operators.maintenance import (
+        histogram_drift_from_store,
+        histogram_sketch,
+    )
+
+    ev = load_table(spark, sf, "events").to_spark().select(
+        "event_type",
+        F.to_date("ts").alias("run_day"),
+        (F.floor(F.col("value") * 100)).cast("double").alias("cents"),
+    )
+    store = histogram_sketch(
+        ev, "cents", 0.0, 100000.0, 50, group_by=["run_day", "event_type"]
+    )
+    d = histogram_drift_from_store(
+        store, "run_day", group_by=["event_type"], window=7
+    )
+    return d.select(
+        "event_type",
+        F.date_format("run_day", "yyyy-MM-dd").alias("run_day"),
+        "n_runs_baseline",
+        F.col("cents_psi").alias("psi"),
+        F.col("cents_ks").alias("ks"),
+        F.col("cents_n_a").alias("n_a"),
+        F.col("cents_n_b").alias("n_b"),
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys

@@ -141,3 +141,186 @@ class TestValidateExpectations:
         assert r["rule"] == "sql(name != 'zz')"
         # NULL name fails the predicate (NOT coalesced to violation)
         assert (r["passed"], r["n_violations"]) == (False, 1)
+
+
+class TestValidateAnomalies:
+    """validate_anomalies: anomaly rules over a persisted moment-sketch
+    store — latest run vs its own trailing history, no raw-data rescan."""
+
+    def _store(self, spark, rows):
+        from metaframe_spark.operators.maintenance import moment_sketches
+
+        df = spark.createDataFrame(rows, "g string, run int, x double")
+        return moment_sketches(df, ["x"], group_by=["run", "g"])
+
+    def test_history_and_envelope_verdicts(self, spark):
+        from metaframe_spark.operators.expectations import validate_anomalies
+
+        # group a: 7 steady runs at 10.0, then the latest jumps to 20.0 —
+        # the relative-band rule must fail, the lower envelope must pass,
+        # the upper envelope must fail (a brand-new maximum)
+        rows = [("a", r, 10.0) for r in range(1, 8)] + [("a", 8, 20.0)]
+        store = self._store(spark, rows)
+        rules = [
+            {"type": "within_history", "metric": "x_mean", "tol": 0.5,
+             "window": 7, "stat": "median"},
+            {"type": "within_history", "metric": "x_count", "tol": 0.5,
+             "window": 7, "stat": "median"},
+            {"type": "within_envelope", "metric": "x_max", "side": "upper",
+             "window": 7},
+            {"type": "within_envelope", "metric": "x_min", "side": "lower",
+             "window": 7},
+        ]
+        got = {
+            r["rule"]: r
+            for r in validate_anomalies(
+                store, rules, run_col="run", group_by=["g"]
+            ).collect()
+        }
+        assert len(got) == 4
+        m = got["within_history(x_mean,tol=0.5,window=7,median)"]
+        assert (m["run"], m["observed"], m["expected"], m["n_history"]) == (
+            8, 20.0, 10.0, 7,
+        )
+        assert m["passed"] is False  # |20-10| > 0.5*10
+        c = got["within_history(x_count,tol=0.5,window=7,median)"]
+        assert (c["observed"], c["expected"], c["passed"]) == (1.0, 1.0, True)
+        up = got["within_envelope(x_max,upper,window=7,slack=0)"]
+        assert (up["observed"], up["expected"], up["passed"]) == (
+            20.0, 10.0, False,
+        )
+        lo = got["within_envelope(x_min,lower,window=7,slack=0)"]
+        assert (lo["observed"], lo["expected"], lo["passed"]) == (
+            20.0, 10.0, True,
+        )
+
+    def test_median_robust_to_outlier_and_window_bounds(self, spark):
+        from metaframe_spark.operators.expectations import validate_anomalies
+
+        # runs 1..5, latest value 5; window=3 covers runs 2..4 = [6,5,100]:
+        # the in-window median (6) shrugs off the 100-outlier run, and run 1
+        # (value 1000, OUTSIDE the window) must not contaminate anything
+        rows = [("b", 1, 1000.0), ("b", 2, 6.0), ("b", 3, 5.0),
+                ("b", 4, 100.0), ("b", 5, 5.0)]
+        store = self._store(spark, rows)
+        [r] = validate_anomalies(
+            store,
+            [{"type": "within_history", "metric": "x_mean", "tol": 0.5,
+              "window": 3, "stat": "median"}],
+            run_col="run",
+            group_by=["g"],
+        ).collect()
+        assert (r["observed"], r["expected"], r["n_history"]) == (5.0, 6.0, 3)
+        assert r["passed"] is True  # |5-6| <= 0.5*6
+        # stat="mean" over the same window: (6+5+100)/3 = 37.0
+        [r2] = validate_anomalies(
+            store,
+            [{"type": "within_history", "metric": "x_mean", "tol": 0.5,
+              "window": 3, "stat": "mean"}],
+            run_col="run",
+            group_by=["g"],
+        ).collect()
+        assert (r2["expected"], r2["passed"]) == (37.0, False)
+        # even trailing count interpolates the exact percentile midpoint
+        [r3] = validate_anomalies(
+            store,
+            [{"type": "within_history", "metric": "x_mean", "tol": 10.0,
+              "window": 2, "stat": "median"}],
+            run_col="run",
+            group_by=["g"],
+        ).collect()
+        assert r3["expected"] == 52.5  # midpoint of [5, 100]
+
+    def test_groups_judged_at_their_own_latest_and_cold_store(self, spark):
+        from metaframe_spark.operators.expectations import validate_anomalies
+
+        # group a ends at run 9, group b at run 4, group c has ONE run:
+        # each is judged at its own latest; c gets a NULL verdict
+        rows = (
+            [("a", r, 10.0) for r in range(1, 10)]
+            + [("b", r, 7.0) for r in range(1, 5)]
+            + [("c", 1, 3.0)]
+        )
+        store = self._store(spark, rows)
+        got = {
+            r["g"]: r
+            for r in validate_anomalies(
+                store,
+                [{"type": "within_history", "metric": "x_mean", "tol": 0.1,
+                  "window": 7, "stat": "median"}],
+                run_col="run",
+                group_by=["g"],
+            ).collect()
+        }
+        assert (got["a"]["run"], got["a"]["n_history"], got["a"]["passed"]) == (
+            9, 7, True,
+        )
+        assert (got["b"]["run"], got["b"]["n_history"], got["b"]["passed"]) == (
+            4, 3, True,
+        )
+        assert got["c"]["run"] == 1
+        assert got["c"]["n_history"] == 0
+        assert got["c"]["expected"] is None
+        assert got["c"]["passed"] is None  # no history => no verdict
+
+    def test_no_group_by_global_store(self, spark):
+        from metaframe_spark.operators.expectations import validate_anomalies
+        from metaframe_spark.operators.maintenance import moment_sketches
+
+        df = spark.createDataFrame(
+            [(r, float(r % 3)) for r in range(1, 9)], "run int, x double"
+        )
+        store = moment_sketches(df, ["x"], group_by=["run"])
+        [r] = validate_anomalies(
+            store,
+            [{"type": "within_envelope", "metric": "x_max", "side": "upper",
+              "window": 7}],
+            run_col="run",
+        ).collect()
+        assert (r["run"], r["n_history"]) == (8, 7)
+        assert (r["observed"], r["expected"], r["passed"]) == (2.0, 2.0, True)
+
+    def test_validation_errors(self, spark):
+        from metaframe_spark.operators.expectations import validate_anomalies
+
+        store = self._store(spark, [("a", 1, 1.0), ("a", 2, 2.0)])
+        with pytest.raises(ValueError, match="non-empty"):
+            validate_anomalies(store, [], run_col="run", group_by=["g"])
+        with pytest.raises(ValueError, match="not in the store"):
+            validate_anomalies(
+                store,
+                [{"type": "within_history", "metric": "y_mean"}],
+                run_col="run", group_by=["g"],
+            )
+        with pytest.raises(ValueError, match="stat"):
+            validate_anomalies(
+                store,
+                [{"type": "within_history", "metric": "x_mean",
+                  "stat": "mode"}],
+                run_col="run", group_by=["g"],
+            )
+        with pytest.raises(ValueError, match="upper|lower"):
+            validate_anomalies(
+                store,
+                [{"type": "within_envelope", "metric": "x_max",
+                  "side": "sideways"}],
+                run_col="run", group_by=["g"],
+            )
+        with pytest.raises(ValueError, match="window"):
+            validate_anomalies(
+                store,
+                [{"type": "within_history", "metric": "x_mean", "window": 0}],
+                run_col="run", group_by=["g"],
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            validate_anomalies(
+                store,
+                [{"type": "within_history", "metric": "x_mean"}] * 2,
+                run_col="run", group_by=["g"],
+            )
+        with pytest.raises(ValueError, match="unknown rule type"):
+            validate_anomalies(
+                store,
+                [{"type": "psi", "metric": "x_mean"}],
+                run_col="run", group_by=["g"],
+            )

@@ -1339,3 +1339,131 @@ class TestBottomkSampleSketch:
         )
         got = bottomk_sample_sketch(withnull, "id", 100, group_by=["g"])
         assert got.filter(F.col("id").isNull()).count() == 0
+
+
+class TestHistogramDriftFromStore:
+    """histogram_drift_from_store: latest-vs-trailing-window drift from a
+    persisted per-run histogram store — no raw-data rescan."""
+
+    def _store(self, spark, runs):
+        """runs: {run: {g: [values]}} -> per-run histogram store rows."""
+        from metaframe_spark.operators.maintenance import histogram_sketch
+
+        df = spark.createDataFrame(
+            [
+                (run, g, float(v))
+                for run, groups in runs.items()
+                for g, vals in groups.items()
+                for v in vals
+            ],
+            "run int, g string, x double",
+        )
+        return histogram_sketch(df, "x", 0.0, 10.0, 5, group_by=["run", "g"])
+
+    def test_window_one_equals_direct_previous_drift(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_drift,
+            histogram_drift_from_store,
+            histogram_sketch,
+        )
+
+        runs = {
+            1: {"a": [0.5] * 5},
+            2: {"a": [0.5] * 10 + [2.5] * 10},
+            3: {"a": [0.5] * 15 + [2.5] * 5},
+        }
+        store = self._store(spark, runs)
+        [got] = histogram_drift_from_store(
+            store, "run", group_by=["g"], window=1
+        ).collect()
+        mk = lambda vals: histogram_sketch(
+            spark.createDataFrame([("a", float(v)) for v in vals], "g string, x double"),
+            "x", 0.0, 10.0, 5, group_by=["g"],
+        )
+        [want] = histogram_drift(
+            mk(runs[3]["a"]), mk(runs[2]["a"]), group_by=["g"]
+        ).collect()
+        assert (got["run"], got["n_runs_baseline"]) == (3, 1)
+        for c in ("x_psi", "x_ks", "x_n_a", "x_n_b"):
+            assert got[c] == want[c], c
+
+    def test_windowed_baseline_equals_concatenated_history(self, spark):
+        """Bin-sum merge exactness: the window=2 baseline must equal one
+        histogram over the trailing runs' concatenated raw values — and
+        run 1, outside the window, must not contaminate it."""
+        from metaframe_spark.operators.maintenance import (
+            histogram_drift,
+            histogram_drift_from_store,
+            histogram_sketch,
+        )
+
+        runs = {
+            1: {"a": [8.5] * 100},  # outside window=2 — must be ignored
+            2: {"a": [0.5] * 4 + [4.5] * 2},
+            3: {"a": [2.5] * 6},
+            4: {"a": [0.5] * 3 + [2.5] * 3},
+        }
+        store = self._store(spark, runs)
+        [got] = histogram_drift_from_store(
+            store, "run", group_by=["g"], window=2
+        ).collect()
+        mk = lambda vals: histogram_sketch(
+            spark.createDataFrame([("a", float(v)) for v in vals], "g string, x double"),
+            "x", 0.0, 10.0, 5, group_by=["g"],
+        )
+        [want] = histogram_drift(
+            mk(runs[4]["a"]), mk(runs[2]["a"] + runs[3]["a"]), group_by=["g"]
+        ).collect()
+        assert (got["run"], got["n_runs_baseline"]) == (4, 2)
+        for c in ("x_psi", "x_ks", "x_n_a", "x_n_b"):
+            assert got[c] == want[c], c
+        assert got["x_n_b"] == 12  # 6+6, NOT 112 — run 1 excluded
+
+    def test_groups_judged_at_own_latest_and_cold_groups_drop(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_drift_from_store,
+        )
+
+        runs = {
+            1: {"a": [0.5] * 5, "b": [2.5] * 4, "c": [4.5] * 3},
+            2: {"a": [0.5] * 5, "b": [2.5] * 4},
+            3: {"a": [0.5] * 5},
+        }
+        store = self._store(spark, runs)
+        got = {
+            r["g"]: r
+            for r in histogram_drift_from_store(
+                store, "run", group_by=["g"], window=7
+            ).collect()
+        }
+        # a's latest is run 3 (2 baseline runs), b's is run 2 (1 baseline);
+        # c has a single run -> no baseline -> dropped
+        assert set(got) == {"a", "b"}
+        assert (got["a"]["run"], got["a"]["n_runs_baseline"]) == (3, 2)
+        assert (got["b"]["run"], got["b"]["n_runs_baseline"]) == (2, 1)
+        assert got["a"]["x_psi"] == 0.0  # identical runs: zero drift
+
+    def test_validation_and_mismatched_specs(self, spark):
+        import pytest as _pytest
+
+        from metaframe_spark.operators.maintenance import (
+            histogram_drift_from_store,
+            histogram_sketch,
+        )
+
+        store = self._store(spark, {1: {"a": [0.5]}, 2: {"a": [0.5]}})
+        with _pytest.raises(ValueError, match="window"):
+            histogram_drift_from_store(store, "run", group_by=["g"], window=0)
+        with _pytest.raises(ValueError, match="_hist"):
+            histogram_drift_from_store(
+                spark.createDataFrame([(1,)], "run int"), "run"
+            )
+        # two runs sketched with DIFFERENT bin specs: the merge/compare
+        # must raise at execution, not misalign bins
+        df1 = spark.createDataFrame([("a", 1, 0.5)], "g string, run int, x double")
+        df2 = spark.createDataFrame([("a", 2, 0.5)], "g string, run int, x double")
+        bad = histogram_sketch(df1, "x", 0.0, 10.0, 5, group_by=["run", "g"]).unionByName(
+            histogram_sketch(df2, "x", 0.0, 20.0, 5, group_by=["run", "g"])
+        )
+        with _pytest.raises(Exception, match="mismatched bin specs"):
+            histogram_drift_from_store(bad, "run", group_by=["g"]).collect()
