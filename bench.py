@@ -263,6 +263,16 @@ def main() -> int:
         except OSError as exc:  # stdout line is still the contract
             print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
+    # The driver keeps only the LAST ~2000 chars of stdout, so the big
+    # line's head (metric/value/summary) falls out of BENCH_r{N}.json when
+    # the catalog is large (r10 verdict next-#8). A compact second line
+    # AFTER the dict puts the headline facts inside that tail window —
+    # and being last and small, it parses even when the big line clips.
+    tail_line = {"metric": out["metric"], "value": total, "unit": "sec",
+                 "sf": sf_val, "cpus": cpus, "n_queries": len(times)}
+    if ratios:
+        tail_line["vs_raw_pyspark_summary"] = out["vs_raw_pyspark_summary"]
+    print(json.dumps(tail_line))
     return 0
 
 
