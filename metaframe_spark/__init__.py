@@ -52,6 +52,10 @@ _EXPORTS = {
         "metaframe_spark.streaming",
         "stream_neardup_dedup",
     ),
+    "stream_ivf_append": (
+        "metaframe_spark.streaming",
+        "stream_ivf_append",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

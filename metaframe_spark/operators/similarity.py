@@ -776,6 +776,25 @@ def append_ivf_corpus(
     brute-force top-k over the unioned corpus (the ``llm_ivf_append``
     oracle proves this hash-exactly), and at partial probe the recall
     story is unchanged because the cell space is unchanged."""
+    assigned = _prepare_ivf_delta(spark, corpus_path, new_corpus, vec_col, format)
+    assigned.write.mode("append").partitionBy("cell").format(format).save(
+        corpus_path
+    )
+
+
+def _prepare_ivf_delta(
+    spark,
+    corpus_path: str,
+    new_corpus: DataFrame,
+    vec_col: str = "embedding",
+    format: str = "parquet",
+) -> DataFrame:
+    """The validated, cell-assigned (and stored-bounds-encoded, for
+    quantized layouts) delta relation behind :func:`append_ivf_corpus` —
+    shared with the streaming maintainer
+    (:func:`~metaframe_spark.streaming.stream_ivf_append`), which stages
+    the same relation and moves files instead of a direct append so
+    replays stay exactly-once."""
     index_path = corpus_path.rstrip("/") + "/_ivf_index"
     try:
         centroids = read_ivf_index(spark, index_path, format=format)
@@ -851,9 +870,7 @@ def append_ivf_corpus(
             "float vectors would mix code and float spaces; restore the "
             "bounds relation or rewrite the layout"
         )
-    assigned.write.mode("append").partitionBy("cell").format(format).save(
-        corpus_path
-    )
+    return assigned
 
 
 def ivf_topk_stored(

@@ -585,6 +585,119 @@ def stream_term_sketches(
     )
 
 
+def stream_ivf_append(
+    stream,
+    corpus_path: str,
+    vec_col: str = "embedding",
+    format: str = "parquet",
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuous ingest into a cell-partitioned IVF serving corpus —
+    the streaming face of
+    :func:`~metaframe_spark.operators.similarity.append_ivf_corpus`
+    (r10 verdict next-#5): each micro-batch is assigned with the
+    layout's own co-persisted centroids and encoded with its stored SQ
+    bounds (never refit — the same delta relation the batch append
+    builds, via the shared ``_prepare_ivf_delta``), and its per-cell
+    files land in the corpus. A probe (:func:`ivf_topk_stored`) at any
+    moment sees everything ingested so far.
+
+    Exactly-once without a store rewrite: a plain ``mode("append")``
+    would duplicate vectors when Structured Streaming replays a batch
+    (at-least-once delivery), and the swap protocol the sketch stores
+    use would rewrite the WHOLE corpus per batch — wrong cost shape for
+    a serving store that only grows. Instead each batch commits in
+    three idempotent steps:
+
+    1. the delta is staged to ``{corpus}/_ingest_staging_{batch_id}``
+       (underscore-hidden from the corpus scan; ``_SUCCESS`` marks the
+       staged write complete — a crash mid-write leaves no marker and
+       the retry rebuilds the stage from scratch);
+    2. every staged ``cell=N`` data file is RENAMED into the corpus's
+       ``cell=N`` directory under the batch-unique name
+       ``ingest{batch_id}_{filename}`` — renames are atomic per file,
+       and a file is in exactly one of (staging, corpus), so a crash
+       mid-move resumes by moving whatever still remains in staging;
+    3. an empty marker file ``{corpus}/_ingest_marks/batch-{id}`` is
+       created LAST — the high-water mark. A replayed
+       ``batch_id <= max(marks)`` is skipped entirely; a batch whose
+       marker is missing re-enters at whichever step its on-disk state
+       says (complete staging → resume moves; no staging → recompute).
+
+    The corpus must already exist (created by ``write_ivf_corpus``) —
+    streaming into a path with no co-persisted index is refused by the
+    shared validation, exactly like the batch append. One corpus, one
+    checkpoint: a fresh checkpoint restarts batch ids at 0 and is
+    skipped against an old corpus's marks (same contract as the sketch
+    stores). Returns the started ``StreamingQuery`` (availableNow)."""
+    from ..operators.similarity import _prepare_ivf_delta
+
+    root = corpus_path.rstrip("/")
+    marks_dir = root + "/_ingest_marks"
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        fs, P = _hadoop_fs(spark, corpus_path)
+        # high-water check: marker files are the committed-batch record
+        last = -1
+        if fs.exists(P(marks_dir)):
+            for st in fs.listStatus(P(marks_dir)):
+                name = st.getPath().getName()
+                if name.startswith("batch-"):
+                    last = max(last, int(name[len("batch-"):]))
+        if batch_id <= last:
+            return  # replayed batch: its files are already in the corpus
+        staging = root + f"/_ingest_staging_{batch_id}"
+        if not _staged_write_complete(fs, P, staging):
+            # no complete stage for this id — (re)build it from the batch
+            if fs.exists(P(staging)):
+                fs.delete(P(staging), True)  # partial write: start over
+            delta = _prepare_ivf_delta(
+                spark, corpus_path, batch_df, vec_col=vec_col, format=format
+            )
+            delta.write.mode("overwrite").partitionBy("cell").format(
+                format
+            ).save(staging)
+        # move staged per-cell files into the corpus; names are
+        # batch-unique so they can never collide with base files or other
+        # batches', and rename-atomicity makes a resumed move safe
+        for cell_st in fs.listStatus(P(staging)):
+            cell_name = cell_st.getPath().getName()
+            if not cell_name.startswith("cell="):
+                continue
+            dest_dir = P(root + "/" + cell_name)
+            if not fs.exists(dest_dir) and not fs.mkdirs(dest_dir):
+                raise RuntimeError(
+                    f"ivf ingest batch {batch_id}: cannot create {dest_dir}"
+                )
+            for f_st in fs.listStatus(cell_st.getPath()):
+                fname = f_st.getPath().getName()
+                if fname.startswith("_") or fname.startswith("."):
+                    continue
+                dest = P(
+                    root + f"/{cell_name}/ingest{batch_id}_{fname}"
+                )
+                if not fs.rename(f_st.getPath(), dest):
+                    raise RuntimeError(
+                        f"ivf ingest batch {batch_id}: failed to move "
+                        f"{f_st.getPath()} -> {dest}"
+                    )
+        # commit: marker LAST, then drop the now-empty staging skeleton
+        if not fs.exists(P(marks_dir)) and not fs.mkdirs(P(marks_dir)):
+            raise RuntimeError(
+                f"ivf ingest batch {batch_id}: cannot create {marks_dir}"
+            )
+        fs.create(P(marks_dir + f"/batch-{batch_id}"), True).close()
+        fs.delete(P(staging), True)
+
+    writer = (
+        stream.to_spark() if isinstance(stream, MetaFrame) else stream
+    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_neardup_dedup(
     stream,
     store_path: str,

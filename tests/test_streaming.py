@@ -847,3 +847,196 @@ class TestStreamNeardupDedup:
         # 21 near-matches doc 5 from two batches ago; 22 is too short to
         # shingle (documented caveat) and passes through
         assert surv3 == surv | {22}
+
+
+class TestStreamIvfAppend:
+    """stream_ivf_append: continuous ingest into a cell-partitioned IVF
+    corpus — probe-after-stream == batch append, replays are no-ops, a
+    crashed-mid-move batch resumes from its staged files."""
+
+    def _setup(self, spark, tmp_path, quantize_bits=None):
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") % 4 != 0)
+        cent = fit_sampled_centroids(base, 8, seed=3, order_col="vec_id")
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(base, cent, path, quantize_bits=quantize_bits)
+        return emb, base, cent, path
+
+    def _drain(self, spark, src, schema, path, ckpt):
+        from metaframe_spark.streaming import stream_ivf_append
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_ivf_append(stream, path, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_stream_equals_batch_append_and_replay_noop(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            ivf_topk,
+            ivf_topk_stored,
+        )
+        from metaframe_spark.operators import brute_force_topk
+
+        emb, base, cent, path = self._setup(spark, tmp_path)
+        # two delta micro-batches covering the held-out quarter
+        d1 = emb.filter(F.col("vec_id") % 8 == 0)
+        d2 = emb.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 != 0))
+        src = str(tmp_path / "src")
+        d1.coalesce(1).write.parquet(src + "/f1")
+        d2.coalesce(1).write.parquet(src + "/f2")
+        self._drain(spark, src, d1.schema, path, str(tmp_path / "ckpt"))
+        # probe-after-stream == in-line path over the FULL union with the
+        # stored centroids (partial probe), and exact at full probe
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        got = sorted(map(tuple, ivf_topk_stored(
+            spark, path, q, k=5, n_probe=3
+        ).collect()))
+        want = sorted(map(tuple, ivf_topk(
+            emb, q, k=5, n_probe=3, centroids=cent
+        ).collect()))
+        assert got == want
+        exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+        full = {(r.q_id, r.vec_id) for r in ivf_topk_stored(
+            spark, path, q, k=5, n_probe=8
+        ).collect()}
+        assert full == exact
+        n_total = spark.read.parquet(path).count()
+        assert n_total == emb.count()
+        # full replay on a fresh checkpoint: batch ids restart at 0, both
+        # marked committed -> skipped; corpus byte-count stable
+        self._drain(spark, src, d1.schema, path, str(tmp_path / "ckpt_replay"))
+        assert spark.read.parquet(path).count() == n_total
+        # continuation on the ORIGINAL checkpoint: a third file is batch 2
+        extra = emb.filter(F.col("vec_id") < 0)  # empty batch is fine too
+        extra.write.parquet(src + "/f3")
+        self._drain(spark, src, d1.schema, path, str(tmp_path / "ckpt"))
+        assert spark.read.parquet(path).count() == n_total
+
+    def test_quantized_stream_uses_stored_bounds(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            _sq_encode_expr,
+            ivf_topk_stored,
+        )
+
+        emb, base, cent, path = self._setup(spark, tmp_path, quantize_bits=8)
+        bounds_before = sorted(
+            map(tuple, spark.read.parquet(path + "/_sq_bounds").collect())
+        )
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        src = str(tmp_path / "src")
+        delta.coalesce(1).write.parquet(src + "/f1")
+        self._drain(spark, src, delta.schema, path, str(tmp_path / "ckpt"))
+        # bounds untouched; streamed rows coded with the STORED bounds
+        assert sorted(
+            map(tuple, spark.read.parquet(path + "/_sq_bounds").collect())
+        ) == bounds_before
+        mins, spans = [0.0] * 64, [1.0] * 64
+        for r in spark.read.parquet(path + "/_sq_bounds").collect():
+            mins[r["pos"]], spans[r["pos"]] = r["mn"], r["span"]
+        want = {
+            r["vec_id"]: list(r["code"])
+            for r in delta.select(
+                "vec_id",
+                F.transform(
+                    _sq_encode_expr("embedding", mins, spans, 8),
+                    lambda c: F.greatest(c, F.lit(0)),
+                ).alias("code"),
+            ).collect()
+        }
+        got = {
+            r["vec_id"]: list(r["embedding"])
+            for r in spark.read.parquet(path)
+            .filter(F.col("vec_id") % 4 == 0)
+            .collect()
+        }
+        assert got == want
+        # probe over the streamed quantized corpus is well-formed
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        rows = ivf_topk_stored(spark, path, q, k=5, n_probe=8).collect()
+        assert len({r.q_id for r in rows}) == 6
+
+    def test_crashed_mid_move_batch_resumes_from_staging(self, spark, tmp_path):
+        """Crash state: staged write complete (_SUCCESS), marker absent —
+        the retry must MOVE the staged files, not recompute the delta.
+        Proven by poisoning the staging with a sentinel vector: after the
+        drain the sentinel is in the corpus and the batch's own rows are
+        not (they were never staged)."""
+        from metaframe_spark.operators.similarity import _prepare_ivf_delta
+
+        emb, base, cent, path = self._setup(spark, tmp_path)
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        src = str(tmp_path / "src")
+        delta.coalesce(1).write.parquet(src + "/f1")
+        # hand-stage a DIFFERENT relation under this batch id (0): one
+        # sentinel row re-using an existing embedding, id 999999
+        sentinel = emb.filter(F.col("vec_id") == 1).select(
+            F.lit(999999).cast("long").alias("vec_id"), "embedding"
+        )
+        staged = _prepare_ivf_delta(spark, path, sentinel)
+        staged.write.mode("overwrite").partitionBy("cell").parquet(
+            path + "/_ingest_staging_0"
+        )
+        self._drain(spark, src, delta.schema, path, str(tmp_path / "ckpt"))
+        ids = {
+            r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()
+        }
+        assert 999999 in ids  # staged files were moved in
+        assert not any(
+            i % 4 == 0 for i in ids if i != 999999
+        )  # the batch was NOT recomputed over the file's rows
+        # staging gone, marker present: the batch is committed
+        import os
+
+        assert not os.path.exists(path + "/_ingest_staging_0")
+        assert os.path.exists(path + "/_ingest_marks/batch-0")
+
+    def test_refuses_unindexed_corpus(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            assign_cells,
+            fit_sampled_centroids,
+        )
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        cent = fit_sampled_centroids(emb, 8, seed=3, order_col="vec_id")
+        bare = str(tmp_path / "bare")
+        assign_cells(emb, cent, cell_col="cell").write.partitionBy(
+            "cell"
+        ).parquet(bare)
+        src = str(tmp_path / "src")
+        emb.limit(4).coalesce(1).write.parquet(src + "/f1")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        from metaframe_spark.streaming import stream_ivf_append
+
+        q = stream_ivf_append(stream, bare, checkpoint_dir=str(tmp_path / "ck"))
+        with pytest.raises(Exception, match="no readable IVF index"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
