@@ -348,6 +348,7 @@ class TestCatalogPlanLint:
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
         "llm_ivf_corpus",   # same probe shape over the cell-partitioned layout
         "llm_ivf_sq",       # same probe shape over the quantized layout
+        "llm_ivf_append",   # same probe shape over the appended layout
         "llm_mix_report",   # one-row corpus-totals rollup joined to mixture cells
         "llm_pagerank_redistribute",  # one-row dangling-mass scalar joined into each rank sweep
         "llm_perplexity",   # one-row total-token scalar joined to tf relation
