@@ -241,11 +241,18 @@ def image_near_dup_pairs(
     all-pairs Hamming scan at banded-candidate cost. This is the
     multimodal analogue of ``simhash_near_dup_pairs``: the only
     Python is the Arrow-batched fingerprint; banding, the equi-join,
-    and the xor popcount verify are all JVM codegen."""
+    and the xor popcount verify are all JVM codegen.
+
+    The fingerprint relation is ``persist()``-ed (MEMORY_AND_DISK)
+    before the self-join — both join sides consume it, and without the
+    pin each side would re-decode every payload through its own Arrow
+    pass (the 2× that matters when decode dominates, which for real
+    images it does). Released via the repo-wide ``_mf_persisted``
+    handle contract."""
     from ..operators.dedup import hamming_near_dup_pairs
 
-    fp = image_dhash(df, id_col=id_col, payload_col=payload_col)
-    return hamming_near_dup_pairs(
+    fp = image_dhash(df, id_col=id_col, payload_col=payload_col).persist()
+    out = hamming_near_dup_pairs(
         fp,
         id_col,
         "dhash",
@@ -253,6 +260,8 @@ def image_near_dup_pairs(
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
+    out._mf_persisted = fp
+    return out
 
 
 def resize_media(
