@@ -873,6 +873,100 @@ def _prepare_ivf_delta(
     return assigned
 
 
+def compact_ivf_corpus(
+    spark,
+    corpus_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+) -> None:
+    """Rewrite a :func:`write_ivf_corpus` layout with per-cell file counts
+    sized to ``target_file_bytes`` — the maintenance pass the ingest
+    lifecycle needs: every :func:`append_ivf_corpus` /
+    :func:`~metaframe_spark.streaming.stream_ivf_append` batch adds at
+    least one file per touched cell, so a corpus ingesting thousands of
+    micro-batches accretes thousands of small files per cell and every
+    probe pays a task + footer read per file. Compaction re-reads the
+    layout (cells are ALREADY assigned — no GEMM, no re-encode; the
+    vector column is copied verbatim, so quantized codes stay
+    bit-identical) and rewrites it cell-partitioned with
+    ``ceil(cell_bytes_total / target)`` output tasks, then copies the
+    ``_ivf_index`` and (if present) ``_sq_bounds`` sidecars so the new
+    layout is self-contained. Probes against the compacted path are
+    pair-for-pair identical to the source (pinned in tests).
+
+    Writes to a NEW path (same contract and same overlap guard as
+    ``compact_sketch_store``) — promote with an atomic rename. Ingest
+    bookkeeping (``_ingest_marks``) is NOT copied: the compacted layout
+    is a fresh corpus, and a streaming maintainer pointed at it must use
+    a fresh checkpoint (same one-store-one-checkpoint contract as the
+    sketch stores)."""
+    norm_src = corpus_path.rstrip("/")
+    norm_dest = dest_path.rstrip("/")
+    if (
+        norm_dest == norm_src
+        or norm_dest.startswith(norm_src + "/")
+        or norm_src.startswith(norm_dest + "/")
+    ):
+        raise ValueError(
+            f"compact_ivf_corpus: dest_path {dest_path!r} overlaps "
+            f"corpus_path {corpus_path!r}; the overwrite would delete the "
+            "layout being read — write to a NEW path and atomic-rename"
+        )
+    # the co-persisted index is the layout's identity — refuse a path
+    # without one rather than emit a compacted layout nothing can probe
+    index = read_ivf_index(
+        spark, norm_src + "/_ivf_index", format=format
+    )
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(norm_src).getFileSystem(conf)
+    total = 0
+    cells = set()
+    it = fs.listFiles(P(norm_src), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        parent = st.getPath().getParent().getName()
+        # only corpus data files count — sidecars/marks are underscore-
+        # prefixed dirs whose FILES are not (_ivf_index/part-*.parquet)
+        if not name.startswith(("_", ".")) and parent.startswith("cell="):
+            total += st.getLen()
+            cells.add(parent)
+    n_cells = max(1, len(cells))
+    # splits per cell so each output file lands near the target; parquet
+    # files are row-group-splittable, so one-file-per-cell is the probe-
+    # optimal floor and splitting only matters for truly oversized cells
+    splits = max(1, math.ceil(total / float(n_cells * target_file_bytes)))
+    df = spark.read.format(format).load(norm_src)
+    data_cols = [c for c in df.columns if c != "cell"]
+    # deterministic salt: every (cell, salt) bucket becomes exactly one
+    # output file per cell directory — total files = n_cells × splits,
+    # regardless of how many micro-batch fragments the source carried
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(splits))
+    )
+    salted.repartition(
+        n_cells * splits, F.col("cell"), F.col("_salt")
+    ).drop("_salt").write.mode("error").partitionBy("cell").format(
+        format
+    ).save(norm_dest)
+    write_ivf_index(spark, index, norm_dest + "/_ivf_index", format=format)
+    try:
+        bounds = spark.read.format(format).load(norm_src + "/_sq_bounds")
+    except Exception as e:
+        if type(e).__name__ != "AnalysisException":
+            raise
+        bounds = None
+    if bounds is not None:
+        bounds.repartition(1).write.mode("error").format(format).save(
+            norm_dest + "/_sq_bounds"
+        )
+
+
 def ivf_topk_stored(
     spark,
     corpus_path: str,

@@ -1103,6 +1103,112 @@ class TestAppendIvfCorpus:
             append_ivf_corpus(spark, path, delta)
 
 
+class TestCompactIvfCorpus:
+    """compact_ivf_corpus: collapse micro-batch file fragmentation into
+    ~one file per (cell, split) while keeping probes pair-for-pair."""
+
+    def _frag_corpus(self, spark, tmp_path, quantize_bits=None):
+        import glob
+
+        from metaframe_spark.operators.similarity import (
+            append_ivf_corpus,
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") % 4 != 0)
+        cent = fit_sampled_centroids(base, 8, seed=3, order_col="vec_id")
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(base, cent, path, quantize_bits=quantize_bits)
+        # fragment: five appends, each multi-partition -> many small files
+        for i in range(5):
+            append_ivf_corpus(
+                spark, path, emb.filter(
+                    (F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 5 == i)
+                ).repartition(4),
+            )
+        n_files = len(glob.glob(path + "/cell=*/*.parquet"))
+        return emb, cent, path, n_files
+
+    def test_compaction_preserves_probes_and_cuts_files(self, spark, tmp_path):
+        import glob
+
+        from metaframe_spark.operators.similarity import (
+            compact_ivf_corpus,
+            ivf_topk_stored,
+        )
+
+        emb, cent, path, n_before = self._frag_corpus(spark, tmp_path)
+        assert n_before > 20  # genuinely fragmented
+        dest = str(tmp_path / "compacted")
+        compact_ivf_corpus(spark, path, dest)
+        n_after = len(glob.glob(dest + "/cell=*/*.parquet"))
+        assert n_after <= 8  # one file per cell at this size
+        assert n_after < n_before
+        # row-identical, sidecar carried, probe pair-for-pair identical
+        key = lambda p: sorted(
+            map(tuple, spark.read.parquet(p).select("vec_id", "cell").collect())
+        )
+        assert key(dest) == key(path)
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        a = sorted(map(tuple, ivf_topk_stored(spark, path, q, k=5, n_probe=3).collect()))
+        b = sorted(map(tuple, ivf_topk_stored(spark, dest, q, k=5, n_probe=3).collect()))
+        assert a == b
+
+    def test_quantized_sidecars_copied_bit_identical(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            compact_ivf_corpus,
+            ivf_topk_stored,
+        )
+
+        emb, cent, path, _ = self._frag_corpus(spark, tmp_path, quantize_bits=8)
+        dest = str(tmp_path / "compacted")
+        compact_ivf_corpus(spark, path, dest)
+        pair = lambda p, side: sorted(
+            map(tuple, spark.read.parquet(p + side).collect())
+        )
+        assert pair(dest, "/_sq_bounds") == pair(path, "/_sq_bounds")
+        assert pair(dest, "/_ivf_index") == pair(path, "/_ivf_index")
+        # codes copied verbatim (no re-encode anywhere)
+        rows = lambda p: sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(p).collect()
+        )
+        assert rows(dest) == rows(path)
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        a = sorted(map(tuple, ivf_topk_stored(spark, path, q, k=5, n_probe=8).collect()))
+        b = sorted(map(tuple, ivf_topk_stored(spark, dest, q, k=5, n_probe=8).collect()))
+        assert a == b
+
+    def test_overlap_and_unindexed_refusals(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            assign_cells,
+            compact_ivf_corpus,
+            fit_sampled_centroids,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        cent = fit_sampled_centroids(emb, 8, seed=3, order_col="vec_id")
+        bare = str(tmp_path / "bare")
+        assign_cells(emb, cent, cell_col="cell").write.partitionBy(
+            "cell"
+        ).parquet(bare)
+        with pytest.raises(Exception, match="_ivf_index"):
+            compact_ivf_corpus(spark, bare, str(tmp_path / "d"))
+        for bad in (bare, bare + "/nested", str(tmp_path)):
+            with pytest.raises(ValueError, match="overlaps"):
+                compact_ivf_corpus(spark, bare, bad)
+
+
 class TestNearDupGroups:
     def test_connected_components_and_survivors(self, spark, docs):
         from metaframe_spark.operators.dedup import dedup_survivors, near_dup_groups
