@@ -312,8 +312,8 @@ def gopher_quality_flags(
 
     Everything is higher-order codegen over the split word/line arrays —
     per-row, shuffle-free, no Python. The Gopher repetition rules
-    (top-n-gram fraction etc.) live in the separate repetition signal
-    operator; run both for the full published gate.
+    (top-n-gram fraction etc.) live in :func:`repetition_signals`; run
+    both for the full published gate.
     """
     words = "filter(split(`%s`, '\\\\s+'), w -> w != '')" % text_col
     lines = "split(`%s`, '\\n')" % text_col
@@ -384,6 +384,147 @@ def gopher_quality_flags(
         .drop("_w", "_l", "_nw")
     )
     return out
+
+
+#: published Gopher repetition thresholds (Rae et al. 2021, Table A1):
+#: a document passes when every signal is <= its threshold
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full published Gopher REPETITION filter set (Rae et al. 2021,
+    Appendix A1.1, Table A1 — the half of the MassiveText gate that
+    :func:`gopher_quality_flags` leaves to this operator; together they
+    are the complete rule set FineWeb/RefinedWeb re-use):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of (trimmed,
+      non-empty) lines / blank-line-separated paragraphs that are repeats
+      of an earlier one: ``(total − distinct) / total``;
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters inside
+      ALL occurrences of units appearing ≥ 2 times, / document chars;
+    * ``top_{2,3,4}gram_char_frac`` — characters covered by every
+      occurrence of the single most frequent word n-gram, / document
+      chars (ties broken deterministically: highest count, then longest,
+      then lexicographically greatest gram);
+    * ``dup_{5..10}gram_char_frac`` — characters inside all occurrences
+      of duplicated n-grams, / document chars;
+
+    plus the conjunction ``gopher_rep_pass`` over
+    :data:`GOPHER_REP_THRESHOLDS` (every signal ≤ its published
+    threshold), evaluated on the rounded-to-6 values so the verdict is
+    engine-reproducible. Overlapping n-gram occurrences each count their
+    full character span (the published accounting), so the n-gram
+    fractions can exceed 1 on degenerate loops — exactly the documents
+    the gate exists to drop. Document chars = ``length(text)``; n-grams
+    are over :func:`tokens` (normalized lowercase), joined by single
+    spaces.
+
+    Scale shape: one row-local flatten builds every (kind, unit) pair —
+    lines, paragraphs, and all nine n-gram widths — in a single codegen
+    projection (no Python), ONE explode feeds a
+    ``groupBy(id, kind, unit)`` count whose map-side partial combine
+    collapses each document's repeats before the exchange (shuffle
+    volume is distinct-unit-bounded, the same discipline as
+    ``llm_repetition``), and one second aggregate folds the per-unit
+    counts to one row per document. Skew is bounded by the per-document
+    key prefix — a pathological document cannot hot-spot a reducer
+    beyond its own distinct units."""
+    T, I = text_col, id_col
+    base = df.filter(F.trim(F.col(T)) != "").select(
+        F.col(I), F.col(T), F.length(F.col(T)).cast("double").alias("_chars")
+    )
+    parts = [
+        # trimmed non-empty lines / blank-line paragraphs
+        "transform(filter(transform(split({t}, '\\n'), x -> trim(x)), "
+        "x -> x != ''), u -> struct('line' AS kind, u AS unit))".format(t=T),
+        "transform(filter(transform(split({t}, '\\n\\n+'), x -> trim(x)), "
+        "x -> x != ''), u -> struct('para' AS kind, u AS unit))".format(t=T),
+    ]
+    for n in range(2, 11):
+        parts.append(
+            f"IF(size(_t) >= {n}, transform(sequence(1, size(_t) - {n} + 1), "
+            f"i -> struct('g{n}' AS kind, array_join(slice(_t, i, {n}), ' ') "
+            "AS unit)), CAST(array() AS ARRAY<STRUCT<kind: STRING, unit: STRING>>))"
+        )
+    units = (
+        base.withColumn("_t", tokens(F.col(T)))
+        .select(
+            I,
+            F.explode(F.expr("flatten(array(" + ", ".join(parts) + "))")).alias("_u"),
+        )
+        .select(I, F.col("_u.kind").alias("_k"), F.col("_u.unit").alias("_unit"))
+    )
+    cnt = (
+        units.groupBy(I, "_k", "_unit")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_l", F.length("_unit").cast("long"))
+    )
+    k = F.col("_k")
+    c, l = F.col("_c"), F.col("_l")
+    aggs = []
+    for kind in ("line", "para"):
+        aggs += [
+            F.sum(F.when(k == kind, c)).alias(f"_n_{kind}"),
+            F.count(F.when(k == kind, True)).alias(f"_d_{kind}"),
+            F.sum(F.when((k == kind) & (c >= 2), c * l)).alias(f"_dc_{kind}"),
+        ]
+    for n in (2, 3, 4):
+        aggs.append(
+            F.max(F.when(k == f"g{n}", F.struct(c.alias("c"), l.alias("l"),
+                                                F.col("_unit").alias("u")))
+                  ).alias(f"_top_g{n}")
+        )
+    for n in range(5, 11):
+        aggs.append(
+            F.sum(F.when((k == f"g{n}") & (c >= 2), c * l)).alias(f"_dc_g{n}")
+        )
+    per = cnt.groupBy(I).agg(*aggs)
+    j = base.select(I, "_chars").join(per, I)
+    zero = F.lit(0).cast("long")
+    outs = [F.col(I)]
+    metrics = {}
+    for kind in ("line", "para"):
+        metrics[f"dup_{kind}_frac"] = F.round(
+            (F.col(f"_n_{kind}") - F.col(f"_d_{kind}"))
+            / F.col(f"_n_{kind}").cast("double"),
+            6,
+        )
+        metrics[f"dup_{kind}_char_frac"] = F.round(
+            F.coalesce(F.col(f"_dc_{kind}"), zero) / F.col("_chars"), 6
+        )
+    for n in (2, 3, 4):
+        t = F.col(f"_top_g{n}")
+        metrics[f"top_{n}gram_char_frac"] = F.round(
+            F.coalesce(t["c"] * t["l"], zero) / F.col("_chars"), 6
+        )
+    for n in range(5, 11):
+        metrics[f"dup_{n}gram_char_frac"] = F.round(
+            F.coalesce(F.col(f"_dc_g{n}"), zero) / F.col("_chars"), 6
+        )
+    passed = F.lit(True)
+    for name, thr in GOPHER_REP_THRESHOLDS.items():
+        outs.append(metrics[name].alias(name))
+        passed = passed & (metrics[name] <= F.lit(thr))
+    outs.append(passed.alias("gopher_rep_pass"))
+    return j.select(*outs)
 
 
 def language_scores(

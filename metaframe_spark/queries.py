@@ -5420,6 +5420,120 @@ def q94_bottomk_sample(spark, sf):
 
 
 @query(
+    "llm_rep_signals",
+    "WITH d0 AS (SELECT doc_id, CASE "
+    "  WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 20) "
+    "    || chr(10) || substr(text, 1, 20) "
+    "  WHEN doc_id % 5 = 0 THEN text || chr(10) || chr(10) "
+    "    || substr(text, 1, 25) || chr(10) || chr(10) || substr(text, 1, 25) "
+    "  ELSE text END AS text FROM documents WHERE trim(text) <> ''), "
+    "d AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS chars, "
+    "  list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
+    "  t -> t <> '') AS t FROM d0), "
+    "units AS ("
+    "  SELECT doc_id, 'line' AS kind, u AS unit FROM d, "
+    "  unnest(list_filter(list_transform(string_split(text, chr(10)), "
+    "    x -> trim(x)), x -> x <> '')) AS un(u) "
+    "  UNION ALL SELECT doc_id, 'para', u FROM d, "
+    "  unnest(list_filter(list_transform(string_split_regex(text, '\\n\\n+'), "
+    "    x -> trim(x)), x -> x <> '')) AS un(u) "
+    "  UNION ALL SELECT doc_id, 'g' || CAST(n AS VARCHAR), "
+    "    array_to_string(list_slice(t, i, i + n - 1), ' ') "
+    "  FROM d CROSS JOIN range(2, 11) rn(n), "
+    "  unnest(range(1, len(t) - n + 2)) AS ui(i) WHERE len(t) >= n), "
+    "cnt AS (SELECT doc_id, kind, unit, count(*) AS c, length(unit) AS l "
+    "  FROM units GROUP BY 1, 2, 3), "
+    "per AS (SELECT doc_id, "
+    "  sum(CASE WHEN kind = 'line' THEN c END) AS n_line, "
+    "  count(CASE WHEN kind = 'line' THEN 1 END) AS d_line, "
+    "  coalesce(sum(CASE WHEN kind = 'line' AND c >= 2 THEN c * l END), 0) AS dc_line, "
+    "  sum(CASE WHEN kind = 'para' THEN c END) AS n_para, "
+    "  count(CASE WHEN kind = 'para' THEN 1 END) AS d_para, "
+    "  coalesce(sum(CASE WHEN kind = 'para' AND c >= 2 THEN c * l END), 0) AS dc_para, "
+    "  coalesce(sum(CASE WHEN kind = 'g5' AND c >= 2 THEN c * l END), 0) AS dc_g5, "
+    "  coalesce(sum(CASE WHEN kind = 'g6' AND c >= 2 THEN c * l END), 0) AS dc_g6, "
+    "  coalesce(sum(CASE WHEN kind = 'g7' AND c >= 2 THEN c * l END), 0) AS dc_g7, "
+    "  coalesce(sum(CASE WHEN kind = 'g8' AND c >= 2 THEN c * l END), 0) AS dc_g8, "
+    "  coalesce(sum(CASE WHEN kind = 'g9' AND c >= 2 THEN c * l END), 0) AS dc_g9, "
+    "  coalesce(sum(CASE WHEN kind = 'g10' AND c >= 2 THEN c * l END), 0) AS dc_g10 "
+    "  FROM cnt GROUP BY 1), "
+    "top AS (SELECT doc_id, "
+    "  coalesce(max(CASE WHEN kind = 'g2' AND rn = 1 THEN c * l END), 0) AS top_g2, "
+    "  coalesce(max(CASE WHEN kind = 'g3' AND rn = 1 THEN c * l END), 0) AS top_g3, "
+    "  coalesce(max(CASE WHEN kind = 'g4' AND rn = 1 THEN c * l END), 0) AS top_g4 "
+    "  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, kind "
+    "    ORDER BY c DESC, l DESC, unit DESC) AS rn FROM cnt "
+    "    WHERE kind IN ('g2', 'g3', 'g4')) GROUP BY 1), "
+    "m AS (SELECT d.doc_id, "
+    "  round((n_line - d_line) / CAST(n_line AS DOUBLE), 6) AS dup_line_frac, "
+    "  round((n_para - d_para) / CAST(n_para AS DOUBLE), 6) AS dup_para_frac, "
+    "  round(dc_line / chars, 6) AS dup_line_char_frac, "
+    "  round(dc_para / chars, 6) AS dup_para_char_frac, "
+    "  round(coalesce(top_g2, 0) / chars, 6) AS top_2gram_char_frac, "
+    "  round(coalesce(top_g3, 0) / chars, 6) AS top_3gram_char_frac, "
+    "  round(coalesce(top_g4, 0) / chars, 6) AS top_4gram_char_frac, "
+    "  round(dc_g5 / chars, 6) AS dup_5gram_char_frac, "
+    "  round(dc_g6 / chars, 6) AS dup_6gram_char_frac, "
+    "  round(dc_g7 / chars, 6) AS dup_7gram_char_frac, "
+    "  round(dc_g8 / chars, 6) AS dup_8gram_char_frac, "
+    "  round(dc_g9 / chars, 6) AS dup_9gram_char_frac, "
+    "  round(dc_g10 / chars, 6) AS dup_10gram_char_frac "
+    "  FROM d JOIN per ON d.doc_id = per.doc_id "
+    "  LEFT JOIN top ON d.doc_id = top.doc_id) "
+    "SELECT *, dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 "
+    "AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20 "
+    "AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18 "
+    "AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15 "
+    "AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13 "
+    "AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 "
+    "AND dup_10gram_char_frac <= 0.10 AS gopher_rep_pass FROM m",
+)
+def llm_rep_signals(spark, sf):
+    """The full published Gopher repetition filter set (operators/
+    text.py::repetition_signals — Rae et al. 2021 Table A1, the half of
+    the MassiveText gate llm_gopher_flags leaves to this operator):
+    duplicate line/paragraph fractions, duplicate line/paragraph
+    CHARACTER fractions, top-{2,3,4}-gram character coverage, and
+    duplicated-{5..10}-gram character coverage, plus the conjunction
+    ``gopher_rep_pass`` over the published thresholds. The synthetic
+    corpus has no line structure, so duplicate lines (every 3rd doc) and
+    duplicate paragraphs (every 5th) are injected deterministically in
+    BOTH engines; n-gram repetition comes from the small-vocabulary text
+    itself. One row-local flatten builds lines + paragraphs + all nine
+    n-gram widths in a single codegen projection, one explode feeds the
+    distinct-unit-bounded groupBy (map-side combine collapses each doc's
+    repeats pre-shuffle), one second aggregate folds to a row per doc —
+    the oracle replays every unit split, count, deterministic top-gram
+    tie-break (c desc, len desc, unit desc ≡ Spark's struct max), round
+    and threshold verdict, so all 13 signals AND the boolean gate
+    hash-match."""
+    from .operators.text import repetition_signals
+
+    d = load_table(spark, sf, "documents").to_spark()
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit("\n"),
+                F.expr("substr(text, 1, 20)"), F.lit("\n"),
+                F.expr("substr(text, 1, 20)"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit("\n\n"),
+                F.expr("substr(text, 1, 25)"), F.lit("\n\n"),
+                F.expr("substr(text, 1, 25)"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return repetition_signals(aug)
+
+
+@query(
     "q95_anomaly_rules",
     "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
     "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
@@ -5895,6 +6009,7 @@ _ROTATE_FIRST: list = [
     "llm_image_neardup",
     "q95_anomaly_rules",
     "q96_drift_from_store",
+    "llm_rep_signals",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

@@ -1668,6 +1668,83 @@ class TestGopherFlags:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestRepetitionSignals:
+    """repetition_signals: the published Gopher repetition filter set —
+    every signal hand-checked on constructed documents."""
+
+    def _run(self, spark, rows):
+        from metaframe_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    def test_line_and_paragraph_dup_fractions(self, spark):
+        got = self._run(spark, [
+            # 3 lines, 2 identical (22 chars each), total chars 62
+            (1, "alpha beta gamma delta\nalpha beta gamma delta\nunique line here"),
+            # 3 paragraphs, 2 identical
+            (2, "para one text\n\npara one text\n\nother paragraph"),
+            # single line, no structure
+            (3, "one two three four five six seven eight nine ten"),
+        ])
+        r = got[1]
+        assert r["dup_line_frac"] == round(1 / 3, 6)
+        assert r["dup_line_char_frac"] == round(44 / 62, 6)
+        assert r["dup_para_frac"] == 0.0  # the whole text is one paragraph
+        r2 = got[2]
+        assert r2["dup_para_frac"] == round(1 / 3, 6)
+        assert r2["dup_para_char_frac"] == round(26 / 45, 6)
+        # every line is also distinct at line granularity? no — the two
+        # identical paragraphs ARE identical lines too
+        assert r2["dup_line_frac"] == round(1 / 3, 6)
+        r3 = got[3]
+        assert r3["dup_line_frac"] == 0.0 and r3["dup_para_frac"] == 0.0
+
+    def test_ngram_char_fractions_hand_computed(self, spark):
+        # "spam" x8: 39 chars; top 2-gram "spam spam" (9 chars) occurs 7x;
+        # 5-grams: 4 occurrences of the single distinct 5-gram (24 chars);
+        # 8-gram occurs once -> not duplicated
+        got = self._run(spark, [(1, "spam spam spam spam spam spam spam spam")])
+        r = got[1]
+        assert r["top_2gram_char_frac"] == round(7 * 9 / 39, 6)
+        assert r["top_3gram_char_frac"] == round(6 * 14 / 39, 6)
+        assert r["top_4gram_char_frac"] == round(5 * 19 / 39, 6)
+        assert r["dup_5gram_char_frac"] == round(4 * 24 / 39, 6)
+        assert r["dup_7gram_char_frac"] == round(2 * 34 / 39, 6)
+        assert r["dup_8gram_char_frac"] == 0.0
+        assert r["gopher_rep_pass"] is False
+        # a clean document with no repeats passes every signal... n-gram
+        # char fractions need enough length for the top-gram share to be
+        # small, so use 60 distinct words
+        clean = " ".join(f"w{i:03d}" for i in range(60))
+        r = self._run(spark, [(1, clean)])[1]
+        assert r["gopher_rep_pass"] is True
+        assert r["dup_5gram_char_frac"] == 0.0
+
+    def test_top_gram_tiebreak_deterministic(self, spark):
+        # two bigrams tie at count 2: "bb cc" (5 chars) and "aa bb" (5);
+        # tie-break c desc, len desc, unit desc -> "bb cc" wins (same c,
+        # same len, lexicographically greater)
+        got = self._run(spark, [(1, "aa bb cc aa bb cc")])
+        chars = len("aa bb cc aa bb cc")
+        assert got[1]["top_2gram_char_frac"] == round(2 * 5 / chars, 6)
+        # stable across runs
+        again = self._run(spark, [(1, "aa bb cc aa bb cc")])
+        assert again[1] == got[1]
+
+    def test_short_and_empty_docs(self, spark):
+        # one-word doc: no n-grams at any width -> all zero; empty doc
+        # filtered out entirely
+        got = self._run(spark, [(1, "word"), (2, "   ")])
+        assert set(got) == {1}
+        r = got[1]
+        for n in (2, 3, 4):
+            assert r[f"top_{n}gram_char_frac"] == 0.0
+        for n in range(5, 11):
+            assert r[f"dup_{n}gram_char_frac"] == 0.0
+        assert r["gopher_rep_pass"] is True
+
+
 class TestSpanDedup:
     S = [
         "Alpha sentence number one.",
