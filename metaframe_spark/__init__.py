@@ -56,6 +56,10 @@ _EXPORTS = {
         "metaframe_spark.streaming",
         "stream_ivf_append",
     ),
+    "stream_bottomk_samples": (
+        "metaframe_spark.streaming",
+        "stream_bottomk_samples",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

@@ -698,6 +698,57 @@ def stream_ivf_append(
     return writer.start()
 
 
+def stream_bottomk_samples(
+    stream,
+    store_path: str,
+    id_col: str,
+    k: int,
+    group_by=None,
+    seed: int = 42,
+    payload=None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously maintain the mergeable bottom-k (KMV) sample store
+    (:func:`~metaframe_spark.operators.maintenance.bottomk_sample_sketch`
+    / ``merge_bottomk_samples``) from a stream — the streaming face of
+    the FIFTH incremental statistic, completing the set next to the
+    distinct/moment/histogram/term maintainers: a uniform per-group
+    sample (and KMV distinct sketch) of everything the stream ever
+    delivered, readable at any moment via
+    ``kmv_distinct_estimates(spark.read.parquet(store_path), k,
+    group_by)``, with per-group state capped at k rows.
+
+    Retry-safe WITHOUT the ``_last_batch`` high-water mark: the draw key
+    is a pure function of the row id, so re-merging a replayed batch's
+    sketch deduplicates on ``draw_key`` to the identical store — like
+    HLL register-max (and unlike the additive moment/histogram/term
+    stores), this at-least-once merge IS exactly-once. The one contract
+    that matters: ids must be stable across replays (they are for CDC
+    keys, doc ids, file offsets — anything worth sampling by).
+
+    Returns the started ``StreamingQuery`` (availableNow trigger;
+    re-launch on the same ``checkpoint_dir`` to continue)."""
+    from ..operators.maintenance import (
+        bottomk_sample_sketch,
+        merge_bottomk_samples,
+    )
+
+    keys = list(group_by) if group_by else None
+    cols = list(payload) if payload else None
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        lambda b: bottomk_sample_sketch(
+            b, id_col, k, group_by=keys, seed=seed, payload=cols
+        ),
+        lambda store, new: merge_bottomk_samples(
+            store, new, k=k, group_by=keys
+        ),
+        checkpoint_dir,
+        high_water=False,
+    )
+
+
 def stream_neardup_dedup(
     stream,
     store_path: str,

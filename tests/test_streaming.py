@@ -1040,3 +1040,68 @@ class TestStreamIvfAppend:
                 q.processAllAvailable()
             finally:
                 q.stop()
+
+
+class TestStreamBottomkSamples:
+    """stream_bottomk_samples: the fifth incremental statistic maintained
+    from a stream — accreted sample == one-pass sample, replays no-op via
+    draw_key dedup alone (no high-water mark needed)."""
+
+    def _store_rows(self, spark, store):
+        return sorted(
+            (r["lang"], r["doc_id"], r["draw_key"])
+            for r in spark.read.parquet(store).collect()
+        )
+
+    def _one_pass(self, spark, df):
+        from metaframe_spark.operators.maintenance import bottomk_sample_sketch
+
+        return sorted(
+            (r["lang"], r["doc_id"], r["draw_key"])
+            for r in bottomk_sample_sketch(
+                df, "doc_id", 10, group_by=["lang"]
+            ).collect()
+        )
+
+    def test_accreted_equals_one_pass_and_replay_noop(self, spark, tmp_path):
+        from metaframe_spark.streaming import stream_bottomk_samples
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "lang", "doc_id"
+        )
+        src = str(tmp_path / "src")
+        for i in range(3):
+            d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                src + f"/f{i}"
+            )
+        store = str(tmp_path / "store")
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema(d.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            q = stream_bottomk_samples(
+                stream, store, "doc_id", 10, group_by=["lang"],
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain("ckpt")
+        assert self._store_rows(spark, store) == self._one_pass(spark, d)
+        # full replay on a fresh checkpoint: every batch re-merges, the
+        # draw_key dedup makes it a mathematical no-op (no _last_batch)
+        assert "_last_batch" not in spark.read.parquet(store).columns
+        drain("ckpt_replay")
+        assert self._store_rows(spark, store) == self._one_pass(spark, d)
+        # continuation: late rows with NEW ids displace larger draws
+        late = d.withColumn("doc_id", F.col("doc_id") + 500000)
+        late.coalesce(1).write.parquet(src + "/f3")
+        drain("ckpt")
+        assert self._store_rows(spark, store) == self._one_pass(
+            spark, d.unionByName(late)
+        )
