@@ -645,9 +645,13 @@ def stream_ivf_append(
                 name = st.getPath().getName()
                 if name.startswith("batch-"):
                     last = max(last, int(name[len("batch-"):]))
-        if batch_id <= last:
-            return  # replayed batch: its files are already in the corpus
         staging = root + f"/_ingest_staging_{batch_id}"
+        if batch_id <= last:
+            # replayed batch: its files are already in the corpus; a
+            # marker-then-crash leftover staging skeleton is just debris
+            if fs.exists(P(staging)):
+                fs.delete(P(staging), True)
+            return
         if not _staged_write_complete(fs, P, staging):
             # no complete stage for this id — (re)build it from the batch
             if fs.exists(P(staging)):
