@@ -132,7 +132,13 @@ def main() -> int:
     from metaframe_spark.session import get_session
 
     spark = get_session(
-        "metaframe_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "metaframe_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # keep stdout JSON-clean: heavy Arrow JNI allocation can emit
+        # [warning][gc,alloc] GCLocker lines on the JVM's stdout, which
+        # would interleave with the driver-contract JSON lines
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:gc+alloc=off"},
     )
 
     if os.environ.get("BENCH_DISPATCH", "0") == "1":
