@@ -1295,6 +1295,14 @@ def histogram_drift_from_store(
             "histogram_drift_from_store: no *_hist columns in store "
             f"(columns: {store.columns!r})"
         )
+    # a keyless store rides a constant internal key so the no-history
+    # case degrades the same way as keyed groups (empty output from the
+    # inner join) instead of tripping merge_histograms on an empty
+    # keyless aggregate
+    dummy = not keys
+    if dummy:
+        store = store.withColumn("_g", F.lit(1))
+        keys = ["_g"]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.desc(run_col))
     ranked = store.withColumn("_rk", F.row_number().over(w))
     latest = ranked.filter(F.col("_rk") == 1).select(*keys, run_col, *hcols)
@@ -1311,11 +1319,8 @@ def histogram_drift_from_store(
         latest.drop(run_col), baseline, group_by=keys, epsilon=epsilon
     )
     meta = latest.select(*keys, run_col)
-    if keys:
-        out = meta.join(n_base, keys).join(d, keys)
-    else:
-        out = meta.crossJoin(n_base).crossJoin(d)
-    return out
+    out = meta.join(n_base, keys).join(d, keys)
+    return out.drop("_g") if dummy else out
 
 
 def compact_files(

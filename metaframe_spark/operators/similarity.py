@@ -815,6 +815,25 @@ def _prepare_ivf_delta(
             f"append_ivf_corpus: delta columns {got!r} do not match the "
             f"stored data columns {want!r} at {corpus_path!r}"
         )
+    # types must match too — parquet append never validates against the
+    # existing files, so a float delta into a double corpus (or vice
+    # versa) would silently write a mixed-schema layout that breaks or
+    # up-casts on read; the vector column is exempt when the layout is
+    # quantized (the stored-bounds encode below converts it to the
+    # stored code type)
+    stored_types = dict(existing.dtypes)
+    vec_is_coded = stored_types.get(vec_col, "").startswith(
+        ("array<int", "array<smallint")
+    )
+    for c, t in new_corpus.dtypes:
+        if c == vec_col and vec_is_coded:
+            continue
+        if stored_types[c] != t:
+            raise ValueError(
+                f"append_ivf_corpus: delta column {c!r} has type {t} but "
+                f"the stored corpus has {stored_types[c]} — cast the delta "
+                "to the stored schema (appended files must match exactly)"
+            )
     d = int(centroids.shape[1])
     # dimension guard rides the assignment scan as codegen — no extra pass
     guarded = new_corpus.withColumn(

@@ -1095,6 +1095,18 @@ class TestAppendIvfCorpus:
         bad_dim = delta.withColumn("embedding", F.expr("slice(embedding, 1, 3)"))
         with pytest.raises(Exception, match="dimension must be 64"):
             append_ivf_corpus(spark, path, bad_dim)
+        # TYPE mismatch refuses too: parquet append never validates, so a
+        # float delta into this double corpus would silently write a
+        # mixed-schema layout
+        with pytest.raises(ValueError, match="array<double>"):
+            append_ivf_corpus(
+                spark, path,
+                delta.withColumn("embedding", F.col("embedding").cast("array<float>")),
+            )
+        with pytest.raises(ValueError, match="cast the delta"):
+            append_ivf_corpus(
+                spark, path, delta.withColumn("vec_id", F.col("vec_id").cast("int"))
+            )
         # a CORRUPT co-persisted index refuses with read_ivf_index's message
         spark.createDataFrame(
             [(0, [1.0]), (5, [2.0])], "cell int, centroid array<double>"

@@ -1443,6 +1443,28 @@ class TestHistogramDriftFromStore:
         assert (got["b"]["run"], got["b"]["n_runs_baseline"]) == (2, 1)
         assert got["a"]["x_psi"] == 0.0  # identical runs: zero drift
 
+    def test_keyless_store_and_cold_keyless(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            histogram_drift_from_store,
+            histogram_sketch,
+        )
+
+        mk = lambda rows: histogram_sketch(
+            spark.createDataFrame(rows, "run int, x double"),
+            "x", 0.0, 10.0, 5, group_by=["run"],
+        )
+        # keyless store, three runs: latest vs previous, no helper key leaks
+        store = mk([(1, 0.5), (1, 2.5), (2, 0.5), (3, 0.5), (3, 0.5)])
+        [r] = histogram_drift_from_store(store, "run", window=1).collect()
+        assert (r["run"], r["n_runs_baseline"], r["x_n_a"], r["x_n_b"]) == (
+            3, 1, 2, 1,
+        )
+        assert "_g" not in store.columns and "_g" not in r.asDict()
+        # keyless store with a single run: no history -> empty, not a
+        # confusing merge error
+        cold = mk([(1, 0.5)])
+        assert histogram_drift_from_store(cold, "run", window=7).count() == 0
+
     def test_validation_and_mismatched_specs(self, spark):
         import pytest as _pytest
 
