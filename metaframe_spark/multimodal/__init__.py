@@ -198,10 +198,11 @@ def image_dhash(
             b = b"" if p is None else bytes(p)
             if _Image is not None and b:
                 try:
+                    # Pillow >= 9.1 moved resample constants to
+                    # Image.Resampling (old aliases dropped in 10 for some)
+                    resample = getattr(_Image, "Resampling", _Image).BILINEAR
                     with _Image.open(_io.BytesIO(b)) as img:
-                        small = img.convert("L").resize(
-                            (9, 8), _Image.BILINEAR
-                        )
+                        small = img.convert("L").resize((9, 8), resample)
                         return bits_to_hash(list(small.getdata())), "dhash"
                 except Exception:
                     pass  # not a decodable image — deterministic stub below

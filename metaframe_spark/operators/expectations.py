@@ -227,8 +227,9 @@ def validate_anomalies(
     ``(*group_by, run, rule, observed, expected, n_history, passed)``
     where ``run`` is the group's latest run, ``expected`` the trailing
     statistic (history median/mean or envelope bound), ``n_history`` how
-    many trailing in-window runs existed, and ``passed`` NULL when
-    ``n_history = 0`` (no history ⇒ no verdict — gate on ``n_history``
+    many trailing in-window runs had a DEFINED value for the rule's
+    metric (a 1-observation run has NULL std, so an ``x_std`` rule skips
+    it), and ``passed`` NULL when ``n_history = 0`` (no history ⇒ no verdict — gate on ``n_history``
     if a cold store must itself alarm). Observed/expected round to 6
     decimals (the repo-wide reproducibility idiom; the exact
     ``percentile`` and plain avg make every verdict replayable in SQL —
