@@ -945,16 +945,23 @@ def compact_ivf_corpus(
     fs = P(norm_src).getFileSystem(conf)
     total = 0
     cells = set()
+    prefix_len = len(P(norm_src).toUri().getPath().rstrip("/")) + 1
     it = fs.listFiles(P(norm_src), True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        parent = st.getPath().getParent().getName()
-        # only corpus data files count — sidecars/marks are underscore-
-        # prefixed dirs whose FILES are not (_ivf_index/part-*.parquet)
-        if not name.startswith(("_", ".")) and parent.startswith("cell="):
+        rel = st.getPath().toUri().getPath()[prefix_len:]
+        # only corpus data files count: directly under a top-level cell=N
+        # dir, no underscore/dot segment anywhere (sidecars, ingest marks,
+        # AND leftover _ingest_staging_*/cell=N files — whose parent is
+        # also named cell=N — must not inflate the byte total)
+        segs = rel.split("/")
+        if (
+            len(segs) == 2
+            and segs[0].startswith("cell=")
+            and not segs[1].startswith(("_", "."))
+        ):
             total += st.getLen()
-            cells.add(parent)
+            cells.add(segs[0])
     n_cells = max(1, len(cells))
     # splits per cell so each output file lands near the target; parquet
     # files are row-group-splittable, so one-file-per-cell is the probe-
