@@ -1391,6 +1391,164 @@ def semantic_dup_pairs(
     return result
 
 
+def semantic_dup_against(
+    spark,
+    corpus_path: str,
+    new_corpus: DataFrame,
+    min_cosine: float = 0.85,
+    new_id: str = "vec_id",
+    seen_id: str = "vec_id",
+    vec_col: str = "embedding",
+    format: str = "parquet",
+    max_cell_rows: int = 200_000,
+    gemm_margin: float = 1e-4,
+    gemm_chunk_target: int = 2_000_000,
+) -> DataFrame:
+    """Incremental SEMANTIC near-dup check — the embedding-space analogue
+    of :func:`minhash_near_dup_against`, completing the incremental-dedup
+    story (exact → digest anti-join, MinHash → signature store, semantic
+    → THIS): a new ingest batch is compared against an already-persisted
+    :func:`~metaframe_spark.operators.similarity.write_ivf_corpus` layout
+    WITHOUT re-scanning, re-assigning, or re-fitting anything about the
+    history. Returns ``(new_id, seen_id, cosine)`` for every cross pair
+    with ``cosine ≥ min_cosine`` under SemDeDup's within-cell semantics
+    (:func:`semantic_dup_pairs`): a pair is compared iff both vectors
+    assign to the same cell of the layout's own co-persisted centroids —
+    deterministic, so re-ingesting an identical vector ALWAYS lands in
+    its twin's cell (exact duplicates are never missed); cross-cell
+    near-dups are the documented SemDeDup approximation, and a 1-list
+    layout is provably exhaustive (the oracle-checkable setting).
+
+    Scale shape: the delta pays one Arrow GEMM assignment pass over
+    ITSELF; the driver collects only the ≤ n_lists distinct touched cell
+    ids; the history scan is PARTITION-PRUNED to exactly those cells
+    (the same static PartitionFilters contract as ``ivf_topk_stored`` —
+    a small batch touching 3 of 1024 cells reads ~3/1024 of a 100 TB
+    corpus); per-cell cross pairs run as one chunked float64 GEMM per
+    cell via cogrouped ``applyInPandas`` (score matrix bounded by
+    ``gemm_chunk_target``); and the GEMM only NOMINATES (``min_cosine −
+    gemm_margin``) — survivors re-verify JVM-side with the sequential
+    ``zip_with`` fold so emitted cosines are bit-identical to a SQL
+    engine's (the :func:`cosine_pairs_exact` contract).
+
+    Quantized layouts are refused: the stored codes reconstruct only
+    midpoint approximations, and a dedup gate acting on approximate
+    cosines would silently drop the wrong documents — keep a float
+    corpus for the dedup path (or decode offline). Vectors must be
+    unit-normalized and ids integral (the GEMM carries ids as int64),
+    matching :func:`semantic_dup_pairs`."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .similarity import assign_cells, cosine_expr, read_ivf_index
+
+    index_path = corpus_path.rstrip("/") + "/_ivf_index"
+    try:
+        centroids = read_ivf_index(spark, index_path, format=format)
+    except ValueError:
+        raise
+    except Exception:
+        raise ValueError(
+            f"semantic_dup_against: no readable IVF index at {index_path!r} "
+            "— the seen corpus must be a write_ivf_corpus layout so new "
+            "vectors assign into ITS cell space"
+        )
+    seen_scan = spark.read.format(format).load(corpus_path)
+    vec_dtype = dict(seen_scan.dtypes).get(vec_col, "")
+    if vec_dtype.startswith("array<int") or vec_dtype.startswith("array<smallint"):
+        raise ValueError(
+            f"semantic_dup_against: {corpus_path!r} stores quantized codes "
+            f"({vec_dtype}); a dedup gate needs exact cosines — keep a "
+            "float corpus for the dedup path"
+        )
+    id_type = new_corpus.schema[new_id].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dup_against: id column {new_id!r} has type "
+            f"{id_type.simpleString()}; the GEMM path carries ids as int64 "
+            "— project a surrogate id first"
+        )
+    d = int(centroids.shape[1])
+    guarded = new_corpus.select(new_id, vec_col).withColumn(
+        vec_col,
+        F.when(
+            F.assert_true(
+                F.size(F.col(vec_col)) == F.lit(d),
+                F.lit(
+                    f"semantic_dup_against: new-vector dimension must be {d} "
+                    f"to match the index at {index_path!r}"
+                ),
+            ).isNull(),
+            F.col(vec_col),
+        ),
+    )
+    # assignment GEMM runs once: the relation feeds the bounded
+    # distinct-cell collect, the cogroup, AND the verify join
+    assigned = assign_cells(guarded, centroids, vec_col=vec_col).persist()
+    cells = sorted(r["_cell"] for r in assigned.select("_cell").distinct().collect())
+    seen = seen_scan.filter(F.col("cell").isin(cells)).select(
+        F.col(seen_id), F.col(vec_col), F.col("cell").alias("_cell")
+    )
+
+    cut = min_cosine - gemm_margin
+    cap = int(max_cell_rows)
+    chunk_target = max(1, int(gemm_chunk_target))
+
+    def _cross_pairs(left, right):
+        # executor-side: numpy/pandas only, self-contained. left = the new
+        # batch's rows in this cell, right = the seen corpus's.
+        import numpy as _np
+        import pandas as _pd
+
+        nl, nr = len(left), len(right)
+        if nl > cap or nr > cap:
+            raise RuntimeError(
+                f"semantic_dup_against: cell with {max(nl, nr)} rows "
+                f"exceeds max_cell_rows={cap}; rebuild the layout with "
+                "more lists (smaller cells) or raise max_cell_rows"
+            )
+        if nl == 0 or nr == 0:
+            return _pd.DataFrame({"new_id": [], "seen_id": []}).astype("int64")
+        L = _np.ascontiguousarray(
+            _np.stack(left.iloc[:, 1].to_numpy()).astype(_np.float64)
+        )
+        R = _np.ascontiguousarray(
+            _np.stack(right.iloc[:, 1].to_numpy()).astype(_np.float64)
+        )
+        lids = left.iloc[:, 0].to_numpy(dtype=_np.int64)
+        rids = right.iloc[:, 0].to_numpy(dtype=_np.int64)
+        chunk = max(1, chunk_target // nr)
+        outs_l, outs_r = [], []
+        for s in range(0, nl, chunk):
+            S = L[s : s + chunk] @ R.T
+            li, ri = _np.nonzero(S >= cut)
+            outs_l.append(lids[s : s + chunk][li])
+            outs_r.append(rids[ri])
+        return _pd.DataFrame(
+            {"new_id": _np.concatenate(outs_l), "seen_id": _np.concatenate(outs_r)}
+        )
+
+    cand = (
+        assigned.select(new_id, vec_col, "_cell")
+        .groupBy("_cell")
+        .cogroup(seen.groupBy("_cell"))
+        .applyInPandas(_cross_pairs, schema="new_id long, seen_id long")
+    )
+    na = assigned.select(F.col(new_id).alias("new_id"), F.col(vec_col).alias("_va"))
+    sb = seen.select(F.col(seen_id).alias("seen_id"), F.col(vec_col).alias("_vb"))
+    result = (
+        cand.join(na, "new_id")
+        .join(sb, "seen_id")
+        .select(
+            "new_id",
+            "seen_id",
+            F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    result._mf_persisted = assigned
+    return result
+
+
 def semantic_dedup(
     corpus: DataFrame,
     min_cosine: float = 0.85,

@@ -5420,6 +5420,50 @@ def q94_bottomk_sample(spark, sf):
 
 
 @query(
+    "llm_semantic_against",
+    f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings) "
+    "SELECT new_id, seen_id, cosine FROM ("
+    "  SELECT a.vec_id AS new_id, b.vec_id AS seen_id, "
+    "  round(list_inner_product(a.emb, b.emb), 6) AS cosine "
+    "  FROM n a JOIN n b ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0) "
+    "WHERE cosine >= 0.3",
+)
+def llm_semantic_against(spark, sf):
+    """Incremental semantic near-dup check (operators/dedup.py::
+    semantic_dup_against — the embedding analogue of the MinHash
+    signature store, completing the incremental-dedup trio): a new
+    ingest batch (vec_id % 4 = 0) is compared against the PERSISTED
+    write_ivf_corpus layout of the seen corpus without re-scanning or
+    re-fitting history — the delta assigns itself with the layout's
+    co-persisted centroids, the seen scan partition-prunes to the
+    touched cells, per-cell cross pairs run as chunked GEMM via
+    cogrouped applyInPandas, and survivors re-verify JVM-side with the
+    sequential zip_with fold. Built here as a 1-list layout, so the
+    within-cell semantics are provably exhaustive (every cross pair is
+    compared) and the exhaustive cross-join oracle hash-matches —
+    cosines bit-identical because nominate-then-verify emits the same
+    fold a SQL engine computes. Multi-cell equivalence, partition
+    pruning, and the quantized/foreign-layout refusals are pinned in
+    tests/test_llm_ops.py::TestSemanticDupAgainst."""
+    import tempfile
+
+    from .operators import unit_normalize
+    from .operators.dedup import semantic_dup_against
+    from .operators.similarity import fit_sampled_centroids, write_ivf_corpus
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark()).select(
+        "vec_id", "embedding"
+    )
+    seen = e.filter(F.col("vec_id") % 4 != 0)
+    cent = fit_sampled_centroids(seen, 1, seed=42, order_col="vec_id")
+    path = tempfile.mkdtemp(prefix="mf_sem_against_") + "/corpus"
+    write_ivf_corpus(seen, cent, path)
+    return semantic_dup_against(
+        spark, path, e.filter(F.col("vec_id") % 4 == 0), min_cosine=0.3
+    )
+
+
+@query(
     "llm_rep_signals",
     "WITH d0 AS (SELECT doc_id, CASE "
     "  WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 20) "
@@ -6012,6 +6056,7 @@ _ROTATE_FIRST: list = [
     "q95_anomaly_rules",
     "q96_drift_from_store",
     "llm_rep_signals",
+    "llm_semantic_against",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

@@ -1221,6 +1221,130 @@ class TestCompactIvfCorpus:
                 compact_ivf_corpus(spark, bare, bad)
 
 
+class TestSemanticDupAgainst:
+    """semantic_dup_against: incremental SemDeDup vs a persisted IVF
+    layout — exhaustive at 1 list, same-cell semantics at many, pruned
+    seen-side scan, exact verified cosines."""
+
+    def _split(self, spark):
+        emb = unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        return emb, emb.filter(F.col("vec_id") % 4 != 0), emb.filter(
+            F.col("vec_id") % 4 == 0
+        )
+
+    def _layout(self, spark, seen, n_lists, tmp_path, quantize_bits=None):
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+
+        cent = fit_sampled_centroids(seen, n_lists, seed=3, order_col="vec_id")
+        path = str(tmp_path / f"corpus{n_lists}")
+        write_ivf_corpus(seen, cent, path, quantize_bits=quantize_bits)
+        return cent, path
+
+    def test_one_list_exhaustive_vs_cross_join(self, spark, tmp_path):
+        from metaframe_spark.operators.dedup import semantic_dup_against
+        from metaframe_spark.operators.similarity import cosine_expr
+
+        emb, seen, new = self._split(spark)
+        _, path = self._layout(spark, seen, 1, tmp_path)
+        got = semantic_dup_against(spark, path, new, min_cosine=0.3)
+        rows = sorted(map(tuple, got.collect()))
+        got._mf_persisted.unpersist()
+        a = new.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("_va"))
+        b = seen.select(F.col("vec_id").alias("seen_id"), F.col("embedding").alias("_vb"))
+        ref = (
+            a.crossJoin(b)
+            .select(
+                "new_id", "seen_id",
+                F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.3)
+        )
+        assert rows == sorted(map(tuple, ref.collect()))
+        assert rows  # non-vacuous
+
+    def test_multi_cell_same_cell_semantics_and_pruning(self, spark, tmp_path):
+        import re
+
+        from metaframe_spark.operators.dedup import semantic_dup_against
+        from metaframe_spark.operators.similarity import assign_cells, cosine_expr
+
+        emb, seen, new = self._split(spark)
+        cent, path = self._layout(spark, seen, 8, tmp_path)
+        got = semantic_dup_against(spark, path, new, min_cosine=0.25)
+        rows = sorted(map(tuple, got.collect()))
+        got._mf_persisted.unpersist()
+        # reference: a cross pair is compared iff both sides assign to the
+        # same cell of the SAME stored centroids
+        an = assign_cells(new, cent).select(
+            F.col("vec_id").alias("new_id"),
+            F.col("embedding").alias("_va"),
+            F.col("_cell").alias("_ca"),
+        )
+        asn = assign_cells(seen, cent).select(
+            F.col("vec_id").alias("seen_id"),
+            F.col("embedding").alias("_vb"),
+            F.col("_cell").alias("_cb"),
+        )
+        ref = (
+            an.join(asn, F.col("_ca") == F.col("_cb"))
+            .select(
+                "new_id", "seen_id",
+                F.round(cosine_expr("_va", "_vb"), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.25)
+        )
+        assert rows == sorted(map(tuple, ref.collect()))
+        # a single new vector probes ONE cell: the seen scan must carry a
+        # static partition filter on exactly that cell
+        one = semantic_dup_against(spark, path, new.limit(1), min_cosine=0.25)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        one._mf_persisted.unpersist()
+        # a 1-element isin plans as equality, not IN
+        m = re.search(
+            r"PartitionFilters: \[[^\]]*\(cell#\d+ (?:= \d+|IN \([^)]*\))\)",
+            plan,
+        )
+        assert m, f"no static partition filter on the seen scan:\n{plan}"
+
+    def test_refusals(self, spark, tmp_path):
+        from metaframe_spark.operators.dedup import semantic_dup_against
+        from metaframe_spark.operators.similarity import (
+            assign_cells,
+            fit_sampled_centroids,
+        )
+
+        emb, seen, new = self._split(spark)
+        # quantized layout: approximate cosines must not gate a dedup
+        _, qpath = self._layout(spark, seen, 4, tmp_path, quantize_bits=8)
+        with pytest.raises(ValueError, match="quantized codes"):
+            semantic_dup_against(spark, qpath, new)
+        # layout without a co-persisted index
+        cent = fit_sampled_centroids(seen, 4, seed=3, order_col="vec_id")
+        bare = str(tmp_path / "bare")
+        assign_cells(seen, cent, cell_col="cell").write.partitionBy(
+            "cell"
+        ).parquet(bare)
+        with pytest.raises(ValueError, match="no readable IVF index"):
+            semantic_dup_against(spark, bare, new)
+        # non-integral id
+        _, path = self._layout(spark, seen, 4, tmp_path)
+        with pytest.raises(TypeError, match="int64"):
+            semantic_dup_against(
+                spark, path, new.withColumn("vec_id", F.col("vec_id").cast("string"))
+            )
+        # wrong dimension fails loudly in the assignment scan
+        with pytest.raises(Exception, match="dimension must be 64"):
+            out = semantic_dup_against(
+                spark, path,
+                new.withColumn("embedding", F.expr("slice(embedding, 1, 3)")),
+            )
+
+
 class TestNearDupGroups:
     def test_connected_components_and_survivors(self, spark, docs):
         from metaframe_spark.operators.dedup import dedup_survivors, near_dup_groups
