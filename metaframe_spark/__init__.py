@@ -60,6 +60,10 @@ _EXPORTS = {
         "metaframe_spark.streaming",
         "stream_bottomk_samples",
     ),
+    "stream_semantic_dedup": (
+        "metaframe_spark.streaming",
+        "stream_semantic_dedup",
+    ),
     "lint_plan": ("metaframe_spark.scale", "lint_plan"),
     "curate_corpus": ("metaframe_spark.pipeline", "curate_corpus"),
     "MetaCatalog": ("metaframe_spark.catalog", "MetaCatalog"),

@@ -632,67 +632,218 @@ def stream_ivf_append(
     stores). Returns the started ``StreamingQuery`` (availableNow)."""
     from ..operators.similarity import _prepare_ivf_delta
 
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        _commit_ivf_delta(
+            spark,
+            corpus_path,
+            batch_id,
+            lambda: _prepare_ivf_delta_for(
+                spark, corpus_path, batch_df, vec_col, format
+            ),
+            format=format,
+        )
+
+    writer = (
+        stream.to_spark() if isinstance(stream, MetaFrame) else stream
+    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def _prepare_ivf_delta_for(spark, corpus_path, batch_df, vec_col, format):
+    from ..operators.similarity import _prepare_ivf_delta
+
+    return _prepare_ivf_delta(
+        spark, corpus_path, batch_df, vec_col=vec_col, format=format
+    )
+
+
+def _ivf_marks_last(fs, P, marks_dir: str) -> int:
+    """Highest committed ingest batch id recorded in the marker dir
+    (−1 when none): the marker files are the exactly-once high-water
+    record for the staged-move ingest protocol."""
+    last = -1
+    if fs.exists(P(marks_dir)):
+        for st in fs.listStatus(P(marks_dir)):
+            name = st.getPath().getName()
+            if name.startswith("batch-"):
+                last = max(last, int(name[len("batch-"):]))
+    return last
+
+
+def _commit_ivf_delta(
+    spark, corpus_path: str, batch_id: int, build_delta, format: str = "parquet"
+) -> bool:
+    """The exactly-once per-batch commit shared by
+    :func:`stream_ivf_append` and :func:`stream_semantic_dedup`:
+
+    1. skip entirely when ``batch_id`` is at or below the marker
+       high-water (cleaning any marker-then-crash staging debris);
+    2. (re)build + stage the delta under ``_ingest_staging_{id}`` unless
+       a COMPLETE (_SUCCESS-marked) stage already exists — a crash
+       mid-write leaves no marker and rebuilds, a crash mid-move resumes
+       without recomputing (``build_delta`` is only called when staging
+       is needed);
+    3. move every staged ``cell=N`` data file into the corpus under the
+       batch-unique name ``ingest{id}_{fname}`` (renames atomic per
+       file; a file lives in exactly one of staging/corpus);
+    4. create the ``_ingest_marks/batch-{id}`` marker LAST, then drop
+       the staging skeleton.
+
+    Returns True when the batch was applied (or resumed), False when it
+    was skipped as already committed."""
+    fs, P = _hadoop_fs(spark, corpus_path)
     root = corpus_path.rstrip("/")
     marks_dir = root + "/_ingest_marks"
+    staging = root + f"/_ingest_staging_{batch_id}"
+    if batch_id <= _ivf_marks_last(fs, P, marks_dir):
+        # replayed batch: its files are already in the corpus; a
+        # marker-then-crash leftover staging skeleton is just debris
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)
+        return False
+    if not _staged_write_complete(fs, P, staging):
+        # no complete stage for this id — (re)build it from the batch
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)  # partial write: start over
+        build_delta().write.mode("overwrite").partitionBy("cell").format(
+            format
+        ).save(staging)
+    # move staged per-cell files into the corpus; names are batch-unique
+    # so they can never collide with base files or other batches', and
+    # rename-atomicity makes a resumed move safe
+    for cell_st in fs.listStatus(P(staging)):
+        cell_name = cell_st.getPath().getName()
+        if not cell_name.startswith("cell="):
+            continue
+        dest_dir = P(root + "/" + cell_name)
+        if not fs.exists(dest_dir) and not fs.mkdirs(dest_dir):
+            raise RuntimeError(
+                f"ivf ingest batch {batch_id}: cannot create {dest_dir}"
+            )
+        for f_st in fs.listStatus(cell_st.getPath()):
+            fname = f_st.getPath().getName()
+            if fname.startswith("_") or fname.startswith("."):
+                continue
+            dest = P(root + f"/{cell_name}/ingest{batch_id}_{fname}")
+            if not fs.rename(f_st.getPath(), dest):
+                raise RuntimeError(
+                    f"ivf ingest batch {batch_id}: failed to move "
+                    f"{f_st.getPath()} -> {dest}"
+                )
+    # commit: marker LAST, then drop the now-empty staging skeleton
+    if not fs.exists(P(marks_dir)) and not fs.mkdirs(P(marks_dir)):
+        raise RuntimeError(
+            f"ivf ingest batch {batch_id}: cannot create {marks_dir}"
+        )
+    fs.create(P(marks_dir + f"/batch-{batch_id}"), True).close()
+    fs.delete(P(staging), True)
+    return True
+
+
+def stream_semantic_dedup(
+    stream,
+    corpus_path: str,
+    out_path: str,
+    min_cosine: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    within_cells: int = 16,
+    format: str = "parquet",
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuous-ingest SEMANTIC dedup against an accreting IVF corpus —
+    the embedding-space member completing the streaming-dedup family
+    (:func:`stream_exact_dedup` → byte-identical,
+    :func:`stream_neardup_dedup` → MinHash/Jaccard, THIS → SemDeDup
+    cosine): per micro-batch, documents whose embeddings near-match a
+    batch sibling (lowest id survives,
+    :func:`~metaframe_spark.operators.dedup.semantic_dup_pairs`) or ANY
+    previously-ingested survivor
+    (:func:`~metaframe_spark.operators.dedup.semantic_dup_against`
+    against the persisted layout — history is never re-scanned,
+    re-assigned, or re-fit; the seen side partition-prunes to the
+    touched cells) are dropped; survivors land under
+    ``{out_path}/batch={id}`` and ONLY survivors' vectors append to the
+    cell-partitioned corpus via the shared exactly-once staged-move
+    commit (``_commit_ivf_delta``, same protocol as
+    :func:`stream_ivf_append`).
+
+    The corpus must be bootstrapped once with
+    :func:`~metaframe_spark.operators.similarity.write_ivf_corpus` (fit
+    the index on an initial sample — standard IVF practice); quantized
+    layouts are refused by the against-check (a dedup gate needs exact
+    cosines). Batch vectors must be unit-normalized and ids integral,
+    matching the batch operators. ``within_cells`` bounds the
+    within-batch quadratic and must be well below the batch row count
+    (the per-batch k-means fits on the batch's own sample).
+
+    Exactly-once: the corpus marker high-water skips replayed batch ids
+    outright; each batch's survivors overwrite their OWN ``batch={id}``
+    directory, so a crash between the output write and the corpus
+    commit replays into an identical overwrite and RESUMES the staged
+    move without recomputing (the delta builder only runs when no
+    complete stage exists). Returns the started ``StreamingQuery``
+    (availableNow)."""
+    from ..operators.dedup import (
+        dedup_survivors,
+        semantic_dup_against,
+        semantic_dup_pairs,
+    )
+    from ..operators.similarity import _prepare_ivf_delta
+
+    root = corpus_path.rstrip("/")
 
     def _apply(batch_df, batch_id: int):
         spark = batch_df.sparkSession
         fs, P = _hadoop_fs(spark, corpus_path)
-        # high-water check: marker files are the committed-batch record
-        last = -1
-        if fs.exists(P(marks_dir)):
-            for st in fs.listStatus(P(marks_dir)):
-                name = st.getPath().getName()
-                if name.startswith("batch-"):
-                    last = max(last, int(name[len("batch-"):]))
-        staging = root + f"/_ingest_staging_{batch_id}"
-        if batch_id <= last:
-            # replayed batch: its files are already in the corpus; a
-            # marker-then-crash leftover staging skeleton is just debris
-            if fs.exists(P(staging)):
-                fs.delete(P(staging), True)
-            return
-        if not _staged_write_complete(fs, P, staging):
-            # no complete stage for this id — (re)build it from the batch
-            if fs.exists(P(staging)):
-                fs.delete(P(staging), True)  # partial write: start over
-            delta = _prepare_ivf_delta(
-                spark, corpus_path, batch_df, vec_col=vec_col, format=format
+        if batch_id <= _ivf_marks_last(fs, P, root + "/_ingest_marks"):
+            return  # replayed batch: output + corpus already final
+        batch = batch_df.select(id_col, vec_col)
+        pairs = semantic_dup_pairs(
+            batch,
+            min_cosine=min_cosine,
+            n_cells=within_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        local = dedup_survivors(batch, pairs, id_col=id_col)
+        hits = semantic_dup_against(
+            spark,
+            corpus_path,
+            local,
+            min_cosine=min_cosine,
+            new_id=id_col,
+            seen_id=id_col,
+            vec_col=vec_col,
+            format=format,
+        )
+        dead = hits.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = local.join(dead, id_col, "left_anti").persist()
+        try:
+            survivors.write.mode("overwrite").format(format).save(
+                out_path.rstrip("/") + f"/batch={batch_id}"
             )
-            delta.write.mode("overwrite").partitionBy("cell").format(
-                format
-            ).save(staging)
-        # move staged per-cell files into the corpus; names are
-        # batch-unique so they can never collide with base files or other
-        # batches', and rename-atomicity makes a resumed move safe
-        for cell_st in fs.listStatus(P(staging)):
-            cell_name = cell_st.getPath().getName()
-            if not cell_name.startswith("cell="):
-                continue
-            dest_dir = P(root + "/" + cell_name)
-            if not fs.exists(dest_dir) and not fs.mkdirs(dest_dir):
-                raise RuntimeError(
-                    f"ivf ingest batch {batch_id}: cannot create {dest_dir}"
-                )
-            for f_st in fs.listStatus(cell_st.getPath()):
-                fname = f_st.getPath().getName()
-                if fname.startswith("_") or fname.startswith("."):
-                    continue
-                dest = P(
-                    root + f"/{cell_name}/ingest{batch_id}_{fname}"
-                )
-                if not fs.rename(f_st.getPath(), dest):
-                    raise RuntimeError(
-                        f"ivf ingest batch {batch_id}: failed to move "
-                        f"{f_st.getPath()} -> {dest}"
-                    )
-        # commit: marker LAST, then drop the now-empty staging skeleton
-        if not fs.exists(P(marks_dir)) and not fs.mkdirs(P(marks_dir)):
-            raise RuntimeError(
-                f"ivf ingest batch {batch_id}: cannot create {marks_dir}"
+            _commit_ivf_delta(
+                spark,
+                corpus_path,
+                batch_id,
+                lambda: _prepare_ivf_delta(
+                    spark, corpus_path, survivors,
+                    vec_col=vec_col, format=format,
+                ),
+                format=format,
             )
-        fs.create(P(marks_dir + f"/batch-{batch_id}"), True).close()
-        fs.delete(P(staging), True)
+        finally:
+            survivors.unpersist()
+            for h in (
+                getattr(pairs, "_mf_persisted", None),
+                getattr(hits, "_mf_persisted", None),
+            ):
+                if h is not None:
+                    h.unpersist()
 
     writer = (
         stream.to_spark() if isinstance(stream, MetaFrame) else stream

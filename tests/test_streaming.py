@@ -1105,3 +1105,96 @@ class TestStreamBottomkSamples:
         assert self._store_rows(spark, store) == self._one_pass(
             spark, d.unionByName(late)
         )
+
+
+class TestStreamSemanticDedup:
+    """stream_semantic_dedup: continuous semantic ingest dedup against the
+    accreting IVF corpus — within-batch losers drop, cross-history matches
+    drop (via the store alone), survivors append, replays no-op."""
+
+    def test_two_batches_replay_and_continuation(self, spark, tmp_path):
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+        from metaframe_spark.streaming import stream_semantic_dedup
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        vecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb.filter(F.col("vec_id") < 20).collect()
+        }
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # bootstrap layout: ids 100..109 carrying vectors e10..e19
+        seen0 = mk([(100 + i, vecs[10 + i]) for i in range(10)])
+        cent = fit_sampled_centroids(seen0, 2, seed=3, order_col="vec_id")
+        corpus = str(tmp_path / "corpus")
+        write_ivf_corpus(seen0, cent, corpus)
+        # b1: six distinct + one within-batch twin of id 1
+        b1 = mk([(i, vecs[i]) for i in range(1, 7)] + [(7, vecs[1])])
+        # b2: a cross-history twin of bootstrap vector e10 (id 100), one
+        # fresh vector, and a within-batch twin of the fresh one
+        b2 = mk([(11, vecs[10]), (12, vecs[8]), (13, vecs[8])])
+        src = str(tmp_path / "src")
+        b1.coalesce(1).write.parquet(src + "/f1")
+        b2.coalesce(1).write.parquet(src + "/f2")
+        out = str(tmp_path / "out")
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            q = stream_semantic_dedup(
+                stream, corpus, out, min_cosine=0.99, within_cells=1,
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain("ckpt")
+        surv = {
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        }
+        assert surv == {1, 2, 3, 4, 5, 6, 12}
+        corpus_ids = {
+            r.vec_id for r in spark.read.parquet(corpus).select("vec_id").collect()
+        }
+        assert corpus_ids == set(range(100, 110)) | surv
+        n_corpus = spark.read.parquet(corpus).count()
+        # full replay on a fresh checkpoint: batch ids restart at 0 <= the
+        # marker high-water -> skipped entirely; corpus + output stable
+        drain("ckpt_replay")
+        assert spark.read.parquet(corpus).count() == n_corpus
+        assert {
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        } == surv
+        # continuation: a twin of a BATCH-0 survivor is caught by the
+        # corpus alone (id 3's vector re-appears two batches later)
+        b3 = mk([(21, vecs[3]), (22, vecs[9])])
+        b3.coalesce(1).write.parquet(src + "/f3")
+        drain("ckpt")
+        surv3 = {
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        }
+        assert surv3 == surv | {22}
+        assert {
+            r.vec_id for r in spark.read.parquet(corpus).select("vec_id").collect()
+        } == set(range(100, 110)) | surv3
+        # probes against the accreted corpus see the survivors
+        from metaframe_spark.operators.similarity import ivf_topk_stored
+
+        q1 = mk([(999, vecs[3])]).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        top = ivf_topk_stored(spark, corpus, q1, k=1, n_probe=2).collect()
+        assert top[0]["vec_id"] == 3 and top[0]["cosine"] == 1.0
