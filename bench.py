@@ -135,10 +135,17 @@ def main() -> int:
         "metaframe_spark_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        # keep stdout JSON-clean: heavy Arrow JNI allocation can emit
-        # [warning][gc,alloc] GCLocker lines on the JVM's stdout, which
-        # would interleave with the driver-contract JSON lines
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:gc+alloc=off"},
+        # bench.py is always the process's FIRST JVM, so driver.memory set
+        # through the builder reaches spark-submit before launch (verified:
+        # Runtime.maxMemory reports it) — the sf0.1 catalog needs ~8g of
+        # driver heap in local[32] (the default ~1g OOMed a full run once
+        # the catalog passed ~160 entries). extraJavaOptions keeps stdout
+        # JSON-clean: heavy Arrow JNI allocation can emit [warning][gc,alloc]
+        # GCLocker lines that would interleave with the contract JSON lines.
+        extra_conf={
+            "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "8g"),
+            "spark.driver.extraJavaOptions": "-Xlog:gc+alloc=off",
+        },
     )
 
     if os.environ.get("BENCH_DISPATCH", "0") == "1":
