@@ -892,6 +892,97 @@ def _prepare_ivf_delta(
     return assigned
 
 
+def delete_from_ivf_corpus(
+    spark,
+    corpus_path: str,
+    ids,
+    id_col: str = "vec_id",
+    format: str = "parquet",
+) -> int:
+    """Targeted vector deletion from a :func:`write_ivf_corpus` layout —
+    the right-to-be-forgotten path a 100 TB serving store needs: only the
+    cells that actually CONTAIN deleted ids are rewritten (dynamic
+    partition overwrite), every other cell's files are untouched bytes,
+    and the co-persisted ``_ivf_index``/``_sq_bounds`` sidecars are never
+    touched (deletion does not change the cell space or the code space —
+    quantized corpora keep their exact codes). Completes the corpus
+    lifecycle: build → append/stream → compact → DELETE.
+
+    ``ids`` is a DataFrame carrying ``id_col`` (extra columns ignored).
+    Returns the number of corpus rows deleted. Plan shape: one semi-join
+    counts the victims and collects the ≤ n_lists affected cell ids
+    (bounded driver read, the ``ivf_topk_stored`` contract), one
+    anti-join rewrites ONLY those cells' surviving rows via dynamic
+    partition overwrite, and cells left EMPTY by the deletion — which
+    dynamic overwrite would silently skip, leaving the victims alive —
+    are removed explicitly afterwards. Re-running after a crash is
+    idempotent (deleting already-gone ids is a no-op); a concurrent
+    reader mid-rewrite can observe a cell's old or new version per file,
+    the standard non-transactional-table caveat (run deletes in the
+    maintenance window or on a snapshot copy, then atomic-rename)."""
+    # the index is the layout's identity — refuse paths that are not a
+    # write_ivf_corpus layout instead of blind-rewriting parquet dirs
+    read_ivf_index(spark, corpus_path.rstrip("/") + "/_ivf_index", format=format)
+    root = corpus_path.rstrip("/")
+    corpus = spark.read.format(format).load(corpus_path)
+    if id_col not in corpus.columns:
+        raise ValueError(
+            f"delete_from_ivf_corpus: id column {id_col!r} not in the "
+            f"corpus (columns: {corpus.columns!r})"
+        )
+    victims = ids.select(id_col).distinct()
+    hit = corpus.join(victims, id_col, "leftsemi")
+    # one pass over the (pruned-by-nothing, but column-pruned) corpus:
+    # victim count + the affected cells, both tiny
+    stats = hit.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).collect()
+    n_deleted = int(sum(r["_n"] for r in stats))
+    if n_deleted == 0:
+        return 0
+    cells = sorted(int(r["cell"]) for r in stats)
+    remaining = (
+        corpus.filter(F.col("cell").isin(cells))
+        .join(victims, id_col, "left_anti")
+    )
+    # cells every one of whose rows is a victim emit NOTHING, and dynamic
+    # overwrite silently skips absent partitions (the victims would
+    # survive) — find them up front so their dirs can be dropped after
+    surviving_cells = {
+        int(r["cell"]) for r in remaining.select("cell").distinct().collect()
+    }
+    # dynamic overwrite replaces exactly the partitions PRESENT in the
+    # output — untouched cells' files are never rewritten
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .format(format)
+        .save(corpus_path)
+    )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(root).getFileSystem(conf)
+    for c in cells:
+        if c not in surviving_cells:
+            fs.delete(P(f"{root}/cell={c}"), True)
+    # invariant: one pruned re-scan proves every victim is gone — cheap
+    # insurance against a silently-skipped partition
+    left = (
+        spark.read.format(format)
+        .load(corpus_path)
+        .filter(F.col("cell").isin(cells))
+        .join(victims, id_col, "leftsemi")
+        .count()
+    )
+    if left:
+        raise RuntimeError(
+            f"delete_from_ivf_corpus: {left} victim rows still present "
+            "after the rewrite — the layout may be mid-crash; re-run the "
+            "delete (it is idempotent)"
+        )
+    return n_deleted
+
+
 def compact_ivf_corpus(
     spark,
     corpus_path: str,

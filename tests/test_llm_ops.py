@@ -1221,6 +1221,128 @@ class TestCompactIvfCorpus:
                 compact_ivf_corpus(spark, bare, bad)
 
 
+class TestDeleteFromIvfCorpus:
+    """delete_from_ivf_corpus: GDPR-style targeted deletion — only
+    affected cells rewritten, sidecars untouched, probes forget the
+    victims."""
+
+    def _corpus(self, spark, tmp_path, quantize_bits=None):
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        cent = fit_sampled_centroids(emb, 8, seed=3, order_col="vec_id")
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(emb, cent, path, quantize_bits=quantize_bits)
+        return emb, path
+
+    def test_delete_rewrites_only_affected_cells(self, spark, tmp_path):
+        import glob
+        import os
+
+        from metaframe_spark.operators.similarity import (
+            delete_from_ivf_corpus,
+            ivf_topk_stored,
+        )
+
+        emb, path = self._corpus(spark, tmp_path)
+        rows = spark.read.parquet(path)
+        n0 = rows.count()
+        # victims: every vector of ONE cell (to exercise the emptied-cell
+        # path) plus two ids from another cell
+        by_cell = {
+            r["cell"]: r["ids"]
+            for r in rows.groupBy("cell")
+            .agg(F.collect_list("vec_id").alias("ids"))
+            .collect()
+        }
+        cells = sorted(by_cell)
+        whole, partial = cells[0], cells[1]
+        victims = list(by_cell[whole]) + sorted(by_cell[partial])[:2]
+        untouched = [c for c in cells if c not in (whole, partial)]
+        mtimes = {
+            c: sorted(
+                os.path.getmtime(f)
+                for f in glob.glob(path + f"/cell={c}/*.parquet")
+            )
+            for c in untouched
+        }
+        idx_before = sorted(
+            map(tuple, spark.read.parquet(path + "/_ivf_index").collect())
+        )
+        vdf = spark.createDataFrame([(int(v),) for v in victims], "vec_id long")
+        n_del = delete_from_ivf_corpus(spark, path, vdf)
+        assert n_del == len(victims)
+        after = spark.read.parquet(path)
+        assert after.count() == n0 - len(victims)
+        assert after.join(vdf, "vec_id", "leftsemi").count() == 0
+        # the fully-emptied cell's directory is gone
+        assert not os.path.exists(path + f"/cell={whole}")
+        # untouched cells' files are byte-untouched (same mtimes)
+        for c in untouched:
+            assert mtimes[c] == sorted(
+                os.path.getmtime(f)
+                for f in glob.glob(path + f"/cell={c}/*.parquet")
+            ), f"cell {c} was rewritten"
+        # the index sidecar is untouched and probes forget the victims
+        assert (
+            sorted(map(tuple, spark.read.parquet(path + "/_ivf_index").collect()))
+            == idx_before
+        )
+        q = emb.filter(F.col("vec_id") == victims[0]).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        top = ivf_topk_stored(spark, path, q, k=3, n_probe=8).collect()
+        assert victims[0] not in {r["vec_id"] for r in top}
+        # idempotent: deleting the same ids again is a zero no-op
+        assert delete_from_ivf_corpus(spark, path, vdf) == 0
+        assert spark.read.parquet(path).count() == n0 - len(victims)
+
+    def test_quantized_codes_survive_and_refusals(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            assign_cells,
+            delete_from_ivf_corpus,
+            fit_sampled_centroids,
+        )
+
+        emb, path = self._corpus(spark, tmp_path, quantize_bits=8)
+        keep_codes = {
+            r["vec_id"]: list(r["embedding"])
+            for r in spark.read.parquet(path)
+            .filter(F.col("vec_id") >= 8)
+            .collect()
+        }
+        bounds = sorted(
+            map(tuple, spark.read.parquet(path + "/_sq_bounds").collect())
+        )
+        vdf = spark.createDataFrame([(i,) for i in range(8)], "vec_id long")
+        assert delete_from_ivf_corpus(spark, path, vdf) == 8
+        # surviving codes byte-identical, bounds untouched
+        after = {
+            r["vec_id"]: list(r["embedding"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert after == keep_codes
+        assert (
+            sorted(map(tuple, spark.read.parquet(path + "/_sq_bounds").collect()))
+            == bounds
+        )
+        # refusals: not-a-layout path; missing id column
+        bare = str(tmp_path / "bare")
+        cent = fit_sampled_centroids(emb, 4, seed=3, order_col="vec_id")
+        assign_cells(emb, cent, cell_col="cell").write.partitionBy(
+            "cell"
+        ).parquet(bare)
+        with pytest.raises(Exception, match="_ivf_index"):
+            delete_from_ivf_corpus(spark, bare, vdf)
+        with pytest.raises(ValueError, match="not in the corpus"):
+            delete_from_ivf_corpus(spark, path, vdf, id_col="nope")
+
+
 class TestSemanticDupAgainst:
     """semantic_dup_against: incremental SemDeDup vs a persisted IVF
     layout — exhaustive at 1 list, same-cell semantics at many, pruned
