@@ -916,10 +916,15 @@ def delete_from_ivf_corpus(
     partition overwrite, and cells left EMPTY by the deletion — which
     dynamic overwrite would silently skip, leaving the victims alive —
     are removed explicitly afterwards. Re-running after a crash is
-    idempotent (deleting already-gone ids is a no-op); a concurrent
-    reader mid-rewrite can observe a cell's old or new version per file,
-    the standard non-transactional-table caveat (run deletes in the
-    maintenance window or on a snapshot copy, then atomic-rename)."""
+    idempotent (deleting already-gone ids is a no-op) — with the one
+    honest caveat of any non-transactional dynamic overwrite: a crash in
+    the narrow commit window (old partition files removed, staged
+    replacements not yet promoted) can lose an AFFECTED cell's
+    surviving rows, and a concurrent reader mid-rewrite can observe a
+    cell's old or new version per file. For irreplaceable corpora run
+    deletes against a snapshot copy and atomic-rename it in (the same
+    promote discipline as ``compact_ivf_corpus``); a transactional table
+    format is the at-scale answer when deletes are frequent."""
     # the index is the layout's identity — refuse paths that are not a
     # write_ivf_corpus layout instead of blind-rewriting parquet dirs
     read_ivf_index(spark, corpus_path.rstrip("/") + "/_ivf_index", format=format)
