@@ -199,6 +199,7 @@ def validate_anomalies(
     rules: Sequence[Dict[str, Any]],
     run_col: str = "run",
     group_by: Optional[Sequence[str]] = None,
+    estimates: bool = False,
 ) -> DataFrame:
     """Deequ-style ANOMALY detection over a persisted moment-sketch store
     (:func:`~metaframe_spark.operators.maintenance.moment_sketches` rows,
@@ -243,7 +244,15 @@ def validate_anomalies(
     feed stalled yesterday is compared where its history ends — stalls
     are caught by pairing a ``{col}_count`` rule with run-freshness
     checks upstream). The store must hold ONE row per (run, group), which
-    is what ``moment_sketches``/``merge_moment_sketches`` emit."""
+    is what ``moment_sketches``/``merge_moment_sketches`` emit.
+
+    ``estimates=True`` takes ``store`` as an ALREADY-computed
+    per-(run, group) estimates relation instead of a moment store — the
+    bridge to every other sketch family: feed ``sketch_estimates(...)``
+    (HLL distincts per run), ``kmv_distinct_estimates``, a
+    ``frequent_term_estimates`` rollup, or any per-run metrics table,
+    and the same history/envelope rules apply; ``metric`` then names any
+    numeric column of that relation."""
     from pyspark.sql import Window
 
     from .maintenance import moment_estimates
@@ -252,7 +261,11 @@ def validate_anomalies(
     if not rules:
         raise ValueError("validate_anomalies: rules must be non-empty")
     keys = list(group_by or [])
-    est = moment_estimates(store, group_by=[run_col, *keys])
+    est = (
+        store
+        if estimates
+        else moment_estimates(store, group_by=[run_col, *keys])
+    )
     labels = [_anomaly_label(r) for r in rules]
     if len(set(labels)) != len(labels):
         dup = sorted({l for l in labels if labels.count(l) > 1})

@@ -324,3 +324,33 @@ class TestValidateAnomalies:
                 [{"type": "psi", "metric": "x_mean"}],
                 run_col="run", group_by=["g"],
             )
+
+    def test_estimates_mode_bridges_hll_store(self, spark):
+        """estimates=True: the rule engine runs over ANY per-(run, group)
+        estimates relation — here the HLL distinct store's estimates, the
+        bridge to the non-moment sketch families."""
+        from metaframe_spark.operators.expectations import validate_anomalies
+        from metaframe_spark.operators.maintenance import (
+            distinct_sketches,
+            sketch_estimates,
+        )
+
+        rows = [
+            ("g1", r, f"u{u}") for r in range(1, 8) for u in range(10)
+        ] + [("g1", 8, f"u{u}") for u in range(300)]  # latest run explodes
+        df = spark.createDataFrame(rows, "g string, run int, user string")
+        est = sketch_estimates(
+            distinct_sketches(df, ["user"], group_by=["run", "g"]),
+            group_by=["run", "g"],
+        )
+        [r] = validate_anomalies(
+            est,
+            [{"type": "within_history", "metric": "user_distinct",
+              "tol": 0.5, "window": 7, "stat": "median"}],
+            run_col="run",
+            group_by=["g"],
+            estimates=True,
+        ).collect()
+        assert (r["run"], r["n_history"]) == (8, 7)
+        assert r["passed"] is False  # 300-ish vs trailing median ~10
+        assert r["observed"] > 5 * r["expected"]
