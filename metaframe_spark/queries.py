@@ -5464,6 +5464,86 @@ def llm_semantic_against(spark, sf):
 
 
 @query(
+    "q97_anomaly_kmv",
+    "WITH w AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS run_day, "
+    "  user_id FROM events WHERE user_id IS NOT NULL), "
+    "r0 AS (SELECT event_type, run_day, user_id, "
+    "  md5(CAST(user_id AS VARCHAR) || ':42') AS draw_key FROM w), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY event_type, run_day "
+    "  ORDER BY draw_key, user_id) AS rn FROM r0), "
+    "e AS (SELECT event_type, run_day, "
+    "  round(CASE WHEN count(*) < 10 THEN CAST(count(*) AS DOUBLE) "
+    "    ELSE 9.0 / (CAST(('0x' || substring(max(draw_key), 1, 15)) AS BIGINT) "
+    "      / 1152921504606846976.0) END, 6) AS de "
+    "  FROM rk WHERE rn <= 10 GROUP BY 1, 2), "
+    "rr AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "  ORDER BY run_day DESC) AS rk2 FROM e), "
+    "h AS (SELECT event_type, "
+    "  quantile_cont(CASE WHEN rk2 BETWEEN 2 AND 8 THEN de END, 0.5) AS med, "
+    "  count(CASE WHEN rk2 BETWEEN 2 AND 8 THEN de END) AS nh FROM rr GROUP BY 1), "
+    "l AS (SELECT * FROM rr WHERE rk2 = 1) "
+    "SELECT l.event_type, strftime(l.run_day, '%Y-%m-%d') AS run_day, "
+    "'within_history(distinct_estimate,tol=0.5,window=7,median)' AS rule, "
+    "round(de, 6) AS observed, round(med, 6) AS expected, "
+    "CAST(nh AS BIGINT) AS n_history, "
+    "CASE WHEN nh > 0 THEN abs(round(de, 6) - round(med, 6)) "
+    "  <= 0.5 * abs(round(med, 6)) END AS passed "
+    "FROM l JOIN h USING (event_type)",
+)
+def q97_anomaly_kmv(spark, sf):
+    """Anomaly rules over the KMV distinct store — the estimates-mode
+    bridge (operators/expectations.py::validate_anomalies(estimates=True))
+    proven end-to-end on a NON-moment sketch family: per (day,
+    event_type) the bottom-k sample store's KMV distinct-user estimate
+    (operators/maintenance.py::bottomk_sample_sketch →
+    kmv_distinct_estimates — exact below k, (k−1)/u above, the q94
+    machinery) becomes the per-run metric relation, and each type's
+    latest day is judged against its trailing-7 median exactly as q95
+    judges the moment store. Every step — the md5 draw, the top-k rank,
+    both estimator arms, the interpolated median, rounds and the
+    boolean verdict — is engine-replayable, so the oracle recomputes
+    the full chain and hash-matches. The monitoring input is the SAMPLE
+    STORE, not raw history: 'did today's distinct-user count move more
+    than 50% off its trailing median?' costs O(runs × groups) sketch
+    rows however big the event log is."""
+    from .operators.expectations import validate_anomalies
+    from .operators.maintenance import (
+        bottomk_sample_sketch,
+        kmv_distinct_estimates,
+    )
+
+    ev = (
+        load_table(spark, sf, "events")
+        .to_spark()
+        .select("event_type", F.to_date("ts").alias("run_day"), "user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    sk = bottomk_sample_sketch(
+        ev, "user_id", 10, group_by=["run_day", "event_type"]
+    )
+    est = kmv_distinct_estimates(
+        sk, 10, group_by=["run_day", "event_type"]
+    )
+    out = validate_anomalies(
+        est,
+        [
+            {
+                "type": "within_history",
+                "metric": "distinct_estimate",
+                "tol": 0.5,
+                "window": 7,
+                "stat": "median",
+            }
+        ],
+        run_col="run_day",
+        group_by=["event_type"],
+        estimates=True,
+    )
+    return out.withColumn("run_day", F.date_format("run_day", "yyyy-MM-dd"))
+
+
+@query(
     "llm_rep_signals",
     "WITH d0 AS (SELECT doc_id, CASE "
     "  WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 20) "
@@ -6058,6 +6138,7 @@ _ROTATE_FIRST: list = [
     "q96_drift_from_store",
     "llm_rep_signals",
     "llm_semantic_against",
+    "q97_anomaly_kmv",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",
