@@ -6122,11 +6122,11 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the TEN r8-wave keys that overflowed this round's 50-slot
-# window (last driver-checked r08: llm_html_extract, llm_html_links,
-# llm_psl_domains, llm_mix_report, llm_text_clean, llm_url_canonical,
-# llm_url_features, q82_make_datetime, q83_union_by_name, q84_json_array)
-# + the next-oldest
+# additions + the ELEVEN r8-wave keys that overflowed this round's 50-slot
+# window (last driver-checked r08: llm_domain_cap, llm_html_extract,
+# llm_html_links, llm_psl_domains, llm_mix_report, llm_text_clean,
+# llm_url_canonical, llm_url_features, q82_make_datetime,
+# q83_union_by_name, q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
 _ROTATE_FIRST: list = [
