@@ -1363,3 +1363,250 @@ def compact_files(
         dest_path
     )
     return n_files
+
+
+def _cms_bucket(value, depth_i: int, width: int, seed: int):
+    """Bucket index for one CMS row: the first 60 bits of
+    ``md5(value || ':<depth_i>:<seed>')`` mod ``width``. md5 over the
+    same UTF-8 bytes is engine-portable, so a DuckDB oracle replays it
+    exactly (``CAST(('0x' || substring(md5(v || ':i:s'), 1, 15)) AS
+    BIGINT) % width`` — the q94 draw-key trick)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(value, F.lit(f":{int(depth_i)}:{int(seed)}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(int(width))).cast("long")
+
+
+def cms_sketches(
+    df: DataFrame,
+    column: str,
+    width: int = 1024,
+    depth: int = 4,
+    group_by: Optional[Sequence[str]] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """MERGEABLE Count-Min sketch — the sixth incremental statistic
+    (distinct → HLL, moments, quantiles → histograms, top terms →
+    Misra-Gries, uniform sample → bottom-k, and now POINT FREQUENCY
+    with a fixed footprint): per group, a ``depth × width`` counter
+    matrix stored as one relation row per occupied cell. Unlike
+    :func:`term_sketches` (exact but sized by the vocabulary), the
+    CMS footprint is capped at ``groups × depth × width`` rows no
+    matter how many distinct values stream through — the store for
+    unbounded vocabularies (URLs, n-grams, user ids). The two are
+    complementary error regimes: Misra-Gries never OVERcounts
+    (prune bound = undercount ceiling), CMS never UNDERcounts
+    (estimate ≥ true always; overcount ≤ ⌈e/width · N⌉ with
+    probability 1 − e^−depth, the Cormode-Muthukrishnan bound).
+
+    Output rows: ``group_by`` keys + ``depth_i`` (int, 0..depth−1),
+    ``bucket`` (long), ``count`` (long), and the spec columns
+    ``width``/``depth``/``seed`` (int, constant) that
+    :func:`merge_cms_sketches` validates so sketches with different
+    geometries can never silently cross-merge. NULL values are not
+    counted (``count(DISTINCT)``/HLL semantics). ``depth`` is capped
+    at 9 so the ``value:depth_i:seed`` hash pre-image stays injective
+    (single-digit depth index).
+
+    Counter updates commute, so the merge (cell-wise sum) is EXACT
+    and split/order independent: a merged store is bit-identical to a
+    one-pass sketch of the concatenated data (hash-proved by
+    q98_cms_counts). Plan shape: one ``explode`` of ``depth`` structs
+    per input row feeding a partial-aggregated ``groupBy`` — the
+    shuffled relation is the occupied-cell set (≤ depth × width rows
+    per group), never the input rows."""
+    if not 1 <= int(depth) <= 9:
+        raise ValueError(f"cms_sketches: depth must be in [1, 9] ({depth})")
+    if int(width) < 2:
+        raise ValueError(f"cms_sketches: width must be >= 2 ({width})")
+    keys = list(group_by or [])
+    v = F.col(column).cast("string")
+    cells = df.filter(F.col(column).isNotNull()).select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("depth_i"),
+                        _cms_bucket(v, i, width, seed).alias("bucket"),
+                    )
+                    for i in range(int(depth))
+                ]
+            )
+        ).alias("_dh"),
+    )
+    return (
+        cells.groupBy(
+            *keys,
+            F.col("_dh.depth_i").alias("depth_i"),
+            F.col("_dh.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .withColumn("width", F.lit(int(width)).cast("int"))
+        .withColumn("depth", F.lit(int(depth)).cast("int"))
+        .withColumn("seed", F.lit(int(seed)).cast("int"))
+    )
+
+
+def merge_cms_sketches(
+    *sketch_dfs: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge Count-Min sketches from multiple runs: counts sum
+    cell-wise per (group, depth_i, bucket) — exact, order- and
+    split-independent (counter updates commute). Inputs whose
+    ``width``/``depth``/``seed`` specs differ hash values to different
+    cells and CANNOT be merged meaningfully; the mismatch raises AT
+    EXECUTION per group via ``assert_true``, and the check gates EVERY
+    output column so projection pruning can never silently skip it
+    (the histogram_drift lesson, ADVICE r10). Shuffles touch only
+    sketch-sized relations (occupied cells, never raw data)."""
+    if not sketch_dfs:
+        raise ValueError("merge_cms_sketches: need at least one input")
+    need = {"depth_i", "bucket", "count", "width", "depth", "seed"}
+    keys = list(group_by or [])
+    u = sketch_dfs[0]
+    for other in sketch_dfs[1:]:
+        u = u.unionByName(other)
+    missing = need - set(u.columns)
+    if missing:
+        raise ValueError(
+            "merge_cms_sketches: inputs are not CMS sketches "
+            f"(missing columns {sorted(missing)!r})"
+        )
+    g = u.groupBy(*keys) if keys else u.groupBy()
+    spec = g.agg(
+        *[
+            f(c).alias(f"_{c}_{tag}")
+            for c in ("width", "depth", "seed")
+            for tag, f in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+    consistent = (
+        (F.col("_width_mn") == F.col("_width_mx"))
+        & (F.col("_depth_mn") == F.col("_depth_mx"))
+        & (F.col("_seed_mn") == F.col("_seed_mx"))
+    )
+    spec = spec.select(
+        *keys,
+        F.col("_width_mn").alias("_spec_width"),
+        F.col("_depth_mn").alias("_spec_depth"),
+        F.col("_seed_mn").alias("_spec_seed"),
+        F.assert_true(
+            consistent,
+            F.lit(
+                "merge_cms_sketches: mismatched width/depth/seed specs — "
+                "sketches with different geometries cannot be merged"
+            ),
+        ).alias("_spec_ok"),
+    )
+    merged = u.groupBy(*keys, "depth_i", "bucket").agg(
+        F.sum("count").cast("long").alias("count")
+    )
+    joined = (
+        merged.join(spec, keys)
+        if keys
+        else merged.crossJoin(F.broadcast(spec))
+    )
+    # _spec_ok is NULL iff the assert held; gating every column on it
+    # keeps the check alive under any projection
+    gate = F.col("_spec_ok").isNull()
+    return joined.select(
+        *[F.when(gate, F.col(k)).alias(k) for k in keys],
+        F.when(gate, F.col("depth_i")).alias("depth_i"),
+        F.when(gate, F.col("bucket")).alias("bucket"),
+        F.when(gate, F.col("count")).alias("count"),
+        F.when(gate, F.col("_spec_width")).alias("width"),
+        F.when(gate, F.col("_spec_depth")).alias("depth"),
+        F.when(gate, F.col("_spec_seed")).alias("seed"),
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    queries: DataFrame,
+    column: str,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Point-frequency estimates from a CMS relation: for every query
+    row (``group_by`` keys + ``column``), hash the value into its
+    ``depth`` cells and take the MINIMUM stored count (an unoccupied
+    cell counts 0 — the value was never seen in that row's slice).
+    The estimate NEVER undercounts: every cell holds true + collided
+    counts, so ``true ≤ estimate``, deterministically — the mirror
+    guarantee of the Misra-Gries store's never-overcount. ``n_total``
+    (the group's total counted values, recovered exactly as any single
+    depth row's cell sum) bounds the overcount: estimate ≤ n_total,
+    and E[estimate − true] ≤ N/width per the CM analysis.
+
+    The sketch spec (width/depth/seed) is read FROM the relation — one
+    bounded driver read of max 1 row per spec column (the IVF
+    read-index pattern), validated uniform — so callers can't probe a
+    store with the wrong geometry. Plan shape: queries explode into
+    ``depth`` rows, left-join the sketch cells on (keys, depth_i,
+    bucket) — broadcastable when the sketch is small — then one
+    aggregate back to one row per query."""
+    need = {"depth_i", "bucket", "count", "width", "depth", "seed"}
+    missing = need - set(sketch.columns)
+    if missing:
+        raise ValueError(
+            "cms_estimates: input is not a CMS sketch "
+            f"(missing columns {sorted(missing)!r})"
+        )
+    keys = list(group_by or [])
+    spec_rows = (
+        sketch.select("width", "depth", "seed").distinct().limit(2).collect()
+    )
+    if len(spec_rows) != 1:
+        raise ValueError(
+            "cms_estimates: sketch holds mixed width/depth/seed specs — "
+            "merge_cms_sketches inputs must share a geometry"
+        )
+    width, depth, seed = (
+        int(spec_rows[0]["width"]),
+        int(spec_rows[0]["depth"]),
+        int(spec_rows[0]["seed"]),
+    )
+    v = F.col(column).cast("string")
+    probes = queries.select(
+        *keys,
+        F.col(column),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("depth_i"),
+                        _cms_bucket(v, i, width, seed).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_dh"),
+    ).select(*keys, column, "_dh.depth_i", "_dh.bucket")
+    cells = sketch.select(*keys, "depth_i", "bucket", "count")
+    totals_g = (
+        sketch.filter(F.col("depth_i") == 0).groupBy(*keys)
+        if keys
+        else sketch.filter(F.col("depth_i") == 0).groupBy()
+    )
+    totals = totals_g.agg(F.sum("count").cast("long").alias("n_total"))
+    est = (
+        probes.join(cells, [*keys, "depth_i", "bucket"], "left")
+        .groupBy(*keys, column)
+        .agg(
+            F.min(F.coalesce(F.col("count"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("estimate")
+        )
+    )
+    return (
+        est.join(totals, keys)
+        if keys
+        else est.crossJoin(F.broadcast(totals))
+    ).select(*keys, column, "estimate", "n_total")

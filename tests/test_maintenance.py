@@ -1489,3 +1489,160 @@ class TestHistogramDriftFromStore:
         )
         with _pytest.raises(Exception, match="mismatched bin specs"):
             histogram_drift_from_store(bad, "run", group_by=["g"]).collect()
+
+
+class TestCmsSketches:
+    """Count-Min sketch store — the sixth incremental statistic."""
+
+    WORDS = "a b c a a b d e f a b c".split()
+
+    def _df(self, spark):
+        rows = [("en", w) for w in self.WORDS] + [
+            ("fr", w) for w in "x y x z".split()
+        ]
+        return spark.createDataFrame(rows, "lang string, term string")
+
+    def test_merge_split_independent(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_sketches,
+            merge_cms_sketches,
+        )
+
+        df = self._df(spark)
+        parts = [
+            cms_sketches(
+                df.filter(F.crc32("term") % 3 == i),
+                "term",
+                width=8,
+                depth=3,
+                group_by=["lang"],
+                seed=7,
+            )
+            for i in range(3)
+        ]
+        merged = sorted(
+            map(tuple, merge_cms_sketches(*parts, group_by=["lang"]).collect())
+        )
+        onepass = sorted(
+            map(
+                tuple,
+                cms_sketches(
+                    df, "term", width=8, depth=3, group_by=["lang"], seed=7
+                ).collect(),
+            )
+        )
+        assert merged == onepass
+
+    def test_estimates_never_undercount(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+
+        df = self._df(spark)
+        sk = cms_sketches(
+            df, "term", width=4, depth=2, group_by=["lang"], seed=1
+        )
+        q = df.select("lang", "term").distinct()
+        est = cms_estimates(sk, q, "term", group_by=["lang"])
+        truth = df.groupBy("lang", "term").count()
+        rows = est.join(truth, ["lang", "term"]).collect()
+        assert len(rows) == 9
+        for r in rows:
+            assert r["count"] <= r["estimate"] <= r["n_total"], r
+
+    def test_estimates_exact_when_wide(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+
+        df = self._df(spark).filter(F.col("lang") == "en")
+        # width 4096 over a 6-term vocabulary: collisions vanishingly
+        # unlikely at this seed — verified exact here, pinned by the test
+        sk = cms_sketches(df, "term", width=4096, depth=4, seed=42)
+        q = df.select("term").distinct()
+        est = {
+            r["term"]: r["estimate"]
+            for r in cms_estimates(sk, q, "term").collect()
+        }
+        truth = {
+            r["term"]: r["count"] for r in df.groupBy("term").count().collect()
+        }
+        assert est == truth
+
+    def test_absent_term_estimates_zero(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+
+        df = self._df(spark).filter(F.col("lang") == "en")
+        sk = cms_sketches(df, "term", width=4096, depth=4, seed=42)
+        q = spark.createDataFrame([("never-seen-term",)], "term string")
+        [r] = cms_estimates(sk, q, "term").collect()
+        assert r["estimate"] == 0
+
+    def test_mismatched_spec_raises_any_column(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_sketches,
+            merge_cms_sketches,
+        )
+
+        df = self._df(spark)
+        a = cms_sketches(df, "term", width=8, depth=3, group_by=["lang"])
+        b = cms_sketches(df, "term", width=16, depth=3, group_by=["lang"])
+        merged = merge_cms_sketches(a, b, group_by=["lang"])
+        # the spec check must survive projection pruning on EVERY column
+        for col in ("count", "bucket", "width", "lang"):
+            with pytest.raises(Exception, match="mismatched"):
+                merged.select(col).collect()
+
+    def test_mixed_spec_probe_refused(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+
+        df = self._df(spark)
+        a = cms_sketches(df, "term", width=8, depth=3)
+        b = cms_sketches(df, "term", width=16, depth=3)
+        with pytest.raises(ValueError, match="mixed"):
+            cms_estimates(a.unionByName(b), df.select("term"), "term")
+
+    def test_geometry_guards(self, spark):
+        from metaframe_spark.operators.maintenance import cms_sketches
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="depth"):
+            cms_sketches(df, "term", width=8, depth=10)
+        with pytest.raises(ValueError, match="depth"):
+            cms_sketches(df, "term", width=8, depth=0)
+        with pytest.raises(ValueError, match="width"):
+            cms_sketches(df, "term", width=1, depth=3)
+
+    def test_nulls_not_counted(self, spark):
+        from metaframe_spark.operators.maintenance import cms_sketches
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",)], "term string"
+        )
+        sk = cms_sketches(df, "term", width=8, depth=2)
+        # 2 non-null occurrences -> each depth row sums to 2
+        per_depth = {
+            r["depth_i"]: r["s"]
+            for r in sk.groupBy("depth_i")
+            .agg(F.sum("count").alias("s"))
+            .collect()
+        }
+        assert per_depth == {0: 2, 1: 2}
+
+    def test_footprint_capped_by_geometry(self, spark):
+        from metaframe_spark.operators.maintenance import cms_sketches
+
+        df = spark.range(5000).select(
+            F.col("id").cast("string").alias("term")
+        )
+        sk = cms_sketches(df, "term", width=16, depth=3)
+        # 5000 distinct values, but the store holds <= depth*width cells
+        assert sk.count() <= 3 * 16
