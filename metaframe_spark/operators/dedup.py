@@ -1691,3 +1691,96 @@ def bloom_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+def containment_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-PAIR benchmark contamination by asymmetric CONTAINMENT —
+    which eval items are leaked, and by which training documents.
+    :func:`ngram_contamination` answers the corpus-side question ("drop
+    this training doc, it collides with the eval set"); this answers the
+    eval-side one the decontamination reports (GPT-3 appendix C,
+    PaLM §7) are built from: for every (corpus doc, benchmark doc) pair,
+    ``containment = |shared distinct n-grams| / |benchmark doc's
+    distinct n-grams|`` — Jaccard's denominator would let a long
+    training doc hide a fully-swallowed short eval item (union dwarfs
+    the intersection), containment cannot.
+
+    Returns ``(bench_id, corpus_id, n_shared, bench_size,
+    containment)`` for pairs at ``containment >= threshold``. The
+    threshold gate compares INTEGERS — ``n_shared >=
+    ceil(threshold·bench_size − 1e-9)`` — the same epsilon discipline
+    as :func:`prefix_filter_pairs` (ADVICE r10: bare float
+    ``ceil(t·n)`` rounds past exact products like 0.1·10 and silently
+    drops boundary pairs). ``containment`` itself is emitted rounded
+    to 6 places for engine-portable hashing.
+
+    Scale shape: the benchmark's (bench_id, shingle) relation and its
+    per-doc sizes are benchmark-sized (MBs against a TB corpus) and
+    broadcast (``broadcast_benchmark=False`` falls back to shuffled
+    joins); corpus shingles explode once and filter against the
+    broadcast map-side, so only HITS reach the per-pair count's shuffle
+    — identical volume discipline to ngram_contamination, one extra
+    bench_id column on the wire. Documents shorter than ``n`` tokens
+    have no shingles: they cannot be contaminated and do not appear."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"containment_contamination: threshold must be in (0, 1] "
+            f"({threshold})"
+        )
+    if n < 1:
+        raise ValueError(f"containment_contamination: n must be >= 1 ({n})")
+    bench_sh = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            "bench_id",
+            F.explode(F.array_distinct(shingles("_toks", n))).alias("_sh"),
+        )
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bench_size")
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+        bench_sizes = F.broadcast(bench_sizes)
+    corp_sh = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            "corpus_id",
+            F.explode(F.array_distinct(shingles("_toks", n))).alias("_sh"),
+        )
+    )
+    pairs = corp_sh.join(bench_sh, "_sh").groupBy("bench_id", "corpus_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    required = F.ceil(
+        F.lit(float(threshold)) * F.col("bench_size") - F.lit(1e-9)
+    ).cast("long")
+    return (
+        pairs.join(bench_sizes, "bench_id")
+        .filter(F.col("n_shared") >= required)
+        .select(
+            "bench_id",
+            "corpus_id",
+            "n_shared",
+            "bench_size",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("bench_size"), 6
+            ).alias("containment"),
+        )
+    )

@@ -1565,6 +1565,52 @@ def llm_decontaminate(spark, sf):
 
 
 @query(
+    "llm_containment",
+    "WITH t AS (SELECT doc_id, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    f"  FROM {_CORPUS_SQL}), "
+    f"sh AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM t WHERE len(toks) >= 3), "
+    "bench AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh "
+    f"  WHERE doc_id % 11 = 0 AND doc_id < {_TWIN_OFFSET}), "
+    "bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_size "
+    "  FROM bench GROUP BY 1), "
+    "corp AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM sh "
+    f"  WHERE NOT (doc_id % 11 = 0 AND doc_id < {_TWIN_OFFSET})), "
+    "hits AS (SELECT bench_id, corpus_id, CAST(count(*) AS BIGINT) AS n_shared "
+    "  FROM corp JOIN bench USING (s) GROUP BY 1, 2) "
+    "SELECT h.bench_id, h.corpus_id, h.n_shared, b.bench_size, "
+    "round(CAST(h.n_shared AS DOUBLE) / b.bench_size, 6) AS containment "
+    "FROM hits h JOIN bsz b USING (bench_id) "
+    "WHERE h.n_shared >= ceil(0.8 * b.bench_size - 1e-9)",
+)
+def llm_containment(spark, sf):
+    """Per-pair benchmark contamination by asymmetric CONTAINMENT
+    (operators/dedup.py::containment_contamination — the eval-side
+    report next to llm_decontaminate's corpus-side counts): every 11th
+    original document stands in for the benchmark, the corpus is the
+    twin-injected one (each bench doc's twin swallows it whole, so
+    ground-truth containment-1.0 pairs exist by construction), and
+    pairs sharing ≥ 80% of the BENCH doc's distinct 3-gram shingles
+    are reported with exact counts and the rounded fraction. Jaccard
+    would miss the swallow (the union dwarfs the intersection for a
+    short eval item inside a long training doc); containment cannot.
+    The threshold gate is integer ``n_shared ≥ ceil(t·bench_size −
+    1e-9)`` in BOTH engines — the prefix_filter_pairs epsilon
+    discipline, hash-pinned here. Benchmark shingles + sizes broadcast;
+    only map-side hits reach the pair count's shuffle."""
+    from .operators.dedup import containment_contamination
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    corpus = _twin_corpus(d).filter(
+        ~((F.col("doc_id") % 11 == 0) & (F.col("doc_id") < _TWIN_OFFSET))
+    )
+    return containment_contamination(
+        corpus, bench.to_spark(), n=3, threshold=0.8
+    )
+
+
+@query(
     "llm_vocab",
     "WITH t AS (SELECT doc_id, list_filter(string_split("
     f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
@@ -5544,6 +5590,106 @@ def q97_anomaly_kmv(spark, sf):
 
 
 @query(
+    "q98_cms_counts",
+    "WITH t AS (SELECT doc_id, lang, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "g AS (SELECT lang, unnest(toks) AS term FROM t), "
+    "cells AS (SELECT lang, d.i AS depth_i, "
+    "  CAST(('0x' || substring(md5(term || ':' || CAST(d.i AS VARCHAR) "
+    "    || ':7'), 1, 15)) AS BIGINT) % 32 AS bucket, "
+    "  count(*) AS cnt "
+    "  FROM g CROSS JOIN (VALUES (0), (1), (2)) d(i) GROUP BY 1, 2, 3), "
+    "tot AS (SELECT lang, sum(cnt) AS n_total FROM cells "
+    "  WHERE depth_i = 0 GROUP BY 1), "
+    "truth AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS true_count "
+    "  FROM g GROUP BY 1, 2), "
+    "topq AS (SELECT lang, term, true_count FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY lang "
+    "    ORDER BY true_count DESC, term) AS rn FROM truth) WHERE rn <= 10), "
+    "probes AS (SELECT q.lang, q.term, q.true_count, d.i AS depth_i, "
+    "  CAST(('0x' || substring(md5(q.term || ':' || CAST(d.i AS VARCHAR) "
+    "    || ':7'), 1, 15)) AS BIGINT) % 32 AS bucket "
+    "  FROM topq q CROSS JOIN (VALUES (0), (1), (2)) d(i)), "
+    "est AS (SELECT p.lang, p.term, p.true_count, "
+    "  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS estimate "
+    "  FROM probes p LEFT JOIN cells c ON p.lang = c.lang "
+    "  AND p.depth_i = c.depth_i AND p.bucket = c.bucket GROUP BY 1, 2, 3) "
+    "SELECT e.lang, e.term, e.estimate, e.true_count, "
+    "CAST(t.n_total AS BIGINT) AS n_total, "
+    "(e.true_count <= e.estimate AND e.estimate <= t.n_total) AS bracket_ok "
+    "FROM est e JOIN tot t ON e.lang = t.lang",
+)
+def q98_cms_counts(spark, sf):
+    """Mergeable Count-Min frequency store — the sixth incremental
+    statistic (operators/maintenance.py::cms_sketches /
+    merge_cms_sketches / cms_estimates, next to q85's HLL distinct,
+    q87's moments, q88's histogram quantiles, q89's Misra-Gries heavy
+    hitters and q94's bottom-k sample): the corpus splits into two
+    'daily runs' (doc_id mod 2), each reduced per language to a 3×32
+    counter matrix over its unigrams, the runs merged cell-wise —
+    counter updates commute, so the merged store is BIT-IDENTICAL to a
+    one-pass sketch of the full corpus, which is exactly what the
+    oracle computes (the q89 split-independence proof, transplanted) —
+    and the true top-10 terms per language probed back out. Misra-Gries
+    never overcounts; CMS never UNDERcounts: ``bracket_ok`` pins
+    true ≤ estimate ≤ n_total row by row in BOTH engines. The md5-mod
+    bucket draw is engine-replayable (the q94 hex trick), so every
+    stored cell, estimate and verdict hash-matches. Unlike the exact
+    term store, the footprint is groups × depth × width cells no
+    matter the vocabulary — the frequency store for unbounded key
+    spaces. Shuffles carry only occupied cells, never corpus rows."""
+    from pyspark.sql import Window
+
+    from .operators.maintenance import (
+        cms_estimates,
+        cms_sketches,
+        merge_cms_sketches,
+    )
+    from .operators.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = d.to_spark().select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    parts = [
+        cms_sketches(
+            toks.filter(F.col("doc_id") % 2 == i),
+            "term",
+            width=32,
+            depth=3,
+            group_by=["lang"],
+            seed=7,
+        )
+        for i in range(2)
+    ]
+    merged = merge_cms_sketches(*parts, group_by=["lang"])
+    truth = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("true_count"), F.asc("term")
+    )
+    topq = (
+        truth.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+    est = cms_estimates(merged, topq, "term", group_by=["lang"])
+    return est.join(topq, ["lang", "term"]).select(
+        "lang",
+        "term",
+        "estimate",
+        "true_count",
+        "n_total",
+        (
+            (F.col("true_count") <= F.col("estimate"))
+            & (F.col("estimate") <= F.col("n_total"))
+        ).alias("bracket_ok"),
+    )
+
+
+@query(
     "llm_rep_signals",
     "WITH d0 AS (SELECT doc_id, CASE "
     "  WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 20) "
@@ -6122,11 +6268,12 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the ELEVEN r8-wave keys that overflowed this round's 50-slot
-# window (last driver-checked r08: llm_domain_cap, llm_html_extract,
-# llm_html_links, llm_psl_domains, llm_mix_report, llm_text_clean,
-# llm_url_canonical, llm_url_features, q82_make_datetime,
-# q83_union_by_name, q84_json_array) + the next-oldest
+# additions + the THIRTEEN r8-wave keys that overflowed this round's
+# 50-slot window (last driver-checked r08: llm_label_centroids,
+# llm_weighted_sample, llm_domain_cap, llm_html_extract, llm_html_links,
+# llm_psl_domains, llm_mix_report, llm_text_clean, llm_url_canonical,
+# llm_url_features, q82_make_datetime, q83_union_by_name,
+# q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
 _ROTATE_FIRST: list = [
@@ -6139,6 +6286,8 @@ _ROTATE_FIRST: list = [
     "llm_rep_signals",
     "llm_semantic_against",
     "q97_anomaly_kmv",
+    "q98_cms_counts",
+    "llm_containment",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

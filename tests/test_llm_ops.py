@@ -3626,3 +3626,144 @@ class TestPrefixFilterPairs:
         assert prefix_filter_pairs(df).count() == 0
         with _pytest.raises(ValueError, match="min_jaccard"):
             prefix_filter_pairs(df, min_jaccard=0.0)
+
+
+class TestContainmentContamination:
+    def _truth(self, corpus_rows, bench_rows, n=3, threshold=0.5):
+        def sh(text):
+            toks = [t for t in text.lower().split() if t]
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        import math
+
+        expected = {}
+        bench = {r.doc_id: sh(r.text) for r in bench_rows}
+        for cr in corpus_rows:
+            cs = sh(cr.text)
+            for bid, bs in bench.items():
+                if not bs:
+                    continue
+                shared = len(cs & bs)
+                if shared >= math.ceil(threshold * len(bs) - 1e-9):
+                    expected[(bid, cr.doc_id)] = (
+                        shared,
+                        len(bs),
+                        round(shared / len(bs), 6),
+                    )
+        return expected
+
+    def test_pairs_match_python_ground_truth(self, docs, spark):
+        from metaframe_spark.operators import containment_contamination
+
+        bench = docs.filter(F.col("doc_id") % 11 == 0).limit(20)
+        corpus = docs.filter(F.col("doc_id") % 11 != 0)
+        got = {
+            (r.bench_id, r.corpus_id): (
+                r.n_shared,
+                r.bench_size,
+                r.containment,
+            )
+            for r in containment_contamination(
+                corpus, bench, n=3, threshold=0.1
+            ).collect()
+        }
+        expected = self._truth(
+            corpus.select("doc_id", "text").collect(),
+            bench.select("doc_id", "text").collect(),
+            threshold=0.1,
+        )
+        assert got == expected
+
+    def test_swallowed_doc_is_full_containment(self, spark):
+        from metaframe_spark.operators import containment_contamination
+
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (
+                    10,
+                    "padding before the quick brown fox jumps and padding "
+                    "after it goes on and on and on",
+                ),
+                (11, "entirely unrelated words everywhere around here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = containment_contamination(
+            corpus, bench, threshold=0.9
+        ).collect()
+        assert len(rows) == 1
+        [r] = rows
+        assert (r.bench_id, r.corpus_id, r.containment) == (1, 10, 1.0)
+
+    def test_exact_boundary_threshold_kept(self, spark):
+        """t·bench_size landing on an exact integer must keep the pair
+        (the prefix_filter_pairs float-ceil hazard, ADVICE r10)."""
+        from metaframe_spark.operators import containment_contamination
+
+        # bench has exactly 10 shingles; corpus shares exactly 1 -> at
+        # t=0.1 required = ceil(1.0 - eps) = 1, the pair must survive
+        bench_words = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+        bench = spark.createDataFrame(
+            [(1, bench_words)], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(2, "w1 w2 w3 aaa bbb ccc")], "doc_id long, text string"
+        )
+        rows = containment_contamination(
+            corpus, bench, n=3, threshold=0.1
+        ).collect()
+        assert [(r.bench_id, r.corpus_id, r.n_shared) for r in rows] == [
+            (1, 2, 1)
+        ]
+        # and one notch above the boundary drops it
+        assert (
+            containment_contamination(
+                corpus, bench, n=3, threshold=0.11
+            ).count()
+            == 0
+        )
+
+    def test_jaccard_would_miss_the_swallow(self, spark):
+        """The operator's reason to exist: a short eval item inside a
+        long training doc has high containment but low Jaccard."""
+        from metaframe_spark.operators import containment_contamination
+
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        long_tail = " ".join(f"filler{i}" for i in range(200))
+        corpus = spark.createDataFrame(
+            [(2, f"alpha beta gamma delta {long_tail}")],
+            "doc_id long, text string",
+        )
+        [r] = containment_contamination(corpus, bench, threshold=0.99).collect()
+        assert r.containment == 1.0
+        # jaccard for the same pair is tiny (2 shared / ~200 union)
+        assert r.n_shared / (r.n_shared + 200) < 0.05
+
+    def test_guards(self, spark):
+        from metaframe_spark.operators import containment_contamination
+
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            containment_contamination(df, df, threshold=0.0)
+        with pytest.raises(ValueError, match="threshold"):
+            containment_contamination(df, df, threshold=1.5)
+        with pytest.raises(ValueError, match="n must"):
+            containment_contamination(df, df, n=0)
+
+    def test_short_docs_excluded(self, spark):
+        from metaframe_spark.operators import containment_contamination
+
+        bench = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )  # < n tokens: no shingles
+        corpus = spark.createDataFrame(
+            [(2, "a b c d e")], "doc_id long, text string"
+        )
+        assert containment_contamination(corpus, bench, n=3).count() == 0
