@@ -585,6 +585,49 @@ def stream_term_sketches(
     )
 
 
+def stream_cms_sketches(
+    stream,
+    store_path: str,
+    column: str,
+    width: int = 1024,
+    depth: int = 4,
+    group_by=None,
+    seed: int = 42,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously maintain the mergeable Count-Min frequency store
+    (:func:`~metaframe_spark.operators.maintenance.cms_sketches` /
+    ``merge_cms_sketches``) from a stream — the streaming face of the
+    sixth incremental-stats member: point-frequency estimates for an
+    UNBOUNDED key space (URLs, n-grams, ids) where
+    :func:`stream_term_sketches`' store would grow with the live
+    vocabulary, this one is capped at groups × depth × width cells
+    forever. Readable at any moment via
+    ``cms_estimates(spark.read.parquet(store_path).drop("_last_batch"),
+    queries, column, group_by)``; estimates never undercount, exactly
+    as in batch. Cell counts are ADDITIVE, so exactly-once comes from
+    the ``_last_batch`` high-water mark, as with
+    :func:`stream_moment_sketches` — and because the cell-wise merge
+    is exact, the continuously-accreted store hash-matches a one-pass
+    batch sketch over everything the stream ever delivered. The
+    width/depth/seed geometry is FIXED at store creation; a restart
+    with different parameters raises at the first fold via the
+    merge's spec check rather than silently cross-hashing."""
+    from ..operators.maintenance import cms_sketches, merge_cms_sketches
+
+    keys = list(group_by) if group_by else None
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        lambda b: cms_sketches(
+            b, column, width=width, depth=depth, group_by=keys, seed=seed
+        ),
+        lambda store, new: merge_cms_sketches(store, new, group_by=keys),
+        checkpoint_dir,
+        high_water=True,
+    )
+
+
 def stream_ivf_append(
     stream,
     corpus_path: str,

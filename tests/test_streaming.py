@@ -752,6 +752,80 @@ class TestStreamAdditiveSketchStores:
         # "tail" was pruned from batch 2's sketch, so group 0's bound >= 1
         assert boom["prune_bound"] >= 1
 
+    def test_cms_store_matches_batch_exact_and_skips_replays(
+        self, spark, tmp_path
+    ):
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+        from metaframe_spark.streaming import stream_cms_sketches
+
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame(
+            [(i % 2, f"t{i % 9}") for i in range(270)], "g int, w string"
+        )
+        b2 = spark.createDataFrame(
+            [(i % 2, f"t{(i * 5) % 11}") for i in range(220)], "g int, w string"
+        )
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "store")
+
+        def cells():
+            return sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(store).drop("_last_batch").collect(),
+                )
+            )
+
+        kw = dict(
+            store_path=store, column="w", width=16, depth=3, group_by=["g"]
+        )
+        self._drain(
+            spark, stream_cms_sketches, src, tmp_path / "ckpt", b1.schema, **kw
+        )
+        # continuous accretion is cell-identical to one batch pass
+        want = sorted(
+            map(
+                tuple,
+                cms_sketches(
+                    b1.union(b2), "w", width=16, depth=3, group_by=["g"]
+                ).collect(),
+            )
+        )
+        assert cells() == want
+        # fresh checkpoint replays both batches with restarted ids -> both
+        # skipped by the high-water mark, counts not doubled
+        self._drain(
+            spark, stream_cms_sketches, src, tmp_path / "ckpt_replay",
+            b1.schema, **kw,
+        )
+        assert cells() == want
+        # the store is estimate-readable and never undercounts
+        q = b1.union(b2).select("g", "w").distinct()
+        est = cms_estimates(
+            spark.read.parquet(store).drop("_last_batch"), q, "w",
+            group_by=["g"],
+        )
+        truth = b1.union(b2).groupBy("g", "w").count()
+        for r in est.join(truth, ["g", "w"]).collect():
+            assert r["count"] <= r["estimate"] <= r["n_total"], r
+        # restarting with a DIFFERENT geometry raises at the fold, not
+        # silently cross-hashing
+        b3 = spark.createDataFrame([(0, "zzz")], "g int, w string")
+        b3.coalesce(1).write.parquet(str(src / "f3"))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="mismatched|width"):
+            self._drain(
+                spark, stream_cms_sketches, src, tmp_path / "ckpt", b1.schema,
+                store_path=store, column="w", width=32, depth=3,
+                group_by=["g"],
+            )
+
 
 class TestStreamNeardupDedup:
     """Continuous-ingest near-dup dedup against the accreting signature
