@@ -21,7 +21,7 @@ Scale design (the 100-TB contract of the build brief):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1783,4 +1783,94 @@ def containment_contamination(
                 F.col("n_shared").cast("double") / F.col("bench_size"), 6
             ).alias("containment"),
         )
+    )
+
+
+def _joined_content(columns: Sequence[str]):
+    """NULL-safe join of the content columns for hashing: each value
+    casts to string with NULLs mapped to a reserved sentinel, so a NULL
+    in one column can never collide with a shifted value in another
+    (``concat_ws`` alone SKIPS NULLs — (NULL, 'a') == ('a', NULL))."""
+    return F.concat_ws(
+        "\x00",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01<NULL>"))
+            for c in columns
+        ],
+    )
+
+
+def duplication_report(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Data-card duplication summary — the report every curation run
+    publishes next to its dedup pass (what fraction of the corpus is
+    copies, and how big the worst pile is): rows are clustered by the
+    EXACT content hash over ``columns`` (the :func:`exact_dedup` key),
+    and per ``group_by`` group the report emits ``n_rows``,
+    ``n_clusters`` (distinct contents), ``n_dup_rows`` (rows a dedup
+    pass would drop: every row beyond the first per cluster),
+    ``dup_pct`` (= n_dup_rows / n_rows, rounded 6), and
+    ``max_cluster`` (the largest single pile — the skew signal that
+    says whether dedup's shuffle needs salting). The cluster key is
+    :func:`content_hash` (sha256 of the NORMALIZED joined columns —
+    exact_dedup's own equivalence key, so the report counts exactly
+    what that pass would drop); NULL column values map to a reserved
+    sentinel before the join so (NULL, 'a') and ('a', NULL) stay
+    distinct contents (bare ``concat_ws`` would silently skip the
+    NULL and collide them).
+
+    Plan shape: one partial-aggregated ``groupBy(keys, hash)`` count —
+    the shuffle carries the distinct-content relation, not the input
+    rows — then one tiny re-aggregation to a row per group. No
+    windows, no driver state; the report costs what a dedup pass's
+    first stage costs."""
+    if not columns:
+        raise ValueError("duplication_report: columns must be non-empty")
+    keys = list(group_by or [])
+    h = content_hash(_joined_content(columns))
+    per_cluster = df.groupBy(*keys, h.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    g = per_cluster.groupBy(*keys) if keys else per_cluster.groupBy()
+    return g.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.sum("_c") - F.count(F.lit(1))).cast("long").alias("n_dup_rows"),
+        F.round(
+            (F.sum("_c") - F.count(F.lit(1))).cast("double") / F.sum("_c"),
+            6,
+        ).alias("dup_pct"),
+        F.max("_c").cast("long").alias("max_cluster"),
+    )
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """The duplication report's distribution face: per ``group_by``
+    group, one row per observed exact-duplicate ``cluster_size`` with
+    ``n_clusters`` (how many distinct contents occur exactly that many
+    times) and ``n_rows`` (= cluster_size × n_clusters) — the
+    "1 copy / 2 copies / 100+ copies" table on a dataset card, and the
+    long-tail view :func:`duplication_report`'s max_cluster summarizes.
+    Same two partial-aggregated shuffles (distinct-content relation,
+    then size-histogram rows — at most the count of DISTINCT cluster
+    sizes per group, log-ish in practice)."""
+    if not columns:
+        raise ValueError("cluster_size_histogram: columns must be non-empty")
+    keys = list(group_by or [])
+    h = content_hash(_joined_content(columns))
+    per_cluster = df.groupBy(*keys, h.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return per_cluster.groupBy(*keys, "cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.first("cluster_size"))
+        .cast("long")
+        .alias("n_rows"),
     )

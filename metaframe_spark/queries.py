@@ -1611,6 +1611,41 @@ def llm_containment(spark, sf):
 
 
 @query(
+    "llm_dup_report",
+    "WITH c AS (SELECT lang, text FROM documents "
+    "  UNION ALL SELECT lang, text FROM documents WHERE doc_id % 3 = 0), "
+    "k AS (SELECT lang, lower(trim(regexp_replace("
+    "  coalesce(text, chr(1) || '<NULL>'), '\\s+', ' ', 'g'))) AS key FROM c), "
+    "pc AS (SELECT lang, key, count(*) AS c FROM k GROUP BY 1, 2) "
+    "SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows, "
+    "CAST(count(*) AS BIGINT) AS n_clusters, "
+    "CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows, "
+    "round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_pct, "
+    "CAST(max(c) AS BIGINT) AS max_cluster "
+    "FROM pc GROUP BY 1",
+)
+def llm_dup_report(spark, sf):
+    """Data-card duplication summary (operators/dedup.py::
+    duplication_report): every third document is unioned back in so
+    ground-truth duplicate clusters exist, then per language the report
+    counts rows, distinct contents (exact_dedup's sha256-of-normalized
+    equivalence key — the oracle groups by the identical normalized
+    string, which is the same partition since the hash is injective in
+    practice), the rows a dedup pass would drop, the duplication rate
+    and the largest cluster (the dedup-shuffle skew signal). Two
+    partial-aggregated shuffles: the distinct-content relation, then
+    one row per group — the report costs what exact_dedup's first
+    stage costs."""
+    from .operators.dedup import duplication_report
+
+    d = load_table(spark, sf, "documents").to_spark()
+    doubled = d.select("lang", "text").unionAll(
+        d.filter(F.col("doc_id") % 3 == 0).select("lang", "text")
+    )
+    return duplication_report(doubled, ["text"], group_by=["lang"])
+
+
+@query(
     "llm_vocab",
     "WITH t AS (SELECT doc_id, list_filter(string_split("
     f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
@@ -6268,12 +6303,12 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the THIRTEEN r8-wave keys that overflowed this round's
-# 50-slot window (last driver-checked r08: llm_label_centroids,
-# llm_weighted_sample, llm_domain_cap, llm_html_extract, llm_html_links,
-# llm_psl_domains, llm_mix_report, llm_text_clean, llm_url_canonical,
-# llm_url_features, q82_make_datetime, q83_union_by_name,
-# q84_json_array) + the next-oldest
+# additions + the FOURTEEN r8-wave keys that overflowed this round's
+# 50-slot window (last driver-checked r08: llm_dedup_keep_best,
+# llm_label_centroids, llm_weighted_sample, llm_domain_cap,
+# llm_html_extract, llm_html_links, llm_psl_domains, llm_mix_report,
+# llm_text_clean, llm_url_canonical, llm_url_features,
+# q82_make_datetime, q83_union_by_name, q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
 _ROTATE_FIRST: list = [
@@ -6288,6 +6323,7 @@ _ROTATE_FIRST: list = [
     "q97_anomaly_kmv",
     "q98_cms_counts",
     "llm_containment",
+    "llm_dup_report",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

@@ -3767,3 +3767,95 @@ class TestContainmentContamination:
             [(2, "a b c d e")], "doc_id long, text string"
         )
         assert containment_contamination(corpus, bench, n=3).count() == 0
+
+
+class TestDuplicationReport:
+    def _df(self, spark):
+        rows = [
+            ("en", "aaa"),
+            ("en", "aaa"),
+            ("en", "AAA  "),  # normalizes to the same cluster as "aaa"
+            ("en", "bbb"),
+            ("fr", "ccc"),
+            ("fr", "ccc"),
+            ("fr", "ddd"),
+            ("fr", "eee"),
+        ]
+        return spark.createDataFrame(rows, "lang string, text string")
+
+    def test_summary_per_group(self, spark):
+        from metaframe_spark.operators import duplication_report
+
+        got = {
+            r.lang: r
+            for r in duplication_report(
+                self._df(spark), ["text"], group_by=["lang"]
+            ).collect()
+        }
+        en, fr = got["en"], got["fr"]
+        assert (en.n_rows, en.n_clusters, en.n_dup_rows, en.max_cluster) == (
+            4, 2, 2, 3,
+        )
+        assert en.dup_pct == 0.5
+        assert (fr.n_rows, fr.n_clusters, fr.n_dup_rows, fr.max_cluster) == (
+            4, 3, 1, 2,
+        )
+        assert fr.dup_pct == 0.25
+
+    def test_global_report(self, spark):
+        from metaframe_spark.operators import duplication_report
+
+        [r] = duplication_report(self._df(spark), ["text"]).collect()
+        # "aaa" x3 (one normalized), "bbb", "ccc" x2, "ddd", "eee"
+        assert (r.n_rows, r.n_clusters, r.n_dup_rows, r.max_cluster) == (
+            8, 5, 3, 3,
+        )
+
+    def test_histogram_per_group(self, spark):
+        from metaframe_spark.operators import cluster_size_histogram
+
+        got = {
+            (r.lang, r.cluster_size): (r.n_clusters, r.n_rows)
+            for r in cluster_size_histogram(
+                self._df(spark), ["text"], group_by=["lang"]
+            ).collect()
+        }
+        assert got == {
+            ("en", 3): (1, 3),
+            ("en", 1): (1, 1),
+            ("fr", 2): (1, 2),
+            ("fr", 1): (2, 2),
+        }
+
+    def test_null_columns_stay_distinct(self, spark):
+        from metaframe_spark.operators import duplication_report
+
+        df = spark.createDataFrame(
+            [(None, "a"), ("a", None), (None, "a")],
+            "x string, y string",
+        )
+        [r] = duplication_report(df, ["x", "y"]).collect()
+        # (NULL,'a') x2 is one cluster; ('a',NULL) is another — a bare
+        # concat_ws would have collided all three
+        assert (r.n_rows, r.n_clusters, r.n_dup_rows) == (3, 2, 1)
+
+    def test_no_dups_is_zero_pct(self, spark):
+        from metaframe_spark.operators import duplication_report
+
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "text string"
+        )
+        [r] = duplication_report(df, ["text"]).collect()
+        assert (r.n_dup_rows, r.dup_pct, r.max_cluster) == (0, 0.0, 1)
+
+    def test_empty_columns_raise(self, spark):
+        from metaframe_spark.operators import (
+            cluster_size_histogram,
+            duplication_report,
+        )
+
+        df = spark.createDataFrame([("a",)], "text string")
+        with pytest.raises(ValueError, match="columns"):
+            duplication_report(df, [])
+        with pytest.raises(ValueError, match="columns"):
+            cluster_size_histogram(df, [])
