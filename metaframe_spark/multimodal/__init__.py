@@ -168,7 +168,8 @@ def image_dhash(
     payload bytes, so the DuckDB oracle replays it exactly (the
     ``llm_image_neardup`` entry). ``mode`` records which path ran.
 
-    Output: (id, ``out_col`` long, mode string). Fingerprints are signed
+    Output: (id — input type preserved, ``out_col`` long, mode string).
+    Fingerprints are signed
     64-bit (bit 63 wraps negative) — exactly what the banded-Hamming
     join (:func:`image_near_dup_pairs`) and ``bit_count(xor)`` expect."""
 
@@ -221,8 +222,13 @@ def image_dhash(
                 {id_col: pdf[id_col], out_col: hashes, "mode": modes}
             )
 
+    # the id column passes through UNTOUCHED, so the output schema carries
+    # its actual input type — hardcoding `long` would make a string-id
+    # corpus die deep inside the Arrow cast with an error naming neither
+    # the operator nor the column (r11 self-review)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        fingerprint, schema=f"{id_col} long, {out_col} long, mode string"
+        fingerprint, schema=f"{id_col} {id_type}, {out_col} long, mode string"
     )
 
 

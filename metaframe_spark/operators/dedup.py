@@ -1786,18 +1786,27 @@ def containment_contamination(
     )
 
 
-def _joined_content(columns: Sequence[str]):
-    """NULL-safe join of the content columns for hashing: each value
-    casts to string with NULLs mapped to a reserved sentinel, so a NULL
-    in one column can never collide with a shifted value in another
-    (``concat_ws`` alone SKIPS NULLs — (NULL, 'a') == ('a', NULL))."""
-    return F.concat_ws(
-        "\x00",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x01<NULL>"))
-            for c in columns
-        ],
-    )
+def _cluster_key(columns: Sequence[str]) -> Column:
+    """INJECTIVE cluster key over the content columns: each value is
+    normalized (:func:`~.text.normalize_text` — exact_dedup's
+    equivalence, so case/whitespace variants still cluster together),
+    then LENGTH-PREFIXED (``"<len>:<value>"``; NULL encodes as the
+    bare marker ``"N"``, which no prefixed value can equal) and the
+    encoded fields joined. The length prefix makes the encoding a
+    prefix code — a separator byte INSIDE a value can no longer shift
+    content across field boundaries (``('a\\x00b','c')`` vs
+    ``('a','b\\x00c')`` collide under naive concat_ws), and NULL can
+    never collide with any real string. The whole key is one codegen
+    expression feeding sha256."""
+    parts = []
+    for c in columns:
+        v = normalize_text(F.col(c).cast("string"))
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(v).cast("string"), F.lit(":"), v)
+            )
+        )
+    return F.sha2(F.concat_ws("\x00", *parts), 256)
 
 
 def duplication_report(
@@ -1814,13 +1823,13 @@ def duplication_report(
     pass would drop: every row beyond the first per cluster),
     ``dup_pct`` (= n_dup_rows / n_rows, rounded 6), and
     ``max_cluster`` (the largest single pile — the skew signal that
-    says whether dedup's shuffle needs salting). The cluster key is
-    :func:`content_hash` (sha256 of the NORMALIZED joined columns —
-    exact_dedup's own equivalence key, so the report counts exactly
-    what that pass would drop); NULL column values map to a reserved
-    sentinel before the join so (NULL, 'a') and ('a', NULL) stay
-    distinct contents (bare ``concat_ws`` would silently skip the
-    NULL and collide them).
+    says whether dedup's shuffle needs salting). The cluster key
+    normalizes each column like :func:`content_hash` (exact_dedup's
+    equivalence — case/whitespace variants cluster together), then
+    length-prefix-encodes the fields before joining so the key is
+    INJECTIVE over tuples: NULLs stay distinct from every real value
+    and separator bytes inside a value cannot shift content across
+    field boundaries (see :func:`_cluster_key`).
 
     Plan shape: one partial-aggregated ``groupBy(keys, hash)`` count —
     the shuffle carries the distinct-content relation, not the input
@@ -1830,7 +1839,7 @@ def duplication_report(
     if not columns:
         raise ValueError("duplication_report: columns must be non-empty")
     keys = list(group_by or [])
-    h = content_hash(_joined_content(columns))
+    h = _cluster_key(columns)
     per_cluster = df.groupBy(*keys, h.alias("_h")).agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
@@ -1864,7 +1873,7 @@ def cluster_size_histogram(
     if not columns:
         raise ValueError("cluster_size_histogram: columns must be non-empty")
     keys = list(group_by or [])
-    h = content_hash(_joined_content(columns))
+    h = _cluster_key(columns)
     per_cluster = df.groupBy(*keys, h.alias("_h")).agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

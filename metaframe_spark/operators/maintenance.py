@@ -1062,9 +1062,15 @@ def merge_bottomk_samples(
     ``(group, draw_key)`` duplicates and the post-dedup key is unique
     per group, making the rank order total — no id-column inference,
     so a re-projected sketch with a payload column ahead of the id can
-    no longer silently dedupe on the payload. ``id_col`` is accepted
-    for back-compat and validated against the columns when given, but
-    the result does not depend on it."""
+    no longer silently dedupe on the payload. ``id_col``, when given,
+    additionally arms the SEED CROSS-CHECK: the same id appearing with
+    two different draw keys proves the inputs were hashed with
+    different seeds (disjoint key spaces — such a merge is garbage:
+    duplicate ids displace legitimate sample rows and corrupt the KMV
+    estimate), and the merge raises at execution instead of passing it
+    through. The store carries no seed column, so id_col is the only
+    handle that can detect the mismatch — pass it when merging stores
+    of uncertain provenance."""
     if not sample_dfs:
         raise ValueError("merge_bottomk_samples: need at least one input")
     keys = list(group_by or [])
@@ -1078,10 +1084,24 @@ def merge_bottomk_samples(
         )
     from pyspark.sql import Window
 
-    if id_col is not None and id_col not in u.columns:
-        raise ValueError(
-            f"merge_bottomk_samples: id_col {id_col!r} not in input "
-            f"(columns: {u.columns!r})"
+    if id_col is not None:
+        if id_col not in u.columns:
+            raise ValueError(
+                f"merge_bottomk_samples: id_col {id_col!r} not in input "
+                f"(columns: {u.columns!r})"
+            )
+        wid = Window.partitionBy(*keys, id_col)
+        seed_ok = F.assert_true(
+            F.min("draw_key").over(wid) == F.max("draw_key").over(wid),
+            F.lit(
+                "merge_bottomk_samples: the same id carries two different "
+                "draw keys — inputs were built with different seeds and "
+                "cannot be merged"
+            ),
+        )
+        # gate the dedup/rank key itself so the check survives projection
+        u = u.withColumn(
+            "draw_key", F.when(seed_ok.isNull(), F.col("draw_key"))
         )
     w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"))
     return (
@@ -1488,7 +1508,11 @@ def merge_cms_sketches(
             for tag, f in (("mn", F.min), ("mx", F.max))
         ]
     )
-    consistent = (
+    # an EMPTY keyless union still emits one all-NULL spec row (groupBy()
+    # over zero rows); that is vacuously consistent — zero cells merge to
+    # zero cells — not a geometry mismatch, so the NULL case short-circuits
+    # TRUE instead of letting assert_true(NULL) throw
+    consistent = F.when(F.col("_width_mn").isNull(), F.lit(True)).otherwise(
         (F.col("_width_mn") == F.col("_width_mx"))
         & (F.col("_depth_mn") == F.col("_depth_mx"))
         & (F.col("_seed_mn") == F.col("_seed_mx"))
@@ -1605,8 +1629,16 @@ def cms_estimates(
             .alias("estimate")
         )
     )
+    # LEFT join: a query group the sketch never saw still answers — its
+    # cells are all unoccupied (estimate 0 via the coalesce above) and its
+    # total is 0, rather than the row silently vanishing from the output
     return (
-        est.join(totals, keys)
+        est.join(totals, keys, "left")
         if keys
         else est.crossJoin(F.broadcast(totals))
-    ).select(*keys, column, "estimate", "n_total")
+    ).select(
+        *keys,
+        column,
+        "estimate",
+        F.coalesce(F.col("n_total"), F.lit(0).cast("long")).alias("n_total"),
+    )

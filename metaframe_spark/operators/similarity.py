@@ -788,13 +788,26 @@ def _prepare_ivf_delta(
     new_corpus: DataFrame,
     vec_col: str = "embedding",
     format: str = "parquet",
+    cells: Optional[DataFrame] = None,
+    cells_on: Optional[str] = None,
 ) -> DataFrame:
     """The validated, cell-assigned (and stored-bounds-encoded, for
     quantized layouts) delta relation behind :func:`append_ivf_corpus` —
-    shared with the streaming maintainer
-    (:func:`~metaframe_spark.streaming.stream_ivf_append`), which stages
-    the same relation and moves files instead of a direct append so
-    replays stay exactly-once."""
+    shared with the streaming maintainers
+    (:func:`~metaframe_spark.streaming.stream_ivf_append`), which stage
+    the same relation and move files instead of a direct append so
+    replays stay exactly-once.
+
+    ``cells``/``cells_on`` is the internal assignment-reuse fast path
+    (r11 self-review): a caller that ALREADY paid the assignment GEMM
+    against THIS layout's co-persisted centroids (e.g.
+    ``stream_semantic_dedup``, whose dup-check assigns the whole batch)
+    passes the (``cells_on``, ``_cell``) relation and the delta joins it
+    instead of re-running ``assign_cells`` over the survivors. Every
+    validation (schema, types, dimension guard, stored-bounds encode)
+    still applies — only the redundant GEMM is skipped. The caller is
+    responsible for the relation having been assigned with the SAME
+    index this path would load."""
     index_path = corpus_path.rstrip("/") + "/_ivf_index"
     try:
         centroids = read_ivf_index(spark, index_path, format=format)
@@ -849,7 +862,22 @@ def _prepare_ivf_delta(
             F.col(vec_col),
         ),
     )
-    assigned = assign_cells(guarded, centroids, vec_col=vec_col, cell_col="cell")
+    if cells is not None:
+        if not cells_on or cells_on not in new_corpus.columns:
+            raise ValueError(
+                "_prepare_ivf_delta: cells= requires cells_on naming a "
+                f"delta column (got {cells_on!r})"
+            )
+        assigned = guarded.join(
+            cells.select(
+                F.col(cells_on), F.col("_cell").alias("cell")
+            ),
+            cells_on,
+        )
+    else:
+        assigned = assign_cells(
+            guarded, centroids, vec_col=vec_col, cell_col="cell"
+        )
     bounds_path = corpus_path.rstrip("/") + "/_sq_bounds"
     try:
         bounds = spark.read.format(format).load(bounds_path).collect()

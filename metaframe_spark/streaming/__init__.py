@@ -825,10 +825,16 @@ def stream_semantic_dedup(
 
     Exactly-once: the corpus marker high-water skips replayed batch ids
     outright; each batch's survivors overwrite their OWN ``batch={id}``
-    directory, so a crash between the output write and the corpus
-    commit replays into an identical overwrite and RESUMES the staged
-    move without recomputing (the delta builder only runs when no
-    complete stage exists). Returns the started ``StreamingQuery``
+    directory, so replays converge on identical output. Because the
+    survivor set depends on the CORPUS STATE, a marker-less replay
+    first ROLLS BACK anything a crashed attempt of the same batch
+    already moved into the corpus (the files are batch-unique, and a
+    crash inside the commit always leaves the staging dir as its
+    tell) — without the rollback, a partially-committed vector would
+    read back as a cross-history dup and silently kill its own
+    document (r11 self-review). The recompute over the restored
+    corpus is deterministic, so output and corpus converge to exactly
+    the no-crash result. Returns the started ``StreamingQuery``
     (availableNow)."""
     from ..operators.dedup import (
         dedup_survivors,
@@ -844,6 +850,30 @@ def stream_semantic_dedup(
         fs, P = _hadoop_fs(spark, corpus_path)
         if batch_id <= _ivf_marks_last(fs, P, root + "/_ingest_marks"):
             return  # replayed batch: output + corpus already final
+        # ROLL BACK any partial commit a crashed attempt of THIS batch
+        # left in the corpus before recomputing: unlike stream_ivf_append
+        # (whose delta depends only on the batch), this operator's
+        # survivor set depends on the CORPUS STATE — a vector a crashed
+        # attempt already moved into a cell would read back as a
+        # cross-history dup and silently kill its own document on replay.
+        # The moved files are batch-unique (ingest{id}_*), so deleting
+        # them (plus the staging dir, forcing a full delta rebuild)
+        # restores the exact pre-batch corpus and makes the recompute
+        # deterministic. A marker-less crash inside the commit always
+        # leaves the staging dir behind (it is dropped only AFTER the
+        # marker), so the existence check keeps the common path at one
+        # namenode call with no per-cell listing.
+        staging = root + f"/_ingest_staging_{batch_id}"
+        if fs.exists(P(staging)):
+            prefix = f"ingest{batch_id}_"
+            for cell_st in fs.listStatus(P(root)):
+                cell_name = cell_st.getPath().getName()
+                if not cell_name.startswith("cell="):
+                    continue
+                for f_st in fs.listStatus(cell_st.getPath()):
+                    if f_st.getPath().getName().startswith(prefix):
+                        fs.delete(f_st.getPath(), False)
+            fs.delete(P(staging), True)
         batch = batch_df.select(id_col, vec_col)
         pairs = semantic_dup_pairs(
             batch,
@@ -869,6 +899,12 @@ def stream_semantic_dedup(
             survivors.write.mode("overwrite").format(format).save(
                 out_path.rstrip("/") + f"/batch={batch_id}"
             )
+            # reuse the assignment the dup-check already paid for: hits'
+            # pinned relation holds (id, vec, _cell) for the WHOLE batch
+            # against this layout's own centroids, so the delta joins it
+            # instead of re-running the assignment GEMM over the survivors
+            # (r11 self-review)
+            batch_cells = getattr(hits, "_mf_persisted", None)
             _commit_ivf_delta(
                 spark,
                 corpus_path,
@@ -876,6 +912,12 @@ def stream_semantic_dedup(
                 lambda: _prepare_ivf_delta(
                     spark, corpus_path, survivors,
                     vec_col=vec_col, format=format,
+                    cells=(
+                        batch_cells.select(id_col, "_cell")
+                        if batch_cells is not None
+                        else None
+                    ),
+                    cells_on=id_col if batch_cells is not None else None,
                 ),
                 format=format,
             )

@@ -694,6 +694,21 @@ class TestImageDhash:
         assert got[4][1] == "stub"
 
 
+    def test_string_ids_pass_through(self, spark):
+        """The id column's input type is preserved in the output schema
+        (r11 self-review: a hardcoded `long` id made string-id corpora
+        die inside the Arrow cast)."""
+        from metaframe_spark.multimodal import image_dhash
+
+        df = spark.createDataFrame(
+            [("doc-a", bytearray(b"x" * 72)), ("doc-b", bytearray(range(72)))],
+            "doc_id string, payload binary",
+        )
+        rows = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+        assert set(rows) == {"doc-a", "doc-b"}
+        assert all(isinstance(v, int) for v in rows.values())
+
+
 class TestIvf:
     def test_ivf_recall_and_probe_tradeoff(self, spark):
         from metaframe_spark.operators.similarity import ivf_topk
@@ -3859,3 +3874,22 @@ class TestDuplicationReport:
             duplication_report(df, [])
         with pytest.raises(ValueError, match="columns"):
             cluster_size_histogram(df, [])
+
+    def test_separator_injection_stays_distinct(self, spark):
+        """Values containing the field separator must not shift content
+        across field boundaries (length-prefix encoding)."""
+        from metaframe_spark.operators import duplication_report
+
+        df = spark.createDataFrame(
+            [("a\x00b", "c"), ("a", "b\x00c"), ("a\x00b", "c")],
+            "x string, y string",
+        )
+        [r] = duplication_report(df, ["x", "y"]).collect()
+        assert (r.n_rows, r.n_clusters, r.n_dup_rows) == (3, 2, 1)
+        # and a real value equal to a NULL sentinel-like string stays
+        # distinct from an actual NULL
+        df2 = spark.createDataFrame(
+            [("N", ), (None, )], "x string"
+        )
+        [r2] = duplication_report(df2, ["x"]).collect()
+        assert r2.n_clusters == 2

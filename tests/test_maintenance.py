@@ -1646,3 +1646,58 @@ class TestCmsSketches:
         sk = cms_sketches(df, "term", width=16, depth=3)
         # 5000 distinct values, but the store holds <= depth*width cells
         assert sk.count() <= 3 * 16
+
+    def test_unseen_group_estimates_zero_not_dropped(self, spark):
+        """ADVICE r11 self-review: a query group the sketch never saw
+        must answer (estimate 0, n_total 0), not vanish from the output."""
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+
+        df = self._df(spark)
+        sk = cms_sketches(df, "term", width=8, depth=2, group_by=["lang"])
+        q = spark.createDataFrame(
+            [("de", "a"), ("en", "a")], "lang string, term string"
+        )
+        rows = {r["lang"]: r for r in cms_estimates(
+            sk, q, "term", group_by=["lang"]
+        ).collect()}
+        assert set(rows) == {"de", "en"}
+        assert (rows["de"]["estimate"], rows["de"]["n_total"]) == (0, 0)
+        assert rows["en"]["estimate"] >= 4  # 'a' occurs 4x in en
+
+    def test_keyless_empty_merge_is_empty_not_error(self, spark):
+        """ADVICE r11 self-review: an empty keyless union emits one
+        all-NULL spec row; that is vacuously consistent, not a geometry
+        mismatch."""
+        from metaframe_spark.operators.maintenance import (
+            cms_sketches,
+            merge_cms_sketches,
+        )
+
+        df = self._df(spark).filter(F.lit(False))
+        a = cms_sketches(df, "term", width=8, depth=2)
+        b = cms_sketches(df, "term", width=8, depth=2)
+        assert merge_cms_sketches(a, b).count() == 0
+
+
+class TestBottomkSeedCrossCheck:
+    def test_mixed_seed_merge_raises_with_id_col(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            merge_bottomk_samples,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(30)], "doc_id long"
+        )
+        a = bottomk_sample_sketch(df, "doc_id", 10, seed=1)
+        b = bottomk_sample_sketch(df, "doc_id", 10, seed=2)
+        merged = merge_bottomk_samples(a, b, k=10, id_col="doc_id")
+        with pytest.raises(Exception, match="different seeds"):
+            merged.collect()
+        # same seeds with id_col armed still merge cleanly
+        c = bottomk_sample_sketch(df, "doc_id", 10, seed=1)
+        ok = merge_bottomk_samples(a, c, k=10, id_col="doc_id")
+        assert ok.count() == 10

@@ -1272,3 +1272,96 @@ class TestStreamSemanticDedup:
         )
         top = ivf_topk_stored(spark, corpus, q1, k=1, n_probe=2).collect()
         assert top[0]["vec_id"] == 3 and top[0]["cosine"] == 1.0
+
+    def test_crashed_mid_move_rolls_back_and_recomputes(self, spark, tmp_path):
+        """A crash INSIDE the corpus commit (files moved, no marker yet)
+        must not make the replay classify the batch's own partially-
+        committed vectors as cross-history dups: the marker-less replay
+        rolls the batch-unique files back and recomputes on the restored
+        corpus (r11 self-review, top finding)."""
+        import glob
+        import os
+
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import (
+            _prepare_ivf_delta,
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+        from metaframe_spark.streaming import stream_semantic_dedup
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        vecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb.filter(F.col("vec_id") < 12).collect()
+        }
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        seen0 = mk([(100 + i, vecs[i]) for i in range(8)])
+        cent = fit_sampled_centroids(seen0, 2, seed=3, order_col="vec_id")
+        corpus = str(tmp_path / "corpus")
+        write_ivf_corpus(seen0, cent, corpus)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        b0 = mk([(1, vecs[8])])
+        b0.coalesce(1).write.parquet(src + "/f1")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            q = stream_semantic_dedup(
+                stream, corpus, out, min_cosine=0.99, within_cells=1,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain()  # batch 0 commits; marker high-water = 0
+        # simulate batch 1 crashing mid-move: its delta (id 30, a FRESH
+        # vector) staged completely, one file already renamed into its
+        # cell under the batch-unique name, staging left behind, NO marker
+        delta = _prepare_ivf_delta(spark, corpus, mk([(30, vecs[9])]))
+        staging = corpus + "/_ingest_staging_1"
+        delta.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        moved = 0
+        for f in glob.glob(staging + "/cell=*/part-*"):
+            cell_dir = corpus + "/" + os.path.basename(os.path.dirname(f))
+            os.makedirs(cell_dir, exist_ok=True)
+            os.rename(
+                f, cell_dir + "/ingest1_" + os.path.basename(f)
+            )
+            moved += 1
+        assert moved >= 1
+        # the partially-committed vector IS visible in the corpus now —
+        # without rollback the replay would read it as a seen dup
+        assert (
+            spark.read.parquet(corpus).filter(F.col("vec_id") == 30).count()
+            == 1
+        )
+        # now the real batch 1 arrives (same vector) and the stream resumes
+        mk([(30, vecs[9])]).coalesce(1).write.parquet(src + "/f2")
+        drain()
+        # the document SURVIVED into the output (not self-killed) ...
+        out_ids = {
+            r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()
+        }
+        assert 30 in out_ids and 1 in out_ids
+        # ... the corpus holds it exactly once, and the crash debris is gone
+        assert (
+            spark.read.parquet(corpus).filter(F.col("vec_id") == 30).count()
+            == 1
+        )
+        assert not os.path.exists(staging)
+        # replay on a fresh checkpoint is still a no-op
+        n = spark.read.parquet(corpus).count()
+        drain()
+        assert spark.read.parquet(corpus).count() == n
