@@ -1642,3 +1642,92 @@ def cms_estimates(
         "estimate",
         F.coalesce(F.col("n_total"), F.lit(0).cast("long")).alias("n_total"),
     )
+
+
+def kmv_overlap_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Set-OVERLAP estimates between two bottom-k (KMV) sample sketches
+    — the set operation the HLL store cannot do (HLL unions losslessly
+    but cannot intersect): per group, estimates of ``|A ∪ B|``,
+    ``|A ∩ B|`` and the Jaccard resemblance of the two id sets, straight
+    from the stores — "how many of yesterday's distinct users did we
+    see today", "what fraction of corpus snapshot v2 overlaps v1" —
+    with NO rescan of either side's raw data.
+
+    The classic bottom-k resemblance estimator (Broder; Cohen-Kaplan):
+    the k smallest draws of A ∪ B are computable from the two sketches
+    alone (merge + re-rank — the bottom-k merge exactness), and each
+    union-sample member's presence in BOTH sketches is checkable by
+    draw key. With ``n = |union sample| ≤ k``:
+
+    * ``jaccard_estimate = n_common / n`` (unbiased for J(A, B)),
+    * ``union_estimate`` = the KMV distinct estimate over the union
+      sample (exact when n < k — the sample IS the union),
+    * ``intersect_estimate = jaccard × union`` (exact in the same
+      small regime).
+
+    Inputs MUST share the draw seed (same contract as
+    :func:`merge_bottomk_samples` — the draw key travels precisely so
+    this never re-hashes) and the ``k`` they were built with; groups
+    missing from one side report zero overlap against the other. Error
+    ~ 1/√k on the resemblance, the standard bound. Every step — md5
+    draws, ranks, membership joins, the two divisions — is
+    deterministic and engine-replayable (hash-proved by
+    q99_kmv_overlap).
+
+    Plan shape: one union of two sketch-sized relations, one rank
+    window, two draw-key membership joins (broadcastable — both sides
+    are ≤ groups × k rows), one aggregate. Nothing scales with the
+    data the sketches summarize."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"kmv_overlap_estimates: k must be >= 1 ({k})")
+    keys = list(group_by or [])
+    for side, df in (("a", a), ("b", b)):
+        if "draw_key" not in df.columns:
+            raise ValueError(
+                f"kmv_overlap_estimates: input {side} is not a bottom-k "
+                f"sketch (no draw_key column; columns: {df.columns!r})"
+            )
+    sa = a.select(*keys, "draw_key").withColumn("_in_a", F.lit(True))
+    sb = b.select(*keys, "draw_key").withColumn("_in_b", F.lit(True))
+    joined = sa.join(sb, [*keys, "draw_key"], "full").select(
+        *keys,
+        "draw_key",
+        F.coalesce(F.col("_in_a"), F.lit(False)).alias("_in_a"),
+        F.coalesce(F.col("_in_b"), F.lit(False)).alias("_in_b"),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"))
+    u = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    g = u.groupBy(*keys) if keys else u.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max("draw_key").alias("_kth"),
+        F.sum(
+            (F.col("_in_a") & F.col("_in_b")).cast("long")
+        ).cast("long").alias("n_common"),
+    )
+    norm = (
+        F.conv(F.substring(F.col("_kth"), 1, 15), 16, 10).cast("double")
+        / float(16**15)
+    )
+    union_est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / norm)
+    jac = F.col("n_common").cast("double") / F.col("_n").cast("double")
+    return agg.select(
+        *keys,
+        F.round(union_est, 6).alias("union_estimate"),
+        F.round(jac * union_est, 6).alias("intersect_estimate"),
+        F.round(jac, 6).alias("jaccard_estimate"),
+        F.col("n_common"),
+        F.col("_n").alias("sample_size"),
+    )

@@ -5725,6 +5725,73 @@ def q98_cms_counts(spark, sf):
 
 
 @query(
+    "q99_kmv_overlap",
+    "WITH d AS (SELECT DISTINCT event_type, "
+    "  CAST(day(CAST(ts AS DATE)) % 2 AS INT) AS side, user_id "
+    "  FROM events WHERE user_id IS NOT NULL), "
+    "r AS (SELECT event_type, side, user_id, "
+    "  md5(CAST(user_id AS VARCHAR) || ':42') AS dk FROM d), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY event_type, side "
+    "  ORDER BY dk, user_id) AS rn FROM r), "
+    "sk AS (SELECT event_type, side, dk FROM rk WHERE rn <= 16), "
+    "m AS (SELECT event_type, dk, bool_or(side = 0) AS in_a, "
+    "  bool_or(side = 1) AS in_b FROM sk GROUP BY 1, 2), "
+    "ru AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "  ORDER BY dk) AS rn FROM m), "
+    "u AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_size, "
+    "  max(dk) AS kth, CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS n_common FROM ru WHERE rn <= 16 GROUP BY 1), "
+    "e AS (SELECT *, CASE WHEN sample_size < 16 "
+    "  THEN CAST(sample_size AS DOUBLE) "
+    "  ELSE 15.0 / (CAST(('0x' || substring(kth, 1, 15)) AS BIGINT) "
+    "    / 1152921504606846976.0) END AS ue FROM u) "
+    "SELECT event_type, round(ue, 6) AS union_estimate, "
+    "round((n_common / CAST(sample_size AS DOUBLE)) * ue, 6) "
+    "  AS intersect_estimate, "
+    "round(n_common / CAST(sample_size AS DOUBLE), 6) AS jaccard_estimate, "
+    "n_common, sample_size FROM e",
+)
+def q99_kmv_overlap(spark, sf):
+    """Set-overlap estimates between two bottom-k stores
+    (operators/maintenance.py::kmv_overlap_estimates — the set
+    operation HLL cannot do): per event_type, the distinct users seen
+    on EVEN days form snapshot A, odd days snapshot B, each reduced to
+    its bottom-16 KMV sample, and |A ∪ B| / |A ∩ B| / Jaccard are
+    estimated from the two sketches alone — 'how many of yesterday's
+    users did we see today' with no rescan of either side. The classic
+    Broder resemblance estimator: the union's bottom-k is computable
+    from the sketches (merge exactness), membership in each side is a
+    draw-key join, J ≈ n_common/n, intersection = J × union. Every
+    step — md5 draws, both rank windows, the membership bools, the two
+    divisions and rounds — is deterministic, so the oracle replays the
+    full chain and hash-matches all five output columns. Shuffles
+    touch only sketch-sized relations."""
+    from .operators.maintenance import (
+        bottomk_sample_sketch,
+        kmv_overlap_estimates,
+    )
+
+    ev = (
+        load_table(spark, sf, "events")
+        .to_spark()
+        .select(
+            "event_type",
+            (F.dayofmonth(F.to_date("ts")) % 2).cast("int").alias("side"),
+            "user_id",
+        )
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    a = bottomk_sample_sketch(
+        ev.filter(F.col("side") == 0), "user_id", 16, group_by=["event_type"]
+    )
+    b = bottomk_sample_sketch(
+        ev.filter(F.col("side") == 1), "user_id", 16, group_by=["event_type"]
+    )
+    return kmv_overlap_estimates(a, b, 16, group_by=["event_type"])
+
+
+@query(
     "llm_rep_signals",
     "WITH d0 AS (SELECT doc_id, CASE "
     "  WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 20) "
@@ -6303,11 +6370,11 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the FOURTEEN r8-wave keys that overflowed this round's
-# 50-slot window (last driver-checked r08: llm_dedup_keep_best,
-# llm_label_centroids, llm_weighted_sample, llm_domain_cap,
-# llm_html_extract, llm_html_links, llm_psl_domains, llm_mix_report,
-# llm_text_clean, llm_url_canonical, llm_url_features,
+# additions + the FIFTEEN r8-wave keys that overflowed this round's
+# 50-slot window (last driver-checked r08: llm_bloom_decontaminate,
+# llm_dedup_keep_best, llm_label_centroids, llm_weighted_sample,
+# llm_domain_cap, llm_html_extract, llm_html_links, llm_psl_domains,
+# llm_mix_report, llm_text_clean, llm_url_canonical, llm_url_features,
 # q82_make_datetime, q83_union_by_name, q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
@@ -6324,6 +6391,7 @@ _ROTATE_FIRST: list = [
     "q98_cms_counts",
     "llm_containment",
     "llm_dup_report",
+    "q99_kmv_overlap",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

@@ -1701,3 +1701,85 @@ class TestBottomkSeedCrossCheck:
         c = bottomk_sample_sketch(df, "doc_id", 10, seed=1)
         ok = merge_bottomk_samples(a, c, k=10, id_col="doc_id")
         assert ok.count() == 10
+
+
+class TestKmvOverlapEstimates:
+    def _sk(self, spark, ids, k=64, seed=42):
+        from metaframe_spark.operators.maintenance import bottomk_sample_sketch
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return bottomk_sample_sketch(df, "doc_id", k, seed=seed)
+
+    def test_exact_small_regime(self, spark):
+        from metaframe_spark.operators.maintenance import kmv_overlap_estimates
+
+        a = self._sk(spark, range(0, 20))
+        b = self._sk(spark, range(10, 30))
+        [r] = kmv_overlap_estimates(a, b, 64).collect()
+        assert r.union_estimate == 30.0
+        assert r.intersect_estimate == 10.0
+        assert r.jaccard_estimate == round(10 / 30, 6)
+        assert (r.n_common, r.sample_size) == (10, 30)
+
+    def test_identical_sets_are_jaccard_one(self, spark):
+        from metaframe_spark.operators.maintenance import kmv_overlap_estimates
+
+        a = self._sk(spark, range(500), k=16)
+        b = self._sk(spark, range(500), k=16)
+        [r] = kmv_overlap_estimates(a, b, 16).collect()
+        assert r.jaccard_estimate == 1.0
+        assert r.n_common == r.sample_size == 16
+
+    def test_disjoint_sets_are_jaccard_zero(self, spark):
+        from metaframe_spark.operators.maintenance import kmv_overlap_estimates
+
+        a = self._sk(spark, range(0, 300), k=16)
+        b = self._sk(spark, range(1000, 1300), k=16)
+        [r] = kmv_overlap_estimates(a, b, 16).collect()
+        assert r.jaccard_estimate == 0.0
+        assert r.intersect_estimate == 0.0
+        assert r.n_common == 0
+
+    def test_estimator_close_at_k_much_smaller_than_n(self, spark):
+        from metaframe_spark.operators.maintenance import kmv_overlap_estimates
+
+        # |A|=1000, |B|=1000, |A∩B|=500, J = 1/3, |A∪B| = 1500
+        a = self._sk(spark, range(0, 1000), k=128)
+        b = self._sk(spark, range(500, 1500), k=128)
+        [r] = kmv_overlap_estimates(a, b, 128).collect()
+        assert abs(r.jaccard_estimate - 1 / 3) < 0.12
+        assert abs(r.union_estimate - 1500) / 1500 < 0.25
+        assert abs(r.intersect_estimate - 500) / 500 < 0.4
+
+    def test_grouped_and_one_sided_groups(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            kmv_overlap_estimates,
+        )
+
+        mk = lambda rows: bottomk_sample_sketch(
+            spark.createDataFrame(rows, "g string, doc_id long"),
+            "doc_id", 8, group_by=["g"],
+        )
+        a = mk([("x", i) for i in range(4)] + [("only_a", 99)])
+        b = mk([("x", i) for i in range(2, 6)] + [("only_b", 7)])
+        got = {r.g: r for r in kmv_overlap_estimates(
+            a, b, 8, group_by=["g"]
+        ).collect()}
+        assert got["x"].n_common == 2 and got["x"].sample_size == 6
+        assert got["x"].jaccard_estimate == round(2 / 6, 6)
+        assert got["only_a"].n_common == 0
+        assert got["only_a"].union_estimate == 1.0
+        assert got["only_b"].jaccard_estimate == 0.0
+
+    def test_not_a_sketch_raises(self, spark):
+        from metaframe_spark.operators.maintenance import kmv_overlap_estimates
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        sk = self._sk(spark, range(3))
+        with pytest.raises(ValueError, match="draw_key"):
+            kmv_overlap_estimates(df, sk, 8)
+        with pytest.raises(ValueError, match="draw_key"):
+            kmv_overlap_estimates(sk, df, 8)
+        with pytest.raises(ValueError, match="k must"):
+            kmv_overlap_estimates(sk, sk, 0)
