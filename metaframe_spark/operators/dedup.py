@@ -1883,3 +1883,147 @@ def cluster_size_histogram(
         .cast("long")
         .alias("n_rows"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): per document, hash every character
+    ``k``-gram of the normalized text, slide a ``window`` over the hash
+    sequence and select each window's minimum — the selection every
+    copy-detection system keys on, with the winnowing GUARANTEE that
+    any shared substring of length ≥ ``window + k − 1`` chars
+    contributes at least one shared selected fingerprint, while only
+    ~``2/(window+1)`` of all positions are kept. This is the
+    PASSAGE-level layer of the fingerprinting story:
+    :func:`~.text.doc_fingerprint` identifies whole near-identical
+    documents, winnowing catches a copied paragraph inside two
+    otherwise-different ones.
+
+    Returns one row per SELECTED fingerprint: (``id_col``, ``fp``
+    long — the 60-bit hash value, ``pos`` long — the 1-based character
+    position of the k-gram it came from; duplicates of the same
+    (fp, pos) collapse). Ties inside a window break to the LEFTMOST
+    minimum (deterministic; any fixed rule preserves the guarantee).
+    Documents shorter than ``k`` normalized chars yield no rows;
+    documents with fewer than ``window`` k-grams yield the single
+    minimum of what they have.
+
+    The hash is the md5-mod-2⁶⁰ draw (:func:`~.maintenance._cms_bucket`
+    family), so a SQL oracle replays the selection exactly. Everything
+    is row-local codegen over higher-order functions — zero shuffles,
+    zero Python; cost is O(chars · k) md5 bytes per document, the
+    standard winnowing price."""
+    if k < 2:
+        raise ValueError(f"winnow_fingerprints: k must be >= 2 ({k})")
+    if window < 1:
+        raise ValueError(
+            f"winnow_fingerprints: window must be >= 1 ({window})"
+        )
+    t = normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("_t")).filter(
+        F.length("_t") >= k
+    )
+    # h[i] = 60-bit md5 of the k chars at 1-based position i
+    hashes = (
+        f"transform(sequence(1, length(_t) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(substring(_t, i, {k})), 1, 15), "
+        f"16, 10) as bigint))"
+    )
+    # windows start at j = 1 .. max(n_h - window + 1, 1); slice truncates
+    # at the end, so a short document gets one window over everything.
+    # BINDING DISCIPLINE: the hash array and each window slice bind ONCE
+    # as lambda variables (`hs`, `win`) through single-element transform
+    # wrappers — a plain withColumn reference would let CollapseProject
+    # inline the md5-array expression into every window and turn the
+    # row-local pass O(n²) (measured 52 s/KB before the fix)
+    sel = (
+        f"element_at(transform(array({hashes}), hs -> "
+        f"transform("
+        f"sequence(1, greatest(size(hs) - {window} + 1, 1)), "
+        f"j -> element_at(transform(array(slice(hs, j, {window})), "
+        f"win -> named_struct("
+        f"'fp', array_min(win), "
+        f"'pos', cast(j - 1 + array_position(win, array_min(win)) "
+        f"as bigint))), 1))), 1)"
+    )
+    # adjacent windows usually select the SAME (fp, pos); the collapse is
+    # a hash-based DataFrame distinct (array_distinct over a struct array
+    # is O(n²) interpreted — measured superlinear at 16 KB docs)
+    return (
+        base.select(F.col(id_col), F.expr(sel).alias("_sel"))
+        .select(F.col(id_col), F.explode("_sel").alias("_f"))
+        .select(
+            id_col,
+            F.col("_f.fp").alias("fp"),
+            F.col("_f.pos").alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Passage-copy candidate pairs by shared winnowing fingerprints:
+    documents sharing ≥ ``min_shared`` DISTINCT selected fingerprints
+    (:func:`winnow_fingerprints`) are reported with the shared count —
+    the MOSS-style "these two documents contain common passages"
+    signal that whole-document near-dup (MinHash/SimHash over the full
+    shingle set) dilutes away when the copied block is a small
+    fraction of each document.
+
+    ``max_df`` drops fingerprints selected in more than that many
+    documents before pairing — boilerplate k-grams ("and the ", license
+    headers) otherwise put ~df² pairs per hot fingerprint on the
+    shuffle; with the cap, candidate volume per fingerprint is bounded
+    by ``max_df²`` and the guarantee narrows to passages whose
+    fingerprints stay under the cap (the standard winnowing-at-scale
+    trade, same role as the LSH band-bucket cap). Set it for any
+    natural-language corpus.
+
+    Plan shape: fingerprint selection is row-local codegen; the
+    distinct (id, fp) relation shuffles once for the doc-freq filter
+    and once for the equi-join on fp (never all-pairs); the pair count
+    partial-aggregates map-side."""
+    if min_shared < 1:
+        raise ValueError(
+            f"winnow_overlap_pairs: min_shared must be >= 1 ({min_shared})"
+        )
+    if max_df is not None and max_df < 2:
+        raise ValueError(
+            f"winnow_overlap_pairs: max_df must be >= 2 ({max_df})"
+        )
+    fps = (
+        winnow_fingerprints(
+            df, text_col=text_col, id_col=id_col, k=k, window=window
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = (
+            fps.join(dfreq.filter(F.col("_df") <= max_df), "fp")
+            .select(id_col, "fp")
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -5725,6 +5725,54 @@ def q98_cms_counts(spark, sf):
 
 
 @query(
+    "llm_winnow",
+    "WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+    f"  UNION ALL SELECT doc_id + {_TWIN_OFFSET}, "
+    f"  text || '{_TWIN_SUFFIX}' FROM documents WHERE doc_id % 7 = 0), "
+    "n AS (SELECT doc_id, "
+    "  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM c), "
+    "f AS (SELECT doc_id, list_transform(range(1, length(t) - 6), "
+    "  i -> CAST(('0x' || substring(md5(substring(t, i, 8)), 1, 15)) "
+    "  AS BIGINT)) AS hs FROM n WHERE length(t) >= 8), "
+    "w AS (SELECT doc_id, list_min(list_slice(hs, j, j + 3)) AS fp "
+    "  FROM f, unnest(range(1, greatest(len(hs) - 3, 1) + 1)) AS u(j)), "
+    "s AS (SELECT DISTINCT doc_id, fp FROM w), "
+    "keep AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM s GROUP BY 1) "
+    "  WHERE c <= 8), "
+    "ss AS (SELECT s.doc_id, s.fp FROM s JOIN keep USING (fp)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM ss a JOIN ss b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING count(*) >= 5",
+)
+def llm_winnow(spark, sf):
+    """Winnowing passage-copy detection (operators/dedup.py::
+    winnow_fingerprints / winnow_overlap_pairs — Schleimer et al. 2003,
+    the MOSS algorithm): every 7th document and its injected twin form
+    the corpus, each document's char-8-grams hash through the md5-mod
+    draw, a 4-window keeps each window's minimum (≥ one shared selected
+    fingerprint for any shared substring of ≥ 11 chars — the winnowing
+    guarantee), fingerprints seen in more than 8 documents drop as
+    boilerplate, and pairs sharing ≥ 5 distinct survivors report with
+    the shared count. This is the PASSAGE-level member of the
+    fingerprinting family — a copied block inside two otherwise-
+    different documents, which whole-document MinHash dilutes away.
+    Every step — normalize, hash, window minimum, doc-freq cap, the
+    pair count — is deterministic and engine-replayable, so the oracle
+    recomputes the full chain and hash-matches. Selection is row-local
+    codegen (hash array and window slices bound ONCE as lambda
+    variables); only the ~2/(w+1)-dense fingerprint relation ever
+    shuffles."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    d = load_table(spark, sf, "documents")
+    corpus = _twin_corpus(d.filter(F.col("doc_id") % 7 == 0))
+    return winnow_overlap_pairs(
+        corpus, k=8, window=4, min_shared=5, max_df=8
+    )
+
+
+@query(
     "q99_kmv_overlap",
     "WITH d AS (SELECT DISTINCT event_type, "
     "  CAST(day(CAST(ts AS DATE)) % 2 AS INT) AS side, user_id "
@@ -6370,12 +6418,13 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the FIFTEEN r8-wave keys that overflowed this round's
-# 50-slot window (last driver-checked r08: llm_bloom_decontaminate,
-# llm_dedup_keep_best, llm_label_centroids, llm_weighted_sample,
-# llm_domain_cap, llm_html_extract, llm_html_links, llm_psl_domains,
-# llm_mix_report, llm_text_clean, llm_url_canonical, llm_url_features,
-# q82_make_datetime, q83_union_by_name, q84_json_array) + the next-oldest
+# additions + the SIXTEEN r8-wave keys that overflowed this round's
+# 50-slot window (last driver-checked r08: llm_domain_pagerank,
+# llm_bloom_decontaminate, llm_dedup_keep_best, llm_label_centroids,
+# llm_weighted_sample, llm_domain_cap, llm_html_extract, llm_html_links,
+# llm_psl_domains, llm_mix_report, llm_text_clean, llm_url_canonical,
+# llm_url_features, q82_make_datetime, q83_union_by_name,
+# q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
 _ROTATE_FIRST: list = [
@@ -6392,6 +6441,7 @@ _ROTATE_FIRST: list = [
     "llm_containment",
     "llm_dup_report",
     "q99_kmv_overlap",
+    "llm_winnow",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

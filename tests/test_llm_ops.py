@@ -3893,3 +3893,128 @@ class TestDuplicationReport:
         )
         [r2] = duplication_report(df2, ["x"]).collect()
         assert r2.n_clusters == 2
+
+
+class TestWinnowing:
+    @staticmethod
+    def _py_fps(text, k=8, window=4):
+        import hashlib
+        import re
+
+        t = re.sub(r"\s+", " ", text).strip().lower()
+        if len(t) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        sel = set()
+        for j in range(max(len(hs) - window + 1, 1)):
+            win = hs[j : j + window]
+            m = min(win)
+            sel.add((m, j + 1 + win.index(m)))
+        return sel
+
+    def test_selection_matches_python_ground_truth(self, spark):
+        from metaframe_spark.operators import winnow_fingerprints
+
+        texts = [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "  Pack   my box with FIVE dozen liquor jugs  "),
+            (3, "short"),  # < k chars -> no rows
+            (4, "exactly8"),  # exactly k chars -> one gram, one window
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df).collect():
+            got.setdefault(r.doc_id, set()).add((r.fp, r.pos))
+        for i, txt in texts:
+            expected = self._py_fps(txt)
+            assert got.get(i, set()) == expected, f"doc {i}"
+
+    def test_shared_substring_guarantee(self, spark):
+        """Any shared substring of length >= window + k - 1 must yield
+        at least one shared selected fingerprint (the winnowing
+        theorem), for every alignment."""
+        from metaframe_spark.operators import winnow_fingerprints
+
+        k, w = 8, 4
+        passage = "zqxjkvbw" * 3  # 24 chars >= w + k - 1 = 11, no spaces
+        rows = []
+        for i in range(6):
+            prefix = f"unrelated prefix {i} " + "abcdefghij" * (i + 1) + " "
+            rows.append((i, prefix + passage + f" tail {i}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {}
+        for r in winnow_fingerprints(df, k=k, window=w).collect():
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+        for i in range(6):
+            for j in range(i + 1, 6):
+                assert fps[i] & fps[j], (i, j)
+
+    def test_selection_density(self, spark):
+        from metaframe_spark.operators import winnow_fingerprints
+
+        import random
+
+        rng = random.Random(7)
+        txt = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(4000))
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        n_sel = winnow_fingerprints(df, k=8, window=4).count()
+        n_positions = 4000 - 8 + 1
+        density = n_sel / n_positions
+        # theory: expected 2/(w+1) = 0.4 for random input
+        assert 0.25 < density < 0.55
+
+    def test_overlap_pairs_find_planted_passage(self, spark):
+        from metaframe_spark.operators import winnow_overlap_pairs
+
+        import random
+
+        rng = random.Random(13)
+        rand = lambda n: "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n)
+        )
+        passage = "the copied license block sits verbatim inside both docs"
+        rows = [
+            (1, rand(300) + " " + passage + " " + rand(300)),
+            (2, rand(280) + " " + passage + " " + rand(320)),
+            (3, rand(600)),
+            (4, rand(600)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in winnow_overlap_pairs(df, min_shared=3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+        assert all(p == (1, 2) for p in pairs)
+
+    def test_max_df_drops_boilerplate(self, spark):
+        from metaframe_spark.operators import winnow_overlap_pairs
+
+        # the same boilerplate in EVERY doc: with max_df=2 its
+        # fingerprints are dropped, so no pair reaches min_shared
+        boiler = "identical boilerplate navigation footer block here"
+        rows = [(i, f"doc body {i} distinctcontent{i} " + boiler) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        without_cap = winnow_overlap_pairs(df, min_shared=3).count()
+        with_cap = winnow_overlap_pairs(df, min_shared=3, max_df=2).count()
+        assert without_cap == 10  # all pairs share the boilerplate
+        assert with_cap == 0
+
+    def test_guards(self, spark):
+        from metaframe_spark.operators import (
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must"):
+            winnow_fingerprints(df, k=1)
+        with pytest.raises(ValueError, match="window"):
+            winnow_fingerprints(df, window=0)
+        with pytest.raises(ValueError, match="min_shared"):
+            winnow_overlap_pairs(df, min_shared=0)
+        with pytest.raises(ValueError, match="max_df"):
+            winnow_overlap_pairs(df, max_df=1)

@@ -239,6 +239,14 @@ class TestSamplingAndDecontamination:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_containment_broadcasts_benchmark_twice(self, spark):
+        # both benchmark relations (shingles AND per-doc sizes) must be the
+        # broadcast sides; corpus shingles filter map-side so only hits
+        # reach the pair count's shuffle
+        plan = plan_of(QUERIES["llm_containment"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+
 
 class TestVocabAndQuantize:
     def test_vocab_topk_plans_take_ordered(self, spark):
