@@ -1925,24 +1925,31 @@ def winnow_fingerprints(
         raise ValueError(
             f"winnow_fingerprints: window must be >= 1 ({window})"
         )
-    t = normalize_text(F.col(text_col))
-    base = df.select(F.col(id_col), t.alias("_t")).filter(
-        F.length("_t") >= k
+    base = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.length(normalize_text(F.col(text_col))) >= k
+    )
+    # BINDING DISCIPLINE: the normalized text, the hash array, and each
+    # window slice ALL bind exactly once as lambda variables (`t`, `hs`,
+    # `win`) through single-element transform wrappers. A plain
+    # select/withColumn reference lets CollapseProject inline the
+    # defining expression into every lambda element — first measured as
+    # the md5 array recomputed per window (O(n²), 52 s/KB), then as the
+    # normalize regexp re-run per POSITION (~200 µs/char) once the hash
+    # array was bound. Each level of this expression evaluates its
+    # argument once per row, period.
+    norm = (
+        f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
     )
     # h[i] = 60-bit md5 of the k chars at 1-based position i
     hashes = (
-        f"transform(sequence(1, length(_t) - {k} + 1), "
-        f"i -> cast(conv(substring(md5(substring(_t, i, {k})), 1, 15), "
+        f"transform(sequence(1, length(t) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 15), "
         f"16, 10) as bigint))"
     )
     # windows start at j = 1 .. max(n_h - window + 1, 1); slice truncates
-    # at the end, so a short document gets one window over everything.
-    # BINDING DISCIPLINE: the hash array and each window slice bind ONCE
-    # as lambda variables (`hs`, `win`) through single-element transform
-    # wrappers — a plain withColumn reference would let CollapseProject
-    # inline the md5-array expression into every window and turn the
-    # row-local pass O(n²) (measured 52 s/KB before the fix)
+    # at the end, so a short document gets one window over everything
     sel = (
+        f"element_at(transform(array({norm}), t -> "
         f"element_at(transform(array({hashes}), hs -> "
         f"transform("
         f"sequence(1, greatest(size(hs) - {window} + 1, 1)), "
@@ -1950,7 +1957,7 @@ def winnow_fingerprints(
         f"win -> named_struct("
         f"'fp', array_min(win), "
         f"'pos', cast(j - 1 + array_position(win, array_min(win)) "
-        f"as bigint))), 1))), 1)"
+        f"as bigint))), 1))), 1)), 1)"
     )
     # adjacent windows usually select the SAME (fp, pos); the collapse is
     # a hash-based DataFrame distinct (array_distinct over a struct array
@@ -2005,25 +2012,33 @@ def winnow_overlap_pairs(
         raise ValueError(
             f"winnow_overlap_pairs: max_df must be >= 2 ({max_df})"
         )
+    # the fingerprint relation feeds the doc-freq filter AND both join
+    # sides — three plan branches; Spark has no cross-branch subplan CSE,
+    # so pin it once (the _mf_persisted release convention the semantic
+    # ops use; the ContextCleaner reclaims it when the result is dropped)
     fps = (
         winnow_fingerprints(
             df, text_col=text_col, id_col=id_col, k=k, window=window
         )
         .select(id_col, "fp")
         .distinct()
+        .persist()
     )
+    kept = fps
     if max_df is not None:
         dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-        fps = (
+        kept = (
             fps.join(dfreq.filter(F.col("_df") <= max_df), "fp")
             .select(id_col, "fp")
         )
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
-    return (
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    result = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    result._mf_persisted = fps
+    return result

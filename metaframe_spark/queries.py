@@ -5628,7 +5628,7 @@ def q97_anomaly_kmv(spark, sf):
     "q98_cms_counts",
     "WITH t AS (SELECT doc_id, lang, "
     f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
-    "  FROM documents), "
+    "  FROM documents WHERE doc_id % 3 = 0), "
     "g AS (SELECT lang, unnest(toks) AS term FROM t), "
     "cells AS (SELECT lang, d.i AS depth_i, "
     "  CAST(('0x' || substring(md5(term || ':' || CAST(d.i AS VARCHAR) "
@@ -5684,8 +5684,12 @@ def q98_cms_counts(spark, sf):
     from .operators.text import tokens
 
     d = load_table(spark, sf, "documents")
-    toks = d.to_spark().select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    toks = (
+        d.to_spark()
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
     )
     parts = [
         cms_sketches(
@@ -5726,9 +5730,9 @@ def q98_cms_counts(spark, sf):
 
 @query(
     "llm_winnow",
-    "WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+    "WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0 "
     f"  UNION ALL SELECT doc_id + {_TWIN_OFFSET}, "
-    f"  text || '{_TWIN_SUFFIX}' FROM documents WHERE doc_id % 7 = 0), "
+    f"  text || '{_TWIN_SUFFIX}' FROM documents WHERE doc_id % 23 = 0), "
     "n AS (SELECT doc_id, "
     "  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM c), "
     "f AS (SELECT doc_id, list_transform(range(1, length(t) - 6), "
@@ -5748,7 +5752,7 @@ def q98_cms_counts(spark, sf):
 def llm_winnow(spark, sf):
     """Winnowing passage-copy detection (operators/dedup.py::
     winnow_fingerprints / winnow_overlap_pairs — Schleimer et al. 2003,
-    the MOSS algorithm): every 7th document and its injected twin form
+    the MOSS algorithm): every 23rd document and its injected twin form
     the corpus, each document's char-8-grams hash through the md5-mod
     draw, a 4-window keeps each window's minimum (≥ one shared selected
     fingerprint for any shared substring of ≥ 11 chars — the winnowing
@@ -5766,7 +5770,7 @@ def llm_winnow(spark, sf):
     from .operators.dedup import winnow_overlap_pairs
 
     d = load_table(spark, sf, "documents")
-    corpus = _twin_corpus(d.filter(F.col("doc_id") % 7 == 0))
+    corpus = _twin_corpus(d.filter(F.col("doc_id") % 23 == 0))
     return winnow_overlap_pairs(
         corpus, k=8, window=4, min_shared=5, max_df=8
     )
