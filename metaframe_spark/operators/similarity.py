@@ -23,6 +23,8 @@ Two tiers, matching the build brief:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1310,4 +1312,221 @@ def dequantize_expr(vec_col: str, mins, spans, n_bits: int = 8) -> Column:
         f"transform({vec_col}, (c, i) -> element_at({mins_sql}, i + 1) + "
         f"(cast(c as double) + 0.5D) * element_at({spans_sql}, i + 1) "
         f"/ {1 << n_bits}D)"
+    )
+
+
+def validate_ivf_corpus(
+    spark,
+    corpus_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    format: str = "parquet",
+    deep: bool = False,
+) -> "DataFrame":
+    """Layout fsck for a :func:`write_ivf_corpus` serving corpus — the
+    VERIFY step completing the lifecycle (build → append/stream →
+    compact → delete → verify): one row per invariant with
+    ``(check, ok, detail)``, so an operator can gate a deploy or a
+    scheduled job can alert on a store that an interrupted writer or a
+    by-hand edit left inconsistent. Checks, in dependency order:
+
+    * ``index_readable`` — ``{path}/_ivf_index`` loads and passes
+      :func:`read_ivf_index`'s contiguity/raggedness validation;
+    * ``cells_in_range`` — every data directory parses as ``cell=<int>``
+      with the int inside [0, n_lists);
+    * ``no_foreign_entries`` — nothing else lives at the root except the
+      known sidecars (``_ivf_index``, ``_sq_bounds``, ``_ingest_marks``)
+      and committer droppings (``_SUCCESS`` etc.);
+    * ``no_staging_debris`` — no ``_ingest_staging_*`` dir is present: a
+      crashed streaming commit leaves one as its tell, and the owning
+      maintainer (stream_ivf_append / stream_semantic_dedup) should be
+      re-run on its checkpoint to resume or roll back before the layout
+      is trusted;
+    * ``marks_well_formed`` — every ingest marker parses as
+      ``batch-<int>``;
+    * ``bounds_consistent`` — quantized layouts: ``_sq_bounds`` has
+      exactly the index's dimension count and ONE n_bits; float
+      layouts: no stray bounds relation (a bounds sidecar over a float
+      corpus means a partial quantization rewrite);
+    * with ``deep=True`` (pays one full scan) ``vectors_well_formed`` —
+      every row's ``vec_col`` has the index's dimension and no NULL
+      entries, ids are non-NULL, and quantized codes sit inside
+      [0, 2^n_bits).
+
+    Driver state is one listing of the root + the tiny index/bounds
+    relations; the deep scan is a single partial-aggregated pass."""
+    from ..streaming import _hadoop_fs
+
+    fs, P = _hadoop_fs(spark, corpus_path)
+    root = corpus_path.rstrip("/")
+    results = []  # (check, ok, detail)
+
+    n_lists, d = None, None
+    try:
+        centroids = read_ivf_index(
+            spark, root + "/_ivf_index", format=format
+        )
+        n_lists, d = int(centroids.shape[0]), int(centroids.shape[1])
+        results.append(
+            ("index_readable", True, f"n_lists={n_lists} d={d}")
+        )
+    except Exception as e:
+        results.append(("index_readable", False, str(e)[:300]))
+
+    known_sidecars = {"_ivf_index", "_sq_bounds", "_ingest_marks"}
+    bad_cells, foreign, staging = [], [], []
+    cell_ids = []
+    for st in fs.listStatus(P(root)):
+        name = st.getPath().getName()
+        if name.startswith("cell="):
+            try:
+                c = int(name[len("cell="):])
+                cell_ids.append(c)
+                if n_lists is not None and not 0 <= c < n_lists:
+                    bad_cells.append(name)
+            except ValueError:
+                bad_cells.append(name)
+        elif name.startswith("_ingest_staging_"):
+            staging.append(name)
+        elif name in known_sidecars or name.startswith(("_", ".")):
+            continue
+        else:
+            foreign.append(name)
+    results.append(
+        (
+            "cells_in_range",
+            not bad_cells,
+            f"{len(cell_ids)} cell dirs"
+            + (f"; bad: {sorted(bad_cells)[:5]!r}" if bad_cells else ""),
+        )
+    )
+    results.append(
+        (
+            "no_foreign_entries",
+            not foreign,
+            f"foreign: {sorted(foreign)[:5]!r}" if foreign else "clean",
+        )
+    )
+    results.append(
+        (
+            "no_staging_debris",
+            not staging,
+            (
+                f"crashed-commit staging present: {sorted(staging)[:5]!r} — "
+                "re-run the owning maintainer on its checkpoint"
+            )
+            if staging
+            else "clean",
+        )
+    )
+
+    marks_dir = root + "/_ingest_marks"
+    bad_marks = []
+    if fs.exists(P(marks_dir)):
+        for st in fs.listStatus(P(marks_dir)):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if not name.startswith("batch-"):
+                bad_marks.append(name)
+            else:
+                try:
+                    int(name[len("batch-"):])
+                except ValueError:
+                    bad_marks.append(name)
+    results.append(
+        (
+            "marks_well_formed",
+            not bad_marks,
+            f"bad markers: {sorted(bad_marks)[:5]!r}" if bad_marks else "ok",
+        )
+    )
+
+    n_bits = None
+    bounds_path = root + "/_sq_bounds"
+    have_bounds = fs.exists(P(bounds_path))
+    vec_dtype = ""
+    try:
+        scan = spark.read.format(format).load(root)
+        vec_dtype = dict(scan.dtypes).get(vec_col, "")
+    except Exception as e:
+        scan = None
+        results.append(("bounds_consistent", False, f"unreadable: {e}"[:300]))
+    if scan is not None:
+        quantized = vec_dtype.startswith(("array<int", "array<smallint"))
+        if have_bounds:
+            try:
+                rows = spark.read.format(format).load(bounds_path).collect()
+                bits = {int(r["n_bits"]) for r in rows}
+                ok = (
+                    (d is None or len(rows) == d)
+                    and len(bits) == 1
+                    and quantized
+                )
+                n_bits = bits.pop() if len(bits) == 1 else None
+                detail = (
+                    f"{len(rows)} dims, n_bits={n_bits}, vec={vec_dtype}"
+                    if ok
+                    else f"dims={len(rows)} (index d={d}), "
+                    f"n_bits_set={sorted(bits) if bits else [n_bits]}, "
+                    f"vec={vec_dtype or '<missing>'}"
+                )
+                results.append(("bounds_consistent", ok, detail))
+            except Exception as e:
+                results.append(("bounds_consistent", False, str(e)[:300]))
+        else:
+            results.append(
+                (
+                    "bounds_consistent",
+                    not quantized,
+                    "float layout, no bounds"
+                    if not quantized
+                    else f"quantized codes ({vec_dtype}) but no _sq_bounds",
+                )
+            )
+        if deep:
+            checks = [
+                F.sum(
+                    F.when(
+                        F.col(id_col).isNull(), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias("null_ids"),
+                F.sum(
+                    F.when(
+                        (F.size(F.col(vec_col)) != F.lit(d))
+                        | F.exists(F.col(vec_col), lambda x: x.isNull()),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ).alias("bad_vecs")
+                if d is not None
+                else F.lit(None).cast("long").alias("bad_vecs"),
+            ]
+            if quantized and n_bits is not None:
+                hi = (1 << n_bits) - 1
+                checks.append(
+                    F.sum(
+                        F.when(
+                            F.exists(
+                                F.col(vec_col),
+                                lambda c: (c < 0) | (c > F.lit(hi)),
+                            ),
+                            F.lit(1),
+                        ).otherwise(F.lit(0))
+                    ).alias("bad_codes")
+                )
+            agg = scan.agg(*checks).collect()[0]
+            bad = {
+                k: int(agg[k] or 0)
+                for k in agg.asDict()
+                if agg[k] is not None
+            }
+            results.append(
+                (
+                    "vectors_well_formed",
+                    all(v == 0 for v in bad.values()),
+                    str(bad),
+                )
+            )
+    return spark.createDataFrame(
+        results, "check string, ok boolean, detail string"
     )

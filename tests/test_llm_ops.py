@@ -4018,3 +4018,106 @@ class TestWinnowing:
             winnow_overlap_pairs(df, min_shared=0)
         with pytest.raises(ValueError, match="max_df"):
             winnow_overlap_pairs(df, max_df=1)
+
+
+class TestValidateIvfCorpus:
+    """validate_ivf_corpus: the layout fsck completing the serving
+    lifecycle — healthy layouts pass every check, each poisoned state
+    fails exactly its own check."""
+
+    def _layout(self, spark, tmp_path, quantize=None):
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding").limit(40)
+        cent = fit_sampled_centroids(emb, 2, seed=3, order_col="vec_id")
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(emb, cent, path, quantize_bits=quantize)
+        return path
+
+    def _checks(self, spark, path, **kw):
+        from metaframe_spark.operators.similarity import validate_ivf_corpus
+
+        return {
+            r.check: (r.ok, r.detail)
+            for r in validate_ivf_corpus(spark, path, **kw).collect()
+        }
+
+    def test_healthy_float_layout_all_green(self, spark, tmp_path):
+        path = self._layout(spark, tmp_path)
+        got = self._checks(spark, path, deep=True)
+        assert set(got) == {
+            "index_readable", "cells_in_range", "no_foreign_entries",
+            "no_staging_debris", "marks_well_formed", "bounds_consistent",
+            "vectors_well_formed",
+        }
+        assert all(ok for ok, _ in got.values()), got
+
+    def test_healthy_quantized_layout_all_green(self, spark, tmp_path):
+        path = self._layout(spark, tmp_path, quantize=8)
+        got = self._checks(spark, path, deep=True)
+        assert all(ok for ok, _ in got.values()), got
+
+    def test_staging_debris_flagged(self, spark, tmp_path):
+        import os
+
+        path = self._layout(spark, tmp_path)
+        os.makedirs(path + "/_ingest_staging_3")
+        got = self._checks(spark, path)
+        assert got["no_staging_debris"][0] is False
+        assert "staging" in got["no_staging_debris"][1]
+        assert got["index_readable"][0] is True  # others unaffected
+
+    def test_foreign_entry_and_bad_cell_flagged(self, spark, tmp_path):
+        import os
+
+        path = self._layout(spark, tmp_path)
+        os.makedirs(path + "/not_a_cell")
+        os.makedirs(path + "/cell=99")  # out of range for n_lists=2
+        got = self._checks(spark, path)
+        assert got["no_foreign_entries"][0] is False
+        assert "not_a_cell" in got["no_foreign_entries"][1]
+        assert got["cells_in_range"][0] is False
+
+    def test_missing_index_flagged(self, spark, tmp_path):
+        import shutil
+
+        path = self._layout(spark, tmp_path)
+        shutil.rmtree(path + "/_ivf_index")
+        got = self._checks(spark, path)
+        assert got["index_readable"][0] is False
+
+    def test_bounds_over_float_layout_flagged(self, spark, tmp_path):
+        import shutil
+
+        fl = self._layout(spark, tmp_path)
+        q = self._layout(spark, tmp_path / "q", quantize=8)
+        shutil.copytree(q + "/_sq_bounds", fl + "/_sq_bounds")
+        got = self._checks(spark, fl)
+        assert got["bounds_consistent"][0] is False
+
+    def test_quantized_missing_bounds_flagged(self, spark, tmp_path):
+        import shutil
+
+        path = self._layout(spark, tmp_path, quantize=8)
+        shutil.rmtree(path + "/_sq_bounds")
+        got = self._checks(spark, path)
+        assert got["bounds_consistent"][0] is False
+        assert "no _sq_bounds" in got["bounds_consistent"][1]
+
+    def test_bad_marker_flagged(self, spark, tmp_path):
+        import os
+
+        path = self._layout(spark, tmp_path)
+        os.makedirs(path + "/_ingest_marks")
+        open(path + "/_ingest_marks/batch-7", "w").close()
+        open(path + "/_ingest_marks/garbage", "w").close()
+        got = self._checks(spark, path)
+        assert got["marks_well_formed"][0] is False
+        assert "garbage" in got["marks_well_formed"][1]
