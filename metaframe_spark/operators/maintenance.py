@@ -807,6 +807,9 @@ def frequent_term_estimates(
 
 _SKETCH_SUFFIXES = ("_sketch", "_moments", "_hist")
 _TERM_SKETCH_COLS = frozenset(["term", "count", "max_err", "prune_bound"])
+_CMS_SKETCH_COLS = frozenset(
+    ["depth_i", "bucket", "count", "width", "depth", "seed"]
+)
 
 
 def compact_sketch_relation(
@@ -816,6 +819,7 @@ def compact_sketch_relation(
     keep_since=None,
     group_by: Optional[Sequence[str]] = None,
     max_terms: Optional[int] = None,
+    k: Optional[int] = None,
 ) -> DataFrame:
     """Re-merge a sketch store's aged runs into coarser grains — the
     retention story for stores that grow by one partition per run
@@ -839,6 +843,15 @@ def compact_sketch_relation(
     schema equals input schema, so compaction composes (day → week →
     month) and the result re-merges like any store.
 
+    The r11 store families compact through the same door: a relation
+    carrying ``depth_i/bucket/count/width/depth/seed`` is a COUNT-MIN
+    store (cell counts sum per coarse grain — one groupBy, exact by
+    commutativity, spec validated per grain), and one carrying
+    ``draw_key`` is a BOTTOM-K sample store (per coarse grain the k
+    smallest draws survive — ``k`` is REQUIRED, matching the merge
+    contract, and ``group_by`` must be explicit because the id/payload
+    columns are indistinguishable from group keys by shape alone).
+
     ``max_terms`` (term stores only): after each coarse grain's merge,
     :func:`prune_term_sketch` caps the grain at its top ``max_terms``
     rows per group — the row-count retention knob a term store needs on
@@ -854,16 +867,41 @@ def compact_sketch_relation(
         )
     coarse = F.expr(coarsen) if isinstance(coarsen, str) else coarsen
     is_term = _TERM_SKETCH_COLS <= set(df.columns)
+    is_cms = not is_term and _CMS_SKETCH_COLS <= set(df.columns)
+    is_bottomk = not is_term and not is_cms and "draw_key" in df.columns
     sketch_cols = [
         c for c in df.columns if c.endswith(_SKETCH_SUFFIXES) and c != run_col
     ]
-    if not is_term and not sketch_cols:
+    if not is_term and not is_cms and not is_bottomk and not sketch_cols:
         raise ValueError(
             "compact_sketch_relation: input has no sketch state "
-            f"(*_sketch / *_moments / *_hist columns or the term-sketch "
-            f"shape); columns: {df.columns!r}"
+            f"(*_sketch / *_moments / *_hist columns or the term / CMS / "
+            f"bottom-k sketch shape); columns: {df.columns!r}"
         )
-    state = set(sketch_cols) | (_TERM_SKETCH_COLS if is_term else set())
+    if is_bottomk:
+        if k is None:
+            raise ValueError(
+                "compact_sketch_relation: a bottom-k store needs k= (the "
+                "k the sketches were built with) to re-rank coarse grains"
+            )
+        if group_by is None:
+            raise ValueError(
+                "compact_sketch_relation: a bottom-k store needs explicit "
+                "group_by — its id/payload columns are indistinguishable "
+                "from group keys by shape"
+            )
+    elif k is not None:
+        raise ValueError(
+            "compact_sketch_relation: k applies only to bottom-k stores "
+            f"(columns: {df.columns!r})"
+        )
+    state = set(sketch_cols)
+    if is_term:
+        state |= _TERM_SKETCH_COLS
+    if is_cms:
+        state |= _CMS_SKETCH_COLS
+    if is_bottomk:
+        state |= {"draw_key"}
     keys = (
         list(group_by)
         if group_by is not None
@@ -891,6 +929,13 @@ def compact_sketch_relation(
         merged = merge_term_sketches(aged, group_by=gb, run_col=run_col)
         if max_terms is not None:
             merged = prune_term_sketch(merged, max_terms, group_by=gb)
+    elif is_cms:
+        merged = merge_cms_sketches(aged, group_by=gb)
+    elif is_bottomk:
+        # the merge passes every column through (unlike the groupBy
+        # families), so the original run column must drop BEFORE the
+        # coarse rename or the two would collide
+        merged = merge_bottomk_samples(aged.drop(run_col), k=k, group_by=gb)
     else:
         # one groupBy folds every non-histogram sketch column; histograms
         # need their two-step assembly, so they merge separately and join
@@ -939,6 +984,7 @@ def compact_sketch_store(
     group_by: Optional[Sequence[str]] = None,
     format: str = "parquet",
     max_terms: Optional[int] = None,
+    k: Optional[int] = None,
 ) -> DataFrame:
     """Disk-to-disk :func:`compact_sketch_relation`: read the store at
     ``src_path``, re-merge runs older than ``keep_since`` into
@@ -978,7 +1024,7 @@ def compact_sketch_store(
         ) from e
     out = compact_sketch_relation(
         df, run_col, coarsen, keep_since=keep_since, group_by=group_by,
-        max_terms=max_terms,
+        max_terms=max_terms, k=k,
     )
     out.write.mode("overwrite").partitionBy(run_col).format(format).save(
         dest_path

@@ -1783,3 +1783,138 @@ class TestKmvOverlapEstimates:
             kmv_overlap_estimates(sk, df, 8)
         with pytest.raises(ValueError, match="k must"):
             kmv_overlap_estimates(sk, sk, 0)
+
+
+class TestCompactNewFamilies:
+    """compact_sketch_relation over the r11 store shapes: CMS cells sum
+    per coarse grain (exact), bottom-k samples re-rank per grain."""
+
+    def test_cms_store_compaction_exact(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_sketches,
+            compact_sketch_relation,
+            merge_cms_sketches,
+        )
+
+        days = []
+        for day in (1, 2, 3, 8, 9):
+            rows = [("en", f"t{(i * day) % 7}") for i in range(40 + day)]
+            df = spark.createDataFrame(rows, "lang string, term string")
+            days.append(
+                cms_sketches(df, "term", width=8, depth=2, group_by=["lang"])
+                .withColumn("run_day", F.lit(day))
+            )
+        store = days[0]
+        for d in days[1:]:
+            store = store.unionByName(d)
+        compacted = compact_sketch_relation(
+            store,
+            "run_day",
+            "CAST(floor(run_day / 7) AS INT)",
+            keep_since=8,
+            group_by=["lang"],
+        )
+        # days 1-3 fold into grain 0; days 8, 9 pass through untouched
+        grains = sorted(
+            r.run_day for r in compacted.select("run_day").distinct().collect()
+        )
+        assert grains == [0, 8, 9]
+        # grain 0's cells are EXACTLY the merge of days 1-3
+        want = sorted(
+            map(
+                tuple,
+                merge_cms_sketches(*days[:3], group_by=["lang"])
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                compacted.filter(F.col("run_day") == 0)
+                .drop("run_day")
+                .select(
+                    "lang", "depth_i", "bucket", "count",
+                    "width", "depth", "seed",
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+        # schema composes: a second compaction accepts the output
+        again = compact_sketch_relation(
+            compacted, "run_day", "CAST(0 AS INT)", group_by=["lang"]
+        )
+        assert again.select("run_day").distinct().count() == 1
+
+    def test_bottomk_store_compaction_exact(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            compact_sketch_relation,
+            merge_bottomk_samples,
+        )
+
+        days = []
+        for day in (1, 2, 8):
+            rows = [("en", day * 1000 + i) for i in range(30)]
+            df = spark.createDataFrame(rows, "lang string, doc_id long")
+            days.append(
+                bottomk_sample_sketch(df, "doc_id", 5, group_by=["lang"])
+                .withColumn("run_day", F.lit(day))
+            )
+        store = days[0].unionByName(days[1]).unionByName(days[2])
+        compacted = compact_sketch_relation(
+            store,
+            "run_day",
+            "CAST(0 AS INT)",
+            keep_since=8,
+            group_by=["lang"],
+            k=5,
+        )
+        grains = sorted(
+            r.run_day for r in compacted.select("run_day").distinct().collect()
+        )
+        assert grains == [0, 8]
+        want = sorted(
+            (r.lang, r.doc_id, r.draw_key)
+            for r in merge_bottomk_samples(
+                days[0].drop("run_day"), days[1].drop("run_day"),
+                k=5, group_by=["lang"],
+            ).collect()
+        )
+        got = sorted(
+            (r.lang, r.doc_id, r.draw_key)
+            for r in compacted.filter(F.col("run_day") == 0).collect()
+        )
+        assert got == want
+
+    def test_bottomk_guards(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            compact_sketch_relation,
+        )
+
+        df = spark.createDataFrame(
+            [("en", i) for i in range(10)], "lang string, doc_id long"
+        )
+        sk = bottomk_sample_sketch(df, "doc_id", 5, group_by=["lang"]).withColumn(
+            "run_day", F.lit(1)
+        )
+        with pytest.raises(ValueError, match="needs k="):
+            compact_sketch_relation(sk, "run_day", "CAST(0 AS INT)", group_by=["lang"])
+        with pytest.raises(ValueError, match="explicit group_by"):
+            compact_sketch_relation(sk, "run_day", "CAST(0 AS INT)", k=5)
+
+    def test_k_rejected_for_other_families(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            compact_sketch_relation,
+            moment_sketches,
+        )
+
+        df = spark.createDataFrame([(1, 2.0)], "g int, x double")
+        sk = moment_sketches(df, ["x"], group_by=["g"]).withColumn(
+            "run_day", F.lit(1)
+        )
+        with pytest.raises(ValueError, match="k applies only"):
+            compact_sketch_relation(
+                sk, "run_day", "CAST(0 AS INT)", group_by=["g"], k=5
+            )
