@@ -1925,8 +1925,14 @@ def winnow_fingerprints(
         raise ValueError(
             f"winnow_fingerprints: window must be >= 1 ({window})"
         )
+    # raw-length prefilter only: normalization never lengthens the text
+    # (trim/collapse shrink, lower preserves), so length(raw) < k is a
+    # sound cheap reject; the EXACT short-doc gate lives inside the bound
+    # expression below so the normalize regexp runs exactly once per row
+    # (a normalize_text filter here would be a second full-text regex
+    # pass — r11 self-review)
     base = df.select(F.col(id_col), F.col(text_col)).filter(
-        F.length(normalize_text(F.col(text_col))) >= k
+        F.length(F.col(text_col)) >= k
     )
     # BINDING DISCIPLINE: the normalized text, the hash array, and each
     # window slice ALL bind exactly once as lambda variables (`t`, `hs`,
@@ -1948,8 +1954,12 @@ def winnow_fingerprints(
     )
     # windows start at j = 1 .. max(n_h - window + 1, 1); slice truncates
     # at the end, so a short document gets one window over everything
+    empty = (
+        "CAST(array() AS array<struct<fp: bigint, pos: bigint>>)"
+    )
     sel = (
         f"element_at(transform(array({norm}), t -> "
+        f"CASE WHEN length(t) >= {k} THEN "
         f"element_at(transform(array({hashes}), hs -> "
         f"transform("
         f"sequence(1, greatest(size(hs) - {window} + 1, 1)), "
@@ -1957,7 +1967,8 @@ def winnow_fingerprints(
         f"win -> named_struct("
         f"'fp', array_min(win), "
         f"'pos', cast(j - 1 + array_position(win, array_min(win)) "
-        f"as bigint))), 1))), 1)), 1)"
+        f"as bigint))), 1))), 1) "
+        f"ELSE {empty} END), 1)"
     )
     # adjacent windows usually select the SAME (fp, pos); the collapse is
     # a hash-based DataFrame distinct (array_distinct over a struct array

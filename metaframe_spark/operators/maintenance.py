@@ -1695,6 +1695,7 @@ def kmv_overlap_estimates(
     b: DataFrame,
     k: int,
     group_by: Optional[Sequence[str]] = None,
+    id_col: Optional[str] = None,
 ) -> DataFrame:
     """Set-OVERLAP estimates between two bottom-k (KMV) sample sketches
     — the set operation the HLL store cannot do (HLL unions losslessly
@@ -1719,20 +1720,27 @@ def kmv_overlap_estimates(
     Inputs MUST share the draw seed (same contract as
     :func:`merge_bottomk_samples` — the draw key travels precisely so
     this never re-hashes) and the ``k`` they were built with; groups
-    missing from one side report zero overlap against the other. Error
+    missing from one side report zero overlap against the other.
+    ``id_col``, when given, arms the same SEED CROSS-CHECK as the
+    merge: mixed-seed inputs put the same id under two draw keys —
+    which would otherwise report total churn between IDENTICAL sets,
+    silently — and raise at execution instead. ``k`` must be ≥ 2: the
+    saturated-regime estimator is (k−1)/u, degenerate at k=1. Error
     ~ 1/√k on the resemblance, the standard bound. Every step — md5
-    draws, ranks, membership joins, the two divisions — is
+    draws, ranks, membership flags, the two divisions — is
     deterministic and engine-replayable (hash-proved by
     q99_kmv_overlap).
 
-    Plan shape: one union of two sketch-sized relations, one rank
-    window, two draw-key membership joins (broadcastable — both sides
-    are ≤ groups × k rows), one aggregate. Nothing scales with the
-    data the sketches summarize."""
+    Plan shape: one union of two sketch-sized relations, one
+    membership groupBy, one rank window, one aggregate. Nothing
+    scales with the data the sketches summarize."""
     from pyspark.sql import Window
 
-    if k < 1:
-        raise ValueError(f"kmv_overlap_estimates: k must be >= 1 ({k})")
+    if k < 2:
+        raise ValueError(
+            f"kmv_overlap_estimates: k must be >= 2 ({k}) — the "
+            "saturated-regime estimator (k-1)/u is degenerate at k=1"
+        )
     keys = list(group_by or [])
     for side, df in (("a", a), ("b", b)):
         if "draw_key" not in df.columns:
@@ -1740,13 +1748,34 @@ def kmv_overlap_estimates(
                 f"kmv_overlap_estimates: input {side} is not a bottom-k "
                 f"sketch (no draw_key column; columns: {df.columns!r})"
             )
-    sa = a.select(*keys, "draw_key").withColumn("_in_a", F.lit(True))
-    sb = b.select(*keys, "draw_key").withColumn("_in_b", F.lit(True))
-    joined = sa.join(sb, [*keys, "draw_key"], "full").select(
-        *keys,
-        "draw_key",
-        F.coalesce(F.col("_in_a"), F.lit(False)).alias("_in_a"),
-        F.coalesce(F.col("_in_b"), F.lit(False)).alias("_in_b"),
+        if id_col is not None and id_col not in df.columns:
+            raise ValueError(
+                f"kmv_overlap_estimates: id_col {id_col!r} not in input "
+                f"{side} (columns: {df.columns!r})"
+            )
+    extra = [id_col] if id_col is not None else []
+    sa = a.select(*keys, *extra, "draw_key").select(
+        "*", F.lit(True).alias("_in_a"), F.lit(False).alias("_in_b")
+    )
+    sb = b.select(*keys, *extra, "draw_key").select(
+        "*", F.lit(False).alias("_in_a"), F.lit(True).alias("_in_b")
+    )
+    u = sa.unionByName(sb)
+    if id_col is not None:
+        wid = Window.partitionBy(*keys, id_col)
+        seed_ok = F.assert_true(
+            F.min("draw_key").over(wid) == F.max("draw_key").over(wid),
+            F.lit(
+                "kmv_overlap_estimates: the same id carries two different "
+                "draw keys — the sketches were built with different seeds "
+                "and their overlap is meaningless"
+            ),
+        )
+        u = u.withColumn(
+            "draw_key", F.when(seed_ok.isNull(), F.col("draw_key"))
+        )
+    joined = u.groupBy(*keys, "draw_key").agg(
+        F.max("_in_a").alias("_in_a"), F.max("_in_b").alias("_in_b")
     )
     w = Window.partitionBy(*keys).orderBy(F.asc("draw_key"))
     u = (

@@ -1388,7 +1388,13 @@ def validate_ivf_corpus(
                 bad_cells.append(name)
         elif name.startswith("_ingest_staging_"):
             staging.append(name)
-        elif name in known_sidecars or name.startswith(("_", ".")):
+        elif name in known_sidecars or name == "_SUCCESS" or name.startswith(
+            "."
+        ):
+            # the allowlist is exact: a stray `_ivf_index_old` or
+            # `_sq_bounds.bak` must NOT ride the underscore convention
+            # through (r11 self-review); dot-files are committer crc
+            # droppings
             continue
         else:
             foreign.append(name)
@@ -1493,7 +1499,12 @@ def validate_ivf_corpus(
                 ).alias("null_ids"),
                 F.sum(
                     F.when(
-                        (F.size(F.col(vec_col)) != F.lit(d))
+                        # isNull leads: size(NULL)/exists(NULL, ...) are
+                        # NULL under ANSI, and when(NULL) falls to the
+                        # otherwise-0 branch — a NULL vector would pass
+                        # the very invariant it violates (r11 self-review)
+                        F.col(vec_col).isNull()
+                        | (F.size(F.col(vec_col)) != F.lit(d))
                         | F.exists(F.col(vec_col), lambda x: x.isNull()),
                         F.lit(1),
                     ).otherwise(F.lit(0))

@@ -5840,7 +5840,11 @@ def q99_kmv_overlap(spark, sf):
     b = bottomk_sample_sketch(
         ev.filter(F.col("side") == 1), "user_id", 16, group_by=["event_type"]
     )
-    return kmv_overlap_estimates(a, b, 16, group_by=["event_type"])
+    # id_col arms the seed cross-check — the production shape; the gate
+    # changes no value, so the oracle replay is unaffected
+    return kmv_overlap_estimates(
+        a, b, 16, group_by=["event_type"], id_col="user_id"
+    )
 
 
 @query(

@@ -3983,10 +3983,9 @@ class TestWinnowing:
             (4, rand(600)),
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
-        pairs = {
-            (r.id_a, r.id_b): r.n_shared
-            for r in winnow_overlap_pairs(df, min_shared=3).collect()
-        }
+        out = winnow_overlap_pairs(df, min_shared=3)
+        pairs = {(r.id_a, r.id_b): r.n_shared for r in out.collect()}
+        out._mf_persisted.unpersist()
         assert (1, 2) in pairs and pairs[(1, 2)] >= 3
         assert all(p == (1, 2) for p in pairs)
 
@@ -3998,10 +3997,14 @@ class TestWinnowing:
         boiler = "identical boilerplate navigation footer block here"
         rows = [(i, f"doc body {i} distinctcontent{i} " + boiler) for i in range(5)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
-        without_cap = winnow_overlap_pairs(df, min_shared=3).count()
-        with_cap = winnow_overlap_pairs(df, min_shared=3, max_df=2).count()
-        assert without_cap == 10  # all pairs share the boilerplate
-        assert with_cap == 0
+        no_cap = winnow_overlap_pairs(df, min_shared=3)
+        capped = winnow_overlap_pairs(df, min_shared=3, max_df=2)
+        try:
+            assert no_cap.count() == 10  # all pairs share the boilerplate
+            assert capped.count() == 0
+        finally:
+            no_cap._mf_persisted.unpersist()
+            capped._mf_persisted.unpersist()
 
     def test_guards(self, spark):
         from metaframe_spark.operators import (
@@ -4121,3 +4124,26 @@ class TestValidateIvfCorpus:
         got = self._checks(spark, path)
         assert got["marks_well_formed"][0] is False
         assert "garbage" in got["marks_well_formed"][1]
+
+    def test_deep_flags_null_vector_and_stray_sidecar(self, spark, tmp_path):
+        """ANSI NULL-swallow regression (r11 self-review): a NULL vector
+        must fail vectors_well_formed, and a stray underscore entry must
+        fail no_foreign_entries despite the underscore convention."""
+        import os
+
+        path = self._layout(spark, tmp_path)
+        ok = self._checks(spark, path, deep=True)
+        assert ok["vectors_well_formed"][0] is True
+        # poison one cell with a NULL-vector row (schema-compatible)
+        cell = path + "/cell=0"
+        spark.createDataFrame(
+            [(9999, None)], "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(cell)
+        got = self._checks(spark, path, deep=True)
+        assert got["vectors_well_formed"][0] is False
+        assert "bad_vecs" in got["vectors_well_formed"][1]
+        # stray underscore-prefixed sidecar is NOT covered by convention
+        os.makedirs(path + "/_ivf_index_old")
+        got2 = self._checks(spark, path)
+        assert got2["no_foreign_entries"][0] is False
+        assert "_ivf_index_old" in got2["no_foreign_entries"][1]

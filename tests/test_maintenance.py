@@ -1918,3 +1918,33 @@ class TestCompactNewFamilies:
             compact_sketch_relation(
                 sk, "run_day", "CAST(0 AS INT)", group_by=["g"], k=5
             )
+
+
+class TestKmvOverlapSeedCheck:
+    def test_mixed_seed_raises_with_id_col(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            kmv_overlap_estimates,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        a = bottomk_sample_sketch(df, "doc_id", 8, seed=1)
+        b = bottomk_sample_sketch(df, "doc_id", 8, seed=2)
+        est = kmv_overlap_estimates(a, b, 8, id_col="doc_id")
+        with pytest.raises(Exception, match="different seeds"):
+            est.collect()
+        # identical seeds with the check armed still estimate cleanly
+        c = bottomk_sample_sketch(df, "doc_id", 8, seed=1)
+        [r] = kmv_overlap_estimates(a, c, 8, id_col="doc_id").collect()
+        assert r.jaccard_estimate == 1.0
+
+    def test_k_one_rejected(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            kmv_overlap_estimates,
+        )
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        sk = bottomk_sample_sketch(df, "doc_id", 2)
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            kmv_overlap_estimates(sk, sk, 1)
