@@ -1199,6 +1199,56 @@ def llm_image_neardup(spark, sf):
     return image_near_dup_pairs(corpus, max_hamming=3, n_bands=4)
 
 
+@query(
+    "llm_audio_neardup",
+    f"WITH c AS (SELECT doc_id, encode(text) AS payload FROM documents "
+    f"  UNION ALL SELECT doc_id + {_TWIN_OFFSET}, "
+    "  encode(substr(text, 1, 9) || 'Z' || substr(text, 11)) FROM documents), "
+    "g AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n "
+    "  FROM c), "
+    "e AS (SELECT doc_id, list_transform(range(0, 65), w -> "
+    "  coalesce(list_aggregate(list_transform("
+    "    range((w * n) // 65, ((w + 1) * n) // 65), "
+    "    i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)) "
+    "    AS INTEGER)), 'sum'), 0)) AS en FROM g), "
+    "b AS (SELECT doc_id, list_transform(range(0, 64), w -> "
+    "  CASE WHEN en[w + 1] > en[w + 2] THEN 1 ELSE 0 END) AS bits FROM e) "
+    "SELECT id_a, id_b, hamming FROM ("
+    "  SELECT a.doc_id AS id_a, b2.doc_id AS id_b, "
+    "  CAST(len(list_filter(range(0, 64), w -> a.bits[w + 1] <> "
+    "  b2.bits[w + 1])) AS INTEGER) AS hamming "
+    "  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id) "
+    "WHERE hamming <= 3",
+)
+def llm_audio_neardup(spark, sf):
+    """Acoustic near-duplicate pairs (multimodal/__init__.py::
+    audio_near_dup_pairs — the audio member completing the perceptual
+    family next to llm_image_neardup and text SimHash): 64-bit
+    amplitude-envelope fingerprints (65 equal time windows, bit =
+    energy(w) > energy(w+1) — volume-invariant by construction; real
+    WAV payloads decode through the stdlib wave module, proven by unit
+    tests on synthesized sines, while these text-byte demo payloads
+    take the deterministic stub with the IDENTICAL window/comparison
+    rule) through the SAME banded-Hamming engine as image/text. The
+    oracle replays the stub arithmetic — per-byte hex decode, integer
+    window bounds (w·n)//65, energy sums, the 64 comparisons — and the
+    exhaustive all-pairs Hamming scan, which the pigeonhole-complete
+    banded join must equal pair-for-pair. A single-byte twin edit
+    moves one window's energy, flipping ≤ 2 comparison bits; unrelated
+    payloads sit ~32 apart."""
+    from .multimodal import attach_demo_payload, audio_near_dup_pairs
+
+    d = load_table(spark, sf, "documents")
+    base = d.select("doc_id", "text")
+    edited = base.withColumn(
+        "text", F.expr("concat(substr(text, 1, 9), 'Z', substr(text, 11))")
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(_TWIN_OFFSET))
+    corpus = attach_demo_payload(
+        base.to_spark().unionByName(edited.to_spark()), "text"
+    )
+    return audio_near_dup_pairs(corpus, max_hamming=3, n_bands=4)
+
+
 def _expand_stopword_macros() -> None:
     """Substitute __SW_XX__ macros in oracle SQL from the single STOPWORDS
     source of truth (operators.text) so the lists can never drift apart."""
@@ -6426,13 +6476,13 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the SIXTEEN r8-wave keys that overflowed this round's
-# 50-slot window (last driver-checked r08: llm_domain_pagerank,
-# llm_bloom_decontaminate, llm_dedup_keep_best, llm_label_centroids,
-# llm_weighted_sample, llm_domain_cap, llm_html_extract, llm_html_links,
-# llm_psl_domains, llm_mix_report, llm_text_clean, llm_url_canonical,
-# llm_url_features, q82_make_datetime, q83_union_by_name,
-# q84_json_array) + the next-oldest
+# additions + the SEVENTEEN r8-wave keys that overflowed this round's
+# 50-slot window (last driver-checked r08: llm_quality_classifier,
+# llm_domain_pagerank, llm_bloom_decontaminate, llm_dedup_keep_best,
+# llm_label_centroids, llm_weighted_sample, llm_domain_cap,
+# llm_html_extract, llm_html_links, llm_psl_domains, llm_mix_report,
+# llm_text_clean, llm_url_canonical, llm_url_features,
+# q82_make_datetime, q83_union_by_name, q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
 _ROTATE_FIRST: list = [
@@ -6450,6 +6500,7 @@ _ROTATE_FIRST: list = [
     "llm_dup_report",
     "q99_kmv_overlap",
     "llm_winnow",
+    "llm_audio_neardup",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

@@ -4147,3 +4147,127 @@ class TestValidateIvfCorpus:
         got2 = self._checks(spark, path)
         assert got2["no_foreign_entries"][0] is False
         assert "_ivf_index_old" in got2["no_foreign_entries"][1]
+
+
+class TestAudioFingerprint:
+    """audio_fingerprint / audio_near_dup_pairs: the acoustic member of
+    the perceptual near-dup family. The WAV path uses the stdlib wave
+    module, so the REAL codec path is provable in this sandbox."""
+
+    @staticmethod
+    def _py_stub(b: bytes) -> int:
+        if not b:
+            return 0
+        vals = list(b)
+        n = len(vals)
+        e = [
+            sum(vals[(w * n) // 65 : ((w + 1) * n) // 65]) for w in range(65)
+        ]
+        v = 0
+        for w in range(64):
+            if e[w] > e[w + 1]:
+                v |= 1 << w
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    @staticmethod
+    def _wav(samples) -> bytes:
+        import array
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(array.array("h", samples).tobytes())
+        return buf.getvalue()
+
+    def _fp(self, spark, payloads):
+        from metaframe_spark.multimodal import audio_fingerprint
+
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+        return {
+            r.doc_id: (r.afp, r.mode)
+            for r in audio_fingerprint(df).collect()
+        }
+
+    def test_stub_matches_python_ground_truth(self, spark):
+        payloads = [b"hello world " * 20, bytes(range(256)), b"x", b""]
+        got = self._fp(spark, payloads)
+        for i, p in enumerate(payloads):
+            assert got[i] == (self._py_stub(p), "stub"), i
+
+    def test_wave_path_decodes_and_is_volume_invariant(self, spark):
+        import math
+
+        sine = [
+            int(8000 * math.sin(2 * math.pi * 440 * t / 8000))
+            for t in range(4000)
+        ]
+        quiet = [s // 4 for s in sine]
+        other = [
+            int(8000 * math.sin(2 * math.pi * 1337 * t / 8000) * (1 + 0.5 * math.sin(2 * math.pi * 3 * t / 8000)))
+            for t in range(4000)
+        ]
+        got = self._fp(
+            spark, [self._wav(sine), self._wav(quiet), self._wav(other)]
+        )
+        assert got[0][1] == got[1][1] == got[2][1] == "wave"
+        # same waveform at 1/4 volume: every window scales equally, the
+        # comparison bits cannot move (integer division is monotone)
+        assert got[0][0] == got[1][0]
+        # a different waveform lands far away
+        diff = bin((got[0][0] ^ got[2][0]) & ((1 << 64) - 1)).count("1")
+        assert diff > 10
+
+    def test_malformed_riff_falls_back_to_stub(self, spark):
+        p = b"RIFF" + b"garbage not a wav" * 10
+        got = self._fp(spark, [p])
+        assert got[0] == (self._py_stub(p), "stub")
+
+    def test_single_byte_edit_locality(self, spark):
+        base = bytes(range(130)) * 2
+        edited = bytearray(base)
+        edited[100] = (edited[100] + 1) % 256
+        got = self._fp(spark, [base, bytes(edited)])
+        diff = bin((got[0][0] ^ got[1][0]) & ((1 << 64) - 1)).count("1")
+        # one byte moves one window's energy by at most 1: at most the
+        # two comparisons touching that window can flip
+        assert diff <= 2
+
+    def test_banded_pairs_equal_exhaustive(self, spark):
+        from metaframe_spark.multimodal import audio_fingerprint, audio_near_dup_pairs
+
+        rng = __import__("random").Random(3)
+        payloads = []
+        for i in range(12):
+            b = bytes(rng.randrange(256) for _ in range(400))
+            payloads.append(b)
+            e = bytearray(b)
+            e[200] = (e[200] + 1) % 256  # near-dup twin of each
+            payloads.append(bytes(e))
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+        out = audio_near_dup_pairs(df, max_hamming=3, n_bands=4)
+        banded = {(r.id_a, r.id_b) for r in out.collect()}
+        out._mf_persisted.unpersist()
+        fps = {
+            r.doc_id: r.afp for r in audio_fingerprint(df).collect()
+        }
+        exhaustive = set()
+        for i in fps:
+            for j in fps:
+                if i < j:
+                    h = bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1")
+                    if h <= 3:
+                        exhaustive.add((i, j))
+        assert banded == exhaustive
+        # every planted twin pair is in there
+        for i in range(0, 24, 2):
+            assert (i, i + 1) in banded
