@@ -533,3 +533,85 @@ def audio_near_dup_pairs(
     )
     out._mf_persisted = fp
     return out
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 256,
+    max_frames: int = 8,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    min_shared_frames: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs — the fourth perceptual member (text
+    SimHash, image dHash, audio envelope, and now FRAME-SAMPLED video),
+    a pure composition of the existing stages: payloads sample into up
+    to ``max_frames`` frames (:func:`sample_frames` — real multi-frame
+    decode when PIL can, byte-stride stub otherwise), each frame
+    fingerprints through :func:`image_dhash`, frame-level near-matches
+    come from the shared banded-Hamming engine, and documents sharing
+    ≥ ``min_shared_frames`` near-identical frames report with the
+    shared count — the re-encode/re-container/trailing-edit case a
+    whole-payload digest misses, and the standard frame-voting shape
+    real video dedup uses over keyframe perceptual hashes.
+
+    Returns ``(id_a, id_b, n_shared_frames)`` with ``id_a < id_b``.
+    Ids must be NON-NEGATIVE integrals bounded by 2⁶³/max_frames: the
+    frame relation rides a composed ``id·max_frames + frame_idx`` key
+    through the Hamming join (checked at execution by an assert riding
+    the projection, not silently wrapped). Plan shape: frame fan-out is
+    row-local; the only shuffles are the banded equi-join on fingerprint
+    bands and the final doc-pair count — candidate volume is banded
+    collisions, never frames²."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from ..operators.dedup import hamming_near_dup_pairs
+
+    if min_shared_frames < 1:
+        raise ValueError(
+            "video_near_dup_pairs: min_shared_frames must be >= 1 "
+            f"({min_shared_frames})"
+        )
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"video_near_dup_pairs: id column {id_col!r} has type "
+            f"{id_type.simpleString()}; the composed frame key needs an "
+            "integral id — project a surrogate first"
+        )
+    mf = int(max_frames)
+    cap = (1 << 63) // mf - 1
+    frames = sample_frames(
+        df, frame_bytes=frame_bytes, max_frames=mf, id_col=id_col
+    )
+    fid = F.when(
+        F.assert_true(
+            (F.col(id_col) >= 0) & (F.col(id_col) <= F.lit(cap)),
+            F.lit(
+                f"video_near_dup_pairs: ids must be in [0, {cap}] so the "
+                f"composed id*{mf}+frame_idx key cannot overflow"
+            ),
+        ).isNull(),
+        F.col(id_col).cast("long") * mf + F.col("frame_idx"),
+    )
+    tagged = frames.select(fid.alias("_fid"), F.col("frame"))
+    fp = image_dhash(tagged, id_col="_fid", payload_col="frame").persist()
+    fpairs = hamming_near_dup_pairs(
+        fp, "_fid", "dhash", bits=64, max_hamming=max_hamming, n_bands=n_bands
+    )
+    docs = fpairs.select(
+        F.expr(f"id_a DIV {mf}").alias("_da"),
+        F.expr(f"id_b DIV {mf}").alias("_db"),
+    ).filter(F.col("_da") != F.col("_db"))
+    out = (
+        docs.select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+    )
+    out._mf_persisted = fp
+    return out

@@ -1249,6 +1249,64 @@ def llm_audio_neardup(spark, sf):
     return audio_near_dup_pairs(corpus, max_hamming=3, n_bands=4)
 
 
+@query(
+    "llm_video_neardup",
+    "WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 "
+    f"  UNION ALL SELECT doc_id + {_TWIN_OFFSET}, "
+    "  substr(text, 1, 9) || 'Z' || substr(text, 11) "
+    "  FROM documents WHERE doc_id % 3 = 0), "
+    "t AS (SELECT doc_id, text, least(8, greatest(1, "
+    "  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS n "
+    "  FROM c), "
+    "fr AS (SELECT doc_id, j, "
+    "  encode(substr(text, CAST(j * 256 + 1 AS BIGINT), 256)) AS fb "
+    "  FROM t, unnest(generate_series(0, n - 1)) AS u(j)), "
+    "g AS (SELECT doc_id, j, hex(fb) AS hx, octet_length(fb) AS fn FROM fr), "
+    "b AS (SELECT doc_id, j, list_transform(range(0, 64), i -> "
+    "  CASE WHEN CAST(('0x' || substr(hx, CAST(((((i // 8) * 9 + (i % 8)) % fn) * 2) + 1 AS INTEGER), 2)) AS INTEGER) > "
+    "  CAST(('0x' || substr(hx, CAST(((((i // 8) * 9 + (i % 8) + 1) % fn) * 2) + 1 AS INTEGER), 2)) AS INTEGER) "
+    "  THEN 1 ELSE 0 END) AS bits FROM g), "
+    "fp AS (SELECT a.doc_id AS da, b2.doc_id AS db "
+    "  FROM b a JOIN b b2 ON (a.doc_id * 8 + a.j) < (b2.doc_id * 8 + b2.j) "
+    "  AND a.doc_id <> b2.doc_id "
+    "  AND len(list_filter(range(0, 64), i -> a.bits[i + 1] <> b2.bits[i + 1])) <= 3) "
+    "SELECT least(da, db) AS id_a, greatest(da, db) AS id_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared_frames "
+    "FROM fp GROUP BY 1, 2 HAVING count(*) >= 2",
+)
+def llm_video_neardup(spark, sf):
+    """Video near-duplicate pairs (multimodal/__init__.py::
+    video_near_dup_pairs — the fourth perceptual member, completing
+    text SimHash / image dHash / audio envelope with FRAME-SAMPLED
+    matching): every 3rd document and a twin edited inside frame 0
+    sample into ≤8 byte-stride frames (the llm_multimodal_frames
+    machinery), each frame takes the byte-grid dHash (the
+    llm_image_neardup machinery), frame near-matches come from the
+    pigeonhole-complete banded-Hamming join over the composed
+    id·8+frame_idx key, and documents sharing ≥2 near-identical frames
+    report with the count — the frame-voting shape real video dedup
+    runs over keyframe hashes, and the case a whole-payload digest
+    misses (the twin shares frames 1..n exactly and frame 0 within 2
+    bits). The oracle composes the SAME two already-proven fragments —
+    frame slicing + per-frame dHash — plus an exhaustive frame-pair
+    Hamming scan and the doc-pair vote, hash-matching pairs AND shared
+    counts. One-frame documents (≤256 bytes) cannot reach the 2-frame
+    vote in either engine."""
+    from .multimodal import attach_demo_payload, video_near_dup_pairs
+
+    d = load_table(spark, sf, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    edited = base.withColumn(
+        "text", F.expr("concat(substr(text, 1, 9), 'Z', substr(text, 11))")
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(_TWIN_OFFSET))
+    corpus = attach_demo_payload(
+        base.to_spark().unionByName(edited.to_spark()), "text"
+    )
+    return video_near_dup_pairs(
+        corpus, max_hamming=3, n_bands=4, min_shared_frames=2
+    )
+
+
 def _expand_stopword_macros() -> None:
     """Substitute __SW_XX__ macros in oracle SQL from the single STOPWORDS
     source of truth (operators.text) so the lists can never drift apart."""
@@ -6476,12 +6534,12 @@ _DRIVER_BLESSED = (
 # ROUND-12 NOTE (execute at the start of round 12): fold every key with a
 # green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the SEVENTEEN r8-wave keys that overflowed this round's
-# 50-slot window (last driver-checked r08: llm_quality_classifier,
-# llm_domain_pagerank, llm_bloom_decontaminate, llm_dedup_keep_best,
-# llm_label_centroids, llm_weighted_sample, llm_domain_cap,
-# llm_html_extract, llm_html_links, llm_psl_domains, llm_mix_report,
-# llm_text_clean, llm_url_canonical, llm_url_features,
+# additions + the EIGHTEEN r8-wave keys that overflowed this round's
+# 50-slot window (last driver-checked r08: llm_neardup_incremental,
+# llm_quality_classifier, llm_domain_pagerank, llm_bloom_decontaminate,
+# llm_dedup_keep_best, llm_label_centroids, llm_weighted_sample,
+# llm_domain_cap, llm_html_extract, llm_html_links, llm_psl_domains,
+# llm_mix_report, llm_text_clean, llm_url_canonical, llm_url_features,
 # q82_make_datetime, q83_union_by_name, q84_json_array) + the next-oldest
 # blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
 # r9 llm_* keys — last driver-checked r09).
@@ -6501,6 +6559,7 @@ _ROTATE_FIRST: list = [
     "q99_kmv_overlap",
     "llm_winnow",
     "llm_audio_neardup",
+    "llm_video_neardup",
     # overflowed-from-r10 re-checks (last driver-checked r07)
     "llm_bigram_nll",
     "llm_char_entropy",

@@ -4271,3 +4271,64 @@ class TestAudioFingerprint:
         # every planted twin pair is in there
         for i in range(0, 24, 2):
             assert (i, i + 1) in banded
+
+
+class TestVideoNearDup:
+    """video_near_dup_pairs: frame-sampled perceptual matching — the
+    composition of sample_frames + image_dhash + the banded-Hamming
+    engine + doc-pair frame voting."""
+
+    def _mk(self, spark, payloads):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads],
+            "doc_id long, payload binary",
+        )
+
+    def test_trailing_edit_still_pairs(self, spark):
+        from metaframe_spark.multimodal import video_near_dup_pairs
+
+        rng = __import__("random").Random(5)
+        base = bytes(rng.randrange(256) for _ in range(1024))  # 4 frames
+        edited = bytearray(base)
+        edited[1000] = (edited[1000] + 7) % 256  # edit inside frame 3
+        unrelated = bytes(rng.randrange(256) for _ in range(1024))
+        df = self._mk(spark, [(1, base), (2, bytes(edited)), (3, unrelated)])
+        out = video_near_dup_pairs(df, min_shared_frames=2)
+        rows = {(r.id_a, r.id_b): r.n_shared_frames for r in out.collect()}
+        out._mf_persisted.unpersist()
+        # doc 1 and 2 share frames 0-2 exactly and frame 3 within 2 bits
+        assert rows == {(1, 2): 4}
+
+    def test_min_shared_frames_gate(self, spark):
+        from metaframe_spark.multimodal import video_near_dup_pairs
+
+        rng = __import__("random").Random(9)
+        a = bytes(rng.randrange(256) for _ in range(1024))
+        # doc 2 shares ONLY frame 0 with doc 1, rest is unrelated
+        b = a[:256] + bytes(rng.randrange(256) for _ in range(768))
+        df = self._mk(spark, [(1, a), (2, b)])
+        one = video_near_dup_pairs(df, min_shared_frames=1)
+        got1 = {(r.id_a, r.id_b): r.n_shared_frames for r in one.collect()}
+        one._mf_persisted.unpersist()
+        assert got1 == {(1, 2): 1}
+        two = video_near_dup_pairs(df, min_shared_frames=2)
+        got2 = two.count()
+        two._mf_persisted.unpersist()
+        assert got2 == 0
+
+    def test_guards(self, spark):
+        from metaframe_spark.multimodal import video_near_dup_pairs
+
+        df = self._mk(spark, [(1, b"x" * 10)])
+        with pytest.raises(ValueError, match="min_shared_frames"):
+            video_near_dup_pairs(df, min_shared_frames=0)
+        sdf = spark.createDataFrame(
+            [("a", bytearray(b"x"))], "doc_id string, payload binary"
+        )
+        with pytest.raises(TypeError, match="integral"):
+            video_near_dup_pairs(sdf)
+        neg = self._mk(spark, [(-5, b"x" * 600), (-6, b"x" * 600)])
+        out = video_near_dup_pairs(neg)
+        with pytest.raises(Exception, match="ids must be in"):
+            out.collect()
+        out._mf_persisted.unpersist()
