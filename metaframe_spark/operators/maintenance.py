@@ -1633,7 +1633,18 @@ def cms_estimates(
     spec_rows = (
         sketch.select("width", "depth", "seed").distinct().limit(2).collect()
     )
-    if len(spec_rows) != 1:
+    if len(spec_rows) == 0:
+        # an EMPTY sketch (nothing ever counted) answers every query with
+        # estimate 0 / n_total 0 — the correct degenerate case, not an
+        # error (an empty source must flow through, not raise)
+        zero = F.lit(0).cast("long")
+        return queries.select(
+            *keys,
+            F.col(column),
+            zero.alias("estimate"),
+            zero.alias("n_total"),
+        )
+    if len(spec_rows) > 1:
         raise ValueError(
             "cms_estimates: sketch holds mixed width/depth/seed specs — "
             "merge_cms_sketches inputs must share a geometry"

@@ -1948,3 +1948,17 @@ class TestKmvOverlapSeedCheck:
         sk = bottomk_sample_sketch(df, "doc_id", 2)
         with pytest.raises(ValueError, match="k must be >= 2"):
             kmv_overlap_estimates(sk, sk, 1)
+
+
+class TestCmsEmptySketch:
+    def test_empty_sketch_answers_zero(self, spark):
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+        )
+
+        empty = spark.createDataFrame([], "lang string, term string")
+        sk = cms_sketches(empty, "term", width=8, depth=2, group_by=["lang"])
+        q = spark.createDataFrame([("en", "x")], "lang string, term string")
+        [r] = cms_estimates(sk, q, "term", group_by=["lang"]).collect()
+        assert (r["estimate"], r["n_total"]) == (0, 0)
