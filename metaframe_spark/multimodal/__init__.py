@@ -232,6 +232,29 @@ def image_dhash(
     )
 
 
+def _fingerprint_near_dup_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int,
+    n_bands: int,
+) -> DataFrame:
+    """Shared choreography for every perceptual *_near_dup_pairs wrapper:
+    pin the fingerprint relation (both join sides consume it — without
+    the pin each side re-decodes every payload through its own Arrow
+    pass), run the banded-Hamming engine, hand the pin back through the
+    repo-wide ``_mf_persisted`` release contract. One implementation so
+    a banding or release fix lands everywhere at once."""
+    from ..operators.dedup import hamming_near_dup_pairs
+
+    fp = fp_df.persist()
+    out = hamming_near_dup_pairs(
+        fp, id_col, fp_col, bits=64, max_hamming=max_hamming, n_bands=n_bands
+    )
+    out._mf_persisted = fp
+    return out
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -256,19 +279,13 @@ def image_near_dup_pairs(
     pass (the 2× that matters when decode dominates, which for real
     images it does). Released via the repo-wide ``_mf_persisted``
     handle contract."""
-    from ..operators.dedup import hamming_near_dup_pairs
-
-    fp = image_dhash(df, id_col=id_col, payload_col=payload_col).persist()
-    out = hamming_near_dup_pairs(
-        fp,
+    return _fingerprint_near_dup_pairs(
+        image_dhash(df, id_col=id_col, payload_col=payload_col),
         id_col,
         "dhash",
-        bits=64,
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
-    out._mf_persisted = fp
-    return out
 
 
 def resize_media(
@@ -477,6 +494,14 @@ def audio_fingerprint(
                             raw = w.readframes(w.getnframes())
                             samples = _array.array("h")
                             samples.frombytes(raw[: len(raw) // 2 * 2])
+                            # WAV PCM is little-endian by spec; array('h')
+                            # reads native order — byteswap on big-endian
+                            # hosts or a mixed-arch cluster fingerprints
+                            # the same payload two different ways
+                            import sys as _sys
+
+                            if _sys.byteorder == "big":
+                                samples.byteswap()
                             if samples:
                                 return (
                                     bits_from_energies(
@@ -520,19 +545,13 @@ def audio_near_dup_pairs(
     output ≡ an exhaustive all-pairs Hamming scan at banded-candidate
     cost. The fingerprint relation pins once (both join sides consume
     it; released via the ``_mf_persisted`` handle contract)."""
-    from ..operators.dedup import hamming_near_dup_pairs
-
-    fp = audio_fingerprint(df, id_col=id_col, payload_col=payload_col).persist()
-    out = hamming_near_dup_pairs(
-        fp,
+    return _fingerprint_near_dup_pairs(
+        audio_fingerprint(df, id_col=id_col, payload_col=payload_col),
         id_col,
         "afp",
-        bits=64,
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
-    out._mf_persisted = fp
-    return out
 
 
 def video_near_dup_pairs(
@@ -550,9 +569,12 @@ def video_near_dup_pairs(
     to ``max_frames`` frames (:func:`sample_frames` — real multi-frame
     decode when PIL can, byte-stride stub otherwise), each frame
     fingerprints through :func:`image_dhash`, frame-level near-matches
-    come from the shared banded-Hamming engine, and documents sharing
-    ≥ ``min_shared_frames`` near-identical frames report with the
-    shared count — the re-encode/re-container/trailing-edit case a
+    come from the shared banded-Hamming engine, and documents whose
+    LOWER-id side has ≥ ``min_shared_frames`` DISTINCT frames with a
+    near-match in the other report with that count (bounded by
+    ``max_frames`` — voting on match PAIRS instead would let one
+    repeated padding/black frame multiply past either document's frame
+    total) — the re-encode/re-container/trailing-edit case a
     whole-payload digest misses, and the standard frame-voting shape
     real video dedup uses over keyframe perceptual hashes.
 
@@ -572,6 +594,14 @@ def video_near_dup_pairs(
         raise ValueError(
             "video_near_dup_pairs: min_shared_frames must be >= 1 "
             f"({min_shared_frames})"
+        )
+    if int(max_frames) < 1:
+        raise ValueError(
+            f"video_near_dup_pairs: max_frames must be >= 1 ({max_frames})"
+        )
+    if int(frame_bytes) < 1:
+        raise ValueError(
+            f"video_near_dup_pairs: frame_bytes must be >= 1 ({frame_bytes})"
         )
     id_type = df.schema[id_col].dataType
     if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
@@ -601,16 +631,29 @@ def video_near_dup_pairs(
         fp, "_fid", "dhash", bits=64, max_hamming=max_hamming, n_bands=n_bands
     )
     docs = fpairs.select(
+        F.col("id_a").alias("_fa"),
+        F.col("id_b").alias("_fb"),
         F.expr(f"id_a DIV {mf}").alias("_da"),
         F.expr(f"id_b DIV {mf}").alias("_db"),
     ).filter(F.col("_da") != F.col("_db"))
+    # vote on DISTINCT matched frames of the lower-id doc, not on match
+    # PAIRS: a repeated frame (padding, black frames) would otherwise
+    # multiply the count past either document's frame total (r11
+    # self-review) — n_shared_frames is "how many of the lower doc's
+    # frames found a near-match", bounded by max_frames
+    lo_frame = F.when(
+        F.col("_da") < F.col("_db"), F.col("_fa")
+    ).otherwise(F.col("_fb"))
     out = (
         docs.select(
             F.least("_da", "_db").alias("id_a"),
             F.greatest("_da", "_db").alias("id_b"),
+            lo_frame.alias("_lof"),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .agg(
+            F.countDistinct("_lof").cast("long").alias("n_shared_frames")
+        )
         .filter(F.col("n_shared_frames") >= min_shared_frames)
     )
     out._mf_persisted = fp

@@ -1638,7 +1638,10 @@ def cms_estimates(
         # estimate 0 / n_total 0 — the correct degenerate case, not an
         # error (an empty source must flow through, not raise)
         zero = F.lit(0).cast("long")
-        return queries.select(
+        # distinct mirrors the non-empty path's final groupBy(keys, column):
+        # duplicate query rows must not change output cardinality depending
+        # on whether anything was ever counted (r11 self-review)
+        return queries.select(*keys, F.col(column)).distinct().select(
             *keys,
             F.col(column),
             zero.alias("estimate"),

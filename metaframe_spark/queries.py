@@ -1266,13 +1266,15 @@ def llm_audio_neardup(spark, sf):
     "  CASE WHEN CAST(('0x' || substr(hx, CAST(((((i // 8) * 9 + (i % 8)) % fn) * 2) + 1 AS INTEGER), 2)) AS INTEGER) > "
     "  CAST(('0x' || substr(hx, CAST(((((i // 8) * 9 + (i % 8) + 1) % fn) * 2) + 1 AS INTEGER), 2)) AS INTEGER) "
     "  THEN 1 ELSE 0 END) AS bits FROM g), "
-    "fp AS (SELECT a.doc_id AS da, b2.doc_id AS db "
+    "fp AS (SELECT a.doc_id AS da, b2.doc_id AS db, "
+    "  CASE WHEN a.doc_id < b2.doc_id THEN a.doc_id * 8 + a.j "
+    "  ELSE b2.doc_id * 8 + b2.j END AS lof "
     "  FROM b a JOIN b b2 ON (a.doc_id * 8 + a.j) < (b2.doc_id * 8 + b2.j) "
     "  AND a.doc_id <> b2.doc_id "
     "  AND len(list_filter(range(0, 64), i -> a.bits[i + 1] <> b2.bits[i + 1])) <= 3) "
     "SELECT least(da, db) AS id_a, greatest(da, db) AS id_b, "
-    "CAST(count(*) AS BIGINT) AS n_shared_frames "
-    "FROM fp GROUP BY 1, 2 HAVING count(*) >= 2",
+    "CAST(count(DISTINCT lof) AS BIGINT) AS n_shared_frames "
+    "FROM fp GROUP BY 1, 2 HAVING count(DISTINCT lof) >= 2",
 )
 def llm_video_neardup(spark, sf):
     """Video near-duplicate pairs (multimodal/__init__.py::
@@ -1283,8 +1285,10 @@ def llm_video_neardup(spark, sf):
     machinery), each frame takes the byte-grid dHash (the
     llm_image_neardup machinery), frame near-matches come from the
     pigeonhole-complete banded-Hamming join over the composed
-    id·8+frame_idx key, and documents sharing ≥2 near-identical frames
-    report with the count — the frame-voting shape real video dedup
+    id·8+frame_idx key, and documents whose lower-id side has ≥2
+    DISTINCT frames with a near-match in the other report with that
+    count (the frame vote is on distinct lower-side frames so a
+    repeated frame cannot multiply the tally) — the frame-voting shape real video dedup
     runs over keyframe hashes, and the case a whole-payload digest
     misses (the twin shares frames 1..n exactly and frame 0 within 2
     bits). The oracle composes the SAME two already-proven fragments —

@@ -4332,3 +4332,26 @@ class TestVideoNearDup:
         with pytest.raises(Exception, match="ids must be in"):
             out.collect()
         out._mf_persisted.unpersist()
+
+    def test_repeated_frames_do_not_inflate_vote(self, spark):
+        """r11 self-review: the vote counts DISTINCT matched frames of
+        the lower-id doc, so two identical frames on each side give 2,
+        not the 4 raw match pairs (which would exceed either doc's
+        frame count)."""
+        from metaframe_spark.multimodal import video_near_dup_pairs
+
+        zeros = bytes(512)  # two identical all-zero frames
+        df = self._mk(spark, [(1, zeros), (2, zeros)])
+        out = video_near_dup_pairs(df, min_shared_frames=2)
+        rows = {(r.id_a, r.id_b): r.n_shared_frames for r in out.collect()}
+        out._mf_persisted.unpersist()
+        assert rows == {(1, 2): 2}
+
+    def test_new_guards(self, spark):
+        from metaframe_spark.multimodal import video_near_dup_pairs
+
+        df = self._mk(spark, [(1, b"x" * 10)])
+        with pytest.raises(ValueError, match="max_frames"):
+            video_near_dup_pairs(df, max_frames=0)
+        with pytest.raises(ValueError, match="frame_bytes"):
+            video_near_dup_pairs(df, frame_bytes=0)

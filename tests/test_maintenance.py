@@ -1959,6 +1959,10 @@ class TestCmsEmptySketch:
 
         empty = spark.createDataFrame([], "lang string, term string")
         sk = cms_sketches(empty, "term", width=8, depth=2, group_by=["lang"])
-        q = spark.createDataFrame([("en", "x")], "lang string, term string")
+        # duplicate query rows: output cardinality must match the
+        # non-empty path's one-row-per-distinct-query contract
+        q = spark.createDataFrame(
+            [("en", "x"), ("en", "x")], "lang string, term string"
+        )
         [r] = cms_estimates(sk, q, "term", group_by=["lang"]).collect()
         assert (r["estimate"], r["n_total"]) == (0, 0)
