@@ -400,7 +400,15 @@ def _stream_sketch_store(stream, store_path: str, sketch, merge,
             last = prior.agg({"_last_batch": "max"}).collect()[0][0]
             if last is not None and batch_id <= last:
                 return  # replayed batch: already folded into the store
-        batch_sk = sketch(batch_df)
+        # a two-parameter sketch callback also receives the batch id —
+        # append-style stores (stream_expectations) stamp it as the run
+        # identity the anomaly bridge ranks by
+        import inspect
+
+        if len(inspect.signature(sketch).parameters) >= 2:
+            batch_sk = sketch(batch_df, batch_id)
+        else:
+            batch_sk = sketch(batch_df)
         if has_store:
             merged = merge(
                 prior.drop("_last_batch") if high_water else prior, batch_sk
@@ -623,6 +631,77 @@ def stream_cms_sketches(
             b, column, width=width, depth=depth, group_by=keys, seed=seed
         ),
         lambda store, new: merge_cms_sketches(store, new, group_by=keys),
+        checkpoint_dir,
+        high_water=True,
+    )
+
+
+def stream_expectations(
+    stream,
+    store_path: str,
+    rules,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuous data-quality gate — Deequ's monitoring loop on a
+    stream: every micro-batch runs the declarative rule set
+    (:func:`~metaframe_spark.operators.expectations.validate_expectations`
+    — one aggregation pass however many rules) and APPENDS its verdict
+    rows, stamped with the batch id as ``run_id``, to the parquet store
+    at ``store_path``. The store is the quality HISTORY — (run_id, rule,
+    passed, n_violations, n_rows), a few rows per batch — and feeds
+    directly into
+    :func:`~metaframe_spark.operators.expectations.validate_anomalies`
+    (``estimates=True``, ``run_col="run_id"``): "did this batch's
+    violation count / row count move outside its trailing history" with
+    no raw-data rescans, closing the loop batch rules → verdict history
+    → anomaly rules that q93/q95 prove piecewise.
+
+    Exactly-once via the shared machinery (:func:`_stream_sketch_store`
+    — the append is just ``unionByName`` as the merge, under the same
+    crash-safe staged swap + ``_last_batch`` high-water skip). Rules are
+    validated once up front so a typo fails at declaration, not inside
+    the running stream. Returns the started ``StreamingQuery``
+    (availableNow)."""
+    from ..operators.expectations import (
+        _ROW_LOCAL,
+        _rule_label,
+        validate_expectations,
+    )
+
+    rules = list(rules)
+    if not rules:
+        raise ValueError("stream_expectations: rules must be non-empty")
+    # fail at declaration, not inside the running stream: unknown types
+    # first (labeling an unknown dict would KeyError), then labels (which
+    # raise on malformed dicts), then duplicates — mirroring
+    # validate_expectations' own checks
+    known = set(_ROW_LOCAL) | {"unique", "foreign_key"}
+    for r in rules:
+        if r.get("type") not in known:
+            raise ValueError(
+                f"stream_expectations: unknown rule type {r.get('type')!r}"
+            )
+    labels = [_rule_label(r) for r in rules]
+    if len(set(labels)) != len(labels):
+        dup = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(f"stream_expectations: duplicate rules {dup!r}")
+
+    def per_batch(batch_df, batch_id: int):
+        from pyspark.sql import functions as F
+
+        return validate_expectations(batch_df, rules).select(
+            F.lit(batch_id).cast("long").alias("run_id"),
+            "rule",
+            "passed",
+            "n_violations",
+            "n_rows",
+        )
+
+    return _stream_sketch_store(
+        stream,
+        store_path,
+        per_batch,
+        lambda store, new: store.unionByName(new),
         checkpoint_dir,
         high_water=True,
     )

@@ -1365,3 +1365,128 @@ class TestStreamSemanticDedup:
         n = spark.read.parquet(corpus).count()
         drain()
         assert spark.read.parquet(corpus).count() == n
+
+
+class TestStreamExpectations:
+    """stream_expectations: per-micro-batch rule verdicts accrete into
+    the quality-history store, replay-safe, and feed the anomaly bridge."""
+
+    def _drain(self, spark, src, ckpt, schema, **kw):
+        from metaframe_spark.streaming import stream_expectations
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_expectations(stream, **kw, checkpoint_dir=str(ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    RULES = [
+        {"type": "not_null", "column": "v"},
+        {"type": "range", "column": "v", "min": 0, "max": 100},
+    ]
+
+    def test_history_accretes_and_replays_skip(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        b1 = spark.createDataFrame([(1, 5), (2, 50)], "id long, v int")
+        b2 = spark.createDataFrame(
+            [(3, None), (4, 200)], "id long, v int"
+        )  # 1 null + 1 out-of-range
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        store = str(tmp_path / "store")
+        self._drain(
+            spark, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, rules=self.RULES,
+        )
+        hist = {
+            (r.run_id, r.rule): (r.passed, r.n_violations, r.n_rows)
+            for r in spark.read.parquet(store).drop("_last_batch").collect()
+        }
+        assert len(hist) == 4  # 2 batches x 2 rules
+        runs = sorted({k[0] for k in hist})
+        clean, dirty = runs
+        assert hist[(clean, "not_null(v)")] == (True, 0, 2)
+        assert hist[(dirty, "not_null(v)")] == (False, 1, 2)
+        [range_rule] = {k[1] for k in hist if k[1].startswith("range")}
+        assert hist[(dirty, range_rule)] == (False, 1, 2)
+        # fresh-checkpoint replay: batch ids restart <= high-water -> no-op
+        self._drain(
+            spark, src, tmp_path / "ckpt_replay", b1.schema,
+            store_path=store, rules=self.RULES,
+        )
+        assert spark.read.parquet(store).count() == 4
+        # continuation appends exactly one more run's verdicts
+        b3 = spark.createDataFrame([(5, 7)], "id long, v int")
+        b3.coalesce(1).write.parquet(str(src / "f3"))
+        self._drain(
+            spark, src, tmp_path / "ckpt", b1.schema,
+            store_path=store, rules=self.RULES,
+        )
+        assert spark.read.parquet(store).count() == 6
+
+    def test_history_feeds_anomaly_bridge(self, spark, tmp_path):
+        from metaframe_spark.operators.expectations import validate_anomalies
+
+        src = tmp_path / "src"
+        src.mkdir()
+        import pyspark.sql.functions as F
+
+        # five clean batches then a violation spike in the sixth
+        for i in range(5):
+            spark.createDataFrame(
+                [(j, 10) for j in range(20)], "id long, v int"
+            ).coalesce(1).write.parquet(str(src / f"f{i}"))
+        spark.createDataFrame(
+            [(j, None if j % 2 == 0 else 10) for j in range(20)],
+            "id long, v int",
+        ).coalesce(1).write.parquet(str(src / "f_spike"))
+        store = str(tmp_path / "store")
+        self._drain(
+            spark, src, tmp_path / "ckpt", "id long, v int",
+            store_path=store, rules=[{"type": "not_null", "column": "v"}],
+        )
+        hist = spark.read.parquet(store).drop("_last_batch")
+        out = validate_anomalies(
+            hist.withColumn(
+                "n_violations", F.col("n_violations").cast("double")
+            ),
+            [
+                {
+                    "type": "within_history",
+                    "metric": "n_violations",
+                    "tol": 0.5,
+                    "window": 5,
+                    "stat": "median",
+                }
+            ],
+            run_col="run_id",
+            estimates=True,
+        )
+        [r] = out.collect()
+        assert r.passed is False  # the spike breaks the trailing median
+        assert r.observed == 10.0
+
+    def test_bad_rules_fail_at_declaration(self, spark, tmp_path):
+        from metaframe_spark.streaming import stream_expectations
+
+        stream = spark.readStream.schema("id long, v int").parquet(
+            str(tmp_path / "*")
+        )
+        with pytest.raises(ValueError, match="non-empty"):
+            stream_expectations(stream, str(tmp_path / "s"), [])
+        with pytest.raises(ValueError, match="unknown rule type"):
+            stream_expectations(
+                stream, str(tmp_path / "s"), [{"type": "nope"}]
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            stream_expectations(
+                stream,
+                str(tmp_path / "s"),
+                [{"type": "not_null", "column": "v"}] * 2,
+            )
