@@ -79,6 +79,28 @@ def _rule_label(rule: Dict[str, Any]) -> str:
     return f"{kind}({rule['column']})"
 
 
+def check_rules(rules: Sequence[Dict[str, Any]]) -> List[str]:
+    """Validate a rule list eagerly and return its labels — the ONE
+    source of truth for what :func:`validate_expectations` accepts
+    (unknown types, malformed dicts, duplicate labels), shared with the
+    streaming gate so a declaration typo fails before a stream starts
+    and the two can never drift."""
+    rules = list(rules)
+    if not rules:
+        raise ValueError("validate_expectations: rules must be non-empty")
+    known = set(_ROW_LOCAL) | {"unique", "foreign_key"}
+    for r in rules:
+        if r.get("type") not in known:
+            raise ValueError(
+                f"validate_expectations: unknown rule type {r.get('type')!r}"
+            )
+    labels = [_rule_label(r) for r in rules]
+    if len(set(labels)) != len(labels):
+        dup = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(f"validate_expectations: duplicate rules {dup!r}")
+    return labels
+
+
 def validate_expectations(
     df: DataFrame,
     rules: Sequence[Dict[str, Any]],
@@ -110,12 +132,7 @@ def validate_expectations(
     anti-join count. Empty input passes every rule (vacuous truth) —
     gate on ``n_rows`` if emptiness itself is a failure."""
     rules = list(rules)
-    if not rules:
-        raise ValueError("validate_expectations: rules must be non-empty")
-    labels = [_rule_label(r) for r in rules]
-    if len(set(labels)) != len(labels):
-        dup = sorted({l for l in labels if labels.count(l) > 1})
-        raise ValueError(f"validate_expectations: duplicate rules {dup!r}")
+    labels = check_rules(rules)
 
     aggs: List["F.Column"] = [F.count(F.lit(1)).alias("_n_rows")]
     fk_rules = []

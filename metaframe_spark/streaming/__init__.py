@@ -400,15 +400,7 @@ def _stream_sketch_store(stream, store_path: str, sketch, merge,
             last = prior.agg({"_last_batch": "max"}).collect()[0][0]
             if last is not None and batch_id <= last:
                 return  # replayed batch: already folded into the store
-        # a two-parameter sketch callback also receives the batch id —
-        # append-style stores (stream_expectations) stamp it as the run
-        # identity the anomaly bridge ranks by
-        import inspect
-
-        if len(inspect.signature(sketch).parameters) >= 2:
-            batch_sk = sketch(batch_df, batch_id)
-        else:
-            batch_sk = sketch(batch_df)
+        batch_sk = sketch(batch_df)
         if has_store:
             merged = merge(
                 prior.drop("_last_batch") if high_water else prior, batch_sk
@@ -645,66 +637,71 @@ def stream_expectations(
     """Continuous data-quality gate — Deequ's monitoring loop on a
     stream: every micro-batch runs the declarative rule set
     (:func:`~metaframe_spark.operators.expectations.validate_expectations`
-    — one aggregation pass however many rules) and APPENDS its verdict
-    rows, stamped with the batch id as ``run_id``, to the parquet store
-    at ``store_path``. The store is the quality HISTORY — (run_id, rule,
-    passed, n_violations, n_rows), a few rows per batch — and feeds
-    directly into
+    — one aggregation pass however many rules) and lands its verdict
+    rows as the partition ``{store_path}/run_id={batch_id}`` of the
+    quality-history store. The store is (run_id, rule, passed,
+    n_violations, n_rows) — a few rows per batch — and feeds
     :func:`~metaframe_spark.operators.expectations.validate_anomalies`
-    (``estimates=True``, ``run_col="run_id"``): "did this batch's
-    violation count / row count move outside its trailing history" with
-    no raw-data rescans, closing the loop batch rules → verdict history
-    → anomaly rules that q93/q95 prove piecewise.
+    (``estimates=True``, ``run_col="run_id"``, and **group_by=["rule"]**
+    — the anomaly engine needs one row per (run, group), and the store
+    holds one row per rule per run): "did this rule's violation count
+    move outside its trailing history" with no raw rescans, closing the
+    loop batch rules → verdict history → anomaly rules that q93/q95
+    prove piecewise.
 
-    Exactly-once via the shared machinery (:func:`_stream_sketch_store`
-    — the append is just ``unionByName`` as the merge, under the same
-    crash-safe staged swap + ``_last_batch`` high-water skip). Rules are
-    validated once up front so a typo fails at declaration, not inside
-    the running stream. Returns the started ``StreamingQuery``
-    (availableNow)."""
-    from ..operators.expectations import (
-        _ROW_LOCAL,
-        _rule_label,
-        validate_expectations,
-    )
+    Unlike the bounded sketch stores (whose whole-store staged swap is
+    O(store) per batch against a store that never grows), this history
+    is APPEND-ONLY and unbounded, so each batch writes ONLY its own run
+    partition — stage under ``._staging_{id}``, one atomic rename to
+    ``run_id={id}`` — and never reads or rewrites prior runs: O(rules)
+    per batch forever. Exactly-once falls out of the partition dir
+    itself: a replayed batch finds its ``run_id={id}`` dir and skips; a
+    crash before the rename leaves only staging, which the retry
+    rebuilds (verdicts are a pure function of the batch).
+
+    SCOPE NOTE: every rule is evaluated PER MICRO-BATCH. Row-local
+    rules mean exactly what they mean in batch; ``unique`` and
+    ``foreign_key`` assert within the batch only — a key seen once per
+    batch but twice across the stream passes (cross-batch uniqueness is
+    :func:`stream_exact_dedup`'s job, or a batch audit over the
+    accumulated data). Malformed rules fail at declaration via the
+    shared :func:`~metaframe_spark.operators.expectations.check_rules`,
+    not inside the running stream. Returns the started
+    ``StreamingQuery`` (availableNow)."""
+    from ..operators.expectations import check_rules, validate_expectations
 
     rules = list(rules)
-    if not rules:
-        raise ValueError("stream_expectations: rules must be non-empty")
-    # fail at declaration, not inside the running stream: unknown types
-    # first (labeling an unknown dict would KeyError), then labels (which
-    # raise on malformed dicts), then duplicates — mirroring
-    # validate_expectations' own checks
-    known = set(_ROW_LOCAL) | {"unique", "foreign_key"}
-    for r in rules:
-        if r.get("type") not in known:
-            raise ValueError(
-                f"stream_expectations: unknown rule type {r.get('type')!r}"
+    check_rules(rules)
+    root = store_path.rstrip("/")
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        fs, P = _hadoop_fs(spark, root)
+        final = root + f"/run_id={batch_id}"
+        if fs.exists(P(final)):
+            return  # replayed batch: its run partition is already final
+        staging = root + f"/._staging_{batch_id}"
+        if fs.exists(P(staging)):
+            fs.delete(P(staging), True)  # crashed attempt: rebuild
+        validate_expectations(batch_df, rules).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        if not fs.exists(P(root)) and not fs.mkdirs(P(root)):
+            raise RuntimeError(
+                f"stream_expectations batch {batch_id}: cannot create {root}"
             )
-    labels = [_rule_label(r) for r in rules]
-    if len(set(labels)) != len(labels):
-        dup = sorted({l for l in labels if labels.count(l) > 1})
-        raise ValueError(f"stream_expectations: duplicate rules {dup!r}")
+        if not fs.rename(P(staging), P(final)):
+            raise RuntimeError(
+                f"stream_expectations batch {batch_id}: failed to promote "
+                f"{staging} -> {final}"
+            )
 
-    def per_batch(batch_df, batch_id: int):
-        from pyspark.sql import functions as F
-
-        return validate_expectations(batch_df, rules).select(
-            F.lit(batch_id).cast("long").alias("run_id"),
-            "rule",
-            "passed",
-            "n_violations",
-            "n_rows",
-        )
-
-    return _stream_sketch_store(
-        stream,
-        store_path,
-        per_batch,
-        lambda store, new: store.unionByName(new),
-        checkpoint_dir,
-        high_water=True,
-    )
+    writer = (
+        stream.to_spark() if isinstance(stream, MetaFrame) else stream
+    ).writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def stream_ivf_append(

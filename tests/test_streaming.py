@@ -1368,8 +1368,9 @@ class TestStreamSemanticDedup:
 
 
 class TestStreamExpectations:
-    """stream_expectations: per-micro-batch rule verdicts accrete into
-    the quality-history store, replay-safe, and feed the anomaly bridge."""
+    """stream_expectations: per-micro-batch rule verdicts land as run_id
+    partitions of the quality-history store — O(rules) per batch, prior
+    runs never rewritten — replay-safe, and feed the anomaly bridge."""
 
     def _drain(self, spark, src, ckpt, schema, **kw):
         from metaframe_spark.streaming import stream_expectations
@@ -1391,6 +1392,9 @@ class TestStreamExpectations:
     ]
 
     def test_history_accretes_and_replays_skip(self, spark, tmp_path):
+        import glob
+        import os
+
         src = tmp_path / "src"
         src.mkdir()
         b1 = spark.createDataFrame([(1, 5), (2, 50)], "id long, v int")
@@ -1406,7 +1410,7 @@ class TestStreamExpectations:
         )
         hist = {
             (r.run_id, r.rule): (r.passed, r.n_violations, r.n_rows)
-            for r in spark.read.parquet(store).drop("_last_batch").collect()
+            for r in spark.read.parquet(store).collect()
         }
         assert len(hist) == 4  # 2 batches x 2 rules
         runs = sorted({k[0] for k in hist})
@@ -1415,13 +1419,20 @@ class TestStreamExpectations:
         assert hist[(dirty, "not_null(v)")] == (False, 1, 2)
         [range_rule] = {k[1] for k in hist if k[1].startswith("range")}
         assert hist[(dirty, range_rule)] == (False, 1, 2)
-        # fresh-checkpoint replay: batch ids restart <= high-water -> no-op
+        # the store layout is one partition dir per run — prior runs'
+        # files are never rewritten by later batches
+        run_dirs = sorted(glob.glob(store + "/run_id=*"))
+        assert len(run_dirs) == 2
+        mtimes = {d: os.path.getmtime(d) for d in run_dirs}
+        # fresh-checkpoint replay: both batch ids find their run dirs ->
+        # skipped, nothing rewritten
         self._drain(
             spark, src, tmp_path / "ckpt_replay", b1.schema,
             store_path=store, rules=self.RULES,
         )
         assert spark.read.parquet(store).count() == 4
-        # continuation appends exactly one more run's verdicts
+        assert {d: os.path.getmtime(d) for d in run_dirs} == mtimes
+        # continuation appends exactly one more run partition
         b3 = spark.createDataFrame([(5, 7)], "id long, v int")
         b3.coalesce(1).write.parquet(str(src / "f3"))
         self._drain(
@@ -1429,15 +1440,22 @@ class TestStreamExpectations:
             store_path=store, rules=self.RULES,
         )
         assert spark.read.parquet(store).count() == 6
+        assert len(glob.glob(store + "/run_id=*")) == 3
+        # no staging debris
+        assert glob.glob(store + "/._staging_*") == []
 
-    def test_history_feeds_anomaly_bridge(self, spark, tmp_path):
+    def test_history_feeds_anomaly_bridge_multi_rule(self, spark, tmp_path):
+        """TWO rules in the store: the anomaly bridge needs one row per
+        (run, group), so the history is judged per rule via
+        group_by=['rule'] — the documented production shape."""
         from metaframe_spark.operators.expectations import validate_anomalies
 
         src = tmp_path / "src"
         src.mkdir()
         import pyspark.sql.functions as F
 
-        # five clean batches then a violation spike in the sixth
+        # five clean batches then a null spike in the sixth; the range
+        # rule stays clean throughout
         for i in range(5):
             spark.createDataFrame(
                 [(j, 10) for j in range(20)], "id long, v int"
@@ -1449,9 +1467,9 @@ class TestStreamExpectations:
         store = str(tmp_path / "store")
         self._drain(
             spark, src, tmp_path / "ckpt", "id long, v int",
-            store_path=store, rules=[{"type": "not_null", "column": "v"}],
+            store_path=store, rules=self.RULES,
         )
-        hist = spark.read.parquet(store).drop("_last_batch")
+        hist = spark.read.parquet(store)
         out = validate_anomalies(
             hist.withColumn(
                 "n_violations", F.col("n_violations").cast("double")
@@ -1466,11 +1484,34 @@ class TestStreamExpectations:
                 }
             ],
             run_col="run_id",
+            group_by=["rule"],
             estimates=True,
         )
-        [r] = out.collect()
-        assert r.passed is False  # the spike breaks the trailing median
-        assert r.observed == 10.0
+        got = {r.rule: (r.passed, r.observed) for r in out.collect()}
+        assert got["not_null(v)"] == (False, 10.0)  # the spike breaks it
+        [range_rule] = {k for k in got if k.startswith("range")}
+        assert got[range_rule] == (True, 0.0)  # clean rule stays green
+
+    def test_crashed_staging_is_rebuilt(self, spark, tmp_path):
+        import glob
+        import os
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame([(1, 5)], "id long, v int").coalesce(
+            1
+        ).write.parquet(str(src / "f1"))
+        store = str(tmp_path / "store")
+        # simulate a crash before the rename: staging exists, no run dir
+        os.makedirs(store + "/._staging_0/garbage")
+        self._drain(
+            spark, src, tmp_path / "ckpt", "id long, v int",
+            store_path=store, rules=[{"type": "not_null", "column": "v"}],
+        )
+        assert len(glob.glob(store + "/run_id=*")) == 1
+        assert glob.glob(store + "/._staging_*") == []
+        [r] = spark.read.parquet(store).collect()
+        assert (r.passed, r.n_violations, r.n_rows) == (True, 0, 1)
 
     def test_bad_rules_fail_at_declaration(self, spark, tmp_path):
         from metaframe_spark.streaming import stream_expectations
