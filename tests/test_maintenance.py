@@ -1966,3 +1966,110 @@ class TestCmsEmptySketch:
         )
         [r] = cms_estimates(sk, q, "term", group_by=["lang"]).collect()
         assert (r["estimate"], r["n_total"]) == (0, 0)
+
+
+class TestSketchPropertyLaws:
+    """Hypothesis property laws for the r11 sketch families: the
+    guarantees hold for RANDOM data and geometry, not just the
+    hand-picked fixtures."""
+
+    def test_cms_never_undercounts_and_merge_split_independent(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+            merge_cms_sketches,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            terms=st.lists(
+                st.text(
+                    alphabet="abcdef", min_size=1, max_size=3
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+            width=st.integers(min_value=2, max_value=16),
+            depth=st.integers(min_value=1, max_value=4),
+            seed=st.integers(min_value=0, max_value=99),
+            n_splits=st.integers(min_value=1, max_value=3),
+        )
+        def law(terms, width, depth, seed, n_splits):
+            from collections import Counter
+
+            df = spark.createDataFrame([(t,) for t in terms], "term string")
+            parts = [
+                cms_sketches(
+                    df.filter(F.crc32("term") % n_splits == i),
+                    "term", width=width, depth=depth, seed=seed,
+                )
+                for i in range(n_splits)
+            ]
+            merged = merge_cms_sketches(*parts)
+            onepass = cms_sketches(
+                df, "term", width=width, depth=depth, seed=seed
+            )
+            assert sorted(map(tuple, merged.collect())) == sorted(
+                map(tuple, onepass.collect())
+            )
+            q = df.distinct()
+            est = {
+                r["term"]: (r["estimate"], r["n_total"])
+                for r in cms_estimates(merged, q, "term").collect()
+            }
+            truth = Counter(terms)
+            for t, c in truth.items():
+                e, n = est[t]
+                assert c <= e <= n == len(terms), (t, c, e, n)
+
+        law()
+
+    def test_kmv_overlap_exact_below_k_and_brackets(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.maintenance import (
+            bottomk_sample_sketch,
+            kmv_overlap_estimates,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            a_ids=st.sets(
+                st.integers(min_value=0, max_value=400),
+                min_size=1, max_size=40,
+            ),
+            b_ids=st.sets(
+                st.integers(min_value=0, max_value=400),
+                min_size=1, max_size=40,
+            ),
+            seed=st.integers(min_value=0, max_value=99),
+        )
+        def law(a_ids, b_ids, seed):
+            k = 128  # > |a ∪ b|: the whole chain is provably exact
+            mk = lambda ids: bottomk_sample_sketch(
+                spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+                "doc_id", k, seed=seed,
+            )
+            [r] = kmv_overlap_estimates(mk(a_ids), mk(b_ids), k).collect()
+            union = len(a_ids | b_ids)
+            inter = len(a_ids & b_ids)
+            assert r.union_estimate == float(union)
+            assert r.intersect_estimate == round(
+                (inter / union) * union, 6
+            )
+            assert r.jaccard_estimate == round(inter / union, 6)
+            assert (r.n_common, r.sample_size) == (inter, union)
+
+        law()
