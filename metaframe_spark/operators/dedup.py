@@ -1925,14 +1925,16 @@ def winnow_fingerprints(
         raise ValueError(
             f"winnow_fingerprints: window must be >= 1 ({window})"
         )
-    # raw-length prefilter only: normalization never lengthens the text
-    # (trim/collapse shrink, lower preserves), so length(raw) < k is a
-    # sound cheap reject; the EXACT short-doc gate lives inside the bound
-    # expression below so the normalize regexp runs exactly once per row
-    # (a normalize_text filter here would be a second full-text regex
-    # pass — r11 self-review)
+    # raw-length prefilter with a 2× safety margin: trim/collapse shrink,
+    # but lower() can LENGTHEN some Unicode strings (U+0130 'İ' → 'i' +
+    # combining dot, 1 → 2 chars — ADVICE r12), and no lowercase mapping
+    # expands beyond 2×, so length(raw)·2 < k cannot reach k normalized
+    # chars and is a sound cheap reject; the EXACT short-doc gate lives
+    # inside the bound expression below so the normalize regexp runs
+    # exactly once per row (a normalize_text filter here would be a
+    # second full-text regex pass — r11 self-review)
     base = df.select(F.col(id_col), F.col(text_col)).filter(
-        F.length(F.col(text_col)) >= k
+        F.length(F.col(text_col)) * 2 >= k
     )
     # BINDING DISCIPLINE: the normalized text, the hash array, and each
     # window slice ALL bind exactly once as lambda variables (`t`, `hs`,

@@ -967,7 +967,10 @@ def compact_sketch_relation(
             h = merge_histograms(
                 aged.select(*gb, *hists), group_by=gb
             )
-            merged = h if merged is None else merged.join(h, gb)
+            # null-safe: a NULL group key (or NULL coarse grain, when
+            # keep_since=None lets NULL-run rows through) forms a real
+            # group on BOTH sides and must survive the join-back
+            merged = h if merged is None else _join_null_safe(merged, h, gb)
     merged = merged.withColumnRenamed("_mf_coarse", run_col).select(*order)
     return merged if recent is None else merged.unionByName(
         recent.select(*order)
@@ -1449,6 +1452,33 @@ def _cms_bucket(value, depth_i: int, width: int, seed: int):
     return F.pmod(h, F.lit(int(width))).cast("long")
 
 
+def _join_null_safe(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that treats NULL keys as EQUAL (``<=>`` per key), keeping
+    the left side's key columns — the semantics a sketch store needs:
+    ``groupBy`` puts NULL group keys in a real group, so every join that
+    routes sketch cells back to their group must match that group rather
+    than silently dropping it (ADVICE r12: ``merge_cms_sketches`` lost
+    NULL-key groups through a plain column-name-list join, breaking the
+    documented merged-store exactness; ``cms_estimates`` answered 0 for
+    them). Column-name-list joins use ``EqualTo``; this chains
+    ``eqNullSafe`` on renamed right-side keys and drops them after."""
+    if not keys:
+        raise ValueError("_join_null_safe: need at least one key")
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__ns_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[f"__ns_{k}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, how).drop(*[f"__ns_{k}" for k in keys])
+
+
 def cms_sketches(
     df: DataFrame,
     column: str,
@@ -1579,8 +1609,10 @@ def merge_cms_sketches(
     merged = u.groupBy(*keys, "depth_i", "bucket").agg(
         F.sum("count").cast("long").alias("count")
     )
+    # null-safe on the group keys: groupBy put a NULL-key group in both
+    # relations, and a plain equi-join would silently drop it (ADVICE r12)
     joined = (
-        merged.join(spec, keys)
+        _join_null_safe(merged, spec, keys)
         if keys
         else merged.crossJoin(F.broadcast(spec))
     )
@@ -1680,8 +1712,11 @@ def cms_estimates(
         else sketch.filter(F.col("depth_i") == 0).groupBy()
     )
     totals = totals_g.agg(F.sum("count").cast("long").alias("n_total"))
+    # null-safe on the group keys (depth_i/bucket are non-null on the cell
+    # side, so <=> coincides with = there): a NULL-key group the sketch
+    # actually holds must answer its true counts, not 0 (ADVICE r12)
     est = (
-        probes.join(cells, [*keys, "depth_i", "bucket"], "left")
+        _join_null_safe(probes, cells, [*keys, "depth_i", "bucket"], "left")
         .groupBy(*keys, column)
         .agg(
             F.min(F.coalesce(F.col("count"), F.lit(0).cast("long")))
@@ -1693,7 +1728,7 @@ def cms_estimates(
     # cells are all unoccupied (estimate 0 via the coalesce above) and its
     # total is 0, rather than the row silently vanishing from the output
     return (
-        est.join(totals, keys, "left")
+        _join_null_safe(est, totals, keys, "left")
         if keys
         else est.crossJoin(F.broadcast(totals))
     ).select(

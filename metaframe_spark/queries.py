@@ -6516,92 +6516,97 @@ _R10_DRIVER_BLESSED = frozenset(
     ]
 )
 
+# Keys with a green row in CORRECTNESS_r11.json (the r11 driver window, 50/50
+# green) — folded into the blessed set per the round-11 rotation note.
+_R11_DRIVER_BLESSED = frozenset(
+    [
+        "llm_audio_neardup",
+        "llm_bigram_nll",
+        "llm_c4_lines",
+        "llm_char_entropy",
+        "llm_containment",
+        "llm_corpus_stats",
+        "llm_dup_report",
+        "llm_global_shuffle",
+        "llm_gopher_flags",
+        "llm_hash_split",
+        "llm_image_neardup",
+        "llm_ivf_append",
+        "llm_mixture_sample",
+        "llm_pack_sequences",
+        "llm_rep_signals",
+        "llm_semantic_against",
+        "llm_stratified_sample",
+        "llm_video_neardup",
+        "llm_winnow",
+        "q07",
+        "q08",
+        "q09",
+        "q10",
+        "q11",
+        "q12",
+        "q62_null_safe_join",
+        "q63_map_hof",
+        "q64_salted_join",
+        "q65_bitwise",
+        "q66_string_agg",
+        "q67_variant",
+        "q68_interpolate",
+        "q69_snapshot_diff",
+        "q70_stats_agg",
+        "q71_interval_join",
+        "q72_bitmap_distinct",
+        "q73_gapfill",
+        "q74_posexplode",
+        "q75_try_funcs",
+        "q76_regex_funcs",
+        "q77_minmax_by",
+        "q78_asof_nearest",
+        "q79_set_ops_all",
+        "q80_sort_nulls",
+        "q81_cogroup",
+        "q95_anomaly_rules",
+        "q96_drift_from_store",
+        "q97_anomaly_kmv",
+        "q98_cms_counts",
+        "q99_kmv_overlap",
+    ]
+)
+
 _DRIVER_BLESSED = (
     _R6_DRIVER_BLESSED
     | _R7_DRIVER_BLESSED
     | _R8_DRIVER_BLESSED
     | _R9_DRIVER_BLESSED
     | _R10_DRIVER_BLESSED
+    | _R11_DRIVER_BLESSED
 )
 
 # New-this-round entries to pin at the very front of the driver window.
 #
-# ROUND-11 ROTATION (executing the r10 note): the r02-r10 blessing union
-# still equals the catalog, so everything beyond the round-11 additions is
-# pure re-verification budget.  Order: round-11 additions first (never
-# driver-checked), then the TEN r7 keys that overflowed the r10 window
-# (last driver-checked r07), then the oldest-blessed block — the r8 wave
-# (q07-q12, q62..q84, llm_bloom_decontaminate..llm_weighted_sample, last
-# driver-checked r08).  Keys past slot 50 overflow to round 12 — cheapest/
-# most-stable at the tail.
+# ROUND-12 ROTATION (executing the r11 note): every key in the catalog now
+# carries a driver blessing (r01-r11 union = 168/168), so the window is
+# round-12 additions (never driver-checked) followed by the stalest
+# blessings.  Order: round-12 additions first, then the EIGHTEEN r8-wave
+# keys that overflowed the r11 window (last driver-checked r08), then the
+# next-oldest blessed block — the r9 wave (q01-q06, q13-q30, q31_asof,
+# q85-q88, and the r9 llm_* keys, last driver-checked r09).  Keys past
+# slot 50 overflow to round 13 — cheapest/most-stable at the tail.
 #
-# ROUND-12 NOTE (execute at the start of round 12): fold every key with a
-# green row in CORRECTNESS_r11.json into a `_R11_DRIVER_BLESSED` frozenset
-# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-12
-# additions + the EIGHTEEN r8-wave keys that overflowed this round's
-# 50-slot window (last driver-checked r08: llm_neardup_incremental,
-# llm_quality_classifier, llm_domain_pagerank, llm_bloom_decontaminate,
-# llm_dedup_keep_best, llm_label_centroids, llm_weighted_sample,
-# llm_domain_cap, llm_html_extract, llm_html_links, llm_psl_domains,
-# llm_mix_report, llm_text_clean, llm_url_canonical, llm_url_features,
-# q82_make_datetime, q83_union_by_name, q84_json_array) + the next-oldest
-# blessed block (the r9 wave: q01-q06, q13-q30, q31_asof, q85-q88, and the
-# r9 llm_* keys — last driver-checked r09).
+# ROUND-13 NOTE (execute at the start of round 13): fold every key with a
+# green row in CORRECTNESS_r12.json into a `_R12_DRIVER_BLESSED` frozenset
+# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-13
+# additions + whatever r9-wave keys overflowed this round's 50-slot window
+# (count the r12 additions: the first 50 registration keys get checked,
+# the rest spill) + the next-oldest (r10-blessed) block.
 _ROTATE_FIRST: list = [
-    # round-11 additions (never driver-checked before) are prepended here
+    # round-12 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
-    "llm_ivf_append",
-    "llm_image_neardup",
-    "q95_anomaly_rules",
-    "q96_drift_from_store",
-    "llm_rep_signals",
-    "llm_semantic_against",
-    "q97_anomaly_kmv",
-    "q98_cms_counts",
-    "llm_containment",
-    "llm_dup_report",
-    "q99_kmv_overlap",
-    "llm_winnow",
-    "llm_audio_neardup",
-    "llm_video_neardup",
-    # overflowed-from-r10 re-checks (last driver-checked r07)
-    "llm_bigram_nll",
-    "llm_char_entropy",
-    "llm_gopher_flags",
-    "llm_c4_lines",
-    "llm_corpus_stats",
-    "llm_pack_sequences",
-    "llm_stratified_sample",
-    "llm_mixture_sample",
-    "llm_hash_split",
-    "llm_global_shuffle",
-    # oldest-blessed regression re-checks (last driver-checked r08)
-    "q07",
-    "q08",
-    "q09",
-    "q10",
-    "q11",
-    "q12",
-    "q62_null_safe_join",
-    "q63_map_hof",
-    "q64_salted_join",
-    "q65_bitwise",
-    "q66_string_agg",
-    "q67_variant",
-    "q68_interpolate",
-    "q69_snapshot_diff",
-    "q70_stats_agg",
-    "q71_interval_join",
-    "q72_bitmap_distinct",
-    "q73_gapfill",
-    "q74_posexplode",
-    "q75_try_funcs",
-    "q76_regex_funcs",
-    "q77_minmax_by",
-    "q78_asof_nearest",
-    "q79_set_ops_all",
-    "q80_sort_nulls",
-    "q81_cogroup",
+    "llm_bpe_tokens",
+    "llm_substring_dedup",
+    "llm_dsir_weights",
+    # stalest re-checks: the r8 wave that overflowed the r11 window
+    # (last driver-checked r08)
     "llm_neardup_incremental",
     "llm_quality_classifier",
     "llm_domain_pagerank",
@@ -6617,10 +6622,61 @@ _ROTATE_FIRST: list = [
     "llm_text_clean",
     "llm_url_canonical",
     "llm_url_features",
-    # tail: cheapest/most-stable — these overflow to round 12
     "q82_make_datetime",
     "q83_union_by_name",
     "q84_json_array",
+    # next-oldest blessed block: the r9 wave (last driver-checked r09)
+    "llm_ann_topk",
+    "llm_chunks",
+    "llm_cosine_topk",
+    "llm_exact_dedup",
+    "llm_fingerprint",
+    "llm_ivf_topk",
+    "llm_lang_id",
+    "llm_minhash_pairs",
+    "llm_minhash_store",
+    "llm_multimodal_extract",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    "llm_neardup_groups",
+    "llm_ngram_jaccard",
+    "llm_pagerank_redistribute",
+    "llm_pii_mask",
+    "llm_quality",
+    "llm_repetition",
+    "llm_simhash_pairs",
+    "llm_token_count",
+    "q31_asof",
+    "q85_hll_sketch",
+    "q86_blocklist_antijoin",
+    "q87_moments_store",
+    "q88_histogram_quantiles",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    # tail: cheapest/most-stable — these overflow to round 13
+    "q19",
+    "q19b",
+    "q20",
+    "q21",
+    "q22",
+    "q23",
+    "q24",
+    "q25",
+    "q26",
+    "q27",
+    "q28",
+    "q29",
+    "q30",
+    "q01",
+    "q02",
+    "q03",
+    "q04",
+    "q05",
+    "q06",
 ]
 
 

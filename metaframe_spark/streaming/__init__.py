@@ -925,7 +925,18 @@ def stream_semantic_dedup(
         spark = batch_df.sparkSession
         fs, P = _hadoop_fs(spark, corpus_path)
         if batch_id <= _ivf_marks_last(fs, P, root + "/_ingest_marks"):
-            return  # replayed batch: output + corpus already final
+            # replayed batch: output + corpus already final — but a crash
+            # BETWEEN marker creation and staging deletion leaves the
+            # now-empty _ingest_staging_{id} skeleton behind, and this
+            # early return is the only code that ever sees that state
+            # again (the commit path is skipped outright). Drop it here,
+            # mirroring _commit_ivf_delta's replayed-batch cleanup, or
+            # validate_ivf_corpus fails no_staging_debris forever
+            # (ADVICE r12).
+            leftover = P(root + f"/_ingest_staging_{batch_id}")
+            if fs.exists(leftover):
+                fs.delete(leftover, True)
+            return
         # ROLL BACK any partial commit a crashed attempt of THIS batch
         # left in the corpus before recomputing: unlike stream_ivf_append
         # (whose delta depends only on the batch), this operator's

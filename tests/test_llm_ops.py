@@ -3952,6 +3952,39 @@ class TestWinnowing:
             for j in range(i + 1, 6):
                 assert fps[i] & fps[j], (i, j)
 
+    def test_unicode_lengthening_not_prefiltered(self, spark):
+        """ADVICE r12: JVM lower() LENGTHENS some Unicode strings
+        (U+0130 'İ' -> 'i' + combining dot), so a doc whose raw length
+        is k-1 can reach k normalized chars — the raw-length prefilter
+        must not reject it (margin 2x; the exact gate is
+        post-normalization)."""
+        from metaframe_spark.operators import winnow_fingerprints
+
+        raw = "İbcdefg"  # 7 raw chars; lower() -> 8 if İ expands
+        df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+        norm_len = df.select(
+            F.length(F.lower(F.trim(F.col("text")))).alias("n")
+        ).collect()[0]["n"]
+        rows = winnow_fingerprints(df, k=8, window=4).count()
+        if norm_len >= 8:
+            # normalization reached k: exactly one k-gram, one window,
+            # one selected fingerprint — not silently zero
+            assert rows == 1
+        else:
+            # engine didn't lengthen on this JVM: the exact gate rejects
+            assert rows == 0
+        # and genuinely-too-short docs still yield nothing
+        assert (
+            winnow_fingerprints(
+                spark.createDataFrame(
+                    [(1, "abc")], "doc_id long, text string"
+                ),
+                k=8,
+                window=4,
+            ).count()
+            == 0
+        )
+
     def test_selection_density(self, spark):
         from metaframe_spark.operators import winnow_fingerprints
 

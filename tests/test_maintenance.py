@@ -1667,6 +1667,106 @@ class TestCmsSketches:
         assert (rows["de"]["estimate"], rows["de"]["n_total"]) == (0, 0)
         assert rows["en"]["estimate"] >= 4  # 'a' occurs 4x in en
 
+    def test_null_group_key_survives_merge_and_estimates(self, spark):
+        """ADVICE r12: groupBy puts a NULL group key in a real group, so
+        the merge's spec join-back and the estimate probe joins must
+        match it null-safely — a plain equi-join silently dropped the
+        group from the merged store and answered 0/0 for it."""
+        from metaframe_spark.operators.maintenance import (
+            cms_estimates,
+            cms_sketches,
+            merge_cms_sketches,
+        )
+
+        rows = [(None, w) for w in "a b a".split()] + [("en", "a")]
+        df = spark.createDataFrame(rows, "lang string, term string")
+        parts = [
+            cms_sketches(
+                df.filter(F.crc32("term") % 2 == i),
+                "term",
+                width=4096,
+                depth=3,
+                group_by=["lang"],
+                seed=7,
+            )
+            for i in range(2)
+        ]
+        merged = merge_cms_sketches(*parts, group_by=["lang"])
+        onepass = cms_sketches(
+            df, "term", width=4096, depth=3, group_by=["lang"], seed=7
+        )
+        # bit-identical INCLUDING the NULL-key group's cells
+        assert set(map(tuple, merged.collect())) == set(
+            map(tuple, onepass.collect())
+        )
+        q = spark.createDataFrame(
+            [(None, "a"), ("en", "a")], "lang string, term string"
+        )
+        est = {
+            r["lang"]: (r["estimate"], r["n_total"])
+            for r in cms_estimates(
+                merged, q, "term", group_by=["lang"]
+            ).collect()
+        }
+        # width 4096 over 2 terms: exact — NULL group answers its true
+        # counts instead of 0/0
+        assert est[None] == (2, 3)
+        assert est["en"] == (1, 1)
+
+    def test_null_group_key_survives_compaction(self, spark):
+        """ADVICE r12 follow-through: compact_sketch_relation's CMS path
+        (via merge_cms_sketches) and the histogram join-back both keep a
+        NULL-key group's state through compaction."""
+        from metaframe_spark.operators.maintenance import (
+            cms_sketches,
+            compact_sketch_relation,
+            histogram_sketch,
+            moment_sketches,
+        )
+
+        rows = [(1, None, "a"), (1, None, "a"), (2, None, "b"), (1, "en", "a")]
+        df = spark.createDataFrame(rows, "run int, lang string, term string")
+        store = cms_sketches(
+            df.filter("run = 1"), "term", width=64, depth=2,
+            group_by=["lang"], seed=5,
+        ).withColumn("run", F.lit(1)).unionByName(
+            cms_sketches(
+                df.filter("run = 2"), "term", width=64, depth=2,
+                group_by=["lang"], seed=5,
+            ).withColumn("run", F.lit(2))
+        )
+        compacted = compact_sketch_relation(
+            store, "run", F.lit(0), group_by=["lang"]
+        )
+        onepass = cms_sketches(
+            df, "term", width=64, depth=2, group_by=["lang"], seed=5
+        ).withColumn("run", F.lit(0))
+        assert set(
+            map(tuple, compacted.select(*onepass.columns).collect())
+        ) == set(map(tuple, onepass.collect()))
+        # the flat+hist join-back path: one moments column + one hist
+        # column per (run, NULL-able group)
+        vals = spark.createDataFrame(
+            [(1, None, 1.0), (1, None, 3.0), (1, "en", 5.0)],
+            "run int, lang string, x double",
+        )
+        from metaframe_spark.operators.maintenance import _join_null_safe
+
+        hstore = _join_null_safe(
+            moment_sketches(vals, ["x"], group_by=["run", "lang"]),
+            histogram_sketch(
+                vals, "x", 0.0, 10.0, 4, group_by=["run", "lang"]
+            ),
+            ["run", "lang"],
+        )
+        hc = compact_sketch_relation(hstore, "run", F.lit(0), group_by=["lang"])
+        got = {
+            r["lang"]: (r["x_moments"]["n"], r["x_hist"] is not None)
+            for r in hc.collect()
+        }
+        assert got.get(None) == (2, True)
+        assert got.get("en") == (1, True)
+
     def test_keyless_empty_merge_is_empty_not_error(self, spark):
         """ADVICE r11 self-review: an empty keyless union emits one
         all-NULL spec row; that is vacuously consistent, not a geometry

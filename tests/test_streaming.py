@@ -1273,6 +1273,73 @@ class TestStreamSemanticDedup:
         top = ivf_topk_stored(spark, corpus, q1, k=1, n_probe=2).collect()
         assert top[0]["vec_id"] == 3 and top[0]["cosine"] == 1.0
 
+    def test_marker_then_crash_debris_cleaned_on_replay(self, spark, tmp_path):
+        """ADVICE r12: a crash BETWEEN marker creation and staging
+        deletion leaves an _ingest_staging_{id} skeleton for an
+        already-committed batch; the replay's early return (the only
+        code that ever sees that batch id again) must delete it, or
+        validate_ivf_corpus fails no_staging_debris forever."""
+        import os
+
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import (
+            fit_sampled_centroids,
+            validate_ivf_corpus,
+            write_ivf_corpus,
+        )
+        from metaframe_spark.streaming import stream_semantic_dedup
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        vecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb.filter(F.col("vec_id") < 10).collect()
+        }
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        seen0 = mk([(100 + i, vecs[i]) for i in range(8)])
+        cent = fit_sampled_centroids(seen0, 2, seed=3, order_col="vec_id")
+        corpus = str(tmp_path / "corpus")
+        write_ivf_corpus(seen0, cent, corpus)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        mk([(1, vecs[8])]).coalesce(1).write.parquet(src + "/f1")
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            q = stream_semantic_dedup(
+                stream, corpus, out, min_cosine=0.99, within_cells=1,
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        drain("ckpt")  # batch 0 commits; marker high-water = 0
+        # simulate the marker-then-crash: the batch is committed (marker
+        # present) but its staging skeleton was never dropped
+        staging = corpus + "/_ingest_staging_0"
+        os.makedirs(staging)
+        open(staging + "/_SUCCESS", "w").close()
+        fsck = lambda: {
+            r["check"]: r["ok"]
+            for r in validate_ivf_corpus(spark, corpus).collect()
+        }
+        assert not fsck()["no_staging_debris"]
+        # fresh-checkpoint full replay: batch 0 <= high-water -> the
+        # early return fires, and it must clean the debris
+        drain("ckpt_replay")
+        assert not os.path.exists(staging)
+        assert fsck()["no_staging_debris"]
+
     def test_crashed_mid_move_rolls_back_and_recomputes(self, spark, tmp_path):
         """A crash INSIDE the corpus commit (files moved, no marker yet)
         must not make the replay classify the batch's own partially-
