@@ -2055,3 +2055,132 @@ def winnow_overlap_pairs(
     )
     result._mf_persisted = fps
     return result
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """EXACT-SUBSTRING removal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): cut the duplicated span itself
+    out of the losing document — not the whole document
+    (:func:`exact_dedup`), not whole sentences (:func:`span_dedup`).
+    The published strongest-dedup result: verbatim passages repeated
+    anywhere in the corpus (or within one document) survive at exactly
+    one canonical occurrence.
+
+    Built from the two halves the r11 verdict identified: the winnowing
+    fingerprints (:func:`winnow_fingerprints`) LOCALIZE shared content
+    — their positions land inside every duplicated passage — and the
+    indexed splice (the span_dedup removal idea, here at character
+    granularity) excises it. Per selected fingerprint, the canonical
+    occurrence is the lexicographic minimum ``(id, pos)``; every OTHER
+    occurrence marks the extent ``[pos-(window-1), pos+k-1+(window-1)]``
+    for removal from its document. Overlapping/adjacent extents merge,
+    then one pass rebuilds the text from the kept gaps.
+
+    GUARANTEE (tested): any substring of length ≥ ``window + k - 1``
+    NORMALIZED chars occurring more than once is fully excised from
+    every non-canonical occurrence. Proof shape: hash windows fully
+    inside the shared span see identical hashes in both occurrences, so
+    they select identical relative positions; consecutive selections are
+    ≤ ``window`` apart and the first/last land within ``window-1`` of
+    the span's edges, so the ±(window−1) padding closes every gap.
+    The trade vs the paper's suffix-array method: removal granularity
+    is coarser by ≤ ``window-1`` chars of slack per span edge, and an
+    isolated duplicated k-gram costs up to ``k + 2(window-1)`` chars —
+    in exchange the whole operator is shuffles over the sparse
+    fingerprint relation instead of a corpus-wide suffix array.
+
+    Text is compared and returned in winnow's NORMALIZED space
+    (``lower(trim(collapse-whitespace))``) — positions are only
+    meaningful there; untouched documents come back normalized too, so
+    the output space is uniform. Returns the input relation with
+    ``text_col`` replaced by the spliced text plus ``n_spans_removed``
+    (merged extents) and ``n_chars_removed``.
+
+    Scale shape: fingerprint selection is row-local codegen; one groupBy
+    on fp (uniform 60-bit keys — no skew) finds canonicals with a
+    map-side partial min; one join back + one per-doc collect of losing
+    extents (bounded by DUPLICATED volume, not corpus size — clean docs
+    carry zero extents); merge + splice are row-local higher-order
+    folds. Same cost shape as span_dedup: O(fingerprints) + two bounded
+    shuffles, never all-pairs. Reference behavior: the exact-substring
+    half of github.com/google-research/deduplicate-text-datasets
+    (public), re-expressed via winnowing instead of suffix arrays."""
+    if k < 2:
+        raise ValueError(f"substring_dedup: k must be >= 2 ({k})")
+    if window < 1:
+        raise ValueError(f"substring_dedup: window must be >= 1 ({window})")
+    pad = int(window) - 1
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    )
+    winners = fps.groupBy("fp").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("_w")
+    )
+    ext = (
+        fps.join(winners, "fp")
+        .filter(
+            (F.col(id_col) != F.col("_w.i")) | (F.col("pos") != F.col("_w.p"))
+        )
+        .select(
+            F.col(id_col),
+            F.struct(
+                F.greatest(F.col("pos") - pad, F.lit(1))
+                .cast("int")
+                .alias("s"),
+                (F.col("pos") + k - 1 + pad).cast("int").alias("e"),
+            ).alias("_x"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_x")).alias("_mf_ext"))
+    )
+    norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    empty_ext = "CAST(array() AS array<struct<s: int, e: int>>)"
+    # sorted extents merge when the next start touches the current end
+    # (s <= e+1 — adjacency changes no removed char, but must count as
+    # ONE span in both engines)
+    merge = (
+        f"aggregate(coalesce(_mf_ext, {empty_ext}), {empty_ext}, "
+        "(acc, x) -> CASE WHEN size(acc) > 0 "
+        "AND x.s <= element_at(acc, -1).e + 1 "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('s', element_at(acc, -1).s, "
+        "'e', greatest(element_at(acc, -1).e, x.e)))) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+    # BINDING DISCIPLINE (winnow_fingerprints' lesson): the normalized
+    # text and the merged-extent array each bind exactly once as lambda
+    # variables — a plain column reference would let CollapseProject
+    # re-run the normalize regexp / the merge fold per splice element.
+    sel = (
+        f"element_at(transform(array({norm}), t -> "
+        f"element_at(transform(array({merge}), mg -> named_struct("
+        "'txt', aggregate(mg, named_struct('o', '', 'p', 0), "
+        "(acc, x) -> named_struct("
+        "'o', concat(acc.o, substring(t, acc.p + 1, x.s - 1 - acc.p)), "
+        "'p', greatest(acc.p, least(x.e, length(t)))), "
+        "acc -> concat(acc.o, substring(t, acc.p + 1, "
+        "length(t) - acc.p))), "
+        "'n', size(mg), "
+        "'c', aggregate(mg, 0, (a, x) -> "
+        "a + least(x.e, length(t)) - x.s + 1)"
+        ")), 1)), 1)"
+    )
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.join(ext, id_col, "left")
+        .withColumn("_mf_out", F.expr(sel))
+        .select(
+            *passthrough,
+            F.col("_mf_out.txt").alias(text_col),
+            F.col("_mf_out.n").cast("long").alias("n_spans_removed"),
+            F.col("_mf_out.c").cast("long").alias("n_chars_removed"),
+        )
+    )

@@ -217,6 +217,152 @@ def bpe_token_count(col) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
 
 
+def bpe_encode_words(
+    words: DataFrame,
+    merges: DataFrame,
+    word_col: str = "word",
+    first_col: str = "first",
+    second_col: str = "second",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """REAL byte-level BPE encode of a word relation given a merges table
+    — the exact subword segmentation a trained tokenizer produces, not
+    the :func:`bpe_token_count` pre-token approximation (SURVEY §7.2 P3;
+    r11 verdict next-#2). ``merges`` is the standard published artifact
+    (one row per learned merge: ``first``/``second`` symbol strings +
+    ``rank``, lower = applied earlier); every training-data budget is
+    denominated in the counts this produces.
+
+    Algorithm: each word becomes its UTF-8 byte sequence (symbols are
+    2-hex-digit strings, so the alphabet is engine-neutral and any
+    merged token is the concatenation of its bytes' hex); then the
+    greedy encode loop — find the LOWEST-RANK adjacent pair present,
+    merge its LEFTMOST occurrence, repeat to fixpoint. One merge per
+    step (the HF-tokenizers heap order) rather than GPT-2's
+    all-occurrences-per-pass: for any VALID merges table (each rule's
+    constituent symbols are produced by earlier-ranked rules — true of
+    every trained BPE vocabulary) the two orders provably coincide,
+    because applying rank r can only create pairs whose rank exceeds r;
+    one-at-a-time is chosen because a SQL oracle can replay it exactly
+    (one recursive-CTE level per merge). Determinism: rank ties broken
+    by leftmost position; duplicate (first, second) rows must not
+    disagree on rank (map_from_entries keeps the last, so dedupe first).
+
+    Returns one row per input word: ``word_col``, ``tokens``
+    (array<string> of hex-byte symbols; ``unhex`` recovers the bytes)
+    and ``n_tokens`` (long). Cost is O(bytes²) map lookups per word —
+    words are short, and the intended call pattern (see
+    :func:`bpe_tokenize`) encodes each DISTINCT word once, so at corpus
+    scale the loop is paid per vocabulary entry, never per occurrence.
+    Everything is row-local codegen over one broadcast rank map — zero
+    shuffles, zero Python. Binding discipline as in
+    ``winnow_fingerprints``: the rank map, the hash-symbol array, the
+    pair-rank array, and the merge position each bind exactly once as
+    lambda variables (CollapseProject would otherwise inline the
+    defining expression per element — the measured O(n²) pathology)."""
+    rank_map = merges.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat(
+                        F.hex(F.encode(F.col(first_col), "utf-8")),
+                        F.lit(":"),
+                        F.hex(F.encode(F.col(second_col), "utf-8")),
+                    ).alias("k"),
+                    F.col(rank_col).cast("int").alias("v"),
+                )
+            )
+        ).alias("_mf_ranks")
+    )
+    pairs_ranks = (
+        "zip_with(slice(sym, 1, greatest(size(sym)-1, 0)), "
+        "slice(sym, 2, greatest(size(sym)-1, 0)), "
+        "(a, b) -> element_at(m, concat(a, ':', b)))"
+    )
+    # one greedy step: lowest-rank adjacent pair, leftmost occurrence
+    step = (
+        f"element_at(transform(array({pairs_ranks}), pr -> "
+        "CASE WHEN array_min(pr) IS NULL THEN sym ELSE "
+        "element_at(transform(array(cast(array_position(pr, array_min(pr)) "
+        "as int)), p -> "
+        "concat(slice(sym, 1, p-1), "
+        "array(concat(element_at(sym, p), element_at(sym, p+1))), "
+        "slice(sym, p+2, greatest(size(sym)-p-1, 0)))), 1) END), 1)"
+    )
+    # total merges <= n_symbols - 1, so a fold over that many steps always
+    # reaches the fixpoint (steps past it are no-ops: best rank is NULL);
+    # sequence(1, 0) DESCENDS on Spark 4, hence the greatest() floor and
+    # the empty-word CASE guard
+    sel = (
+        "element_at(transform(array(_mf_ranks), m -> "
+        "element_at(transform(array(CASE WHEN length(_mf_hx) = 0 "
+        "THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, cast(length(_mf_hx)/2 as int)), "
+        "i -> substring(_mf_hx, 2*i-1, 2)) END), s0 -> "
+        f"aggregate(sequence(1, greatest(size(s0)-1, 1)), s0, "
+        f"(sym, ign) -> {step}, sym -> sym)"
+        "), 1)), 1)"
+    )
+    return (
+        words.crossJoin(F.broadcast(rank_map))
+        .withColumn("_mf_hx", F.hex(F.encode(F.col(word_col), "utf-8")))
+        .withColumn("tokens", F.expr(sel))
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+        .drop("_mf_hx", "_mf_ranks")
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document REAL BPE token counts: pre-tokenize with
+    :data:`BPE_TOKEN_PATTERN` (the same boundaries the approximate
+    counter uses, so the two are comparable), encode each DISTINCT
+    pre-token once with :func:`bpe_encode_words`, and join the counts
+    back — giving every document ``n_pretokens`` and ``n_tokens`` (the
+    real subword count a trainer would see given this merges table).
+
+    Feed ``n_tokens`` to
+    :func:`~metaframe_spark.operators.packing.pack_sequences` /
+    :func:`chunk_documents`-style budgets to make them denominated in
+    real tokens instead of the regex bound.
+
+    100 TB shape: the O(bytes²) encode loop is paid once per DISTINCT
+    pre-token (Heaps'-law bounded — millions of short strings at corpus
+    scale, not trillions of occurrences); the per-occurrence work is one
+    hash join on the word plus a partial-aggregated groupBy back to the
+    document. Zero-pre-token documents survive with ``n_tokens = 0``
+    (explode_outer + coalesce), so downstream packing sees the whole
+    corpus."""
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("_mf_word")
+    )
+    vocab = bpe_encode_words(
+        exploded.filter(F.col("_mf_word").isNotNull())
+        .select(F.col("_mf_word").alias("word"))
+        .distinct(),
+        merges,
+    ).select("word", "n_tokens")
+    return (
+        exploded.join(
+            vocab, exploded["_mf_word"] == vocab["word"], "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("_mf_word").cast("long").alias("n_pretokens"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
 def shingles(tokens_col, n: int = 3) -> Column:
     """Word n-gram strings over a token array (array<string>); empty array
     when the document has fewer than ``n`` tokens.

@@ -1807,6 +1807,177 @@ class TestSimhashEquivalence:
         assert fast == slow
 
 
+class TestBpeEncode:
+    """Real byte-level BPE encode against a merges relation (r11 verdict
+    next-#2): greedy lowest-rank leftmost-occurrence, hex-byte symbols."""
+
+    MERGES = [
+        ("t", "h", 1), ("th", "e", 2), ("i", "n", 3), ("in", "g", 4),
+        ("e", "r", 5), ("a", "n", 6), ("an", "d", 7), ("o", "n", 8),
+        ("t", "i", 9), ("ti", "on", 10),
+    ]
+
+    @staticmethod
+    def _ref_greedy(word, merges):
+        """One merge per step: lowest rank, leftmost occurrence."""
+        ranks = {
+            (a.encode().hex().upper(), b.encode().hex().upper()): r
+            for a, b, r in merges
+        }
+        syms = [bytes([b]).hex().upper() for b in word.encode("utf-8")]
+        while True:
+            cand = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+        return syms
+
+    @staticmethod
+    def _ref_gpt2(word, merges):
+        """GPT-2 reference order: all occurrences of the best pair per
+        pass (openai/gpt-2 encoder.py's bpe())."""
+        ranks = {
+            (a.encode().hex().upper(), b.encode().hex().upper()): r
+            for a, b, r in merges
+        }
+        syms = [bytes([b]).hex().upper() for b in word.encode("utf-8")]
+        while len(syms) > 1:
+            pairs = {
+                (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+            }
+            best = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+            if best not in ranks:
+                break
+            first, second = best
+            new, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == first
+                    and syms[i + 1] == second
+                ):
+                    new.append(first + second)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return syms
+
+    def _merges_df(self, spark, merges=None):
+        return spark.createDataFrame(
+            merges or self.MERGES, "first string, second string, rank int"
+        )
+
+    def test_encode_matches_python_ground_truth(self, spark):
+        from metaframe_spark.operators import bpe_encode_words
+
+        words = [
+            "the", "thinking", "and", "anther", "x", "thé", "another",
+            "ing", "nation", "tionon", "23", "ttttt", "ä",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode_words(df, self._merges_df(spark)).collect()
+        }
+        for w in words:
+            exp = self._ref_greedy(w, self.MERGES)
+            assert got[w] == (exp, len(exp)), w
+
+    def test_valid_table_matches_gpt2_order(self, spark):
+        """For a VALID merges table (constituents produced by earlier
+        ranks) the one-merge-per-step order provably coincides with
+        GPT-2's all-occurrences-per-pass — pinned on words with repeated
+        pairs where the orders could diverge on an invalid table."""
+        from metaframe_spark.operators import bpe_encode_words
+
+        words = ["thethethe", "inginging", "tionti", "nononon", "thinthin"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: list(r["tokens"])
+            for r in bpe_encode_words(df, self._merges_df(spark)).collect()
+        }
+        for w in words:
+            assert got[w] == self._ref_gpt2(w, self.MERGES), w
+            assert got[w] == self._ref_greedy(w, self.MERGES), w
+
+    def test_unicode_multibyte_and_empty(self, spark):
+        from metaframe_spark.operators import bpe_encode_words
+
+        # é = C3 A9: no merge rule touches it -> stays two byte tokens;
+        # the empty word yields an empty token array, not a crash
+        df = spark.createDataFrame([("é",), ("",)], "word string")
+        got = {
+            r["word"]: list(r["tokens"])
+            for r in bpe_encode_words(df, self._merges_df(spark)).collect()
+        }
+        assert got["é"] == ["C3", "A9"]
+        assert got[""] == []
+
+    def test_tokens_reassemble_to_word_bytes(self, spark):
+        """Concatenated token hex always equals the word's full UTF-8
+        hex — BPE segments, never drops or reorders bytes."""
+        from metaframe_spark.operators import bpe_encode_words
+
+        words = ["the quick", "Σthé", "ingestion", "123"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        for r in bpe_encode_words(df, self._merges_df(spark)).collect():
+            assert "".join(r["tokens"]) == r["word"].encode("utf-8").hex().upper()
+
+    def test_bpe_tokenize_counts_and_zero_token_docs(self, spark):
+        from metaframe_spark.operators import bpe_tokenize
+
+        rows = [
+            (1, "the thing"),  # the=1; thing: th+ing=2
+            (2, ""),  # zero pre-tokens must survive as 0/0
+            (3, None),  # NULL text too
+            (4, "the the the"),  # repeated word: count per occurrence
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_pretokens"], r["n_tokens"])
+            for r in bpe_tokenize(df, self._merges_df(spark)).collect()
+        }
+        assert got[1] == (2, 3)
+        assert got[2] == (0, 0)
+        assert got[3] == (0, 0)
+        assert got[4] == (3, 3)
+
+    def test_pack_sequences_with_real_counts(self, spark):
+        """The r11 verdict's integration ask: pack_sequences budgets
+        denominated in REAL BPE counts — per-doc slice lengths sum to the
+        real token count and sequences fill to seq_len."""
+        from metaframe_spark.operators import bpe_tokenize
+        from metaframe_spark.operators.packing import pack_sequences
+
+        rows = [(i, "the thing nation " * (i + 1)) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        counts = bpe_tokenize(df, self._merges_df(spark))
+        real = {r["doc_id"]: r["n_tokens"] for r in counts.collect()}
+        packed = pack_sequences(counts, 16, "n_tokens", id_col="doc_id")
+        per_doc = {
+            r["doc_id"]: r["s"]
+            for r in packed.groupBy("doc_id")
+            .agg(F.sum("tok_len").alias("s"))
+            .collect()
+        }
+        assert per_doc == {k: v for k, v in real.items() if v > 0}
+        full = {
+            r["seq_id"]: r["s"]
+            for r in packed.groupBy("seq_id")
+            .agg(F.sum("tok_len").alias("s"))
+            .collect()
+        }
+        last = max(full)
+        assert all(v == 16 for k, v in full.items() if k != last)
+
+
 class TestTokenCounts:
     def test_bpe_pre_tokens(self, spark):
         from metaframe_spark.operators import bpe_token_count, token_count
@@ -4054,6 +4225,132 @@ class TestWinnowing:
             winnow_overlap_pairs(df, min_shared=0)
         with pytest.raises(ValueError, match="max_df"):
             winnow_overlap_pairs(df, max_df=1)
+
+
+class TestSubstringDedup:
+    """Exact-substring removal (Lee et al. 2022): the duplicated span is
+    cut out of the losing doc; canonical occurrence survives."""
+
+    K, W = 8, 4
+
+    @classmethod
+    def _ref(cls, docs):
+        """Python ground truth for the whole chain (normalize → winnow
+        select with positions → canonical rank → padded extents →
+        island merge → splice)."""
+        import hashlib
+        import re as _re
+
+        K, W = cls.K, cls.W
+        norm = lambda t: _re.sub(r"\s+", " ", t).strip().lower()
+        h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def fps(t):
+            t = norm(t)
+            if len(t) < K:
+                return []
+            hs = [h(t[i : i + K]) for i in range(len(t) - K + 1)]
+            out = set()
+            for j in range(max(len(hs) - W + 1, 1)):
+                win = hs[j : j + W]
+                m = min(win)
+                out.add((m, j + 1 + win.index(m)))
+            return sorted(out)
+
+        allf = {}
+        for i, t in docs:
+            for fp, pos in fps(t):
+                allf.setdefault(fp, []).append((i, pos))
+        ext = {}
+        for occ in allf.values():
+            occ.sort()
+            for i, pos in occ[1:]:
+                ext.setdefault(i, []).append(
+                    (max(pos - (W - 1), 1), pos + K - 1 + (W - 1))
+                )
+        out = {}
+        for i, t in docs:
+            t = norm(t)
+            mg = []
+            for s, e in sorted(ext.get(i, [])):
+                if mg and s <= mg[-1][1] + 1:
+                    mg[-1] = (mg[-1][0], max(mg[-1][1], e))
+                else:
+                    mg.append((s, e))
+            kept, p, c = "", 0, 0
+            for s, e in mg:
+                kept += t[p : s - 1]
+                p = max(p, min(e, len(t)))
+                c += min(e, len(t)) - s + 1
+            out[i] = (kept + t[p:], len(mg), c)
+        return out
+
+    def _run(self, spark, docs):
+        from metaframe_spark.operators import substring_dedup
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+            for r in substring_dedup(df, k=self.K, window=self.W).collect()
+        }
+
+    def test_matches_python_ground_truth(self, spark):
+        passage = "the quick brown fox jumps over the lazy dog by the bank"
+        docs = [
+            (1, "Alpha document START " + passage + " END unique tail"),
+            (2, "Beta different body then " + passage + " plus more here"),
+            (3, "no duplicates at all in this short document body"),
+            (4, "self repeat: " + "zqxjkvbwme" * 2 + " mid " + "zqxjkvbwme" * 2),
+            (5, "tiny"),
+            (6, "   Mixed   WHITESPACE\tcopy " + passage.upper()),
+        ]
+        got, exp = self._run(spark, docs), self._ref(docs)
+        for i, _ in docs:
+            assert got[i] == exp[i], i
+
+    def test_guarantee_shared_substring_always_excised(self, spark):
+        """Any shared normalized substring of >= window + k - 1 chars is
+        FULLY excised from the non-canonical occurrence, at every
+        alignment (the winnowing coverage argument with the ±(w−1)
+        padding)."""
+        import re as _re
+
+        passage = "zq1xj2kv3bw4me5"  # 15 > w + k - 1 = 11, high entropy
+        rows = [(0, "the canonical holder text " + passage + " end")]
+        for i in range(1, 8):
+            prefix = f"doc {i} pad " + "uvwxyz"[: i % 6 + 1] * i + " "
+            rows.append((i, prefix + passage + f" tail {i}"))
+        got = self._run(spark, rows)
+        survivors = [i for i, _ in rows if passage in got[i][0]]
+        # exactly one occurrence survives (the canonical lowest (id,pos))
+        assert survivors == [0]
+        for i in range(1, 8):
+            assert got[i][1] >= 1 and got[i][2] >= len(passage), i
+
+    def test_untouched_docs_come_back_normalized(self, spark):
+        docs = [(1, "  Unique\tTEXT   one  "), (2, "totally other words")]
+        got = self._run(spark, docs)
+        assert got[1] == ("unique text one", 0, 0)
+        assert got[2] == ("totally other words", 0, 0)
+
+    def test_within_doc_self_repeat_keeps_first(self, spark):
+        block = "abcdefghijkl"
+        docs = [(1, block + " filler middle " + block + " and " + block)]
+        got = self._run(spark, docs)
+        text, n_spans, n_chars = got[1]
+        # first occurrence survives; later ones excised
+        assert text.startswith(block)
+        assert text.count(block) == 1
+        assert n_spans >= 1 and n_chars >= 2 * len(block)
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators import substring_dedup
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must be"):
+            substring_dedup(df, k=1)
+        with pytest.raises(ValueError, match="window must be"):
+            substring_dedup(df, window=0)
 
 
 class TestValidateIvfCorpus:
