@@ -253,6 +253,7 @@ def weighted_sample_exact(
     strata: Sequence[str] = (),
     seed: int = 0,
     key_col: str = "sample_key",
+    log_space: bool = False,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement — the
     Efraimidis–Spirakis exponential-race form (A-ES, Inf. Proc. Lett.
@@ -271,6 +272,15 @@ def weighted_sample_exact(
     Rows with NULL or non-positive weight have zero inclusion
     probability and are excluded (documented A-ES domain; filter or
     clamp upstream to include them).
+
+    ``log_space=True`` reads ``weight_col`` as a LOG weight and draws
+    the monotone-equivalent key ``ln(-ln u) - log_w`` instead of
+    ``-ln(u) / exp(log_w)`` — the same selection (ln is monotone on the
+    positive keys) without ever exponentiating, so the DSIR-scale
+    log-likelihood ratios (:func:`dsir_weights`, routinely ±hundreds)
+    cannot overflow to inf or underflow to an excluded 0. Any finite
+    log weight is a valid positive weight, so the non-positive-weight
+    exclusion applies only to NULLs in this mode.
 
     With ``strata``, k rows are kept per stratum and the plan is the
     WindowGroupLimit shape (each input partition pre-prunes to its own
@@ -298,8 +308,12 @@ def weighted_sample_exact(
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(16**15))
-    key = -F.log(u) / w
-    scored = df.filter(w > 0).withColumn(key_col, key)
+    if log_space:
+        key = F.log(-F.log(u)) - w
+        scored = df.filter(w.isNotNull()).withColumn(key_col, key)
+    else:
+        key = -F.log(u) / w
+        scored = df.filter(w > 0).withColumn(key_col, key)
     if strata:
         win = Window.partitionBy(*strata).orderBy(
             F.col(key_col).asc(), F.col(id_col).asc()
@@ -359,3 +373,120 @@ def mixture_report(
             ).alias("weight_share"),
         ]
     return out.select(*cols)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every RAW
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET corpus's distribution than under the raw corpus's own — the
+    standard "curate toward a target domain" step. Feed the result to
+    :func:`weighted_sample_exact` with ``exp(log_weight)`` (or rank by
+    ``log_weight`` directly) to resample the corpus toward the target.
+
+    Features are the paper's: unigrams + bigrams of the normalized
+    whitespace tokens (:func:`~.text.tokens` — the same tokenization
+    every quality signal here uses), hashed into ``buckets`` via the
+    md5-mod draw (the :func:`~.maintenance._cms_bucket` family, so a
+    SQL oracle replays the hashing exactly). Both corpora fit smoothed
+    bag-of-buckets unigram LMs — ``p_b = (c_b + α) / (N + α·B)`` — and
+    a document's log-importance is the sum over its gram OCCURRENCES of
+    ``ln p_target(b) − ln p_raw(b)``.
+
+    Cross-engine determinism: per-bucket log-ratios are rounded to 6
+    decimals and the per-document sum rides DECIMAL(18,6) (the
+    unigram_nll / bm25 discipline), so addition order cannot perturb
+    the result and a DuckDB oracle hash-matches. Documents with zero
+    grams carry no evidence and are absent from the output (the
+    unigram_nll convention).
+
+    Returns ``(id_col, n_grams, log_weight)``.
+
+    100 TB shape: two explode → partial-aggregated groupBy passes over
+    gram buckets (shuffled relations bounded by ``buckets``, NOT corpus
+    size — the whole point of hashed features), one ≤ ``buckets``-row
+    ratio relation broadcast onto the raw grams, one partial-aggregated
+    groupBy back to documents. The target corpus is typically tiny
+    (a quality seed set); the raw side is touched twice, both times
+    reduced map-side to bucket granularity. No Python, no collect."""
+    if buckets < 2:
+        raise ValueError(f"dsir_weights: buckets must be >= 2 ({buckets})")
+    if alpha <= 0:
+        raise ValueError(f"dsir_weights: alpha must be > 0 ({alpha})")
+    from .text import tokens
+
+    # unigrams ++ bigrams, tokens bound once as a lambda variable (the
+    # winnow_fingerprints binding discipline — a plain column reference
+    # would inline the normalize+split per bigram element)
+    grams = (
+        "element_at(transform(array(_mf_tk), tk -> concat(tk, "
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END)), 1)"
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_g"), F.lit(f":{int(seed)}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(buckets)),
+    ).alias("_b")
+
+    def _bucketed(df):
+        return (
+            df.withColumn("_mf_tk", tokens(F.col(text_col)))
+            .select(F.col(id_col), F.explode(F.expr(grams)).alias("_g"))
+            .select(F.col(id_col), bucket)
+        )
+
+    raw_g = _bucketed(raw)
+    tgt_b = _bucketed(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    raw_b = raw_g.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    a = float(alpha)
+    aB = a * int(buckets)
+    tot_t = tgt_b.agg(F.sum("_ct").cast("double").alias("_T"))
+    tot_r = raw_b.agg(F.sum("_cr").cast("double").alias("_R"))
+    # log p_target(b) - log p_raw(b), one row per bucket the raw corpus
+    # occupies (raw grams always hit a raw-present bucket, so a left
+    # join covers every probe); absent target bucket -> smoothed alpha
+    ratio = (
+        raw_b.join(tgt_b, "_b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + a)
+                    / (F.coalesce(F.col("_T"), F.lit(0.0)) + aB)
+                )
+                - F.log(
+                    (F.col("_cr").cast("double") + a) / (F.col("_R") + aB)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_lr"),
+        )
+    )
+    return (
+        raw_g.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("_lr").cast("double"), 6).alias("log_weight"),
+        )
+    )

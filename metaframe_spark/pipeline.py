@@ -63,6 +63,12 @@ def curate_corpus(
     stage_counts: bool = True,
     html_input: bool = False,
     unicode_clean: bool = False,
+    dsir_target: Optional[DataFrame] = None,
+    dsir_keep: int = 0,
+    dsir_buckets: int = 8192,
+    dsir_seed: int = 0,
+    max_tokens: int = 0,
+    token_merges: Optional[DataFrame] = None,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -92,6 +98,26 @@ def curate_corpus(
     dropping rows whose text was entirely boilerplate. Both default off:
     they rewrite document text, and the default pipeline is
     content-preserving.
+
+    ``dsir_target`` + ``dsir_keep > 0`` append DSIR importance
+    resampling (:func:`~metaframe_spark.operators.sampling.dsir_weights`
+    → log-space :func:`~metaframe_spark.operators.sampling.
+    weighted_sample_exact`): the filtered survivors are re-weighted by
+    how target-like their hashed-n-gram bag is and ``dsir_keep`` of them
+    are drawn — the Xie et al. 2023 "select toward a quality domain"
+    step, last among the filters so weights are computed only on rows
+    that survived everything else.
+
+    ``max_tokens > 0`` caps the corpus at a TOKEN budget: after the
+    deterministic interleave, the maximal prefix of the ``seq`` order
+    whose token total fits the budget survives
+    (:func:`~metaframe_spark.operators.packing.take_token_budget`) —
+    exact and rerun-stable. Pass ``token_merges`` (a BPE merges
+    relation) to denominate the budget in REAL subword counts
+    (:func:`~metaframe_spark.operators.text.bpe_tokenize`); without it
+    the regex pre-token bound applies. The output carries the budget
+    denomination as ``budget_tokens`` (``n_tokens`` is already the quality
+    stage's whitespace count).
 
     With ``n_shards > 0`` the result carries ``seq`` (deterministic global
     interleave order) and ``shard`` columns, ready for a partitioned write
@@ -353,12 +379,66 @@ def curate_corpus(
         if stage_counts:
             counts["language"] = kept.count()
 
+    # 4b. optional DSIR importance resampling toward a target corpus —
+    # runs LAST among the filters (weights are only worth computing on
+    # rows that survived everything else) and before the interleave so
+    # the shard/order layout sees the final selection. Log-space A-ES
+    # keeps the DSIR log-likelihood ratios from ever exponentiating.
+    if dsir_target is not None and dsir_keep > 0:
+        from .operators.sampling import dsir_weights, weighted_sample_exact
+
+        wts = dsir_weights(
+            kept.select(id_col, text_col),
+            dsir_target,
+            text_col,
+            id_col,
+            buckets=dsir_buckets,
+        )
+        chosen = weighted_sample_exact(
+            wts,
+            dsir_keep,
+            "log_weight",
+            id_col,
+            seed=dsir_seed,
+            log_space=True,
+        ).select(id_col)
+        kept = kept.join(chosen, id_col, "left_semi")
+        if stage_counts:
+            counts["dsir"] = kept.count()
+
     # 5. deterministic interleave (+ optional sharding)
     out = (
         shard_assignments(kept, n_shards, id_col)
         if n_shards > 0
         else global_shuffle(kept, id_col)
     )
+
+    # 5b. optional token-denominated corpus cap: keep the maximal PREFIX
+    # of the deterministic interleave whose token total fits max_tokens —
+    # exact and rerun-stable because seq is a pure function of the data.
+    # With token_merges the budget is REAL byte-level BPE counts
+    # (bpe_tokenize); without, the regex pre-token bound (bpe_token_count).
+    if max_tokens > 0:
+        from .operators.packing import take_token_budget
+        from .operators.text import bpe_token_count, bpe_tokenize
+
+        if token_merges is not None:
+            tok = bpe_tokenize(
+                out.select(id_col, text_col), token_merges, text_col, id_col
+            ).select(
+                id_col, F.col("n_tokens").alias("budget_tokens")
+            )
+            out = out.join(tok, id_col, "left").withColumn(
+                "budget_tokens",
+                F.coalesce(F.col("budget_tokens"), F.lit(0)),
+            )
+        else:
+            out = out.withColumn(
+                "budget_tokens", bpe_token_count(F.col(text_col))
+            )
+        out = take_token_budget(out, max_tokens, "budget_tokens", "seq")
+        if stage_counts:
+            counts["token_budget"] = out.count()
 
     # 6. optional deterministic train/val/test split (post-dedup, so a
     # per-id draw is leakage-safe — see docstring)

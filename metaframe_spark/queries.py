@@ -6407,6 +6407,54 @@ def llm_substring_dedup(spark, sf):
     return substring_dedup(corpus, k=8, window=4)
 
 
+@query(
+    "llm_dsir_weights",
+    "WITH t AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM_SQL}, ' '), x -> x <> '') AS tk FROM documents), "
+    "g0 AS (SELECT doc_id, list_concat(tk, CASE WHEN len(tk) >= 2 "
+    "  THEN list_transform(range(1, len(tk)), "
+    "  i -> tk[i] || ' ' || tk[i+1]) "
+    "  ELSE CAST([] AS VARCHAR[]) END) AS gs FROM t), "
+    "rg AS (SELECT doc_id, CAST(('0x' || substring(md5(g || ':0'), 1, 15)) "
+    "  AS BIGINT) % 4096 AS b FROM g0, unnest(gs) AS u(g)), "
+    "tg AS (SELECT b FROM rg WHERE doc_id % 7 = 0), "
+    "rb AS (SELECT b, count(*) AS cr FROM rg GROUP BY 1), "
+    "tb AS (SELECT b, count(*) AS ct FROM tg GROUP BY 1), "
+    "tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rb) AS r_total, "
+    "  (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tb) AS t_total), "
+    "ratio AS (SELECT rb.b, CAST(round("
+    "  ln((coalesce(ct, 0) + 1.0) / (t_total + 4096.0)) "
+    "  - ln((cr + 1.0) / (r_total + 4096.0)), 6) AS DECIMAL(18,6)) AS lr "
+    "  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tot) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight "
+    "FROM rg JOIN ratio USING (b) GROUP BY 1",
+)
+def llm_dsir_weights(spark, sf):
+    """DSIR importance weights (operators/sampling.py::dsir_weights —
+    Xie et al. 2023; r11 verdict next-#4): every 7th document plays the
+    curated target set, the full documents table is the raw pool, and
+    each raw document scores the log-likelihood ratio of its hashed
+    unigram+bigram bag under the target vs the raw smoothed
+    bag-of-buckets LMs — the standard "resample the crawl toward a
+    quality domain" signal, feeding weighted_sample_exact with
+    exp(log_weight). The oracle refits BOTH LMs and replays every
+    score: md5-mod bucket hashing, α=1 smoothing over 4096 buckets,
+    per-bucket log-ratios rounded to 6 and DECIMAL-summed per document
+    (the unigram_nll determinism discipline), so the hash match pins
+    the whole fit-then-score pipeline cross-engine. Shuffled relations
+    are bucket-bounded (≤4096 rows) plus one partial-aggregated groupBy
+    back to documents; the ratio relation broadcasts."""
+    from .operators.sampling import dsir_weights
+
+    d = load_table(spark, sf, "documents").to_spark().select(
+        "doc_id", "text"
+    )
+    return dsir_weights(
+        d, d.filter(F.col("doc_id") % 7 == 0), buckets=4096
+    )
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys

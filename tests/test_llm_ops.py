@@ -2726,6 +2726,72 @@ class TestTokenizerFuzz:
                 assert doc_id not in got
 
 
+class TestTakeTokenBudget:
+    """operators/packing.py::take_token_budget — the reproducible
+    first-N-tokens prefix cut (r11 verdict next-#7)."""
+
+    def test_exact_prefix_and_boundary(self, spark):
+        from metaframe_spark.operators.packing import take_token_budget
+
+        rows = [(i, 10 * (i + 1), i) for i in range(10)]  # tokens 10..100
+        df = spark.createDataFrame(rows, "doc_id long, n long, seq long")
+        # cumulative: 10,30,60,100,150... budget 100 keeps exactly seq 0-3
+        got = {
+            r.seq for r in take_token_budget(df, 100, "n", "seq").collect()
+        }
+        assert got == {0, 1, 2, 3}
+        # budget 99: the boundary doc (cum 100 > 99) is dropped
+        assert {
+            r.seq for r in take_token_budget(df, 99, "n", "seq").collect()
+        } == {0, 1, 2}
+        # budget covers everything -> identity
+        assert take_token_budget(df, 10_000, "n", "seq").count() == 10
+        # budget 0 -> empty (and zero-token docs at the head survive a
+        # positive budget)
+        assert take_token_budget(df, 0, "n", "seq").count() == 0
+
+    def test_zero_and_null_token_docs_inside_prefix_survive(self, spark):
+        from metaframe_spark.operators.packing import take_token_budget
+
+        rows = [(1, 0, 0), (2, None, 1), (3, 5, 2), (4, 5, 3)]
+        df = spark.createDataFrame(rows, "doc_id long, n long, seq long")
+        got = {
+            r.doc_id for r in take_token_budget(df, 5, "n", "seq").collect()
+        }
+        assert got == {1, 2, 3}
+
+    def test_deterministic_under_repartition(self, spark):
+        from metaframe_spark.operators.packing import take_token_budget
+
+        rows = [(i, (i * 37) % 11 + 1, i) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, n long, seq long")
+        a = sorted(
+            r.seq for r in take_token_budget(df, 900, "n", "seq").collect()
+        )
+        b = sorted(
+            r.seq
+            for r in take_token_budget(
+                df.repartition(17), 900, "n", "seq"
+            ).collect()
+        )
+        assert a == b
+        # ground truth prefix
+        acc, exp = 0, []
+        for i in range(500):
+            acc += (i * 37) % 11 + 1
+            if acc > 900:
+                break
+            exp.append(i)
+        assert a == exp
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.packing import take_token_budget
+
+        df = spark.createDataFrame([(1, 1, 0)], "doc_id long, n long, seq long")
+        with pytest.raises(ValueError, match="budget"):
+            take_token_budget(df, -1, "n", "seq")
+
+
 class TestPackSequences:
     """operators/packing.py::pack_sequences — concat-and-chunk invariants."""
 
@@ -3186,6 +3252,158 @@ class TestWeightedSample:
         out = weighted_sample_exact(docs, 5, "n_chars", "doc_id", strata=["lang"])
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestDsirWeights:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag log-likelihood ratio, target vs raw."""
+
+    B, ALPHA, SEED = 64, 1.0, 0
+
+    @classmethod
+    def _ref(cls, raw, target):
+        import hashlib
+        import math
+        import re as _re
+        from decimal import Decimal
+
+        B, ALPHA, SEED = cls.B, cls.ALPHA, cls.SEED
+        toks = lambda t: [
+            w
+            for w in _re.sub(r"\s+", " ", t).strip().lower().split(" ")
+            if w
+        ]
+
+        def grams(t):
+            tk = toks(t)
+            return tk + [f"{tk[i]} {tk[i+1]}" for i in range(len(tk) - 1)]
+
+        bkt = lambda g: (
+            int(hashlib.md5(f"{g}:{SEED}".encode()).hexdigest()[:15], 16) % B
+        )
+        cr, ct = {}, {}
+        for _, t in raw:
+            for g in grams(t):
+                cr[bkt(g)] = cr.get(bkt(g), 0) + 1
+        for _, t in target:
+            for g in grams(t):
+                ct[bkt(g)] = ct.get(bkt(g), 0) + 1
+        R, T = sum(cr.values()), sum(ct.values())
+        out = {}
+        for i, t in raw:
+            gs = [bkt(g) for g in grams(t)]
+            if not gs:
+                continue
+            s = Decimal(0)
+            for b in gs:
+                lr = round(
+                    math.log((ct.get(b, 0) + ALPHA) / (T + ALPHA * B))
+                    - math.log((cr[b] + ALPHA) / (R + ALPHA * B)),
+                    6,
+                )
+                s += Decimal(f"{lr:.6f}")
+            out[i] = (len(gs), round(float(s), 6))
+        return out
+
+    RAW = [
+        (1, "machine learning models train on data"),
+        (2, "the stock market fell sharply today in trading"),
+        (3, "neural networks learn representations from data"),
+        (4, "   "),
+        (5, "sports team wins the big game tonight"),
+    ]
+    TARGET = [
+        (10, "deep neural networks and machine learning data"),
+        (11, "models learn from training data representations"),
+    ]
+
+    def test_matches_python_ground_truth(self, spark):
+        from metaframe_spark.operators import dsir_weights
+
+        raw_df = spark.createDataFrame(self.RAW, "doc_id long, text string")
+        tgt_df = spark.createDataFrame(
+            self.TARGET, "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["log_weight"])
+            for r in dsir_weights(raw_df, tgt_df, buckets=self.B).collect()
+        }
+        exp = self._ref(self.RAW, self.TARGET)
+        assert got == exp
+        # zero-gram doc 4 absent; target-affine docs outrank off-domain
+        assert 4 not in got
+        assert got[3][1] > got[2][1] and got[1][1] > got[5][1]
+
+    def test_deterministic_under_repartition(self, spark):
+        from metaframe_spark.operators import dsir_weights
+
+        raw_df = spark.createDataFrame(self.RAW, "doc_id long, text string")
+        tgt_df = spark.createDataFrame(
+            self.TARGET, "doc_id long, text string"
+        )
+        a = sorted(
+            map(
+                tuple,
+                dsir_weights(raw_df, tgt_df, buckets=self.B).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                dsir_weights(
+                    raw_df.repartition(7), tgt_df.repartition(3),
+                    buckets=self.B,
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators import dsir_weights
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="buckets"):
+            dsir_weights(df, df, buckets=1)
+        with pytest.raises(ValueError, match="alpha"):
+            dsir_weights(df, df, alpha=0)
+
+    def test_log_space_sampling_matches_linear_and_survives_extremes(
+        self, spark
+    ):
+        """log_space=True must pick the same winners as exp-ed linear
+        weights where exp is representable — and keep selecting correctly
+        at magnitudes where exp would overflow/underflow."""
+        import math
+
+        from metaframe_spark.operators import weighted_sample_exact
+
+        rows = [(i, float(i % 7) - 3.0) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "doc_id long, lw double")
+        lin = df.select(
+            "doc_id", F.exp("lw").alias("w")
+        )
+        a = {
+            r["doc_id"]
+            for r in weighted_sample_exact(
+                lin, 10, "w", "doc_id", seed=3
+            ).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in weighted_sample_exact(
+                df, 10, "lw", "doc_id", seed=3, log_space=True
+            ).collect()
+        }
+        assert a == b
+        # extremes: ±1000 log-weights — exp(±1000) is inf/0, log-space
+        # still ranks them (the +1000 doc must win a k=1 draw)
+        ext = spark.createDataFrame(
+            [(1, 1000.0), (2, -1000.0), (3, 0.0)], "doc_id long, lw double"
+        )
+        [top] = weighted_sample_exact(
+            ext, 1, "lw", "doc_id", log_space=True
+        ).collect()
+        assert top["doc_id"] == 1 and math.isfinite(top["sample_key"])
 
 
 class TestMixtureReport:

@@ -437,3 +437,104 @@ def test_domain_cap_preserves_colliding_input_columns(spark):
            for r in out.select("doc_id", "domain", "draw_rank").collect()}
     for i, dom, dr in got:
         assert dom == f"userdomain{i}" and dr == i * 10
+
+
+def test_dsir_stage_resamples_toward_target(spark, messy):
+    """DSIR stage (r11 verdict next-#4): weights computed on the
+    post-filter survivors, log-space A-ES selection of dsir_keep docs,
+    rerun-stable, and biased toward the target slice's vocabulary."""
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    target = clean.filter(F.col("doc_id") % 7 == 0)
+    out, counts = curate_corpus(
+        clean,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        dsir_target=target,
+        dsir_keep=50,
+    )
+    assert counts["dsir"] == 50
+    assert counts["output"] == 50
+    assert out.count() == 50
+    # deterministic: identical selection on rerun
+    out2, counts2 = curate_corpus(
+        clean,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        dsir_target=target,
+        dsir_keep=50,
+    )
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {
+        r.doc_id for r in out2.select("doc_id").collect()
+    }
+    assert counts2["dsir"] == 50
+    # biased toward the target: the selected docs' mean log_weight beats
+    # the survivor-pool mean (A-ES with these weights must favor them)
+    from metaframe_spark.operators.sampling import dsir_weights
+
+    base, base_counts = curate_corpus(
+        clean, min_quality=0.0, near_dup_jaccard=0.8
+    )
+    wts = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(
+            base.select("doc_id", "text"), target
+        ).collect()
+    }
+    chosen = {r.doc_id for r in out.select("doc_id").collect()}
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([wts[i] for i in chosen]) > mean(list(wts.values()))
+    # without the stage, no dsir count key appears
+    assert "dsir" not in base_counts
+
+
+def test_token_budget_stage_cuts_exact_reproducible_prefix(spark, messy):
+    """max_tokens (r11 verdict next-#7): the cap keeps the maximal seq
+    prefix within the REAL-BPE token budget, exactly and rerun-stably."""
+    from metaframe_spark.operators.text import bpe_tokenize
+    from metaframe_spark.queries import _BPE_MERGES
+
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    merges = spark.createDataFrame(
+        _BPE_MERGES, "first string, second string, rank int"
+    )
+    budget = 40_000
+    out, counts = curate_corpus(
+        clean,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        max_tokens=budget,
+        token_merges=merges,
+    )
+    rows = out.select("doc_id", "seq", "budget_tokens").collect()
+    total = sum(r.budget_tokens for r in rows)
+    assert 0 < total <= budget
+    assert counts["token_budget"] == len(rows)
+    # exactness: ground-truth prefix over the UNCAPPED interleave
+    base, _ = curate_corpus(clean, min_quality=0.0, near_dup_jaccard=0.8)
+    tok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_tokenize(
+            base.select("doc_id", "text"), merges
+        ).collect()
+    }
+    ordered = sorted(
+        ((r.seq, r.doc_id) for r in base.select("seq", "doc_id").collect())
+    )
+    acc, expect = 0, set()
+    for _, i in ordered:
+        acc += tok[i]
+        if acc > budget:
+            break
+        expect.add(i)
+    assert {r.doc_id for r in rows} == expect
+    # rerun-stable: identical cut
+    out2, _ = curate_corpus(
+        clean,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        max_tokens=budget,
+        token_merges=merges,
+    )
+    assert {(r.doc_id, r.seq) for r in out2.select("doc_id", "seq").collect()} == {
+        (r.doc_id, r.seq) for r in rows
+    }
