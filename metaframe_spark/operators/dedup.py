@@ -2116,9 +2116,13 @@ def substring_dedup(
     if window < 1:
         raise ValueError(f"substring_dedup: window must be >= 1 ({window})")
     pad = int(window) - 1
+    # the fingerprint relation feeds the canonical-occurrence groupBy AND
+    # the loser join — two branches, no cross-branch CSE, and selection
+    # is the expensive O(chars·k) md5 work: pin it once (the
+    # winnow_overlap_pairs persist convention)
     fps = winnow_fingerprints(
         df, text_col=text_col, id_col=id_col, k=k, window=window
-    )
+    ).persist()
     winners = fps.groupBy("fp").agg(
         F.min(
             F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
@@ -2174,7 +2178,7 @@ def substring_dedup(
         ")), 1)), 1)"
     )
     passthrough = [c for c in df.columns if c != text_col]
-    return (
+    result = (
         df.join(ext, id_col, "left")
         .withColumn("_mf_out", F.expr(sel))
         .select(
@@ -2184,3 +2188,5 @@ def substring_dedup(
             F.col("_mf_out.c").cast("long").alias("n_chars_removed"),
         )
     )
+    result._mf_persisted = fps
+    return result

@@ -450,7 +450,10 @@ def dsir_weights(
             .select(F.col(id_col), bucket)
         )
 
-    raw_g = _bucketed(raw)
+    # raw grams feed BOTH the raw-LM fit and the per-doc scoring join —
+    # no cross-branch CSE in Spark, so pin the (id, bucket) relation once
+    # (winnow persist convention; ContextCleaner reclaims with the result)
+    raw_g = _bucketed(raw).persist()
     tgt_b = _bucketed(target).groupBy("_b").agg(
         F.count(F.lit(1)).alias("_ct")
     )
@@ -482,7 +485,7 @@ def dsir_weights(
             .alias("_lr"),
         )
     )
-    return (
+    result = (
         raw_g.join(F.broadcast(ratio), "_b")
         .groupBy(id_col)
         .agg(
@@ -490,3 +493,5 @@ def dsir_weights(
             F.round(F.sum("_lr").cast("double"), 6).alias("log_weight"),
         )
     )
+    result._mf_persisted = raw_g
+    return result

@@ -245,8 +245,9 @@ def bpe_encode_words(
     because applying rank r can only create pairs whose rank exceeds r;
     one-at-a-time is chosen because a SQL oracle can replay it exactly
     (one recursive-CTE level per merge). Determinism: rank ties broken
-    by leftmost position; duplicate (first, second) rows must not
-    disagree on rank (map_from_entries keeps the last, so dedupe first).
+    by leftmost position. Duplicate (first, second) rows raise at
+    execution (Spark's duplicate-map-key error) — a trained merges
+    table never repeats a pair; dedupe upstream if yours does.
 
     Returns one row per input word: ``word_col``, ``tokens``
     (array<string> of hex-byte symbols; ``unhex`` recovers the bytes)
@@ -340,16 +341,20 @@ def bpe_tokenize(
     toks = F.regexp_extract_all(
         F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
     )
+    # the exploded (id, word) relation feeds BOTH the vocabulary branch
+    # and the count join — Spark has no cross-branch subplan CSE, so pin
+    # it once or the corpus is re-tokenized twice (the winnow_overlap
+    # persist convention; ContextCleaner reclaims it with the result)
     exploded = df.select(
         F.col(id_col), F.explode_outer(toks).alias("_mf_word")
-    )
+    ).persist()
     vocab = bpe_encode_words(
         exploded.filter(F.col("_mf_word").isNotNull())
         .select(F.col("_mf_word").alias("word"))
         .distinct(),
         merges,
     ).select("word", "n_tokens")
-    return (
+    result = (
         exploded.join(
             vocab, exploded["_mf_word"] == vocab["word"], "left"
         )
@@ -361,6 +366,8 @@ def bpe_tokenize(
             ),
         )
     )
+    result._mf_persisted = exploded
+    return result
 
 
 def shingles(tokens_col, n: int = 3) -> Column:
