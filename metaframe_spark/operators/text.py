@@ -224,6 +224,7 @@ def bpe_encode_words(
     first_col: str = "first",
     second_col: str = "second",
     rank_col: str = "rank",
+    merges_in_hex: bool = False,
 ) -> DataFrame:
     """REAL byte-level BPE encode of a word relation given a merges table
     — the exact subword segmentation a trained tokenizer produces, not
@@ -248,6 +249,9 @@ def bpe_encode_words(
     by leftmost position. Duplicate (first, second) rows raise at
     execution (Spark's duplicate-map-key error) — a trained merges
     table never repeats a pair; dedupe upstream if yours does.
+    ``merges_in_hex=True`` reads ``first``/``second`` as hex-byte
+    symbol strings already (a :func:`bpe_train` result) instead of
+    UTF-8 text symbols.
 
     Returns one row per input word: ``word_col``, ``tokens``
     (array<string> of hex-byte symbols; ``unhex`` recovers the bytes)
@@ -261,14 +265,17 @@ def bpe_encode_words(
     pair-rank array, and the merge position each bind exactly once as
     lambda variables (CollapseProject would otherwise inline the
     defining expression per element — the measured O(n²) pathology)."""
+    sym = (
+        (lambda c: F.upper(F.col(c)))
+        if merges_in_hex
+        else (lambda c: F.hex(F.encode(F.col(c), "utf-8")))
+    )
     rank_map = merges.agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
                     F.concat(
-                        F.hex(F.encode(F.col(first_col), "utf-8")),
-                        F.lit(":"),
-                        F.hex(F.encode(F.col(second_col), "utf-8")),
+                        sym(first_col), F.lit(":"), sym(second_col)
                     ).alias("k"),
                     F.col(rank_col).cast("int").alias("v"),
                 )
@@ -313,11 +320,119 @@ def bpe_encode_words(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn a byte-level BPE merges table FROM the corpus (Sennrich et
+    al. 2016) — the training half completing the BPE story next to
+    :func:`bpe_encode_words`'s encode half: repeatedly count adjacent
+    symbol pairs over the frequency-weighted vocabulary, merge the most
+    frequent pair everywhere, emit it as the next rank. The result
+    feeds straight back into :func:`bpe_tokenize` /
+    :func:`bpe_encode_words` with ``merges_in_hex=True`` (learned
+    symbols are hex-byte strings — merged byte runs need not be valid
+    UTF-8 prefixes, so they are never decoded back to text).
+
+    Determinism: ties on pair count break lexicographically on
+    ``(first, second)``; pair counts follow the reference get_stats
+    (all adjacent positions, overlaps included — 'aaa' counts (a,a)
+    twice) while the apply step merges left-to-right non-overlapping
+    (the GPT-2 pass), both matching the published trainer. By
+    construction every rule's constituents are produced by earlier
+    ranks — exactly the VALID-table precondition under which the encode
+    loop's two orders coincide (see :func:`bpe_encode_words`).
+
+    Returns the merges relation ``(first, second, rank)`` in hex symbol
+    space. Early-stops when no pair occurs twice (nothing left worth
+    merging), so the result may be shorter than ``n_merges``.
+
+    Scale shape: training state is the DISTINCT-pretoken vocabulary
+    with frequencies (Heaps-bounded — never the corpus), built with one
+    tokenize + groupBy pass; each of the ``n_merges`` iterations is one
+    explode → partial-aggregated pair count → deterministic top-1
+    (TakeOrderedAndProject) plus a row-local merge-pass rewrite —
+    a driver-side loop of bounded jobs, the :func:`~.graph.
+    domain_pagerank` pattern, with ``checkpoint_every`` truncating the
+    unrolled lineage. In-pipeline training targets domain tokenizers of
+    tens-to-hundreds of merges; train 50k-merge production vocabularies
+    with a dedicated heap trainer offline and hand THIS engine the
+    merges relation."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_train: n_merges must be >= 1 ({n_merges})")
+    if checkpoint_every < 0:
+        raise ValueError("bpe_train: checkpoint_every must be >= 0")
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("_hx", F.hex(F.encode("_w", "utf-8")))
+        .select(
+            F.expr(
+                "CASE WHEN length(_hx) = 0 THEN CAST(array() AS "
+                "array<string>) ELSE transform(sequence(1, "
+                "cast(length(_hx)/2 as int)), i -> substring(_hx, 2*i-1, 2)) "
+                "END"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs_expr = (
+        "zip_with(slice(syms, 1, greatest(size(syms)-1, 0)), "
+        "slice(syms, 2, greatest(size(syms)-1, 0)), "
+        "(a, b) -> struct(a, b))"
+    )
+    merges = []
+    cur = vocab
+    for rank in range(1, int(n_merges) + 1):
+        top = (
+            cur.select(
+                F.explode(F.expr(pairs_expr)).alias("_p"), F.col("freq")
+            )
+            .groupBy("_p")
+            .agg(F.sum("freq").alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_p.a").asc(), F.col("_p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["_n"] < 2:
+            break  # nothing occurs twice: merging stops paying
+        f, snd = top[0]["_p"]["a"], top[0]["_p"]["b"]
+        merges.append((f, snd, rank))
+        # GPT-2 merge pass: left-to-right non-overlapping, all
+        # occurrences of (f, snd); the merged symbol becomes pending but
+        # can never re-match as `first` (f||snd != f)
+        merge_pass = (
+            "aggregate(syms, named_struct('o', CAST(array() AS "
+            "array<string>), 'p', CAST(NULL AS string)), "
+            f"(acc, s) -> CASE WHEN acc.p = '{f}' AND s = '{snd}' "
+            "THEN named_struct('o', acc.o, 'p', concat(acc.p, s)) "
+            "ELSE named_struct('o', CASE WHEN acc.p IS NULL THEN acc.o "
+            "ELSE concat(acc.o, array(acc.p)) END, 'p', s) END, "
+            "acc -> CASE WHEN acc.p IS NULL THEN acc.o "
+            "ELSE concat(acc.o, array(acc.p)) END)"
+        )
+        cur = cur.select(F.expr(merge_pass).alias("syms"), "freq")
+        if checkpoint_every and rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges or [], "first string, second string, rank int"
+    )
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    merges_in_hex: bool = False,
 ) -> DataFrame:
     """Per-document REAL BPE token counts: pre-tokenize with
     :data:`BPE_TOKEN_PATTERN` (the same boundaries the approximate
@@ -353,6 +468,7 @@ def bpe_tokenize(
         .select(F.col("_mf_word").alias("word"))
         .distinct(),
         merges,
+        merges_in_hex=merges_in_hex,
     ).select("word", "n_tokens")
     result = (
         exploded.join(

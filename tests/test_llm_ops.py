@@ -1930,6 +1930,113 @@ class TestBpeEncode:
         for r in bpe_encode_words(df, self._merges_df(spark)).collect():
             assert "".join(r["tokens"]) == r["word"].encode("utf-8").hex().upper()
 
+    @staticmethod
+    def _ref_train(texts, n_merges):
+        """Python ground truth for bpe_train: Sennrich get_stats (all
+        adjacent positions, overlaps included) + GPT-2 merge pass; ties
+        break (count desc, first asc, second asc); stop when max < 2."""
+        import re as _re
+
+        pat = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        vocab = {}
+        for t in texts:
+            for w in pat.findall(t):
+                syms = tuple(
+                    bytes([b]).hex().upper() for b in w.encode("utf-8")
+                )
+                vocab[syms] = vocab.get(syms, 0) + 0  # key registration
+                vocab[syms] += 1
+        merges = []
+        for rank in range(1, n_merges + 1):
+            stats = {}
+            for syms, freq in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] = stats.get(p, 0) + freq
+            if not stats:
+                break
+            best = min(stats, key=lambda p: (-stats[p], p[0], p[1]))
+            if stats[best] < 2:
+                break
+            merges.append((best[0], best[1], rank))
+            f, s = best
+            new = {}
+            for syms, freq in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == f
+                        and syms[i + 1] == s
+                    ):
+                        out.append(f + s)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                k = tuple(out)
+                new[k] = new.get(k, 0) + freq
+            vocab = new
+        return merges
+
+    def test_train_matches_python_ground_truth(self, spark):
+        from metaframe_spark.operators import bpe_train
+
+        texts = [
+            "the cat and the hat and the mat",
+            "that cat sat that hat sat",
+            "thin thing theme anthem",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            map(tuple, bpe_train(df, 12, checkpoint_every=4).collect()),
+            key=lambda r: r[2],
+        )
+        exp = self._ref_train(texts, 12)
+        assert got == exp
+        assert len(got) >= 5  # this corpus genuinely trains several merges
+
+    def test_train_then_encode_roundtrip(self, spark):
+        """Learned merges feed the encoder (merges_in_hex=True): token
+        counts shrink vs the unmerged byte baseline, the byte-concat
+        invariant holds, and training early-stops on a merge-free
+        corpus."""
+        from metaframe_spark.operators import (
+            bpe_encode_words,
+            bpe_train,
+            bpe_tokenize,
+        )
+
+        texts = ["the then they theme", "the other theory there"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = bpe_train(df, 6)
+        assert merges.count() >= 1
+        enc = bpe_encode_words(
+            spark.createDataFrame([("theme",)], "word string"),
+            merges,
+            merges_in_hex=True,
+        ).collect()[0]
+        assert "".join(enc["tokens"]) == "theme".encode().hex().upper()
+        assert enc["n_tokens"] < len("theme")
+        counts = {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpe_tokenize(df, merges, merges_in_hex=True).collect()
+        }
+        bytes_per_doc = {
+            i: sum(len(w.encode()) for w in t.split()) for i, t in enumerate(texts)
+        }
+        for i in counts:
+            assert counts[i] < bytes_per_doc[i]
+        # early stop: every pair unique -> zero merges
+        lone = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+        assert bpe_train(lone, 5).count() == 0
+        with pytest.raises(ValueError, match="n_merges"):
+            bpe_train(df, 0)
+
     def test_bpe_tokenize_counts_and_zero_token_docs(self, spark):
         from metaframe_spark.operators import bpe_tokenize
 
