@@ -45,6 +45,7 @@ def curate_corpus(
     n_shards: int = 0,
     line_filter: bool = False,
     dedup_spans: bool = False,
+    dedup_substrings: bool = False,
     split_fractions: Optional[Dict[str, float]] = None,
     benchmark: Optional[DataFrame] = None,
     benchmark_ngram: int = 8,
@@ -95,8 +96,12 @@ def curate_corpus(
     (:func:`~metaframe_spark.operators.c4_line_filter`);
     ``dedup_spans=True`` inserts global three-sentence-span dedup
     (:func:`~metaframe_spark.operators.span_dedup`) after exact dedup,
-    dropping rows whose text was entirely boilerplate. Both default off:
-    they rewrite document text, and the default pipeline is
+    dropping rows whose text was entirely boilerplate;
+    ``dedup_substrings=True`` then applies exact-substring removal
+    (:func:`~metaframe_spark.operators.substring_dedup`, Lee et al.
+    2022 — the duplicated passage itself is excised from the loser,
+    text normalized to winnow space). All three default off: they
+    rewrite document text, and the default pipeline is
     content-preserving.
 
     ``dsir_target`` + ``dsir_keep > 0`` append DSIR importance
@@ -294,6 +299,22 @@ def curate_corpus(
         )
         if stage_counts:
             counts["span_dedup"] = cur.count()
+
+    # 1c. optional exact-substring removal (Lee et al. 2022): the
+    # duplicated passage itself is cut out of the losing doc — stronger
+    # than whole-sentence spans; text comes back in winnow's normalized
+    # space, so run it AFTER span dedup (which re-joins on normalized
+    # whitespace anyway) and before the near-dup stage reads the text
+    if dedup_substrings:
+        from .operators.dedup import substring_dedup
+
+        cur = (
+            substring_dedup(cur, text_col, id_col)
+            .drop("n_spans_removed", "n_chars_removed")
+            .filter(F.length(F.col(text_col)) > 0)
+        )
+        if stage_counts:
+            counts["substring_dedup"] = cur.count()
     # stage 2 traverses this twice (minhash pipeline + the anti-join);
     # released as soon as cur2 is checkpointed below
     cur = cur.persist()

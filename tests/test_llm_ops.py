@@ -1930,6 +1930,76 @@ class TestBpeEncode:
         for r in bpe_encode_words(df, self._merges_df(spark)).collect():
             assert "".join(r["tokens"]) == r["word"].encode("utf-8").hex().upper()
 
+    def test_property_random_words_random_merges(self, spark):
+        """Hypothesis fuzz: for random words and random VALID merges
+        tables (constituents drawn from already-produced symbols), the
+        engine's encode equals the Python greedy reference AND the
+        GPT-2 pass order, and tokens always reassemble the word's
+        bytes. One Spark job per example is slow, so examples are
+        batched: each drawn case is a whole (merges, words) corpus."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators import bpe_encode_words
+
+        hx = lambda t: t.encode().hex().upper()
+
+        @st.composite
+        def merges_and_words(draw):
+            # grow a valid merges table over a 4-letter alphabet: each
+            # rule's sides come from single bytes or earlier products
+            symbols = [hx(c) for c in "abcd"]
+            merges, seen = [], set()
+            n = draw(st.integers(min_value=0, max_value=8))
+            for rank in range(1, n + 1):
+                a = draw(st.sampled_from(symbols))
+                b = draw(st.sampled_from(symbols))
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                merges.append((a, b, rank))
+                symbols.append(a + b)
+            words = draw(
+                st.lists(
+                    st.text(alphabet="abcd", min_size=0, max_size=12),
+                    min_size=1,
+                    max_size=8,
+                    unique=True,
+                )
+            )
+            return merges, words
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(case=merges_and_words())
+        def check(case):
+            merges_hex, words = case
+            wdf = spark.createDataFrame([(w,) for w in words], "word string")
+            mdf = spark.createDataFrame(
+                merges_hex or [("00", "00", 1)],
+                "first string, second string, rank int",
+            )
+            got = {
+                r["word"]: list(r["tokens"])
+                for r in bpe_encode_words(
+                    wdf, mdf, merges_in_hex=True
+                ).collect()
+            }
+            txt_merges = [
+                (bytes.fromhex(a).decode(), bytes.fromhex(b).decode(), r)
+                for a, b, r in (merges_hex or [("00", "00", 1)])
+                if a != "00"
+            ]
+            for w in words:
+                assert "".join(got[w]) == hx(w), (w, got[w])
+                assert got[w] == self._ref_greedy(w, txt_merges), w
+                assert got[w] == self._ref_gpt2(w, txt_merges), w
+
+        check()
+
     @staticmethod
     def _ref_train(texts, n_merges):
         """Python ground truth for bpe_train: Sennrich get_stats (all

@@ -538,3 +538,30 @@ def test_token_budget_stage_cuts_exact_reproducible_prefix(spark, messy):
     assert {(r.doc_id, r.seq) for r in out2.select("doc_id", "seq").collect()} == {
         (r.doc_id, r.seq) for r in rows
     }
+
+
+def test_substring_dedup_stage_excises_copied_passage(spark):
+    """dedup_substrings: the copied passage is cut out of the losing doc
+    while both documents survive (unlike whole-doc dedup)."""
+    passage = "the quick brown fox jumps over the lazy dog near the bank"
+    rows = [
+        (1, "First original body with enough words here " + passage),
+        (2, "Second totally different body text then " + passage + " tail"),
+        (3, "An unrelated document that shares nothing with the others"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, counts = curate_corpus(
+        df,
+        min_quality=0.0,
+        near_dup_jaccard=0.95,
+        dedup_substrings=True,
+    )
+    assert counts["substring_dedup"] == 3  # nobody dropped whole
+    texts = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    assert set(texts) == {1, 2, 3}
+    # canonical occurrence (doc 1) keeps the passage; doc 2 lost it
+    assert passage in texts[1]
+    assert passage not in texts[2]
+    assert "second totally different body text" in texts[2]
+    # untouched doc comes back normalized but intact
+    assert texts[3] == rows[2][1].lower()
