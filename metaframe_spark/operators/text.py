@@ -486,6 +486,95 @@ def bpe_tokenize(
     return result
 
 
+def bpe_chunk_documents(
+    df: DataFrame,
+    merges: DataFrame,
+    max_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges_in_hex: bool = False,
+) -> DataFrame:
+    """Split documents into chunks whose budgets are REAL BPE token
+    counts — the :func:`chunk_documents` capability re-denominated in
+    the trained tokenizer's subwords (the verdict's "make
+    chunk_documents accept the real counts"): every pre-token is
+    BPE-encoded against ``merges`` (per DISTINCT word, the
+    :func:`bpe_tokenize` economics) and the document's pre-token stream
+    is cut every ``max_tokens`` real tokens.
+
+    Chunking is WORD-ALIGNED stream-cut: a pre-token belongs to the
+    chunk its starting token offset falls in, so chunks never split a
+    word; a word straddling the boundary runs its chunk over budget by
+    at most ``word_tokens − 1`` (documented trade — RAG and training
+    chunkers cut at token-safe word boundaries for exactly this
+    reason). Chunk text is the space-joined pre-token sequence, the
+    same reconstruction convention :func:`chunk_documents` uses (and
+    deliberately no overlap: real-token overlap would re-encode the
+    shared words; compose with overlapping char windows upstream when
+    overlap matters).
+
+    Returns ``(id_col, chunk_idx, n_tokens, chunk)``; empty documents
+    yield no chunks. Fully deterministic, so a SQL oracle replays the
+    encode + cumulative cut + reassembly and hash-matches the chunk
+    text itself.
+
+    Scale shape: the encode is per DISTINCT word; the cumulative token
+    offset is a window partitioned BY DOCUMENT (every doc its own
+    partition slice — parallel, never a global sort); reassembly is one
+    partial-aggregated groupBy on (doc, chunk) with an in-group
+    array_sort, shuffle bounded by pre-token volume."""
+    from pyspark.sql import Window
+
+    if max_tokens < 1:
+        raise ValueError(
+            f"bpe_chunk_documents: max_tokens must be >= 1 ({max_tokens})"
+        )
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
+    )
+    words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_widx", "_w")
+    ).persist()
+    vocab = bpe_encode_words(
+        words.select(F.col("_w").alias("word")).distinct(),
+        merges,
+        merges_in_hex=merges_in_hex,
+    ).select("word", F.col("n_tokens").alias("_wtok"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_widx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        words.join(vocab, words["_w"] == vocab["word"])
+        .withColumn(
+            "_start", (F.sum("_wtok").over(win) - F.col("_wtok")).cast("long")
+        )
+        .withColumn(
+            "_chunk", F.floor(F.col("_start") / F.lit(int(max_tokens)))
+        )
+    )
+    result = (
+        assigned.groupBy(id_col, "_chunk")
+        .agg(
+            F.sum("_wtok").cast("long").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_widx"), F.col("_w")))
+            ).alias("_ws"),
+        )
+        .select(
+            id_col,
+            F.col("_chunk").cast("long").alias("chunk_idx"),
+            "n_tokens",
+            F.expr("array_join(transform(_ws, x -> x._w), ' ')").alias(
+                "chunk"
+            ),
+        )
+    )
+    result._mf_persisted = words
+    return result
+
+
 def shingles(tokens_col, n: int = 3) -> Column:
     """Word n-gram strings over a token array (array<string>); empty array
     when the document has fewer than ``n`` tokens.

@@ -6455,6 +6455,70 @@ def llm_dsir_weights(spark, sf):
     )
 
 
+@query(
+    "llm_bpe_chunks",
+    "WITH RECURSIVE "
+    f"mg(first, second, rank) AS (VALUES {_BPE_MERGES_VALUES}), "
+    "mp AS (SELECT map(list(upper(hex(encode(first))) || ':' || "
+    "  upper(hex(encode(second)))), list(rank)) AS m FROM mg), "
+    "tok AS (SELECT doc_id, ws[widx] AS word, widx FROM "
+    "  (SELECT doc_id, regexp_extract_all(text, "
+    "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws FROM documents "
+    "  WHERE doc_id % 11 = 0), "
+    "  unnest(range(1, len(ws) + 1)) AS ui(widx)), "
+    "w AS (SELECT DISTINCT word FROM tok), "
+    "s0 AS (SELECT word, list_transform(range(1, length(hx)//2 + 1), "
+    "  i -> substring(hx, 2*i-1, 2)) AS syms "
+    "  FROM (SELECT word, upper(hex(encode(word))) AS hx FROM w)), "
+    "enc AS (SELECT word, syms FROM s0 "
+    "  UNION ALL "
+    "  SELECT word, list_concat(list_concat(list_slice(syms, 1, p-1), "
+    "    [syms[p] || syms[p+1]]), list_slice(syms, p+2, len(syms))) "
+    "  FROM (SELECT word, syms, "
+    "    list_position(pr, list_aggregate(pr, 'min')) AS p, "
+    "    list_aggregate(pr, 'min') AS best "
+    "    FROM (SELECT word, syms, list_transform(range(1, len(syms)), "
+    "      i -> map_extract(m, syms[i] || ':' || syms[i+1])[1]) AS pr "
+    "      FROM enc, mp)) WHERE best IS NOT NULL), "
+    "fin AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM ("
+    "  SELECT word, syms, list_aggregate(list_transform("
+    "    range(1, len(syms)), i -> map_extract(m, "
+    "    syms[i] || ':' || syms[i+1])[1]), 'min') AS best "
+    "  FROM enc, mp) WHERE best IS NULL), "
+    "a AS (SELECT t.doc_id, t.widx, t.word, f.n, "
+    "  sum(f.n) OVER (PARTITION BY t.doc_id ORDER BY t.widx) - f.n AS strt "
+    "  FROM tok t JOIN fin f USING (word)) "
+    "SELECT doc_id, CAST(strt // 64 AS BIGINT) AS chunk_idx, "
+    "CAST(sum(n) AS BIGINT) AS n_tokens, "
+    "string_agg(word, ' ' ORDER BY widx) AS chunk "
+    "FROM a GROUP BY doc_id, CAST(strt // 64 AS BIGINT)",
+)
+def llm_bpe_chunks(spark, sf):
+    """Word-aligned chunking by REAL BPE token budget (operators/
+    text.py::bpe_chunk_documents — chunk_documents re-denominated in
+    trained-tokenizer subwords): every 11th document's pre-token stream
+    is cut every 64 real tokens against the literal merges relation; a
+    pre-token belongs to the chunk its starting token offset falls in,
+    so chunks never split a word. The oracle replays the whole chain —
+    recursive-CTE BPE per distinct word, per-doc cumulative offsets,
+    ordered string_agg reassembly — and hash-matches the CHUNK TEXT
+    itself plus the per-chunk counts. The cumulative window partitions
+    BY DOCUMENT (parallel, never a global sort); the encode is paid per
+    distinct word."""
+    from .operators.text import bpe_chunk_documents
+
+    merges = spark.createDataFrame(
+        _BPE_MERGES, "first string, second string, rank int"
+    )
+    d = (
+        load_table(spark, sf, "documents")
+        .to_spark()
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+    )
+    return bpe_chunk_documents(d, merges, max_tokens=64)
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -6799,6 +6863,7 @@ _ROTATE_FIRST: list = [
     "llm_bpe_tokens",
     "llm_substring_dedup",
     "llm_dsir_weights",
+    "llm_bpe_chunks",
     # stalest re-checks: the r8 wave that overflowed the r11 window
     # (last driver-checked r08)
     "llm_neardup_incremental",

@@ -2126,6 +2126,52 @@ class TestBpeEncode:
         assert got[3] == (0, 0)
         assert got[4] == (3, 3)
 
+    def test_bpe_chunk_documents_word_aligned_stream_cut(self, spark):
+        """Chunks cover every pre-token exactly once in order, never
+        split a word, and each chunk's REAL token count exceeds the
+        budget by at most its last word's tokens - 1."""
+        from metaframe_spark.operators import (
+            bpe_chunk_documents,
+            bpe_encode_words,
+        )
+
+        texts = [
+            (1, "the thing sings the thin theme " * 6),
+            (2, "ab"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        out = sorted(
+            (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk)
+            for r in bpe_chunk_documents(
+                df, self._merges_df(spark), max_tokens=10
+            ).collect()
+        )
+        # empty doc -> no chunks; 'ab' -> one chunk
+        assert {r[0] for r in out} == {1, 2}
+        # reassembly: concatenated chunks == the doc's pre-token stream
+        doc1 = " ".join(r[3] for r in out if r[0] == 1)
+        assert doc1 == ("the thing sings the thin theme " * 6).strip()
+        # word counts per chunk: budget exceeded by < last word's tokens
+        wtok = {
+            r["word"]: r["n_tokens"]
+            for r in bpe_encode_words(
+                spark.createDataFrame(
+                    [(w,) for w in set(doc1.split())], "word string"
+                ),
+                self._merges_df(spark),
+            ).collect()
+        }
+        for _, idx, n, chunk in out:
+            if _ == 1:
+                last = chunk.split()[-1]
+                assert n <= 10 + wtok[last] - 1
+        # chunk indexes contiguous from 0
+        idxs = [r[1] for r in out if r[0] == 1]
+        assert idxs == list(range(len(idxs)))
+        with pytest.raises(ValueError, match="max_tokens"):
+            bpe_chunk_documents(df, self._merges_df(spark), max_tokens=0)
+
     def test_pack_sequences_with_real_counts(self, spark):
         """The r11 verdict's integration ask: pack_sequences budgets
         denominated in REAL BPE counts — per-doc slice lengths sum to the

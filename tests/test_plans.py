@@ -357,6 +357,7 @@ class TestCatalogPlanLint:
         "llm_ivf_corpus",   # same probe shape over the cell-partitioned layout
         "llm_ivf_sq",       # same probe shape over the quantized layout
         "llm_ivf_append",   # same probe shape over the appended layout
+        "llm_bpe_chunks",   # one-row broadcast BPE rank map joined to the distinct-word relation
         "llm_bpe_tokens",   # one-row broadcast BPE rank map joined to the distinct-word relation
         "llm_dsir_weights", # one-row total-gram scalars joined to the bucket ratio relation
         "llm_mix_report",   # one-row corpus-totals rollup joined to mixture cells
@@ -372,6 +373,7 @@ class TestCatalogPlanLint:
     SINGLE_OK = {
         "llm_bigram_nll",   # global vocabulary-size agg (one row)
         "llm_bm25",         # global corpus-size agg (one row)
+        "llm_bpe_chunks",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_bpe_tokens",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_corpus_stats", # the data card IS a one-row global agg
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
