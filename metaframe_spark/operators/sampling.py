@@ -389,8 +389,10 @@ def dsir_weights(
     document by how much more likely its hashed-n-gram bag is under the
     TARGET corpus's distribution than under the raw corpus's own — the
     standard "curate toward a target domain" step. Feed the result to
-    :func:`weighted_sample_exact` with ``exp(log_weight)`` (or rank by
-    ``log_weight`` directly) to resample the corpus toward the target.
+    :func:`weighted_sample_exact` with ``log_space=True`` on
+    ``log_weight`` (never ``exp`` it — DSIR ratios run ±hundreds) to
+    resample the corpus toward the target, as the ``curate_corpus``
+    ``dsir_target`` stage does.
 
     Features are the paper's: unigrams + bigrams of the normalized
     whitespace tokens (:func:`~.text.tokens` — the same tokenization
