@@ -6854,9 +6854,12 @@ _DRIVER_BLESSED = (
 # ROUND-13 NOTE (execute at the start of round 13): fold every key with a
 # green row in CORRECTNESS_r12.json into a `_R12_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-13
-# additions + whatever r9-wave keys overflowed this round's 50-slot window
-# (count the r12 additions: the first 50 registration keys get checked,
-# the rest spill) + the next-oldest (r10-blessed) block.
+# additions + the TWENTY-TWO r9-blessed keys that overflowed this round's
+# 50-slot window (the four r12 additions pushed them out; last
+# driver-checked r09: q16, q17, q18, q19, q19b, q20, q21, q22, q23, q24,
+# q25, q26, q27, q28, q29, q30, q01, q02, q03, q04, q05, q06) + the
+# next-oldest blessed block (the r10 wave — q32..q61 and the r10 llm_*
+# keys, last driver-checked r10).
 _ROTATE_FIRST: list = [
     # round-12 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
