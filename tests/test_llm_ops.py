@@ -2967,8 +2967,11 @@ class TestTakeTokenBudget:
         assert {
             r.seq for r in take_token_budget(df, 99, "n", "seq").collect()
         } == {0, 1, 2}
-        # budget covers everything -> identity
+        # budget covers everything -> identity; budget EXACTLY the total
+        # (550) keeps everything too (inclusive-cum semantics)
         assert take_token_budget(df, 10_000, "n", "seq").count() == 10
+        assert take_token_budget(df, 550, "n", "seq").count() == 10
+        assert take_token_budget(df, 549, "n", "seq").count() == 9
         # budget 0 -> empty (and zero-token docs at the head survive a
         # positive budget)
         assert take_token_budget(df, 0, "n", "seq").count() == 0
@@ -3580,6 +3583,20 @@ class TestDsirWeights:
             )
         )
         assert a == b
+
+    def test_self_target_weights_exactly_zero(self, spark):
+        """raw == target ⟹ every per-bucket log-ratio is EXACTLY 0
+        (identical counts and totals cancel term-for-term), so every
+        document's log_weight is 0.0 — the estimator's calibration
+        invariant."""
+        from metaframe_spark.operators import dsir_weights
+
+        raw_df = spark.createDataFrame(self.RAW, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_weights(raw_df, raw_df, buckets=self.B).collect()
+        }
+        assert got and all(v == 0.0 for v in got.values()), got
 
     def test_validation(self, spark):
         from metaframe_spark.operators import dsir_weights
