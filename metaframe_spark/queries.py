@@ -6519,6 +6519,72 @@ def llm_bpe_chunks(spark, sf):
     return bpe_chunk_documents(d, merges, max_tokens=64)
 
 
+@query(
+    "llm_bpe_fertility",
+    "WITH RECURSIVE "
+    f"mg(first, second, rank) AS (VALUES {_BPE_MERGES_VALUES}), "
+    "mp AS (SELECT map(list(upper(hex(encode(first))) || ':' || "
+    "  upper(hex(encode(second)))), list(rank)) AS m FROM mg), "
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+    "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word FROM documents), "
+    "w AS (SELECT DISTINCT word FROM tok), "
+    "s0 AS (SELECT word, list_transform(range(1, length(hx)//2 + 1), "
+    "  i -> substring(hx, 2*i-1, 2)) AS syms "
+    "  FROM (SELECT word, upper(hex(encode(word))) AS hx FROM w)), "
+    "enc AS (SELECT word, syms FROM s0 "
+    "  UNION ALL "
+    "  SELECT word, list_concat(list_concat(list_slice(syms, 1, p-1), "
+    "    [syms[p] || syms[p+1]]), list_slice(syms, p+2, len(syms))) "
+    "  FROM (SELECT word, syms, "
+    "    list_position(pr, list_aggregate(pr, 'min')) AS p, "
+    "    list_aggregate(pr, 'min') AS best "
+    "    FROM (SELECT word, syms, list_transform(range(1, len(syms)), "
+    "      i -> map_extract(m, syms[i] || ':' || syms[i+1])[1]) AS pr "
+    "      FROM enc, mp)) WHERE best IS NOT NULL), "
+    "fin AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM ("
+    "  SELECT word, syms, list_aggregate(list_transform("
+    "    range(1, len(syms)), i -> map_extract(m, "
+    "    syms[i] || ':' || syms[i+1])[1]), 'min') AS best "
+    "  FROM enc, mp) WHERE best IS NULL), "
+    "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS np, "
+    "  CAST(sum(f.n) AS BIGINT) AS nt "
+    "  FROM tok t JOIN fin f USING (word) GROUP BY 1), "
+    "doc AS (SELECT d.doc_id, d.lang, "
+    "  CAST(coalesce(strlen(d.text), 0) AS BIGINT) AS nb, "
+    "  coalesce(p.np, 0) AS np, coalesce(p.nt, 0) AS nt "
+    "  FROM documents d LEFT JOIN per p USING (doc_id)), "
+    "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(nb) AS BIGINT) AS n_bytes, "
+    "  CAST(sum(np) AS BIGINT) AS n_pretokens, "
+    "  CAST(sum(nt) AS BIGINT) AS n_tokens FROM doc GROUP BY 1) "
+    "SELECT lang, n_docs, n_bytes, n_pretokens, n_tokens, "
+    "CASE WHEN n_bytes > 0 THEN round(CAST(n_tokens AS DOUBLE) / n_bytes, 6) "
+    "  END AS tokens_per_byte, "
+    "CASE WHEN n_tokens > 0 THEN round(CAST(n_bytes AS DOUBLE) / n_tokens, 6) "
+    "  END AS bytes_per_token FROM g",
+)
+def llm_bpe_fertility(spark, sf):
+    """Tokenizer fertility data card (operators/text.py::bpe_fertility):
+    per language, real-BPE tokens spent per UTF-8 byte under the literal
+    merges relation — the metric multilingual data cards print to show
+    which scripts a vocabulary shortchanges, honest only with a real
+    encode (the regex bound is merges-blind). The oracle replays the
+    recursive-CTE encode, per-doc byte counts (strlen = UTF-8 octets),
+    and both rounded ratios; everything is integer sums plus one double
+    division per ratio, so the hash match is exact. Shape: the
+    bpe_tokenize economics + one id-keyed join + one group-count-bounded
+    groupBy."""
+    from .operators.text import bpe_fertility
+
+    merges = spark.createDataFrame(
+        _BPE_MERGES, "first string, second string, rank int"
+    )
+    d = load_table(spark, sf, "documents").to_spark().select(
+        "doc_id", "lang", "text"
+    )
+    return bpe_fertility(d, merges, by=["lang"])
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -6867,6 +6933,7 @@ _ROTATE_FIRST: list = [
     "llm_substring_dedup",
     "llm_dsir_weights",
     "llm_bpe_chunks",
+    "llm_bpe_fertility",
     # stalest re-checks: the r8 wave that overflowed the r11 window
     # (last driver-checked r08)
     "llm_neardup_incremental",

@@ -2126,6 +2126,32 @@ class TestBpeEncode:
         assert got[3] == (0, 0)
         assert got[4] == (3, 3)
 
+    def test_bpe_fertility_exact_and_empty_group(self, spark):
+        """Hand-computed per-group byte/token sums; an all-empty-text
+        group reports NULL ratios instead of a division error."""
+        from metaframe_spark.operators import bpe_fertility
+
+        rows = [
+            (1, "en", "the the"),   # 7 bytes; 2 pretokens; the=1 -> 2 toks
+            (2, "en", "thé"),       # 4 bytes; pretokens "th","é"; th + C3,A9 = 3 toks
+            (3, "xx", ""),          # zero-byte group: both ratios NULL
+            (4, "xx", ""),
+            (5, "yy", "   "),       # bytes but no tokens: tpb 0.0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r["lang"]: (
+                r["n_docs"], r["n_bytes"], r["n_pretokens"], r["n_tokens"],
+                r["tokens_per_byte"], r["bytes_per_token"],
+            )
+            for r in bpe_fertility(
+                df, self._merges_df(spark), by=["lang"]
+            ).collect()
+        }
+        assert got["en"] == (2, 11, 4, 5, round(5 / 11, 6), round(11 / 5, 6))
+        assert got["xx"] == (2, 0, 0, 0, None, None)
+        assert got["yy"] == (1, 3, 0, 0, 0.0, None)
+
     def test_bpe_chunk_documents_word_aligned_stream_cut(self, spark):
         """Chunks cover every pre-token exactly once in order, never
         split a word, and each chunk's REAL token count exceeds the
