@@ -280,7 +280,10 @@ def weighted_sample_exact(
     log-likelihood ratios (:func:`dsir_weights`, routinely ±hundreds)
     cannot overflow to inf or underflow to an excluded 0. Any finite
     log weight is a valid positive weight, so the non-positive-weight
-    exclusion applies only to NULLs in this mode.
+    exclusion applies only to NULLs and NaNs in this mode (NaN would
+    otherwise produce a NaN draw key, which sorts greater than any
+    double and could be selected when k exceeds the finite-weight row
+    count).
 
     With ``strata``, k rows are kept per stratum and the plan is the
     WindowGroupLimit shape (each input partition pre-prunes to its own
@@ -310,7 +313,13 @@ def weighted_sample_exact(
     ) / F.lit(float(16**15))
     if log_space:
         key = F.log(-F.log(u)) - w
-        scored = df.filter(w.isNotNull()).withColumn(key_col, key)
+        # NaN must be excluded explicitly: NaN survives isNotNull(), and a
+        # NaN draw key sorts GREATER than every double in Spark, so such a
+        # row could still be selected whenever k exceeds the count of
+        # finite-weight rows.
+        scored = df.filter(w.isNotNull() & ~F.isnan(w)).withColumn(
+            key_col, key
+        )
     else:
         key = -F.log(u) / w
         scored = df.filter(w > 0).withColumn(key_col, key)

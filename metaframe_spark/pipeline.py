@@ -111,7 +111,13 @@ def curate_corpus(
     how target-like their hashed-n-gram bag is and ``dsir_keep`` of them
     are drawn — the Xie et al. 2023 "select toward a quality domain"
     step, last among the filters so weights are computed only on rows
-    that survived everything else.
+    that survived everything else. Note the stage also drops zero-gram
+    survivors (documents whose normalized text yields no hashed n-grams,
+    e.g. empty after normalization): ``dsir_weights`` emits no row for
+    them, so the left-semi join excludes them even when ``dsir_keep``
+    exceeds the corpus size — a document with no content signal has no
+    defined importance weight, and silently keeping it would bypass the
+    resampling.
 
     ``max_tokens > 0`` caps the corpus at a TOKEN budget: after the
     deterministic interleave, the maximal prefix of the ``seq`` order

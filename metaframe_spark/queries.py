@@ -2639,6 +2639,39 @@ def llm_mixture_sample(spark, sf):
 
 
 @query(
+    "llm_token_budget",
+    "WITH toks AS (SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok "
+    "FROM documents), "
+    "cum AS (SELECT doc_id, n_tok, "
+    "SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c "
+    "FROM toks) "
+    "SELECT doc_id, n_tok FROM cum WHERE c <= 15000",
+)
+def llm_token_budget(spark, sf):
+    """Token-denominated corpus cap (operators/packing.py::
+    take_token_budget — r12 verdict next-#3): the maximal PREFIX of the
+    doc_id order whose INCLUSIVE running pre-token sum stays within a
+    15000-token budget — the reproducible "train on the first N tokens"
+    cut every data budget needs. The oracle recomputes the cut with a
+    naive one-task cumulative window — proving the distributed two-phase
+    decomposition (range sort + per-partition offsets collected once as
+    a dense literal array, in-partition running sum) yields the
+    identical boundary row, including the inclusive-sum edge (a row
+    whose own tokens overflow the budget is excluded even when the
+    budget is not yet exhausted before it)."""
+    from .operators.packing import take_token_budget
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    return take_token_budget(d, 15000, "n_tok", "doc_id").select(
+        "doc_id", "n_tok"
+    )
+
+
+@query(
     "llm_perplexity",
     "WITH t AS (SELECT doc_id, list_filter(string_split("
     f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
@@ -4433,7 +4466,12 @@ def q81_cogroup(spark, sf):
     deterministic 1/19 customer slice: per-group pandas dispatch costs
     ~100 µs/group regardless of group size, and the plumbing is proved
     as well on 8k groups as on 150k — the full-corpus shape for this
-    computation is q08/q81's plain join+agg, not a grouped UDF."""
+    computation is q08/q81's plain join+agg, not a grouped UDF. NOTE for
+    bench readers: this entry's BENCH number is therefore the sliced
+    cogroup (1/19 of customers), NOT full-corpus cogroup cost — the
+    unsliced grouped-UDF run measured ~14.6 s at sf0.1 (pure per-group
+    Python dispatch floor, BASELINE.md round-8 notes) and is exactly the
+    shape you should NOT use when a join+agg expresses the logic."""
     import pandas as pd
 
     o = load_table(spark, sf, "orders").filter(F.col("o_custkey") % 19 == 3)
@@ -6438,7 +6476,8 @@ def llm_dsir_weights(spark, sf):
     unigram+bigram bag under the target vs the raw smoothed
     bag-of-buckets LMs — the standard "resample the crawl toward a
     quality domain" signal, feeding weighted_sample_exact with
-    exp(log_weight). The oracle refits BOTH LMs and replays every
+    log_space=True on log_weight (never exponentiate — DSIR ratios run
+    to ±hundreds, so exp overflows/underflows). The oracle refits BOTH LMs and replays every
     score: md5-mod bucket hashing, α=1 smoothing over 4096 buckets,
     per-bucket log-ratios rounded to 6 and DECIMAL-summed per document
     (the unigram_nll determinism discipline), so the hash match pins
@@ -6897,6 +6936,62 @@ _R11_DRIVER_BLESSED = frozenset(
     ]
 )
 
+_R12_DRIVER_BLESSED = frozenset(
+    {
+        # CORRECTNESS_r12.json — all 50 window rows green (rows+schema+hash)
+        "llm_ann_topk",
+        "llm_bloom_decontaminate",
+        "llm_bpe_chunks",
+        "llm_bpe_fertility",
+        "llm_bpe_tokens",
+        "llm_chunks",
+        "llm_cosine_topk",
+        "llm_dedup_keep_best",
+        "llm_domain_cap",
+        "llm_domain_pagerank",
+        "llm_dsir_weights",
+        "llm_exact_dedup",
+        "llm_fingerprint",
+        "llm_html_extract",
+        "llm_html_links",
+        "llm_ivf_topk",
+        "llm_label_centroids",
+        "llm_lang_id",
+        "llm_minhash_pairs",
+        "llm_minhash_store",
+        "llm_mix_report",
+        "llm_multimodal_extract",
+        "llm_multimodal_frames",
+        "llm_multimodal_resize",
+        "llm_neardup_groups",
+        "llm_neardup_incremental",
+        "llm_ngram_jaccard",
+        "llm_pagerank_redistribute",
+        "llm_pii_mask",
+        "llm_psl_domains",
+        "llm_quality",
+        "llm_quality_classifier",
+        "llm_repetition",
+        "llm_simhash_pairs",
+        "llm_substring_dedup",
+        "llm_text_clean",
+        "llm_token_count",
+        "llm_url_canonical",
+        "llm_url_features",
+        "llm_weighted_sample",
+        "q13",
+        "q14",
+        "q31_asof",
+        "q82_make_datetime",
+        "q83_union_by_name",
+        "q84_json_array",
+        "q85_hll_sketch",
+        "q86_blocklist_antijoin",
+        "q87_moments_store",
+        "q88_histogram_quantiles",
+    }
+)
+
 _DRIVER_BLESSED = (
     _R6_DRIVER_BLESSED
     | _R7_DRIVER_BLESSED
@@ -6904,89 +6999,41 @@ _DRIVER_BLESSED = (
     | _R9_DRIVER_BLESSED
     | _R10_DRIVER_BLESSED
     | _R11_DRIVER_BLESSED
+    | _R12_DRIVER_BLESSED
 )
 
 # New-this-round entries to pin at the very front of the driver window.
 #
-# ROUND-12 ROTATION (executing the r11 note): every key in the catalog now
-# carries a driver blessing (r01-r11 union = 168/168), so the window is
-# round-12 additions (never driver-checked) followed by the stalest
-# blessings.  Order: round-12 additions first, then the EIGHTEEN r8-wave
-# keys that overflowed the r11 window (last driver-checked r08), then the
-# next-oldest blessed block — the r9 wave (q01-q06, q13-q30, q31_asof,
-# q85-q88, and the r9 llm_* keys, last driver-checked r09).  Keys past
-# slot 50 overflow to round 13 — cheapest/most-stable at the tail.
+# ROUND-13 ROTATION (executing the r12 note / VERDICT r12 next-#1): every
+# key's latest driver check is now r9 (23 keys), r10 (50), r11 (50) or r12
+# (50) — cumulative blessing 173/173 with zero latest-check failures.  The
+# round-13 window is: round-13 additions (never driver-checked) first,
+# then the TWENTY-THREE r9-blessed keys that overflowed the r12 window
+# (last driver-checked r09: q15-q18, q19, q19b, q20-q30, q01-q06), then
+# the next-oldest blessed block — the r10 wave (the 14 r10 llm_* keys,
+# then q32..q61 and q89..q94, last driver-checked r10).  Keys past slot 50
+# overflow to round 14 — cheapest/most-stable at the tail.
 #
-# ROUND-13 NOTE (execute at the start of round 13): fold every key with a
-# green row in CORRECTNESS_r12.json into a `_R12_DRIVER_BLESSED` frozenset
-# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-13
-# additions + the TWENTY-TWO r9-blessed keys that overflowed this round's
-# 50-slot window (the four r12 additions pushed them out; last
-# driver-checked r09: q16, q17, q18, q19, q19b, q20, q21, q22, q23, q24,
-# q25, q26, q27, q28, q29, q30, q01, q02, q03, q04, q05, q06) + the
-# next-oldest blessed block (the r10 wave — q32..q61 and the r10 llm_*
-# keys, last driver-checked r10).
+# ROUND-14 NOTE (execute at the start of round 14): fold every key with a
+# green row in CORRECTNESS_r13.json into a `_R13_DRIVER_BLESSED` frozenset
+# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-14
+# additions + whatever r10-wave keys overflowed this round's 50-slot
+# window (count the round-13 additions at the front of this list: with A
+# additions the first 50-A-23 r10-wave keys below get checked and the
+# remainder roll forward), then the r11 wave (last driver-checked r11) as
+# the next-oldest block.
 _ROTATE_FIRST: list = [
-    # round-12 additions (never driver-checked before) are prepended here
+    # round-13 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
-    "llm_bpe_tokens",
-    "llm_substring_dedup",
-    "llm_dsir_weights",
-    "llm_bpe_chunks",
-    "llm_bpe_fertility",
-    # stalest re-checks: the r8 wave that overflowed the r11 window
-    # (last driver-checked r08)
-    "llm_neardup_incremental",
-    "llm_quality_classifier",
-    "llm_domain_pagerank",
-    "llm_bloom_decontaminate",
-    "llm_dedup_keep_best",
-    "llm_label_centroids",
-    "llm_weighted_sample",
-    "llm_domain_cap",
-    "llm_html_extract",
-    "llm_html_links",
-    "llm_psl_domains",
-    "llm_mix_report",
-    "llm_text_clean",
-    "llm_url_canonical",
-    "llm_url_features",
-    "q82_make_datetime",
-    "q83_union_by_name",
-    "q84_json_array",
-    # next-oldest blessed block: the r9 wave (last driver-checked r09)
-    "llm_ann_topk",
-    "llm_chunks",
-    "llm_cosine_topk",
-    "llm_exact_dedup",
-    "llm_fingerprint",
-    "llm_ivf_topk",
-    "llm_lang_id",
-    "llm_minhash_pairs",
-    "llm_minhash_store",
-    "llm_multimodal_extract",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    "llm_neardup_groups",
-    "llm_ngram_jaccard",
-    "llm_pagerank_redistribute",
-    "llm_pii_mask",
-    "llm_quality",
-    "llm_repetition",
-    "llm_simhash_pairs",
-    "llm_token_count",
-    "q31_asof",
-    "q85_hll_sketch",
-    "q86_blocklist_antijoin",
-    "q87_moments_store",
-    "q88_histogram_quantiles",
-    "q13",
-    "q14",
+    "llm_token_budget",
+    "llm_pack_documents",
+    "llm_bpe_chunks_special",
+    # stalest re-checks: the r9 wave that overflowed the r12 window
+    # (last driver-checked r09)
     "q15",
     "q16",
     "q17",
     "q18",
-    # tail: cheapest/most-stable — these overflow to round 13
     "q19",
     "q19b",
     "q20",
@@ -7006,6 +7053,60 @@ _ROTATE_FIRST: list = [
     "q04",
     "q05",
     "q06",
+    # next-oldest blessed block: the r10 wave (last driver-checked r10) —
+    # llm_* first (the heavier multi-stage operators where a re-check
+    # carries the most information), then the relational q-entries
+    "llm_semantic_dedup",
+    "llm_dedup_incremental",
+    "llm_ivf_corpus",
+    "llm_ivf_sq",
+    "llm_ivf_store",
+    "llm_prefix_jaccard",
+    "llm_quantize",
+    "llm_cosine_dups",
+    "llm_decontaminate",
+    "llm_span_dedup",
+    "llm_bm25",
+    "llm_tfidf",
+    "llm_vocab",
+    "llm_perplexity",
+    "q32_sessionize",
+    "q33_resample",
+    "q34_pivot",
+    "q35_explode",
+    "q36_from_json",
+    "q37_higher_order",
+    "q38_regexp_extract",
+    "q39_map_funcs",
+    "q40_salted_agg",
+    "q41_percentiles",
+    # tail: cheapest/most-stable — these overflow to round 14
+    "q42_grouping_sets",
+    "q43_ffill",
+    "q44_fuzzy_match",
+    "q45_funnel",
+    "q46_retention",
+    "q47_rank_funcs",
+    "q48_percentiles_dist",
+    "q49_unpivot",
+    "q50_rolling",
+    "q51_conditional_agg",
+    "q52_string_funcs",
+    "q53_date_funcs",
+    "q54_pk_broadcast_join",
+    "q55_merge_upsert",
+    "q56_scd2",
+    "q57_array_funcs",
+    "q58_profile",
+    "q59_time_funcs",
+    "q60_conditional_expr",
+    "q61_profile_extended",
+    "q89_heavy_hitters",
+    "q90_sketch_compact",
+    "q91_heavy_hitters_pruned",
+    "q92_drift_psi",
+    "q93_expectations",
+    "q94_bottomk_sample",
 ]
 
 

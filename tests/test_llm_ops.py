@@ -3671,6 +3671,25 @@ class TestDsirWeights:
         ).collect()
         assert top["doc_id"] == 1 and math.isfinite(top["sample_key"])
 
+    def test_log_space_excludes_nan_weights(self, spark):
+        """A NaN log_weight must never be selected, even when k exceeds
+        the finite-weight row count (NaN sorts greater than any double
+        in Spark, so without the explicit isnan filter it would slip
+        into an over-asked draw)."""
+        from metaframe_spark.operators import weighted_sample_exact
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, float("nan")), (3, None), (4, 5.0)],
+            "doc_id long, lw double",
+        )
+        got = {
+            r["doc_id"]
+            for r in weighted_sample_exact(
+                df, 10, "lw", "doc_id", log_space=True
+            ).collect()
+        }
+        assert got == {1, 4}
+
 
 class TestMixtureReport:
     def test_counts_and_shares_exact(self, spark):

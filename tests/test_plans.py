@@ -404,47 +404,50 @@ class TestCatalogPlanLint:
                 failures.append(f"{name}: unallowlisted Exchange SinglePartition")
         assert not failures, "\n".join(failures)
 
-    # the catalog's expensive tail (slowest entries in BENCH_local_r7 —
-    # the plans where a runtime scale-killer would hurt most); kept as an
-    # explicit list so a rename fails loudly rather than silently
-    # un-linting an entry
-    EXPENSIVE_TAIL = [
-        "llm_ivf_store",            # joined the tail in round 10 (~3.2 s: per-iteration fit + index round-trip + probe)
-        "llm_ivf_corpus",           # joined the tail in round 10 (~3.7 s: per-iteration fit + partitioned corpus write + probe)
-        "llm_ivf_sq",               # joined the tail in round 10 (fit + quantized corpus write + decode probe)
-        "llm_prefix_jaccard",       # joined the tail in round 10 (~3.8 s: frequency join + prefix self-join + exact verify)
-        "llm_minhash_store",        # joined the tail in round 9 (~2.7 s: parquet round-trip + band join)
-        "q88_histogram_quantiles",  # joined the tail in round 9 (~3 s: 2-run histogram merge + exact-percentile validation column)
-        "llm_minhash_pairs",        # top-12 in the r8 full run (~2.5 s)
-        "llm_neardup_incremental",  # top-12 in the r8 full run (~2.1 s)
-        "q81_cogroup",              # joined the tail in round 8 (~3.7 s)
-        "llm_domain_pagerank",      # joined the tail in round 8 (~2.0 s)
-        "llm_bloom_decontaminate",  # joined the tail in round 8 (~1.9 s)
-        "llm_semantic_dedup",
-        "llm_neardup_groups",
-        "q58_profile",
-        "q41_percentiles",
-        "llm_simhash_pairs",
-        "q28",
-        "llm_ann_topk",
-        "llm_ivf_topk",
-        "q48_percentiles_dist",
-        "llm_cosine_dups",
-    ]
+    # the catalog's expensive tail is DERIVED from the latest full bench
+    # record (BENCH_SIDECAR.json, refreshed every round's quiet-machine
+    # run) so it tracks the true cost ranking instead of rotting as
+    # entries get faster/slower across rounds (r12 verdict "what's wrong"
+    # #1: the static r7-r10 list had drifted away from the real top-3).
+    # A renamed/retired entry fails loudly: every slowest-N name must
+    # still exist in QUERIES.
+    EXPENSIVE_TAIL_N = 16
+
+    @classmethod
+    def expensive_tail(cls):
+        import json
+        import os
+
+        sidecar = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_SIDECAR.json",
+        )
+        with open(sidecar) as f:
+            times = json.load(f)["queries"]
+        ranked = sorted(times, key=times.get, reverse=True)
+        tail = ranked[: cls.EXPENSIVE_TAIL_N]
+        missing = [n for n in tail if n not in QUERIES]
+        assert not missing, (
+            f"BENCH_SIDECAR slowest-{cls.EXPENSIVE_TAIL_N} entries missing "
+            f"from the catalog (renamed/retired without a bench refresh?): "
+            f"{missing}"
+        )
+        return tail
 
     def test_expensive_tail_final_post_aqe_plans_clean(self, spark):
-        """lint_plan(execute=True) on the 10 slowest catalog entries: the
-        initial-plan sweep above can in principle diverge from what AQE
-        actually runs, so the expensive tail is executed and its FINAL
-        (isFinalPlan=true) physical plans are swept with the same
-        documented allowlists. q58's one-row global profile is the only
-        tail entry with a declared SinglePartition; none allow cartesians
-        or row-at-a-time Python."""
+        """lint_plan(execute=True) on the slowest catalog entries per the
+        latest full bench record: the initial-plan sweep above can in
+        principle diverge from what AQE actually runs, so the expensive
+        tail is executed and its FINAL (isFinalPlan=true) physical plans
+        are swept with the same documented allowlists. One-row global
+        profiles are the only tail entries with a declared
+        SinglePartition; none allow cartesians or row-at-a-time Python."""
         from metaframe_spark.scale import lint_plan
 
-        assert set(self.EXPENSIVE_TAIL) <= set(QUERIES)
+        tail = self.expensive_tail()
+        assert len(tail) == self.EXPENSIVE_TAIL_N
         failures = []
-        for name in self.EXPENSIVE_TAIL:
+        for name in tail:
             allow = (["Exchange SinglePartition"] if name in self.SINGLE_OK else []) + (
                 ["BroadcastNestedLoopJoin"] if name in self.BNLJ_OK else []
             )
