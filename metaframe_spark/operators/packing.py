@@ -276,3 +276,115 @@ def take_token_budget(
     )
     sorted_df.unpersist()
     return out
+
+
+def pack_documents(
+    df: DataFrame,
+    bin_capacity: int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    n_groups: int = 32,
+) -> DataFrame:
+    """Document-boundary-respecting bin packing (r12 verdict next-#4):
+    assign each document to a fixed-capacity training bin WITHOUT ever
+    splitting a document — the packing trainers want when cross-document
+    attention is forbidden (concat-and-chunk, :func:`pack_sequences`, is
+    the splitting alternative). First-fit-decreasing (FFD, the classic
+    11/9·OPT+1 guarantee) runs EXACTLY within each of ``n_groups``
+    deterministic md5(id) buckets, so the assignment is a pure function
+    of the data — reproducible on any cluster layout and recomputable by
+    a SQL oracle.
+
+    Output: one row per input document — ``id_col``, ``tokens_col``
+    (coalesced to long), ``pack_group`` (the md5 bucket), ``bin_id``
+    (1-based FFD bin within the group; a (pack_group, bin_id) pair is a
+    globally unique bin). Documents LARGER than ``bin_capacity`` cannot
+    be packed without splitting and come back with ``bin_id`` NULL — the
+    caller decides whether to truncate, split via :func:`pack_sequences`,
+    or drop them.
+
+    Scale contract: the corpus shuffles ONCE (hash on ``pack_group``);
+    each group is ~``n_docs / n_groups`` documents, so the caller sizes
+    ``n_groups`` to keep groups executor-bounded (10k-100k docs each is
+    comfortable). Inside a group the Arrow-batched pandas stage runs FFD
+    with a segment tree over bin remainders — leftmost-fit descent is
+    O(log bins) per document, so a 100k-doc group costs ~2M comparisons,
+    never the naive O(docs × bins) scan. Bucket-local FFD wastes at most
+    one partial tail bin per group versus corpus-global FFD — bounded,
+    and corpus-global FFD is inherently sequential (every placement
+    depends on all prior placements), so the bucketed form IS the
+    scalable semantics, not an approximation of a reachable ideal.
+
+    Properties pinned by tests: per-bin fill ≤ capacity; at most one bin
+    per group ≤ half-full (the FFD half-fill lemma: two half-empty bins
+    cannot coexist — the later one's first item would have fit in the
+    earlier); partitioning-invariance; every input row present exactly
+    once.
+    """
+    import pandas as pd
+
+    if bin_capacity <= 0:
+        raise ValueError("bin_capacity must be > 0")
+    if n_groups <= 0:
+        raise ValueError("n_groups must be > 0")
+    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    g = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(n_groups)
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = df.select(
+        F.col(id_col),
+        n.alias(tokens_col),
+        g.alias("pack_group"),
+    )
+    schema = (
+        f"{id_col} {id_type}, {tokens_col} long, "
+        "pack_group long, bin_id long"
+    )
+    cap = int(bin_capacity)
+    tok, idc = tokens_col, id_col
+
+    def _ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # self-contained (executors don't have the repo on sys.path):
+        # exact first-fit-decreasing via a max-segment-tree over bin
+        # remainders; descending leftmost-child-first finds the FIRST bin
+        # with remainder >= size in O(log bins). Oversized documents
+        # ride the same shuffle (they must reach the output anyway) and
+        # take bin_id NULL here — one scan, one exchange, no union.
+        pdf = pdf.sort_values([tok, idc], ascending=[False, True])
+        sizes = [int(x) for x in pdf[tok]]
+        m = len(sizes)
+        width = 1
+        while width < max(1, m):
+            width <<= 1
+        tree = [-1] * (2 * width)  # -1 marks a not-yet-opened bin
+        nbins = 0
+        bins = []
+        for s in sizes:
+            if s > cap:
+                bins.append(None)  # unpackable without splitting
+                continue
+            if tree[1] >= s:
+                i = 1
+                while i < width:
+                    i = 2 * i if tree[2 * i] >= s else 2 * i + 1
+                b = i - width
+                rem = tree[i] - s
+            else:
+                b = nbins
+                nbins += 1
+                rem = cap - s
+            i = width + b
+            tree[i] = rem
+            i >>= 1
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i >>= 1
+            bins.append(b + 1)
+        out = pdf.copy()
+        out["bin_id"] = pd.Series(bins, index=pdf.index, dtype="Int64")
+        return out
+
+    return base.groupBy("pack_group").applyInPandas(_ffd, schema=schema)

@@ -433,6 +433,7 @@ def bpe_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     merges_in_hex: bool = False,
+    n_special_per_doc: int = 0,
 ) -> DataFrame:
     """Per-document REAL BPE token counts: pre-tokenize with
     :data:`BPE_TOKEN_PATTERN` (the same boundaries the approximate
@@ -446,6 +447,16 @@ def bpe_tokenize(
     :func:`chunk_documents`-style budgets to make them denominated in
     real tokens instead of the regex bound.
 
+    ``n_special_per_doc`` reserves that many special tokens (BOS/EOS,
+    document separators) in every document's ``n_tokens`` — trainer
+    budgets count the specials the collator inserts, not just the
+    subwords, so a downstream token-budget cut
+    (:func:`~metaframe_spark.operators.packing.take_token_budget`) only
+    matches trainer reality with the reservation included. Applied to
+    EVERY document, including zero-pre-token ones (a BOS/EOS still
+    wraps an empty document). Default 0 preserves the pure-subword
+    count.
+
     100 TB shape: the O(bytes²) encode loop is paid once per DISTINCT
     pre-token (Heaps'-law bounded — millions of short strings at corpus
     scale, not trillions of occurrences); the per-occurrence work is one
@@ -453,6 +464,10 @@ def bpe_tokenize(
     document. Zero-pre-token documents survive with ``n_tokens = 0``
     (explode_outer + coalesce), so downstream packing sees the whole
     corpus."""
+    if n_special_per_doc < 0:
+        raise ValueError(
+            f"n_special_per_doc must be >= 0 ({n_special_per_doc})"
+        )
     toks = F.regexp_extract_all(
         F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
     )
@@ -477,9 +492,12 @@ def bpe_tokenize(
         .groupBy(id_col)
         .agg(
             F.count("_mf_word").cast("long").alias("n_pretokens"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
-                "n_tokens"
-            ),
+            (
+                F.coalesce(F.sum("n_tokens"), F.lit(0))
+                + F.lit(int(n_special_per_doc))
+            )
+            .cast("long")
+            .alias("n_tokens"),
         )
     )
     result._mf_persisted = exploded
@@ -560,6 +578,7 @@ def bpe_chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     merges_in_hex: bool = False,
+    n_special_per_chunk: int = 0,
 ) -> DataFrame:
     """Split documents into chunks whose budgets are REAL BPE token
     counts — the :func:`chunk_documents` capability re-denominated in
@@ -580,6 +599,14 @@ def bpe_chunk_documents(
     shared words; compose with overlapping char windows upstream when
     overlap matters).
 
+    ``n_special_per_chunk`` reserves that many special-token slots
+    (BOS/EOS the collator adds per sequence) in EVERY chunk: the content
+    stream is cut every ``max_tokens − n_special_per_chunk`` real
+    tokens, and the reported ``n_tokens`` includes the reservation — so
+    a chunk's count is exactly what the trainer's ``max_tokens``-sized
+    context window receives. ``max_tokens`` must exceed the
+    reservation; default 0 preserves the pure-content cut.
+
     Returns ``(id_col, chunk_idx, n_tokens, chunk)``; empty documents
     yield no chunks. Fully deterministic, so a SQL oracle replays the
     encode + cumulative cut + reassembly and hash-matches the chunk
@@ -595,6 +622,17 @@ def bpe_chunk_documents(
     if max_tokens < 1:
         raise ValueError(
             f"bpe_chunk_documents: max_tokens must be >= 1 ({max_tokens})"
+        )
+    if n_special_per_chunk < 0:
+        raise ValueError(
+            "bpe_chunk_documents: n_special_per_chunk must be >= 0 "
+            f"({n_special_per_chunk})"
+        )
+    content_budget = int(max_tokens) - int(n_special_per_chunk)
+    if content_budget < 1:
+        raise ValueError(
+            "bpe_chunk_documents: max_tokens must exceed "
+            f"n_special_per_chunk ({max_tokens} <= {n_special_per_chunk})"
         )
     toks = F.regexp_extract_all(
         F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0
@@ -618,13 +656,15 @@ def bpe_chunk_documents(
             "_start", (F.sum("_wtok").over(win) - F.col("_wtok")).cast("long")
         )
         .withColumn(
-            "_chunk", F.floor(F.col("_start") / F.lit(int(max_tokens)))
+            "_chunk", F.floor(F.col("_start") / F.lit(content_budget))
         )
     )
     result = (
         assigned.groupBy(id_col, "_chunk")
         .agg(
-            F.sum("_wtok").cast("long").alias("n_tokens"),
+            (F.sum("_wtok") + F.lit(int(n_special_per_chunk)))
+            .cast("long")
+            .alias("n_tokens"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("_widx"), F.col("_w")))
             ).alias("_ws"),

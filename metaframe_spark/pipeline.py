@@ -70,6 +70,7 @@ def curate_corpus(
     dsir_seed: int = 0,
     max_tokens: int = 0,
     token_merges: Optional[DataFrame] = None,
+    n_special_per_doc: int = 0,
 ) -> Tuple[DataFrame, Dict[str, int]]:
     """Run the full curation flow; returns (curated_df, stage_counts).
 
@@ -126,9 +127,11 @@ def curate_corpus(
     exact and rerun-stable. Pass ``token_merges`` (a BPE merges
     relation) to denominate the budget in REAL subword counts
     (:func:`~metaframe_spark.operators.text.bpe_tokenize`); without it
-    the regex pre-token bound applies. The output carries the budget
-    denomination as ``budget_tokens`` (``n_tokens`` is already the quality
-    stage's whitespace count).
+    the regex pre-token bound applies. ``n_special_per_doc`` reserves
+    that many collator special tokens (BOS/EOS) in every document's
+    budget count, so the cap matches what the trainer actually consumes.
+    The output carries the budget denomination as ``budget_tokens``
+    (``n_tokens`` is already the quality stage's whitespace count).
 
     With ``n_shards > 0`` the result carries ``seq`` (deterministic global
     interleave order) and ``shard`` columns, ready for a partitioned write
@@ -451,17 +454,22 @@ def curate_corpus(
 
         if token_merges is not None:
             tok = bpe_tokenize(
-                out.select(id_col, text_col), token_merges, text_col, id_col
+                out.select(id_col, text_col), token_merges, text_col, id_col,
+                n_special_per_doc=n_special_per_doc,
             ).select(
                 id_col, F.col("n_tokens").alias("budget_tokens")
             )
             out = out.join(tok, id_col, "left").withColumn(
                 "budget_tokens",
-                F.coalesce(F.col("budget_tokens"), F.lit(0)),
+                F.coalesce(
+                    F.col("budget_tokens"), F.lit(int(n_special_per_doc))
+                ),
             )
         else:
             out = out.withColumn(
-                "budget_tokens", bpe_token_count(F.col(text_col))
+                "budget_tokens",
+                F.coalesce(bpe_token_count(F.col(text_col)), F.lit(0))
+                + F.lit(int(n_special_per_doc)),
             )
         out = take_token_budget(out, max_tokens, "budget_tokens", "seq")
         if stage_counts:

@@ -2198,6 +2198,85 @@ class TestBpeEncode:
         with pytest.raises(ValueError, match="max_tokens"):
             bpe_chunk_documents(df, self._merges_df(spark), max_tokens=0)
 
+    def test_bpe_tokenize_special_token_reservation(self, spark):
+        """n_special_per_doc lands on EVERY document (even empty ones —
+        BOS/EOS wraps an empty doc too) and the budgeted count feeds a
+        token-budget cut at the exact boundary (r12 verdict next-#5)."""
+        from metaframe_spark.operators import bpe_tokenize
+        from metaframe_spark.operators.packing import take_token_budget
+
+        rows = [(1, "the thing"), (2, ""), (3, "the the the")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_pretokens"], r["n_tokens"])
+            for r in bpe_tokenize(
+                df, self._merges_df(spark), n_special_per_doc=2
+            ).collect()
+        }
+        # pure-subword counts (1,2,0) shifted by +2 everywhere
+        assert got == {1: (2, 5), 2: (0, 2), 3: (3, 5)}
+        # exactly-at-budget boundary: cumulative 5,7,12 — budget 7 keeps
+        # docs 1+2 (inclusive-sum edge), budget 6 only doc 1's 5
+        counts = bpe_tokenize(
+            df, self._merges_df(spark), n_special_per_doc=2
+        ).select("doc_id", "n_tokens")
+        assert {
+            r.doc_id for r in take_token_budget(
+                counts, 7, "n_tokens", "doc_id"
+            ).collect()
+        } == {1, 2}
+        assert {
+            r.doc_id for r in take_token_budget(
+                counts, 6, "n_tokens", "doc_id"
+            ).collect()
+        } == {1}
+        with pytest.raises(ValueError, match="n_special_per_doc"):
+            bpe_tokenize(df, self._merges_df(spark), n_special_per_doc=-1)
+
+    def test_bpe_chunk_special_reservation_shifts_cut_and_fills_budget(
+        self, spark
+    ):
+        """n_special_per_chunk cuts content every max_tokens - n tokens
+        and reports n_tokens INCLUDING the reservation — a stream of
+        1-token words fills each window to exactly max_tokens (the
+        exactly-at-budget boundary), and the cut matches the unreserved
+        call at the reduced budget."""
+        from metaframe_spark.operators import bpe_chunk_documents
+
+        # 'the' encodes to exactly 1 token under the fixture merges
+        df = spark.createDataFrame(
+            [(1, "the " * 10)], "doc_id long, text string"
+        )
+        out = sorted(
+            (r.chunk_idx, r.n_tokens, r.chunk)
+            for r in bpe_chunk_documents(
+                df, self._merges_df(spark), max_tokens=7,
+                n_special_per_chunk=2,
+            ).collect()
+        )
+        # 10 one-token words / 5-content-token windows -> 2 full chunks,
+        # each reporting exactly max_tokens
+        assert [(i, n) for i, n, _ in out] == [(0, 7), (1, 7)]
+        assert all(c == "the the the the the" for _, _, c in out)
+        # identical CUT as the unreserved call at the content budget
+        plain = sorted(
+            (r.chunk_idx, r.chunk)
+            for r in bpe_chunk_documents(
+                df, self._merges_df(spark), max_tokens=5
+            ).collect()
+        )
+        assert [(i, c) for i, _, c in out] == plain
+        with pytest.raises(ValueError, match="n_special_per_chunk"):
+            bpe_chunk_documents(
+                df, self._merges_df(spark), max_tokens=5,
+                n_special_per_chunk=-1,
+            )
+        with pytest.raises(ValueError, match="exceed"):
+            bpe_chunk_documents(
+                df, self._merges_df(spark), max_tokens=5,
+                n_special_per_chunk=5,
+            )
+
     def test_pack_sequences_with_real_counts(self, spark):
         """The r11 verdict's integration ask: pack_sequences budgets
         denominated in REAL BPE counts — per-doc slice lengths sum to the
@@ -3042,6 +3121,133 @@ class TestTakeTokenBudget:
         df = spark.createDataFrame([(1, 1, 0)], "doc_id long, n long, seq long")
         with pytest.raises(ValueError, match="budget"):
             take_token_budget(df, -1, "n", "seq")
+
+
+class TestPackDocuments:
+    """operators/packing.py::pack_documents — doc-boundary FFD packing
+    invariants (r12 verdict next-#4)."""
+
+    def _docs(self, spark, n=400, cap=100):
+        rows = [(i, (i * 29) % 97 + 1) for i in range(n)]  # sizes 1..97
+        return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+    def test_bins_respect_capacity_and_cover_all_docs(self, spark):
+        from metaframe_spark.operators.packing import pack_documents
+
+        df = self._docs(spark)
+        out = pack_documents(df, 100, "n_tok", n_groups=4).collect()
+        assert len(out) == 400
+        assert len({r.doc_id for r in out}) == 400  # each doc exactly once
+        fills = {}
+        for r in out:
+            assert r.bin_id is not None  # nothing oversized here
+            fills.setdefault((r.pack_group, r.bin_id), 0)
+            fills[(r.pack_group, r.bin_id)] += r.n_tok
+        assert max(fills.values()) <= 100
+        # bin ids are dense 1..max within each group
+        from collections import defaultdict
+
+        per_group = defaultdict(set)
+        for g, b in fills:
+            per_group[g].add(b)
+        for g, bins in per_group.items():
+            assert bins == set(range(1, len(bins) + 1)), (g, bins)
+
+    def test_ffd_half_fill_lemma(self, spark):
+        """At most one bin per group may end <= half-full: if two were,
+        the later-opened one's FIRST (largest) item would have fit into
+        the earlier — first-fit would never have opened it."""
+        from collections import defaultdict
+
+        from metaframe_spark.operators.packing import pack_documents
+
+        df = self._docs(spark)
+        out = pack_documents(df, 100, "n_tok", n_groups=4).collect()
+        fills = defaultdict(int)
+        for r in out:
+            fills[(r.pack_group, r.bin_id)] += r.n_tok
+        lax = defaultdict(int)
+        for (g, _), fill in fills.items():
+            if fill <= 50:
+                lax[g] += 1
+        assert all(v <= 1 for v in lax.values()), dict(lax)
+
+    def test_oversized_docs_get_null_bin(self, spark):
+        from metaframe_spark.operators.packing import pack_documents
+
+        rows = [(1, 101), (2, 50), (3, 100), (4, None), (5, 0)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {r.doc_id: r for r in pack_documents(
+            df, 100, "n_tok", n_groups=2
+        ).collect()}
+        assert len(got) == 5
+        assert got[1].bin_id is None  # 101 > capacity
+        assert got[3].bin_id is not None  # exactly capacity fits
+        # NULL tokens coalesce to 0 and pack like a zero-size doc
+        assert got[4].n_tok == 0 and got[4].bin_id is not None
+        assert got[5].bin_id is not None
+
+    def test_deterministic_under_repartition(self, spark):
+        from metaframe_spark.operators.packing import pack_documents
+
+        df = self._docs(spark)
+        key = lambda rows: sorted(
+            (r.doc_id, r.pack_group, r.bin_id) for r in rows
+        )
+        a = key(pack_documents(df, 100, "n_tok", n_groups=4).collect())
+        b = key(
+            pack_documents(
+                df.repartition(13), 100, "n_tok", n_groups=4
+            ).collect()
+        )
+        assert a == b
+
+    def test_matches_naive_first_fit_decreasing(self, spark):
+        """The segment-tree descent must place documents EXACTLY like
+        the textbook sequential first-fit-decreasing scan (this is the
+        property the DuckDB oracle also pins at catalog scale)."""
+        import hashlib
+        from collections import defaultdict
+
+        from metaframe_spark.operators.packing import pack_documents
+
+        cap, n_groups = 64, 3
+        rows = [(i, (i * 13) % 63 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {
+            r.doc_id: (r.pack_group, r.bin_id)
+            for r in pack_documents(
+                df, cap, "n_tok", n_groups=n_groups
+            ).collect()
+        }
+        # naive replay: same md5 bucketing, (n desc, id asc), linear scan
+        groups = defaultdict(list)
+        for i, n in rows:
+            g = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_groups
+            groups[g].append((n, i))
+        exp = {}
+        for g, items in groups.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            rems = []
+            for n, i in items:
+                for j, r in enumerate(rems):
+                    if r >= n:
+                        rems[j] = r - n
+                        exp[i] = (g, j + 1)
+                        break
+                else:
+                    rems.append(cap - n)
+                    exp[i] = (g, len(rems))
+        assert got == exp
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.packing import pack_documents
+
+        df = spark.createDataFrame([(1, 1)], "doc_id long, n_tok long")
+        with pytest.raises(ValueError, match="bin_capacity"):
+            pack_documents(df, 0, "n_tok")
+        with pytest.raises(ValueError, match="n_groups"):
+            pack_documents(df, 10, "n_tok", n_groups=0)
 
 
 class TestPackSequences:

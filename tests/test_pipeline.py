@@ -540,6 +540,36 @@ def test_token_budget_stage_cuts_exact_reproducible_prefix(spark, messy):
     }
 
 
+def test_token_budget_counts_collator_special_tokens(spark, messy):
+    """n_special_per_doc: the budget stage charges each document the
+    collator's BOS/EOS overhead, so the cut lands earlier than the
+    pure-content budget would (trainer-real accounting)."""
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    out, _ = curate_corpus(
+        clean,
+        min_quality=0.0,
+        near_dup_jaccard=0.8,
+        max_tokens=40_000,
+        n_special_per_doc=2,
+    )
+    rows = out.select("doc_id", "budget_tokens", "text").collect()
+    from metaframe_spark.operators.text import bpe_token_count
+
+    raw = {
+        r.doc_id: r.n
+        for r in clean.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert rows and all(r.budget_tokens == raw[r.doc_id] + 2 for r in rows)
+    assert sum(r.budget_tokens for r in rows) <= 40_000
+    # the reservation strictly tightens the cut vs the unreserved run
+    plain, _ = curate_corpus(
+        clean, min_quality=0.0, near_dup_jaccard=0.8, max_tokens=40_000
+    )
+    assert out.count() <= plain.count()
+
+
 def test_substring_dedup_stage_excises_copied_passage(spark):
     """dedup_substrings: the copied passage is cut out of the losing doc
     while both documents survive (unlike whole-doc dedup)."""

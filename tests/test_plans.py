@@ -358,6 +358,7 @@ class TestCatalogPlanLint:
         "llm_ivf_sq",       # same probe shape over the quantized layout
         "llm_ivf_append",   # same probe shape over the appended layout
         "llm_bpe_chunks",   # one-row broadcast BPE rank map joined to the distinct-word relation
+        "llm_bpe_chunks_special",  # same rank-map broadcast, special-token-reserved cut
         "llm_bpe_fertility", # same rank-map broadcast via bpe_tokenize
         "llm_bpe_tokens",   # one-row broadcast BPE rank map joined to the distinct-word relation
         "llm_dsir_weights", # one-row total-gram scalars joined to the bucket ratio relation
@@ -375,6 +376,7 @@ class TestCatalogPlanLint:
         "llm_bigram_nll",   # global vocabulary-size agg (one row)
         "llm_bm25",         # global corpus-size agg (one row)
         "llm_bpe_chunks",   # global merges-to-rank-map agg (one row, broadcast)
+        "llm_bpe_chunks_special",  # same one-row rank-map agg, reserved cut
         "llm_bpe_fertility", # same one-row rank-map agg via bpe_tokenize
         "llm_bpe_tokens",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_corpus_stats", # the data card IS a one-row global agg
