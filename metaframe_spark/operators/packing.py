@@ -298,10 +298,16 @@ def pack_documents(
     Output: one row per input document — ``id_col``, ``tokens_col``
     (coalesced to long), ``pack_group`` (the md5 bucket), ``bin_id``
     (1-based FFD bin within the group; a (pack_group, bin_id) pair is a
-    globally unique bin). Documents LARGER than ``bin_capacity`` cannot
-    be packed without splitting and come back with ``bin_id`` NULL — the
-    caller decides whether to truncate, split via :func:`pack_sequences`,
-    or drop them.
+    globally unique bin), plus the collator manifest the trainer needs
+    to lay the bin out without recomputing anything: ``bin_slot`` (this
+    document's 1-based placement order within its bin — FFD placement
+    order, deterministic) and ``tok_start`` (the document's token offset
+    within the bin, i.e. the summed sizes of earlier slots; padding to
+    ``bin_capacity`` goes after the last slot). Documents LARGER than
+    ``bin_capacity`` cannot be packed without splitting and come back
+    with ``bin_id``/``bin_slot``/``tok_start`` NULL — the caller decides
+    whether to truncate, split via :func:`pack_sequences`, or drop
+    them.
 
     Scale contract: the corpus shuffles ONCE (hash on ``pack_group``);
     each group is ~``n_docs / n_groups`` documents, so the caller sizes
@@ -341,7 +347,7 @@ def pack_documents(
     )
     schema = (
         f"{id_col} {id_type}, {tokens_col} long, "
-        "pack_group long, bin_id long"
+        "pack_group long, bin_id long, bin_slot long, tok_start long"
     )
     cap = int(bin_capacity)
     tok, idc = tokens_col, id_col
@@ -352,7 +358,7 @@ def pack_documents(
         # remainders; descending leftmost-child-first finds the FIRST bin
         # with remainder >= size in O(log bins). Oversized documents
         # ride the same shuffle (they must reach the output anyway) and
-        # take bin_id NULL here — one scan, one exchange, no union.
+        # take NULL placement here — one scan, one exchange, no union.
         pdf = pdf.sort_values([tok, idc], ascending=[False, True])
         sizes = [int(x) for x in pdf[tok]]
         m = len(sizes)
@@ -360,11 +366,15 @@ def pack_documents(
         while width < max(1, m):
             width <<= 1
         tree = [-1] * (2 * width)  # -1 marks a not-yet-opened bin
+        slots = [0] * width  # docs placed so far per bin
         nbins = 0
-        bins = []
+        bins, bslots, starts = [], [], []
         for s in sizes:
             if s > cap:
-                bins.append(None)  # unpackable without splitting
+                # unpackable without splitting
+                bins.append(None)
+                bslots.append(None)
+                starts.append(None)
                 continue
             if tree[1] >= s:
                 i = 1
@@ -372,10 +382,13 @@ def pack_documents(
                     i = 2 * i if tree[2 * i] >= s else 2 * i + 1
                 b = i - width
                 rem = tree[i] - s
+                start = cap - tree[i]  # fill before this placement
             else:
                 b = nbins
                 nbins += 1
                 rem = cap - s
+                start = 0
+            slots[b] += 1
             i = width + b
             tree[i] = rem
             i >>= 1
@@ -383,8 +396,12 @@ def pack_documents(
                 tree[i] = max(tree[2 * i], tree[2 * i + 1])
                 i >>= 1
             bins.append(b + 1)
+            bslots.append(slots[b])
+            starts.append(start)
         out = pdf.copy()
         out["bin_id"] = pd.Series(bins, index=pdf.index, dtype="Int64")
+        out["bin_slot"] = pd.Series(bslots, index=pdf.index, dtype="Int64")
+        out["tok_start"] = pd.Series(starts, index=pdf.index, dtype="Int64")
         return out
 
     return base.groupBy("pack_group").applyInPandas(_ffd, schema=schema)

@@ -2701,11 +2701,16 @@ def llm_token_budget(spark, sf):
     "coalesce(list_filter(range(1, len(rec.rems) + 1), "
     "j -> rec.rems[j] >= rk.n)[1], len(rec.rems) + 1) "
     "FROM rec JOIN ranked rk ON rk.g = rec.g AND rk.r = rec.i + 1) "
-    "SELECT doc_id, n AS n_tok, g AS pack_group, bin AS bin_id "
+    "SELECT doc_id, n AS n_tok, g AS pack_group, bin AS bin_id, "
+    "CAST(row_number() OVER (PARTITION BY g, bin ORDER BY i) AS BIGINT) "
+    "  AS bin_slot, "
+    "CAST(sum(n) OVER (PARTITION BY g, bin ORDER BY i) - n AS BIGINT) "
+    "  AS tok_start "
     "FROM rec WHERE i > 0 "
     "UNION ALL "
     "SELECT doc_id, n AS n_tok, g AS pack_group, "
-    "CAST(NULL AS BIGINT) AS bin_id FROM grp WHERE n > 256",
+    "CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_slot, "
+    "CAST(NULL AS BIGINT) AS tok_start FROM grp WHERE n > 256",
 )
 def llm_pack_documents(spark, sf):
     """Doc-boundary-respecting bin packing (operators/packing.py::
@@ -2718,7 +2723,9 @@ def llm_pack_documents(spark, sf):
     ranked document per iteration per group, carrying each group's bin
     remainders as a list) — the hash match proves the tree descent IS
     first-fit, placement for placement, and pins the md5 bucketing, the
-    (n desc, doc_id asc) FFD order, and the oversized NULL contract
+    (n desc, doc_id asc) FFD order, the collator manifest (bin_slot
+    placement order + tok_start in-bin offsets, so the trainer lays each
+    bin out without recomputation), and the oversized NULL contract
     cross-engine."""
     from .operators.packing import pack_documents
     from .operators.text import bpe_token_count
@@ -2728,7 +2735,9 @@ def llm_pack_documents(spark, sf):
     )
     return pack_documents(
         d, 256, "n_tok", "doc_id", n_groups=8
-    ).select("doc_id", "n_tok", "pack_group", "bin_id")
+    ).select(
+        "doc_id", "n_tok", "pack_group", "bin_id", "bin_slot", "tok_start"
+    )
 
 
 @query(

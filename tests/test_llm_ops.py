@@ -3144,6 +3144,23 @@ class TestPackDocuments:
             fills.setdefault((r.pack_group, r.bin_id), 0)
             fills[(r.pack_group, r.bin_id)] += r.n_tok
         assert max(fills.values()) <= 100
+        # collator manifest: slots dense 1..k per bin, offsets are the
+        # exclusive running sum in slot order, everything inside capacity
+        from collections import defaultdict as _dd
+
+        by_bin = _dd(list)
+        for r in out:
+            by_bin[(r.pack_group, r.bin_id)].append(r)
+        for rows in by_bin.values():
+            rows.sort(key=lambda r: r.bin_slot)
+            assert [r.bin_slot for r in rows] == list(
+                range(1, len(rows) + 1)
+            )
+            off = 0
+            for r in rows:
+                assert r.tok_start == off
+                off += r.n_tok
+            assert off <= 100
         # bin ids are dense 1..max within each group
         from collections import defaultdict
 
@@ -3182,6 +3199,7 @@ class TestPackDocuments:
         ).collect()}
         assert len(got) == 5
         assert got[1].bin_id is None  # 101 > capacity
+        assert got[1].bin_slot is None and got[1].tok_start is None
         assert got[3].bin_id is not None  # exactly capacity fits
         # NULL tokens coalesce to 0 and pack like a zero-size doc
         assert got[4].n_tok == 0 and got[4].bin_id is not None
