@@ -123,37 +123,19 @@ def _fit_centroids(X, k: int, max_iter: int, init: str, seed: int):
     return centroids
 
 
-def fit_sampled_centroids(
+def _collect_fit_sample(
     corpus: DataFrame,
-    k: int,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    max_fit_rows: int = 100_000,
-    max_iter: int = 20,
-    init: str = "k-means++",
+    vec_col: str,
+    seed: int,
+    max_fit_rows: int,
     n_rows: int = None,
     order_col: str = None,
-    return_sample: bool = False,
-) -> "np.ndarray":
-    """Fit k-means centroids on a driver-side sample of an embedding
-    column — the FAISS/ScaNN index-build shape: centroid quality needs a
-    representative sample, not every vector, and a 100k × d sample is
-    megabytes, so seeded numpy Lloyd's on the driver beats a distributed
-    fit's per-iteration job-scheduling overhead by orders of magnitude.
-    ``k`` is clamped to the sample size. Pass ``n_rows`` if the caller
-    already counted the corpus (saves a job).
-
-    ``order_col``: the fit indexes into the collected sample, so the
-    centroids depend on sample MEMBERSHIP and ROW ORDER. With an
-    ``order_col``, both are made partition-independent: membership is a
-    deterministic per-row hash draw on ``(order_col, seed)`` (Bernoulli
-    ``sample()`` draws per (seed, partition-index), so the sampled row
-    SET would shift with partition layout exactly when n > max_fit_rows),
-    and the surviving rows are sorted before collection. Result: the fit
-    — and everything derived from the centroids — is deterministic under
-    repartitioning at ANY corpus size. Without ``order_col`` the cheaper
-    Bernoulli path is used and determinism holds only for
-    n <= max_fit_rows (no sampling)."""
+):
+    """Driver-side bounded fit sample shared by :func:`fit_sampled_centroids`
+    and :func:`fit_pq_codebooks` — the sampling discipline documented on
+    fit_sampled_centroids (md5 per-row draw + sort when ``order_col``
+    makes membership and order partition-independent; plain Bernoulli
+    otherwise). Returns a float64 numpy matrix, never empty."""
     import numpy as np
 
     n = corpus.count() if n_rows is None else n_rows
@@ -190,10 +172,44 @@ def fit_sampled_centroids(
         fit_df = fit_df.orderBy(order_col)
     sample = fit_df.select(vec_col).toPandas()[vec_col].to_numpy()
     if len(sample) == 0:
-        raise ValueError(
-            "fit_sampled_centroids: empty corpus (no vectors to fit on)"
-        )
-    X = np.stack(sample).astype(np.float64)
+        raise ValueError("empty corpus (no vectors to fit on)")
+    return np.stack(sample).astype(np.float64)
+
+
+def fit_sampled_centroids(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+    max_iter: int = 20,
+    init: str = "k-means++",
+    n_rows: int = None,
+    order_col: str = None,
+    return_sample: bool = False,
+) -> "np.ndarray":
+    """Fit k-means centroids on a driver-side sample of an embedding
+    column — the FAISS/ScaNN index-build shape: centroid quality needs a
+    representative sample, not every vector, and a 100k × d sample is
+    megabytes, so seeded numpy Lloyd's on the driver beats a distributed
+    fit's per-iteration job-scheduling overhead by orders of magnitude.
+    ``k`` is clamped to the sample size. Pass ``n_rows`` if the caller
+    already counted the corpus (saves a job).
+
+    ``order_col``: the fit indexes into the collected sample, so the
+    centroids depend on sample MEMBERSHIP and ROW ORDER. With an
+    ``order_col``, both are made partition-independent: membership is a
+    deterministic per-row hash draw on ``(order_col, seed)`` (Bernoulli
+    ``sample()`` draws per (seed, partition-index), so the sampled row
+    SET would shift with partition layout exactly when n > max_fit_rows),
+    and the surviving rows are sorted before collection. Result: the fit
+    — and everything derived from the centroids — is deterministic under
+    repartitioning at ANY corpus size. Without ``order_col`` the cheaper
+    Bernoulli path is used and determinism holds only for
+    n <= max_fit_rows (no sampling)."""
+    X = _collect_fit_sample(
+        corpus, vec_col, seed, max_fit_rows, n_rows, order_col
+    )
     cent = _fit_centroids(X, min(k, len(X)), max_iter, init, seed)
     # return_sample hands the (bounded, already-collected) fit matrix back
     # so callers can derive driver-side estimates — e.g. per-cell load
@@ -1540,4 +1556,204 @@ def validate_ivf_corpus(
             )
     return spark.createDataFrame(
         results, "check string, ok boolean, detail string"
+    )
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m_subvectors: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+    max_iter: int = 20,
+    init: str = "k-means++",
+    n_rows: int = None,
+    order_col: str = None,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011 — the
+    FAISS ``PQ`` index family): the d-dim space splits into
+    ``m_subvectors`` contiguous slices and each slice gets its own
+    ``n_centroids``-entry k-means codebook, so a vector compresses to
+    ``m`` small codes (4 bytes here vs 512 for float64×64 — 128×) while
+    asymmetric distances stay far more faithful than one global
+    quantizer: PQ's effective codebook is the CROSS PRODUCT
+    ``n_centroids^m`` of the per-slice codebooks (16⁴ = 65536 regions
+    from 64 trained centroids).
+
+    Returns a numpy array shaped ``(m, n_centroids, d/m)`` — feed it to
+    :func:`pq_encode` / :func:`pq_topk`. Same build economics as
+    :func:`fit_sampled_centroids` (one bounded driver-side sample, the
+    identical partition-independent ``order_col`` discipline, seeded
+    Lloyd's per slice with ``seed + j``): the fit is deterministic and
+    costs one sample collect no matter the corpus size, which is the
+    production posture — codebooks are trained offline once and handed
+    to the encode/serve stages, exactly like a BPE merges table.
+    ``n_centroids`` is clamped to the sample size; d must divide evenly
+    by ``m_subvectors``."""
+    import numpy as np
+
+    if m_subvectors < 1:
+        raise ValueError("m_subvectors must be >= 1")
+    if n_centroids < 1:
+        raise ValueError("n_centroids must be >= 1")
+    X = _collect_fit_sample(
+        corpus, vec_col, seed, max_fit_rows, n_rows, order_col
+    )
+    d = X.shape[1]
+    if d % m_subvectors:
+        raise ValueError(
+            f"vector dim {d} not divisible by m_subvectors {m_subvectors}"
+        )
+    dsub = d // m_subvectors
+    k = min(n_centroids, len(X))
+    return np.stack(
+        [
+            _fit_centroids(
+                X[:, j * dsub : (j + 1) * dsub].copy(),
+                k,
+                max_iter,
+                init,
+                seed + j,
+            )
+            for j in range(m_subvectors)
+        ]
+    )
+
+
+def _pq_codebook_sql(codebooks) -> str:
+    """The full (m × c × dsub) codebook as a nested array LITERAL — the
+    same inline-the-bounds discipline as :func:`_sq_encode_expr`: encode
+    and reconstruct stay single-scan codegen with no join and no
+    Python."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=float)
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in ct) + ")"
+                for ct in sub
+            )
+            + ")"
+            for sub in cb
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode an embedding column to PQ codes: for each of the ``m``
+    subvector slices, the 0-based index of the nearest codebook centroid
+    by squared L2 (distances rounded to 6 decimals before the argmin,
+    first-minimum tie-break — both deterministic and replayable by a SQL
+    oracle). Appends ``code_col`` (``array<int>``, length m) and drops
+    the float column unless ``keep_vec``.
+
+    One scan, pure codegen: the codebooks ride into the plan as a nested
+    array literal (m·c·d/m doubles — a few KB), each subvector's
+    distance list binds ONCE as a lambda variable (the single-element
+    ``transform`` wrapper — the winnow discipline — so argmin does not
+    re-evaluate the c×dsub fold), and no join, shuffle, or Python
+    touches the corpus. Cost is the inherent c×d multiply-adds per row
+    — identical to what any PQ encoder pays."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=float)
+    m, c, dsub = cb.shape
+    codes = []
+    for j in range(m):
+        cbj_sql = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in ct) + ")"
+                for ct in cb[j]
+            )
+            + ")"
+        )
+        off = j * dsub
+        dists = (
+            f"transform({cbj_sql}, ct -> round(aggregate(sequence(1, {dsub}), 0D, "
+            f"(acc, i) -> acc + (cast(element_at({vec_col}, {off} + i) as double) "
+            f"- element_at(ct, i)) * (cast(element_at({vec_col}, {off} + i) as double) "
+            f"- element_at(ct, i)), acc -> acc), 6))"
+        )
+        codes.append(
+            f"element_at(transform(array({dists}), ds -> "
+            f"cast(array_position(ds, array_min(ds)) as int)), 1) - 1"
+        )
+    out = df.withColumn(code_col, F.expr("array(" + ", ".join(codes) + ")"))
+    return out if keep_vec else out.drop(vec_col)
+
+
+def pq_reconstruct_expr(code_col: str, codebooks) -> Column:
+    """Reconstruct the quantized vector from PQ codes: the concatenation
+    of each subvector's codebook centroid — one codegen ``flatten`` over
+    the inlined codebook literal, no join, no Python. This is the decode
+    every asymmetric-distance probe uses."""
+    import numpy as np
+
+    m = np.asarray(codebooks).shape[0]
+    cb_sql = _pq_codebook_sql(codebooks)
+    return F.expr(
+        f"flatten(transform(sequence(1, {m}), j -> "
+        f"element_at(element_at({cb_sql}, j), "
+        f"element_at({code_col}, j) + 1)))"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    code_col: str = "pq_codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric PQ top-k (the FAISS ADC probe): float queries score
+    against centroid RECONSTRUCTIONS of the coded corpus — the query
+    side never quantizes, which is what keeps PQ recall high. Returns
+    ``(query_id, corpus_id, cosine, r)`` with the same 6-decimal
+    rounding, rank window, and id tie-break as :func:`brute_force_topk`,
+    so results are exact WITH RESPECT TO the reconstructed space and a
+    SQL oracle can replay them.
+
+    Scale shape: the bounded query batch broadcasts (the documented
+    brute_force_topk BroadcastNestedLoopJoin contract — the coded corpus
+    is scanned once, no shuffle before the rank window's partial top-k);
+    reconstruction is row-local codegen off the inlined codebook
+    literal. The corpus relation carries m ints per row instead of d
+    floats — at serving scale the 100×-smaller scan is the entire point
+    of PQ. Compose with the IVF cell layout (assign_cells /
+    write_ivf_corpus) to prune the scan as well."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    scored = (
+        codes_df.select(
+            F.col(corpus_id),
+            pq_reconstruct_expr(code_col, codebooks).alias("_remb"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine_expr("_qvec", "_remb"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
     )

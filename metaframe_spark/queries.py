@@ -5423,6 +5423,75 @@ def llm_ivf_sq(spark, sf):
 
 
 @query(
+    "llm_pq_topk",
+    f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
+    "cb AS (SELECT j, vec_id AS code, list_slice(emb, (j-1)*16+1, j*16) AS cent "
+    "  FROM n, range(1, 5) r(j) WHERE vec_id < 16), "
+    "dist AS (SELECT v.vec_id, c.j, c.code, "
+    "  round(list_reduce(list_transform(range(1, 17), "
+    "    i -> (v.emb[(c.j-1)*16 + i] - c.cent[i]) * "
+    "         (v.emb[(c.j-1)*16 + i] - c.cent[i])), "
+    "    (a, b) -> a + b), 6) AS d2 "
+    "  FROM n v, cb c), "
+    "enc AS (SELECT vec_id, j, code FROM ("
+    "  SELECT vec_id, j, code, "
+    "  row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn "
+    "  FROM dist) WHERE rn = 1), "
+    "rec AS (SELECT e.vec_id, flatten(list(c.cent ORDER BY e.j)) AS remb "
+    "  FROM enc e JOIN cb c ON c.j = e.j AND c.code = e.code "
+    "  GROUP BY e.vec_id), "
+    "q AS (SELECT vec_id AS q_id, emb FROM n WHERE vec_id >= 8 AND vec_id < 16) "
+    "SELECT q_id, vec_id, cosine, r FROM ("
+    "  SELECT q.q_id, rc.vec_id, "
+    "  round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) AS cosine, "
+    "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
+    "    round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) DESC, "
+    "    rc.vec_id) AS BIGINT) AS r "
+    "  FROM rec rc, q) WHERE r <= 5",
+)
+def llm_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/similarity.py::
+    fit_pq_codebooks / pq_encode / pq_topk — Jégou et al. 2011, the
+    FAISS PQ family completing the quantized-serving triad: Flat,
+    SQ8, PQ): the 64-dim corpus compresses to 4 subvector codes
+    (128× smaller than float64) and float queries rank against
+    centroid reconstructions. Learned codebooks are pytest-verified
+    (seeded per-slice Lloyd's ≡ python ground truth, self-recall@1 =
+    1.0, recall monotone in code budget); the catalog entry hands in
+    EXEMPLAR codebooks — the 16 subvector slices of vec_id < 16, a
+    pure function of the data, the same literal-relation move as the
+    BPE merges table — so the oracle replays the FULL chain: per-slice
+    squared-L2 rounded to 6, first-min argmin encode, codebook-lookup
+    reconstruction, asymmetric dot, top-5 rank. Hash match pins encode
+    + decode + ADC cross-engine. Scale: encode/reconstruct are
+    single-scan codegen off the inlined codebook literal; the probe is
+    the documented bounded-query-broadcast BNLJ contract."""
+    import numpy as np
+
+    from .operators import unit_normalize
+    from .operators.similarity import pq_encode, pq_topk
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    ex = (
+        e.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    if not ex:
+        raise ValueError(
+            "llm_pq_topk: empty corpus (no exemplar vectors for codebooks)"
+        )
+    X = np.array([r.embedding for r in ex], dtype=float)
+    cb = np.stack([X[:, j * 16 : (j + 1) * 16] for j in range(4)])
+    codes = pq_encode(e.select("vec_id", "embedding"), cb)
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return pq_topk(codes, cb, q, k=5)
+
+
+@query(
     "q90_sketch_compact",
     "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
     "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
@@ -7163,6 +7232,7 @@ _ROTATE_FIRST: list = [
     "llm_token_budget",
     "llm_pack_documents",
     "llm_bpe_chunks_special",
+    "llm_pq_topk",
     # stalest re-checks: the r9 wave that overflowed the r12 window
     # (last driver-checked r09)
     "q15",

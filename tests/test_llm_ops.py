@@ -752,6 +752,125 @@ class TestIvf:
         assert got == exact
 
 
+class TestProductQuantization:
+    """operators/similarity.py::fit_pq_codebooks / pq_encode / pq_topk —
+    the FAISS PQ family (Jégou et al. 2011) completing the quantized
+    serving triad (Flat, SQ8, PQ)."""
+
+    def _emb(self, spark):
+        return unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).cache()
+
+    def test_fit_shapes_determinism_and_validation(self, spark):
+        import numpy as np
+
+        from metaframe_spark.operators.similarity import fit_pq_codebooks
+
+        emb = self._emb(spark)
+        a = fit_pq_codebooks(emb, 4, 16, seed=7)
+        b = fit_pq_codebooks(emb, 4, 16, seed=7)
+        assert a.shape == (4, 16, 16)
+        assert np.array_equal(a, b)  # seeded fit is bit-deterministic
+        # different seeds move the codebooks
+        assert not np.array_equal(a, fit_pq_codebooks(emb, 4, 16, seed=8))
+        with pytest.raises(ValueError, match="divisible"):
+            fit_pq_codebooks(emb, 5, 16)
+        with pytest.raises(ValueError, match="m_subvectors"):
+            fit_pq_codebooks(emb, 0, 16)
+        with pytest.raises(ValueError, match="n_centroids"):
+            fit_pq_codebooks(emb, 4, 0)
+
+    def test_encode_matches_python_argmin(self, spark):
+        """The codegen encode (rounded squared-L2, first-min tie-break)
+        must replicate the numpy ground truth code for code — the same
+        property the llm_pq_topk oracle pins at catalog scale."""
+        import numpy as np
+
+        from metaframe_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+        )
+
+        emb = self._emb(spark)
+        cb = fit_pq_codebooks(emb, 4, 16)
+        small = emb.filter(F.col("vec_id") < 50)
+        got = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(small, cb).collect()
+        }
+        for r in small.select("vec_id", "embedding").collect():
+            v = np.asarray(r.embedding, dtype=float)
+            exp = []
+            for j in range(4):
+                d = np.round(
+                    ((v[j * 16 : (j + 1) * 16][None, :] - cb[j]) ** 2).sum(
+                        axis=1
+                    ),
+                    6,
+                )
+                exp.append(int(np.argmin(d)))
+            assert got[r.vec_id] == exp, r.vec_id
+        # codes bounded, one per subvector; float column dropped
+        assert all(
+            len(c) == 4 and all(0 <= x < 16 for x in c) for c in got.values()
+        )
+        assert "embedding" not in pq_encode(small, cb).columns
+
+    def test_encode_repartition_invariant(self, spark):
+        from metaframe_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+        )
+
+        emb = self._emb(spark)
+        cb = fit_pq_codebooks(emb, 4, 16)
+        a = {r.vec_id: list(r.pq_codes) for r in pq_encode(emb, cb).collect()}
+        b = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(emb.repartition(13), cb).collect()
+        }
+        assert a == b
+
+    def test_adc_self_recall_and_budget_monotonicity(self, spark):
+        """Every query must retrieve ITSELF at rank 1 (its own
+        reconstruction is its ADC argmax — the invariant that holds at
+        any code budget), and neighbor recall must not degrade when the
+        code budget grows 4x (m=4 -> m=16). Absolute recall on iid
+        random embeddings is inherently modest — near-equidistant
+        points are PQ's worst case — so the floor is set at the
+        measured-value-minus-margin convention the ANN tests use."""
+        from metaframe_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = {
+            (r.q_id, r.vec_id)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+
+        def run(m):
+            cb = fit_pq_codebooks(emb, m, 16)
+            codes = pq_encode(emb, cb)
+            top1 = pq_topk(codes, cb, q, k=1).collect()
+            assert all(r.q_id == r.vec_id for r in top1)  # self@1 == 1.0
+            got = {
+                (r.q_id, r.vec_id)
+                for r in pq_topk(codes, cb, q, k=5).collect()
+            }
+            return len(exact & got) / len(exact)
+
+        r4, r16 = run(4), run(16)
+        assert r4 >= 0.25, r4     # measured 0.35 at this seed/data
+        assert r16 >= r4, (r16, r4)
+
+
 class TestIvfIndexStore:
     """write_ivf_index / read_ivf_index / ivf_topk(centroids=...): the
     fit-once, query-many index persistence path (r9 verdict gap #3)."""

@@ -352,6 +352,7 @@ class TestCatalogPlanLint:
         "llm_bigram_nll",   # one-row vocabulary-size scalar joined to tf relation
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
+        "llm_pq_topk",      # same bounded-query-broadcast contract over the coded corpus
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
         "llm_ivf_corpus",   # same probe shape over the cell-partitioned layout
