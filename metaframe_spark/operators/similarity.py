@@ -693,6 +693,7 @@ def write_ivf_corpus(
     vec_col: str = "embedding",
     format: str = "parquet",
     quantize_bits: "int | None" = None,
+    pq_codebooks=None,
 ) -> None:
     """Materialize the corpus CELL-PARTITIONED on disk — the serving
     layout that makes IVF probes cheap at 100 TB: one ``assign_cells``
@@ -721,7 +722,22 @@ def write_ivf_corpus(
     by the ASYMMETRIC score — float query × midpoint-reconstructed
     corpus vector — trading a bounded quantization error for the byte
     reduction (recall/ranking drift is bounded by half a code bin per
-    dimension)."""
+    dimension).
+
+    ``pq_codebooks`` (a :func:`fit_pq_codebooks` array; mutually
+    exclusive with ``quantize_bits``) stores PRODUCT-QUANTIZED codes
+    instead — the FAISS IVFPQ layout, the standard billion-scale
+    serving configuration: cells are still assigned on the original
+    floats, the stored column becomes ``array<int>`` of m codes (m ints
+    vs d floats — 128× smaller at 4×16 over 64 dims, far past what SQ
+    reaches), and the codebooks co-persist under
+    ``{path}/_pq_codebooks`` so :func:`ivf_topk_stored` can reconstruct
+    for the asymmetric ADC ranking inside the probed cells."""
+    if quantize_bits is not None and pq_codebooks is not None:
+        raise ValueError(
+            "write_ivf_corpus: quantize_bits and pq_codebooks are mutually "
+            "exclusive (one stored code space per layout)"
+        )
     assigned = assign_cells(corpus, centroids, vec_col=vec_col, cell_col="cell")
     spark = corpus.sparkSession
     if quantize_bits is not None:
@@ -731,9 +747,17 @@ def write_ivf_corpus(
         assigned = assigned.withColumn(
             vec_col, _sq_encode_expr(vec_col, mins, spans, quantize_bits)
         )
+    if pq_codebooks is not None:
+        assigned = assigned.withColumn(
+            vec_col, _pq_encode_expr(vec_col, pq_codebooks)
+        )
     assigned.write.mode("overwrite").partitionBy("cell").format(format).save(
         path
     )
+    if pq_codebooks is not None:
+        _write_pq_codebooks(
+            spark, pq_codebooks, path.rstrip("/") + "/_pq_codebooks", format
+        )
     if quantize_bits is not None:
         spark.createDataFrame(
             [
@@ -903,8 +927,35 @@ def _prepare_ivf_delta(
         if type(e).__name__ != "AnalysisException":
             raise  # a real read failure, not mere absence of the relation
         bounds = None
+    # PQ layouts: encode the delta with the STORED codebooks — refitting
+    # on the union would re-code nothing yet decode everything
+    # differently, the same corruption the stored-bounds rule prevents
+    pq_path = corpus_path.rstrip("/") + "/_pq_codebooks"
+    try:
+        pq_cb = _read_pq_codebooks(spark, pq_path, format)
+    except ValueError:
+        raise  # corrupt codebooks: fail loudly, never encode against them
+    except Exception as e:
+        if type(e).__name__ != "AnalysisException":
+            raise
+        pq_cb = None
+    if bounds and pq_cb is not None:
+        raise ValueError(
+            f"append_ivf_corpus: {corpus_path!r} carries BOTH _sq_bounds "
+            "and _pq_codebooks — the stored code space is ambiguous"
+        )
     vec_dtype = dict(existing.dtypes).get(vec_col, "")
-    if bounds:
+    if pq_cb is not None:
+        if pq_cb.shape[0] * pq_cb.shape[2] != d:
+            raise ValueError(
+                f"append_ivf_corpus: {pq_path!r} reconstructs "
+                f"{pq_cb.shape[0] * pq_cb.shape[2]} dims but the index is "
+                f"{d}-dimensional"
+            )
+        assigned = assigned.withColumn(
+            vec_col, _pq_encode_expr(vec_col, pq_cb)
+        )
+    elif bounds:
         if len(bounds) != d:
             raise ValueError(
                 f"append_ivf_corpus: {bounds_path!r} has {len(bounds)} "
@@ -1216,8 +1267,30 @@ def ivf_topk_stored(
         if type(e).__name__ != "AnalysisException":
             raise  # a real read failure, not mere absence of the relation
         bounds = None
+    # a PQ layout (write_ivf_corpus(pq_codebooks=...)) carries its
+    # codebooks — reconstruct codes to centroid concatenations (the ADC
+    # decode) before the same asymmetric ranking
+    pq_path = corpus_path.rstrip("/") + "/_pq_codebooks"
+    try:
+        pq_cb = _read_pq_codebooks(spark, pq_path, format)
+    except ValueError:
+        raise  # a CORRUPT codebook relation is an error, not absence
+    except Exception as e:
+        if type(e).__name__ != "AnalysisException":
+            raise
+        pq_cb = None
+    if bounds and pq_cb is not None:
+        raise ValueError(
+            f"ivf_topk_stored: {corpus_path!r} carries BOTH _sq_bounds and "
+            "_pq_codebooks — the stored code space is ambiguous; remove the "
+            "sidecar that does not match how the codes were written"
+        )
     vec_dtype = dict(indexed.dtypes).get(vec_col, "")
-    if bounds:
+    if pq_cb is not None:
+        indexed = indexed.withColumn(
+            vec_col, pq_reconstruct_expr(vec_col, pq_cb)
+        )
+    elif bounds:
         d = len(bounds)
         mins, spans = [0.0] * d, [1.0] * d
         for r in bounds:
@@ -1389,7 +1462,12 @@ def validate_ivf_corpus(
     except Exception as e:
         results.append(("index_readable", False, str(e)[:300]))
 
-    known_sidecars = {"_ivf_index", "_sq_bounds", "_ingest_marks"}
+    known_sidecars = {
+        "_ivf_index",
+        "_sq_bounds",
+        "_pq_codebooks",
+        "_ingest_marks",
+    }
     bad_cells, foreign, staging = [], [], []
     cell_ids = []
     for st in fs.listStatus(P(root)):
@@ -1465,8 +1543,11 @@ def validate_ivf_corpus(
     )
 
     n_bits = None
+    pq_shape = None  # (m, c) when the layout is PQ-coded
     bounds_path = root + "/_sq_bounds"
     have_bounds = fs.exists(P(bounds_path))
+    pq_path = root + "/_pq_codebooks"
+    have_pq = fs.exists(P(pq_path))
     vec_dtype = ""
     try:
         scan = spark.read.format(format).load(root)
@@ -1476,7 +1557,31 @@ def validate_ivf_corpus(
         results.append(("bounds_consistent", False, f"unreadable: {e}"[:300]))
     if scan is not None:
         quantized = vec_dtype.startswith(("array<int", "array<smallint"))
-        if have_bounds:
+        if have_bounds and have_pq:
+            results.append(
+                (
+                    "bounds_consistent",
+                    False,
+                    "BOTH _sq_bounds and _pq_codebooks present — the "
+                    "stored code space is ambiguous",
+                )
+            )
+        elif have_pq:
+            try:
+                cb = _read_pq_codebooks(spark, pq_path, format)
+                m, c, dsub = cb.shape
+                ok = quantized and (d is None or m * dsub == d)
+                pq_shape = (m, c) if ok else None
+                detail = (
+                    f"pq {m}x{c} over {dsub}-dim slices, vec={vec_dtype}"
+                    if ok
+                    else f"pq reconstructs {m * dsub} dims (index d={d}), "
+                    f"vec={vec_dtype or '<missing>'}"
+                )
+                results.append(("bounds_consistent", ok, detail))
+            except Exception as e:
+                results.append(("bounds_consistent", False, str(e)[:300]))
+        elif have_bounds:
             try:
                 rows = spark.read.format(format).load(bounds_path).collect()
                 bits = {int(r["n_bits"]) for r in rows}
@@ -1507,6 +1612,9 @@ def validate_ivf_corpus(
                 )
             )
         if deep:
+            # PQ layouts store m codes per row, not d floats — the length
+            # invariant follows the stored representation
+            exp_len = pq_shape[0] if pq_shape is not None else d
             checks = [
                 F.sum(
                     F.when(
@@ -1520,16 +1628,20 @@ def validate_ivf_corpus(
                         # otherwise-0 branch — a NULL vector would pass
                         # the very invariant it violates (r11 self-review)
                         F.col(vec_col).isNull()
-                        | (F.size(F.col(vec_col)) != F.lit(d))
+                        | (F.size(F.col(vec_col)) != F.lit(exp_len))
                         | F.exists(F.col(vec_col), lambda x: x.isNull()),
                         F.lit(1),
                     ).otherwise(F.lit(0))
                 ).alias("bad_vecs")
-                if d is not None
+                if exp_len is not None
                 else F.lit(None).cast("long").alias("bad_vecs"),
             ]
+            hi = None
             if quantized and n_bits is not None:
                 hi = (1 << n_bits) - 1
+            elif quantized and pq_shape is not None:
+                hi = pq_shape[1] - 1
+            if hi is not None:
                 checks.append(
                     F.sum(
                         F.when(
@@ -1665,6 +1777,15 @@ def pq_encode(
     re-evaluate the c×dsub fold), and no join, shuffle, or Python
     touches the corpus. Cost is the inherent c×d multiply-adds per row
     — identical to what any PQ encoder pays."""
+    out = df.withColumn(code_col, _pq_encode_expr(vec_col, codebooks))
+    return out if keep_vec else out.drop(vec_col)
+
+
+def _pq_encode_expr(vec_col: str, codebooks) -> Column:
+    """The PQ encode as a single codegen expression — see
+    :func:`pq_encode` for the contract; shared with
+    :func:`write_ivf_corpus`'s PQ layout (which stores the codes under
+    the vector column's own name)."""
     import numpy as np
 
     cb = np.asarray(codebooks, dtype=float)
@@ -1690,8 +1811,56 @@ def pq_encode(
             f"element_at(transform(array({dists}), ds -> "
             f"cast(array_position(ds, array_min(ds)) as int)), 1) - 1"
         )
-    out = df.withColumn(code_col, F.expr("array(" + ", ".join(codes) + ")"))
-    return out if keep_vec else out.drop(vec_col)
+    return F.expr("array(" + ", ".join(codes) + ")")
+
+
+def _write_pq_codebooks(spark, codebooks, path: str, format: str) -> None:
+    """Co-persist PQ codebooks as a (j, code, cent) relation — the
+    ``_sq_bounds`` convention for the PQ layout: the codebooks travel
+    WITH the codes they define, so a probe can never decode with a
+    foreign quantizer."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=float)
+    rows = [
+        (j, c, [float(x) for x in cb[j][c]])
+        for j in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "j int, code int, cent array<double>"
+    ).repartition(1).write.mode("overwrite").format(format).save(path)
+
+
+def _read_pq_codebooks(spark, path: str, format: str):
+    """Load a :func:`_write_pq_codebooks` relation back to the
+    ``(m, c, dsub)`` numpy array, validating the (j, code) grid is
+    complete and rectangular (a partial write must fail loudly — a hole
+    would silently reconstruct garbage for the missing code)."""
+    import numpy as np
+
+    rows = spark.read.format(format).load(path).collect()
+    if not rows:
+        raise ValueError(f"_read_pq_codebooks: empty relation at {path!r}")
+    m = max(r["j"] for r in rows) + 1
+    c = max(r["code"] for r in rows) + 1
+    dsubs = {len(r["cent"]) for r in rows}
+    if len(rows) != m * c or len(dsubs) != 1:
+        raise ValueError(
+            f"_read_pq_codebooks: malformed codebooks at {path!r} — "
+            f"{len(rows)} rows for a {m}x{c} grid, subvector dims {sorted(dsubs)}"
+        )
+    cb = np.zeros((m, c, dsubs.pop()))
+    seen = set()
+    for r in rows:
+        if (r["j"], r["code"]) in seen:
+            raise ValueError(
+                f"_read_pq_codebooks: duplicate (j={r['j']}, code={r['code']}) "
+                f"at {path!r}"
+            )
+        seen.add((r["j"], r["code"]))
+        cb[r["j"], r["code"]] = r["cent"]
+    return cb
 
 
 def pq_reconstruct_expr(code_col: str, codebooks) -> Column:

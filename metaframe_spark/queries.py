@@ -5422,8 +5422,13 @@ def llm_ivf_sq(spark, sf):
     return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
 
 
-@query(
-    "llm_pq_topk",
+#: shared by llm_pq_topk (direct ADC scan) and llm_ivf_pq (cell-partitioned
+#: PQ layout probed at n_probe = n_lists): probing every cell makes the
+#: stored result exact WITH RESPECT TO the reconstructed space regardless
+#: of where the IVF centroids landed, so both must be pair-for-pair
+#: identical to this full encode + reconstruct + ADC ranking over the
+#: exemplar codebooks (the vec_id < 16 subvector slices).
+_PQ_ADC_ORACLE = (
     f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
     "cb AS (SELECT j, vec_id AS code, list_slice(emb, (j-1)*16+1, j*16) AS cent "
     "  FROM n, range(1, 5) r(j) WHERE vec_id < 16), "
@@ -5447,8 +5452,32 @@ def llm_ivf_sq(spark, sf):
     "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
     "    round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) DESC, "
     "    rc.vec_id) AS BIGINT) AS r "
-    "  FROM rec rc, q) WHERE r <= 5",
+    "  FROM rec rc, q) WHERE r <= 5"
 )
+
+
+def _exemplar_pq_codebooks(e):
+    """The llm_pq_topk / llm_ivf_pq exemplar codebooks: the 4 subvector
+    slices of the normalized vec_id < 16 embeddings — a pure function of
+    the data (the BPE literal-merges move), so the DuckDB oracle rebuilds
+    the identical quantizer. Bounded collect: 16 rows."""
+    import numpy as np
+
+    ex = (
+        e.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    if not ex:
+        raise ValueError(
+            "empty corpus (no exemplar vectors for codebooks)"
+        )
+    X = np.array([r.embedding for r in ex], dtype=float)
+    return np.stack([X[:, j * 16 : (j + 1) * 16] for j in range(4)])
+
+
+@query("llm_pq_topk", _PQ_ADC_ORACLE)
 def llm_pq_topk(spark, sf):
     """Product-quantization ADC top-k (operators/similarity.py::
     fit_pq_codebooks / pq_encode / pq_topk — Jégou et al. 2011, the
@@ -5466,29 +5495,56 @@ def llm_pq_topk(spark, sf):
     + decode + ADC cross-engine. Scale: encode/reconstruct are
     single-scan codegen off the inlined codebook literal; the probe is
     the documented bounded-query-broadcast BNLJ contract."""
-    import numpy as np
-
     from .operators import unit_normalize
     from .operators.similarity import pq_encode, pq_topk
 
     e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
-    ex = (
-        e.filter(F.col("vec_id") < 16)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    if not ex:
-        raise ValueError(
-            "llm_pq_topk: empty corpus (no exemplar vectors for codebooks)"
-        )
-    X = np.array([r.embedding for r in ex], dtype=float)
-    cb = np.stack([X[:, j * 16 : (j + 1) * 16] for j in range(4)])
+    cb = _exemplar_pq_codebooks(e)
     codes = pq_encode(e.select("vec_id", "embedding"), cb)
     q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return pq_topk(codes, cb, q, k=5)
+
+
+@query("llm_ivf_pq", _PQ_ADC_ORACLE)
+def llm_ivf_pq(spark, sf):
+    """IVFPQ serving layout (operators/similarity.py::
+    write_ivf_corpus(pq_codebooks=...) + ivf_topk_stored auto-decode —
+    the FAISS billion-scale standard): the corpus is cell-partitioned
+    on the original floats, stored as 4 PQ codes per vector (128×
+    smaller than float64×64) with the codebooks co-persisted under
+    {path}/_pq_codebooks, and the probe reconstructs inside the probed
+    cells for the asymmetric ADC ranking. n_probe = n_lists probes
+    every cell, so the result is exact WITH RESPECT TO the
+    reconstructed space regardless of where the sampled IVF centroids
+    landed — the llm_ivf_sq argument — and the shared _PQ_ADC_ORACLE
+    hash-matches it against the full-scan ADC replay over the same
+    exemplar codebooks. Partial probing and the stored-codebook append
+    rule are pytest-pinned."""
+    import tempfile
+
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        fit_sampled_centroids,
+        ivf_topk_stored,
+        write_ivf_corpus,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    cb = _exemplar_pq_codebooks(e)
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cent = fit_sampled_centroids(
+        e.select("vec_id", "embedding"), 8, seed=42, max_iter=5,
+        init="random", order_col="vec_id",
+    )
+    path = tempfile.mkdtemp(prefix="mf_ivf_pq_") + "/corpus"
+    write_ivf_corpus(
+        e.select("vec_id", "embedding"), cent, path, pq_codebooks=cb
+    )
+    return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
 
 
 @query(
@@ -7233,6 +7289,7 @@ _ROTATE_FIRST: list = [
     "llm_pack_documents",
     "llm_bpe_chunks_special",
     "llm_pq_topk",
+    "llm_ivf_pq",
     # stalest re-checks: the r9 wave that overflowed the r12 window
     # (last driver-checked r09)
     "q15",

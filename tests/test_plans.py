@@ -357,6 +357,7 @@ class TestCatalogPlanLint:
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
         "llm_ivf_corpus",   # same probe shape over the cell-partitioned layout
         "llm_ivf_sq",       # same probe shape over the quantized layout
+        "llm_ivf_pq",       # same probe shape over the PQ-coded layout
         "llm_ivf_append",   # same probe shape over the appended layout
         "llm_bpe_chunks",   # one-row broadcast BPE rank map joined to the distinct-word relation
         "llm_bpe_chunks_special",  # same rank-map broadcast, special-token-reserved cut
