@@ -732,7 +732,14 @@ def write_ivf_corpus(
     vs d floats — 128× smaller at 4×16 over 64 dims, far past what SQ
     reaches), and the codebooks co-persist under
     ``{path}/_pq_codebooks`` so :func:`ivf_topk_stored` can reconstruct
-    for the asymmetric ADC ranking inside the probed cells."""
+    for the asymmetric ADC ranking inside the probed cells. Codes
+    quantize the RAW vectors, not the per-cell residuals (FAISS's
+    ``by_residual=false`` configuration): raw coding keeps the code
+    space independent of the IVF centroids — one codebook serves any
+    cell layout, appends never depend on assignment, and the decode is
+    oracle-replayable; residual coding buys extra precision per bit at
+    the cost of coupling every code to its cell's centroid, a trade to
+    revisit only if the recall budget demands it."""
     if quantize_bits is not None and pq_codebooks is not None:
         raise ValueError(
             "write_ivf_corpus: quantize_bits and pq_codebooks are mutually "
@@ -1803,15 +1810,24 @@ def _pq_encode_expr(vec_col: str, codebooks) -> Column:
         off = j * dsub
         dists = (
             f"transform({cbj_sql}, ct -> round(aggregate(sequence(1, {dsub}), 0D, "
-            f"(acc, i) -> acc + (cast(element_at({vec_col}, {off} + i) as double) "
-            f"- element_at(ct, i)) * (cast(element_at({vec_col}, {off} + i) as double) "
+            f"(acc, i) -> acc + (cast(element_at(v, {off} + i) as double) "
+            f"- element_at(ct, i)) * (cast(element_at(v, {off} + i) as double) "
             f"- element_at(ct, i)), acc -> acc), 6))"
         )
         codes.append(
             f"element_at(transform(array({dists}), ds -> "
             f"cast(array_position(ds, array_min(ds)) as int)), 1) - 1"
         )
-    return F.expr("array(" + ", ".join(codes) + ")")
+    # the input vector binds ONCE per row as a lambda variable (the
+    # winnow single-bind discipline — same fix as random_projection):
+    # callers pass DERIVED vector columns (unit_normalize's transform),
+    # and referencing {vec_col} directly inside the distance folds would
+    # re-evaluate that construction per (subvector × centroid × dim)
+    # access via CollapseProject inlining
+    return F.expr(
+        f"element_at(transform(array({vec_col}), v -> "
+        "array(" + ", ".join(codes) + ")), 1)"
+    )
 
 
 def _write_pq_codebooks(spark, codebooks, path: str, format: str) -> None:
@@ -1926,3 +1942,84 @@ def pq_topk(
         .filter(F.col("r") <= k)
         .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    seed: int = 0,
+    out_col: str = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 sparse
+    variant): project ``d``-dim embeddings to ``out_dim`` dims with the
+    {+1, 0, -1} matrix (probabilities 1/6, 2/3, 1/6) scaled by
+    ``sqrt(3/out_dim)`` — the standard pre-ANN byte reducer: pairwise
+    distances are preserved within (1±ε) with high probability, so a
+    4× narrower corpus feeds the same LSH/IVF machinery at a quarter of
+    the scan bytes, with the exact ranking recovered by re-scoring the
+    shortlist in full dimension.
+
+    The matrix entry ``r(i, k)`` derives from ``md5(f"{i}:{k}:{seed}")``
+    — a pure function of the position and seed, no RNG state — so the
+    projection is deterministic on any cluster layout, identical on
+    rerun, and recomputable by a SQL oracle from the same md5. Entries
+    are materialized driver-side (d × out_dim ints, a few KB) and ride
+    the plan as a nested array literal; the projection itself is one
+    codegen ``transform`` over a sequential per-dimension fold —
+    single-scan, no join, no shuffle, no Python. Output values are
+    rounded to 6 decimals (the repo-wide oracle convention).
+
+    Replaces ``vec_col`` unless ``out_col`` names a new column."""
+    import hashlib
+    import math
+
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    # the input dimension comes from the data: probe one row (bounded)
+    head = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if head is None or head["_d"] is None or head["_d"] <= 0:
+        raise ValueError(
+            f"random_projection: cannot determine {vec_col!r} dimension "
+            "(empty relation or NULL vector in the first row)"
+        )
+    d = int(head["_d"])
+
+    def r(i: int, k: int) -> float:
+        h = int(
+            hashlib.md5(f"{i}:{k}:{seed}".encode()).hexdigest()[:8], 16
+        ) % 6
+        return 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+
+    scale = math.sqrt(3.0 / out_dim)
+    mat_sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"{r(i, k)!r}D" for k in range(1, out_dim + 1))
+            + ")"
+            for i in range(1, d + 1)
+        )
+        + ")"
+    )
+    # BOTH the input vector and the matrix literal MUST bind once per
+    # row as LAMBDA VARIABLES (the winnow single-bind discipline):
+    # callers pass DERIVED vector columns (unit_normalize's transform),
+    # and CollapseProject inlines that expression into every
+    # element_at({vec_col}, i) reference — out_dim×d re-evaluations of a
+    # d-element construction per row, measured at ~0.3 s/row; the
+    # matrix CreateArray has the same failure mode inside the fold. The
+    # single-element transform wrappers evaluate each exactly once per
+    # row; the inner folds only index the bound values.
+    proj = F.expr(
+        f"element_at(transform(array({vec_col}), v -> "
+        f"element_at(transform(array({mat_sql}), m -> "
+        f"transform(sequence(1, {out_dim}), k -> round(aggregate("
+        f"sequence(1, {d}), 0D, (acc, i) -> acc + "
+        f"cast(element_at(v, i) as double) * "
+        f"element_at(element_at(m, i), k), acc -> acc) "
+        f"* {scale!r}D, 6))), 1)), 1)"
+    )
+    if out_col:
+        return df.withColumn(out_col, proj)
+    return df.withColumn(vec_col, proj)

@@ -5548,6 +5548,41 @@ def llm_ivf_pq(spark, sf):
 
 
 @query(
+    "llm_rp_project",
+    f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings) "
+    "SELECT vec_id, CAST(k AS BIGINT) AS k, "
+    "round(list_reduce(list_transform(range(1, 65), i -> emb[i] * ("
+    "  CASE CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || "
+    "    CAST(k AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) % 6 "
+    "  WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)), "
+    "(a, b) -> a + b) * 0.4330127018922193, 6) AS proj "
+    "FROM n, range(1, 17) r(k)",
+)
+def llm_rp_project(spark, sf):
+    """Johnson-Lindenstrauss random projection (operators/similarity.py::
+    random_projection — Achlioptas 2003 sparse {+1,0,-1} matrix, the
+    standard pre-ANN byte reducer): the 64-dim embeddings project to 16
+    dims with matrix entries derived from md5(i:k:seed) — a pure
+    function of position and seed, so the SQL oracle rebuilds the
+    IDENTICAL matrix from the same md5 and replays every output value
+    (sequential per-dimension fold, ×sqrt(3/16) = 0.4330127018922193,
+    rounded to 6). One codegen transform per row off the inlined
+    matrix literal — single scan, no join, no shuffle, no Python; the
+    entry posexplodes to (vec_id, k, proj) long format for the
+    hash compare. Shortlist-rescore recall is pytest-measured."""
+    from .operators import unit_normalize
+    from .operators.similarity import random_projection
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    p = random_projection(e.select("vec_id", "embedding"), 16, seed=0)
+    return p.select(
+        "vec_id", F.posexplode("embedding").alias("_k0", "proj")
+    ).select(
+        "vec_id", (F.col("_k0") + 1).cast("long").alias("k"), "proj"
+    )
+
+
+@query(
     "q90_sketch_compact",
     "WITH v AS (SELECT event_type, CAST(ts AS DATE) AS run_day, "
     "  CAST(floor(value * 100) AS DOUBLE) AS cents FROM events), "
@@ -7290,6 +7325,7 @@ _ROTATE_FIRST: list = [
     "llm_bpe_chunks_special",
     "llm_pq_topk",
     "llm_ivf_pq",
+    "llm_rp_project",
     # stalest re-checks: the r9 wave that overflowed the r12 window
     # (last driver-checked r09)
     "q15",

@@ -30,6 +30,7 @@ EXPECTED_RAISE = {
     "llm_semantic_against": ValueError,  # fit_sampled_centroids: empty corpus
     "llm_pq_topk": ValueError,         # no exemplar vectors for codebooks
     "llm_ivf_pq": ValueError,          # no exemplar vectors for codebooks
+    "llm_rp_project": ValueError,      # input dimension undeterminable
     "q90_sketch_compact": ValueError,  # empty store has no data files to read
 }
 

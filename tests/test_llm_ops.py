@@ -871,6 +871,102 @@ class TestProductQuantization:
         assert r16 >= r4, (r16, r4)
 
 
+class TestRandomProjection:
+    """operators/similarity.py::random_projection — Achlioptas sparse JL
+    projection, the pre-ANN byte reducer."""
+
+    def _emb(self, spark):
+        return unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding").cache()
+
+    def test_matches_numpy_ground_truth(self, spark):
+        import hashlib
+        import math
+
+        import numpy as np
+
+        from metaframe_spark.operators.similarity import random_projection
+
+        emb = self._emb(spark)
+        got = {
+            r.vec_id: np.array(r.embedding)
+            for r in random_projection(emb, 16, seed=0)
+            .filter(F.col("vec_id") < 30)
+            .collect()
+        }
+        M = np.zeros((64, 16))
+        for i in range(1, 65):
+            for k in range(1, 17):
+                h = (
+                    int(
+                        hashlib.md5(f"{i}:{k}:0".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % 6
+                )
+                M[i - 1, k - 1] = 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+        for r in emb.filter(F.col("vec_id") < 30).collect():
+            v = np.asarray(r.embedding, dtype=float)
+            exp = np.round(v @ M * math.sqrt(3.0 / 16), 6)
+            assert np.allclose(got[r.vec_id], exp, atol=1e-9), r.vec_id
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from metaframe_spark.operators.similarity import random_projection
+
+        emb = self._emb(spark)
+        key = lambda df: {
+            r.vec_id: tuple(r.embedding)
+            for r in df.filter(F.col("vec_id") < 20).collect()
+        }
+        a = key(random_projection(emb, 16, seed=0))
+        b = key(random_projection(emb.repartition(9), 16, seed=0))
+        assert a == b  # layout-independent
+        assert a != key(random_projection(emb, 16, seed=1))
+        # out_col keeps the original column
+        out = random_projection(emb, 8, seed=0, out_col="proj")
+        assert {"embedding", "proj"} <= set(out.columns)
+        [row] = out.filter(F.col("vec_id") == 0).collect()
+        assert len(row.proj) == 8 and len(row.embedding) == 64
+
+    def test_shortlist_rescore_recall(self, spark):
+        """The production pattern: shortlist in the projected space,
+        rescore the shortlist in full dimension. Containment of the
+        exact top-5 in the projected top-20 is measured (0.42 at this
+        seed/data — iid random vectors are JL's hardest case; real
+        embedding manifolds project far better) and pinned with
+        margin."""
+        from metaframe_spark.operators.similarity import random_projection
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = {
+            (r.q_id, r.vec_id)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        shortlist = {
+            (r.q_id, r.vec_id)
+            for r in brute_force_topk(
+                random_projection(emb, 16, seed=0),
+                random_projection(q, 16, seed=0),
+                k=20,
+            ).collect()
+        }
+        containment = len(exact & shortlist) / len(exact)
+        assert containment >= 0.3, containment
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.similarity import random_projection
+
+        emb = self._emb(spark)
+        with pytest.raises(ValueError, match="out_dim"):
+            random_projection(emb, 0)
+        with pytest.raises(ValueError, match="dimension"):
+            random_projection(emb.filter(F.lit(False)), 8)
+
+
 class TestIvfPq:
     """operators/similarity.py::write_ivf_corpus(pq_codebooks=...) —
     the FAISS IVFPQ serving layout completing the store's third code

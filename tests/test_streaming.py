@@ -1048,6 +1048,56 @@ class TestStreamIvfAppend:
         rows = ivf_topk_stored(spark, path, q, k=5, n_probe=8).collect()
         assert len({r.q_id for r in rows}) == 6
 
+    def test_pq_stream_uses_stored_codebooks(self, spark, tmp_path):
+        """A PQ layout (write_ivf_corpus(pq_codebooks=...)) streams the
+        same way: the delta is re-coded with the CO-PERSISTED codebooks
+        (_prepare_ivf_delta's shared rule), the sidecar is untouched,
+        and the post-stream probe reconstructs correctly."""
+        from metaframe_spark.io import load_table
+        from metaframe_spark.operators import unit_normalize
+        from metaframe_spark.operators.similarity import (
+            fit_pq_codebooks,
+            fit_sampled_centroids,
+            ivf_topk_stored,
+            pq_encode,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings").to_spark()
+        ).select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") % 4 != 0)
+        cb = fit_pq_codebooks(base, 4, 16, seed=3)
+        cent = fit_sampled_centroids(base, 8, seed=3, order_col="vec_id")
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(base, cent, path, pq_codebooks=cb)
+        sidecar_before = sorted(
+            map(tuple, spark.read.parquet(path + "/_pq_codebooks").collect())
+        )
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        src = str(tmp_path / "src")
+        delta.coalesce(1).write.parquet(src + "/f1")
+        self._drain(spark, src, delta.schema, path, str(tmp_path / "ckpt"))
+        assert sorted(
+            map(tuple, spark.read.parquet(path + "/_pq_codebooks").collect())
+        ) == sidecar_before
+        want = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(delta, cb).collect()
+        }
+        got = {
+            r.vec_id: list(r.embedding)
+            for r in spark.read.parquet(path)
+            .filter(F.col("vec_id") % 4 == 0)
+            .collect()
+        }
+        assert got == want
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        rows = ivf_topk_stored(spark, path, q, k=5, n_probe=8).collect()
+        assert len({r.q_id for r in rows}) == 6
+
     def test_crashed_mid_move_batch_resumes_from_staging(self, spark, tmp_path):
         """Crash state: staged write complete (_SUCCESS), marker absent —
         the retry must MOVE the staged files, not recompute the delta.
