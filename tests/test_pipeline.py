@@ -570,6 +570,44 @@ def test_token_budget_counts_collator_special_tokens(spark, messy):
     assert out.count() <= plain.count()
 
 
+def test_curate_then_pack_documents_composition(spark, messy):
+    """The post-pipeline packing path a trainer that forbids
+    cross-document attention runs: curated survivors -> REAL BPE token
+    counts (with per-doc specials) -> doc-boundary FFD bins. Every
+    survivor lands in exactly one bin or is flagged oversized; no bin
+    exceeds capacity."""
+    from collections import defaultdict
+
+    from metaframe_spark.operators.packing import pack_documents
+    from metaframe_spark.operators.text import bpe_tokenize
+    from metaframe_spark.queries import _BPE_MERGES
+
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    out, _ = curate_corpus(clean, min_quality=0.0, near_dup_jaccard=0.8)
+    merges = spark.createDataFrame(
+        _BPE_MERGES, "first string, second string, rank int"
+    )
+    counts = bpe_tokenize(
+        out.select("doc_id", "text"), merges, n_special_per_doc=2
+    ).select("doc_id", "n_tokens")
+    packed = pack_documents(
+        counts, 128, "n_tokens", "doc_id", n_groups=4
+    ).collect()
+    assert len(packed) == out.count()
+    fills = defaultdict(int)
+    oversized = 0
+    for r in packed:
+        if r.bin_id is None:
+            oversized += 1
+            assert r.n_tokens > 128
+        else:
+            fills[(r.pack_group, r.bin_id)] += r.n_tokens
+    assert fills and max(fills.values()) <= 128
+    # bins must be meaningfully packed, not one-doc-per-bin: average
+    # fill beats half capacity (FFD half-fill lemma at group scale)
+    assert sum(fills.values()) / len(fills) > 64
+
+
 def test_substring_dedup_stage_excises_copied_passage(spark):
     """dedup_substrings: the copied passage is cut out of the losing doc
     while both documents survive (unlike whole-doc dedup)."""
