@@ -7312,11 +7312,18 @@ _DRIVER_BLESSED = (
 # ROUND-14 NOTE (execute at the start of round 14): fold every key with a
 # green row in CORRECTNESS_r13.json into a `_R13_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-14
-# additions + whatever r10-wave keys overflowed this round's 50-slot
-# window (count the round-13 additions at the front of this list: with A
-# additions the first 50-A-23 r10-wave keys below get checked and the
-# remainder roll forward), then the r11 wave (last driver-checked r11) as
-# the next-oldest block.
+# additions + the TWENTY-NINE r10-blessed keys that overflowed this
+# round's 50-slot window (the six r13 additions + 23 r9 re-checks left 21
+# r10 slots; last driver-checked r10: q39_map_funcs, q40_salted_agg,
+# q41_percentiles, q42_grouping_sets, q43_ffill, q44_fuzzy_match,
+# q45_funnel, q46_retention, q47_rank_funcs, q48_percentiles_dist,
+# q49_unpivot, q50_rolling, q51_conditional_agg, q52_string_funcs,
+# q53_date_funcs, q54_pk_broadcast_join, q55_merge_upsert, q56_scd2,
+# q57_array_funcs, q58_profile, q59_time_funcs, q60_conditional_expr,
+# q61_profile_extended, q89_heavy_hitters, q90_sketch_compact,
+# q91_heavy_hitters_pruned, q92_drift_psi, q93_expectations,
+# q94_bottomk_sample), then the r11 wave (last driver-checked r11) as the
+# next-oldest block.
 _ROTATE_FIRST: list = [
     # round-13 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
