@@ -405,3 +405,55 @@ def pack_documents(
         return out
 
     return base.groupBy("pack_group").applyInPandas(_ffd, schema=schema)
+
+
+def pack_efficiency_report(
+    packed: DataFrame,
+    bin_capacity: int,
+    tokens_col: str,
+    group_col: str = "pack_group",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Packing data card over a :func:`pack_documents` assignment — the
+    numbers a trainer checks before committing a run: per ``group_col``,
+    ``n_docs``, ``n_oversized`` (NULL-bin documents that cannot pack
+    without splitting), ``n_bins``, ``packed_tokens``,
+    ``capacity_tokens`` (bins × capacity), ``fill_rate``
+    (packed/capacity, rounded to 6 — the fraction of every training
+    batch that is real signal rather than padding) and ``waste_tokens``
+    (the padding the collator will emit). One partial-aggregated
+    groupBy on the (already tiny per-group) assignment relation — no
+    join, no second pass over the corpus."""
+    if bin_capacity <= 0:
+        raise ValueError("bin_capacity must be > 0")
+    has_bin = F.col(bin_col).isNotNull()
+    agg = packed.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~has_bin, 1).otherwise(0)).cast("long").alias(
+            "n_oversized"
+        ),
+        F.count_distinct(F.col(bin_col)).cast("long").alias("n_bins"),
+        F.coalesce(
+            F.sum(F.when(has_bin, F.col(tokens_col))), F.lit(0)
+        )
+        .cast("long")
+        .alias("packed_tokens"),
+    )
+    cap_total = (F.col("n_bins") * F.lit(int(bin_capacity))).cast("long")
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_oversized",
+        "n_bins",
+        "packed_tokens",
+        cap_total.alias("capacity_tokens"),
+        F.when(
+            F.col("n_bins") > 0,
+            F.round(
+                F.col("packed_tokens").cast("double") / cap_total, 6
+            ),
+        ).alias("fill_rate"),
+        (cap_total - F.col("packed_tokens")).cast("long").alias(
+            "waste_tokens"
+        ),
+    )

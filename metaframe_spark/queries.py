@@ -2741,6 +2741,77 @@ def llm_pack_documents(spark, sf):
 
 
 @query(
+    "llm_pack_report",
+    "WITH RECURSIVE "
+    "toks AS (SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n "
+    "FROM documents), "
+    "grp AS (SELECT doc_id, n, "
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS g "
+    "FROM toks), "
+    "ranked AS (SELECT doc_id, n, g, CAST(row_number() OVER ("
+    "PARTITION BY g ORDER BY n DESC, doc_id ASC) AS BIGINT) AS r "
+    "FROM grp WHERE n <= 256), "
+    "rec AS ("
+    "SELECT g, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS rems, "
+    "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n, "
+    "CAST(NULL AS BIGINT) AS bin "
+    "FROM (SELECT DISTINCT g FROM ranked) "
+    "UNION ALL "
+    "SELECT rec.g, rec.i + 1, "
+    "CASE WHEN len(list_filter(range(1, len(rec.rems) + 1), "
+    "k -> rec.rems[k] >= rk.n)) = 0 "
+    "THEN list_append(rec.rems, 256 - rk.n) "
+    "ELSE list_transform(range(1, len(rec.rems) + 1), "
+    "k -> CASE WHEN k = list_filter(range(1, len(rec.rems) + 1), "
+    "j -> rec.rems[j] >= rk.n)[1] "
+    "THEN rec.rems[k] - rk.n ELSE rec.rems[k] END) END, "
+    "rk.doc_id, rk.n, "
+    "coalesce(list_filter(range(1, len(rec.rems) + 1), "
+    "j -> rec.rems[j] >= rk.n)[1], len(rec.rems) + 1) "
+    "FROM rec JOIN ranked rk ON rk.g = rec.g AND rk.r = rec.i + 1), "
+    "asg AS (SELECT doc_id, n, g, bin FROM rec WHERE i > 0 "
+    "UNION ALL "
+    "SELECT doc_id, n, g, CAST(NULL AS BIGINT) FROM grp WHERE n > 256) "
+    "SELECT g AS pack_group, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN bin IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_oversized, "
+    "CAST(count(DISTINCT bin) AS BIGINT) AS n_bins, "
+    "CAST(coalesce(sum(CASE WHEN bin IS NOT NULL THEN n END), 0) AS BIGINT) "
+    "  AS packed_tokens, "
+    "CAST(count(DISTINCT bin) * 256 AS BIGINT) AS capacity_tokens, "
+    "CASE WHEN count(DISTINCT bin) > 0 THEN round(CAST("
+    "  coalesce(sum(CASE WHEN bin IS NOT NULL THEN n END), 0) AS DOUBLE) "
+    "  / (count(DISTINCT bin) * 256), 6) END AS fill_rate, "
+    "CAST(count(DISTINCT bin) * 256 "
+    "  - coalesce(sum(CASE WHEN bin IS NOT NULL THEN n END), 0) AS BIGINT) "
+    "  AS waste_tokens "
+    "FROM asg GROUP BY g",
+)
+def llm_pack_report(spark, sf):
+    """Packing-efficiency data card (operators/packing.py::
+    pack_efficiency_report over pack_documents — the llm_dup_report /
+    llm_mix_report convention for the packing stage): per md5 bucket,
+    document/bin counts, packed vs capacity tokens, fill rate and the
+    padding tokens the collator will emit — the fraction-of-batch-
+    that-is-real-signal number a trainer checks before committing a
+    run. The oracle replays the ENTIRE chain — the sequential
+    first-fit fold and then the same aggregation — so the hash match
+    pins the report's provenance, not just its arithmetic. One
+    partial-aggregated groupBy over the assignment relation; no second
+    corpus pass."""
+    from .operators.packing import pack_documents, pack_efficiency_report
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_documents(d, 256, "n_tok", "doc_id", n_groups=8)
+    return pack_efficiency_report(packed, 256, "n_tok")
+
+
+@query(
     "llm_perplexity",
     "WITH t AS (SELECT doc_id, list_filter(string_split("
     f"{_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents), "
@@ -7312,9 +7383,9 @@ _DRIVER_BLESSED = (
 # ROUND-14 NOTE (execute at the start of round 14): fold every key with a
 # green row in CORRECTNESS_r13.json into a `_R13_DRIVER_BLESSED` frozenset
 # (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-14
-# additions + the TWENTY-NINE r10-blessed keys that overflowed this
-# round's 50-slot window (the six r13 additions + 23 r9 re-checks left 21
-# r10 slots; last driver-checked r10: q39_map_funcs, q40_salted_agg,
+# additions + the THIRTY r10-blessed keys that overflowed this
+# round's 50-slot window (the seven r13 additions + 23 r9 re-checks left
+# 20 r10 slots; last driver-checked r10: q38_regexp_extract, q39_map_funcs, q40_salted_agg,
 # q41_percentiles, q42_grouping_sets, q43_ffill, q44_fuzzy_match,
 # q45_funnel, q46_retention, q47_rank_funcs, q48_percentiles_dist,
 # q49_unpivot, q50_rolling, q51_conditional_agg, q52_string_funcs,
@@ -7333,6 +7404,7 @@ _ROTATE_FIRST: list = [
     "llm_pq_topk",
     "llm_ivf_pq",
     "llm_rp_project",
+    "llm_pack_report",
     # stalest re-checks: the r9 wave that overflowed the r12 window
     # (last driver-checked r09)
     "q15",

@@ -3593,13 +3593,108 @@ class TestPackDocuments:
         assert got == exp
 
     def test_validation(self, spark):
-        from metaframe_spark.operators.packing import pack_documents
+        from metaframe_spark.operators.packing import (
+            pack_documents,
+            pack_efficiency_report,
+        )
 
         df = spark.createDataFrame([(1, 1)], "doc_id long, n_tok long")
         with pytest.raises(ValueError, match="bin_capacity"):
             pack_documents(df, 0, "n_tok")
         with pytest.raises(ValueError, match="n_groups"):
             pack_documents(df, 10, "n_tok", n_groups=0)
+        with pytest.raises(ValueError, match="bin_capacity"):
+            pack_efficiency_report(df, 0, "n_tok")
+
+    def test_efficiency_report_exact(self, spark):
+        """pack_efficiency_report totals reconcile exactly with the
+        assignment it summarizes — including the oversized bucket and
+        the padding arithmetic."""
+        from collections import defaultdict
+
+        from metaframe_spark.operators.packing import (
+            pack_documents,
+            pack_efficiency_report,
+        )
+
+        rows = [(i, (i * 29) % 140 + 1) for i in range(300)]  # some > 100
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        packed = pack_documents(df, 100, "n_tok", n_groups=3)
+        rep = {
+            r.pack_group: r
+            for r in pack_efficiency_report(packed, 100, "n_tok").collect()
+        }
+        truth_bins = defaultdict(set)
+        truth_tok = defaultdict(int)
+        truth_docs = defaultdict(int)
+        truth_over = defaultdict(int)
+        for r in packed.collect():
+            truth_docs[r.pack_group] += 1
+            if r.bin_id is None:
+                truth_over[r.pack_group] += 1
+            else:
+                truth_bins[r.pack_group].add(r.bin_id)
+                truth_tok[r.pack_group] += r.n_tok
+        assert set(rep) == set(truth_docs)
+        for g, r in rep.items():
+            assert r.n_docs == truth_docs[g]
+            assert r.n_oversized == truth_over[g]
+            assert r.n_bins == len(truth_bins[g])
+            assert r.packed_tokens == truth_tok[g]
+            assert r.capacity_tokens == 100 * r.n_bins
+            assert r.waste_tokens == r.capacity_tokens - r.packed_tokens
+            assert abs(
+                r.fill_rate - round(r.packed_tokens / r.capacity_tokens, 6)
+            ) < 1e-12
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_fuzz_matches_naive_ffd_replay(self, spark, seed):
+        """Randomized corpora (sizes incl. zero, capacity-exact, and
+        oversized docs) must place EXACTLY like the sequential
+        first-fit-decreasing replay — the segment tree and the md5
+        bucketing have no input-shape escape hatches."""
+        import hashlib
+        import random
+        from collections import defaultdict
+
+        from metaframe_spark.operators.packing import pack_documents
+
+        rng = random.Random(seed)
+        cap, n_groups = rng.choice([17, 64]), rng.choice([2, 5])
+        rows = [
+            (i, rng.choice([0, 1, cap, cap + 3, rng.randint(1, cap)]))
+            for i in range(rng.randint(50, 250))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {
+            r.doc_id: (r.pack_group, r.bin_id, r.bin_slot, r.tok_start)
+            for r in pack_documents(
+                df, cap, "n_tok", n_groups=n_groups
+            ).collect()
+        }
+        groups = defaultdict(list)
+        for i, n in rows:
+            g = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_groups
+            groups[g].append((n, i))
+        exp = {}
+        for g, items in groups.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            rems, slots = [], []
+            for n, i in items:
+                if n > cap:
+                    exp[i] = (g, None, None, None)
+                    continue
+                for j, r in enumerate(rems):
+                    if r >= n:
+                        slots[j] += 1
+                        exp[i] = (g, j + 1, slots[j], cap - r)
+                        rems[j] = r - n
+                        break
+                else:
+                    rems.append(cap - n)
+                    slots.append(1)
+                    exp[i] = (g, len(rems), 1, 0)
+        assert got == exp
 
 
 class TestPackSequences:
