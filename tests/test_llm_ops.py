@@ -832,6 +832,76 @@ class TestProductQuantization:
         }
         assert a == b
 
+    def test_property_random_vectors_random_codebooks(self, spark):
+        """Hypothesis fuzz: random vectors x random codebooks (including
+        duplicate centroids, which force the first-min tie rule) must
+        encode EXACTLY like the numpy argmin replay — the
+        bpe_encode_words fuzz convention applied to the PQ codegen."""
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.similarity import pq_encode
+
+        @st.composite
+        def case(draw):
+            m = draw(st.sampled_from([1, 2]))
+            dsub = draw(st.sampled_from([2, 3]))
+            c = draw(st.integers(min_value=1, max_value=4))
+            f = st.floats(
+                min_value=-4, max_value=4,
+                allow_nan=False, allow_infinity=False, width=16,
+            )
+            cb = draw(
+                st.lists(
+                    st.lists(
+                        st.lists(f, min_size=dsub, max_size=dsub),
+                        min_size=c, max_size=c,
+                    ),
+                    min_size=m, max_size=m,
+                )
+            )
+            vecs = draw(
+                st.lists(
+                    st.lists(f, min_size=m * dsub, max_size=m * dsub),
+                    min_size=1, max_size=5,
+                )
+            )
+            return np.asarray(cb, dtype=float), vecs
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(case=case())
+        def check(case):
+            cb, vecs = case
+            m, c, dsub = cb.shape
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<double>",
+            )
+            got = {
+                r.vec_id: list(r.pq_codes)
+                for r in pq_encode(df, cb).collect()
+            }
+            for i, v in enumerate(vecs):
+                v = np.asarray(v, dtype=float)
+                exp = []
+                for j in range(m):
+                    d2 = np.round(
+                        (
+                            (v[j * dsub : (j + 1) * dsub][None, :] - cb[j])
+                            ** 2
+                        ).sum(axis=1),
+                        6,
+                    )
+                    exp.append(int(np.argmin(d2)))  # first-min tie rule
+                assert got[i] == exp, (i, got[i], exp)
+
+        check()
+
     def test_adc_self_recall_and_budget_monotonicity(self, spark):
         """Every query must retrieve ITSELF at rank 1 (its own
         reconstruction is its ADC argmax — the invariant that holds at
@@ -965,6 +1035,83 @@ class TestRandomProjection:
             random_projection(emb, 0)
         with pytest.raises(ValueError, match="dimension"):
             random_projection(emb.filter(F.lit(False)), 8)
+
+    def test_property_random_vectors_dims_seeds(self, spark):
+        """Hypothesis fuzz: random vectors x random (d, out_dim, seed)
+        configurations must equal the numpy replay value for value —
+        the bpe_encode_words fuzz convention applied to the JL codegen
+        (examples are batched: each drawn case is a whole corpus)."""
+        import hashlib
+        import math
+
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.similarity import random_projection
+
+        @st.composite
+        def corpus(draw):
+            d = draw(st.sampled_from([2, 5, 8]))
+            out_dim = draw(st.integers(min_value=1, max_value=6))
+            seed = draw(st.integers(min_value=0, max_value=3))
+            vecs = draw(
+                st.lists(
+                    st.lists(
+                        st.floats(
+                            min_value=-10, max_value=10,
+                            allow_nan=False, allow_infinity=False,
+                            width=32,
+                        ),
+                        min_size=d, max_size=d,
+                    ),
+                    min_size=1, max_size=6,
+                )
+            )
+            return d, out_dim, seed, vecs
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(case=corpus())
+        def check(case):
+            d, out_dim, seed, vecs = case
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<double>",
+            )
+            got = {
+                r.vec_id: list(r.embedding)
+                for r in random_projection(
+                    df, out_dim, seed=seed
+                ).collect()
+            }
+            M = np.zeros((d, out_dim))
+            for i in range(1, d + 1):
+                for k in range(1, out_dim + 1):
+                    h = (
+                        int(
+                            hashlib.md5(
+                                f"{i}:{k}:{seed}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % 6
+                    )
+                    M[i - 1, k - 1] = (
+                        1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+                    )
+            for i, v in enumerate(vecs):
+                exp = np.round(
+                    np.asarray(v, dtype=float) @ M
+                    * math.sqrt(3.0 / out_dim),
+                    6,
+                )
+                assert np.allclose(got[i], exp, atol=1e-9), (i, case)
+
+        check()
 
 
 class TestIvfPq:
