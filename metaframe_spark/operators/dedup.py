@@ -981,6 +981,86 @@ def prefix_filter_pairs(
     return out
 
 
+def neardup_threshold_sweep(
+    df: DataFrame,
+    thresholds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate threshold sweep — the data card that answers "which
+    Jaccard threshold do I dedup at?" as a table instead of a belief:
+    for each candidate threshold, the qualifying pair count, the number
+    of documents touched by at least one qualifying pair, and that
+    count's share of the corpus. A curation team reads the knee of the
+    ``dup_doc_rate`` curve to pick the threshold before committing a
+    destructive dedup pass.
+
+    Candidates are generated ONCE at the sweep's FLOOR threshold via
+    :func:`prefix_filter_pairs` — guaranteed complete there by the
+    prefix lemma, hence complete for every higher threshold too (a pair
+    qualifying at t ≥ floor qualifies at the floor). Each pair's exact
+    ``(n_inter, n_union)`` is computed once; the per-threshold
+    qualification re-uses those integers against the same
+    epsilon-guarded comparison the pair generator applies
+    (``n_inter ≥ t·n_union − 1e-9``), so the sweep rows are mutually
+    consistent and a SQL oracle replays them exactly.
+
+    Scale shape: the expensive stage (shingle explode + prefix join +
+    verify) runs once at the floor; the sweep itself multiplies the
+    BOUNDED pair relation (near-dup volume, not corpus volume) by a
+    literal handful of thresholds — one broadcast join, two
+    partial-aggregated groupBys on ≤ |thresholds| keys, one distinct on
+    (threshold, doc) bounded by pair volume. The corpus total is a
+    one-row aggregate broadcast back. Zero-pair thresholds still emit a
+    row (left join from the threshold literal relation)."""
+    ts = sorted({float(t) for t in thresholds})
+    if not ts:
+        raise ValueError("neardup_threshold_sweep: thresholds is empty")
+    if not (0.0 < ts[0] and ts[-1] <= 1.0):
+        raise ValueError(
+            f"neardup_threshold_sweep: thresholds must be in (0, 1] ({ts})"
+        )
+    spark = df.sparkSession
+    pairs = prefix_filter_pairs(
+        df, id_col, text_col, min_jaccard=ts[0], shingle_n=shingle_n
+    ).select("id_a", "id_b", "n_inter", "n_union")
+    th = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    qual = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("n_inter").cast("double")
+        >= F.col("threshold") * F.col("n_union").cast("double") - 1e-9
+    )
+    pair_counts = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = (
+        qual.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("_d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    total = df.select(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        th.join(F.broadcast(pair_counts), "threshold", "left")
+        .join(F.broadcast(doc_counts), "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_dup_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("double")
+                / F.col("_n_total"),
+                6,
+            ).alias("dup_doc_rate"),
+        )
+    )
+
+
 def minhash_near_dup_against(
     new: "DataFrame | None" = None,
     seen: "DataFrame | None" = None,

@@ -296,7 +296,9 @@ def pack_documents(
     a SQL oracle.
 
     Output: one row per input document — ``id_col``, ``tokens_col``
-    (coalesced to long), ``pack_group`` (the md5 bucket), ``bin_id``
+    (coalesced to long; NULL and negative sizes clamp to 0, since a
+    negative size would corrupt the FFD segment-tree descent),
+    ``pack_group`` (the md5 bucket), ``bin_id``
     (1-based FFD bin within the group; a (pack_group, bin_id) pair is a
     globally unique bin), plus the collator manifest the trainer needs
     to lay the bin out without recomputing anything: ``bin_slot`` (this
@@ -333,7 +335,14 @@ def pack_documents(
         raise ValueError("bin_capacity must be > 0")
     if n_groups <= 0:
         raise ValueError("n_groups must be > 0")
-    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    # NULL -> 0 and negative -> 0: a negative size would satisfy
+    # `tree[1] >= s` even when only unopened (-1) leaves exist, letting
+    # the segment tree "place" a doc into a never-opened bin (nbins not
+    # incremented, tok_start past capacity) — clamping keeps the FFD
+    # contract the tests and oracle pin.
+    n = F.greatest(
+        F.lit(0).cast("long"), F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    )
     g = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long")

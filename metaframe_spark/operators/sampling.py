@@ -269,9 +269,11 @@ def weighted_sample_exact(
     hex digits (60 bits) offset by +0.5, so it is never exactly 0 (no
     infinite key) and never 1.
 
-    Rows with NULL or non-positive weight have zero inclusion
+    Rows with NULL, NaN, or non-positive weight have zero inclusion
     probability and are excluded (documented A-ES domain; filter or
-    clamp upstream to include them).
+    clamp upstream to include them). NaN needs its own predicate in
+    both modes: Spark evaluates ``NaN > 0`` as true, so a plain
+    positivity filter would keep NaN weights.
 
     ``log_space=True`` reads ``weight_col`` as a LOG weight and draws
     the monotone-equivalent key ``ln(-ln u) - log_w`` instead of
@@ -322,7 +324,11 @@ def weighted_sample_exact(
         )
     else:
         key = -F.log(u) / w
-        scored = df.filter(w > 0).withColumn(key_col, key)
+        # NaN must be excluded here too: Spark evaluates NaN > 0 as TRUE
+        # (NaN sorts greater than every double), so `w > 0` alone keeps
+        # NaN weights, whose NaN draw key sorts last ascending and gets
+        # selected whenever k exceeds the positive-weight row count.
+        scored = df.filter((w > 0) & ~F.isnan(w)).withColumn(key_col, key)
     if strata:
         win = Window.partitionBy(*strata).orderBy(
             F.col(key_col).asc(), F.col(id_col).asc()

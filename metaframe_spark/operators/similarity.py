@@ -1823,10 +1823,21 @@ def _pq_encode_expr(vec_col: str, codebooks) -> Column:
     # callers pass DERIVED vector columns (unit_normalize's transform),
     # and referencing {vec_col} directly inside the distance folds would
     # re-evaluate that construction per (subvector × centroid × dim)
-    # access via CollapseProject inlining
+    # access via CollapseProject inlining.
+    #
+    # Dimension guard rides the same scan (the append_ivf_corpus
+    # assert_true discipline): without it, a vector shorter than m*dsub
+    # makes element_at past the array end return NULL (non-ANSI), so
+    # codes would silently encode against phantom zero dimensions — the
+    # initial write_ivf_corpus(pq_codebooks=...) path previously had no
+    # check while append did.
+    d = m * dsub
     return F.expr(
         f"element_at(transform(array({vec_col}), v -> "
-        "array(" + ", ".join(codes) + ")), 1)"
+        f"if(assert_true(size(v) = {d}, "
+        f"'pq_encode: vector dimension must be {d} (= m*dsub of the "
+        f"codebooks) but got dimension ' || size(v)) is null, "
+        "array(" + ", ".join(codes) + "), null)), 1)"
     )
 
 
@@ -1941,6 +1952,98 @@ def pq_topk(
         scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
         .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
+    )
+
+
+def pq_refine(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ANN shortlist — the standard two-stage serving
+    pattern (FAISS refine / IndexRefineFlat): a cheap compressed-domain
+    probe (:func:`pq_topk` with a generous k', or :func:`ann_topk`)
+    nominates candidates, then the FULL-PRECISION float vectors score
+    exactly those ids and the top ``k`` per query win by exact cosine.
+    Two-stage recall@k is at least the compressed probe's recall@k for
+    the same k (re-ranking a superset with the exact metric can only
+    promote true neighbors into the top k, never demote one that the
+    shortlist already contains) — pinned by test.
+
+    Result contract: identical to :func:`brute_force_topk` RESTRICTED to
+    each query's shortlist ids — same 6-decimal rounding, same
+    ``(cosine desc, corpus_id asc)`` tie-break, so a SQL oracle replays
+    it and ``r`` ranks 1..k.
+
+    Scale shape: the shortlist is bounded by construction
+    (|queries| × k' rows of bare ids — the probe's bounded-query
+    contract), so it BROADCASTS into a hash join that prunes the corpus
+    scan to shortlist members; the float corpus never shuffles and is
+    read once. Query vectors broadcast the same way; the rank window's
+    partial top-k bounds the exchange to k rows per query. This is the
+    piece that turns the PQ m-int scan into an exact-answer pipeline:
+    the 100×-smaller compressed scan does corpus elimination, and full
+    floats are touched for only |queries| × k' rows."""
+    from pyspark.sql import Window
+
+    sl = shortlist.select(F.col(query_id), F.col(corpus_id)).dropDuplicates(
+        [query_id, corpus_id]
+    )
+    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).join(
+        F.broadcast(sl), corpus_id, "inner"
+    )
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    scored = cand.join(F.broadcast(q), query_id).select(
+        query_id,
+        corpus_id,
+        F.round(cosine_expr(vec_col, "_qvec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(query_id, corpus_id, "cosine", F.col("r").cast("long").alias("r"))
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Recall@k report — the serving data card for any ANN configuration:
+    per query, how many of the exact top-k ids the approximate probe
+    returned (``n_hits``) and the fraction (``recall``). Feed it any
+    (query_id, corpus_id, r) pair of relations — :func:`pq_topk` vs
+    :func:`brute_force_topk`, :func:`ann_topk` vs brute force, a stored
+    IVF probe vs a flat probe — and read off the quantization /
+    n_probe / band-budget trade as a number instead of a belief.
+
+    Both inputs are bounded (≤ |queries| × k rows — the probes'
+    bounded-query contract), so the exact side BROADCASTS into a
+    left-semi-shaped hash join; one partial-aggregated groupBy on
+    ``query_id`` produces the report. Queries with no approximate rows
+    at all still report (via the exact side's group), with recall 0."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ex = exact.filter(F.col("r") <= k).select(
+        F.col(query_id), F.col(corpus_id)
+    )
+    ap = approx.filter(F.col("r") <= k).select(
+        F.col(query_id), F.col(corpus_id), F.lit(1).alias("_hit")
+    )
+    joined = ex.join(F.broadcast(ap), [query_id, corpus_id], "left")
+    return joined.groupBy(query_id).agg(
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("recall"),
     )
 
 

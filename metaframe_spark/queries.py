@@ -829,6 +829,55 @@ def llm_prefix_jaccard(spark, sf):
     ).select("id_a", "id_b", "n_inter", "n_union", "jaccard")
 
 
+@query(
+    "llm_neardup_sweep",
+    "WITH f AS ("
+    f"  SELECT doc_id, {_SHINGLE_SQL} AS sh "
+    f"  FROM (SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM {_CORPUS_SQL}) "
+    "  WHERE len(toks) >= 3), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS ni, "
+    "  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS nu "
+    "  FROM f a JOIN f b ON a.doc_id < b.doc_id), "
+    "th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold), "
+    "q AS (SELECT t.threshold, p.id_a, p.id_b FROM p JOIN th t "
+    "  ON CAST(p.ni AS DOUBLE) >= t.threshold * CAST(p.nu AS DOUBLE) - 1e-9), "
+    "tot AS (SELECT count(*) AS n FROM " + _CORPUS_SQL + "), "
+    "pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs "
+    "  FROM q GROUP BY threshold), "
+    "dc AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs "
+    "  FROM (SELECT threshold, id_a AS d FROM q "
+    "        UNION ALL SELECT threshold, id_b FROM q) GROUP BY threshold) "
+    "SELECT t.threshold, coalesce(pc.n_pairs, 0) AS n_pairs, "
+    "coalesce(dc.n_dup_docs, 0) AS n_dup_docs, "
+    "round(CAST(coalesce(dc.n_dup_docs, 0) AS DOUBLE) / tot.n, 6) "
+    "  AS dup_doc_rate "
+    "FROM th t LEFT JOIN pc ON pc.threshold = t.threshold "
+    "LEFT JOIN dc ON dc.threshold = t.threshold CROSS JOIN tot",
+)
+def llm_neardup_sweep(spark, sf):
+    """Near-dup threshold-sweep data card (operators/dedup.py::
+    neardup_threshold_sweep): per candidate Jaccard threshold
+    {0.5..0.9}, qualifying pair count, documents touched, and corpus
+    share over the twin-injected corpus — the knee-of-the-curve table a
+    curation team reads to pick the dedup threshold before a
+    destructive pass. Candidates generate ONCE at the 0.5 floor via the
+    prefix filter (lemma-complete there, hence complete at every higher
+    threshold); each pair's exact (n_inter, n_union) integers qualify
+    per threshold through the same epsilon-guarded comparison the
+    generator uses. The oracle replays the EXHAUSTIVE all-pairs sweep,
+    so the hash match proves completeness of the floor-candidates
+    strategy at every threshold in the sweep, row for row. Scale: the
+    expensive stage runs once; the sweep multiplies only the bounded
+    pair relation by 5 literal thresholds."""
+    from .operators.dedup import neardup_threshold_sweep
+
+    d = load_table(spark, sf, "documents")
+    return neardup_threshold_sweep(
+        _twin_corpus(d), [0.5, 0.6, 0.7, 0.8, 0.9], "doc_id", "text"
+    )
+
+
 def _simhash_oracle_sql(max_hamming: int = 3, bits: int = 60) -> str:
     """Exhaustive-Hamming DuckDB oracle for the banded SimHash operator.
 
@@ -5493,13 +5542,14 @@ def llm_ivf_sq(spark, sf):
     return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
 
 
-#: shared by llm_pq_topk (direct ADC scan) and llm_ivf_pq (cell-partitioned
-#: PQ layout probed at n_probe = n_lists): probing every cell makes the
-#: stored result exact WITH RESPECT TO the reconstructed space regardless
-#: of where the IVF centroids landed, so both must be pair-for-pair
-#: identical to this full encode + reconstruct + ADC ranking over the
-#: exemplar codebooks (the vec_id < 16 subvector slices).
-_PQ_ADC_ORACLE = (
+#: shared CTE chain for the PQ family oracles: normalize, build the
+#: exemplar codebooks (the vec_id < 16 subvector slices), encode every
+#: vector (rounded squared-L2, first-min tie-break), reconstruct from the
+#: codebooks, and select the query batch. llm_pq_topk / llm_ivf_pq rank
+#: the reconstructions directly; llm_pq_refine ranks a WIDER shortlist
+#: then re-ranks it by exact cosine; llm_ann_recall intersects the ADC
+#: top-k with the exact top-k.
+_PQ_ADC_CHAIN = (
     f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
     "cb AS (SELECT j, vec_id AS code, list_slice(emb, (j-1)*16+1, j*16) AS cent "
     "  FROM n, range(1, 5) r(j) WHERE vec_id < 16), "
@@ -5516,14 +5566,31 @@ _PQ_ADC_ORACLE = (
     "rec AS (SELECT e.vec_id, flatten(list(c.cent ORDER BY e.j)) AS remb "
     "  FROM enc e JOIN cb c ON c.j = e.j AND c.code = e.code "
     "  GROUP BY e.vec_id), "
-    "q AS (SELECT vec_id AS q_id, emb FROM n WHERE vec_id >= 8 AND vec_id < 16) "
-    "SELECT q_id, vec_id, cosine, r FROM ("
-    "  SELECT q.q_id, rc.vec_id, "
-    "  round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) AS cosine, "
-    "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
-    "    round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) DESC, "
-    "    rc.vec_id) AS BIGINT) AS r "
-    "  FROM rec rc, q) WHERE r <= 5"
+    "q AS (SELECT vec_id AS q_id, emb FROM n WHERE vec_id >= 8 AND vec_id < 16)"
+)
+
+#: the ADC ranking over the reconstructed corpus as a parenthesizable
+#: relation — (q_id, vec_id, cosine, rk); callers filter rk.
+_PQ_ADC_RANKED = (
+    "SELECT q.q_id, rc.vec_id, "
+    "round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) AS cosine, "
+    "CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
+    "  round(list_inner_product(q.emb::DOUBLE[], rc.remb::DOUBLE[]), 6) DESC, "
+    "  rc.vec_id) AS BIGINT) AS rk "
+    "FROM rec rc, q"
+)
+
+#: shared by llm_pq_topk (direct ADC scan) and llm_ivf_pq (cell-partitioned
+#: PQ layout probed at n_probe = n_lists): probing every cell makes the
+#: stored result exact WITH RESPECT TO the reconstructed space regardless
+#: of where the IVF centroids landed, so both must be pair-for-pair
+#: identical to this full encode + reconstruct + ADC ranking over the
+#: exemplar codebooks.
+_PQ_ADC_ORACLE = (
+    _PQ_ADC_CHAIN
+    + " SELECT q_id, vec_id, cosine, rk AS r FROM ("
+    + _PQ_ADC_RANKED
+    + ") WHERE rk <= 5"
 )
 
 
@@ -5616,6 +5683,99 @@ def llm_ivf_pq(spark, sf):
         e.select("vec_id", "embedding"), cent, path, pq_codebooks=cb
     )
     return ivf_topk_stored(spark, path, q, k=5, n_probe=8)
+
+
+@query(
+    "llm_pq_refine",
+    _PQ_ADC_CHAIN
+    + ", adc AS (SELECT q_id, vec_id FROM ("
+    + _PQ_ADC_RANKED
+    + ") WHERE rk <= 20) "
+    "SELECT q_id, vec_id, cosine, r FROM ("
+    "  SELECT a.q_id, a.vec_id, "
+    "  round(list_inner_product(q.emb::DOUBLE[], v.emb::DOUBLE[]), 6) AS cosine, "
+    "  CAST(row_number() OVER (PARTITION BY a.q_id ORDER BY "
+    "    round(list_inner_product(q.emb::DOUBLE[], v.emb::DOUBLE[]), 6) DESC, "
+    "    a.vec_id) AS BIGINT) AS r "
+    "  FROM adc a JOIN n v ON v.vec_id = a.vec_id "
+    "  JOIN q ON q.q_id = a.q_id) WHERE r <= 5",
+)
+def llm_pq_refine(spark, sf):
+    """Two-stage exact-refined PQ serving (operators/similarity.py::
+    pq_refine — the FAISS IndexRefineFlat pattern, VERDICT r13 next-#4):
+    the compressed-domain ADC probe (pq_topk over the exemplar
+    codebooks) nominates a 4k shortlist (k'=20), then the FULL-PRECISION
+    float vectors re-rank exactly those ids and the top 5 per query win
+    by exact cosine. The oracle replays the whole chain — encode,
+    reconstruct, ADC rank to 20, exact-cosine re-rank to 5 — so the
+    hash match pins both stages cross-engine. Scale: the shortlist is
+    bounded (|queries|×20 bare ids) and broadcasts into a hash join
+    that prunes the float-vector scan to shortlist members; the corpus
+    never shuffles, full floats are touched for 160 rows no matter the
+    corpus size — the piece that turns the m-int PQ scan into an
+    exact-answer pipeline. recall@k ≥ plain-PQ recall is pytest-pinned
+    (TestPqRefine)."""
+    from .operators import unit_normalize
+    from .operators.similarity import pq_encode, pq_refine, pq_topk
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    cb = _exemplar_pq_codebooks(e)
+    codes = pq_encode(e.select("vec_id", "embedding"), cb)
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    shortlist = pq_topk(codes, cb, q, k=20)
+    return pq_refine(shortlist, e.select("vec_id", "embedding"), q, k=5)
+
+
+@query(
+    "llm_ann_recall",
+    _PQ_ADC_CHAIN
+    + ", adc AS (SELECT q_id, vec_id FROM ("
+    + _PQ_ADC_RANKED
+    + ") WHERE rk <= 5), "
+    "ex AS (SELECT q_id, vec_id FROM ("
+    "  SELECT q.q_id, v.vec_id, "
+    "  CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY "
+    "    round(list_inner_product(q.emb::DOUBLE[], v.emb::DOUBLE[]), 6) DESC, "
+    "    v.vec_id) AS BIGINT) AS rk "
+    "  FROM n v, q) WHERE rk <= 5) "
+    "SELECT ex.q_id, "
+    "CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_hits, "
+    "round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*), 6) AS recall "
+    "FROM ex LEFT JOIN adc a ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id "
+    "GROUP BY ex.q_id",
+)
+def llm_ann_recall(spark, sf):
+    """ANN recall@k data card (operators/similarity.py::recall_at_k):
+    per query, how many of the exact brute-force top-5 ids the
+    compressed-domain PQ ADC probe returned, and the fraction — the
+    number a serving team reads to size the quantization / n_probe /
+    shortlist trade instead of a belief. The oracle replays BOTH sides
+    (the full ADC chain over the exemplar codebooks AND the exact
+    float top-5) and the same left-join intersection, so the hash match
+    pins the measurement itself cross-engine. Scale: both probe outputs
+    are bounded (|queries|×k), the approximate side broadcasts, one
+    partial-aggregated groupBy emits the report."""
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        recall_at_k,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    cb = _exemplar_pq_codebooks(e)
+    codes = pq_encode(e.select("vec_id", "embedding"), cb)
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    approx = pq_topk(codes, cb, q, k=5)
+    exact = brute_force_topk(e.select("vec_id", "embedding"), q, k=5)
+    return recall_at_k(approx, exact, 5)
 
 
 @query(
@@ -7358,6 +7518,62 @@ _R12_DRIVER_BLESSED = frozenset(
     }
 )
 
+_R13_DRIVER_BLESSED = frozenset(
+    {
+        # CORRECTNESS_r13.json — all 50 window rows green (rows+schema+hash)
+        "llm_token_budget",
+        "llm_pack_documents",
+        "llm_bpe_chunks_special",
+        "llm_pq_topk",
+        "llm_ivf_pq",
+        "llm_rp_project",
+        "llm_pack_report",
+        "q01",
+        "q02",
+        "q03",
+        "q04",
+        "q05",
+        "q06",
+        "q15",
+        "q16",
+        "q17",
+        "q18",
+        "q19",
+        "q19b",
+        "q20",
+        "q21",
+        "q22",
+        "q23",
+        "q24",
+        "q25",
+        "q26",
+        "q27",
+        "q28",
+        "q29",
+        "q30",
+        "llm_semantic_dedup",
+        "llm_dedup_incremental",
+        "llm_ivf_corpus",
+        "llm_ivf_sq",
+        "llm_ivf_store",
+        "llm_prefix_jaccard",
+        "llm_quantize",
+        "llm_cosine_dups",
+        "llm_decontaminate",
+        "llm_span_dedup",
+        "llm_bm25",
+        "llm_tfidf",
+        "llm_vocab",
+        "llm_perplexity",
+        "q32_sessionize",
+        "q33_resample",
+        "q34_pivot",
+        "q35_explode",
+        "q36_from_json",
+        "q37_higher_order",
+    }
+)
+
 _DRIVER_BLESSED = (
     _R6_DRIVER_BLESSED
     | _R7_DRIVER_BLESSED
@@ -7366,98 +7582,42 @@ _DRIVER_BLESSED = (
     | _R10_DRIVER_BLESSED
     | _R11_DRIVER_BLESSED
     | _R12_DRIVER_BLESSED
+    | _R13_DRIVER_BLESSED
 )
 
 # New-this-round entries to pin at the very front of the driver window.
 #
-# ROUND-13 ROTATION (executing the r12 note / VERDICT r12 next-#1): every
-# key's latest driver check is now r9 (23 keys), r10 (50), r11 (50) or r12
-# (50) — cumulative blessing 173/173 with zero latest-check failures.  The
-# round-13 window is: round-13 additions (never driver-checked) first,
-# then the TWENTY-THREE r9-blessed keys that overflowed the r12 window
-# (last driver-checked r09: q15-q18, q19, q19b, q20-q30, q01-q06), then
-# the next-oldest blessed block — the r10 wave (the 14 r10 llm_* keys,
-# then q32..q61 and q89..q94, last driver-checked r10).  Keys past slot 50
-# overflow to round 14 — cheapest/most-stable at the tail.
+# ROUND-14 ROTATION (executing the r13 note / VERDICT r13 next-#1): every
+# key's latest driver check is now r10 (30 keys), r11 (50), r12 (50) or
+# r13 (50) — cumulative blessing 180/180 with zero latest-check failures.
+# The round-14 window is: round-14 additions (never driver-checked)
+# first, then the THIRTY r10-blessed keys that overflowed the r13 window
+# (last driver-checked r10: q38..q61, q89..q94), then the next-oldest
+# blessed block — the r11 wave (last driver-checked r11) with the heavier
+# multi-stage llm_* operators first. Keys past slot 50 overflow to round
+# 15 — cheapest/most-stable at the tail.
 #
-# ROUND-14 NOTE (execute at the start of round 14): fold every key with a
-# green row in CORRECTNESS_r13.json into a `_R13_DRIVER_BLESSED` frozenset
-# (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to round-14
-# additions + the THIRTY r10-blessed keys that overflowed this
-# round's 50-slot window (the seven r13 additions + 23 r9 re-checks left
-# 20 r10 slots; last driver-checked r10: q38_regexp_extract, q39_map_funcs, q40_salted_agg,
-# q41_percentiles, q42_grouping_sets, q43_ffill, q44_fuzzy_match,
-# q45_funnel, q46_retention, q47_rank_funcs, q48_percentiles_dist,
-# q49_unpivot, q50_rolling, q51_conditional_agg, q52_string_funcs,
-# q53_date_funcs, q54_pk_broadcast_join, q55_merge_upsert, q56_scd2,
-# q57_array_funcs, q58_profile, q59_time_funcs, q60_conditional_expr,
-# q61_profile_extended, q89_heavy_hitters, q90_sketch_compact,
-# q91_heavy_hitters_pruned, q92_drift_psi, q93_expectations,
-# q94_bottomk_sample), then the r11 wave (last driver-checked r11) as the
+# ROUND-15 NOTE (execute at the start of round 15): fold every key with a
+# green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
+# frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
+# round-15 additions + whatever r11-wave keys overflowed this round's
+# 50-slot window (the additions below + 30 r10 re-checks leave ~50-N
+# r11 slots; the r11 wave in window order is the list after the
+# "next-oldest blessed block" comment below — everything past slot 50
+# is the overflow), then the r12 wave (last driver-checked r12) as the
 # next-oldest block.
 _ROTATE_FIRST: list = [
-    # round-13 additions (never driver-checked before) are prepended here
+    # round-14 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
-    "llm_token_budget",
-    "llm_pack_documents",
-    "llm_bpe_chunks_special",
-    "llm_pq_topk",
-    "llm_ivf_pq",
-    "llm_rp_project",
-    "llm_pack_report",
-    # stalest re-checks: the r9 wave that overflowed the r12 window
-    # (last driver-checked r09)
-    "q15",
-    "q16",
-    "q17",
-    "q18",
-    "q19",
-    "q19b",
-    "q20",
-    "q21",
-    "q22",
-    "q23",
-    "q24",
-    "q25",
-    "q26",
-    "q27",
-    "q28",
-    "q29",
-    "q30",
-    "q01",
-    "q02",
-    "q03",
-    "q04",
-    "q05",
-    "q06",
-    # next-oldest blessed block: the r10 wave (last driver-checked r10) —
-    # llm_* first (the heavier multi-stage operators where a re-check
-    # carries the most information), then the relational q-entries
-    "llm_semantic_dedup",
-    "llm_dedup_incremental",
-    "llm_ivf_corpus",
-    "llm_ivf_sq",
-    "llm_ivf_store",
-    "llm_prefix_jaccard",
-    "llm_quantize",
-    "llm_cosine_dups",
-    "llm_decontaminate",
-    "llm_span_dedup",
-    "llm_bm25",
-    "llm_tfidf",
-    "llm_vocab",
-    "llm_perplexity",
-    "q32_sessionize",
-    "q33_resample",
-    "q34_pivot",
-    "q35_explode",
-    "q36_from_json",
-    "q37_higher_order",
+    "llm_pq_refine",
+    "llm_ann_recall",
+    "llm_neardup_sweep",
+    # stalest re-checks: the r10 wave that overflowed the r13 window
+    # (last driver-checked r10)
     "q38_regexp_extract",
     "q39_map_funcs",
     "q40_salted_agg",
     "q41_percentiles",
-    # tail: cheapest/most-stable — these overflow to round 14
     "q42_grouping_sets",
     "q43_ffill",
     "q44_fuzzy_match",
@@ -7484,6 +7644,60 @@ _ROTATE_FIRST: list = [
     "q92_drift_psi",
     "q93_expectations",
     "q94_bottomk_sample",
+    # next-oldest blessed block: the r11 wave (last driver-checked r11) —
+    # llm_* first (the heavier multi-stage operators where a re-check
+    # carries the most information), then the relational q-entries
+    "llm_winnow",
+    "llm_rep_signals",
+    "llm_ivf_append",
+    "llm_semantic_against",
+    "llm_pack_sequences",
+    "llm_containment",
+    "llm_video_neardup",
+    "llm_image_neardup",
+    "llm_audio_neardup",
+    "llm_global_shuffle",
+    "llm_hash_split",
+    "llm_stratified_sample",
+    "llm_mixture_sample",
+    "llm_dup_report",
+    "llm_corpus_stats",
+    "llm_gopher_flags",
+    "llm_c4_lines",
+    # tail: cheapest/most-stable — these overflow to round 15
+    "llm_char_entropy",
+    "llm_bigram_nll",
+    "q07",
+    "q08",
+    "q09",
+    "q10",
+    "q11",
+    "q12",
+    "q62_null_safe_join",
+    "q63_map_hof",
+    "q64_salted_join",
+    "q65_bitwise",
+    "q66_string_agg",
+    "q67_variant",
+    "q68_interpolate",
+    "q69_snapshot_diff",
+    "q70_stats_agg",
+    "q71_interval_join",
+    "q72_bitmap_distinct",
+    "q73_gapfill",
+    "q74_posexplode",
+    "q75_try_funcs",
+    "q76_regex_funcs",
+    "q77_minmax_by",
+    "q78_asof_nearest",
+    "q79_set_ops_all",
+    "q80_sort_nulls",
+    "q81_cogroup",
+    "q95_anomaly_rules",
+    "q96_drift_from_store",
+    "q97_anomaly_kmv",
+    "q98_cms_counts",
+    "q99_kmv_overlap",
 ]
 
 

@@ -832,6 +832,26 @@ class TestProductQuantization:
         }
         assert a == b
 
+    def test_encode_rejects_mismatched_dimension(self, spark):
+        """ADVICE r13: with codebooks whose m*dsub exceeds the vector
+        dimension, element_at past the array end returns NULL (non-ANSI)
+        and codes would silently encode against phantom dimensions — the
+        assert_true riding the encode scan must fail loudly instead.
+        The guard lives in _pq_encode_expr, so write_ivf_corpus's PQ
+        layout (which shares the expression) is covered by the same
+        check."""
+        import numpy as np
+
+        from metaframe_spark.operators.similarity import pq_encode
+
+        cb = np.zeros((2, 2, 3))  # expects dim 6
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0])],  # dim 4
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(Exception, match="dimension must be 6"):
+            pq_encode(df, cb).collect()
+
     def test_property_random_vectors_random_codebooks(self, spark):
         """Hypothesis fuzz: random vectors x random codebooks (including
         duplicate centroids, which force the first-min tie rule) must
@@ -939,6 +959,115 @@ class TestProductQuantization:
         r4, r16 = run(4), run(16)
         assert r4 >= 0.25, r4     # measured 0.35 at this seed/data
         assert r16 >= r4, (r16, r4)
+
+
+class TestPqRefine:
+    """operators/similarity.py::pq_refine / recall_at_k — the two-stage
+    exact-refined serving pattern (VERDICT r13 next-#4) and its recall
+    data card."""
+
+    def _emb(self, spark):
+        return unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding").cache()
+
+    def _setup(self, spark, kprime=20):
+        from metaframe_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb = self._emb(spark)
+        cb = fit_pq_codebooks(emb, 4, 8, seed=3)
+        codes = pq_encode(emb, cb)
+        q = emb.filter(F.col("vec_id") < 12).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        return emb, cb, codes, q, pq_topk(codes, cb, q, k=kprime)
+
+    def test_equals_brute_force_restricted_to_shortlist(self, spark):
+        """The contract: pq_refine over shortlist S must equal
+        brute_force_topk computed over ONLY the ids in S per query —
+        same cosine rounding, same (desc, id asc) tie-break, ranks
+        1..k."""
+        from collections import defaultdict
+
+        from metaframe_spark.operators.similarity import pq_refine
+
+        emb, cb, codes, q, shortlist = self._setup(spark)
+        got = pq_refine(shortlist, emb, q, k=5).collect()
+        sl = defaultdict(set)
+        for r in shortlist.collect():
+            sl[r.q_id].add(r.vec_id)
+        cos = {
+            (r.q_id, r.vec_id): r.cosine
+            for r in brute_force_topk(emb, q, k=10**9).collect()
+        }
+        by_q = defaultdict(list)
+        for r in got:
+            by_q[r.q_id].append(r)
+        assert set(by_q) == set(sl)
+        for q_id, rows in by_q.items():
+            rows.sort(key=lambda r: r.r)
+            assert [r.r for r in rows] == list(range(1, len(rows) + 1))
+            assert len(rows) == min(5, len(sl[q_id]))
+            exp = sorted(
+                sl[q_id], key=lambda v: (-cos[(q_id, v)], v)
+            )[: len(rows)]
+            assert [r.vec_id for r in rows] == exp, q_id
+            for r in rows:
+                assert r.cosine == cos[(r.q_id, r.vec_id)]
+
+    def test_refined_recall_at_least_plain_pq(self, spark):
+        """Two-stage recall@5 (ADC shortlist k'=20 -> exact re-rank)
+        must be >= plain PQ recall@5: re-ranking a superset with the
+        exact metric can only promote true neighbors into the top k."""
+        from metaframe_spark.operators.similarity import (
+            pq_refine,
+            pq_topk,
+            recall_at_k,
+        )
+
+        emb, cb, codes, q, shortlist = self._setup(spark, kprime=20)
+        exact = brute_force_topk(emb, q, k=5)
+        plain = pq_topk(codes, cb, q, k=5)
+        refined = pq_refine(shortlist, emb, q, k=5)
+        rec = lambda ap: {
+            r.q_id: r.recall
+            for r in recall_at_k(ap, exact, 5).collect()
+        }
+        rp, rr = rec(plain), rec(refined)
+        assert set(rp) == set(rr)
+        assert all(rr[qid] >= rp[qid] for qid in rp), (rr, rp)
+        # and the refinement is not vacuous at this seed/data: iid
+        # random embeddings are PQ's hardest case (real embedding
+        # manifolds quantize far better — the JL test's caveat), yet
+        # the 4x shortlist re-rank still lifts mean recall@5
+        # (measured plain 0.33 -> refined 0.48); pinned with margin
+        mean_p = sum(rp.values()) / len(rp)
+        mean_r = sum(rr.values()) / len(rr)
+        assert mean_r > mean_p, (mean_r, mean_p)
+        assert mean_r >= 0.4, mean_r
+
+    def test_recall_at_k_handles_missing_queries_and_validates(self, spark):
+        from metaframe_spark.operators.similarity import recall_at_k
+
+        exact = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+            "q_id long, vec_id long, r long",
+        )
+        # query 2 has NO approximate rows; query 1 got one of two, and
+        # rows past r <= k on either side are ignored
+        approx = spark.createDataFrame(
+            [(1, 11, 1), (1, 99, 2), (1, 10, 3)],
+            "q_id long, vec_id long, r long",
+        )
+        got = {r.q_id: r for r in recall_at_k(approx, exact, 2).collect()}
+        assert got[1].n_hits == 1 and abs(got[1].recall - 0.5) < 1e-9
+        assert got[2].n_hits == 0 and got[2].recall == 0.0
+        with pytest.raises(ValueError, match="k must be positive"):
+            recall_at_k(approx, exact, 0)
 
 
 class TestRandomProjection:
@@ -3686,6 +3815,29 @@ class TestPackDocuments:
         assert got[4].n_tok == 0 and got[4].bin_id is not None
         assert got[5].bin_id is not None
 
+    def test_negative_tokens_clamp_to_zero(self, spark):
+        """ADVICE r13: a negative size satisfies `tree[1] >= s` even
+        when only unopened (-1) leaves exist, so pre-fix the segment
+        tree could 'place' a doc into a never-opened bin (nbins not
+        incremented, tok_start past capacity). Negative sizes clamp to
+        0, matching the NULL->0 coalesce, and the FFD invariants hold."""
+        from metaframe_spark.operators.packing import pack_documents
+
+        rows = [(1, -5), (2, 50), (3, -1), (4, 100)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {r.doc_id: r for r in pack_documents(
+            df, 100, "n_tok", n_groups=1
+        ).collect()}
+        assert len(got) == 4
+        assert got[1].n_tok == 0 and got[3].n_tok == 0
+        for r in got.values():
+            assert r.bin_id is not None and r.bin_id >= 1
+            assert 0 <= r.tok_start <= 100
+        # zero-size docs place into a real opened bin, never a phantom:
+        # bin ids stay dense 1..max
+        bins = {r.bin_id for r in got.values()}
+        assert bins == set(range(1, len(bins) + 1))
+
     def test_deterministic_under_repartition(self, spark):
         from metaframe_spark.operators.packing import pack_documents
 
@@ -4490,6 +4642,24 @@ class TestDsirWeights:
         }
         assert got == {1, 4}
 
+    def test_linear_space_excludes_nan_weights(self, spark):
+        """Mirror of the log-space guard for the default path: Spark
+        evaluates NaN > 0 as TRUE, so `w > 0` alone keeps a NaN weight,
+        whose NaN draw key sorts last ascending and gets selected when k
+        exceeds the positive-weight row count (ADVICE r13, verified live
+        on exactly this input before the fix)."""
+        from metaframe_spark.operators import weighted_sample_exact
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, float("nan")), (3, -1.0), (4, None), (5, 0.0)],
+            "doc_id long, w double",
+        )
+        got = {
+            r["doc_id"]
+            for r in weighted_sample_exact(df, 10, "w", "doc_id").collect()
+        }
+        assert got == {1}
+
 
 class TestMixtureReport:
     def test_counts_and_shares_exact(self, spark):
@@ -5115,6 +5285,61 @@ class TestPrefixFilterPairs:
         assert prefix_filter_pairs(df).count() == 0
         with _pytest.raises(ValueError, match="min_jaccard"):
             prefix_filter_pairs(df, min_jaccard=0.0)
+
+
+class TestNeardupThresholdSweep:
+    """operators/dedup.py::neardup_threshold_sweep — the threshold data
+    card: floor-candidates + per-threshold requalification must match a
+    per-threshold ground truth, with monotone counts and zero-pair rows
+    present."""
+
+    def _corpus(self, spark, docs):
+        d = docs.select("doc_id", "text")
+        twins = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" twin tail")).alias("text"),
+        )
+        return d.unionByName(twins)
+
+    def test_matches_per_threshold_prefix_filter(self, spark, docs):
+        from metaframe_spark.operators.dedup import (
+            neardup_threshold_sweep,
+            prefix_filter_pairs,
+        )
+
+        corpus = self._corpus(spark, docs)
+        ts = [0.5, 0.7, 0.9, 1.0]
+        got = {
+            r.threshold: r
+            for r in neardup_threshold_sweep(corpus, ts).collect()
+        }
+        assert set(got) == set(ts)
+        n_total = corpus.count()
+        for t in ts:
+            pairs = prefix_filter_pairs(corpus, min_jaccard=t).collect()
+            docs_touched = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+            assert got[t].n_pairs == len(pairs), t
+            assert got[t].n_dup_docs == len(docs_touched), t
+            assert (
+                abs(got[t].dup_doc_rate - round(len(docs_touched) / n_total, 6))
+                < 1e-12
+            )
+        # monotone: higher threshold can only shrink the counts
+        for lo, hi in zip(ts, ts[1:]):
+            assert got[lo].n_pairs >= got[hi].n_pairs
+            assert got[lo].n_dup_docs >= got[hi].n_dup_docs
+        # the twin corpus has real near-dups at 0.5 but no EXACT dups
+        assert got[0.5].n_pairs > 0
+        assert got[1.0].n_pairs == 0 and got[1.0].dup_doc_rate == 0.0
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.dedup import neardup_threshold_sweep
+
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="thresholds is empty"):
+            neardup_threshold_sweep(df, [])
+        with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            neardup_threshold_sweep(df, [0.0, 0.5])
 
 
 class TestContainmentContamination:

@@ -353,6 +353,9 @@ class TestCatalogPlanLint:
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
         "llm_pq_topk",      # same bounded-query-broadcast contract over the coded corpus
+        "llm_pq_refine",    # ADC shortlist stage (same contract); the refine join itself is an equi hash join
+        "llm_ann_recall",   # both probe stages (ADC + brute force) are the bounded-query contract
+        "llm_neardup_sweep",  # bounded pair relation x 5-row threshold literal; one-row corpus total
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
         "llm_ivf_corpus",   # same probe shape over the cell-partitioned layout
@@ -382,6 +385,7 @@ class TestCatalogPlanLint:
         "llm_bpe_fertility", # same one-row rank-map agg via bpe_tokenize
         "llm_bpe_tokens",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_corpus_stats", # the data card IS a one-row global agg
+        "llm_neardup_sweep",  # global corpus-count agg (one row, broadcast back)
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
         "llm_mix_report",   # global corpus-totals rollup (one row)
         "llm_pagerank_redistribute",  # global dangling-mass agg per sweep (one row)
