@@ -1110,8 +1110,8 @@ def compact_ivf_corpus(
     vector column is copied verbatim, so quantized codes stay
     bit-identical) and rewrites it cell-partitioned with
     ``ceil(cell_bytes_total / target)`` output tasks, then copies the
-    ``_ivf_index`` and (if present) ``_sq_bounds`` sidecars so the new
-    layout is self-contained. Probes against the compacted path are
+    ``_ivf_index`` and (if present) ``_sq_bounds`` / ``_pq_codebooks``
+    sidecars so the new layout is self-contained. Probes against the compacted path are
     pair-for-pair identical to the source (pinned in tests).
 
     Writes to a NEW path (same contract and same overlap guard as
@@ -1181,16 +1181,21 @@ def compact_ivf_corpus(
         format
     ).save(norm_dest)
     write_ivf_index(spark, index, norm_dest + "/_ivf_index", format=format)
-    try:
-        bounds = spark.read.format(format).load(norm_src + "/_sq_bounds")
-    except Exception as e:
-        if type(e).__name__ != "AnalysisException":
-            raise
-        bounds = None
-    if bounds is not None:
-        bounds.repartition(1).write.mode("error").format(format).save(
-            norm_dest + "/_sq_bounds"
-        )
+    # every quantizer sidecar travels with the codes it defines — a
+    # compacted SQ/PQ layout without its bounds/codebooks would read its
+    # int codes as floats (the fsck ambiguity rule exists for exactly
+    # this class of half-copied layout)
+    for sidecar in ("_sq_bounds", "_pq_codebooks"):
+        try:
+            rel = spark.read.format(format).load(f"{norm_src}/{sidecar}")
+        except Exception as e:
+            if type(e).__name__ != "AnalysisException":
+                raise
+            rel = None
+        if rel is not None:
+            rel.repartition(1).write.mode("error").format(format).save(
+                f"{norm_dest}/{sidecar}"
+            )
 
 
 def ivf_topk_stored(

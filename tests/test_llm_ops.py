@@ -6007,6 +6007,104 @@ class TestValidateIvfCorpus:
         assert "_ivf_index_old" in got2["no_foreign_entries"][1]
 
 
+class TestIvfPqLifecycle:
+    """VERDICT r13 next-#5: the FULL PQ-layout lifecycle — write →
+    append → delete → compact → probe, fsck-green at every step, the
+    way the SQ layout's lifecycle is already driven. Also pins the
+    compaction sidecar fix: compact_ivf_corpus used to copy only
+    _ivf_index/_sq_bounds, so a compacted PQ layout lost its codebooks
+    (fsck: 'quantized codes but no _sq_bounds'; probes would read int
+    codes as floats)."""
+
+    def _fsck_green(self, spark, path):
+        from metaframe_spark.operators.similarity import validate_ivf_corpus
+
+        got = {
+            r.check: (r.ok, r.detail)
+            for r in validate_ivf_corpus(spark, path, deep=True).collect()
+        }
+        assert all(ok for ok, _ in got.values()), got
+        return got
+
+    def test_write_append_delete_compact_probe(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            append_ivf_corpus,
+            compact_ivf_corpus,
+            delete_from_ivf_corpus,
+            fit_pq_codebooks,
+            fit_sampled_centroids,
+            ivf_topk_stored,
+            pq_encode,
+            pq_topk,
+            write_ivf_corpus,
+        )
+
+        emb = unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding").cache()
+        cent = fit_sampled_centroids(emb, 4, seed=3, order_col="vec_id")
+        cb = fit_pq_codebooks(emb, 4, 8, seed=3)
+        base = emb.filter(F.col("vec_id") % 4 != 0)
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+
+        # 1. write the PQ layout; fsck green, codes are m ints
+        path = str(tmp_path / "corpus")
+        write_ivf_corpus(base, cent, path, pq_codebooks=cb)
+        got = self._fsck_green(spark, path)
+        assert "pq 4x8" in got["bounds_consistent"][1]
+
+        # 2. append re-codes the delta with the STORED codebooks
+        append_ivf_corpus(spark, path, delta)
+        assert spark.read.parquet(path).count() == emb.count()
+        self._fsck_green(spark, path)
+        stored = {
+            r.vec_id: list(r.embedding)
+            for r in spark.read.parquet(path)
+            .join(delta.select("vec_id"), "vec_id", "leftsemi")
+            .collect()
+        }
+        expected = {
+            r.vec_id: list(r.pq_codes)
+            for r in pq_encode(delta, cb).collect()
+        }
+        assert stored == expected
+
+        # 3. full-probe parity: n_probe = n_lists over the appended
+        # layout must equal the direct ADC scan over the whole corpus
+        key = lambda rows: sorted((r.q_id, r.vec_id, r.cosine, r.r) for r in rows)
+        full = key(
+            pq_topk(pq_encode(emb, cb), cb, q, k=5).collect()
+        )
+        assert key(
+            ivf_topk_stored(spark, path, q, k=5, n_probe=4).collect()
+        ) == full
+
+        # 4. delete: victims vanish, codebooks sidecar untouched, fsck green
+        victims = [0, 4, 8]
+        vdf = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+        assert delete_from_ivf_corpus(spark, path, vdf) == 3
+        self._fsck_green(spark, path)
+        probe_after_delete = key(
+            ivf_topk_stored(spark, path, q, k=5, n_probe=4).collect()
+        )
+        assert not {v for v in victims} & {
+            t[1] for t in probe_after_delete
+        }
+
+        # 5. compact: fsck green at the DEST (pre-fix: codebooks lost,
+        # bounds_consistent failed), probes pair-for-pair identical
+        dest = str(tmp_path / "compacted")
+        compact_ivf_corpus(spark, path, dest)
+        got = self._fsck_green(spark, dest)
+        assert "pq 4x8" in got["bounds_consistent"][1]
+        assert key(
+            ivf_topk_stored(spark, dest, q, k=5, n_probe=4).collect()
+        ) == probe_after_delete
+
+
 class TestAudioFingerprint:
     """audio_fingerprint / audio_near_dup_pairs: the acoustic member of
     the perceptual near-dup family. The WAV path uses the stdlib wave
