@@ -2052,6 +2052,91 @@ def recall_at_k(
     )
 
 
+def refine_recall_sweep(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    exact: DataFrame,
+    budgets,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shortlist-budget tuning card for two-stage serving: for each
+    candidate shortlist size k' in ``budgets``, re-rank the probe's
+    top-k' by exact cosine (:func:`pq_refine` semantics) and report
+    recall@k against the exact top-k — per (k', query). A serving team
+    reads the knee of this curve to pick the smallest shortlist that
+    hits its recall target, i.e. how much compressed-domain scanning
+    buys how much exactness — measured, not believed.
+
+    ``shortlist`` is a ranked probe output (``query_id, corpus_id, r``
+    from :func:`pq_topk` / :func:`ann_topk` / :func:`ivf_topk_stored`)
+    computed once at max(budgets); ``exact`` is the ground-truth ranked
+    relation (:func:`brute_force_topk`, r ≤ k). The expensive stages run
+    ONCE: one broadcast-pruned join computes each shortlist member's
+    exact cosine (the pq_refine shape — the float corpus never
+    shuffles), then the sweep multiplies only the BOUNDED
+    (|queries| × k'max) scored relation by the budget literals, re-ranks
+    inside each (budget, query), and left-joins the exact top-k for hit
+    counting. Monotone by construction: a larger budget's shortlist is a
+    superset, so recall@k can only rise — pinned by test.
+
+    Output: ``(kprime, query_id, n_hits, recall)`` — recall rounded 6,
+    queries with zero refined hits still present via the exact side."""
+    from pyspark.sql import Window
+
+    bs = sorted({int(b) for b in budgets})
+    if not bs:
+        raise ValueError("refine_recall_sweep: budgets is empty")
+    if bs[0] < k:
+        raise ValueError(
+            f"refine_recall_sweep: every budget must be >= k={k} "
+            f"(smallest: {bs[0]}) — a shortlist smaller than k cannot "
+            "fill the top-k it is judged on"
+        )
+    spark = shortlist.sparkSession
+    sl = shortlist.select(
+        F.col(query_id), F.col(corpus_id), F.col("r").alias("_slr")
+    ).dropDuplicates([query_id, corpus_id])
+    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).join(
+        F.broadcast(sl), corpus_id, "inner"
+    )
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    scored = cand.join(F.broadcast(q), query_id).select(
+        query_id,
+        corpus_id,
+        "_slr",
+        F.round(cosine_expr(vec_col, "_qvec"), 6).alias("_cos"),
+    )
+    bdf = spark.createDataFrame([(b,) for b in bs], "kprime long")
+    w = Window.partitionBy("kprime", query_id).orderBy(
+        F.desc("_cos"), F.asc(corpus_id)
+    )
+    refined = (
+        scored.crossJoin(F.broadcast(bdf))
+        .filter(F.col("_slr") <= F.col("kprime"))
+        .withColumn("_rr", F.row_number().over(w))
+        .filter(F.col("_rr") <= k)
+        .select("kprime", query_id, corpus_id, F.lit(1).alias("_hit"))
+    )
+    ex = exact.filter(F.col("r") <= k).select(
+        F.col(query_id), F.col(corpus_id)
+    )
+    return (
+        ex.crossJoin(F.broadcast(bdf))
+        .join(F.broadcast(refined), ["kprime", query_id, corpus_id], "left")
+        .groupBy("kprime", query_id)
+        .agg(
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int,

@@ -5779,6 +5779,72 @@ def llm_ann_recall(spark, sf):
 
 
 @query(
+    "llm_refine_sweep",
+    _PQ_ADC_CHAIN
+    + ", adc AS (SELECT q_id, vec_id, rk FROM ("
+    + _PQ_ADC_RANKED
+    + ") WHERE rk <= 40), "
+    "sc AS (SELECT a.q_id, a.vec_id, a.rk, "
+    "  round(list_inner_product(q.emb::DOUBLE[], v.emb::DOUBLE[]), 6) AS cos "
+    "  FROM adc a JOIN n v ON v.vec_id = a.vec_id "
+    "  JOIN q ON q.q_id = a.q_id), "
+    "b AS (SELECT unnest([5, 10, 20, 40]) AS kprime), "
+    "ref AS (SELECT kprime, q_id, vec_id FROM ("
+    "  SELECT b.kprime, sc.q_id, sc.vec_id, "
+    "  row_number() OVER (PARTITION BY b.kprime, sc.q_id "
+    "    ORDER BY sc.cos DESC, sc.vec_id) AS rr "
+    "  FROM sc JOIN b ON sc.rk <= b.kprime) WHERE rr <= 5), "
+    "ex AS (SELECT q_id, vec_id FROM ("
+    "  SELECT q.q_id, v.vec_id, "
+    "  row_number() OVER (PARTITION BY q.q_id ORDER BY "
+    "    round(list_inner_product(q.emb::DOUBLE[], v.emb::DOUBLE[]), 6) DESC, "
+    "    v.vec_id) AS rk "
+    "  FROM n v, q) WHERE rk <= 5) "
+    "SELECT CAST(b.kprime AS BIGINT) AS kprime, ex.q_id, "
+    "CAST(sum(CASE WHEN ref.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_hits, "
+    "round(CAST(sum(CASE WHEN ref.vec_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "  AS DOUBLE) / count(*), 6) AS recall "
+    "FROM ex CROSS JOIN b "
+    "LEFT JOIN ref ON ref.kprime = b.kprime AND ref.q_id = ex.q_id "
+    "  AND ref.vec_id = ex.vec_id "
+    "GROUP BY b.kprime, ex.q_id",
+)
+def llm_refine_sweep(spark, sf):
+    """Shortlist-budget tuning card for two-stage PQ serving
+    (operators/similarity.py::refine_recall_sweep): the ADC probe runs
+    ONCE at k'=40 over the exemplar codebooks, each shortlist member's
+    exact cosine is computed once through the pq_refine broadcast-pruned
+    join, and the sweep re-ranks the top-k' prefix per budget
+    {5,10,20,40} against the exact top-5 — per (budget, query) recall,
+    the curve a serving team reads to size the smallest shortlist that
+    hits its recall target. The oracle replays the ENTIRE chain (encode,
+    reconstruct, ADC rank, exact re-rank per budget, exact top-5,
+    intersection), so the tuning curve itself is hash-pinned
+    cross-engine. Recall monotone in budget is pytest-pinned."""
+    from .operators import unit_normalize
+    from .operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        refine_recall_sweep,
+    )
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark())
+    cb = _exemplar_pq_codebooks(e)
+    codes = pq_encode(e.select("vec_id", "embedding"), cb)
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    shortlist = pq_topk(codes, cb, q, k=40)
+    exact = brute_force_topk(e.select("vec_id", "embedding"), q, k=5)
+    return refine_recall_sweep(
+        shortlist, e.select("vec_id", "embedding"), q, exact,
+        [5, 10, 20, 40], k=5,
+    )
+
+
+@query(
     "llm_rp_project",
     f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings) "
     "SELECT vec_id, CAST(k AS BIGINT) AS k, "
@@ -7612,6 +7678,7 @@ _ROTATE_FIRST: list = [
     "llm_pq_refine",
     "llm_ann_recall",
     "llm_neardup_sweep",
+    "llm_refine_sweep",
     # stalest re-checks: the r10 wave that overflowed the r13 window
     # (last driver-checked r10)
     "q38_regexp_extract",

@@ -1050,6 +1050,50 @@ class TestPqRefine:
         assert mean_r > mean_p, (mean_r, mean_p)
         assert mean_r >= 0.4, mean_r
 
+    def test_refine_recall_sweep_endpoints_and_monotone(self, spark):
+        """refine_recall_sweep endpoints: at budget=k the refined set IS
+        the plain probe's top-k set (re-ranking k items by exact cosine
+        keeps the set), so recall matches recall_at_k(plain); at the max
+        budget it matches pq_refine at that shortlist. Recall is monotone
+        in budget (larger shortlist = superset re-ranked exactly)."""
+        from metaframe_spark.operators.similarity import (
+            pq_refine,
+            pq_topk,
+            recall_at_k,
+            refine_recall_sweep,
+        )
+
+        emb, cb, codes, q, shortlist = self._setup(spark, kprime=20)
+        exact = brute_force_topk(emb, q, k=5)
+        got = {
+            (r.kprime, r.q_id): r.recall
+            for r in refine_recall_sweep(
+                shortlist, emb, q, exact, [5, 10, 20], k=5
+            ).collect()
+        }
+        qids = {qid for _, qid in got}
+        assert len(got) == 3 * len(qids)
+        plain = {
+            r.q_id: r.recall
+            for r in recall_at_k(
+                pq_topk(codes, cb, q, k=5), exact, 5
+            ).collect()
+        }
+        refined20 = {
+            r.q_id: r.recall
+            for r in recall_at_k(
+                pq_refine(shortlist, emb, q, k=5), exact, 5
+            ).collect()
+        }
+        for qid in qids:
+            assert got[(5, qid)] == plain[qid], qid
+            assert got[(20, qid)] == refined20[qid], qid
+            assert got[(5, qid)] <= got[(10, qid)] <= got[(20, qid)], qid
+        with pytest.raises(ValueError, match="budgets is empty"):
+            refine_recall_sweep(shortlist, emb, q, exact, [], k=5)
+        with pytest.raises(ValueError, match="must be >= k"):
+            refine_recall_sweep(shortlist, emb, q, exact, [3, 10], k=5)
+
     def test_recall_at_k_handles_missing_queries_and_validates(self, spark):
         from metaframe_spark.operators.similarity import recall_at_k
 

