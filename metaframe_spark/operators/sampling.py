@@ -390,6 +390,103 @@ def mixture_report(
     return out.select(*cols)
 
 
+def mixture_plan(
+    df: DataFrame,
+    by: str,
+    targets: dict,
+    weight_col: str = None,
+    total: float = None,
+) -> DataFrame:
+    """Mixture planning card — the step BEFORE :func:`mixture_report`
+    measures what you got: given per-group target shares (the Pile /
+    DoReMi-style domain weights) and what the corpus actually holds, how
+    many tokens can a run draw at EXACTLY those proportions, and what
+    does each group contribute? The closed form: with normalized shares
+    ``w_g`` and availability ``a_g``, the maximum total at exact
+    proportions without repeating data is ``feasible_total =
+    min_g(a_g / w_g)`` — the scarcest group relative to its share is the
+    binding constraint. Per group the plan reports availability, share,
+    the allocated weight (``w_g ×`` the planned total), and
+    ``repetition`` = allocated / available — ≤ 1 means a subsample
+    (the utilization), > 1 means that many epochs over the group
+    (requested ``total`` exceeds what exists at these proportions), NULL
+    when the group has nothing at all.
+
+    ``targets`` maps ``by``-column values to positive weights
+    (normalized internally, so {'en': 5, 'fr': 2} and {'en': 0.5,
+    'fr': 0.2} plan identically after normalization over the given
+    keys). Weights/shares ride as driver-computed literals, so an
+    oracle replays the identical arithmetic. Corpus groups OUTSIDE the
+    target keys are ignored (they are not part of the mixture); target
+    keys ABSENT from the corpus report availability 0 and pin
+    ``feasible_total`` to 0 — a plan that silently dropped a missing
+    domain would misreport every other group's epochs.
+
+    Scale: one partial-aggregated groupBy on ``by`` over the
+    target-filtered corpus (the ``isin`` filter pushes down), joined to
+    the |targets|-row literal relation, with the one-row feasibility
+    minimum broadcast back. Availability sums ride DECIMAL(38,6) then
+    divide as double — the :func:`mixture_report` determinism rule."""
+    if not targets:
+        raise ValueError("mixture_plan: targets is empty")
+    weights = {k: float(w) for k, w in targets.items()}
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"mixture_plan: every target weight must be > 0 ({targets})"
+        )
+    wsum = sum(weights.values())
+    shares = {k: w / wsum for k, w in weights.items()}
+    if total is not None and total <= 0:
+        raise ValueError(f"mixture_plan: total must be > 0 ({total})")
+    spark = df.sparkSession
+    w = (
+        F.col(weight_col).cast("decimal(38,6)")
+        if weight_col is not None
+        else F.lit(1).cast("decimal(38,6)")
+    )
+    keys = sorted(shares)
+    avail = (
+        df.filter(F.col(by).isin(keys))
+        .groupBy(by)
+        .agg(F.sum(w).alias("_a"))
+    )
+    key_type = df.schema[by].dataType.simpleString()
+    tdf = spark.createDataFrame(
+        [(k, shares[k]) for k in keys],
+        f"{by} {key_type}, target_share double",
+    )
+    planned = (
+        tdf.join(F.broadcast(avail), by, "left")
+        .select(
+            by,
+            "target_share",
+            F.coalesce(F.col("_a").cast("double"), F.lit(0.0)).alias("_av"),
+        )
+    )
+    feas = planned.agg(
+        F.min(F.col("_av") / F.col("target_share")).alias("_feasible")
+    )
+    # allocated is denominated in the REQUESTED total when one is given
+    # (repetition > 1 then reads as epochs over the group); with no
+    # requested total the plan fills the no-repeat maximum
+    alloc = F.col("target_share") * (
+        F.lit(float(total)) if total is not None else F.col("_feasible")
+    )
+    return (
+        planned.crossJoin(F.broadcast(feas))
+        .select(
+            by,
+            F.round(F.col("_av"), 6).alias("available"),
+            F.round(F.col("target_share"), 6).alias("target_share"),
+            F.round(alloc, 6).alias("allocated"),
+            F.round(alloc / F.nullif(F.col("_av"), F.lit(0.0)), 6).alias(
+                "repetition"
+            ),
+            F.round(F.col("_feasible"), 6).alias("feasible_total"),
+        )
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -3437,6 +3437,51 @@ def llm_mix_report(spark, sf):
 
 
 @query(
+    "llm_mixture_plan",
+    "WITH toks AS (SELECT lang, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n "
+    "FROM documents), "
+    "t(lang, share) AS (VALUES ('de', 0.2), ('en', 0.5), ('fr', 0.2), "
+    "  ('zh', 0.1)), "
+    "s AS (SELECT lang, sum(CAST(n AS DECIMAL(38,6))) AS _a FROM toks "
+    "  WHERE lang IN ('de', 'en', 'fr', 'zh') GROUP BY lang), "
+    "a AS (SELECT t.lang, t.share, "
+    "  coalesce(CAST(s._a AS DOUBLE), 0.0) AS av "
+    "  FROM t LEFT JOIN s ON s.lang = t.lang), "
+    "f AS (SELECT min(av / share) AS feasible FROM a) "
+    "SELECT a.lang, round(av, 6) AS available, "
+    "round(share, 6) AS target_share, "
+    "round(share * f.feasible, 6) AS allocated, "
+    "round(share * f.feasible / nullif(av, 0.0), 6) AS repetition, "
+    "round(f.feasible, 6) AS feasible_total "
+    "FROM a, f",
+)
+def llm_mixture_plan(spark, sf):
+    """Mixture planning card (operators/sampling.py::mixture_plan — the
+    step BEFORE llm_mix_report measures what a run got): given Pile /
+    DoReMi-style target shares per language (en .5, fr .2, de .2,
+    zh .1) and the corpus's actual per-language BPE token counts, the
+    closed-form no-repeat maximum at exact proportions
+    (min_g available/share — the scarcest group relative to its share
+    binds) plus each group's allocation and repetition/utilization. The
+    oracle replays the identical arithmetic (DECIMAL-summed
+    availability, double division, same rounding), so the plan itself
+    is hash-pinned. One partial-aggregated groupBy on the pushed-down
+    target filter + a |targets|-row literal join + a one-row broadcast
+    minimum — bounded at any corpus size."""
+    from .operators.sampling import mixture_plan
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "lang", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    return mixture_plan(
+        d, "lang", {"en": 0.5, "fr": 0.2, "de": 0.2, "zh": 0.1},
+        weight_col="n_tok",
+    )
+
+
+@query(
     "llm_psl_domains",
     "WITH h AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'co.uk' "
     "  ELSE 'www.' || lower(source) || CAST(doc_id % 5 AS VARCHAR) || "
@@ -7679,6 +7724,7 @@ _ROTATE_FIRST: list = [
     "llm_ann_recall",
     "llm_neardup_sweep",
     "llm_refine_sweep",
+    "llm_mixture_plan",
     # stalest re-checks: the r10 wave that overflowed the r13 window
     # (last driver-checked r10)
     "q38_regexp_extract",

@@ -4705,6 +4705,97 @@ class TestDsirWeights:
         assert got == {1}
 
 
+class TestMixturePlan:
+    """operators/sampling.py::mixture_plan — the closed-form no-repeat
+    mixture feasibility card (min_g available/share binds)."""
+
+    def _corpus(self, spark):
+        rows = [("en", 100), ("en", 100), ("fr", 50), ("de", 10), ("xx", 999)]
+        return spark.createDataFrame(rows, "lang string, n long")
+
+    def test_feasible_total_and_binding_group(self, spark):
+        from metaframe_spark.operators.sampling import mixture_plan
+
+        got = {
+            r.lang: r
+            for r in mixture_plan(
+                self._corpus(spark), "lang",
+                {"en": 0.5, "fr": 0.3, "de": 0.2}, weight_col="n",
+            ).collect()
+        }
+        assert set(got) == {"en", "fr", "de"}  # 'xx' ignored: not a target
+        # availability: en 200, fr 50, de 10 -> feasibility candidates
+        # 400, 166.67, 50 -> de binds at 50
+        assert got["en"].available == 200.0 and got["de"].available == 10.0
+        for r in got.values():
+            assert r.feasible_total == 50.0
+        assert got["de"].allocated == 10.0 and got["de"].repetition == 1.0
+        assert got["en"].allocated == 25.0 and got["en"].repetition == 0.125
+        assert got["fr"].allocated == 15.0 and got["fr"].repetition == 0.3
+
+    def test_weights_normalize_and_doc_mode(self, spark):
+        from metaframe_spark.operators.sampling import mixture_plan
+
+        df = self._corpus(spark)
+        a = {
+            (r.lang): (r.target_share, r.allocated)
+            for r in mixture_plan(
+                df, "lang", {"en": 5, "fr": 3, "de": 2}, weight_col="n"
+            ).collect()
+        }
+        b = {
+            (r.lang): (r.target_share, r.allocated)
+            for r in mixture_plan(
+                df, "lang", {"en": 0.5, "fr": 0.3, "de": 0.2}, weight_col="n"
+            ).collect()
+        }
+        assert a == b  # non-normalized weights plan identically
+        # weight_col=None plans in documents: en 2, fr 1, de 1
+        docs = {
+            r.lang: r.available
+            for r in mixture_plan(
+                df, "lang", {"en": 0.5, "fr": 0.5}
+            ).collect()
+        }
+        assert docs == {"en": 2.0, "fr": 1.0}
+
+    def test_requested_total_epochs_and_missing_group(self, spark):
+        from metaframe_spark.operators.sampling import mixture_plan
+
+        df = self._corpus(spark)
+        # requested total beyond the de-bound feasible 50: repetition > 1
+        # reads as epochs over the binding group
+        got = {
+            r.lang: r
+            for r in mixture_plan(
+                df, "lang", {"en": 0.5, "de": 0.5}, weight_col="n", total=100.0
+            ).collect()
+        }
+        assert got["de"].allocated == 50.0 and got["de"].repetition == 5.0
+        assert got["en"].repetition == 0.25
+        # a target key absent from the corpus pins feasibility to 0 and
+        # reports NULL repetition, never silently drops
+        miss = {
+            r.lang: r
+            for r in mixture_plan(
+                df, "lang", {"en": 0.5, "ja": 0.5}, weight_col="n"
+            ).collect()
+        }
+        assert miss["ja"].available == 0.0 and miss["ja"].repetition is None
+        assert all(r.feasible_total == 0.0 for r in miss.values())
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.sampling import mixture_plan
+
+        df = self._corpus(spark)
+        with pytest.raises(ValueError, match="targets is empty"):
+            mixture_plan(df, "lang", {})
+        with pytest.raises(ValueError, match="weight must be > 0"):
+            mixture_plan(df, "lang", {"en": 0.0})
+        with pytest.raises(ValueError, match="total must be > 0"):
+            mixture_plan(df, "lang", {"en": 1.0}, total=-5)
+
+
 class TestMixtureReport:
     def test_counts_and_shares_exact(self, spark):
         from metaframe_spark.operators import mixture_report

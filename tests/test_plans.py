@@ -356,6 +356,7 @@ class TestCatalogPlanLint:
         "llm_pq_refine",    # ADC shortlist stage (same contract); the refine join itself is an equi hash join
         "llm_ann_recall",   # both probe stages (ADC + brute force) are the bounded-query contract
         "llm_refine_sweep", # ADC + brute-force stages (bounded-query contract) x budget literals
+        "llm_mixture_plan", # one-row feasibility minimum joined back to the |targets|-row plan
         "llm_neardup_sweep",  # bounded pair relation x 5-row threshold literal; one-row corpus total
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
@@ -387,6 +388,7 @@ class TestCatalogPlanLint:
         "llm_bpe_tokens",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_corpus_stats", # the data card IS a one-row global agg
         "llm_neardup_sweep",  # global corpus-count agg (one row, broadcast back)
+        "llm_mixture_plan",   # global feasibility-minimum agg (one row, broadcast back)
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
         "llm_mix_report",   # global corpus-totals rollup (one row)
         "llm_pagerank_redistribute",  # global dangling-mass agg per sweep (one row)
