@@ -1052,9 +1052,11 @@ def neardup_threshold_sweep(
             F.coalesce(F.col("n_dup_docs"), F.lit(0))
             .cast("long")
             .alias("n_dup_docs"),
+            # nullif: an empty corpus has no defined dup rate — NULL, not
+            # the IEEE 0/0 NaN (the threshold rows themselves still emit)
             F.round(
                 F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("double")
-                / F.col("_n_total"),
+                / F.nullif(F.col("_n_total").cast("double"), F.lit(0.0)),
                 6,
             ).alias("dup_doc_rate"),
         )

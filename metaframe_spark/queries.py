@@ -850,8 +850,8 @@ def llm_prefix_jaccard(spark, sf):
     "        UNION ALL SELECT threshold, id_b FROM q) GROUP BY threshold) "
     "SELECT t.threshold, coalesce(pc.n_pairs, 0) AS n_pairs, "
     "coalesce(dc.n_dup_docs, 0) AS n_dup_docs, "
-    "round(CAST(coalesce(dc.n_dup_docs, 0) AS DOUBLE) / tot.n, 6) "
-    "  AS dup_doc_rate "
+    "round(CAST(coalesce(dc.n_dup_docs, 0) AS DOUBLE) / "
+    "  nullif(CAST(tot.n AS DOUBLE), 0.0), 6) AS dup_doc_rate "
     "FROM th t LEFT JOIN pc ON pc.threshold = t.threshold "
     "LEFT JOIN dc ON dc.threshold = t.threshold CROSS JOIN tot",
 )

@@ -30,6 +30,9 @@ EXPECTED_RAISE = {
     "llm_semantic_against": ValueError,  # fit_sampled_centroids: empty corpus
     "llm_pq_topk": ValueError,         # no exemplar vectors for codebooks
     "llm_ivf_pq": ValueError,          # no exemplar vectors for codebooks
+    "llm_pq_refine": ValueError,       # no exemplar vectors for codebooks
+    "llm_ann_recall": ValueError,      # no exemplar vectors for codebooks
+    "llm_refine_sweep": ValueError,    # no exemplar vectors for codebooks
     "llm_rp_project": ValueError,      # input dimension undeterminable
     "q90_sketch_compact": ValueError,  # empty store has no data files to read
 }
@@ -65,6 +68,29 @@ def test_query_on_empty_tables(spark, empty_sf, name):
         rows = df.collect()
         assert len(rows) == (6 if name == "q58_profile" else 4)
         assert all(r.n_rows == 0 and r.n_distinct == 0 for r in rows)
+    elif name == "llm_neardup_sweep":
+        # the sweep's threshold rows are a literal relation — they emit
+        # even over an empty corpus, with zero counts and a NULL rate
+        # (no defined dup rate over zero documents, never the 0/0 NaN)
+        rows = df.collect()
+        assert len(rows) == 5
+        assert all(
+            r.n_pairs == 0 and r.n_dup_docs == 0 and r.dup_doc_rate is None
+            for r in rows
+        )
+    elif name == "llm_mixture_plan":
+        # the plan's target keys are a literal relation — all absent from
+        # an empty corpus: availability 0 pins feasibility to 0, and
+        # repetition is NULL (nothing to repeat over)
+        rows = df.collect()
+        assert len(rows) == 4
+        assert all(
+            r.available == 0.0
+            and r.feasible_total == 0.0
+            and r.allocated == 0.0
+            and r.repetition is None
+            for r in rows
+        )
     elif name == "q93_expectations":
         # an expectations report IS one row per rule; an empty table
         # passes every rule vacuously (gate on n_rows if that matters)
