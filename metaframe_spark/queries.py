@@ -7711,12 +7711,19 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + whatever r11-wave keys overflowed this round's
-# 50-slot window (the additions below + 30 r10 re-checks leave ~50-N
-# r11 slots; the r11 wave in window order is the list after the
-# "next-oldest blessed block" comment below — everything past slot 50
-# is the overflow), then the r12 wave (last driver-checked r12) as the
-# next-oldest block.
+# round-15 additions + the THIRTY-FIVE r11-blessed keys that overflowed
+# this round's 50-slot window (the FIVE r14 additions + 30 r10
+# re-checks fill slots 1-35, so the r11 wave's first 15 keys — through
+# llm_corpus_stats — fill slots 36-50; last driver-checked r11:
+# llm_gopher_flags, llm_c4_lines, llm_char_entropy, llm_bigram_nll,
+# q07, q08, q09, q10, q11, q12, q62_null_safe_join, q63_map_hof,
+# q64_salted_join, q65_bitwise, q66_string_agg, q67_variant,
+# q68_interpolate, q69_snapshot_diff, q70_stats_agg, q71_interval_join,
+# q72_bitmap_distinct, q73_gapfill, q74_posexplode, q75_try_funcs,
+# q76_regex_funcs, q77_minmax_by, q78_asof_nearest, q79_set_ops_all,
+# q80_sort_nulls, q81_cogroup, q95_anomaly_rules, q96_drift_from_store,
+# q97_anomaly_kmv, q98_cms_counts, q99_kmv_overlap), then the r12 wave
+# (last driver-checked r12) as the next-oldest block.
 _ROTATE_FIRST: list = [
     # round-14 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
@@ -7775,9 +7782,10 @@ _ROTATE_FIRST: list = [
     "llm_mixture_sample",
     "llm_dup_report",
     "llm_corpus_stats",
+    # tail: slot 50 ends at llm_corpus_stats (5 r14 additions + 30 r10 +
+    # 15 r11) — everything below overflows to round 15
     "llm_gopher_flags",
     "llm_c4_lines",
-    # tail: cheapest/most-stable — these overflow to round 15
     "llm_char_entropy",
     "llm_bigram_nll",
     "q07",
