@@ -4795,6 +4795,83 @@ class TestMixturePlan:
         with pytest.raises(ValueError, match="total must be > 0"):
             mixture_plan(df, "lang", {"en": 1.0}, total=-5)
 
+    def test_property_random_plans_match_closed_form(self, spark):
+        """Hypothesis fuzz: random (availability, weights, optional
+        requested total) must match the python closed form — the same
+        double arithmetic the oracle replays — within the 6-decimal
+        rounding."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.sampling import mixture_plan
+
+        langs = ["aa", "bb", "cc", "dd", "ee"]
+
+        @st.composite
+        def case(draw):
+            n = draw(st.integers(min_value=1, max_value=5))
+            ks = langs[:n]
+            avail = {
+                k: draw(st.integers(min_value=0, max_value=10_000))
+                for k in ks
+            }
+            weights = {
+                k: draw(
+                    st.floats(
+                        min_value=0.01, max_value=10,
+                        allow_nan=False, allow_infinity=False,
+                    )
+                )
+                for k in draw(st.sets(st.sampled_from(ks), min_size=1))
+            }
+            total = draw(
+                st.one_of(
+                    st.none(),
+                    st.floats(min_value=1, max_value=100_000,
+                              allow_nan=False, allow_infinity=False),
+                )
+            )
+            return avail, weights, total
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(case=case())
+        def check(case):
+            avail, weights, total = case
+            rows = [
+                (k, n) for k, n in avail.items() for _ in range(1)
+            ]
+            df = spark.createDataFrame(rows, "lang string, n long")
+            got = {
+                r.lang: r
+                for r in mixture_plan(
+                    df, "lang", weights, weight_col="n", total=total
+                ).collect()
+            }
+            wsum = sum(weights.values())
+            shares = {k: w / wsum for k, w in weights.items()}
+            feasible = min(
+                float(avail.get(k, 0)) / s for k, s in shares.items()
+            )
+            assert set(got) == set(weights)
+            for k, s in shares.items():
+                av = float(avail.get(k, 0))
+                alloc = s * (total if total is not None else feasible)
+                r = got[k]
+                assert abs(r.available - av) < 5e-7
+                assert abs(r.target_share - s) < 5e-7
+                assert abs(r.allocated - alloc) < 5e-7, (k, r.allocated, alloc)
+                assert abs(r.feasible_total - feasible) < 5e-7
+                if av == 0:
+                    assert r.repetition is None
+                else:
+                    assert abs(r.repetition - alloc / av) < 5e-7
+
+        check()
+
 
 class TestMixtureReport:
     def test_counts_and_shares_exact(self, spark):
@@ -5475,6 +5552,77 @@ class TestNeardupThresholdSweep:
             neardup_threshold_sweep(df, [])
         with pytest.raises(ValueError, match="in \\(0, 1\\]"):
             neardup_threshold_sweep(df, [0.0, 0.5])
+
+    def test_property_random_corpora_match_python_sweep(self, spark):
+        """Hypothesis fuzz: random lowercase-word corpora (normalization
+        is identity on them) must match an INDEPENDENT python replay —
+        distinct word-3gram shingle sets, all-pairs Jaccard, the same
+        epsilon-guarded per-threshold qualification — pair counts, doc
+        counts, and rates alike."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.dedup import neardup_threshold_sweep
+
+        word = st.sampled_from("alpha beta gamma delta zz yy".split())
+
+        @st.composite
+        def corpus(draw):
+            n = draw(st.integers(min_value=2, max_value=8))
+            return [
+                " ".join(
+                    draw(
+                        st.lists(word, min_size=0, max_size=8)
+                    )
+                )
+                for _ in range(n)
+            ]
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(texts=corpus(), ts=st.sets(
+            st.sampled_from([0.2, 0.4, 0.5, 0.7, 0.9, 1.0]),
+            min_size=1, max_size=3,
+        ))
+        def check(texts, ts):
+            ts = sorted(ts)
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            )
+            got = {
+                r.threshold: r
+                for r in neardup_threshold_sweep(df, ts).collect()
+            }
+            sh = {}
+            for i, t in enumerate(texts):
+                toks = [w for w in t.split() if w]
+                if len(toks) >= 3:
+                    sh[i] = {
+                        " ".join(toks[j : j + 3])
+                        for j in range(len(toks) - 2)
+                    }
+            assert set(got) == set(ts)
+            for t in ts:
+                pairs = [
+                    (a, b)
+                    for a in sh
+                    for b in sh
+                    if a < b
+                    and len(sh[a] & sh[b])
+                    >= t * len(sh[a] | sh[b]) - 1e-9
+                ]
+                docs = {d for p in pairs for d in p}
+                assert got[t].n_pairs == len(pairs), (t, texts)
+                assert got[t].n_dup_docs == len(docs), (t, texts)
+                assert (
+                    abs(got[t].dup_doc_rate - round(len(docs) / len(texts), 6))
+                    < 1e-9
+                )
+
+        check()
 
 
 class TestContainmentContamination:

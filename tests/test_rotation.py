@@ -1,0 +1,49 @@
+"""Driver-window rotation invariants.
+
+The driver re-checks only the first ~50 ``queries()`` keys per round, so
+the catalog's registration ORDER is load-bearing: never-driver-checked
+keys must come first, and the rotation list must actually control the
+front of the window. A silent ordering bug here wastes an entire round's
+only external correctness signal — worth three cheap tests.
+"""
+
+from metaframe_spark.queries import (
+    ORACLE,
+    QUERIES,
+    _DRIVER_BLESSED,
+    _ROTATE_FIRST,
+)
+
+WINDOW = 50
+
+
+def test_rotate_first_controls_the_front_of_the_window():
+    front = [k for k in _ROTATE_FIRST if k in QUERIES]
+    assert list(QUERIES)[: len(front)] == front
+
+
+def test_never_checked_keys_inside_the_window():
+    """Every catalog key without a driver blessing must sit inside the
+    next driver window — either pinned by _ROTATE_FIRST or floated ahead
+    of the blessed block by _rotate_registration."""
+    never = [k for k in QUERIES if k not in _DRIVER_BLESSED]
+    order = list(QUERIES)
+    late = [k for k in never if order.index(k) >= WINDOW]
+    assert not late, (
+        f"never-driver-checked keys outside the first {WINDOW} slots "
+        f"(they would miss this round's only external check): {late}"
+    )
+
+
+def test_rotate_first_names_are_real_and_unique():
+    """A typo'd rotation key silently drops out of the window (the
+    registration filters on membership) — fail loudly instead. The
+    exception is forward-declared round additions not yet implemented,
+    which there should be none of at commit time."""
+    assert len(_ROTATE_FIRST) == len(set(_ROTATE_FIRST))
+    missing = [k for k in _ROTATE_FIRST if k not in QUERIES]
+    assert not missing, f"rotation names not in the catalog: {missing}"
+
+
+def test_queries_and_oracle_align():
+    assert list(QUERIES) == list(ORACLE)
