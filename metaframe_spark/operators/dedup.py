@@ -981,6 +981,21 @@ def prefix_filter_pairs(
     return out
 
 
+class _MultiHandle:
+    """Composite release handle for the repo-wide ``_mf_persisted``
+    contract (callers invoke exactly ``handle.unpersist()`` once the
+    consuming action has run): operators that pin MORE than one
+    intermediate hand back one of these so every cache is released."""
+
+    def __init__(self, *handles):
+        self._handles = [h for h in handles if h is not None]
+
+    def unpersist(self, blocking: bool = False):
+        for h in self._handles:
+            h.unpersist(blocking)
+        return self
+
+
 def neardup_threshold_sweep(
     df: DataFrame,
     thresholds,
@@ -1007,13 +1022,17 @@ def neardup_threshold_sweep(
     consistent and a SQL oracle replays them exactly.
 
     Scale shape: the expensive stage (shingle explode + prefix join +
-    verify) runs once at the floor; the sweep itself multiplies the
-    BOUNDED pair relation (near-dup volume, not corpus volume) by a
-    literal handful of thresholds — one broadcast join, two
-    partial-aggregated groupBys on ≤ |thresholds| keys, one distinct on
-    (threshold, doc) bounded by pair volume. The corpus total is a
-    one-row aggregate broadcast back. Zero-pair thresholds still emit a
-    row (left join from the threshold literal relation)."""
+    verify) runs once at the floor — the bounded pair relation is
+    PERSISTED because it feeds two aggregation branches (pair counts
+    and the doc-distinct), and both it and the generator's signature
+    cache hand back through the repo-wide ``_mf_persisted`` release
+    handle. The sweep itself multiplies only that bounded relation
+    (near-dup volume, not corpus volume) by a literal handful of
+    thresholds — one broadcast join, two partial-aggregated groupBys on
+    ≤ |thresholds| keys, one distinct on (threshold, doc) bounded by
+    pair volume. The corpus total is a one-row aggregate broadcast
+    back. Zero-pair thresholds still emit a row (left join from the
+    threshold literal relation)."""
     ts = sorted({float(t) for t in thresholds})
     if not ts:
         raise ValueError("neardup_threshold_sweep: thresholds is empty")
@@ -1022,9 +1041,15 @@ def neardup_threshold_sweep(
             f"neardup_threshold_sweep: thresholds must be in (0, 1] ({ts})"
         )
     spark = df.sparkSession
-    pairs = prefix_filter_pairs(
+    inner = prefix_filter_pairs(
         df, id_col, text_col, min_jaccard=ts[0], shingle_n=shingle_n
-    ).select("id_a", "id_b", "n_inter", "n_union")
+    )
+    # persist the bounded pair relation: it feeds TWO aggregation
+    # branches (pair counts and the doc-distinct), so without the pin
+    # the candidate join + verify subtree would execute twice; both this
+    # cache and the generator's signature cache release through the
+    # composite _mf_persisted handle below
+    pairs = inner.select("id_a", "id_b", "n_inter", "n_union").persist()
     th = spark.createDataFrame([(t,) for t in ts], "threshold double")
     qual = pairs.crossJoin(F.broadcast(th)).filter(
         F.col("n_inter").cast("double")
@@ -1042,7 +1067,7 @@ def neardup_threshold_sweep(
         .agg(F.count(F.lit(1)).alias("n_dup_docs"))
     )
     total = df.select(F.count(F.lit(1)).alias("_n_total"))
-    return (
+    out = (
         th.join(F.broadcast(pair_counts), "threshold", "left")
         .join(F.broadcast(doc_counts), "threshold", "left")
         .crossJoin(F.broadcast(total))
@@ -1061,6 +1086,10 @@ def neardup_threshold_sweep(
             ).alias("dup_doc_rate"),
         )
     )
+    out._mf_persisted = _MultiHandle(
+        getattr(inner, "_mf_persisted", None), pairs
+    )
+    return out
 
 
 def minhash_near_dup_against(

@@ -427,17 +427,25 @@ def mixture_plan(
     the |targets|-row literal relation, with the one-row feasibility
     minimum broadcast back. Availability sums ride DECIMAL(38,6) then
     divide as double — the :func:`mixture_report` determinism rule."""
+    import math
+
     if not targets:
         raise ValueError("mixture_plan: targets is empty")
     weights = {k: float(w) for k, w in targets.items()}
-    if any(w <= 0 for w in weights.values()):
+    # not (w > 0) rather than w <= 0: NaN fails BOTH comparisons, and a
+    # NaN weight would otherwise turn every share into NaN silently —
+    # the same trap the weighted_sample_exact NaN fix closes
+    if any(not (w > 0) or math.isinf(w) for w in weights.values()):
         raise ValueError(
-            f"mixture_plan: every target weight must be > 0 ({targets})"
+            f"mixture_plan: every target weight must be a positive "
+            f"finite number ({targets})"
         )
     wsum = sum(weights.values())
     shares = {k: w / wsum for k, w in weights.items()}
-    if total is not None and total <= 0:
-        raise ValueError(f"mixture_plan: total must be > 0 ({total})")
+    if total is not None and (not (float(total) > 0) or math.isinf(float(total))):
+        raise ValueError(
+            f"mixture_plan: total must be a positive finite number ({total})"
+        )
     spark = df.sparkSession
     w = (
         F.col(weight_col).cast("decimal(38,6)")
@@ -450,10 +458,15 @@ def mixture_plan(
         .groupBy(by)
         .agg(F.sum(w).alias("_a"))
     )
-    key_type = df.schema[by].dataType.simpleString()
+    # StructType, not a DDL string: a grouping column whose name needs
+    # quoting (space, hyphen, leading digit) would fail DDL parsing
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     tdf = spark.createDataFrame(
         [(k, shares[k]) for k in keys],
-        f"{by} {key_type}, target_share double",
+        StructType(
+            [df.schema[by], StructField("target_share", DoubleType(), False)]
+        ),
     )
     planned = (
         tdf.join(F.broadcast(avail), by, "left")

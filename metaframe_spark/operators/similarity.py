@@ -1960,6 +1960,46 @@ def pq_topk(
     )
 
 
+def _exact_scored_shortlist(
+    shortlist_ids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared two-stage-serving join (:func:`pq_refine` /
+    :func:`refine_recall_sweep`): ``shortlist_ids`` is a BOUNDED
+    (query_id, corpus_id[, extras]) relation, so it broadcasts into a
+    hash join that prunes the float-corpus scan to shortlist members
+    (the corpus never shuffles), then query vectors broadcast in and
+    each surviving row gains the exact ``cosine`` (rounded 6 — the
+    brute_force_topk contract). Returns the shortlist's columns +
+    ``cosine``."""
+    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).join(
+        F.broadcast(shortlist_ids), corpus_id, "inner"
+    )
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    return cand.join(F.broadcast(q), query_id).select(
+        *shortlist_ids.columns,
+        F.round(cosine_expr(vec_col, "_qvec"), 6).alias("cosine"),
+    )
+
+
+def _hit_recall_agg(joined: DataFrame, group_cols) -> DataFrame:
+    """The shared recall aggregation (:func:`recall_at_k` /
+    :func:`refine_recall_sweep`): over an exact-side relation
+    left-joined with approximate hits (``_hit`` = 1 on a match), one
+    partial-aggregated groupBy emits ``n_hits`` + ``recall`` (rounded
+    6) per group."""
+    return joined.groupBy(*group_cols).agg(
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
 def pq_refine(
     shortlist: DataFrame,
     corpus: DataFrame,
@@ -1998,14 +2038,8 @@ def pq_refine(
     sl = shortlist.select(F.col(query_id), F.col(corpus_id)).dropDuplicates(
         [query_id, corpus_id]
     )
-    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).join(
-        F.broadcast(sl), corpus_id, "inner"
-    )
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
-    scored = cand.join(F.broadcast(q), query_id).select(
-        query_id,
-        corpus_id,
-        F.round(cosine_expr(vec_col, "_qvec"), 6).alias("cosine"),
+    scored = _exact_scored_shortlist(
+        sl, corpus, queries, corpus_id, query_id, vec_col
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
@@ -2044,12 +2078,7 @@ def recall_at_k(
         F.col(query_id), F.col(corpus_id), F.lit(1).alias("_hit")
     )
     joined = ex.join(F.broadcast(ap), [query_id, corpus_id], "left")
-    return joined.groupBy(query_id).agg(
-        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
-        F.round(
-            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
-        ).alias("recall"),
-    )
+    return _hit_recall_agg(joined, [query_id])
 
 
 def refine_recall_sweep(
@@ -2097,19 +2126,18 @@ def refine_recall_sweep(
             "fill the top-k it is judged on"
         )
     spark = shortlist.sparkSession
-    sl = shortlist.select(
-        F.col(query_id), F.col(corpus_id), F.col("r").alias("_slr")
-    ).dropDuplicates([query_id, corpus_id])
-    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).join(
-        F.broadcast(sl), corpus_id, "inner"
+    # min(r), not dropDuplicates: a shortlist with duplicate
+    # (query, corpus) rows at different ranks (e.g. a union of probes)
+    # must qualify for a budget by its BEST rank, deterministically —
+    # dropDuplicates would keep an arbitrary row's rank
+    sl = (
+        shortlist.select(F.col(query_id), F.col(corpus_id), F.col("r"))
+        .groupBy(query_id, corpus_id)
+        .agg(F.min("r").alias("_slr"))
     )
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
-    scored = cand.join(F.broadcast(q), query_id).select(
-        query_id,
-        corpus_id,
-        "_slr",
-        F.round(cosine_expr(vec_col, "_qvec"), 6).alias("_cos"),
-    )
+    scored = _exact_scored_shortlist(
+        sl, corpus, queries, corpus_id, query_id, vec_col
+    ).withColumnRenamed("cosine", "_cos")
     bdf = spark.createDataFrame([(b,) for b in bs], "kprime long")
     w = Window.partitionBy("kprime", query_id).orderBy(
         F.desc("_cos"), F.asc(corpus_id)
@@ -2124,17 +2152,10 @@ def refine_recall_sweep(
     ex = exact.filter(F.col("r") <= k).select(
         F.col(query_id), F.col(corpus_id)
     )
-    return (
-        ex.crossJoin(F.broadcast(bdf))
-        .join(F.broadcast(refined), ["kprime", query_id, corpus_id], "left")
-        .groupBy("kprime", query_id)
-        .agg(
-            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
-            ).alias("recall"),
-        )
+    joined = ex.crossJoin(F.broadcast(bdf)).join(
+        F.broadcast(refined), ["kprime", query_id, corpus_id], "left"
     )
+    return _hit_recall_agg(joined, ["kprime", query_id])
 
 
 def random_projection(

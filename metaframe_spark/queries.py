@@ -3436,13 +3436,25 @@ def llm_mix_report(spark, sf):
     return mixture_report(d.to_spark(), ["lang", "source"], "n_chars")
 
 
+#: the llm_mixture_plan targets — the oracle's share literals are built
+#: from the SAME python normalization mixture_plan performs (w / sum(w);
+#: 0.5+0.2+0.2+0.1 sums to 0.9999999999999999, so the normalized shares
+#: differ from the raw weights in the last ulp — inlining repr() of the
+#: normalized doubles makes the replay bit-identical rather than
+#: coincidentally-within-rounding)
+_MIX_TARGETS = {"en": 0.5, "fr": 0.2, "de": 0.2, "zh": 0.1}
+_MIX_VALUES = ", ".join(
+    f"('{k}', {_MIX_TARGETS[k] / sum(_MIX_TARGETS.values())!r})"
+    for k in sorted(_MIX_TARGETS)
+)
+
+
 @query(
     "llm_mixture_plan",
     "WITH toks AS (SELECT lang, "
     "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n "
     "FROM documents), "
-    "t(lang, share) AS (VALUES ('de', 0.2), ('en', 0.5), ('fr', 0.2), "
-    "  ('zh', 0.1)), "
+    f"t(lang, share) AS (VALUES {_MIX_VALUES}), "
     "s AS (SELECT lang, sum(CAST(n AS DECIMAL(38,6))) AS _a FROM toks "
     "  WHERE lang IN ('de', 'en', 'fr', 'zh') GROUP BY lang), "
     "a AS (SELECT t.lang, t.share, "
@@ -3475,10 +3487,7 @@ def llm_mixture_plan(spark, sf):
     d = load_table(spark, sf, "documents").select(
         "lang", bpe_token_count(F.col("text")).alias("n_tok")
     )
-    return mixture_plan(
-        d, "lang", {"en": 0.5, "fr": 0.2, "de": 0.2, "zh": 0.1},
-        weight_col="n_tok",
-    )
+    return mixture_plan(d, "lang", _MIX_TARGETS, weight_col="n_tok")
 
 
 @query(

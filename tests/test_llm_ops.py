@@ -1094,6 +1094,36 @@ class TestPqRefine:
         with pytest.raises(ValueError, match="must be >= k"):
             refine_recall_sweep(shortlist, emb, q, exact, [3, 10], k=5)
 
+    def test_refine_sweep_duplicate_shortlist_uses_best_rank(self, spark):
+        """A shortlist with duplicate (query, corpus) rows at different
+        ranks (a union of probes) must qualify for a budget by its BEST
+        rank — deterministic min(r), never an arbitrary surviving row."""
+        from metaframe_spark.operators.similarity import refine_recall_sweep
+
+        emb = spark.createDataFrame(
+            [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])], "q_id long, embedding array<double>"
+        )
+        # vec 0 (the true neighbor) appears at rank 5 from one probe and
+        # rank 1 from another: with min(r) it is inside the k'=1 budget
+        sl = spark.createDataFrame(
+            [(0, 0, 5), (0, 0, 1), (0, 1, 2)],
+            "q_id long, vec_id long, r long",
+        )
+        exact = spark.createDataFrame(
+            [(0, 0, 1)], "q_id long, vec_id long, r long"
+        )
+        got = {
+            r.kprime: r.recall
+            for r in refine_recall_sweep(
+                sl, emb, q, exact, [1, 5], k=1
+            ).collect()
+        }
+        assert got[1] == 1.0 and got[5] == 1.0
+
     def test_recall_at_k_handles_missing_queries_and_validates(self, spark):
         from metaframe_spark.operators.similarity import recall_at_k
 
@@ -4790,10 +4820,18 @@ class TestMixturePlan:
         df = self._corpus(spark)
         with pytest.raises(ValueError, match="targets is empty"):
             mixture_plan(df, "lang", {})
-        with pytest.raises(ValueError, match="weight must be > 0"):
+        with pytest.raises(ValueError, match="weight must be a positive"):
             mixture_plan(df, "lang", {"en": 0.0})
-        with pytest.raises(ValueError, match="total must be > 0"):
+        with pytest.raises(ValueError, match="total must be a positive"):
             mixture_plan(df, "lang", {"en": 1.0}, total=-5)
+        # NaN fails both sign comparisons — it must raise, not produce a
+        # silent all-NaN plan (the weighted_sample_exact lesson)
+        with pytest.raises(ValueError, match="weight must be a positive"):
+            mixture_plan(df, "lang", {"en": float("nan"), "fr": 1.0})
+        with pytest.raises(ValueError, match="weight must be a positive"):
+            mixture_plan(df, "lang", {"en": float("inf")})
+        with pytest.raises(ValueError, match="total must be a positive"):
+            mixture_plan(df, "lang", {"en": 1.0}, total=float("nan"))
 
     def test_property_random_plans_match_closed_form(self, spark):
         """Hypothesis fuzz: random (availability, weights, optional
