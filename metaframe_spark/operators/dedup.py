@@ -1996,6 +1996,89 @@ def cluster_size_histogram(
     )
 
 
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT pairwise content overlap between corpus groups (sources,
+    snapshots, language buckets …): for every group pair ``a < b`` the
+    Jaccard similarity of their DISTINCT word-``shingle_n``-gram sets —
+    the corpus-comparison matrix a data card publishes before mixing
+    sources ("how much of source B is already in source A"), and the
+    corpus-level complement of the per-document near-dup operators.
+
+    Exact, not sketched, yet scale-safe: the computation never touches
+    document pairs. One shuffle builds the distinct ``(group, shingle)``
+    relation (partial-aggregated — duplicate shingles within a group
+    collapse map-side); intersections come from a self-equi-join ON THE
+    SHINGLE, where per-key fan-out is bounded by the number of groups
+    (a shingle can co-occur in at most |groups| of them), so candidate
+    volume is O(distinct shingles × |groups|), never O(n²); unions are
+    inclusion-exclusion from the per-group set sizes (|A|+|B|−|A∩B| —
+    no third relation). Group pairs with ZERO shared shingles are
+    emitted too (jaccard 0.0) via the bounded |groups|² pair frame —
+    an absent row and a disjoint pair must be distinguishable on a
+    data card. With ``hash_shingles`` (default) the join relation
+    carries 8-byte ``xxhash64`` keys instead of shingle strings — the
+    same injective-in-practice compression :func:`minhash_signatures`
+    stores (a collision would merge two shingles corpus-wide; at 64
+    bits that needs ~2³² distinct shingles to matter).
+
+    Returns ``(group_a, group_b, n_inter, n_a, n_b, jaccard)`` with
+    ``group_a < group_b``, one row per unordered pair of groups that
+    have at least one shingle each; both-empty groups carry no
+    shingles and drop out of the frame (nothing to compare).
+    """
+    sh = (
+        df.select(F.col(group_col).alias("_g"), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
+        .select("_g", F.explode(shingles("_toks", shingle_n)).alias("_sh"))
+    )
+    if hash_shingles:
+        sh = sh.select("_g", F.xxhash64("_sh").alias("_sh"))
+    rel = sh.groupBy("_g", "_sh").agg(F.lit(1)).select("_g", "_sh")
+    sizes = rel.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # bounded |groups|² pair frame: sizes is a per-group relation (one row
+    # per group), so the theta self-join is broadcast-nested-loop over a
+    # few-KB side — the same bounded-relation contract as the centroid /
+    # bounds collects elsewhere in the package
+    pairs = (
+        sizes.select(F.col("_g").alias("group_a"), F.col("_n").alias("n_a"))
+        .join(
+            F.broadcast(
+                sizes.select(F.col("_g").alias("group_b"), F.col("_n").alias("n_b"))
+            ),
+            F.col("group_a") < F.col("group_b"),
+        )
+    )
+    inter = (
+        rel.select(F.col("_g").alias("group_a"), "_sh")
+        .join(rel.select(F.col("_g").alias("group_b"), "_sh"), "_sh")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["group_a", "group_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)).cast("long"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

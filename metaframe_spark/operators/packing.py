@@ -484,3 +484,86 @@ def pack_efficiency_report(
             "waste_tokens"
         ),
     )
+
+
+def dynamic_batches(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    batch_size: int = 8,
+    max_len: int = 2048,
+    min_bucket: int = 16,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Length-bucketed INFERENCE batch plan — the serving-side sibling of
+    :func:`pack_documents` (training packs to a fixed window; inference
+    pads each batch to its longest member, so throughput is won by
+    batching similar lengths together). Every sequence is assigned a
+    power-of-two padding bucket (the smallest of ``min_bucket``,
+    ``2·min_bucket``, … ``max_len`` that fits; lengths are clamped to
+    ``[1, max_len]``, the truncation contract), then batches of
+    ``batch_size`` are cut inside each (bucket, md5-shard) — so the
+    whole plan is a pure function of the data, reproducible on any
+    cluster layout, like the FFD packer's md5 groups. Returns one row
+    per BATCH: ``padded_len``, ``shard``, ``batch_id`` (0-based within
+    the shard), ``n_seqs``, ``sum_tokens`` (real tokens), and
+    ``waste_pct`` (padding fraction of the ``n_seqs × padded_len``
+    rectangle the accelerator will actually execute).
+
+    Scale contract: bucket assignment is a row-local filter over a
+    ~log₂(max_len/min_bucket)-element literal array (no join, no
+    Python); the only exchange is the window's hash shuffle on
+    (bucket, shard), and ``n_shards`` bounds every window partition to
+    ~n/(buckets·shards) rows — executor-sized by construction, never a
+    single global sort. The per-batch rollup partial-aggregates
+    map-side on the same key, so AQE coalesces a tiny result.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be > 0")
+    if min_bucket <= 0:
+        raise ValueError("min_bucket must be > 0")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be > 0")
+    buckets = []
+    b = int(min_bucket)
+    while b < int(max_len):
+        buckets.append(b)
+        b *= 2
+    buckets.append(int(max_len))  # the clamp cap is always a bucket
+    n = F.least(
+        F.greatest(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)), F.lit(1)),
+        F.lit(int(max_len)),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(int(n_shards))
+    )
+    arr = ", ".join(str(x) for x in buckets)
+    base = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        shard.alias("shard"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    ).withColumn(
+        "padded_len",
+        F.expr(f"array_min(filter(array({arr}), b -> b >= _n))").cast("long"),
+    )
+    w = Window.partitionBy("padded_len", "shard").orderBy(
+        F.asc("_ord"), F.asc(id_col)
+    )
+    assigned = base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(batch_size)))
+        .cast("long"),
+    )
+    return assigned.groupBy("padded_len", "shard", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("_n").cast("long").alias("sum_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("_n")
+            / (F.count(F.lit(1)) * F.col("padded_len")).cast("double"),
+            6,
+        ).alias("waste_pct"),
+    )

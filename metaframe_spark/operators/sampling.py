@@ -184,6 +184,77 @@ def global_shuffle(
     return result
 
 
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    rank_col: str = "rank",
+    stage_col: str = "stage",
+) -> DataFrame:
+    """Curriculum staging: a deterministic global rank over a difficulty
+    score plus an equal-width stage assignment — the "train on easy
+    documents first" ordering (Bengio et al. 2009's curriculum learning,
+    applied corpus-side) that turns any per-document score (length,
+    perplexity, quality) into ``n_stages`` contiguous training phases.
+    Rows are ranked 1..N in ``(score_col, id_col)`` order (``ascending``
+    picks the direction of the score; the id tie-break makes the order
+    total) and ``stage = ((rank-1) · n_stages) div N`` — 0-based,
+    equal-width to within one row, exact integer arithmetic any SQL
+    engine replays.
+
+    Scale shape: the same two-phase global order as
+    :func:`global_shuffle` (range-repartition + in-partition sort, then
+    per-partition counts as a dense literal offset array + the
+    monotonic-id local ordinal) — never a one-task
+    ``row_number() OVER (ORDER BY …)`` window; see global_shuffle's
+    docstring for why each piece is shaped this way. Adds ``rank_col``
+    and ``stage_col`` to the input columns.
+    """
+    if n_stages <= 0:
+        raise ValueError("n_stages must be > 0")
+    order = [
+        F.asc(score_col) if ascending else F.desc(score_col),
+        F.asc(id_col),
+    ]
+    sorted_df = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["count"]
+        for r in sorted_df.groupBy("_pid").count().collect()
+    }
+    offsets = []
+    acc = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    total = max(acc, 1)  # no rows -> the stage expr never evaluates
+    off_expr = (
+        F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1)
+        if offsets
+        else F.lit(0)
+    )
+    ordinal = F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+    result = (
+        sorted_df.withColumn(rank_col, (off_expr + ordinal + 1).cast("long"))
+        .withColumn(
+            stage_col,
+            F.expr(f"(({rank_col} - 1) * {int(n_stages)}) div {total}").cast(
+                "long"
+            ),
+        )
+        .drop("_pid")
+        .localCheckpoint(eager=True)
+    )
+    sorted_df.unpersist()
+    return result
+
+
 def hash_split(
     df: DataFrame,
     fractions: dict,

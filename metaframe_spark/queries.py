@@ -7270,6 +7270,125 @@ def llm_bpe_fertility(spark, sf):
     return bpe_fertility(d, merges, by=["lang"])
 
 
+@query(
+    "llm_curriculum",
+    "WITH t AS (SELECT doc_id, "
+    "  CAST(len(regexp_extract_all(text, "
+    "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok "
+    "  FROM documents), "
+    "r AS (SELECT doc_id, n_tok, "
+    "  CAST(ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS rank, "
+    "  CAST(count(*) OVER () AS BIGINT) AS cnt FROM t) "
+    "SELECT doc_id, n_tok, rank, "
+    "CAST(((rank - 1) * 4) // cnt AS BIGINT) AS stage FROM r",
+)
+def llm_curriculum(spark, sf):
+    """Curriculum staging (operators/sampling.py::curriculum_stages):
+    every document ranked globally by pre-token count (short/easy
+    first, doc_id tie-break) and cut into 4 equal-width training
+    stages — exact integer arithmetic ``stage = ((rank-1)·4) div N``.
+    The DuckDB oracle IS the naive one-task global window
+    (``ROW_NUMBER() OVER (ORDER BY …)``); the operator computes the
+    identical total order with the scale-safe two-phase shape instead
+    (range repartition + per-partition offsets as a dense literal +
+    the monotonic-id ordinal — global_shuffle's machinery pointed at a
+    score), so the hash match proves the distributed rank ≡ the global
+    window, stage boundaries included."""
+    from .operators.sampling import curriculum_stages
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, sf, "documents").to_spark().select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    return curriculum_stages(d, "n_tok", 4, id_col="doc_id")
+
+
+@query(
+    "llm_dynamic_batches",
+    "WITH t AS (SELECT doc_id, least(greatest(coalesce("
+    "  CAST(len(regexp_extract_all(text, "
+    "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT), 0), 1), 512) AS n "
+    "  FROM documents), "
+    "b AS (SELECT doc_id, n, "
+    "  CAST(list_min(list_filter([16, 32, 64, 128, 256, 512], "
+    "    b -> b >= n)) AS BIGINT) AS padded_len, "
+    "  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "    % 4 AS shard, "
+    "  md5(CAST(doc_id AS VARCHAR)) AS o FROM t), "
+    "a AS (SELECT padded_len, shard, n, "
+    "  CAST((ROW_NUMBER() OVER (PARTITION BY padded_len, shard "
+    "    ORDER BY o, doc_id) - 1) // 8 AS BIGINT) AS batch_id FROM b) "
+    "SELECT padded_len, shard, batch_id, "
+    "CAST(count(*) AS BIGINT) AS n_seqs, "
+    "CAST(sum(n) AS BIGINT) AS sum_tokens, "
+    "round(1.0 - sum(n) / CAST(count(*) * padded_len AS DOUBLE), 6) "
+    "AS waste_pct "
+    "FROM a GROUP BY 1, 2, 3",
+)
+def llm_dynamic_batches(spark, sf):
+    """Length-bucketed inference batch plan (operators/packing.py::
+    dynamic_batches — the serving-side sibling of the FFD packer):
+    every document lands in the smallest power-of-two padding bucket
+    that fits its pre-token count (clamped to [1, 512]), batches of 8
+    are cut inside each (bucket, md5-shard), and the card reports each
+    batch's size, real tokens, and padding-waste fraction of the
+    n×padded_len rectangle the accelerator executes. The whole plan is
+    a pure function of the data (md5 shard + md5 order), so the oracle
+    replays it exactly: same clamp, same literal bucket array, same
+    ROW_NUMBER cut, same single double division. One hash shuffle on
+    (bucket, shard) serves both the window and the rollup — shards
+    bound every window partition, never a global sort."""
+    from .operators.packing import dynamic_batches
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, sf, "documents").to_spark().select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    return dynamic_batches(
+        d, "n_tok", id_col="doc_id", batch_size=8, max_len=512, n_shards=4
+    )
+
+
+@query(
+    "llm_corpus_overlap",
+    "WITH t AS (SELECT source, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "sh AS (SELECT DISTINCT g, s FROM ("
+    "  SELECT source AS g, unnest(list_transform(range(1, len(toks) - 1), "
+    "    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s "
+    "  FROM t WHERE len(toks) >= 3)), "
+    "sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY g), "
+    "inter AS (SELECT a.g AS ga, b.g AS gb, "
+    "  CAST(count(*) AS BIGINT) AS ni "
+    "  FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g GROUP BY 1, 2) "
+    "SELECT sa.g AS group_a, sb.g AS group_b, "
+    "CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter, "
+    "sa.n AS n_a, sb.n AS n_b, "
+    "round(coalesce(i.ni, 0) / "
+    "  CAST(sa.n + sb.n - coalesce(i.ni, 0) AS DOUBLE), 6) AS jaccard "
+    "FROM sz sa JOIN sz sb ON sa.g < sb.g "
+    "LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g",
+)
+def llm_corpus_overlap(spark, sf):
+    """Corpus-comparison matrix (operators/dedup.py::corpus_overlap):
+    EXACT pairwise Jaccard between the 20 sources' distinct 3-gram
+    shingle sets — the "how much of source B is already in source A"
+    table a data card publishes before mixing sources, computed without
+    ever touching a document pair: one partial-aggregated distinct
+    (group, shingle-hash) relation, a shingle-keyed self-join whose
+    per-key fan-out is bounded by |groups|, and inclusion-exclusion
+    unions from the per-group sizes; zero-overlap pairs surface as
+    jaccard 0.0 through the bounded |groups|² pair frame. The operator
+    joins on 8-byte xxhash64 shingle keys (the minhash_signatures
+    compression); the oracle counts the raw shingle strings — a hash
+    match additionally witnesses injectivity on this corpus."""
+    from .operators import corpus_overlap
+
+    d = load_table(spark, sf, "documents")
+    return corpus_overlap(d.to_spark(), "source", "text", shingle_n=3)
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -7736,6 +7855,9 @@ _DRIVER_BLESSED = (
 _ROTATE_FIRST: list = [
     # round-14 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
+    "llm_corpus_overlap",
+    "llm_curriculum",
+    "llm_dynamic_batches",
     "llm_pq_refine",
     "llm_ann_recall",
     "llm_neardup_sweep",

@@ -3658,6 +3658,79 @@ class TestScalarQuantize:
             assert np.abs(recon - orig[r.vec_id]).max() <= (spans / 256.0).max() + 1e-12
 
 
+class TestCurriculumStages:
+    """operators/sampling.py::curriculum_stages — distributed global rank
+    + equal-width stage cut vs the naive in-memory sort."""
+
+    def _df(self, spark, n=97):
+        rows = [(i, float((i * 37) % 50)) for i in range(n)]  # scored, with ties
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    def test_rank_matches_naive_sort_with_ties(self, spark):
+        from metaframe_spark.operators import curriculum_stages
+
+        n = 97
+        out = curriculum_stages(self._df(spark, n), "score", 4).collect()
+        assert sorted(r.rank for r in out) == list(range(1, n + 1))
+        naive = sorted(((r.score, r.doc_id) for r in out))
+        by_rank = {r.rank: (r.score, r.doc_id) for r in out}
+        assert [by_rank[i] for i in range(1, n + 1)] == naive
+
+    def test_stage_widths_equal_within_one_and_monotone(self, spark):
+        from metaframe_spark.operators import curriculum_stages
+
+        out = curriculum_stages(self._df(spark, 102), "score", 4).collect()
+        from collections import Counter
+
+        widths = Counter(r.stage for r in out)
+        assert set(widths) == {0, 1, 2, 3}
+        assert max(widths.values()) - min(widths.values()) <= 1
+        # stage is monotone in rank
+        for r in out:
+            assert r.stage == ((r.rank - 1) * 4) // 102
+
+    def test_descending_reverses_the_order(self, spark):
+        from metaframe_spark.operators import curriculum_stages
+
+        asc = curriculum_stages(self._df(spark, 50), "score", 2).collect()
+        desc = curriculum_stages(
+            self._df(spark, 50), "score", 2, ascending=False
+        ).collect()
+        top_asc = min(asc, key=lambda r: r.rank)
+        top_desc = min(desc, key=lambda r: r.rank)
+        assert top_asc.score == min(r.score for r in asc)
+        assert top_desc.score == max(r.score for r in desc)
+
+    def test_partitioning_invariance(self, spark):
+        from metaframe_spark.operators import curriculum_stages
+
+        df = self._df(spark, 80)
+        a = sorted(map(tuple, curriculum_stages(df, "score", 3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                curriculum_stages(df.repartition(11), "score", 3).collect(),
+            )
+        )
+        assert a == b
+
+    def test_more_stages_than_rows(self, spark):
+        from metaframe_spark.operators import curriculum_stages
+
+        out = curriculum_stages(self._df(spark, 3), "score", 10).collect()
+        # each row its own stage band; stages strictly increase with rank
+        stages = [r.stage for r in sorted(out, key=lambda r: r.rank)]
+        assert stages == sorted(stages) and len(set(stages)) == 3
+
+    def test_validation_and_single_stage(self, spark):
+        from metaframe_spark.operators import curriculum_stages
+
+        with pytest.raises(ValueError, match="n_stages"):
+            curriculum_stages(self._df(spark, 5), "score", 0)
+        out = curriculum_stages(self._df(spark, 5), "score", 1).collect()
+        assert {r.stage for r in out} == {0}
+
+
 class TestGlobalShuffle:
     def test_matches_naive_global_window_and_is_permutation(self, docs, spark):
         from pyspark.sql import Window
@@ -3805,6 +3878,73 @@ class TestTakeTokenBudget:
         df = spark.createDataFrame([(1, 1, 0)], "doc_id long, n long, seq long")
         with pytest.raises(ValueError, match="budget"):
             take_token_budget(df, -1, "n", "seq")
+
+
+class TestDynamicBatches:
+    """operators/packing.py::dynamic_batches — length-bucketed inference
+    batch plan: bucket arithmetic, full-batch cuts, clamps, determinism."""
+
+    def _plan(self, spark, rows, **kw):
+        from metaframe_spark.operators.packing import dynamic_batches
+
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        return dynamic_batches(df, "n_tok", **kw).collect()
+
+    def test_bucket_boundaries_and_clamps(self, spark):
+        # 16 fits bucket 16; 17 spills to 32; 0/NULL clamp to 1 -> 16;
+        # an oversized 9999 clamps to max_len's bucket
+        rows = [(1, 16), (2, 17), (3, 0), (4, None), (5, 9999)]
+        out = self._plan(
+            spark, rows, batch_size=8, max_len=512, min_bucket=16, n_shards=1
+        )
+        by_len = {}
+        for r in out:
+            by_len.setdefault(r.padded_len, 0)
+            by_len[r.padded_len] += r.n_seqs
+        assert by_len == {16: 3, 32: 1, 512: 1}
+
+    def test_all_batches_full_except_one_per_group(self, spark):
+        rows = [(i, 20) for i in range(100)]  # all land in bucket 32
+        out = self._plan(
+            spark, rows, batch_size=8, max_len=512, min_bucket=16, n_shards=4
+        )
+        assert sum(r.n_seqs for r in out) == 100
+        from collections import defaultdict
+
+        per_shard = defaultdict(list)
+        for r in out:
+            assert r.n_seqs <= 8
+            assert r.sum_tokens == 20 * r.n_seqs
+            assert 0.0 <= r.waste_pct < 1.0
+            per_shard[(r.padded_len, r.shard)].append(r.n_seqs)
+        for sizes in per_shard.values():
+            assert sum(1 for s in sizes if s < 8) <= 1  # one ragged tail max
+
+    def test_waste_is_exact(self, spark):
+        [r] = self._plan(
+            spark, [(1, 24), (2, 32)], batch_size=8, max_len=512, n_shards=1
+        )
+        assert (r.padded_len, r.n_seqs, r.sum_tokens) == (32, 2, 56)
+        assert r.waste_pct == round(1.0 - 56 / 64.0, 6)
+
+    def test_partitioning_invariance(self, spark):
+        from metaframe_spark.operators.packing import dynamic_batches
+
+        rows = [(i, (i * 13) % 300 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        a = sorted(map(tuple, dynamic_batches(df, "n_tok").collect()))
+        b = sorted(
+            map(tuple, dynamic_batches(df.repartition(13), "n_tok").collect())
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.packing import dynamic_batches
+
+        df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+        for kw in ({"batch_size": 0}, {"min_bucket": 0}, {"n_shards": 0}):
+            with pytest.raises(ValueError):
+                dynamic_batches(df, "n_tok", **kw)
 
 
 class TestPackDocuments:
@@ -5913,6 +6053,68 @@ class TestDuplicationReport:
         )
         [r2] = duplication_report(df2, ["x"]).collect()
         assert r2.n_clusters == 2
+
+
+class TestCorpusOverlap:
+    """operators/dedup.py::corpus_overlap — exact pairwise group Jaccard
+    over distinct shingle sets, including the zero-overlap pair frame."""
+
+    def _df(self, spark):
+        rows = [
+            # A and B share "one two three" (A ⊂ B); C is disjoint
+            ("A", "one two three"),
+            ("A", "one  TWO three"),  # normalizes to the same shingle
+            ("B", "one two three four"),  # shingles: {1-2-3, 2-3-4}
+            ("C", "alpha beta gamma"),
+            ("D", "xy"),  # < 3 tokens: contributes nothing, group drops
+        ]
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_exact_jaccard_and_zero_pairs(self, spark):
+        from metaframe_spark.operators import corpus_overlap
+
+        got = {
+            (r.group_a, r.group_b): r
+            for r in corpus_overlap(self._df(spark), "source").collect()
+        }
+        # D never reaches the frame (no qualifying shingles)
+        assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ab = got[("A", "B")]
+        assert (ab.n_inter, ab.n_a, ab.n_b) == (1, 1, 2)
+        assert ab.jaccard == 0.5
+        for pair in (("A", "C"), ("B", "C")):
+            assert got[pair].n_inter == 0
+            assert got[pair].jaccard == 0.0
+
+    def test_identical_groups_are_jaccard_one(self, spark):
+        from metaframe_spark.operators import corpus_overlap
+
+        df = spark.createDataFrame(
+            [("X", "p q r s"), ("Y", "p q r s")], "source string, text string"
+        )
+        [r] = corpus_overlap(df, "source").collect()
+        assert (r.n_inter, r.n_a, r.n_b, r.jaccard) == (2, 2, 2, 1.0)
+
+    def test_hashed_matches_raw_shingles(self, spark):
+        """xxhash64 compression must not change any count on a corpus
+        without hash collisions (i.e. essentially always)."""
+        from metaframe_spark.operators import corpus_overlap
+
+        docs = load_table(spark, SF, "documents").to_spark()
+        key = lambda r: (r.group_a, r.group_b)
+        hashed = sorted(corpus_overlap(docs, "lang").collect(), key=key)
+        raw = sorted(
+            corpus_overlap(docs, "lang", hash_shingles=False).collect(), key=key
+        )
+        assert [tuple(r) for r in hashed] == [tuple(r) for r in raw]
+
+    def test_single_group_yields_empty_frame(self, spark):
+        from metaframe_spark.operators import corpus_overlap
+
+        df = spark.createDataFrame(
+            [("only", "a b c d")], "source string, text string"
+        )
+        assert corpus_overlap(df, "source").count() == 0
 
 
 class TestWinnowing:

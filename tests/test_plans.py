@@ -357,6 +357,7 @@ class TestCatalogPlanLint:
         "llm_ann_recall",   # both probe stages (ADC + brute force) are the bounded-query contract
         "llm_refine_sweep", # ADC + brute-force stages (bounded-query contract) x budget literals
         "llm_mixture_plan", # one-row feasibility minimum joined back to the |targets|-row plan
+        "llm_corpus_overlap",  # bounded |groups|-row size relation x itself (pair frame)
         "llm_neardup_sweep",  # bounded pair relation x 5-row threshold literal; one-row corpus total
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
