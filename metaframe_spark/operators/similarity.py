@@ -2237,3 +2237,150 @@ def random_projection(
     if out_col:
         return df.withColumn(out_col, proj)
     return df.withColumn(vec_col, proj)
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    keep_frac: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids=None,
+    assign: str = "gemm",
+    keep: str = "hard",
+    max_fit_rows: int = 100_000,
+    kmeans_max_iter: int = 10,
+    kmeans_init: str = "k-means++",
+    n_rows: int = None,
+    normalize_centroids: bool = True,
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486 — the SSL-prototypes metric):
+    cluster the (unit-normalized) embedding corpus, score every example
+    by cosine to its own cluster centroid, and keep the ``keep_frac``
+    fraction per cell ranked from the HARD end (low cosine — the
+    paper's abundant-data regime; ``keep="easy"`` flips to the
+    scarce-data regime). Complements :func:`~metaframe_spark.operators.
+    dedup.semantic_dedup`: dedup removes copies, prototype pruning
+    removes the redundant EASY mass around each cluster center.
+
+    Returns ``(id_col, cell, proto_cos, cell_rank, kept)`` — the full
+    scored relation, one row per input, so the card and the filter are
+    the same output (``filter(kept)`` is the prune).
+
+    Two assignment faces, same contract as the PQ exemplar machinery:
+
+    * ``assign="gemm"`` (production): :func:`assign_cells` — one
+      mapInPandas float64 GEMM per Arrow batch against the broadcast
+      centroid matrix; centroids come from ``centroids=`` or a
+      :func:`fit_sampled_centroids` fit (seeded, order_col-stable),
+      unit-normalized driver-side so the dot IS the cosine.
+    * ``assign="exact"`` (oracle-replayable): the centroid matrix rides
+      the plan as a nested array literal and each row takes the argmax
+      of its ROUNDED-6 cosines (first-max tie = lowest cell, the
+      ``array_position`` semantics both engines share) — pure codegen,
+      no join, no Python, no shuffle before the rank window; requires
+      ``centroids=`` (bounded: exemplars or a prior fit). Both the
+      vector and the matrix bind once per row as lambda variables (the
+      random_projection single-bind discipline).
+
+    Scale shape: scoring is a single scan either way; the only
+    exchanges are the cell-rank window's hash shuffle on ``cell`` —
+    cells are executor-bounded by sizing ``n_cells``, the same
+    contract as semantic_dedup's ``max_cell_rows`` — and the tiny
+    fit-sample collect. ``kept = cell_rank <= ceil(keep_frac·|cell|)``
+    is exact IEEE arithmetic any SQL engine replays."""
+    import numpy as np
+
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    if keep not in ("hard", "easy"):
+        raise ValueError("keep must be 'hard' or 'easy'")
+    if assign not in ("gemm", "exact"):
+        raise ValueError("assign must be 'gemm' or 'exact'")
+    if centroids is None:
+        if assign == "exact":
+            raise ValueError(
+                "assign='exact' needs explicit centroids= (exemplars or a "
+                "prior fit) — the literal matrix is the point of the mode"
+            )
+        centroids = fit_sampled_centroids(
+            corpus,
+            n_cells,
+            vec_col=vec_col,
+            seed=seed,
+            max_fit_rows=max_fit_rows,
+            max_iter=kmeans_max_iter,
+            init=kmeans_init,
+            n_rows=n_rows,
+            order_col=id_col,
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    if normalize_centroids:
+        # fitted centroids of unit vectors are sub-unit (a mean shrinks);
+        # normalizing makes the dot a true cosine. Pass False when the
+        # centroids ARE unit rows already (exemplars) — renormalizing by a
+        # ~1.0 norm would shift the last ulp away from what a SQL oracle
+        # recomputes from the same rows.
+        norms = np.sqrt((C * C).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        C = C / norms[:, None]
+    k, d = C.shape
+
+    if assign == "exact":
+        cent_sql = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")"
+                for row in C
+            )
+            + ")"
+        )
+        scored = corpus.select(
+            F.col(id_col),
+            F.expr(
+                f"element_at(transform(array({vec_col}), v -> "
+                f"element_at(transform(array({cent_sql}), m -> "
+                f"element_at(transform(array(transform(sequence(1, {k}), "
+                f"c -> round(aggregate(sequence(1, {d}), 0D, (acc, i) -> "
+                f"acc + cast(element_at(v, i) as double) * "
+                f"element_at(element_at(m, c), i), acc -> acc), 6))), "
+                f"s -> struct(cast(array_position(s, array_max(s)) - 1 "
+                f"as long) as cell, array_max(s) as proto_cos)), 1)), 1)), 1)"
+            ).alias("_sc"),
+        ).select(id_col, F.col("_sc.cell").alias("cell"), F.col("_sc.proto_cos").alias("proto_cos"))
+    else:
+        spark = corpus.sparkSession
+        cent_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+            "cell long, _cent array<double>",
+        )
+        scored = (
+            assign_cells(corpus, C, vec_col=vec_col, cell_col="_cell")
+            .join(F.broadcast(cent_df), F.col("_cell") == F.col("cell"))
+            .select(
+                F.col(id_col),
+                F.col("cell"),
+                F.round(cosine_expr(vec_col, "_cent"), 6).alias("proto_cos"),
+            )
+        )
+
+    from pyspark.sql import Window
+
+    order = (
+        [F.asc("proto_cos"), F.asc(id_col)]
+        if keep == "hard"
+        else [F.desc("proto_cos"), F.asc(id_col)]
+    )
+    w_rank = Window.partitionBy("cell").orderBy(*order)
+    w_cell = Window.partitionBy("cell")
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("_cn", F.count(F.lit(1)).over(w_cell))
+        .withColumn(
+            "kept",
+            F.col("cell_rank") <= F.ceil(F.lit(float(keep_frac)) * F.col("_cn")),
+        )
+        .drop("_cn")
+    )

@@ -7271,6 +7271,61 @@ def llm_bpe_fertility(spark, sf):
 
 
 @query(
+    "llm_prototype_prune",
+    f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
+    "ex AS (SELECT emb, md5(CAST(vec_id AS VARCHAR)) AS m, vec_id "
+    "  FROM n ORDER BY m, vec_id LIMIT 4), "
+    "cl AS (SELECT list(emb ORDER BY m, vec_id) AS cents FROM ex), "
+    "s AS (SELECT vec_id, list_transform(cents, "
+    "  ce -> round(list_inner_product(emb, ce), 6)) AS sc FROM n, cl), "
+    "a AS (SELECT vec_id, "
+    "  CAST(list_position(sc, list_aggregate(sc, 'max')) - 1 AS BIGINT) "
+    "    AS cell, "
+    "  list_aggregate(sc, 'max') AS proto_cos FROM s), "
+    "r AS (SELECT vec_id, cell, proto_cos, "
+    "  CAST(ROW_NUMBER() OVER (PARTITION BY cell "
+    "    ORDER BY proto_cos, vec_id) AS BIGINT) AS cell_rank, "
+    "  count(*) OVER (PARTITION BY cell) AS cn FROM a) "
+    "SELECT vec_id, cell, proto_cos, cell_rank, "
+    "cell_rank <= CAST(ceil(0.5 * cn) AS BIGINT) AS kept FROM r",
+)
+def llm_prototype_prune(spark, sf):
+    """Prototypicality pruning (operators/similarity.py::prototype_prune
+    — Sorscher et al.'s SSL-prototypes metric): every embedding scored
+    by cosine to its nearest of 4 exemplar centroids (the 4 vectors
+    with smallest md5(vec_id) — deterministic, both engines rebuild
+    them), ranked hard-first within its cell, and the keep-half cut
+    ``cell_rank <= ceil(0.5·|cell|)`` emitted as the ``kept`` flag.
+    Runs the ``assign="exact"`` face: the exemplar matrix rides the
+    plan as a literal and assignment is the argmax of ROUNDED-6
+    codegen cosines (first-max tie = lowest cell, the array_position
+    semantics DuckDB's list_position shares) — no join, no Python, no
+    shuffle before the cell-rank window. The production
+    ``assign="gemm"`` face (sampled k-means fit + mapInPandas GEMM
+    assignment) is pinned against this one by pytest."""
+    from .operators import prototype_prune, unit_normalize
+
+    e = unit_normalize(load_table(spark, sf, "embeddings").to_spark()).select(
+        "vec_id", "embedding"
+    )
+    ex = (
+        e.withColumn("_m", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_m", "vec_id")
+        .limit(4)
+        .collect()  # bounded: the 4 exemplar rows
+    )
+    cents = [list(r["embedding"]) for r in ex]
+    return prototype_prune(
+        e,
+        0.5,
+        id_col="vec_id",
+        centroids=cents,
+        assign="exact",
+        normalize_centroids=False,
+    )
+
+
+@query(
     "llm_curriculum",
     "WITH t AS (SELECT doc_id, "
     "  CAST(len(regexp_extract_all(text, "
@@ -7839,25 +7894,28 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the THIRTY-FIVE r11-blessed keys that overflowed
-# this round's 50-slot window (the FIVE r14 additions + 30 r10
-# re-checks fill slots 1-35, so the r11 wave's first 15 keys — through
-# llm_corpus_stats — fill slots 36-50; last driver-checked r11:
-# llm_gopher_flags, llm_c4_lines, llm_char_entropy, llm_bigram_nll,
-# q07, q08, q09, q10, q11, q12, q62_null_safe_join, q63_map_hof,
-# q64_salted_join, q65_bitwise, q66_string_agg, q67_variant,
-# q68_interpolate, q69_snapshot_diff, q70_stats_agg, q71_interval_join,
-# q72_bitmap_distinct, q73_gapfill, q74_posexplode, q75_try_funcs,
-# q76_regex_funcs, q77_minmax_by, q78_asof_nearest, q79_set_ops_all,
-# q80_sort_nulls, q81_cogroup, q95_anomaly_rules, q96_drift_from_store,
-# q97_anomaly_kmv, q98_cms_counts, q99_kmv_overlap), then the r12 wave
-# (last driver-checked r12) as the next-oldest block.
+# round-15 additions + the THIRTY-NINE r11-blessed keys that overflowed
+# this round's 50-slot window (the NINE r14 additions + 30 r10
+# re-checks fill slots 1-39, so the r11 wave's first 11 keys — through
+# llm_hash_split — fill slots 40-50; overflowed, last driver-checked
+# r11: llm_stratified_sample, llm_mixture_sample, llm_dup_report,
+# llm_corpus_stats, llm_gopher_flags, llm_c4_lines, llm_char_entropy,
+# llm_bigram_nll, q07, q08, q09, q10, q11, q12, q62_null_safe_join,
+# q63_map_hof, q64_salted_join, q65_bitwise, q66_string_agg,
+# q67_variant, q68_interpolate, q69_snapshot_diff, q70_stats_agg,
+# q71_interval_join, q72_bitmap_distinct, q73_gapfill, q74_posexplode,
+# q75_try_funcs, q76_regex_funcs, q77_minmax_by, q78_asof_nearest,
+# q79_set_ops_all, q80_sort_nulls, q81_cogroup, q95_anomaly_rules,
+# q96_drift_from_store, q97_anomaly_kmv, q98_cms_counts,
+# q99_kmv_overlap), then the r12 wave (last driver-checked r12) as the
+# next-oldest block.
 _ROTATE_FIRST: list = [
     # round-14 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
+    "llm_prototype_prune",
     "llm_pq_refine",
     "llm_ann_recall",
     "llm_neardup_sweep",
@@ -7909,12 +7967,12 @@ _ROTATE_FIRST: list = [
     "llm_audio_neardup",
     "llm_global_shuffle",
     "llm_hash_split",
+    # tail: slot 50 ends at llm_hash_split (9 r14 additions + 30 r10 +
+    # 11 r11) — everything below overflows to round 15
     "llm_stratified_sample",
     "llm_mixture_sample",
     "llm_dup_report",
     "llm_corpus_stats",
-    # tail: slot 50 ends at llm_corpus_stats (5 r14 additions + 30 r10 +
-    # 15 r11) — everything below overflows to round 15
     "llm_gopher_flags",
     "llm_c4_lines",
     "llm_char_entropy",

@@ -1144,6 +1144,115 @@ class TestPqRefine:
             recall_at_k(approx, exact, 0)
 
 
+class TestPrototypePrune:
+    """operators/similarity.py::prototype_prune — SSL-prototypes pruning:
+    exact/gemm face agreement, keep arithmetic, both regimes."""
+
+    def _emb(self, spark):
+        return unit_normalize(
+            load_table(spark, SF, "embeddings").to_spark()
+        ).select("vec_id", "embedding").cache()
+
+    def _exemplars(self, emb, k=4):
+        rows = (
+            emb.withColumn("_m", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_m", "vec_id")
+            .limit(k)
+            .collect()
+        )
+        return [list(r.embedding) for r in rows]
+
+    def test_exact_and_gemm_faces_agree(self, spark):
+        from metaframe_spark.operators import prototype_prune
+
+        emb = self._emb(spark)
+        cents = self._exemplars(emb)
+        key = lambda r: r.vec_id
+        exact = sorted(
+            prototype_prune(
+                emb, 0.5, id_col="vec_id", centroids=cents,
+                assign="exact", normalize_centroids=False,
+            ).collect(),
+            key=key,
+        )
+        gemm = sorted(
+            prototype_prune(
+                emb, 0.5, id_col="vec_id", centroids=cents,
+                assign="gemm", normalize_centroids=False,
+            ).collect(),
+            key=key,
+        )
+        assert [(r.vec_id, r.cell, r.kept) for r in exact] == [
+            (r.vec_id, r.cell, r.kept) for r in gemm
+        ]
+        for a, b in zip(exact, gemm):
+            assert abs(a.proto_cos - b.proto_cos) <= 1e-6
+
+    def test_keep_counts_are_ceil_of_frac(self, spark):
+        from collections import Counter
+
+        from metaframe_spark.operators import prototype_prune
+
+        emb = self._emb(spark)
+        out = prototype_prune(
+            emb, 0.3, id_col="vec_id",
+            centroids=self._exemplars(emb), assign="exact",
+            normalize_centroids=False,
+        ).collect()
+        import math
+
+        cell_n = Counter(r.cell for r in out)
+        kept_n = Counter(r.cell for r in out if r.kept)
+        for c, n in cell_n.items():
+            assert kept_n[c] == math.ceil(0.3 * n)
+        # hard regime: within a cell every kept score <= every dropped score
+        for c in cell_n:
+            kept = [r.proto_cos for r in out if r.cell == c and r.kept]
+            drop = [r.proto_cos for r in out if r.cell == c and not r.kept]
+            if kept and drop:
+                assert max(kept) <= min(drop)
+
+    def test_easy_regime_flips_the_cut(self, spark):
+        from metaframe_spark.operators import prototype_prune
+
+        emb = self._emb(spark)
+        cents = self._exemplars(emb)
+        out = prototype_prune(
+            emb, 0.5, id_col="vec_id", centroids=cents,
+            assign="exact", keep="easy", normalize_centroids=False,
+        ).collect()
+        for c in {r.cell for r in out}:
+            kept = [r.proto_cos for r in out if r.cell == c and r.kept]
+            drop = [r.proto_cos for r in out if r.cell == c and not r.kept]
+            if kept and drop:
+                assert min(kept) >= max(drop)
+
+    def test_fitted_centroids_path(self, spark):
+        from metaframe_spark.operators import prototype_prune
+
+        emb = self._emb(spark)
+        out = prototype_prune(emb, 0.5, n_cells=8, id_col="vec_id")
+        rows = out.collect()
+        assert len(rows) == emb.count()  # every input row scored
+        assert len({r.vec_id for r in rows}) == len(rows)
+        kept = sum(1 for r in rows if r.kept)
+        # ceil per cell: kept fraction in [frac, frac + cells/n]
+        assert 0.5 <= kept / len(rows) <= 0.5 + 8 / len(rows)
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators import prototype_prune
+
+        emb = self._emb(spark)
+        with pytest.raises(ValueError, match="keep_frac"):
+            prototype_prune(emb, 0.0)
+        with pytest.raises(ValueError, match="keep must"):
+            prototype_prune(emb, 0.5, keep="most")
+        with pytest.raises(ValueError, match="assign"):
+            prototype_prune(emb, 0.5, assign="bnlj")
+        with pytest.raises(ValueError, match="exact"):
+            prototype_prune(emb, 0.5, assign="exact")  # no centroids
+
+
 class TestRandomProjection:
     """operators/similarity.py::random_projection — Achlioptas sparse JL
     projection, the pre-ANN byte reducer."""
