@@ -2079,6 +2079,87 @@ def corpus_overlap(
     )
 
 
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-document novelty score against the REST of the corpus: the
+    fraction of a document's distinct word-``shingle_n``-grams that
+    appear in NO other document (corpus document-frequency 1) — the
+    uniqueness signal that separates original content from remixes,
+    mirrors and template mass without running a dedup pass, and the
+    per-document complement of :func:`corpus_overlap`'s group matrix.
+
+    Returns one row per input document: ``(id_col, n_shingles,
+    n_unique, novelty)`` with ``novelty = n_unique / n_shingles``
+    rounded to 6 (NULL — not 0 — for documents too short to carry a
+    shingle: "no evidence" must stay distinguishable from "all
+    shingles seen elsewhere").
+
+    Scale shape: the per-document distinct shingle relation explodes
+    once (``hash_shingles`` compresses the keys to 8-byte xxhash64,
+    the :func:`minhash_signatures` idiom); document frequency is one
+    partial-aggregated groupBy on the shingle key; the join back is
+    1:N on the same key (the DF side has ONE row per shingle, so a
+    stopword shingle shared by millions of documents adds zero fan-out
+    beyond the rows that already exist); the per-document rollup
+    shuffles on the id. Everything is linear in the distinct
+    (document, shingle) relation — no pairs anywhere."""
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
+        .select(
+            id_col,
+            F.explode(F.array_distinct(shingles("_toks", shingle_n))).alias("_sh"),
+        )
+    )
+    if hash_shingles:
+        sh = sh.select(id_col, F.xxhash64("_sh").alias("_sh"))
+    # both the DF rollup and the join-back consume the exploded relation —
+    # persist so the scan+tokenize+explode runs once, released by the
+    # caller through the _mf_persisted contract (the minhash/pagerank
+    # discipline). A count-over-window single-pass alternative would drop
+    # the second consumer but funnels every occurrence of a hot shingle
+    # (stopword trigrams: millions of rows) through ONE window task;
+    # groupBy+join partial-aggregates and stays skew-safe.
+    sh = sh.persist()
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_c"))
+    per = (
+        sh.join(dfreq, "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias(
+                "n_unique"
+            ),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_unique") / F.col("n_shingles").cast("double"), 6
+                ),
+            ).alias("novelty"),
+        )
+    )
+    out._mf_persisted = sh
+    return out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

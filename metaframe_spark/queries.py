@@ -7271,6 +7271,45 @@ def llm_bpe_fertility(spark, sf):
 
 
 @query(
+    "llm_novelty",
+    "WITH t AS (SELECT doc_id, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "r AS (SELECT DISTINCT doc_id, s FROM ("
+    "  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), "
+    "    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s "
+    "  FROM t WHERE len(toks) >= 3)), "
+    "f AS (SELECT s, count(*) AS c FROM r GROUP BY s), "
+    "per AS (SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+    "  CAST(sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_unique "
+    "  FROM r JOIN f USING (s) GROUP BY 1) "
+    "SELECT d.doc_id, "
+    "CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles, "
+    "CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique, "
+    "CASE WHEN per.n_shingles > 0 THEN "
+    "  round(per.n_unique / CAST(per.n_shingles AS DOUBLE), 6) END "
+    "  AS novelty "
+    "FROM documents d LEFT JOIN per USING (doc_id)",
+)
+def llm_novelty(spark, sf):
+    """Per-document novelty card (operators/dedup.py::shingle_novelty):
+    the fraction of each document's distinct 3-gram shingles with
+    corpus document-frequency 1 — original content scores high,
+    remix/mirror/template mass scores low, and no dedup pass or
+    document pair is ever touched: one distinct (doc, xxhash64-shingle)
+    explode, one partial-aggregated DF rollup, a 1:N join back on the
+    shingle key, a per-doc rollup. Sub-shingle-length documents keep a
+    NULL novelty ("no evidence" ≠ "nothing unique"). The oracle
+    recomputes from raw shingle strings — the hash match again
+    witnesses xxhash64 injectivity on the corpus."""
+    from .operators import shingle_novelty
+
+    d = load_table(spark, sf, "documents")
+    return shingle_novelty(d.to_spark(), "doc_id", "text", shingle_n=3)
+
+
+@query(
     "llm_prototype_prune",
     f"WITH n AS (SELECT vec_id, {_NORM_EMB_SQL} AS emb FROM embeddings), "
     "ex AS (SELECT emb, md5(CAST(vec_id AS VARCHAR)) AS m, vec_id "
@@ -7894,11 +7933,12 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the THIRTY-NINE r11-blessed keys that overflowed
-# this round's 50-slot window (the NINE r14 additions + 30 r10
-# re-checks fill slots 1-39, so the r11 wave's first 11 keys — through
-# llm_hash_split — fill slots 40-50; overflowed, last driver-checked
-# r11: llm_stratified_sample, llm_mixture_sample, llm_dup_report,
+# round-15 additions + the FORTY r11-blessed keys that overflowed
+# this round's 50-slot window (the TEN r14 additions + 30 r10
+# re-checks fill slots 1-40, so the r11 wave's first 10 keys — through
+# llm_global_shuffle — fill slots 41-50; overflowed, last
+# driver-checked r11: llm_hash_split,
+# llm_stratified_sample, llm_mixture_sample, llm_dup_report,
 # llm_corpus_stats, llm_gopher_flags, llm_c4_lines, llm_char_entropy,
 # llm_bigram_nll, q07, q08, q09, q10, q11, q12, q62_null_safe_join,
 # q63_map_hof, q64_salted_join, q65_bitwise, q66_string_agg,
@@ -7915,6 +7955,7 @@ _ROTATE_FIRST: list = [
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
+    "llm_novelty",
     "llm_prototype_prune",
     "llm_pq_refine",
     "llm_ann_recall",
@@ -7966,9 +8007,9 @@ _ROTATE_FIRST: list = [
     "llm_image_neardup",
     "llm_audio_neardup",
     "llm_global_shuffle",
+    # tail: slot 50 ends at llm_global_shuffle (10 r14 additions +
+    # 30 r10 + 10 r11) — everything below overflows to round 15
     "llm_hash_split",
-    # tail: slot 50 ends at llm_hash_split (9 r14 additions + 30 r10 +
-    # 11 r11) — everything below overflows to round 15
     "llm_stratified_sample",
     "llm_mixture_sample",
     "llm_dup_report",

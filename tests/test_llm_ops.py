@@ -6226,6 +6226,55 @@ class TestCorpusOverlap:
         assert corpus_overlap(df, "source").count() == 0
 
 
+class TestShingleNovelty:
+    """operators/dedup.py::shingle_novelty — per-document DF-1 shingle
+    fraction, NULL-for-short-docs contract."""
+
+    def test_unique_vs_shared_shingles(self, spark):
+        from metaframe_spark.operators import shingle_novelty
+
+        rows = [
+            (1, "one two three four"),   # shingles {1-2-3, 2-3-4}
+            (2, "one two three"),        # {1-2-3} — shared with doc 1
+            (3, "alpha beta gamma"),     # {a-b-g} — unique
+            (4, "xy"),                   # too short: NULL novelty
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in shingle_novelty(df).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert (got[1].n_shingles, got[1].n_unique, got[1].novelty) == (
+            2, 1, 0.5,
+        )
+        assert (got[2].n_shingles, got[2].n_unique, got[2].novelty) == (
+            1, 0, 0.0,
+        )
+        assert (got[3].n_shingles, got[3].n_unique, got[3].novelty) == (
+            1, 1, 1.0,
+        )
+        assert (got[4].n_shingles, got[4].n_unique, got[4].novelty) == (
+            0, 0, None,
+        )
+
+    def test_exact_duplicates_score_zero(self, spark):
+        from metaframe_spark.operators import shingle_novelty
+
+        rows = [(1, "p q r s t"), (2, "p q r s t")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in shingle_novelty(df).collect():
+            assert r.novelty == 0.0
+
+    def test_hashed_matches_raw(self, spark):
+        from metaframe_spark.operators import shingle_novelty
+
+        docs = load_table(spark, SF, "documents").to_spark()
+        key = lambda r: r.doc_id
+        hashed = sorted(shingle_novelty(docs).collect(), key=key)
+        raw = sorted(
+            shingle_novelty(docs, hash_shingles=False).collect(), key=key
+        )
+        assert [tuple(r) for r in hashed] == [tuple(r) for r in raw]
+
+
 class TestWinnowing:
     @staticmethod
     def _py_fps(text, k=8, window=4):
