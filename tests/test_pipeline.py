@@ -608,6 +608,40 @@ def test_curate_then_pack_documents_composition(spark, messy):
     assert sum(fills.values()) / len(fills) > 64
 
 
+def test_curate_then_curriculum_then_batches_composition(spark, messy):
+    """The post-pipeline SERVING flow of the round-14 operators: curated
+    survivors -> curriculum stages over the token count (the trainer's
+    phase schedule) -> length-bucketed inference batch plan. Every
+    survivor gets exactly one rank/stage; the batch plan's sequence
+    total reconciles with the survivor count."""
+    from metaframe_spark.operators.packing import dynamic_batches
+    from metaframe_spark.operators.sampling import curriculum_stages
+    from metaframe_spark.operators.text import bpe_token_count
+
+    clean = messy.filter(F.col("doc_id") < 10_000)
+    out, _ = curate_corpus(clean, min_quality=0.0, near_dup_jaccard=0.8)
+    scored = out.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    n = scored.count()
+    staged = curriculum_stages(scored, "n_tok", 3, id_col="doc_id")
+    rows = staged.collect()
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    assert {r.stage for r in rows} <= {0, 1, 2}
+    # stage 0 (easy, shortest) token max <= stage 2 (hard) token min
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.n_tok)
+    if 0 in by_stage and 2 in by_stage:
+        assert max(by_stage[0]) <= min(by_stage[2])
+    plan = dynamic_batches(
+        scored, "n_tok", id_col="doc_id", batch_size=4, max_len=512,
+        n_shards=2,
+    ).collect()
+    assert sum(r.n_seqs for r in plan) == n
+    assert all(0.0 <= r.waste_pct < 1.0 for r in plan)
+
+
 def test_substring_dedup_stage_excises_copied_passage(spark):
     """dedup_substrings: the copied passage is cut out of the losing doc
     while both documents survive (unlike whole-doc dedup)."""
