@@ -2013,7 +2013,10 @@ def corpus_overlap(
     Exact, not sketched, yet scale-safe: the computation never touches
     document pairs. One shuffle builds the distinct ``(group, shingle)``
     relation (partial-aggregated — duplicate shingles within a group
-    collapse map-side); intersections come from a self-equi-join ON THE
+    collapse map-side), PERSISTED because three consumers read it (the
+    size relation plus both self-join sides; released through the
+    ``_mf_persisted`` handle — the :func:`shingle_novelty` discipline);
+    intersections come from a self-equi-join ON THE
     SHINGLE, where per-key fan-out is bounded by the number of groups
     (a shingle can co-occur in at most |groups| of them), so candidate
     volume is O(distinct shingles × |groups|), never O(n²); unions are
@@ -2039,7 +2042,11 @@ def corpus_overlap(
     )
     if hash_shingles:
         sh = sh.select("_g", F.xxhash64("_sh").alias("_sh"))
-    rel = sh.groupBy("_g", "_sh").agg(F.lit(1)).select("_g", "_sh")
+    # distinct (group, shingle) relation, persisted: the scan + tokenize +
+    # explode + distinct pipeline has THREE consumers (sizes feeds both
+    # pair-frame sides, rel both self-join sides) and would otherwise
+    # execute ~3x per action
+    rel = sh.distinct().persist()
     sizes = rel.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
     # bounded |groups|² pair frame: sizes is a per-group relation (one row
     # per group), so the theta self-join is broadcast-nested-loop over a
@@ -2061,7 +2068,7 @@ def corpus_overlap(
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
-    return (
+    out = (
         pairs.join(inter, ["group_a", "group_b"], "left")
         .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)).cast("long"))
         .select(
@@ -2077,6 +2084,8 @@ def corpus_overlap(
             ).alias("jaccard"),
         )
     )
+    out._mf_persisted = rel
+    return out
 
 
 def shingle_novelty(

@@ -522,6 +522,10 @@ def dynamic_batches(
         raise ValueError("batch_size must be > 0")
     if min_bucket <= 0:
         raise ValueError("min_bucket must be > 0")
+    if max_len < min_bucket:
+        # max_len <= 0 would clamp every length into a [0]-bucket plan
+        # with divide-by-zero waste — fail loudly like the siblings
+        raise ValueError("max_len must be >= min_bucket")
     if n_shards <= 0:
         raise ValueError("n_shards must be > 0")
     buckets = []

@@ -115,6 +115,48 @@ def stratified_sample_exact(
     ).filter(F.col("draw_rank") <= n_per_stratum)
 
 
+def _global_rank(df: DataFrame, order_cols, out_col: str):
+    """The shared two-phase distributed global row number (the scale-safe
+    replacement for a one-task ``row_number() OVER (ORDER BY …)`` window)
+    used by :func:`global_shuffle` (md5 draw order) and
+    :func:`curriculum_stages` (score order) — see global_shuffle's
+    docstring for why each piece is shaped this way (range repartition +
+    in-partition sort, per-partition counts as a dense literal offset
+    array, the monotonic-id local ordinal; ADVICE r4 on the release
+    pattern).
+
+    Returns ``(ranked, handle, total)``: ``ranked`` carries ``out_col``
+    (1-based long) plus the internal ``_pid`` column; ``handle`` is the
+    pinned sorted intermediate and ``total`` the row count. The CALLER
+    must drop ``_pid``, derive anything rank-based, then
+    ``localCheckpoint(eager=True)`` the result and ``handle.unpersist()``
+    — the offsets job and the final plan must observe the same range
+    boundaries and cached row order until then."""
+    sorted_df = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["count"]
+        for r in sorted_df.groupBy("_pid").count().collect()
+    }
+    offsets = []
+    acc = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    off_expr = (
+        F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1)
+        if offsets
+        else F.lit(0)
+    )
+    ordinal = F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+    ranked = sorted_df.withColumn(out_col, (off_expr + ordinal + 1).cast("long"))
+    return ranked, sorted_df, acc
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -153,34 +195,17 @@ def global_shuffle(
     materializes the output once, truncates the lineage back to the
     cache, and lets ``unpersist()`` free the intermediate instead of
     pinning it for the session (ADVICE r4).
+
+    The mechanism itself lives in :func:`_global_rank`, shared with
+    :func:`curriculum_stages` (same machinery pointed at a score).
     """
-    sorted_df = (
-        df.withColumn("_draw", F.md5(F.col(id_col).cast("string")))
-        .repartitionByRange(F.asc("_draw"), F.asc(id_col))
-        .sortWithinPartitions(F.asc("_draw"), F.asc(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        # persist: the offsets job and the final plan must see the SAME
-        # range boundaries / pid assignment, and the sort shouldn't run twice
-        .persist()
+    ranked, handle, _ = _global_rank(
+        df.withColumn("_draw", F.md5(F.col(id_col).cast("string"))),
+        [F.asc("_draw"), F.asc(id_col)],
+        seq_col,
     )
-    counts = {r["_pid"]: r["count"] for r in sorted_df.groupBy("_pid").count().collect()}
-    offsets = []
-    acc = 0
-    for pid in range(max(counts, default=-1) + 1):
-        offsets.append(acc)
-        acc += counts.get(pid, 0)
-    off_expr = (
-        F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1)
-        if offsets
-        else F.lit(0)
-    )
-    ordinal = F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
-    result = (
-        sorted_df.withColumn(seq_col, (off_expr + ordinal + 1).cast("long"))
-        .drop("_draw", "_pid")
-        .localCheckpoint(eager=True)
-    )
-    sorted_df.unpersist()
+    result = ranked.drop("_draw", "_pid").localCheckpoint(eager=True)
+    handle.unpersist()
     return result
 
 
@@ -218,31 +243,10 @@ def curriculum_stages(
         F.asc(score_col) if ascending else F.desc(score_col),
         F.asc(id_col),
     ]
-    sorted_df = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {
-        r["_pid"]: r["count"]
-        for r in sorted_df.groupBy("_pid").count().collect()
-    }
-    offsets = []
-    acc = 0
-    for pid in range(max(counts, default=-1) + 1):
-        offsets.append(acc)
-        acc += counts.get(pid, 0)
-    total = max(acc, 1)  # no rows -> the stage expr never evaluates
-    off_expr = (
-        F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1)
-        if offsets
-        else F.lit(0)
-    )
-    ordinal = F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+    ranked, handle, n_total = _global_rank(df, order, rank_col)
+    total = max(n_total, 1)  # no rows -> the stage expr never evaluates
     result = (
-        sorted_df.withColumn(rank_col, (off_expr + ordinal + 1).cast("long"))
-        .withColumn(
+        ranked.withColumn(
             stage_col,
             F.expr(f"(({rank_col} - 1) * {int(n_stages)}) div {total}").cast(
                 "long"
@@ -251,7 +255,7 @@ def curriculum_stages(
         .drop("_pid")
         .localCheckpoint(eager=True)
     )
-    sorted_df.unpersist()
+    handle.unpersist()
     return result
 
 

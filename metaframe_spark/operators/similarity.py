@@ -2285,6 +2285,15 @@ def prototype_prune(
       vector and the matrix bind once per row as lambda variables (the
       random_projection single-bind discipline).
 
+    Face-divergence contract: the faces may assign DIFFERENT cells to a
+    vector whose top two centroid cosines differ by < 5e-7 — the exact
+    face compares ROUNDED-6 scores (ties → lowest cell, the price of
+    SQL replayability) while the GEMM face argmins raw float64
+    distances. Such knife-edge points are equally prototypical to
+    either centroid, so which cell ranks them is semantically
+    arbitrary; tests pin full agreement on the test corpus, not in
+    general. Pick ONE face per corpus run — don't mix outputs.
+
     Scale shape: scoring is a single scan either way; the only
     exchanges are the cell-rank window's hash shuffle on ``cell`` —
     cells are executor-bounded by sizing ``n_cells``, the same

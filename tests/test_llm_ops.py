@@ -4051,7 +4051,13 @@ class TestDynamicBatches:
         from metaframe_spark.operators.packing import dynamic_batches
 
         df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
-        for kw in ({"batch_size": 0}, {"min_bucket": 0}, {"n_shards": 0}):
+        for kw in (
+            {"batch_size": 0},
+            {"min_bucket": 0},
+            {"n_shards": 0},
+            {"max_len": 0},  # would divide waste by a zero bucket
+            {"max_len": 8, "min_bucket": 16},
+        ):
             with pytest.raises(ValueError):
                 dynamic_batches(df, "n_tok", **kw)
 
@@ -6168,6 +6174,12 @@ class TestCorpusOverlap:
     """operators/dedup.py::corpus_overlap — exact pairwise group Jaccard
     over distinct shingle sets, including the zero-overlap pair frame."""
 
+    @staticmethod
+    def _collect(out):
+        rows = out.collect()
+        out._mf_persisted.unpersist()
+        return rows
+
     def _df(self, spark):
         rows = [
             # A and B share "one two three" (A ⊂ B); C is disjoint
@@ -6184,7 +6196,7 @@ class TestCorpusOverlap:
 
         got = {
             (r.group_a, r.group_b): r
-            for r in corpus_overlap(self._df(spark), "source").collect()
+            for r in self._collect(corpus_overlap(self._df(spark), "source"))
         }
         # D never reaches the frame (no qualifying shingles)
         assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
@@ -6201,7 +6213,7 @@ class TestCorpusOverlap:
         df = spark.createDataFrame(
             [("X", "p q r s"), ("Y", "p q r s")], "source string, text string"
         )
-        [r] = corpus_overlap(df, "source").collect()
+        [r] = self._collect(corpus_overlap(df, "source"))
         assert (r.n_inter, r.n_a, r.n_b, r.jaccard) == (2, 2, 2, 1.0)
 
     def test_hashed_matches_raw_shingles(self, spark):
@@ -6211,9 +6223,10 @@ class TestCorpusOverlap:
 
         docs = load_table(spark, SF, "documents").to_spark()
         key = lambda r: (r.group_a, r.group_b)
-        hashed = sorted(corpus_overlap(docs, "lang").collect(), key=key)
+        hashed = sorted(self._collect(corpus_overlap(docs, "lang")), key=key)
         raw = sorted(
-            corpus_overlap(docs, "lang", hash_shingles=False).collect(), key=key
+            self._collect(corpus_overlap(docs, "lang", hash_shingles=False)),
+            key=key,
         )
         assert [tuple(r) for r in hashed] == [tuple(r) for r in raw]
 
@@ -6223,12 +6236,18 @@ class TestCorpusOverlap:
         df = spark.createDataFrame(
             [("only", "a b c d")], "source string, text string"
         )
-        assert corpus_overlap(df, "source").count() == 0
+        assert len(self._collect(corpus_overlap(df, "source"))) == 0
 
 
 class TestShingleNovelty:
     """operators/dedup.py::shingle_novelty — per-document DF-1 shingle
     fraction, NULL-for-short-docs contract."""
+
+    @staticmethod
+    def _collect(out):
+        rows = out.collect()
+        out._mf_persisted.unpersist()
+        return rows
 
     def test_unique_vs_shared_shingles(self, spark):
         from metaframe_spark.operators import shingle_novelty
@@ -6240,7 +6259,7 @@ class TestShingleNovelty:
             (4, "xy"),                   # too short: NULL novelty
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
-        got = {r.doc_id: r for r in shingle_novelty(df).collect()}
+        got = {r.doc_id: r for r in self._collect(shingle_novelty(df))}
         assert set(got) == {1, 2, 3, 4}
         assert (got[1].n_shingles, got[1].n_unique, got[1].novelty) == (
             2, 1, 0.5,
@@ -6260,7 +6279,7 @@ class TestShingleNovelty:
 
         rows = [(1, "p q r s t"), (2, "p q r s t")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
-        for r in shingle_novelty(df).collect():
+        for r in self._collect(shingle_novelty(df)):
             assert r.novelty == 0.0
 
     def test_hashed_matches_raw(self, spark):
@@ -6268,9 +6287,10 @@ class TestShingleNovelty:
 
         docs = load_table(spark, SF, "documents").to_spark()
         key = lambda r: r.doc_id
-        hashed = sorted(shingle_novelty(docs).collect(), key=key)
+        hashed = sorted(self._collect(shingle_novelty(docs)), key=key)
         raw = sorted(
-            shingle_novelty(docs, hash_shingles=False).collect(), key=key
+            self._collect(shingle_novelty(docs, hash_shingles=False)),
+            key=key,
         )
         assert [tuple(r) for r in hashed] == [tuple(r) for r in raw]
 
