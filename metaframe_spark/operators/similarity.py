@@ -2326,6 +2326,11 @@ def prototype_prune(
             order_col=id_col,
         )
     C = np.asarray(centroids, dtype=np.float64)
+    if C.size == 0:
+        raise ValueError(
+            "prototype_prune: centroids are empty (empty corpus / no "
+            "exemplar vectors) — nothing to assign against"
+        )
     if normalize_centroids:
         # fitted centroids of unit vectors are sub-unit (a mean shrinks);
         # normalizing makes the dot a true cosine. Pass False when the

@@ -33,6 +33,7 @@ EXPECTED_RAISE = {
     "llm_pq_refine": ValueError,       # no exemplar vectors for codebooks
     "llm_ann_recall": ValueError,      # no exemplar vectors for codebooks
     "llm_refine_sweep": ValueError,    # no exemplar vectors for codebooks
+    "llm_prototype_prune": ValueError,  # no exemplar vectors for centroids
     "llm_rp_project": ValueError,      # input dimension undeterminable
     "q90_sketch_compact": ValueError,  # empty store has no data files to read
 }
