@@ -7012,3 +7012,294 @@ class TestVideoNearDup:
             video_near_dup_pairs(df, max_frames=0)
         with pytest.raises(ValueError, match="frame_bytes"):
             video_near_dup_pairs(df, frame_bytes=0)
+
+
+class TestRound14Fuzz:
+    """Hypothesis fuzz for the round-14 continuation operators: each op
+    vs a pure-Python replay of its documented semantics (the
+    bpe_encode_words / pq_encode fuzz convention)."""
+
+    @staticmethod
+    def _round6(x: float) -> float:
+        # Spark's round() is HALF_UP; python round() is banker's
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    @staticmethod
+    def _norm_tokens(text: str):
+        import re
+
+        t = re.sub(r"\s+", " ", text).strip().lower()
+        return [w for w in t.split(" ") if w] if t else []
+
+    @classmethod
+    def _shingle_set(cls, text: str, n: int = 3):
+        toks = cls._norm_tokens(text)
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def test_dynamic_batches_fuzz(self, spark):
+        import hashlib
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.packing import dynamic_batches
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            ns=st.lists(
+                st.one_of(
+                    st.none(), st.integers(min_value=-5, max_value=200)
+                ),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def check(ns):
+            rows = [(i, n) for i, n in enumerate(ns)]
+            df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+            got = {
+                (r.padded_len, r.shard, r.batch_id): (
+                    r.n_seqs,
+                    r.sum_tokens,
+                    r.waste_pct,
+                )
+                for r in dynamic_batches(
+                    df, "n_tok", batch_size=4, max_len=64,
+                    min_bucket=8, n_shards=2,
+                ).collect()
+            }
+            # pure-python replay of the documented plan
+            buckets = [8, 16, 32, 64]
+            from collections import defaultdict
+
+            groups = defaultdict(list)
+            for i, n in rows:
+                n2 = min(max(n if n is not None else 0, 1), 64)
+                pad = min(b for b in buckets if b >= n2)
+                h = hashlib.md5(str(i).encode()).hexdigest()
+                shard = int(h[:8], 16) % 2
+                groups[(pad, shard)].append((h, i, n2))
+            exp = {}
+            for (pad, shard), g in groups.items():
+                g.sort()
+                agg = defaultdict(lambda: [0, 0])
+                for idx, (_, _, n2) in enumerate(g):
+                    rec = agg[idx // 4]
+                    rec[0] += 1
+                    rec[1] += n2
+                for bid, (cnt, tot) in agg.items():
+                    exp[(pad, shard, bid)] = (
+                        cnt, tot, self._round6(1.0 - tot / (cnt * pad)),
+                    )
+            assert got == exp
+
+        check()
+
+    def test_curriculum_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators.sampling import curriculum_stages
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            scores=st.lists(
+                st.integers(min_value=0, max_value=9),  # many ties
+                min_size=1,
+                max_size=60,
+            ),
+            n_stages=st.integers(min_value=1, max_value=7),
+            ascending=st.booleans(),
+        )
+        def check(scores, n_stages, ascending):
+            rows = [(i, float(s)) for i, s in enumerate(scores)]
+            df = spark.createDataFrame(rows, "doc_id long, score double")
+            got = {
+                r.doc_id: (r.rank, r.stage)
+                for r in curriculum_stages(
+                    df, "score", n_stages, ascending=ascending
+                ).collect()
+            }
+            order = sorted(
+                rows, key=lambda t: (t[1] if ascending else -t[1], t[0])
+            )
+            n = len(rows)
+            exp = {
+                i: (rk, ((rk - 1) * n_stages) // n)
+                for rk, (i, _) in enumerate(order, start=1)
+            }
+            assert got == exp
+
+        check()
+
+    def test_corpus_overlap_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators import corpus_overlap
+
+        words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+        text = st.lists(words, min_size=0, max_size=8).map(" ".join)
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            docs=st.lists(
+                st.tuples(st.sampled_from(["g1", "g2", "g3"]), text),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        def check(docs):
+            df = spark.createDataFrame(docs, "source string, text string")
+            out = corpus_overlap(df, "source")
+            got = {
+                (r.group_a, r.group_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+                for r in out.collect()
+            }
+            out._mf_persisted.unpersist()
+            sets = {}
+            for g, t in docs:
+                sets.setdefault(g, set()).update(self._shingle_set(t))
+            sets = {g: s for g, s in sets.items() if s}
+            exp = {}
+            gs = sorted(sets)
+            for i, a in enumerate(gs):
+                for b in gs[i + 1 :]:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    exp[(a, b)] = (
+                        inter, len(sets[a]), len(sets[b]),
+                        self._round6(inter / union),
+                    )
+            assert got == exp
+
+        check()
+
+    def test_shingle_novelty_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators import shingle_novelty
+
+        words = st.sampled_from(["aa", "bb", "cc", "dd"])
+        text = st.lists(words, min_size=0, max_size=7).map(" ".join)
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(docs=st.lists(text, min_size=1, max_size=10))
+        def check(docs):
+            rows = [(i, t) for i, t in enumerate(docs)]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            out = shingle_novelty(df)
+            got = {
+                r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+                for r in out.collect()
+            }
+            out._mf_persisted.unpersist()
+            from collections import Counter
+
+            sets = {i: self._shingle_set(t) for i, t in rows}
+            dfreq = Counter(s for ss in sets.values() for s in ss)
+            exp = {}
+            for i, ss in sets.items():
+                uniq = sum(1 for s in ss if dfreq[s] == 1)
+                exp[i] = (
+                    len(ss),
+                    uniq,
+                    self._round6(uniq / len(ss)) if ss else None,
+                )
+            assert got == exp
+
+        check()
+
+    def test_prototype_prune_gemm_fuzz(self, spark):
+        """The production GEMM face vs a numpy replay: same float64
+        euclidean argmin (ties -> lowest cell, np.argmin semantics ARE
+        the executor's), same sequential-fold cosine, same rank and
+        ceil cut."""
+        import math
+
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from metaframe_spark.operators import prototype_prune
+
+        f = st.floats(
+            min_value=-2, max_value=2,
+            allow_nan=False, allow_infinity=False, width=16,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            vecs=st.lists(
+                st.lists(f, min_size=3, max_size=3), min_size=2, max_size=15
+            ),
+            k=st.integers(min_value=1, max_value=3),
+            frac=st.sampled_from([0.25, 0.5, 1.0]),
+        )
+        def check(vecs, k, frac):
+            cents = vecs[:k]
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<double>",
+            )
+            got = {
+                r.vec_id: (r.cell, r.proto_cos, r.cell_rank, r.kept)
+                for r in prototype_prune(
+                    df, frac, id_col="vec_id", centroids=cents,
+                    assign="gemm", normalize_centroids=False,
+                ).collect()
+            }
+            C = np.asarray(cents, dtype=np.float64)
+            X = np.asarray(vecs, dtype=np.float64)
+            scores = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+            cells = np.argmin(scores, axis=1)
+            coss = []
+            for i, v in enumerate(vecs):
+                c = cents[cells[i]]
+                acc = 0.0
+                for a, b in zip(v, c):  # the zip_with sequential fold
+                    acc += float(a) * float(b)
+                coss.append(self._round6(acc))
+            from collections import defaultdict
+
+            by_cell = defaultdict(list)
+            for i in range(len(vecs)):
+                by_cell[int(cells[i])].append((coss[i], i))
+            exp = {}
+            for cell, members in by_cell.items():
+                members.sort()
+                keep_n = math.ceil(frac * len(members))
+                for rank, (cos, i) in enumerate(members, start=1):
+                    exp[i] = (cell, cos, rank, rank <= keep_n)
+            assert got == exp
+
+        check()
