@@ -759,6 +759,159 @@ def quality_features(
     return out
 
 
+def quality_threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: Sequence[float],
+    tokens_col: str = None,
+) -> DataFrame:
+    """The "where do I set the quality bar?" table — the quality-filter
+    counterpart of the dedup threshold sweep: for each candidate
+    threshold, how many documents (and, with ``tokens_col``, how many
+    tokens) survive ``score >= threshold``, and what corpus share that
+    is. Data cards publish exactly this curve before committing a
+    filtering run; picking a bar without it means guessing how much of
+    the token budget the filter burns.
+
+    ONE corpus scan no matter how many thresholds: every per-threshold
+    survivor count is a conditional aggregate in a single global
+    rollup (one output row, then a row-local explode of the
+    |thresholds|-struct literal) — never a scan or join per threshold.
+    The one-row global agg is the same declared-SinglePartition shape
+    as the corpus-stats card. NULL scores survive no threshold but do
+    count in the totals (they are corpus mass the filter drops);
+    shares are NULL over an empty corpus ("no defined share", never
+    0/0 NaN). Returns ``(threshold, n_docs, n_tokens, doc_share,
+    token_share)`` — token columns NULL without ``tokens_col``."""
+    ts = [float(t) for t in thresholds]
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    if len(set(ts)) != len(ts):
+        raise ValueError("thresholds must be distinct")
+    tok = (
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+        if tokens_col
+        else F.lit(None).cast("long")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_td"),
+        F.sum(tok).cast("long").alias("_tt"),
+    ]
+    for i, t in enumerate(ts):
+        hit = F.col(score_col) >= F.lit(t)
+        # coalesce: SUM over ZERO rows is NULL — an empty corpus must
+        # report 0 survivors, not NULL
+        aggs.append(
+            F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(hit, tok)).cast("long").alias(f"_t{i}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_d{i}").alias("n_docs"),
+                F.coalesce(F.col(f"_t{i}"), F.lit(0)).cast("long").alias(
+                    "n_tokens"
+                )
+                if tokens_col
+                else F.lit(None).cast("long").alias("n_tokens"),
+            )
+            for i, t in enumerate(ts)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("_r"), "_td", "_tt")
+        .select(
+            F.col("_r.threshold").alias("threshold"),
+            F.col("_r.n_docs").alias("n_docs"),
+            F.col("_r.n_tokens").alias("n_tokens"),
+            F.when(
+                F.col("_td") > 0,
+                F.round(F.col("_r.n_docs") / F.col("_td").cast("double"), 6),
+            ).alias("doc_share"),
+            F.when(
+                F.col("_tt") > 0,
+                F.round(
+                    F.col("_r.n_tokens") / F.col("_tt").cast("double"), 6
+                ),
+            ).alias("token_share"),
+        )
+    )
+
+
+def vocabulary_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus snapshots — the
+    text-side sibling of the numeric histogram drift monitor
+    (operators/maintenance.py::histogram_drift): did the new crawl /
+    the filtered corpus shift the LANGUAGE, not just the numbers?
+    Returns ONE row: ``n_vocab`` (union vocabulary), ``total_a`` /
+    ``total_b`` (token masses) and ``psi`` — the Population Stability
+    Index ``Σ (p−q)·ln(p/q)`` over the union vocabulary with Laplace
+    add-one smoothing (``p = (c+1)/(total+|V|)``; the categorical
+    convention, vs the numeric monitor's epsilon floor — add-one keeps
+    every union term defined on both sides without an arbitrary
+    epsilon scale). The classic ~0.1 warn / ~0.25 act thresholds
+    apply.
+
+    Scale shape: one partial-aggregated unigram rollup per side (the
+    shuffle carries the term relation, never the corpus), a full-outer
+    equi-join on the term, a one-row totals aggregate broadcast back,
+    and a DECIMAL(38,9) sum of per-term contributions each rounded to
+    9 decimals — addition-order-independent, so the PSI is
+    bit-reproducible cross-engine and under any partitioning. The
+    joined term relation is persisted (it feeds the totals AND the
+    contribution pass) and handed back via ``_mf_persisted``."""
+    def _counts(df, side):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias(side))
+        )
+
+    ca, cb = _counts(df_a, "c_a"), _counts(df_b, "c_b")
+    j = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("c_a"), F.lit(0)).cast("long").alias("c_a"),
+            F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+        )
+        .persist()
+    )
+    scal = j.agg(
+        F.coalesce(F.sum("c_a"), F.lit(0)).cast("long").alias("total_a"),
+        F.coalesce(F.sum("c_b"), F.lit(0)).cast("long").alias("total_b"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    p = (F.col("c_a") + F.lit(1.0)) / (
+        F.col("total_a") + F.col("n_vocab")
+    ).cast("double")
+    q = (F.col("c_b") + F.lit(1.0)) / (
+        F.col("total_b") + F.col("n_vocab")
+    ).cast("double")
+    contrib = j.crossJoin(F.broadcast(scal)).select(
+        F.round((p - q) * F.log(p / q), 9)
+        .cast("decimal(38,9)")
+        .alias("_c")
+    )
+    out = contrib.agg(
+        F.round(F.sum("_c").cast("double"), 6).alias("psi")
+    ).crossJoin(F.broadcast(scal)).select(
+        "n_vocab", "total_a", "total_b", "psi"
+    )
+    out._mf_persisted = j
+    return out
+
+
 #: the Gopher rule-set's required-stopword list (Rae et al. 2021, A1.1)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

@@ -7271,6 +7271,106 @@ def llm_bpe_fertility(spark, sf):
 
 
 @query(
+    "llm_quality_sweep",
+    "WITH q AS ("
+    "  SELECT doc_id, n_tokens, "
+    "  round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
+    "        + 0.3 * stopword_ratio, 6) AS quality_score "
+    "  FROM ("
+    "    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "           CASE WHEN length(text) > 0 THEN "
+    "             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+    "             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+    "           CASE WHEN len(toks) > 0 THEN "
+    "             len(list_filter(toks, t -> list_contains(__SW_EN__, t))) "
+    "             / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio "
+    f"    FROM (SELECT doc_id, text, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks FROM documents)"
+    "  )), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS td, "
+    "  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt FROM q), "
+    "t(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9)), "
+    "per AS (SELECT t.threshold, "
+    "  CAST(count(*) FILTER (WHERE q.quality_score >= t.threshold) "
+    "    AS BIGINT) AS n_docs, "
+    "  CAST(coalesce(sum(q.n_tokens) FILTER ("
+    "    WHERE q.quality_score >= t.threshold), 0) AS BIGINT) AS n_tokens "
+    "  FROM t LEFT JOIN q ON TRUE GROUP BY 1) "
+    "SELECT threshold, n_docs, n_tokens, "
+    "CASE WHEN tot.td > 0 THEN round(n_docs / CAST(tot.td AS DOUBLE), 6) END "
+    "  AS doc_share, "
+    "CASE WHEN tot.tt > 0 THEN round(n_tokens / CAST(tot.tt AS DOUBLE), 6) "
+    "  END AS token_share "
+    "FROM per, tot",
+)
+def llm_quality_sweep(spark, sf):
+    """Quality-bar selection curve (operators/text.py::
+    quality_threshold_sweep — the quality-filter counterpart of
+    llm_neardup_sweep): per candidate threshold {0.3, 0.5, 0.7, 0.9},
+    the documents and tokens surviving ``quality_score >= t`` and
+    their corpus shares — the table a data card publishes before
+    committing a filtering run. ONE corpus scan for the whole curve:
+    every survivor count is a conditional aggregate in a single
+    declared one-row global rollup, then a row-local explode of the
+    4-struct literal. The oracle replays the per-doc quality arithmetic
+    (the llm_corpus_stats CTE), the conditional sums, and both share
+    divisions — the curve itself hash-pinned."""
+    from .operators.text import quality_features, quality_threshold_sweep
+
+    qf = quality_features(load_table(spark, sf, "documents").to_spark(), "text")
+    return quality_threshold_sweep(
+        qf, "quality_score", [0.3, 0.5, 0.7, 0.9], tokens_col="n_tokens"
+    )
+
+
+_expand_stopword_macros()
+
+
+@query(
+    "llm_vocab_drift",
+    "WITH t AS (SELECT doc_id, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
+    "  FROM documents), "
+    "ga AS (SELECT unnest(toks) AS term FROM t WHERE doc_id % 2 = 0), "
+    "gb AS (SELECT unnest(toks) AS term FROM t WHERE doc_id % 2 = 1), "
+    "ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c_a FROM ga GROUP BY 1), "
+    "cb AS (SELECT term, CAST(count(*) AS BIGINT) AS c_b FROM gb GROUP BY 1), "
+    "j AS (SELECT coalesce(ca.term, cb.term) AS term, "
+    "  coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b "
+    "  FROM ca FULL JOIN cb ON ca.term = cb.term), "
+    "s AS (SELECT CAST(coalesce(sum(c_a), 0) AS BIGINT) AS total_a, "
+    "  CAST(coalesce(sum(c_b), 0) AS BIGINT) AS total_b, "
+    "  CAST(count(*) AS BIGINT) AS n_vocab FROM j), "
+    "per AS (SELECT CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(38,9)) "
+    "  AS c FROM (SELECT "
+    "  (c_a + 1.0) / CAST(total_a + n_vocab AS DOUBLE) AS p, "
+    "  (c_b + 1.0) / CAST(total_b + n_vocab AS DOUBLE) AS q "
+    "  FROM j, s)) "
+    "SELECT s.n_vocab, s.total_a, s.total_b, "
+    "round(CAST(sum(per.c) AS DOUBLE), 6) AS psi "
+    "FROM per, s GROUP BY 1, 2, 3",
+)
+def llm_vocab_drift(spark, sf):
+    """Unigram-distribution drift card (operators/text.py::
+    vocabulary_drift — the text-side sibling of q92's numeric PSI):
+    PSI between the even-doc_id and odd-doc_id halves of the corpus
+    (a same-distribution control pair — the measured PSI is near
+    zero, which is itself the useful pin) over the union vocabulary
+    with Laplace add-one smoothing. Per-term contributions are
+    rounded to 9 decimals and DECIMAL(38,9)-summed, so the index is
+    addition-order-independent and the oracle replays it bit-exactly:
+    same token counts, same smoothing arithmetic, same ln, same two
+    roundings. Shuffles carry only the term relations; the corpus is
+    scanned once per side."""
+    from .operators.text import vocabulary_drift
+
+    d = load_table(spark, sf, "documents").to_spark()
+    return vocabulary_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+@query(
     "llm_novelty",
     "WITH t AS (SELECT doc_id, "
     f"  list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks "
@@ -7933,11 +8033,12 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the FORTY r11-blessed keys that overflowed
-# this round's 50-slot window (the TEN r14 additions + 30 r10
-# re-checks fill slots 1-40, so the r11 wave's first 10 keys — through
-# llm_global_shuffle — fill slots 41-50; overflowed, last
-# driver-checked r11: llm_hash_split,
+# round-15 additions + the FORTY-TWO r11-blessed keys that overflowed
+# this round's 50-slot window (the TWELVE r14 additions + 30 r10
+# re-checks fill slots 1-42, so the r11 wave's first 8 keys — through
+# llm_image_neardup — fill slots 43-50; overflowed, last
+# driver-checked r11: llm_audio_neardup, llm_global_shuffle,
+# llm_hash_split,
 # llm_stratified_sample, llm_mixture_sample, llm_dup_report,
 # llm_corpus_stats, llm_gopher_flags, llm_c4_lines, llm_char_entropy,
 # llm_bigram_nll, q07, q08, q09, q10, q11, q12, q62_null_safe_join,
@@ -7957,6 +8058,8 @@ _ROTATE_FIRST: list = [
     "llm_dynamic_batches",
     "llm_novelty",
     "llm_prototype_prune",
+    "llm_quality_sweep",
+    "llm_vocab_drift",
     "llm_pq_refine",
     "llm_ann_recall",
     "llm_neardup_sweep",
@@ -8005,10 +8108,10 @@ _ROTATE_FIRST: list = [
     "llm_containment",
     "llm_video_neardup",
     "llm_image_neardup",
+    # tail: slot 50 ends at llm_image_neardup (12 r14 additions +
+    # 30 r10 + 8 r11) — everything below overflows to round 15
     "llm_audio_neardup",
     "llm_global_shuffle",
-    # tail: slot 50 ends at llm_global_shuffle (10 r14 additions +
-    # 30 r10 + 10 r11) — everything below overflows to round 15
     "llm_hash_split",
     "llm_stratified_sample",
     "llm_mixture_sample",

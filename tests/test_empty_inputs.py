@@ -92,6 +92,23 @@ def test_query_on_empty_tables(spark, empty_sf, name):
             and r.repetition is None
             for r in rows
         )
+    elif name == "llm_quality_sweep":
+        # the sweep's threshold rows are a literal relation — they emit
+        # even over an empty corpus, with zero counts and NULL shares
+        # (no defined share over zero documents, never the 0/0 NaN)
+        rows = df.collect()
+        assert len(rows) == 4
+        assert all(
+            r.n_docs == 0 and r.n_tokens == 0
+            and r.doc_share is None and r.token_share is None
+            for r in rows
+        )
+    elif name == "llm_vocab_drift":
+        # the drift card IS a one-row global summary; an empty pair has
+        # an empty union vocabulary and an undefined PSI (NULL, not 0.0)
+        [r] = df.collect()
+        assert (r.n_vocab, r.total_a, r.total_b) == (0, 0, 0)
+        assert r.psi is None
     elif name == "q93_expectations":
         # an expectations report IS one row per rule; an empty table
         # passes every rule vacuously (gate on n_rows if that matters)

@@ -7303,3 +7303,132 @@ class TestRound14Fuzz:
             assert got == exp
 
         check()
+
+
+class TestQualityThresholdSweep:
+    """operators/text.py::quality_threshold_sweep — the quality-bar
+    selection curve: single-scan conditional aggregation."""
+
+    def _df(self, spark):
+        rows = [
+            (1, 0.2, 10),
+            (2, 0.5, 20),
+            (3, 0.8, 30),
+            (4, None, 40),  # NULL score: counted in totals, never survives
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, score double, n_tok long"
+        )
+
+    def test_curve_counts_and_shares(self, spark):
+        from metaframe_spark.operators.text import quality_threshold_sweep
+
+        got = {
+            r.threshold: r
+            for r in quality_threshold_sweep(
+                self._df(spark), "score", [0.3, 0.5, 0.9], tokens_col="n_tok"
+            ).collect()
+        }
+        assert set(got) == {0.3, 0.5, 0.9}
+        r = got[0.5]
+        assert (r.n_docs, r.n_tokens) == (2, 50)
+        assert r.doc_share == 0.5 and r.token_share == 0.5
+        assert (got[0.3].n_docs, got[0.9].n_docs) == (2, 0)
+        assert got[0.9].token_share == 0.0
+
+    def test_without_tokens_col(self, spark):
+        from metaframe_spark.operators.text import quality_threshold_sweep
+
+        [r] = quality_threshold_sweep(
+            self._df(spark), "score", [0.5]
+        ).collect()
+        assert r.n_docs == 2 and r.n_tokens is None
+        assert r.token_share is None and r.doc_share == 0.5
+
+    def test_single_scan_plan(self, spark):
+        from metaframe_spark.operators.text import quality_threshold_sweep
+
+        out = quality_threshold_sweep(
+            self._df(spark), "score", [0.1 * i for i in range(1, 9)],
+            tokens_col="n_tok",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one partial + one final single-partition exchange, NOT a scan
+        # or join per threshold
+        assert plan.count("Scan") == 1
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.text import quality_threshold_sweep
+
+        with pytest.raises(ValueError, match="non-empty"):
+            quality_threshold_sweep(self._df(spark), "score", [])
+        with pytest.raises(ValueError, match="distinct"):
+            quality_threshold_sweep(self._df(spark), "score", [0.5, 0.5])
+
+
+class TestVocabularyDrift:
+    """operators/text.py::vocabulary_drift — Laplace-smoothed unigram
+    PSI between two corpora, DECIMAL-summed."""
+
+    @staticmethod
+    def _collect_one(out):
+        [r] = out.collect()
+        out._mf_persisted.unpersist()
+        return r
+
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_identical_corpora_score_zero(self, spark):
+        from metaframe_spark.operators.text import vocabulary_drift
+
+        a = self._df(spark, ["x y z", "x x y"])
+        r = self._collect_one(vocabulary_drift(a, a))
+        assert r.psi == 0.0
+        assert r.total_a == r.total_b == 6
+        assert r.n_vocab == 3
+
+    def test_matches_python_replay_and_symmetry(self, spark):
+        import math
+
+        from metaframe_spark.operators.text import vocabulary_drift
+
+        a_texts, b_texts = ["aa bb bb", "cc"], ["bb dd dd dd"]
+        a, b = self._df(spark, a_texts), self._df(spark, b_texts)
+        r = self._collect_one(vocabulary_drift(a, b))
+        ca = {"aa": 1, "bb": 2, "cc": 1}
+        cb = {"bb": 1, "dd": 3}
+        vocab = sorted(set(ca) | set(cb))
+        ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+        import decimal
+
+        tot = decimal.Decimal(0)
+        for term in vocab:
+            p = (ca.get(term, 0) + 1.0) / (ta + v)
+            q = (cb.get(term, 0) + 1.0) / (tb + v)
+            c = decimal.Decimal(repr((p - q) * math.log(p / q))).quantize(
+                decimal.Decimal("0.000000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+            tot += c
+        exp = float(
+            decimal.Decimal(float(tot)).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+        assert (r.n_vocab, r.total_a, r.total_b) == (v, ta, tb)
+        assert abs(r.psi - exp) <= 1e-6
+        assert r.psi > 0.0
+        r2 = self._collect_one(vocabulary_drift(b, a))
+        assert r2.psi == r.psi  # PSI is symmetric
+
+    def test_empty_corpora(self, spark):
+        from metaframe_spark.operators.text import vocabulary_drift
+
+        e = self._df(spark, []).filter("doc_id < 0")
+        r = self._collect_one(vocabulary_drift(e, e))
+        assert (r.n_vocab, r.total_a, r.total_b) == (0, 0, 0)
+        assert r.psi is None

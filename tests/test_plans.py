@@ -358,6 +358,7 @@ class TestCatalogPlanLint:
         "llm_refine_sweep", # ADC + brute-force stages (bounded-query contract) x budget literals
         "llm_mixture_plan", # one-row feasibility minimum joined back to the |targets|-row plan
         "llm_corpus_overlap",  # bounded |groups|-row size relation x itself (pair frame)
+        "llm_vocab_drift",  # one-row totals scalar joined to the term relation and the PSI row
         "llm_neardup_sweep",  # bounded pair relation x 5-row threshold literal; one-row corpus total
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
@@ -388,6 +389,8 @@ class TestCatalogPlanLint:
         "llm_bpe_fertility", # same one-row rank-map agg via bpe_tokenize
         "llm_bpe_tokens",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_corpus_stats", # the data card IS a one-row global agg
+        "llm_quality_sweep",  # the whole curve IS one global conditional agg (one row, exploded)
+        "llm_vocab_drift",  # one-row totals agg + one-row PSI sum (broadcast back)
         "llm_neardup_sweep",  # global corpus-count agg (one row, broadcast back)
         "llm_mixture_plan",   # global feasibility-minimum agg (one row, broadcast back)
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
