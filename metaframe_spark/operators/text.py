@@ -1629,3 +1629,210 @@ def bigram_nll(
             ).alias("bigram_nll"),
         )
     )
+
+
+# -- corpus-law / safety data cards (round-14 continuation) -------------------
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 256,
+) -> DataFrame:
+    """One-row Zipf's-law data card: OLS fit of ``ln(freq) ~ ln(rank)``
+    over the corpus's ``top_k`` most frequent whitespace tokens (rank ties
+    broken by token text ascending, so the ranking is deterministic).
+    Natural-text corpora sit near slope −1 (Zipf 1935; Piantadosi 2014);
+    template/boilerplate floods flatten the head (slope → 0) and
+    synthetic/random text steepens or destroys the linear fit — so
+    ``(zipf_slope, zipf_r2)`` is a standing one-glance health check next
+    to the volume counters a corpus card already carries.
+
+    Returns a single row: (n_tokens, vocab_size, top_v, zipf_slope,
+    zipf_intercept, zipf_r2). ``top_v`` is the number of ranked points the
+    fit actually used (≤ ``top_k`` on tiny corpora); slope/intercept/r2
+    are NULL when fewer than 2 distinct frequencies survive (degenerate
+    variance — the guard divides by NULLIF(0)).
+
+    Determinism (oracle-checkable): per-point ``x = round(ln(rank), 6)``
+    and ``y = round(ln(freq), 6)``; the five OLS sums run in
+    DECIMAL(18,6) (order-independent across Spark partial aggs vs a
+    sequential engine); the closed-form slope/intercept/r² divisions are
+    one-row double arithmetic with identical expression shapes both
+    engines, rounded to 6.
+
+    Scale shape: ONE shuffle with map-side combine (the token rollup);
+    corpus totals (n_tokens, vocab_size) aggregate the same persisted
+    counts relation — never a second tokenize scan; the head selection is
+    TakeOrderedAndProject over the vocabulary; ranking + the OLS sums
+    then run on ≤ ``top_k`` rows (a bounded single-partition window —
+    the one-row output IS the plan's product). The counts relation is
+    persisted for its two consumers and handed back via the repo-wide
+    ``_mf_persisted`` release convention.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 2:
+        raise ValueError("zipf_fit: top_k must be >= 2")
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(int(top_k))
+    rank = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    pts = head.select(
+        F.round(F.log(rank.cast("double")), 6).alias("_x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("_y"),
+    )
+    d = "decimal(18,6)"
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_x").cast(d)).cast("double").alias("_sx"),
+        F.sum(F.col("_y").cast(d)).cast("double").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d)).cast("double").alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d)).cast("double").alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d)).cast("double").alias("_syy"),
+    )
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = F.nullif(
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"), F.lit(0.0)
+    )
+    vary = F.nullif(
+        F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"), F.lit(0.0)
+    )
+    slope = cov / varx
+    out = totals.join(F.broadcast(sums)).select(
+        "n_tokens",
+        "vocab_size",
+        F.col("_n").cast("long").alias("top_v"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("zipf_r2"),
+    )
+    out._mf_persisted = counts
+    return out
+
+
+#: Credential-shaped patterns, ordered by masking precedence. Constructs are
+#: limited to what Java regex (Spark) and RE2 (DuckDB) evaluate identically:
+#: no lookarounds, no backreferences; ``(?i)`` and ``\b`` are portable.
+#: Conservative by design (precision over recall): a hex run must be a full
+#: 32+-char word, a base64 run 40+ chars — short ids and ordinary words
+#: never match.
+SECRET_PATTERNS: List[tuple] = [
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    (
+        "kv_secret",
+        r"(?i)\b(?:api[_-]?key|secret|token|passwd|password)\s*[=:]\s*[^\s]+",
+    ),
+    ("hex_blob", r"\b[0-9a-fA-F]{32,}\b"),
+    ("b64_blob", r"[A-Za-z0-9+/]{40,}={0,2}"),
+]
+
+
+def secrets_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask: str = "<SECRET>",
+) -> DataFrame:
+    """Credential / secret detection and scrubbing — the safety sibling of
+    :func:`mask_pii` (emails/phones): training corpora scraped from code
+    hosts and pastebins carry live API keys, and a pipeline must both
+    COUNT them (per-class data card, drives source-level triage) and MASK
+    them (so the trained model cannot memorize a credential — Carlini et
+    al. 2021's extraction attack is the threat model).
+
+    Four portable pattern classes (:data:`SECRET_PATTERNS`): AWS access
+    key ids, ``key=value``-shaped credential assignments, 32+-char hex
+    blobs (token/digest-shaped), 40+-char base64 runs. Returns the input
+    id plus per-class match counts (``n_aws_key`` …), ``n_secrets``
+    (their sum — classes can overlap on one substring by design; each
+    class reports independently), ``has_secret``, and ``text`` REPLACED
+    by the scrubbed form (classes applied in declaration order, so a
+    ``kv_secret``'s value is consumed before the bare ``hex_blob`` rule
+    sees it).
+
+    Scale shape: per-row codegen ``regexp_extract_all`` counts + chained
+    ``regexp_replace`` — no shuffle, no Python; runs at parquet-scan
+    speed and composes with any downstream filter/rollup.
+    """
+    out = df
+    total = F.lit(0).cast("long")
+    for name, pat in SECRET_PATTERNS:
+        c = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        out = out.withColumn(f"n_{name}", c.cast("long"))
+        total = total + F.col(f"n_{name}")
+    masked = F.col(text_col)
+    for name, pat in SECRET_PATTERNS:
+        masked = F.regexp_replace(masked, pat, mask)
+    return (
+        out.withColumn("n_secrets", total)
+        .withColumn("has_secret", F.col("n_secrets") > 0)
+        .withColumn(text_col, masked)
+    )
+
+
+#: Mojibake digraphs: the characteristic two-char sequences produced by
+#: decoding UTF-8 bytes as Latin-1/CP1252 (e.g. ``é`` → ``Ã©``, ``'`` →
+#: ``â€™``). A fixed literal alternation — portable across Java regex and
+#: RE2, and cheap: one scan, no classes.
+MOJIBAKE_SEQS: List[str] = [
+    "Ã©", "Ã¨", "Ã¼", "Ã¶", "Ã¤", "Ã±", "Ã§",
+    "â€™", "â€œ", "â€“", "â€”", "Â«", "Â»", "Â°",
+]
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_ratio: float = 0.001,
+) -> DataFrame:
+    """Encoding-damage data card: per-document counts of the three
+    artifact classes that mark a document as having survived a broken
+    decode — U+FFFD replacement characters (a decoder already gave up),
+    C0/DEL control characters (binary junk or terminal dumps; tab/CR/LF
+    excluded), and mojibake digraphs (UTF-8 read as Latin-1 — the classic
+    double-decode, :data:`MOJIBAKE_SEQS`). CCNet/RefinedWeb-class
+    pipelines drop or re-decode these documents before any quality
+    scoring, because token statistics over mojibake are garbage.
+
+    Returns the input id plus ``n_replacement`` / ``n_control`` /
+    ``n_mojibake``, ``n_chars``, ``bad_char_ratio`` (artifact chars over
+    text length, rounded 6) and ``encoding_ok`` (ratio ≤
+    ``max_bad_ratio``).
+
+    Scale shape: three per-row codegen ``regexp_extract_all`` counts —
+    no shuffle, no Python, parquet-scan speed.
+    """
+    ctl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    moji = "|".join(MOJIBAKE_SEQS)
+    t = F.col(text_col)
+
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    bad = F.col("n_replacement") + F.col("n_control") + 2 * F.col("n_mojibake")
+    return (
+        df.withColumn("n_replacement", _n("�"))
+        .withColumn("n_control", _n(ctl))
+        .withColumn("n_mojibake", _n(moji))
+        .withColumn("n_chars", F.length(t).cast("long"))
+        .withColumn(
+            "bad_char_ratio",
+            F.round(
+                bad.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("encoding_ok", F.col("bad_char_ratio") <= F.lit(float(max_bad_ratio)))
+    )

@@ -7583,6 +7583,218 @@ def llm_corpus_overlap(spark, sf):
     return corpus_overlap(d.to_spark(), "source", "text", shingle_n=3)
 
 
+@query(
+    "llm_zipf_fit",
+    "WITH toks AS (SELECT unnest(list_filter(string_split("
+    "  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
+    "  t -> t <> '')) AS tok FROM documents), "
+    "counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
+    "  FROM toks GROUP BY tok), "
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+    "  CAST(count(*) AS BIGINT) AS vocab_size FROM counts), "
+    "head AS (SELECT tok, cnt FROM counts "
+    "  ORDER BY cnt DESC, tok LIMIT 256), "
+    "pts AS (SELECT "
+    "  round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) "
+    "    AS DOUBLE)), 6) AS x, "
+    "  round(ln(CAST(cnt AS DOUBLE)), 6) AS y FROM head), "
+    "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+    "  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx, "
+    "  CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, "
+    "  CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy, "
+    "  CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx, "
+    "  CAST(sum(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy FROM pts) "
+    "SELECT t.n_tokens, t.vocab_size, CAST(s.n AS BIGINT) AS top_v, "
+    "round((s.n * s.sxy - s.sx * s.sy) / "
+    "  nullif(s.n * s.sxx - s.sx * s.sx, 0.0), 6) AS zipf_slope, "
+    "round((s.sy - ((s.n * s.sxy - s.sx * s.sy) / "
+    "  nullif(s.n * s.sxx - s.sx * s.sx, 0.0)) * s.sx) / s.n, 6) "
+    "  AS zipf_intercept, "
+    "round((s.n * s.sxy - s.sx * s.sy) * (s.n * s.sxy - s.sx * s.sy) / "
+    "  (nullif(s.n * s.sxx - s.sx * s.sx, 0.0) * "
+    "   nullif(s.n * s.syy - s.sy * s.sy, 0.0)), 6) AS zipf_r2 "
+    "FROM tot t, s",
+)
+def llm_zipf_fit(spark, sf):
+    """Zipf's-law corpus card (operators/text.py::zipf_fit): OLS fit of
+    ln(freq) ~ ln(rank) over the 256 most frequent whitespace tokens,
+    plus the corpus volume counters — the one-glance head-shape health
+    check (natural text sits near slope -1; boilerplate floods flatten
+    it). One map-side-combined token rollup, TakeOrderedAndProject head,
+    DECIMAL-summed OLS over the bounded point set; the oracle recomputes
+    the identical rounded per-point ln terms and closed-form divisions,
+    so a hash match pins rank ties, the decimal sums, and the degenerate-
+    variance NULL guard cross-engine."""
+    from .operators import zipf_fit
+
+    d = load_table(spark, sf, "documents")
+    return zipf_fit(d.to_spark(), "text", "doc_id", top_k=256)
+
+
+#: deterministic credential injection shared by the Spark entry and the
+#: DuckDB oracle: every 7th document gains a key=value credential whose
+#: value is an md5 hex blob (hits kv_secret AND hex_blob), every 13th an
+#: AWS-shaped access key id (upper-hex is a subset of [0-9A-Z]); the
+#: CASE order resolves doc_id 0 (both residues) to the kv arm in both
+#: engines.
+def _secret_corpus(d):
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" api_key="), F.md5(did)),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" AKIA"),
+                F.upper(F.substring(F.md5(F.md5(did)), 1, 16)),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+_SECRET_CORPUS_SQL = (
+    "(SELECT doc_id, CASE "
+    "WHEN doc_id % 7 = 0 THEN text || ' api_key=' || "
+    "  md5(CAST(doc_id AS VARCHAR)) "
+    "WHEN doc_id % 13 = 0 THEN text || ' AKIA' || "
+    "  upper(substr(md5(md5(CAST(doc_id AS VARCHAR))), 1, 16)) "
+    "ELSE text END AS text FROM documents)"
+)
+
+_SECRET_MASK_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'\\bAKIA[0-9A-Z]{16}\\b', '<SECRET>', 'g'), "
+    "'(?i)\\b(?:api[_-]?key|secret|token|passwd|password)\\s*[=:]\\s*[^\\s]+', "
+    "'<SECRET>', 'g'), "
+    "'\\b[0-9a-fA-F]{32,}\\b', '<SECRET>', 'g'), "
+    "'[A-Za-z0-9+/]{40,}={0,2}', '<SECRET>', 'g')"
+)
+
+
+@query(
+    "llm_secrets_scan",
+    f"WITH base AS (SELECT * FROM {_SECRET_CORPUS_SQL}) "
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '\\bAKIA[0-9A-Z]{16}\\b')) AS BIGINT) AS n_aws_key, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '(?i)\\b(?:api[_-]?key|secret|token|passwd|password)"
+    "\\s*[=:]\\s*[^\\s]+')) AS BIGINT) AS n_kv_secret, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '\\b[0-9a-fA-F]{32,}\\b')) AS BIGINT) AS n_hex_blob, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '[A-Za-z0-9+/]{40,}={0,2}')) AS BIGINT) AS n_b64_blob, "
+    "CAST(len(regexp_extract_all(text, '\\bAKIA[0-9A-Z]{16}\\b')) "
+    " + len(regexp_extract_all(text, "
+    "  '(?i)\\b(?:api[_-]?key|secret|token|passwd|password)"
+    "\\s*[=:]\\s*[^\\s]+')) "
+    " + len(regexp_extract_all(text, '\\b[0-9a-fA-F]{32,}\\b')) "
+    " + len(regexp_extract_all(text, '[A-Za-z0-9+/]{40,}={0,2}')) "
+    "  AS BIGINT) AS n_secrets, "
+    "(len(regexp_extract_all(text, '\\bAKIA[0-9A-Z]{16}\\b')) "
+    " + len(regexp_extract_all(text, "
+    "  '(?i)\\b(?:api[_-]?key|secret|token|passwd|password)"
+    "\\s*[=:]\\s*[^\\s]+')) "
+    " + len(regexp_extract_all(text, '\\b[0-9a-fA-F]{32,}\\b')) "
+    " + len(regexp_extract_all(text, '[A-Za-z0-9+/]{40,}={0,2}')) "
+    "  > 0) AS has_secret, "
+    f"{_SECRET_MASK_SQL} AS text "
+    "FROM base",
+)
+def llm_secrets_scan(spark, sf):
+    """Credential scan + scrub (operators/text.py::secrets_scan) over a
+    corpus with deterministic md5-derived injected secrets (the clean
+    synthetic corpus carries none — the injection, replayed identically
+    by the oracle, gives the card true positives in every class the data
+    can express): per-class counts, total, flag, and the masked text.
+    Pure per-row codegen regex both engines; the hash match pins the
+    pattern semantics (Java regex vs RE2), the class precedence in the
+    mask chain, and the overlap contract (a kv_secret's md5 value also
+    counts as hex_blob by design)."""
+    from .operators import secrets_scan
+
+    d = load_table(spark, sf, "documents")
+    return secrets_scan(_secret_corpus(d.to_spark()), "text", "doc_id").select(
+        "doc_id", "n_aws_key", "n_kv_secret", "n_hex_blob", "n_b64_blob",
+        "n_secrets", "has_secret", "text",
+    )
+
+
+#: deterministic encoding-damage injection shared by the Spark entry and
+#: the oracle: every 9th document is double-decoded (every 'e' becomes
+#: the mojibake digraph), every 17th gains one U+FFFD replacement char.
+_MOJI_CORPUS_SQL = (
+    "(SELECT doc_id, CASE "
+    "WHEN doc_id % 9 = 0 THEN regexp_replace(text, 'e', 'Ã©', 'g') "
+    "WHEN doc_id % 17 = 0 THEN text || '�' "
+    "ELSE text END AS text FROM documents)"
+)
+
+
+def _moji_corpus(d):
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.regexp_replace(F.col("text"), "e", "\u00c3\u00a9"),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit("\ufffd")),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+@query(
+    "llm_mojibake",
+    f"WITH base AS (SELECT * FROM {_MOJI_CORPUS_SQL}) "
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '�')) AS BIGINT) "
+    "  AS n_replacement, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS BIGINT) "
+    "  AS n_control, "
+    "CAST(len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°')) AS BIGINT) "
+    "  AS n_mojibake, "
+    "CAST(length(text) AS BIGINT) AS n_chars, "
+    "round(CAST(len(regexp_extract_all(text, '�')) "
+    " + len(regexp_extract_all(text, "
+    "  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) "
+    " + 2 * len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°')) AS DOUBLE) / "
+    " CAST(greatest(length(text), 1) AS DOUBLE), 6) AS bad_char_ratio, "
+    "(round(CAST(len(regexp_extract_all(text, '�')) "
+    " + len(regexp_extract_all(text, "
+    "  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) "
+    " + 2 * len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°')) AS DOUBLE) / "
+    " CAST(greatest(length(text), 1) AS DOUBLE), 6) <= 0.001) "
+    "  AS encoding_ok "
+    "FROM base",
+)
+def llm_mojibake(spark, sf):
+    """Encoding-damage card (operators/text.py::encoding_quality) over a
+    corpus with deterministic injected damage (every 9th doc
+    double-decoded to mojibake digraphs, every 17th given a U+FFFD):
+    per-class artifact counts, the damaged-char ratio, and the
+    encoding_ok verdict at the 0.1% threshold. Pure per-row codegen
+    regex both engines; the hash match pins the digraph alternation, the
+    C0/DEL class (tab/CR/LF excluded), and the ratio arithmetic
+    cross-engine."""
+    from .operators import encoding_quality
+
+    d = load_table(spark, sf, "documents")
+    return encoding_quality(_moji_corpus(d.to_spark()), "text", "doc_id").select(
+        "doc_id", "n_replacement", "n_control", "n_mojibake", "n_chars",
+        "bad_char_ratio", "encoding_ok",
+    )
+
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -8033,11 +8245,12 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the FORTY-TWO r11-blessed keys that overflowed
-# this round's 50-slot window (the TWELVE r14 additions + 30 r10
-# re-checks fill slots 1-42, so the r11 wave's first 8 keys — through
-# llm_image_neardup — fill slots 43-50; overflowed, last
-# driver-checked r11: llm_audio_neardup, llm_global_shuffle,
+# round-15 additions + the FORTY-FIVE r11-blessed keys that overflowed
+# this round's 50-slot window (the FIFTEEN r14 additions + 30 r10
+# re-checks fill slots 1-45, so the r11 wave's first 5 keys — through
+# llm_pack_sequences — fill slots 46-50; overflowed, last
+# driver-checked r11: llm_containment, llm_video_neardup,
+# llm_image_neardup, llm_audio_neardup, llm_global_shuffle,
 # llm_hash_split,
 # llm_stratified_sample, llm_mixture_sample, llm_dup_report,
 # llm_corpus_stats, llm_gopher_flags, llm_c4_lines, llm_char_entropy,
@@ -8053,6 +8266,9 @@ _DRIVER_BLESSED = (
 _ROTATE_FIRST: list = [
     # round-14 additions (never driver-checked before) are prepended here
     # as they are implemented — see the registrations below.
+    "llm_zipf_fit",
+    "llm_secrets_scan",
+    "llm_mojibake",
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
@@ -8105,11 +8321,11 @@ _ROTATE_FIRST: list = [
     "llm_ivf_append",
     "llm_semantic_against",
     "llm_pack_sequences",
+    # tail: slot 50 ends at llm_pack_sequences (15 r14 additions +
+    # 30 r10 + 5 r11) — everything below overflows to round 15
     "llm_containment",
     "llm_video_neardup",
     "llm_image_neardup",
-    # tail: slot 50 ends at llm_image_neardup (12 r14 additions +
-    # 30 r10 + 8 r11) — everything below overflows to round 15
     "llm_audio_neardup",
     "llm_global_shuffle",
     "llm_hash_split",

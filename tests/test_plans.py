@@ -359,6 +359,7 @@ class TestCatalogPlanLint:
         "llm_mixture_plan", # one-row feasibility minimum joined back to the |targets|-row plan
         "llm_corpus_overlap",  # bounded |groups|-row size relation x itself (pair frame)
         "llm_vocab_drift",  # one-row totals scalar joined to the term relation and the PSI row
+        "llm_zipf_fit",     # one-row totals agg x one-row OLS-sums agg (both single-row)
         "llm_neardup_sweep",  # bounded pair relation x 5-row threshold literal; one-row corpus total
         "llm_ivf_topk",     # bounded centroid set x probe relation
         "llm_ivf_store",    # same probe shape, centroids from the persisted index
@@ -391,6 +392,7 @@ class TestCatalogPlanLint:
         "llm_corpus_stats", # the data card IS a one-row global agg
         "llm_quality_sweep",  # the whole curve IS one global conditional agg (one row, exploded)
         "llm_vocab_drift",  # one-row totals agg + one-row PSI sum (broadcast back)
+        "llm_zipf_fit",     # one-row totals/OLS aggs + the bounded 256-row head rank window
         "llm_neardup_sweep",  # global corpus-count agg (one row, broadcast back)
         "llm_mixture_plan",   # global feasibility-minimum agg (one row, broadcast back)
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
