@@ -2398,3 +2398,153 @@ def prototype_prune(
         )
         .drop("_cn")
     )
+
+
+def mine_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    n_neg: int = 3,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-hard triplet mining for contrastive / embedding-model training
+    (the FaceNet selection rule, Schroff et al. 2015 §3.2, made batch-free
+    and deterministic): for every anchor, the POSITIVE is its nearest
+    same-label neighbor (highest cosine, excluding the anchor's own id;
+    ties break toward the lowest corpus id), and the NEGATIVES are the
+    ``n_neg`` HARDEST different-label vectors that are still farther than
+    the positive (``neg_cos < pos_cos`` — the semi-hard band: hard enough
+    to carry gradient, not so hard they are likely label noise). Anchors
+    with no same-label peer are dropped (no positive exists).
+
+    Returns (q_id, pos_id, pos_cos, neg_id, neg_cos, margin, r): one row
+    per (anchor × selected negative), ``margin = pos_cos − neg_cos`` (the
+    quantity a triplet loss drives above its α), ``r`` the negative's
+    hardness rank (1 = hardest).
+
+    Scale shape: the bounded anchor batch is broadcast against ONE corpus
+    scan (the :func:`brute_force_topk` contract — no corpus shuffle); the
+    positive is a conditional ``max(struct(cosine, −id))`` window and the
+    negative rank an ordered window over the SAME ``q_id`` partition key,
+    so both share a single exchange whose row count is |anchors|·|corpus|
+    score rows pre-reduced by the rank filter. At serving scale the
+    corpus side drops to an IVF/PQ probe (:func:`ivf_topk` /
+    :func:`pq_topk`) feeding the same selection; mining per training
+    batch keeps |anchors| bounded by construction.
+    """
+    from pyspark.sql import Window
+
+    if n_neg < 1:
+        raise ValueError("mine_triplets: n_neg must be >= 1")
+    q = anchors.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlab"),
+    )
+    scored = (
+        corpus.select(
+            F.col(corpus_id), F.col(vec_col), F.col(label_col)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            F.col(corpus_id),
+            F.col(label_col),
+            "_qlab",
+            F.round(cosine_expr(vec_col, "_qvec"), 6).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id)
+    same = (F.col(label_col) == F.col("_qlab")) & (
+        F.col(corpus_id) != F.col(query_id)
+    )
+    pos = F.max(
+        F.when(same, F.struct(F.col("_cos").alias("c"), (-F.col(corpus_id)).alias("i")))
+    ).over(w)
+    wr = Window.partitionBy(query_id).orderBy(F.desc("_cos"), F.asc(corpus_id))
+    cand = (
+        scored.withColumn("_pos", pos)
+        .filter(
+            F.col("_pos").isNotNull()
+            & (F.col(label_col) != F.col("_qlab"))
+            & (F.col("_cos") < F.col("_pos.c"))
+        )
+        .withColumn("r", F.row_number().over(wr).cast("long"))
+        .filter(F.col("r") <= int(n_neg))
+    )
+    return cand.select(
+        query_id,
+        (-F.col("_pos.i")).cast("long").alias("pos_id"),
+        F.col("_pos.c").alias("pos_cos"),
+        F.col(corpus_id).alias("neg_id"),
+        F.col("_cos").alias("neg_cos"),
+        F.round(F.col("_pos.c") - F.col("_cos"), 6).alias("margin"),
+        "r",
+    )
+
+
+def reciprocal_rank_fusion(
+    rankings,
+    id_col: str = "doc_id",
+    rank_col: str = "r",
+    k0: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval lists — the standard score-free combiner behind
+    hybrid lexical+semantic search: each list contributes
+    ``1/(k0 + rank)`` per document; documents missing from a list simply
+    contribute nothing (no score normalization needed, which is RRF's
+    whole point — BM25 scores and cosines are not commensurable).
+
+    ``rankings`` is a sequence of DataFrames each carrying ``id_col`` and
+    a 1-based ``rank_col``. Returns (id, n_rankers, rrf_score, rank):
+    documents ordered by fused score (ties toward the lower id),
+    truncated to ``top_k``.
+
+    Determinism: per-contribution ``round(1/(k0+r), 6)`` then a
+    DECIMAL(18,6) sum — addition-order-free across engines.
+
+    Scale shape: every input is already a bounded top-k relation (the
+    expensive retrieval happened upstream), so the union + rollup move
+    at most Σ|list_i| rows; the final rank is a window over ≤ that many
+    rows on one partition — bounded by construction, same class as the
+    one-row data cards. Never feed an unbounded scored corpus in;
+    truncate each ranker first (that is also what keeps RRF's semantics:
+    rank is only meaningful in a truncated list).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("reciprocal_rank_fusion: rankings must be non-empty")
+    if k0 < 1:
+        raise ValueError("reciprocal_rank_fusion: k0 must be >= 1")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rankers"),
+            F.sum("_c").cast("double").alias("rrf_score"),
+        )
+    )
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= int(top_k))
+    )

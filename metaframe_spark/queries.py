@@ -7795,6 +7795,112 @@ def llm_mojibake(spark, sf):
 
 
 
+@query(
+    "llm_triplets",
+    "WITH s AS (SELECT q.vec_id AS q_id, q.label AS ql, "
+    "  c.vec_id AS c_id, c.label AS cl, "
+    "  round(list_inner_product(q.embedding::DOUBLE[], "
+    "    c.embedding::DOUBLE[]), 6) AS cos "
+    "  FROM embeddings c, embeddings q WHERE q.vec_id < 16), "
+    "p AS (SELECT q_id, max(struct_pack(c := cos, i := -c_id)) AS m "
+    "  FROM s WHERE cl = ql AND c_id <> q_id GROUP BY q_id) "
+    "SELECT s.q_id, CAST(-(p.m.i) AS BIGINT) AS pos_id, p.m.c AS pos_cos, "
+    "s.c_id AS neg_id, s.cos AS neg_cos, "
+    "round(p.m.c - s.cos, 6) AS margin, "
+    "CAST(row_number() OVER (PARTITION BY s.q_id "
+    "  ORDER BY s.cos DESC, s.c_id) AS BIGINT) AS r "
+    "FROM s JOIN p ON s.q_id = p.q_id "
+    "WHERE s.cl <> s.ql AND s.cos < p.m.c "
+    "QUALIFY r <= 3",
+)
+def llm_triplets(spark, sf):
+    """Semi-hard triplet mining (operators/similarity.py::mine_triplets,
+    the FaceNet selection rule): for each of 16 anchors, the nearest
+    same-label positive and the 3 hardest different-label negatives
+    still farther than the positive. One broadcast corpus scan; the
+    positive's conditional max-struct window and the hardness-rank
+    window share a single q_id exchange. The oracle replays the
+    selection with a grouped max(struct) + rank window — the hash match
+    pins the semi-hard band boundary (strict cos < pos_cos), both
+    tie-breaks, and the no-positive drop rule cross-engine."""
+    from .operators import mine_triplets
+
+    e = load_table(spark, sf, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), "embedding", "label"
+    )
+    return mine_triplets(e.to_spark(), anchors.to_spark(), n_neg=3)
+
+
+@query(
+    "llm_rrf_fusion",
+    "WITH d AS (SELECT doc_id, list_filter(string_split("
+    f"lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents), "
+    "t AS (SELECT doc_id, toks, len(toks) AS dl FROM d WHERE len(toks) > 0), "
+    "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+    "  CAST(sum(dl) AS DOUBLE) AS tot_len FROM t), "
+    "g AS (SELECT doc_id, dl, unnest(toks) AS term FROM t), "
+    "h AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM g "
+    f"  WHERE term IN ('hash', 'spark', 'window') "
+    "  GROUP BY doc_id, term), "
+    "hd AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM h), "
+    "sc AS (SELECT doc_id, CAST(round("
+    "  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 "
+    "  / (tf + 1.2 * (0.25 + 0.75 * dl / (tot_len / n_docs))), 6) "
+    "  AS DECIMAL(18,6)) AS s FROM hd, stats), "
+    "bmtop AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id "
+    "  ORDER BY score DESC, doc_id LIMIT 20), "
+    "bm AS (SELECT doc_id, row_number() OVER "
+    "  (ORDER BY score DESC, doc_id) AS r FROM bmtop), "
+    "co AS (SELECT c.vec_id AS doc_id, "
+    "  row_number() OVER (ORDER BY "
+    "    round(list_inner_product(q.embedding::DOUBLE[], "
+    "      c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS r "
+    "  FROM embeddings c, embeddings q WHERE q.vec_id = 0 "
+    "  QUALIFY r <= 20), "
+    "u AS (SELECT doc_id, CAST(round(1.0 / (60.0 + r), 6) "
+    "    AS DECIMAL(18,6)) AS c FROM bm "
+    "  UNION ALL SELECT doc_id, CAST(round(1.0 / (60.0 + r), 6) "
+    "    AS DECIMAL(18,6)) AS c FROM co), "
+    "f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rankers, "
+    "  CAST(sum(c) AS DOUBLE) AS rrf_score FROM u GROUP BY doc_id) "
+    "SELECT doc_id, n_rankers, rrf_score, "
+    "CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) "
+    "  AS BIGINT) AS rank FROM f QUALIFY rank <= 20",
+)
+def llm_rrf_fusion(spark, sf):
+    """Hybrid-retrieval fusion (operators/similarity.py::
+    reciprocal_rank_fusion, Cormack et al. 2009): the BM25 lexical
+    top-20 (llm_bm25's exact scorer) and the exact-cosine semantic
+    top-20 for one query vector, fused score-free by summed
+    1/(60+rank) — the standard combiner when lexical scores and
+    cosines are not commensurable (doc_id and vec_id share the id
+    space in this corpus). Both rankers arrive as bounded top-k
+    relations, so the union/rollup/final-rank stage moves at most 40
+    rows. The oracle replays both rankers and the fused rank; the hash
+    match pins the contribution rounding, the DECIMAL sum, the missing-
+    from-one-list semantics (n_rankers), and both rank tie-breaks."""
+    from pyspark.sql import Window
+
+    from .operators import brute_force_topk, reciprocal_rank_fusion
+    from .operators.text import bm25_scores
+
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "embeddings")
+    wbm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lexical = bm25_scores(d.to_spark(), _BM25_TERMS, top_k=20).select(
+        "doc_id", F.row_number().over(wbm).alias("r")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    semantic = brute_force_topk(e.to_spark(), qv.to_spark(), k=20).select(
+        F.col("vec_id").alias("doc_id"), "r"
+    )
+    return reciprocal_rank_fusion([lexical, semantic], k0=60, top_k=20)
+
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -8245,11 +8351,12 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the FORTY-FIVE r11-blessed keys that overflowed
-# this round's 50-slot window (the FIFTEEN r14 additions + 30 r10
-# re-checks fill slots 1-45, so the r11 wave's first 5 keys — through
-# llm_pack_sequences — fill slots 46-50; overflowed, last
-# driver-checked r11: llm_containment, llm_video_neardup,
+# round-15 additions + the FORTY-SEVEN r11-blessed keys that overflowed
+# this round's 50-slot window (the SEVENTEEN r14 additions + 30 r10
+# re-checks fill slots 1-47, so the r11 wave's first 3 keys — through
+# llm_ivf_append — fill slots 48-50; overflowed, last
+# driver-checked r11: llm_semantic_against, llm_pack_sequences,
+# llm_containment, llm_video_neardup,
 # llm_image_neardup, llm_audio_neardup, llm_global_shuffle,
 # llm_hash_split,
 # llm_stratified_sample, llm_mixture_sample, llm_dup_report,
@@ -8269,6 +8376,8 @@ _ROTATE_FIRST: list = [
     "llm_zipf_fit",
     "llm_secrets_scan",
     "llm_mojibake",
+    "llm_triplets",
+    "llm_rrf_fusion",
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
@@ -8319,10 +8428,10 @@ _ROTATE_FIRST: list = [
     "llm_winnow",
     "llm_rep_signals",
     "llm_ivf_append",
+    # tail: slot 50 ends at llm_ivf_append (17 r14 additions +
+    # 30 r10 + 3 r11) — everything below overflows to round 15
     "llm_semantic_against",
     "llm_pack_sequences",
-    # tail: slot 50 ends at llm_pack_sequences (15 r14 additions +
-    # 30 r10 + 5 r11) — everything below overflows to round 15
     "llm_containment",
     "llm_video_neardup",
     "llm_image_neardup",

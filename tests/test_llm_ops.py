@@ -7631,3 +7631,139 @@ class TestEncodingQuality:
         [r] = encoding_quality(self._df(spark, [""])).collect()
         assert r.n_chars == 0 and r.bad_char_ratio == 0.0
         assert r.encoding_ok is True
+
+
+class TestMineTriplets:
+    """operators/similarity.py::mine_triplets — semi-hard triplet
+    selection: positive = nearest same-label, negatives = hardest
+    different-label strictly farther than the positive."""
+
+    def _corpus(self, spark):
+        import math
+
+        # 2-d unit vectors: angle encodes similarity; labels split them
+        rows = []
+        for i, (deg, lab) in enumerate(
+            [(0, 0), (10, 0), (20, 1), (35, 1), (50, 0), (80, 1)]
+        ):
+            a = math.radians(deg)
+            rows.append((i, [math.cos(a), math.sin(a)], lab))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_selection_rules(self, spark):
+        import math
+
+        from metaframe_spark.operators import mine_triplets
+
+        c = self._corpus(spark)
+        anchors = c.filter("vec_id = 0").selectExpr(
+            "vec_id AS q_id", "embedding", "label"
+        )
+        got = mine_triplets(c, anchors, n_neg=5).collect()
+        # anchor 0 (label 0): same-label peers are 1 (10 deg) and 4
+        # (50 deg) -> positive is 1; negatives (label 1) farther than
+        # pos_cos=cos(10 deg): 2 (20), 3 (35), 5 (80) all with
+        # cos < cos(10) -> hardest-first 2, 3, 5
+        assert [r.neg_id for r in sorted(got, key=lambda r: r.r)] == [2, 3, 5]
+        r1 = min(got, key=lambda r: r.r)
+        assert r1.pos_id == 1
+        assert abs(r1.pos_cos - round(math.cos(math.radians(10)), 6)) <= 1e-6
+        assert all(r.neg_cos < r.pos_cos for r in got)
+        assert all(
+            abs(r.margin - round(r.pos_cos - r.neg_cos, 6)) <= 1e-6 for r in got
+        )
+
+    def test_anchor_not_its_own_positive_and_drop(self, spark):
+        from metaframe_spark.operators import mine_triplets
+
+        c = self._corpus(spark)
+        # label 2 exists once: that anchor has no same-label peer -> dropped
+        lone = spark.createDataFrame(
+            [(99, [0.0, 1.0], 2)], "vec_id long, embedding array<double>, label int"
+        )
+        full = c.unionByName(lone)
+        anchors = full.filter("vec_id = 99").selectExpr(
+            "vec_id AS q_id", "embedding", "label"
+        )
+        assert mine_triplets(full, anchors).count() == 0
+
+    def test_semi_hard_band_is_strict(self, spark):
+        from metaframe_spark.operators import mine_triplets
+
+        # a negative EXACTLY as close as the positive is excluded
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),   # positive: cos 0.0
+            (2, [0.0, 1.0], 1),   # negative at the same cosine: excluded
+            (3, [-1.0, 0.0], 1),  # cos -1: the only semi-hard negative
+        ]
+        c = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        anchors = c.filter("vec_id = 0").selectExpr(
+            "vec_id AS q_id", "embedding", "label"
+        )
+        got = mine_triplets(c, anchors, n_neg=5).collect()
+        assert [r.neg_id for r in got] == [3]
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators import mine_triplets
+
+        c = self._corpus(spark)
+        with pytest.raises(ValueError, match="n_neg"):
+            mine_triplets(c, c.selectExpr("vec_id AS q_id", "embedding", "label"), n_neg=0)
+
+
+class TestReciprocalRankFusion:
+    """operators/similarity.py::reciprocal_rank_fusion — score-free rank
+    combination of bounded retrieval lists."""
+
+    def _list(self, spark, pairs):
+        return spark.createDataFrame(pairs, "doc_id long, r long")
+
+    def test_fused_scores_and_order(self, spark):
+        import decimal
+
+        from metaframe_spark.operators import reciprocal_rank_fusion
+
+        a = self._list(spark, [(10, 1), (11, 2), (12, 3)])
+        b = self._list(spark, [(11, 1), (13, 2)])
+        got = {r.doc_id: r for r in reciprocal_rank_fusion([a, b], k0=60).collect()}
+
+        def c(rank):
+            return decimal.Decimal(repr(round(1.0 / (60.0 + rank), 6)))
+
+        # doc 11 appears in both lists -> highest fused score
+        assert got[11].n_rankers == 2
+        assert got[11].rrf_score == float(c(2) + c(1))
+        assert got[10].n_rankers == 1 and got[10].rrf_score == float(c(1))
+        order = sorted(got.values(), key=lambda r: r.rank)
+        assert [r.doc_id for r in order] == [11, 10, 13, 12]
+
+    def test_tie_breaks_toward_lower_id(self, spark):
+        from metaframe_spark.operators import reciprocal_rank_fusion
+
+        a = self._list(spark, [(7, 1), (3, 2)])
+        b = self._list(spark, [(3, 1), (7, 2)])
+        got = sorted(
+            reciprocal_rank_fusion([a, b]).collect(), key=lambda r: r.rank
+        )
+        # identical fused scores: doc 3 outranks doc 7
+        assert [r.doc_id for r in got] == [3, 7]
+        assert got[0].rrf_score == got[1].rrf_score
+
+    def test_top_k_truncation(self, spark):
+        from metaframe_spark.operators import reciprocal_rank_fusion
+
+        a = self._list(spark, [(i, i + 1) for i in range(10)])
+        assert reciprocal_rank_fusion([a], top_k=4).count() == 4
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators import reciprocal_rank_fusion
+
+        with pytest.raises(ValueError, match="non-empty"):
+            reciprocal_rank_fusion([])
+        with pytest.raises(ValueError, match="k0"):
+            reciprocal_rank_fusion([self._list(spark, [(1, 1)])], k0=0)

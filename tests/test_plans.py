@@ -352,6 +352,8 @@ class TestCatalogPlanLint:
         "llm_bigram_nll",   # one-row vocabulary-size scalar joined to tf relation
         "llm_bm25",         # one-row corpus-stats scalar joined to scores
         "llm_cosine_topk",  # bounded query batch x corpus scan (brute-force contract)
+        "llm_triplets",     # bounded anchor batch x corpus scan (same brute-force contract)
+        "llm_rrf_fusion",   # bm25 one-row stats scalar + the bounded-query cosine ranker
         "llm_pq_topk",      # same bounded-query-broadcast contract over the coded corpus
         "llm_pq_refine",    # ADC shortlist stage (same contract); the refine join itself is an equi hash join
         "llm_ann_recall",   # both probe stages (ADC + brute force) are the bounded-query contract
@@ -385,6 +387,7 @@ class TestCatalogPlanLint:
     SINGLE_OK = {
         "llm_bigram_nll",   # global vocabulary-size agg (one row)
         "llm_bm25",         # global corpus-size agg (one row)
+        "llm_rrf_fusion",   # bm25's one-row agg + three bounded <=40-row rank windows
         "llm_bpe_chunks",   # global merges-to-rank-map agg (one row, broadcast)
         "llm_bpe_chunks_special",  # same one-row rank-map agg, reserved cut
         "llm_bpe_fertility", # same one-row rank-map agg via bpe_tokenize
