@@ -571,3 +571,85 @@ def dynamic_batches(
             6,
         ).alias("waste_pct"),
     )
+
+
+def pack_token_arrays(
+    df: DataFrame,
+    seq_len: int,
+    ids_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MATERIALIZE the packed training corpus: compose
+    :func:`pack_sequences`' concat-and-chunk assignment with the actual
+    per-document token-id arrays and emit one row per training sequence —
+    the physical export step after which a data-loader only reads fixed
+    shapes. Returns (seq_id, n_docs, n_tokens, token_ids, segment_ids):
+    ``token_ids`` is the concatenated ``array<bigint>`` slice stream cut
+    every ``seq_len`` tokens (only the final sequence may be shorter — no
+    padding is added; the trainer's collator owns pad tokens),
+    ``segment_ids`` marks each position with its document's 0-based index
+    WITHIN the sequence (the attention-isolation / position-reset signal
+    packed-sequence training needs, cf. T5's packing and the
+    block-diagonal attention variants).
+
+    Scale shape: token COUNTS (16-byte rows) flow through
+    pack_sequences' two narrow shuffles, never the arrays; the arrays
+    move exactly twice — the assignment hash-join on ``id_col`` and the
+    one ``seq_id`` exchange that BOTH the within-sequence order window
+    and the final rollup share. ``array_sort`` of the collected
+    (offset, slice) structs makes the concatenation order a property of
+    the data, not of task scheduling. Per-group state is bounded by
+    ``seq_len + 2·max_document_tokens`` elements (a document overlaps at
+    most its own length past a boundary), so executor memory is sized by
+    the sequence length — not by corpus size. The token-id relation is
+    persisted for its two consumers (the count pass and the slice join)
+    and handed back via the repo-wide ``_mf_persisted`` release
+    convention.
+    """
+    if seq_len < 1:
+        raise ValueError("pack_token_arrays: seq_len must be >= 1")
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col), F.col(ids_col).alias("_ids"))
+        .filter(F.size("_ids") > 0)
+        .persist()
+    )
+    asg = pack_sequences(
+        toks.withColumn("_n", F.size("_ids").cast("long")), seq_len, "_n", id_col
+    )
+    seg = F.row_number().over(
+        Window.partitionBy("seq_id").orderBy(F.asc("start_off"))
+    )
+    sliced = (
+        asg.join(toks, id_col)
+        .withColumn(
+            "_slice",
+            F.expr("slice(_ids, cast(tok_start + 1 as int), cast(tok_len as int))"),
+        )
+        .withColumn("_seg", (seg - 1).cast("long"))
+    )
+    out = (
+        sliced.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok_len").cast("long").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("start_off", "_slice", "_seg", "tok_len"))
+            ).alias("_parts"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            F.flatten(F.expr("transform(_parts, p -> p._slice)")).alias("token_ids"),
+            F.flatten(
+                F.expr(
+                    "transform(_parts, p -> array_repeat(p._seg, "
+                    "cast(p.tok_len as int)))"
+                )
+            ).alias("segment_ids"),
+        )
+    )
+    out._mf_persisted = toks
+    return out

@@ -1836,3 +1836,24 @@ def encoding_quality(
         )
         .withColumn("encoding_ok", F.col("bad_char_ratio") <= F.lit(float(max_bad_ratio)))
     )
+
+
+def hashed_token_ids(col, vocab_size: int = 32768) -> Column:
+    """Map the BPE-style pre-tokens of a text column to deterministic
+    integer ids in ``[0, vocab_size)`` via the first 8 md5 hex digits —
+    the hashing-trick vocabulary (Weinberger et al. 2009): no trained
+    tokenizer needed, identical ids on any engine that can md5 a string,
+    which is what makes the packed-corpus export oracle-checkable. Use a
+    trained :func:`bpe_tokenize` vocabulary instead when token identity
+    must match a real model. Returns ``array<bigint>``. Pure codegen:
+    one regexp scan + a per-token md5 inside a single ``transform``."""
+    if vocab_size < 1:
+        raise ValueError("hashed_token_ids: vocab_size must be >= 1")
+    # Spark SQL string literals eat single backslashes: double them so the
+    # regex engine sees the pattern bpe_token_count feeds via F.lit
+    pat = BPE_TOKEN_PATTERN.replace("\\", "\\\\")
+    return F.expr(
+        f"transform(regexp_extract_all({col}, '{pat}', 0), "
+        f"t -> pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
+        f"{int(vocab_size)}))"
+    )

@@ -7901,6 +7901,57 @@ def llm_rrf_fusion(spark, sf):
 
 
 
+@query(
+    "llm_pack_tokens",
+    "WITH toks AS (SELECT doc_id, list_transform(regexp_extract_all(text, "
+    "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), "
+    "  t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 32768) AS ids "
+    "  FROM documents), "
+    "tl AS (SELECT doc_id, ids, len(ids) AS n FROM toks WHERE len(ids) > 0), "
+    "cum AS (SELECT doc_id, ids, n, "
+    "  SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+    "    AND CURRENT ROW) - n AS s FROM tl), "
+    "expl AS (SELECT doc_id, ids, n, s, unnest(range("
+    "  CAST(s // 512 AS BIGINT), CAST((s + n - 1) // 512 + 1 AS BIGINT))) "
+    "  AS k FROM cum), "
+    "sl AS (SELECT k, s, ids, "
+    "  greatest(s, k * 512) - s AS tok_start, "
+    "  least(s + n, (k + 1) * 512) - greatest(s, k * 512) AS tok_len, "
+    "  row_number() OVER (PARTITION BY k ORDER BY s) - 1 AS seg FROM expl) "
+    "SELECT CAST(k AS BIGINT) AS seq_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(tok_len) AS BIGINT) AS n_tokens, "
+    "flatten(list(list_slice(ids, tok_start + 1, tok_start + tok_len) "
+    "  ORDER BY s)) AS token_ids, "
+    "flatten(list(list_transform(range(CAST(tok_len AS BIGINT)), "
+    "  x -> CAST(seg AS BIGINT)) "
+    "  ORDER BY s)) AS segment_ids "
+    "FROM sl GROUP BY k",
+)
+def llm_pack_tokens(spark, sf):
+    """Materialized packed corpus (operators/packing.py::
+    pack_token_arrays over operators/text.py::hashed_token_ids): the
+    full export step — md5-hashed 15-bit token ids, concat-and-chunk
+    packed at seq_len 512, emitted as one row per training sequence
+    with the concatenated token_ids array and the within-sequence
+    segment_ids (position-reset) array. The oracle replays the naive
+    one-task packing plus DuckDB's ordered list aggregation; the hash
+    match proves the distributed two-phase offsets, the slice join, and
+    the array_sort-of-structs concatenation order reproduce the exact
+    token stream, element for element — the strongest whole-pipeline
+    pin in the catalog (every upstream token flows into the output
+    arrays)."""
+    from .operators.packing import pack_token_arrays
+    from .operators.text import hashed_token_ids
+
+    d = load_table(spark, sf, "documents").to_spark()
+    ids = d.select("doc_id", hashed_token_ids("text").alias("ids"))
+    return pack_token_arrays(ids, 512, "ids").select(
+        "seq_id", "n_docs", "n_tokens", "token_ids", "segment_ids"
+    )
+
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -8351,11 +8402,12 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the FORTY-SEVEN r11-blessed keys that overflowed
-# this round's 50-slot window (the SEVENTEEN r14 additions + 30 r10
-# re-checks fill slots 1-47, so the r11 wave's first 3 keys — through
-# llm_ivf_append — fill slots 48-50; overflowed, last
-# driver-checked r11: llm_semantic_against, llm_pack_sequences,
+# round-15 additions + the FORTY-EIGHT r11-blessed keys that overflowed
+# this round's 50-slot window (the EIGHTEEN r14 additions + 30 r10
+# re-checks fill slots 1-48, so the r11 wave's first 2 keys — through
+# llm_rep_signals — fill slots 49-50; overflowed, last
+# driver-checked r11: llm_ivf_append, llm_semantic_against,
+# llm_pack_sequences,
 # llm_containment, llm_video_neardup,
 # llm_image_neardup, llm_audio_neardup, llm_global_shuffle,
 # llm_hash_split,
@@ -8378,6 +8430,7 @@ _ROTATE_FIRST: list = [
     "llm_mojibake",
     "llm_triplets",
     "llm_rrf_fusion",
+    "llm_pack_tokens",
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
@@ -8427,9 +8480,9 @@ _ROTATE_FIRST: list = [
     # carries the most information), then the relational q-entries
     "llm_winnow",
     "llm_rep_signals",
+    # tail: slot 50 ends at llm_rep_signals (18 r14 additions +
+    # 30 r10 + 2 r11) — everything below overflows to round 15
     "llm_ivf_append",
-    # tail: slot 50 ends at llm_ivf_append (17 r14 additions +
-    # 30 r10 + 3 r11) — everything below overflows to round 15
     "llm_semantic_against",
     "llm_pack_sequences",
     "llm_containment",

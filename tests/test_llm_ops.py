@@ -7767,3 +7767,99 @@ class TestReciprocalRankFusion:
             reciprocal_rank_fusion([])
         with pytest.raises(ValueError, match="k0"):
             reciprocal_rank_fusion([self._list(spark, [(1, 1)])], k0=0)
+
+
+class TestHashedTokenIds:
+    """operators/text.py::hashed_token_ids — hashing-trick token ids."""
+
+    def test_matches_python_replay(self, spark):
+        import hashlib
+        import re
+
+        from metaframe_spark.operators.text import hashed_token_ids
+
+        text = "Hello, world 42 times!"
+        [row] = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(hashed_token_ids("text").alias("ids"))
+            .collect()
+        )
+        toks = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text)
+        exp = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 32768
+            for t in toks
+        ]
+        assert row.ids == exp
+        assert all(0 <= t < 32768 for t in row.ids)
+
+    def test_vocab_size_and_empty(self, spark):
+        from metaframe_spark.operators.text import hashed_token_ids
+
+        df = spark.createDataFrame([("a b",), ("",)], "text string")
+        rows = df.select(hashed_token_ids("text", 7).alias("ids")).collect()
+        assert all(0 <= t < 7 for t in rows[0].ids)
+        assert rows[1].ids == []
+        with pytest.raises(ValueError, match="vocab_size"):
+            hashed_token_ids("text", 0)
+
+
+class TestPackTokenArrays:
+    """operators/packing.py::pack_token_arrays — materialized packed
+    sequences with segment ids."""
+
+    @staticmethod
+    def _collect(out):
+        rows = sorted(out.collect(), key=lambda r: r.seq_id)
+        out._mf_persisted.unpersist()
+        return rows
+
+    def _df(self, spark, arrs):
+        return spark.createDataFrame(
+            [(i, a) for i, a in enumerate(arrs)],
+            "doc_id long, ids array<bigint>",
+        )
+
+    def test_known_packing(self, spark):
+        from metaframe_spark.operators.packing import pack_token_arrays
+
+        d = self._df(spark, [[1, 2, 3], [4, 5], [6, 7, 8, 9]])
+        rows = self._collect(pack_token_arrays(d, 4, "ids"))
+        assert [r.seq_id for r in rows] == [0, 1, 2]
+        assert rows[0].token_ids == [1, 2, 3, 4]
+        assert rows[0].segment_ids == [0, 0, 0, 1]
+        assert rows[0].n_docs == 2 and rows[0].n_tokens == 4
+        assert rows[1].token_ids == [5, 6, 7, 8]
+        assert rows[1].segment_ids == [0, 1, 1, 1]
+        assert rows[2].token_ids == [9] and rows[2].segment_ids == [0]
+
+    def test_empty_docs_occupy_no_stream_space(self, spark):
+        from metaframe_spark.operators.packing import pack_token_arrays
+
+        d = self._df(spark, [[1, 2], [], [3, 4]])
+        rows = self._collect(pack_token_arrays(d, 4, "ids"))
+        assert len(rows) == 1
+        assert rows[0].token_ids == [1, 2, 3, 4]
+        assert rows[0].segment_ids == [0, 0, 1, 1]
+
+    def test_stream_invariants_on_corpus(self, spark, docs):
+        from metaframe_spark.operators.packing import pack_token_arrays
+        from metaframe_spark.operators.text import hashed_token_ids
+
+        ids = docs.select("doc_id", hashed_token_ids("text").alias("ids"))
+        rows = self._collect(pack_token_arrays(ids, 128, "ids"))
+        total = ids.selectExpr("sum(size(ids))").collect()[0][0]
+        assert sum(r.n_tokens for r in rows) == total
+        assert all(
+            len(r.token_ids) == r.n_tokens == len(r.segment_ids) for r in rows
+        )
+        assert all(r.n_tokens == 128 for r in rows[:-1])
+        for r in rows:
+            # segments appear as 0..n_docs-1, each a contiguous run
+            firsts = list(dict.fromkeys(r.segment_ids))
+            assert firsts == list(range(r.n_docs))
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.packing import pack_token_arrays
+
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_token_arrays(self._df(spark, [[1]]), 0, "ids")
