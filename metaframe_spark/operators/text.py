@@ -1681,7 +1681,9 @@ def zipf_fit(
         .persist()
     )
     totals = counts.agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
+        # coalesce: an empty corpus reports 0 tokens, not NULL (the
+        # one-row card still emits — the empty-input sweep's contract)
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
     )
     head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(int(top_k))

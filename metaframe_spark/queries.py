@@ -7590,7 +7590,7 @@ def llm_corpus_overlap(spark, sf):
     "  t -> t <> '')) AS tok FROM documents), "
     "counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
     "  FROM toks GROUP BY tok), "
-    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+    "tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tokens, "
     "  CAST(count(*) AS BIGINT) AS vocab_size FROM counts), "
     "head AS (SELECT tok, cnt FROM counts "
     "  ORDER BY cnt DESC, tok LIMIT 256), "

@@ -109,6 +109,12 @@ def test_query_on_empty_tables(spark, empty_sf, name):
         [r] = df.collect()
         assert (r.n_vocab, r.total_a, r.total_b) == (0, 0, 0)
         assert r.psi is None
+    elif name == "llm_zipf_fit":
+        # the Zipf card IS a one-row global summary; an empty corpus has
+        # zero volume and an undefined fit (NULLs, never a 0/0 NaN)
+        [r] = df.collect()
+        assert (r.n_tokens, r.vocab_size, r.top_v) == (0, 0, 0)
+        assert r.zipf_slope is None and r.zipf_r2 is None
     elif name == "q93_expectations":
         # an expectations report IS one row per rule; an empty table
         # passes every rule vacuously (gate on n_rows if that matters)
