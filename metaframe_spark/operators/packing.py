@@ -653,3 +653,87 @@ def pack_token_arrays(
     )
     out._mf_persisted = toks
     return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-corpus
+    balancing rule of mBERT/XLM-R/mT5: sampling share ∝ n_s^α): like
+    :func:`weighted_mixture_sample`, but the stratum weights are DERIVED
+    FROM THE DATA — ``w_s = n_s^α`` — so low-resource strata are
+    up-weighted as α falls (α=1 is proportional sampling, α=0 uniform).
+    Quotas are largest-remainder apportioned and each stratum keeps its
+    first ``quota`` rows in md5(id) order; a stratum smaller than its
+    (boosted) quota contributes all its rows — quotas are caps, which is
+    exactly the regime temperature sampling creates for the long tail.
+
+    Returns (id, stratum, n_stratum, quota, draw_rank) rows of the
+    realized sample.
+
+    Cross-engine determinism (what makes a SQL oracle possible where the
+    driver-side float apportionment would not be): ``w_s = round(n_s^α,
+    6)``; the normalizer is a DECIMAL(18,6) sum of those rounded
+    weights; exact shares round to 6 before the floor/remainder split —
+    so no engine's addition order can flip a floor. The whole quota
+    computation is IN THE PLAN (a bounded |strata|-row relation: two
+    windows + two one-row aggregates), never a driver-side collect.
+
+    Scale shape: one stratum rollup with map-side combine; the quota
+    relation is broadcast back; the draw is the standard per-stratum
+    md5-rank window with a FOLDABLE ``rank ≤ total`` conjunct so
+    Catalyst plans WindowGroupLimit (each task pre-prunes to its own
+    top-``total`` before the shuffle) and the data-dependent per-stratum
+    quota trims after.
+    """
+    from pyspark.sql import Window
+
+    if total < 0:
+        raise ValueError("temperature_mixture: total must be >= 0")
+    if alpha < 0:
+        raise ValueError("temperature_mixture: alpha must be >= 0")
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_stratum")
+    )
+    w = F.round(F.pow(F.col("n_stratum").cast("double"), F.lit(float(alpha))), 6)
+    weighted = counts.withColumn("_w", w)
+    norm = weighted.agg(
+        F.sum(F.col("_w").cast("decimal(18,6)")).cast("double").alias("_norm")
+    )
+    share = F.round(F.lit(int(total)) * F.col("_w") / F.col("_norm"), 6)
+    based = (
+        weighted.crossJoin(F.broadcast(norm))
+        .withColumn("_share", share)
+        .withColumn("_base", F.floor("_share").cast("long"))
+        .withColumn("_rem", F.col("_share") - F.col("_base"))
+    )
+    leftover = based.agg(
+        (F.lit(int(total)) - F.sum("_base")).cast("long").alias("_left")
+    )
+    wrank = Window.orderBy(F.desc("_rem"), F.asc(F.col(stratum_col).cast("string")))
+    quotas = (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("_rrank", F.row_number().over(wrank))
+        .withColumn(
+            "quota",
+            (F.col("_base") + F.when(F.col("_rrank") <= F.col("_left"), 1).otherwise(0))
+            .cast("long"),
+        )
+        .select(stratum_col, "n_stratum", "quota")
+    )
+    wd = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, stratum_col)
+        .withColumn("draw_rank", F.row_number().over(wd).cast("long"))
+        # foldable bound first: enables the WindowGroupLimit pre-prune
+        .filter(F.col("draw_rank") <= F.lit(int(total)))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("draw_rank") <= F.col("quota"))
+        .select(id_col, stratum_col, "n_stratum", "quota", "draw_rank")
+    )

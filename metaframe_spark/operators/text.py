@@ -1859,3 +1859,143 @@ def hashed_token_ids(col, vocab_size: int = 32768) -> Column:
         f"t -> pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
         f"{int(vocab_size)}))"
     )
+
+
+def source_quality_report(
+    df: DataFrame,
+    threshold: float = 0.5,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-source quality triage card: each stratum's document count,
+    mean :func:`quality_features` score, and the share of documents at or
+    above ``threshold`` WITH a Wilson score interval (the interval that
+    stays honest at small n and extreme rates, unlike the normal
+    approximation) — the table a curation team reads to decide which
+    sources to keep, cap, or re-crawl, and whether an observed source
+    difference is real or sample noise.
+
+    Returns (stratum, n_docs, mean_score, n_good, good_rate, wilson_lo,
+    wilson_hi) — the interval covers the true above-threshold rate at
+    ~95% for the default ``z``.
+
+    Determinism: mean_score is a DECIMAL(18,6) sum of the (already
+    6-rounded) scores over the count; the Wilson arithmetic is per-group
+    double math from two integers (n, k) with identical expression
+    shapes both engines, rounded to 6.
+
+    Scale shape: the scoring is per-row codegen; ONE map-side-combined
+    rollup on the stratum key produces every column — no second scan, no
+    window, no collect.
+    """
+    n = F.col("n_docs").cast("double")
+    k = F.col("n_good").cast("double")
+    phat = k / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (phat + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(phat * (F.lit(1.0) - phat) / n + F.lit(z2) / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return (
+        quality_features(df, text_col)
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("quality_score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("_sum"),
+            F.sum(
+                F.when(F.col("quality_score") >= F.lit(float(threshold)), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_good"),
+        )
+        .select(
+            stratum_col,
+            "n_docs",
+            F.round(F.col("_sum") / F.col("n_docs"), 6).alias("mean_score"),
+            "n_good",
+            F.round(phat, 6).alias("good_rate"),
+            F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("wilson_lo"),
+            F.round(F.least(center + half, F.lit(1.0)), 6).alias("wilson_hi"),
+        )
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    alpha0: float = 100.0,
+) -> DataFrame:
+    """What vocabulary makes each stratum DISTINCTIVE: weighted log-odds
+    with an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008
+    — "Fightin' Words"), each stratum against the rest of the corpus.
+    The prior (``α_w = α0·y_w/n``, the corpus rate scaled to ``α0``
+    pseudo-counts) shrinks rare-term noise, and dividing by the
+    estimated standard deviation turns the log-odds difference into a
+    z-score — so the ranking surfaces terms that are both
+    over-represented AND well-attested, where raw tf-idf or PMI rank
+    one-off typos first. The per-source triage sibling of
+    :func:`tfidf_top_terms` (which characterizes documents, not strata).
+
+    Returns the ``top_k`` rows per stratum (stratum, term, n_in_stratum,
+    n_corpus, zscore, rank), restricted to terms the stratum actually
+    contains; ties break by term text. Degenerate corpora where one term
+    IS a whole stratum and the whole corpus yield an infinite log-odds —
+    callers with single-token corpora don't need this card.
+
+    Scale shape: one (stratum, term) rollup with map-side combine; the
+    corpus term totals ride a window over that same relation (term-keyed
+    exchange, vocabulary-sized); stratum totals and the corpus total are
+    a bounded broadcast and a one-row broadcast; the final top-k is a
+    rank window per stratum over the already-reduced relation. Nothing
+    document-shaped survives past the first rollup.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("distinctive_terms: top_k must be >= 1")
+    if alpha0 <= 0:
+        raise ValueError("distinctive_terms: alpha0 must be > 0")
+    tf = (
+        df.select(F.col(stratum_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(stratum_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    yw = F.sum("y").over(Window.partitionBy("term")).cast("long")
+    gtot = tf.groupBy(stratum_col).agg(F.sum("y").cast("long").alias("_ni"))
+    ntot = tf.agg(F.sum("y").cast("long").alias("_n"))
+    a0 = F.lit(float(alpha0))
+    aw = a0 * F.col("_yw").cast("double") / F.col("_n").cast("double")
+    yi = F.col("y").cast("double")
+    yj = (F.col("_yw") - F.col("y")).cast("double")
+    ni = F.col("_ni").cast("double")
+    nj = (F.col("_n") - F.col("_ni")).cast("double")
+    delta = F.log((yi + aw) / (ni + a0 - yi - aw)) - F.log(
+        (yj + aw) / (nj + a0 - yj - aw)
+    )
+    var = F.lit(1.0) / (yi + aw) + F.lit(1.0) / (yj + aw)
+    wr = Window.partitionBy(stratum_col).orderBy(F.desc("zscore"), F.asc("term"))
+    return (
+        tf.withColumn("_yw", yw)
+        .join(F.broadcast(gtot), stratum_col)
+        .crossJoin(F.broadcast(ntot))
+        .withColumn("zscore", F.round(delta / F.sqrt(var), 6))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            stratum_col,
+            "term",
+            F.col("y").alias("n_in_stratum"),
+            F.col("_yw").alias("n_corpus"),
+            "zscore",
+            "rank",
+        )
+    )

@@ -7952,6 +7952,153 @@ def llm_pack_tokens(spark, sf):
 
 
 
+@query(
+    "llm_temperature_mix",
+    "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_stratum "
+    "  FROM documents GROUP BY source), "
+    "w AS (SELECT source, n_stratum, "
+    "  round(pow(CAST(n_stratum AS DOUBLE), 0.5), 6) AS w FROM c), "
+    "nm AS (SELECT CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) "
+    "  AS norm FROM w), "
+    "b AS (SELECT source, n_stratum, "
+    "  round(130 * w / norm, 6) AS share FROM w, nm), "
+    "b2 AS (SELECT source, n_stratum, share, "
+    "  CAST(floor(share) AS BIGINT) AS base, "
+    "  share - floor(share) AS rem FROM b), "
+    "lv AS (SELECT 130 - sum(base) AS leftv FROM b2), "
+    "q AS (SELECT source, n_stratum, "
+    "  CAST(base + CASE WHEN row_number() OVER "
+    "    (ORDER BY rem DESC, CAST(source AS VARCHAR)) <= leftv "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS quota FROM b2, lv), "
+    "d AS (SELECT doc_id, source, CAST(row_number() OVER "
+    "  (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+    "  AS BIGINT) AS draw_rank FROM documents) "
+    "SELECT d.doc_id, d.source, q.n_stratum, q.quota, d.draw_rank "
+    "FROM d JOIN q ON d.source = q.source WHERE d.draw_rank <= q.quota",
+)
+def llm_temperature_mix(spark, sf):
+    """Temperature-scaled mixture resampling (operators/packing.py::
+    temperature_mixture — the XLM-R/mT5 n^alpha balancing rule at
+    alpha=0.5, total 130): stratum weights DERIVED from the data
+    (sqrt of each source's count), largest-remainder quotas computed
+    entirely in the plan with the decimal-normalized rounded-share
+    arithmetic, each source keeping its first quota rows in md5 order.
+    On this corpus every source ties at remainder 0.5, so the hash
+    match specifically pins the deterministic leftover tie-break (the
+    first 10 sources by string order get the extra slot) along with
+    the floor/share arithmetic and the draw, cross-engine."""
+    from .operators.packing import temperature_mixture
+
+    d = load_table(spark, sf, "documents")
+    return temperature_mixture(d.to_spark(), 0.5, 130, "source", "doc_id")
+
+
+@query(
+    "llm_source_quality",
+    "WITH q AS (SELECT source, "
+    "round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
+    "      + 0.3 * stopword_ratio, 6) AS quality_score "
+    "FROM ("
+    "  SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "         CASE WHEN length(text) > 0 THEN "
+    "           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+    "           / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+    "         CASE WHEN len(toks) > 0 THEN "
+    "           len(list_filter(toks, t -> list_contains(__SW_EN__, t))) "
+    "           / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio "
+    "  FROM (SELECT source, text, list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
+    "    t -> t <> '') AS toks FROM documents))), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) AS sq, "
+    "  CAST(sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_good FROM q GROUP BY source) "
+    "SELECT source, n_docs, round(sq / n_docs, 6) AS mean_score, n_good, "
+    "round(CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS good_rate, "
+    "round(greatest((CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+    "    + 3.8415999999999997 / (2.0 * CAST(n_docs AS DOUBLE))) "
+    "  / (1.0 + 3.8415999999999997 / CAST(n_docs AS DOUBLE)) "
+    "  - 1.96 * sqrt(CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+    "      * (1.0 - CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)) "
+    "      / CAST(n_docs AS DOUBLE) "
+    "      + 3.8415999999999997 / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) "
+    "    / (1.0 + 3.8415999999999997 / CAST(n_docs AS DOUBLE)), 0.0), 6) AS wilson_lo, "
+    "round(least((CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+    "    + 3.8415999999999997 / (2.0 * CAST(n_docs AS DOUBLE))) "
+    "  / (1.0 + 3.8415999999999997 / CAST(n_docs AS DOUBLE)) "
+    "  + 1.96 * sqrt(CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) "
+    "      * (1.0 - CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)) "
+    "      / CAST(n_docs AS DOUBLE) "
+    "      + 3.8415999999999997 / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) "
+    "    / (1.0 + 3.8415999999999997 / CAST(n_docs AS DOUBLE)), 1.0), 6) AS wilson_hi "
+    "FROM a",
+)
+def llm_source_quality(spark, sf):
+    """Per-source quality triage card (operators/text.py::
+    source_quality_report): each source's document count, DECIMAL-summed
+    mean quality score, above-0.5 share, and the 95% Wilson score
+    interval around that share — the card that says whether an observed
+    source difference is signal or sample noise. One per-row scoring
+    scan + one map-side-combined rollup; the oracle replays the scoring
+    and the Wilson arithmetic with identical expression shapes, so the
+    hash match pins the interval math (including the clamp to [0,1])
+    cross-engine."""
+    from .operators import source_quality_report
+
+    d = load_table(spark, sf, "documents")
+    return source_quality_report(d.to_spark(), threshold=0.5)
+
+
+@query(
+    "llm_distinctive_terms",
+    "WITH toks AS (SELECT source, unnest(list_filter(string_split("
+    "  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), t -> t <> '')) AS term FROM documents), "
+    "tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS y "
+    "  FROM toks GROUP BY source, term), "
+    "tw AS (SELECT source, term, y, "
+    "  CAST(sum(y) OVER (PARTITION BY term) AS BIGINT) AS yw FROM tf), "
+    "gt AS (SELECT source, CAST(sum(y) AS BIGINT) AS ni "
+    "  FROM tf GROUP BY source), "
+    "nt AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM tf), "
+    "sc AS (SELECT tw.source, tw.term, tw.y, tw.yw, "
+    "  round((ln((CAST(y AS DOUBLE) + 100.0 * CAST(yw AS DOUBLE) "
+    "      / CAST(n AS DOUBLE)) "
+    "    / (CAST(ni AS DOUBLE) + 100.0 - CAST(y AS DOUBLE) "
+    "      - 100.0 * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))) "
+    "  - ln((CAST(yw - y AS DOUBLE) + 100.0 * CAST(yw AS DOUBLE) "
+    "      / CAST(n AS DOUBLE)) "
+    "    / (CAST(n - ni AS DOUBLE) + 100.0 - CAST(yw - y AS DOUBLE) "
+    "      - 100.0 * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE)))) "
+    "  / sqrt(1.0 / (CAST(y AS DOUBLE) + 100.0 * CAST(yw AS DOUBLE) "
+    "      / CAST(n AS DOUBLE)) "
+    "    + 1.0 / (CAST(yw - y AS DOUBLE) + 100.0 * CAST(yw AS DOUBLE) "
+    "      / CAST(n AS DOUBLE))), 6) AS zscore "
+    "  FROM tw JOIN gt ON tw.source = gt.source, nt) "
+    "SELECT source, term, y AS n_in_stratum, yw AS n_corpus, zscore, "
+    "CAST(row_number() OVER (PARTITION BY source "
+    "  ORDER BY zscore DESC, term) AS BIGINT) AS rank "
+    "FROM sc QUALIFY rank <= 5",
+)
+def llm_distinctive_terms(spark, sf):
+    """Per-source distinctive vocabulary (operators/text.py::
+    distinctive_terms — Monroe et al. 2008 weighted log-odds with an
+    informative Dirichlet prior, alpha0=100): each source's top-5 terms
+    by the z-scored log-odds against the rest of the corpus — the
+    "what makes this source different" card that tf-idf noise-ranks
+    wrong. One (source, term) rollup; corpus totals ride a term window
+    over that relation; stratum/corpus totals broadcast back. The
+    oracle replays the prior, both log-odds, the variance, and the
+    per-source rank; the hash match pins the full scoring pipeline
+    cross-engine."""
+    from .operators import distinctive_terms
+
+    d = load_table(spark, sf, "documents")
+    return distinctive_terms(d.to_spark(), top_k=5)
+
+
+_expand_stopword_macros()
+
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -8402,11 +8549,12 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the FORTY-EIGHT r11-blessed keys that overflowed
-# this round's 50-slot window (the EIGHTEEN r14 additions + 30 r10
-# re-checks fill slots 1-48, so the r11 wave's first 2 keys — through
-# llm_rep_signals — fill slots 49-50; overflowed, last
-# driver-checked r11: llm_ivf_append, llm_semantic_against,
+# round-15 additions + the ONE remaining r10-stale key
+# (q94_bottomk_sample — the TWENTY-ONE r14 additions + 29 r10 re-checks
+# fill all 50 slots this round, so it overflowed) + the FIFTY
+# r11-blessed keys (the whole r11 wave, still last-driver-checked r11:
+# llm_winnow, llm_rep_signals,
+# llm_ivf_append, llm_semantic_against,
 # llm_pack_sequences,
 # llm_containment, llm_video_neardup,
 # llm_image_neardup, llm_audio_neardup, llm_global_shuffle,
@@ -8431,6 +8579,9 @@ _ROTATE_FIRST: list = [
     "llm_triplets",
     "llm_rrf_fusion",
     "llm_pack_tokens",
+    "llm_temperature_mix",
+    "llm_source_quality",
+    "llm_distinctive_terms",
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
@@ -8474,14 +8625,15 @@ _ROTATE_FIRST: list = [
     "q91_heavy_hitters_pruned",
     "q92_drift_psi",
     "q93_expectations",
+    # tail: slot 50 ends at q93_expectations (21 r14 additions +
+    # 29 r10) — everything below overflows to round 15, including the
+    # one remaining r10-stale key q94_bottomk_sample
     "q94_bottomk_sample",
     # next-oldest blessed block: the r11 wave (last driver-checked r11) —
     # llm_* first (the heavier multi-stage operators where a re-check
     # carries the most information), then the relational q-entries
     "llm_winnow",
     "llm_rep_signals",
-    # tail: slot 50 ends at llm_rep_signals (18 r14 additions +
-    # 30 r10 + 2 r11) — everything below overflows to round 15
     "llm_ivf_append",
     "llm_semantic_against",
     "llm_pack_sequences",

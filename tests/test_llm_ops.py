@@ -7863,3 +7863,207 @@ class TestPackTokenArrays:
 
         with pytest.raises(ValueError, match="seq_len"):
             pack_token_arrays(self._df(spark, [[1]]), 0, "ids")
+
+
+class TestTemperatureMixture:
+    """operators/packing.py::temperature_mixture — n^alpha balancing with
+    in-plan largest-remainder quotas."""
+
+    def _df(self, spark, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    @staticmethod
+    def _replay_quotas(sizes, alpha, total):
+        import decimal
+        import math
+
+        q6 = decimal.Decimal("0.000001")
+
+        def r6(v):
+            return float(
+                decimal.Decimal(repr(v)).quantize(
+                    q6, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+
+        w = {s: r6(math.pow(n, alpha)) for s, n in sizes.items()}
+        norm = float(sum(decimal.Decimal(repr(v)) for v in w.values()))
+        share = {s: r6(total * v / norm) for s, v in w.items()}
+        base = {s: int(math.floor(v)) for s, v in share.items()}
+        left = total - sum(base.values())
+        order = sorted(share, key=lambda s: (-(share[s] - base[s]), str(s)))
+        for s in order[:left]:
+            base[s] += 1
+        return base
+
+    def test_alpha_boosts_low_resource(self, spark):
+        from metaframe_spark.operators.packing import temperature_mixture
+
+        sizes = {"big": 64, "small": 4}
+        out = temperature_mixture(self._df(spark, sizes), 0.5, 10)
+        got = {
+            r.source: r.quota
+            for r in out.select("source", "quota").distinct().collect()
+        }
+        exp = self._replay_quotas(sizes, 0.5, 10)
+        assert got == exp
+        # sqrt weighting: small holds 2/10 of the weight (sqrt 4 vs
+        # sqrt 64) vs 4/68 of the corpus — its quota doubles what
+        # proportional (alpha=1) sampling would allot
+        assert got["small"] > self._replay_quotas(sizes, 1.0, 10)["small"]
+
+    def test_quota_is_a_cap(self, spark):
+        from metaframe_spark.operators.packing import temperature_mixture
+
+        # alpha=0 -> uniform quotas 5+5; the 2-doc stratum contributes
+        # both rows, and the shortfall is NOT redistributed
+        sizes = {"a": 20, "b": 2}
+        out = temperature_mixture(self._df(spark, sizes), 0.0, 10).collect()
+        per = {}
+        for r in out:
+            per[r.source] = per.get(r.source, 0) + 1
+        assert per == {"a": 5, "b": 2}
+
+    def test_draw_is_md5_deterministic(self, spark):
+        from metaframe_spark.operators.packing import temperature_mixture
+
+        d = self._df(spark, {"a": 10})
+        a = sorted(r.doc_id for r in temperature_mixture(d, 1.0, 4).collect())
+        b = sorted(
+            r.doc_id
+            for r in temperature_mixture(d.repartition(7), 1.0, 4).collect()
+        )
+        assert a == b and len(a) == 4
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators.packing import temperature_mixture
+
+        d = self._df(spark, {"a": 2})
+        with pytest.raises(ValueError, match="total"):
+            temperature_mixture(d, 0.5, -1)
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mixture(d, -0.5, 10)
+
+
+class TestSourceQualityReport:
+    """operators/text.py::source_quality_report — Wilson-intervalled
+    per-source quality card."""
+
+    def test_wilson_matches_python_replay(self, spark, docs):
+        import math
+
+        from metaframe_spark.operators import source_quality_report
+
+        rows = source_quality_report(docs, threshold=0.5).collect()
+        assert len(rows) == 20
+        z = 1.96
+        z2 = z * z
+        for r in rows:
+            n, k = float(r.n_docs), float(r.n_good)
+            phat = k / n
+            denom = 1.0 + z2 / n
+            center = (phat + z2 / (2.0 * n)) / denom
+            half = (
+                z
+                * math.sqrt(phat * (1.0 - phat) / n + z2 / (4.0 * n * n))
+                / denom
+            )
+            assert abs(r.good_rate - round(phat, 6)) <= 1e-6
+            assert abs(r.wilson_lo - round(max(center - half, 0.0), 6)) <= 1e-6
+            assert abs(r.wilson_hi - round(min(center + half, 1.0), 6)) <= 1e-6
+            assert 0.0 <= r.wilson_lo <= r.good_rate <= r.wilson_hi <= 1.0
+
+    def test_single_doc_strata(self, spark):
+        from metaframe_spark.operators import source_quality_report
+
+        d = spark.createDataFrame(
+            [(1, "a", "the cat sat on the mat today and it is fine."),
+             (2, "b", "x")],
+            "doc_id long, source string, text string",
+        )
+        rows = {r.source: r for r in source_quality_report(d).collect()}
+        assert rows["a"].n_docs == rows["b"].n_docs == 1
+        # n=1 intervals stay inside [0,1] and stay wide
+        for r in rows.values():
+            assert 0.0 <= r.wilson_lo <= r.wilson_hi <= 1.0
+            assert r.wilson_hi - r.wilson_lo > 0.5
+
+
+class TestDistinctiveTerms:
+    """operators/text.py::distinctive_terms — Monroe et al. weighted
+    log-odds with informative Dirichlet prior."""
+
+    def test_matches_python_replay(self, spark):
+        import math
+
+        from metaframe_spark.operators import distinctive_terms
+
+        d = spark.createDataFrame(
+            [
+                (1, "A", "x x x y"),
+                (2, "A", "x z"),
+                (3, "B", "y y z z z"),
+                (4, "B", "w y"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {(r.source, r.term): r for r in distinctive_terms(d, top_k=10).collect()}
+        counts = {
+            "A": {"x": 4, "y": 1, "z": 1},
+            "B": {"y": 3, "z": 3, "w": 1},
+        }
+        tot = {g: sum(c.values()) for g, c in counts.items()}
+        n = sum(tot.values())
+        a0 = 100.0
+        for g, c in counts.items():
+            other = "B" if g == "A" else "A"
+            for t, y in c.items():
+                yw = counts["A"].get(t, 0) + counts["B"].get(t, 0)
+                aw = a0 * yw / n
+                yi, yj = float(y), float(yw - y)
+                ni, nj = float(tot[g]), float(n - tot[g])
+                delta = math.log((yi + aw) / (ni + a0 - yi - aw)) - math.log(
+                    (yj + aw) / (nj + a0 - yj - aw)
+                )
+                var = 1.0 / (yi + aw) + 1.0 / (yj + aw)
+                exp = round(delta / math.sqrt(var), 6)
+                r = got[(g, t)]
+                assert abs(r.zscore - exp) <= 1e-6
+                assert (r.n_in_stratum, r.n_corpus) == (y, yw)
+        # x is A's signature term; w is B's most-boosted rare term
+        assert min(got[k].rank for k in got if k[0] == "A") == 1
+        assert got[("A", "x")].rank == 1
+        assert got[("A", "x")].zscore > 0
+        assert got[("B", "x")] if ("B", "x") in got else True
+
+    def test_only_present_terms_and_topk(self, spark):
+        from metaframe_spark.operators import distinctive_terms
+
+        d = spark.createDataFrame(
+            [(1, "A", "x y"), (2, "B", "z")],
+            "doc_id long, source string, text string",
+        )
+        rows = distinctive_terms(d, top_k=1).collect()
+        bysrc = {}
+        for r in rows:
+            bysrc.setdefault(r.source, []).append(r.term)
+        assert all(len(v) == 1 for v in bysrc.values())
+        # B never emits x or y (terms it does not contain)
+        assert bysrc["B"] == ["z"]
+
+    def test_validation(self, spark):
+        from metaframe_spark.operators import distinctive_terms
+
+        d = spark.createDataFrame(
+            [(1, "A", "x")], "doc_id long, source string, text string"
+        )
+        with pytest.raises(ValueError, match="top_k"):
+            distinctive_terms(d, top_k=0)
+        with pytest.raises(ValueError, match="alpha0"):
+            distinctive_terms(d, alpha0=0)

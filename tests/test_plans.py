@@ -359,6 +359,8 @@ class TestCatalogPlanLint:
         "llm_ann_recall",   # both probe stages (ADC + brute force) are the bounded-query contract
         "llm_refine_sweep", # ADC + brute-force stages (bounded-query contract) x budget literals
         "llm_mixture_plan", # one-row feasibility minimum joined back to the |targets|-row plan
+        "llm_temperature_mix",  # one-row norm/leftover scalars joined to the |strata|-row quota relation
+        "llm_distinctive_terms",  # one-row corpus-total scalar joined to the vocab relation
         "llm_corpus_overlap",  # bounded |groups|-row size relation x itself (pair frame)
         "llm_vocab_drift",  # one-row totals scalar joined to the term relation and the PSI row
         "llm_zipf_fit",     # one-row totals agg x one-row OLS-sums agg (both single-row)
@@ -398,6 +400,8 @@ class TestCatalogPlanLint:
         "llm_zipf_fit",     # one-row totals/OLS aggs + the bounded 256-row head rank window
         "llm_neardup_sweep",  # global corpus-count agg (one row, broadcast back)
         "llm_mixture_plan",   # global feasibility-minimum agg (one row, broadcast back)
+        "llm_temperature_mix",  # one-row norm/leftover aggs + the bounded |strata|-row remainder-rank window
+        "llm_distinctive_terms",  # one-row corpus-total agg (broadcast back)
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
         "llm_mix_report",   # global corpus-totals rollup (one row)
         "llm_pagerank_redistribute",  # global dangling-mass agg per sweep (one row)
