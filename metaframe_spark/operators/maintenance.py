@@ -1855,3 +1855,89 @@ def kmv_overlap_estimates(
         F.col("n_common"),
         F.col("_n").alias("sample_size"),
     )
+
+
+def stratified_ks(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic of every stratum
+    against the rest of the corpus — the unbinned, resolution-free
+    sibling of :func:`histogram_drift`'s binned KS: is source X's length
+    (score, token-count, …) distribution actually different, and where?
+    Since both empirical CDFs are step functions that jump only at
+    observed values, evaluating |F_s − F_rest| on the grid of ALL
+    observed values is the exact supremum, not an approximation.
+
+    Returns one row per stratum: (stratum, n_stratum, n_rest, ks_stat,
+    ks_at_value) — ``ks_at_value`` is the (lowest, on ties) value where
+    the supremum is attained, which is what makes the card actionable
+    ("the divergence lives at short documents"). A stratum that IS the
+    whole corpus has no rest to compare against: NULL statistic.
+
+    Determinism: the per-grid-point difference is per-row double
+    arithmetic from four integers, rounded to 6 BEFORE the max — so no
+    engine's last-ulp division noise can flip the argmax; the argmax
+    tie-break rides a max(struct(diff, −value)).
+
+    Scale shape: one (stratum, value) rollup with map-side combine
+    (everything downstream is value-distinct-sized, documents never
+    survive the first shuffle); the evaluation grid is the bounded
+    |strata| relation broadcast across the distinct values; BOTH
+    cumulative sums and the final per-stratum max share a single
+    stratum-keyed exchange. State is O(|strata| · |distinct values|),
+    independent of corpus row count.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(stratum_col), F.col(value_col).alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    s = vals.groupBy(stratum_col, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dv = s.groupBy("_v").agg(F.sum("_c").cast("long").alias("_cv"))
+    st = s.groupBy(stratum_col).agg(F.sum("_c").cast("long").alias("_ns"))
+    nt = s.agg(F.sum("_c").cast("long").alias("_n"))
+    grid = (
+        dv.crossJoin(F.broadcast(st))
+        .join(s, [stratum_col, "_v"], "left")
+        .withColumn("_cs", F.coalesce(F.col("_c"), F.lit(0)).cast("long"))
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = F.sum("_cs").over(w)
+    cumc = F.sum("_cv").over(w)
+    diff = F.round(
+        F.abs(
+            cums.cast("double") / F.col("_ns").cast("double")
+            - (cumc - cums).cast("double") / (F.col("_n") - F.col("_ns")).cast("double")
+        ),
+        6,
+    )
+    top = F.max(F.struct(F.col("_d").alias("d"), (-F.col("_v")).alias("mv")))
+    return (
+        grid.crossJoin(F.broadcast(nt))
+        .withColumn(
+            "_d", F.when(F.col("_n") > F.col("_ns"), diff)
+        )
+        .groupBy(stratum_col)
+        .agg(
+            F.max("_ns").alias("n_stratum"),
+            (F.max("_n") - F.max("_ns")).cast("long").alias("n_rest"),
+            top.alias("_t"),
+        )
+        .select(
+            stratum_col,
+            "n_stratum",
+            "n_rest",
+            F.col("_t.d").alias("ks_stat"),
+            F.when(F.col("_t.d").isNotNull(), -F.col("_t.mv"))
+            .cast("long")
+            .alias("ks_at_value"),
+        )
+    )

@@ -8099,6 +8099,55 @@ _expand_stopword_macros()
 
 
 
+@query(
+    "llm_length_ks",
+    "WITH s AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c "
+    "  FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars), "
+    "dv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM s GROUP BY v), "
+    "st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns "
+    "  FROM s GROUP BY source), "
+    "nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM s), "
+    "g AS (SELECT st.source, st.ns, dv.v, dv.cv, "
+    "  CAST(coalesce(x.c, 0) AS BIGINT) AS cs "
+    "  FROM st CROSS JOIN dv "
+    "  LEFT JOIN s x ON x.source = st.source AND x.v = dv.v), "
+    "cum AS (SELECT source, ns, v, "
+    "  SUM(cs) OVER (PARTITION BY source ORDER BY v "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums, "
+    "  SUM(cv) OVER (PARTITION BY source ORDER BY v "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc "
+    "  FROM g), "
+    "d AS (SELECT source, ns, v, CASE WHEN n > ns THEN "
+    "  round(abs(CAST(cums AS DOUBLE) / CAST(ns AS DOUBLE) "
+    "    - CAST(cumc - cums AS DOUBLE) / CAST(n - ns AS DOUBLE)), 6) "
+    "  END AS dd FROM cum, nt), "
+    "m AS (SELECT source, max(ns) AS ns, "
+    "  max(struct_pack(d := dd, mv := -v)) AS t FROM d GROUP BY source) "
+    "SELECT m.source, m.ns AS n_stratum, "
+    "CAST(nt.n - m.ns AS BIGINT) AS n_rest, m.t.d AS ks_stat, "
+    "CAST(CASE WHEN m.t.d IS NOT NULL THEN -(m.t.mv) END AS BIGINT) "
+    "  AS ks_at_value "
+    "FROM m, nt",
+)
+def llm_length_ks(spark, sf):
+    """Per-source length-distribution divergence (operators/
+    maintenance.py::stratified_ks): the EXACT two-sample KS statistic of
+    every source's n_chars distribution against the rest of the corpus,
+    plus the value where the supremum is attained — the unbinned
+    companion to the sketch-store's binned KS (q92 family), run when
+    the question is "is this source's length profile actually
+    different, and where". Documents never survive the first rollup;
+    the grid is |sources| x |distinct lengths|. The oracle replays the
+    full ECDF grid with one-task windows; the hash match pins the
+    pre-max rounding (no last-ulp argmax flips), the argmax tie-break,
+    and the exact supremum cross-engine."""
+    from .operators import stratified_ks
+
+    d = load_table(spark, sf, "documents")
+    return stratified_ks(d.to_spark(), "n_chars", "source")
+
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -8549,9 +8598,10 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the ONE remaining r10-stale key
-# (q94_bottomk_sample — the TWENTY-ONE r14 additions + 29 r10 re-checks
-# fill all 50 slots this round, so it overflowed) + the FIFTY
+# round-15 additions + the TWO remaining r10-stale keys
+# (q93_expectations, q94_bottomk_sample — the TWENTY-TWO r14 additions
+# + 28 r10 re-checks fill all 50 slots this round, so they overflowed)
+# + the FIFTY
 # r11-blessed keys (the whole r11 wave, still last-driver-checked r11:
 # llm_winnow, llm_rep_signals,
 # llm_ivf_append, llm_semantic_against,
@@ -8582,6 +8632,7 @@ _ROTATE_FIRST: list = [
     "llm_temperature_mix",
     "llm_source_quality",
     "llm_distinctive_terms",
+    "llm_length_ks",
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
@@ -8624,10 +8675,10 @@ _ROTATE_FIRST: list = [
     "q90_sketch_compact",
     "q91_heavy_hitters_pruned",
     "q92_drift_psi",
+    # tail: slot 50 ends at q92_drift_psi (22 r14 additions +
+    # 28 r10) — everything below overflows to round 15, including the
+    # two remaining r10-stale keys q93_expectations, q94_bottomk_sample
     "q93_expectations",
-    # tail: slot 50 ends at q93_expectations (21 r14 additions +
-    # 29 r10) — everything below overflows to round 15, including the
-    # one remaining r10-stale key q94_bottomk_sample
     "q94_bottomk_sample",
     # next-oldest blessed block: the r11 wave (last driver-checked r11) —
     # llm_* first (the heavier multi-stage operators where a re-check

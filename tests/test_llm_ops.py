@@ -8067,3 +8067,84 @@ class TestDistinctiveTerms:
             distinctive_terms(d, top_k=0)
         with pytest.raises(ValueError, match="alpha0"):
             distinctive_terms(d, alpha0=0)
+
+
+class TestStratifiedKs:
+    """operators/maintenance.py::stratified_ks — exact two-sample KS of
+    each stratum vs the rest."""
+
+    def _df(self, spark, data):
+        rows = [(s, v) for s, vals in data.items() for v in vals]
+        return spark.createDataFrame(rows, "source string, v long")
+
+    def test_disjoint_supports_hit_one(self, spark):
+        from metaframe_spark.operators import stratified_ks
+
+        out = {
+            r.source: r
+            for r in stratified_ks(
+                self._df(spark, {"A": [1, 2], "B": [3, 4]}), "v", "source"
+            ).collect()
+        }
+        assert out["A"].ks_stat == 1.0 and out["A"].ks_at_value == 2
+        assert out["B"].ks_stat == 1.0 and out["B"].ks_at_value == 2
+        assert out["A"].n_stratum == 2 and out["A"].n_rest == 2
+
+    def test_identical_distributions_score_zero(self, spark):
+        from metaframe_spark.operators import stratified_ks
+
+        out = {
+            r.source: r
+            for r in stratified_ks(
+                self._df(spark, {"A": [1, 2], "B": [1, 2]}), "v", "source"
+            ).collect()
+        }
+        assert out["A"].ks_stat == 0.0
+        # ties resolve to the lowest grid value
+        assert out["A"].ks_at_value == 1
+
+    def test_matches_python_replay(self, spark):
+        from metaframe_spark.operators import stratified_ks
+
+        data = {
+            "A": [3, 3, 5, 9, 9, 9, 12],
+            "B": [1, 5, 5, 5, 8],
+            "C": [2, 2, 2, 14],
+        }
+        got = {
+            r.source: r
+            for r in stratified_ks(self._df(spark, data), "v", "source").collect()
+        }
+        allv = sorted({v for vals in data.values() for v in vals})
+        n = sum(len(v) for v in data.values())
+        for s, vals in data.items():
+            ns = len(vals)
+            rest = [v for t, vv in data.items() if t != s for v in vv]
+            best = None
+            for x in allv:
+                fs = sum(1 for v in vals if v <= x) / ns
+                fr = sum(1 for v in rest if v <= x) / (n - ns)
+                d = round(abs(fs - fr), 6)
+                if best is None or d > best[0]:
+                    best = (d, x)
+            assert got[s].ks_stat == best[0]
+            assert got[s].ks_at_value == best[1]
+            assert got[s].n_stratum == ns and got[s].n_rest == n - ns
+
+    def test_single_stratum_has_no_rest(self, spark):
+        from metaframe_spark.operators import stratified_ks
+
+        [r] = stratified_ks(
+            self._df(spark, {"A": [1, 2, 3]}), "v", "source"
+        ).collect()
+        assert r.ks_stat is None and r.ks_at_value is None
+        assert r.n_stratum == 3 and r.n_rest == 0
+
+    def test_null_values_excluded(self, spark):
+        from metaframe_spark.operators import stratified_ks
+
+        df = spark.createDataFrame(
+            [("A", 1), ("A", None), ("B", 2)], "source string, v long"
+        )
+        out = {r.source: r for r in stratified_ks(df, "v", "source").collect()}
+        assert out["A"].n_stratum == 1

@@ -361,6 +361,7 @@ class TestCatalogPlanLint:
         "llm_mixture_plan", # one-row feasibility minimum joined back to the |targets|-row plan
         "llm_temperature_mix",  # one-row norm/leftover scalars joined to the |strata|-row quota relation
         "llm_distinctive_terms",  # one-row corpus-total scalar joined to the vocab relation
+        "llm_length_ks",    # bounded |strata| relation x distinct values (the ECDF grid); one-row total
         "llm_corpus_overlap",  # bounded |groups|-row size relation x itself (pair frame)
         "llm_vocab_drift",  # one-row totals scalar joined to the term relation and the PSI row
         "llm_zipf_fit",     # one-row totals agg x one-row OLS-sums agg (both single-row)
@@ -402,6 +403,7 @@ class TestCatalogPlanLint:
         "llm_mixture_plan",   # global feasibility-minimum agg (one row, broadcast back)
         "llm_temperature_mix",  # one-row norm/leftover aggs + the bounded |strata|-row remainder-rank window
         "llm_distinctive_terms",  # one-row corpus-total agg (broadcast back)
+        "llm_length_ks",    # one-row corpus-total agg (broadcast back)
         "llm_dsir_weights", # global gram-total aggs (one row each, broadcast)
         "llm_mix_report",   # global corpus-totals rollup (one row)
         "llm_pagerank_redistribute",  # global dangling-mass agg per sweep (one row)
