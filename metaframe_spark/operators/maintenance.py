@@ -1872,9 +1872,13 @@ def stratified_ks(
 
     Returns one row per stratum: (stratum, n_stratum, n_rest, ks_stat,
     ks_at_value) — ``ks_at_value`` is the (lowest, on ties) value where
-    the supremum is attained, which is what makes the card actionable
-    ("the divergence lives at short documents"). A stratum that IS the
-    whole corpus has no rest to compare against: NULL statistic.
+    the supremum is attained, in the value column's own numeric type,
+    which is what makes the card actionable ("the divergence lives at
+    short documents"). A stratum that IS the whole corpus has no rest to
+    compare against: NULL statistic. Rows with a NULL value OR a NULL
+    stratum are excluded up front (a NULL stratum is unassigned
+    provenance, not a comparable population — and the grid's equi-join
+    could never see its own counts).
 
     Determinism: the per-grid-point difference is per-row double
     arithmetic from four integers, rounded to 6 BEFORE the max — so no
@@ -1893,7 +1897,7 @@ def stratified_ks(
 
     vals = df.select(
         F.col(stratum_col), F.col(value_col).alias("_v")
-    ).filter(F.col(value_col).isNotNull())
+    ).filter(F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull())
     s = vals.groupBy(stratum_col, "_v").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
@@ -1936,8 +1940,10 @@ def stratified_ks(
             "n_stratum",
             "n_rest",
             F.col("_t.d").alias("ks_stat"),
-            F.when(F.col("_t.d").isNotNull(), -F.col("_t.mv"))
-            .cast("long")
-            .alias("ks_at_value"),
+            # keep the value column's own type: a cast to long would
+            # truncate fractional value columns (scores, ratios)
+            F.when(F.col("_t.d").isNotNull(), -F.col("_t.mv")).alias(
+                "ks_at_value"
+            ),
         )
     )

@@ -2524,6 +2524,8 @@ def reciprocal_rank_fusion(
         raise ValueError("reciprocal_rank_fusion: rankings must be non-empty")
     if k0 < 1:
         raise ValueError("reciprocal_rank_fusion: k0 must be >= 1")
+    if top_k < 1:
+        raise ValueError("reciprocal_rank_fusion: top_k must be >= 1")
     parts = [
         r.select(
             F.col(id_col),

@@ -1763,14 +1763,17 @@ def secrets_scan(
     ``kv_secret``'s value is consumed before the bare ``hex_blob`` rule
     sees it).
 
-    Scale shape: per-row codegen ``regexp_extract_all`` counts + chained
-    ``regexp_replace`` — no shuffle, no Python; runs at parquet-scan
-    speed and composes with any downstream filter/rollup.
+    Scale shape: per-row codegen ``regexp_count`` counts + chained
+    ``regexp_replace`` — no shuffle, no Python, no match-array
+    materialization; runs at parquet-scan speed and composes with any
+    downstream filter/rollup.
     """
     out = df
     total = F.lit(0).cast("long")
     for name, pat in SECRET_PATTERNS:
-        c = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        # regexp_count: same non-overlapping match count as
+        # size(regexp_extract_all) without materializing the match array
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
         out = out.withColumn(f"n_{name}", c.cast("long"))
         total = total + F.col(f"n_{name}")
     masked = F.col(text_col)
@@ -1783,10 +1786,11 @@ def secrets_scan(
     )
 
 
-#: Mojibake digraphs: the characteristic two-char sequences produced by
-#: decoding UTF-8 bytes as Latin-1/CP1252 (e.g. ``é`` → ``Ã©``, ``'`` →
-#: ``â€™``). A fixed literal alternation — portable across Java regex and
-#: RE2, and cheap: one scan, no classes.
+#: Mojibake sequences: the characteristic 2-3 char artifacts produced by
+#: decoding UTF-8 bytes as Latin-1/CP1252 (``é`` → ``Ã©``, 2 chars; ``'``
+#: → ``â€™``, 3 chars — the â€-family decodes three UTF-8 bytes). A fixed
+#: literal alternation — portable across Java regex and RE2, and cheap:
+#: one scan, no classes.
 MOJIBAKE_SEQS: List[str] = [
     "Ã©", "Ã¨", "Ã¼", "Ã¶", "Ã¤", "Ã±", "Ã§",
     "â€™", "â€œ", "â€“", "â€”", "Â«", "Â»", "Â°",
@@ -1809,11 +1813,14 @@ def encoding_quality(
     scoring, because token statistics over mojibake are garbage.
 
     Returns the input id plus ``n_replacement`` / ``n_control`` /
-    ``n_mojibake``, ``n_chars``, ``bad_char_ratio`` (artifact chars over
-    text length, rounded 6) and ``encoding_ok`` (ratio ≤
+    ``n_mojibake`` (match counts), ``n_chars``, ``bad_char_ratio``
+    (artifact CHARS over text length, rounded 6 — each mojibake match
+    contributes its full character length, which the 3-char ``â€``
+    family makes differ from 2·count) and ``encoding_ok`` (ratio ≤
     ``max_bad_ratio``).
 
-    Scale shape: three per-row codegen ``regexp_extract_all`` counts —
+    Scale shape: per-row codegen regex counts plus one
+    ``regexp_replace`` length difference for the matched-char mass —
     no shuffle, no Python, parquet-scan speed.
     """
     ctl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
@@ -1821,9 +1828,14 @@ def encoding_quality(
     t = F.col(text_col)
 
     def _n(pat: str) -> Column:
-        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        return F.regexp_count(t, F.lit(pat)).cast("long")
 
-    bad = F.col("n_replacement") + F.col("n_control") + 2 * F.col("n_mojibake")
+    # matched-char mass, not match count: the â€-family artifacts are 3
+    # chars, so counting 2 per match undercounts damaged text by a third
+    moji_chars = (F.length(t) - F.length(F.regexp_replace(t, moji, ""))).cast(
+        "long"
+    )
+    bad = F.col("n_replacement") + F.col("n_control") + moji_chars
     return (
         df.withColumn("n_replacement", _n("�"))
         .withColumn("n_control", _n(ctl))

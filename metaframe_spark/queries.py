@@ -7766,12 +7766,12 @@ def _moji_corpus(d):
     "round(CAST(len(regexp_extract_all(text, '�')) "
     " + len(regexp_extract_all(text, "
     "  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) "
-    " + 2 * len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°')) AS DOUBLE) / "
+    " + (length(text) - length(regexp_replace(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°', '', 'g'))) AS DOUBLE) / "
     " CAST(greatest(length(text), 1) AS DOUBLE), 6) AS bad_char_ratio, "
     "(round(CAST(len(regexp_extract_all(text, '�')) "
     " + len(regexp_extract_all(text, "
     "  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) "
-    " + 2 * len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°')) AS DOUBLE) / "
+    " + (length(text) - length(regexp_replace(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|â€™|â€œ|â€“|â€”|Â«|Â»|Â°', '', 'g'))) AS DOUBLE) / "
     " CAST(greatest(length(text), 1) AS DOUBLE), 6) <= 0.001) "
     "  AS encoding_ok "
     "FROM base",

@@ -7619,11 +7619,29 @@ class TestEncodingQuality:
     def test_ratio_arithmetic(self, spark):
         from metaframe_spark.operators.text import encoding_quality
 
-        # 10 chars, one replacement char: ratio 0.1 (mojibake digraphs
-        # weigh 2 chars -- covered by the three-digraph doc above)
+        # 10 chars, one replacement char: ratio 0.1
         [r] = encoding_quality(self._df(spark, ["123456789\ufffd"])).collect()
         assert r.n_chars == 10
         assert r.bad_char_ratio == 0.1
+
+    def test_mojibake_matches_weigh_their_full_length(self, spark):
+        from metaframe_spark.operators.text import encoding_quality
+
+        # a document that is PURE 3-char smart-quote mojibake must score
+        # ratio 1.0 \u2014 the matched-char mass, not 2x the match count
+        rows = {
+            r.doc_id: r
+            for r in encoding_quality(
+                self._df(
+                    spark,
+                    ["\u00e2\u20ac\u2122" * 4,        # 12 chars, 4 matches
+                     "\u00c3\u00a9" * 5],             # 10 chars, 5 matches
+                )
+            ).collect()
+        }
+        assert rows[0].n_mojibake == 4 and rows[0].n_chars == 12
+        assert rows[0].bad_char_ratio == 1.0
+        assert rows[1].n_mojibake == 5 and rows[1].bad_char_ratio == 1.0
 
     def test_empty_text_guard(self, spark):
         from metaframe_spark.operators.text import encoding_quality
@@ -7767,6 +7785,8 @@ class TestReciprocalRankFusion:
             reciprocal_rank_fusion([])
         with pytest.raises(ValueError, match="k0"):
             reciprocal_rank_fusion([self._list(spark, [(1, 1)])], k0=0)
+        with pytest.raises(ValueError, match="top_k"):
+            reciprocal_rank_fusion([self._list(spark, [(1, 1)])], top_k=0)
 
 
 class TestHashedTokenIds:
@@ -8040,7 +8060,9 @@ class TestDistinctiveTerms:
         assert min(got[k].rank for k in got if k[0] == "A") == 1
         assert got[("A", "x")].rank == 1
         assert got[("A", "x")].zscore > 0
-        assert got[("B", "x")] if ("B", "x") in got else True
+        # the card is restricted to terms a stratum actually contains:
+        # B has no x, so no (B, x) row exists
+        assert ("B", "x") not in got
 
     def test_only_present_terms_and_topk(self, spark):
         from metaframe_spark.operators import distinctive_terms
@@ -8140,11 +8162,28 @@ class TestStratifiedKs:
         assert r.ks_stat is None and r.ks_at_value is None
         assert r.n_stratum == 3 and r.n_rest == 0
 
-    def test_null_values_excluded(self, spark):
+    def test_null_values_and_null_strata_excluded(self, spark):
         from metaframe_spark.operators import stratified_ks
 
         df = spark.createDataFrame(
-            [("A", 1), ("A", None), ("B", 2)], "source string, v long"
+            [("A", 1), ("A", None), (None, 5), (None, 5), ("B", 2)],
+            "source string, v long",
         )
         out = {r.source: r for r in stratified_ks(df, "v", "source").collect()}
         assert out["A"].n_stratum == 1
+        # NULL strata are unassigned provenance, not a population — no
+        # row, and the A/B statistics ignore those values entirely
+        assert set(out) == {"A", "B"}
+        assert out["A"].n_rest == 1
+
+    def test_fractional_value_column_keeps_type(self, spark):
+        from metaframe_spark.operators import stratified_ks
+
+        df = spark.createDataFrame(
+            [("A", 0.25), ("A", 0.25), ("B", 0.75)], "source string, v double"
+        )
+        out = {r.source: r for r in stratified_ks(df, "v", "source").collect()}
+        # the attaining value comes back un-truncated, in the value type
+        assert out["A"].ks_at_value == 0.25
+        assert out["B"].ks_at_value == 0.25
+        assert out["A"].ks_stat == 1.0
