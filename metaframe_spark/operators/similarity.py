@@ -2550,3 +2550,122 @@ def reciprocal_rank_fusion(
         fused.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= int(top_k))
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Element-wise mean-pool an embedding column per group — the
+    chunk→document (or document→class-centroid) aggregation every
+    embedding pipeline needs between chunk-level encoding and
+    document-level retrieval/dedup: the standard mean-of-vectors
+    representation (cf. sentence-embedding mean pooling), optionally
+    L2-normalized so downstream cosine is a plain dot product.
+
+    Returns (group, n_vectors, centroid): ``centroid`` is
+    ``array<double>`` with per-dimension means rounded to 6 (and, when
+    ``normalize``, re-rounded after the norm division; an all-zero mean
+    pools to a NULL-element centroid rather than a 0/0 NaN).
+
+    Determinism: per-dimension sums run in DECIMAL(18,6) (partial-agg
+    order cannot move a mean); the norm is an ascending-index fold over
+    the already-rounded means, so both engines square and add the same
+    64 doubles in the same order.
+
+    Scale shape: one posexplode → (group, dim) rollup with map-side
+    combine — the shuffle carries |groups|·dim 16-byte rows, never the
+    vectors; the dim re-assembly groupBy shares the same key prefix.
+    The norm fold runs on the bounded |groups|-row pooled relation
+    (Catalyst may inline the fold per element there — that is
+    |groups|·dim² trivial flops on an already-reduced relation, not a
+    corpus-scan cost).
+    """
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("_i", "_x")
+    )
+    dims = ex.groupBy(group_col, "_i").agg(
+        F.sum(F.col("_x").cast("double").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_c"),
+    )
+    mean = F.round(F.col("_s") / F.col("_c"), 6)
+    pooled = (
+        dims.groupBy(group_col)
+        .agg(
+            F.max("_c").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), mean.alias("_m")))
+            ).alias("_p"),
+        )
+        .select(
+            group_col,
+            "n_vectors",
+            F.expr("transform(_p, s -> s._m)").alias("centroid"),
+        )
+    )
+    if normalize:
+        norm = F.expr(
+            "sqrt(aggregate(transform(centroid, x -> x * x), 0D, (a, v) -> a + v))"
+        )
+        pooled = (
+            pooled.withColumn("_n", norm)
+            .withColumn(
+                "centroid",
+                F.expr("transform(centroid, x -> round(x / nullif(_n, 0D), 6))"),
+            )
+            .drop("_n")
+        )
+    return pooled
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding-distribution drift per group between two corpus
+    snapshots: pool each side's vectors to a normalized per-group
+    centroid (:func:`pool_embeddings`) and report the cosine between
+    the two centroids — the embedding-side sibling of the unigram-PSI
+    :func:`~metaframe_spark.operators.text.vocabulary_drift` card (did
+    the MEANING of a class/source move, not just its vocabulary —
+    e.g. an encoder version change, a topic shift inside a label, a
+    crawl that changed register). Groups present on only one side are
+    dropped (drift is defined over the intersection — count one-sided
+    groups as born/dead in inventory terms, the histogram_drift
+    convention).
+
+    Returns (group, n_a, n_b, centroid_cos, drifted) — ``drifted``
+    flags ``centroid_cos < min_cosine``.
+
+    Scale shape: two pooled relations (each one vector-explode rollup,
+    see pool_embeddings), then a |groups|-bounded equi-join and a
+    row-local dot product over normalized centroids.
+    """
+    a = pool_embeddings(df_a, group_col, vec_col, normalize=True).select(
+        F.col(group_col),
+        F.col("n_vectors").alias("n_a"),
+        F.col("centroid").alias("_ca"),
+    )
+    b = pool_embeddings(df_b, group_col, vec_col, normalize=True).select(
+        F.col(group_col),
+        F.col("n_vectors").alias("n_b"),
+        F.col("centroid").alias("_cb"),
+    )
+    # clamp: the 6-rounded normalized elements can push a self-dot to
+    # 1.000001 — a rounding artifact, not a geometry claim
+    cos = F.greatest(
+        F.least(F.round(cosine_expr("_ca", "_cb"), 6), F.lit(1.0)), F.lit(-1.0)
+    )
+    return (
+        a.join(b, group_col)
+        .withColumn("centroid_cos", cos)
+        .withColumn("drifted", F.col("centroid_cos") < F.lit(float(min_cosine)))
+        .drop("_ca", "_cb")
+    )

@@ -8148,6 +8148,83 @@ def llm_length_ks(spark, sf):
 
 
 
+#: shared DuckDB replay of pool_embeddings (normalized mean-pool per
+#: group over a filtered embeddings relation) — used by llm_embed_pool
+#: and both halves of llm_centroid_drift.
+def _pool_sql(where: str, out_n: str, out_c: str) -> str:
+    return (
+        "(WITH ex AS (SELECT label AS g, "
+        "  generate_subscripts(embedding, 1) AS i, "
+        "  unnest(embedding)::DOUBLE AS x FROM embeddings" + where + "), "
+        "d AS (SELECT g, i, "
+        "  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s, "
+        "  CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY g, i), "
+        "p AS (SELECT g, max(c) AS nv, "
+        "  list(round(s / c, 6) ORDER BY i) AS cen FROM d GROUP BY g), "
+        "n AS (SELECT g, nv, cen, "
+        "  sqrt(list_reduce(list_transform(cen, x -> x * x), "
+        "    (a, b) -> a + b)) AS nm FROM p) "
+        f"SELECT g AS label, nv AS {out_n}, "
+        "list_transform(cen, x -> round(x / nullif(nm, 0.0), 6)) "
+        f"  AS {out_c} FROM n)"
+    )
+
+
+@query(
+    "llm_embed_pool",
+    _pool_sql("", "n_vectors", "centroid"),
+)
+def llm_embed_pool(spark, sf):
+    """Normalized mean-pooling of the embedding corpus per label
+    (operators/similarity.py::pool_embeddings) — the chunk-to-document
+    / class-centroid aggregation step: per-dimension DECIMAL-summed
+    means rounded to 6, re-rounded after the L2 division. One
+    posexplode rollup (the shuffle carries (group, dim) 16-byte rows,
+    never vectors). The oracle replays the per-dimension sums, the
+    ascending-index norm fold, and both roundings — the 64-element
+    centroid arrays hash-matched element for element."""
+    from .operators import pool_embeddings
+
+    e = load_table(spark, sf, "embeddings")
+    return pool_embeddings(e.to_spark(), "label").select(
+        "label", "n_vectors", "centroid"
+    )
+
+
+@query(
+    "llm_centroid_drift",
+    "WITH a AS (SELECT * FROM "
+    + _pool_sql(" WHERE vec_id % 2 = 0", "n_a", "ca")
+    + "), b AS (SELECT * FROM "
+    + _pool_sql(" WHERE vec_id % 2 = 1", "n_b", "cb")
+    + ") "
+    "SELECT a.label, a.n_a, b.n_b, "
+    "greatest(least(round(list_inner_product(a.ca, b.cb), 6), 1.0), -1.0) AS centroid_cos, "
+    "(greatest(least(round(list_inner_product(a.ca, b.cb), 6), 1.0), -1.0) < 0.99) AS drifted "
+    "FROM a JOIN b ON a.label = b.label",
+)
+def llm_centroid_drift(spark, sf):
+    """Embedding-distribution drift per label between the even/odd
+    vec_id halves (operators/similarity.py::centroid_drift — the
+    embedding-side sibling of the unigram-PSI vocabulary_drift card):
+    each half mean-pooled to a normalized centroid, cosine between the
+    halves reported with the drifted flag at 0.99. On this synthetic
+    corpus the labels carry no geometric structure, so the halves'
+    centroids are noise residuals and the cosine sits near zero — the
+    card honestly reporting "no stable class centroid", which is
+    itself the cross-engine pin (the oracle replays both poolings and
+    the dot product exactly)."""
+    from .operators import centroid_drift
+
+    e = load_table(spark, sf, "embeddings").to_spark()
+    return centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        "label",
+    )
+
+
+
 # -- driver-window registration rotation (round 7) ----------------------------
 #
 # The driver's per-round CORRECTNESS check covers exactly the FIRST 50 keys
@@ -8598,9 +8675,10 @@ _DRIVER_BLESSED = (
 # ROUND-15 NOTE (execute at the start of round 15): fold every key with a
 # green row in CORRECTNESS_r14.json into a `_R14_DRIVER_BLESSED`
 # frozenset (union into `_DRIVER_BLESSED`), reset `_ROTATE_FIRST` to
-# round-15 additions + the TWO remaining r10-stale keys
-# (q93_expectations, q94_bottomk_sample — the TWENTY-TWO r14 additions
-# + 28 r10 re-checks fill all 50 slots this round, so they overflowed)
+# round-15 additions + the FOUR remaining r10-stale keys
+# (q91_heavy_hitters_pruned, q92_drift_psi, q93_expectations,
+# q94_bottomk_sample — the TWENTY-FOUR r14 additions + 26 r10
+# re-checks fill all 50 slots this round, so they overflowed)
 # + the FIFTY
 # r11-blessed keys (the whole r11 wave, still last-driver-checked r11:
 # llm_winnow, llm_rep_signals,
@@ -8633,6 +8711,8 @@ _ROTATE_FIRST: list = [
     "llm_source_quality",
     "llm_distinctive_terms",
     "llm_length_ks",
+    "llm_embed_pool",
+    "llm_centroid_drift",
     "llm_corpus_overlap",
     "llm_curriculum",
     "llm_dynamic_batches",
@@ -8673,11 +8753,12 @@ _ROTATE_FIRST: list = [
     "q61_profile_extended",
     "q89_heavy_hitters",
     "q90_sketch_compact",
+    # tail: slot 50 ends at q90_sketch_compact (24 r14 additions +
+    # 26 r10) — everything below overflows to round 15, including the
+    # four remaining r10-stale keys q91_heavy_hitters_pruned,
+    # q92_drift_psi, q93_expectations, q94_bottomk_sample
     "q91_heavy_hitters_pruned",
     "q92_drift_psi",
-    # tail: slot 50 ends at q92_drift_psi (22 r14 additions +
-    # 28 r10) — everything below overflows to round 15, including the
-    # two remaining r10-stale keys q93_expectations, q94_bottomk_sample
     "q93_expectations",
     "q94_bottomk_sample",
     # next-oldest blessed block: the r11 wave (last driver-checked r11) —

@@ -8187,3 +8187,99 @@ class TestStratifiedKs:
         assert out["A"].ks_at_value == 0.25
         assert out["B"].ks_at_value == 0.25
         assert out["A"].ks_stat == 1.0
+
+
+class TestPoolEmbeddings:
+    """operators/similarity.py::pool_embeddings — per-group element-wise
+    mean with optional L2 normalization."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, embedding array<double>"
+        )
+
+    def test_known_mean_and_norm(self, spark):
+        from metaframe_spark.operators import pool_embeddings
+
+        d = self._df(spark, [("A", [1.0, 0.0]), ("A", [0.0, 1.0])])
+        [r] = pool_embeddings(d, "g").collect()
+        assert r.n_vectors == 2
+        assert r.centroid == [0.707107, 0.707107]
+
+    def test_unnormalized_means(self, spark):
+        from metaframe_spark.operators import pool_embeddings
+
+        d = self._df(spark, [("A", [1.0, 3.0]), ("A", [2.0, 5.0])])
+        [r] = pool_embeddings(d, "g", normalize=False).collect()
+        assert r.centroid == [1.5, 4.0]
+
+    def test_zero_mean_pools_to_null_elements(self, spark):
+        from metaframe_spark.operators import pool_embeddings
+
+        d = self._df(spark, [("A", [1.0, 0.0]), ("A", [-1.0, 0.0])])
+        [r] = pool_embeddings(d, "g").collect()
+        # norm 0: NULL elements, never a 0/0 NaN
+        assert r.centroid == [None, None]
+
+    def test_matches_python_replay(self, spark):
+        import decimal
+        import math
+
+        from metaframe_spark.operators import pool_embeddings
+
+        vecs = [[0.1, -0.2, 0.31], [0.25, 0.4, -0.11], [-0.3, 0.07, 0.5]]
+        d = self._df(spark, [("A", v) for v in vecs])
+        [r] = pool_embeddings(d, "g").collect()
+        q = decimal.Decimal("0.000001")
+
+        def r6(v):
+            return float(
+                decimal.Decimal(repr(v)).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+
+        means = [
+            r6(
+                float(sum(decimal.Decimal(repr(r6(v[i]))) for v in vecs))
+                / len(vecs)
+            )
+            for i in range(3)
+        ]
+        nm = math.sqrt(sum(m * m for m in means))
+        exp = [r6(m / nm) for m in means]
+        assert r.centroid == exp
+
+
+class TestCentroidDrift:
+    """operators/similarity.py::centroid_drift — per-group centroid
+    cosine between two snapshots."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, embedding array<double>"
+        )
+
+    def test_identical_snapshots_no_drift(self, spark):
+        from metaframe_spark.operators import centroid_drift
+
+        a = self._df(spark, [("A", [1.0, 0.0]), ("A", [0.0, 1.0])])
+        [r] = centroid_drift(a, a, "g").collect()
+        assert r.centroid_cos == 1.0 and r.drifted is False
+        assert r.n_a == r.n_b == 2
+
+    def test_orthogonal_centroids_drift(self, spark):
+        from metaframe_spark.operators import centroid_drift
+
+        a = self._df(spark, [("A", [1.0, 0.0])])
+        b = self._df(spark, [("A", [0.0, 1.0])])
+        [r] = centroid_drift(a, b, "g").collect()
+        assert r.centroid_cos == 0.0 and r.drifted is True
+
+    def test_one_sided_groups_dropped(self, spark):
+        from metaframe_spark.operators import centroid_drift
+
+        a = self._df(spark, [("A", [1.0, 0.0]), ("B", [0.0, 1.0])])
+        b = self._df(spark, [("A", [1.0, 0.0])])
+        rows = centroid_drift(a, b, "g").collect()
+        assert [r.g for r in rows] == ["A"]
