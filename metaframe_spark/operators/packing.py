@@ -671,6 +671,8 @@ def temperature_mixture(
     first ``quota`` rows in md5(id) order; a stratum smaller than its
     (boosted) quota contributes all its rows — quotas are caps, which is
     exactly the regime temperature sampling creates for the long tail.
+    Rows with a NULL stratum are excluded up front (unassigned
+    provenance is not a samplable population).
 
     Returns (id, stratum, n_stratum, quota, draw_rank) rows of the
     realized sample.
@@ -696,6 +698,13 @@ def temperature_mixture(
         raise ValueError("temperature_mixture: total must be >= 0")
     if alpha < 0:
         raise ValueError("temperature_mixture: alpha must be >= 0")
+    # NULL strata are unassigned provenance, not a samplable population:
+    # a NULL group would win a quota in the rollup but then lose every
+    # row at the equi-join (NULL never equals NULL), silently
+    # undershooting `total` — and its leftover tie-break slot would
+    # resolve differently across engines (NULLS FIRST vs LAST). Excluded
+    # up front, the stratified_ks contract.
+    df = df.filter(F.col(stratum_col).isNotNull())
     counts = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_stratum")
     )

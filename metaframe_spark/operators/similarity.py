@@ -2438,6 +2438,17 @@ def mine_triplets(
 
     if n_neg < 1:
         raise ValueError("mine_triplets: n_neg must be >= 1")
+    # the positive's max(struct(cos, -id)) tie-break negates the corpus
+    # id: a non-numeric id would be implicitly cast to double and come
+    # back as silent NULL pos_ids — refuse loudly instead
+    id_type = dict(corpus.dtypes).get(corpus_id, "")
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if not (id_type in numeric or id_type.startswith("decimal")):
+        raise ValueError(
+            f"mine_triplets: corpus_id {corpus_id!r} must be numeric "
+            f"(got {id_type or 'missing column'}); map string ids to a "
+            "numeric surrogate (e.g. xxhash64) first"
+        )
     q = anchors.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
@@ -2659,9 +2670,14 @@ def centroid_drift(
         F.col("centroid").alias("_cb"),
     )
     # clamp: the 6-rounded normalized elements can push a self-dot to
-    # 1.000001 — a rounding artifact, not a geometry claim
-    cos = F.greatest(
-        F.least(F.round(cosine_expr("_ca", "_cb"), 6), F.lit(1.0)), F.lit(-1.0)
+    # 1.000001 — a rounding artifact, not a geometry claim. The clamp
+    # must NOT swallow NULL: least/greatest skip NULL operands, which
+    # would report a degenerate all-NULL centroid (zero-mean pool) as a
+    # perfectly stable 1.0 — an undefined direction stays NULL.
+    raw = F.round(cosine_expr("_ca", "_cb"), 6)
+    cos = F.when(
+        raw.isNotNull(),
+        F.greatest(F.least(raw, F.lit(1.0)), F.lit(-1.0)),
     )
     return (
         a.join(b, group_col)

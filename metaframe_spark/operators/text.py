@@ -1650,9 +1650,12 @@ def zipf_fit(
 
     Returns a single row: (n_tokens, vocab_size, top_v, zipf_slope,
     zipf_intercept, zipf_r2). ``top_v`` is the number of ranked points the
-    fit actually used (≤ ``top_k`` on tiny corpora); slope/intercept/r2
-    are NULL when fewer than 2 distinct frequencies survive (degenerate
-    variance — the guard divides by NULLIF(0)).
+    fit actually used (≤ ``top_k`` on tiny corpora). Degenerate contract
+    (NULLIF guards, never a 0/0 NaN): with fewer than 2 ranked points the
+    rank variance is 0, so slope/intercept/r2 are all NULL; with ≥2 points
+    of UNIFORM frequency only the frequency variance is 0, so the fit
+    honestly reports slope 0.0 (a flat head is a meaningful signal) with
+    r2 NULL.
 
     Determinism (oracle-checkable): per-point ``x = round(ln(rank), 6)``
     and ``y = round(ln(freq), 6)``; the five OLS sums run in

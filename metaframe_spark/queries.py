@@ -7946,16 +7946,17 @@ def llm_pack_tokens(spark, sf):
 
     d = load_table(spark, sf, "documents").to_spark()
     ids = d.select("doc_id", hashed_token_ids("text").alias("ids"))
-    return pack_token_arrays(ids, 512, "ids").select(
-        "seq_id", "n_docs", "n_tokens", "token_ids", "segment_ids"
-    )
+    # no trailing .select(): the operator already returns exactly these
+    # five columns, and a re-projection would strip the _mf_persisted
+    # release handle bench/verify use to unpersist the token relation
+    return pack_token_arrays(ids, 512, "ids")
 
 
 
 @query(
     "llm_temperature_mix",
     "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_stratum "
-    "  FROM documents GROUP BY source), "
+    "  FROM documents WHERE source IS NOT NULL GROUP BY source), "
     "w AS (SELECT source, n_stratum, "
     "  round(pow(CAST(n_stratum AS DOUBLE), 0.5), 6) AS w FROM c), "
     "nm AS (SELECT CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) "
@@ -7972,7 +7973,7 @@ def llm_pack_tokens(spark, sf):
     "    THEN 1 ELSE 0 END AS BIGINT) AS quota FROM b2, lv), "
     "d AS (SELECT doc_id, source, CAST(row_number() OVER "
     "  (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
-    "  AS BIGINT) AS draw_rank FROM documents) "
+    "  AS BIGINT) AS draw_rank FROM documents WHERE source IS NOT NULL) "
     "SELECT d.doc_id, d.source, q.n_stratum, q.quota, d.draw_rank "
     "FROM d JOIN q ON d.source = q.source WHERE d.draw_rank <= q.quota",
 )
@@ -8102,7 +8103,8 @@ _expand_stopword_macros()
 @query(
     "llm_length_ks",
     "WITH s AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c "
-    "  FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars), "
+    "  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL "
+    "  GROUP BY source, n_chars), "
     "dv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM s GROUP BY v), "
     "st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns "
     "  FROM s GROUP BY source), "
@@ -8199,8 +8201,12 @@ def llm_embed_pool(spark, sf):
     + _pool_sql(" WHERE vec_id % 2 = 1", "n_b", "cb")
     + ") "
     "SELECT a.label, a.n_a, b.n_b, "
-    "greatest(least(round(list_inner_product(a.ca, b.cb), 6), 1.0), -1.0) AS centroid_cos, "
-    "(greatest(least(round(list_inner_product(a.ca, b.cb), 6), 1.0), -1.0) < 0.99) AS drifted "
+    "CASE WHEN round(list_inner_product(a.ca, b.cb), 6) IS NOT NULL THEN "
+    "  greatest(least(round(list_inner_product(a.ca, b.cb), 6), 1.0), -1.0) "
+    "  END AS centroid_cos, "
+    "(CASE WHEN round(list_inner_product(a.ca, b.cb), 6) IS NOT NULL THEN "
+    "  greatest(least(round(list_inner_product(a.ca, b.cb), 6), 1.0), -1.0) "
+    "  END < 0.99) AS drifted "
     "FROM a JOIN b ON a.label = b.label",
 )
 def llm_centroid_drift(spark, sf):

@@ -8283,3 +8283,53 @@ class TestCentroidDrift:
         b = self._df(spark, [("A", [1.0, 0.0])])
         rows = centroid_drift(a, b, "g").collect()
         assert [r.g for r in rows] == ["A"]
+
+
+class TestPass4RegressionFixes:
+    """Regression pins for the second review pass over the continuation
+    operators (NULL-stratum quotas, NULL-centroid clamp, non-numeric
+    ids, the pack_tokens release handle)."""
+
+    def test_temperature_mixture_excludes_null_strata(self, spark):
+        from metaframe_spark.operators.packing import temperature_mixture
+
+        rows = [(i, "a") for i in range(10)] + [(100 + i, None) for i in range(10)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_mixture(d, 1.0, 6).collect()
+        # the NULL stratum wins no quota and loses no slots: the whole
+        # budget lands on the real stratum, never a silent undershoot
+        assert len(out) == 6
+        assert all(r.source == "a" and r.quota == 6 for r in out)
+
+    def test_centroid_drift_null_centroid_stays_null(self, spark):
+        from metaframe_spark.operators import centroid_drift
+
+        a = spark.createDataFrame(
+            [("A", [1.0, 0.0]), ("A", [-1.0, 0.0])],
+            "g string, embedding array<double>",
+        )
+        b = spark.createDataFrame(
+            [("A", [0.0, 1.0])], "g string, embedding array<double>"
+        )
+        [r] = centroid_drift(a, b, "g").collect()
+        # a zero-mean pool has no direction: NULL, never a clamped 1.0
+        assert r.centroid_cos is None and r.drifted is None
+
+    def test_mine_triplets_rejects_string_ids(self, spark):
+        from metaframe_spark.operators import mine_triplets
+
+        c = spark.createDataFrame(
+            [("x", [1.0, 0.0], 0), ("y", [0.0, 1.0], 0)],
+            "vec_id string, embedding array<double>, label int",
+        )
+        with pytest.raises(ValueError, match="numeric"):
+            mine_triplets(c, c.selectExpr("vec_id AS q_id", "embedding", "label"))
+
+    def test_pack_tokens_entry_carries_release_handle(self, spark):
+        from metaframe_spark.queries import QUERIES
+
+        out = QUERIES["llm_pack_tokens"](spark, "/root/testdata/sf0.001")
+        handle = getattr(out, "_mf_persisted", None)
+        assert handle is not None
+        assert out.count() > 0
+        handle.unpersist()
