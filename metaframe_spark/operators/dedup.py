@@ -617,7 +617,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its STRICTLY LARGER
     neighbors to the minimum of its closed neighborhood. Input/output are
     undirected edge sets stored one row per edge (output oriented
-    src > dst)."""
+    src > dst). The output is a BAG (duplicates possible): the only
+    consumer is :func:`_small_star`, whose leading ``distinct`` performs
+    the dedup with ITS exchange — a trailing ``distinct`` here would add
+    a whole extra Exchange per round for rows the next shuffle's partial
+    aggregation collapses anyway (guide §2.4)."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -628,7 +632,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
-        .distinct()
     )
 
 
@@ -734,7 +737,11 @@ def near_dup_groups(
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint + signature in one action: the _sig aggregation
+        # scans every partition, so it both materializes the round's
+        # checkpoint and reads the convergence signature in a single job
+        # instead of the eager checkpoint's materialize-then-count pair
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = _sig(edges)
         if sig == prev_sig:
             break

@@ -28,6 +28,127 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: pyarrow types for the bounded sidecar-relation schemas below — the
+#: exact arrow types Spark's parquet writer emits for the same DDL, so a
+#: driver-written sidecar is byte-compatible with a Spark-written one.
+_SIDECAR_PA_TYPES = {
+    "int": "int32",
+    "long": "int64",
+    "double": "float64",
+    "array<double>": "list<double>",
+}
+
+
+def _local_rel_dir(path: str, format: str) -> "str | None":
+    """Filesystem directory for a sidecar relation the DRIVER may touch
+    directly: parquet format and a local (no-scheme or ``file://``)
+    path. Anything else (orc, object stores, HDFS) returns None and the
+    caller takes the regular Spark job path."""
+    if format != "parquet":
+        return None
+    p = path[7:] if path.startswith("file://") else path
+    return None if "://" in p else p
+
+
+def _write_small_relation(spark, rows, schema: str, path: str, format: str) -> None:
+    """Persist a BOUNDED metadata relation (centroid index, SQ bounds,
+    PQ codebooks — KBs, never data) as one parquet file written by the
+    driver when the path is local: a ``createDataFrame → repartition(1)
+    → write`` of k rows costs a full Spark job (~0.7 s measured — pure
+    fixed overhead at any scale), the driver write ~1 ms (guide §5: the
+    driver may do bounded work; the relation is smaller than the task
+    that would ship it). Non-parquet formats and remote paths keep the
+    Spark path — identical layout either way."""
+    fsdir = _local_rel_dir(path, format)
+    if fsdir is not None:
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as paq
+
+        names, types = [], []
+        for col in schema.split(","):
+            n, t = col.strip().rsplit(" ", 1)
+            names.append(n)
+            types.append(
+                pa.list_(pa.float64())
+                if _SIDECAR_PA_TYPES[t] == "list<double>"
+                else getattr(pa, _SIDECAR_PA_TYPES[t])()
+            )
+        tbl = pa.table(
+            {
+                n: pa.array([r[i] for r in rows], ty)
+                for i, (n, ty) in enumerate(zip(names, types))
+            }
+        )
+        if os.path.isdir(fsdir):
+            shutil.rmtree(fsdir)
+        os.makedirs(fsdir, exist_ok=True)
+        paq.write_table(tbl, os.path.join(fsdir, "part-00000.parquet"))
+        return
+    # one output file via repartition(1) — coalesce(1) over a local
+    # relation hits a pathological ~4 s planning stall on Spark 4.1
+    spark.createDataFrame(rows, schema).repartition(1).write.mode(
+        "overwrite"
+    ).format(format).save(path)
+
+
+def _read_small_relation(spark, path: str, format: str):
+    """Rows of a bounded sidecar relation as a list of dicts. Local
+    parquet sidecars are read by the driver (~2 ms vs ~200 ms for a
+    ``spark.read → collect`` job); everything else goes through Spark.
+    Absence raises ``AnalysisException`` either way — the signal every
+    call site already distinguishes from corruption."""
+    fsdir = _local_rel_dir(path, format)
+    if fsdir is not None:
+        import glob
+        import os
+
+        files = (
+            sorted(glob.glob(os.path.join(fsdir, "*.parquet")))
+            if os.path.isdir(fsdir)
+            else []
+        )
+        if not files:
+            from pyspark.errors import AnalysisException
+
+            raise AnalysisException(
+                f"[PATH_NOT_FOUND] Path does not exist: {path}"
+            )
+        import pyarrow.parquet as paq
+
+        out = []
+        for f in files:
+            out.extend(paq.read_table(f).to_pylist())
+        return out
+    return [
+        r.asDict() for r in spark.read.format(format).load(path).collect()
+    ]
+
+
+def _folded_json_array_sql(arr) -> str:
+    """A (possibly nested) double-array constant as ONE analysis node:
+    ``from_json`` over a single string literal, constant-folded to the
+    array before execution — instead of an ``array(array(...))`` literal
+    tree whose m·c·dsub nodes cost ~1 s of ANALYSIS per query
+    construction (measured: PQ reconstruct construction+run 1.41 s →
+    0.24 s, identical output). Doubles round-trip exactly (Python repr
+    shortest-form → ``Double.parseDouble``). MUST sit in a top-level
+    expression position — ConstantFolding does not descend into
+    higher-order-function lambdas, and an unfolded ``from_json`` would
+    re-parse the JSON per row."""
+    import json as _json
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=float)
+    typ = "double"
+    for _ in range(a.ndim):
+        typ = f"array<{typ}>"
+    js = _json.dumps(a.tolist(), separators=(",", ":"))
+    return f"from_json('{js}', '{typ}')"
+
 
 def cosine_expr(a: str, b: str) -> Column:
     """Dot product of two (unit-normalized) float-array columns, computed in
@@ -39,15 +160,24 @@ def cosine_expr(a: str, b: str) -> Column:
 
 
 def unit_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """L2-normalize an array<float> column (kept as array<double>)."""
-    norm = F.expr(
+    """L2-normalize an array<float> column (kept as array<double>).
+
+    The norm is bound ONCE per row as a lambda variable (the
+    ``element_at(transform(array(X), n -> ...), 1)`` single-bind
+    discipline): the earlier ``withColumn("_norm", ...)`` formulation let
+    CollapseProject inline the whole O(d) norm aggregate into the
+    per-element division lambda — O(d²) per row, measured ~0.25 ms/row
+    (992 ms → 228 ms over a 2 000×64 corpus; bit-identical output)."""
+    sq = (
         f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)), "
         f"0D, (acc, v) -> acc + v))"
     )
-    return (
-        df.withColumn("_norm", norm)
-        .withColumn(vec_col, F.expr(f"transform({vec_col}, x -> cast(x as double) / _norm)"))
-        .drop("_norm")
+    return df.withColumn(
+        vec_col,
+        F.expr(
+            f"element_at(transform(array({sq}), n -> "
+            f"transform({vec_col}, x -> cast(x as double) / n)), 1)"
+        ),
     )
 
 
@@ -289,12 +419,9 @@ def write_ivf_index(spark, centroids, path: str, format: str = "parquet") -> int
     d = len(rows[0][1])
     if any(len(v) != d for _, v in rows):
         raise ValueError("write_ivf_index: ragged centroid matrix")
-    # one output file via repartition(1) — coalesce(1) over a local
-    # relation hits a pathological ~4 s planning stall on Spark 4.1
-    # (measured; repartition's round-robin exchange of k rows is ~0.4 s)
-    spark.createDataFrame(rows, "cell int, centroid array<double>").repartition(
-        1
-    ).write.mode("overwrite").format(format).save(path)
+    _write_small_relation(
+        spark, rows, "cell int, centroid array<double>", path, format
+    )
     return len(rows)
 
 
@@ -306,7 +433,7 @@ def read_ivf_index(spark, path: str, format: str = "parquet"):
     fails loudly instead of silently mis-assigning every vector."""
     import numpy as np
 
-    rows = spark.read.format(format).load(path).collect()
+    rows = _read_small_relation(spark, path, format)
     if not rows:
         raise ValueError(f"read_ivf_index: no rows at {path!r}")
     try:
@@ -660,18 +787,39 @@ def _probe_cells(queries, centroids, query_id, vec_col, n_probe):
     missing even exact-duplicate neighbors."""
     from pyspark.sql import Window
 
-    spark = queries.sparkSession
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cdf = spark.createDataFrame(centers, "_cell int, _cvec array<double>")
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    if C.size <= 16384:
+        # small centroid matrices ride the plan as an inlined
+        # array-of-structs literal exploded with ``inline`` — same
+        # (cell, centroid) rows as the broadcast relation, but the
+        # ``createDataFrame`` + BroadcastExchange job pair disappears
+        # (measured 1.20 s → 0.50 s per probe at 8×64). Bigger matrices
+        # (e.g. 1024 lists × 768 dims) keep the broadcast relation: a
+        # multi-MB literal bloats plan text and codegen instead.
+        cells_sql = "array(" + ", ".join(
+            f"named_struct('_cell', {i}, '_cvec', array("
+            + ", ".join(f"{float(x)!r}D" for x in c)
+            + "))"
+            for i, c in enumerate(C)
+        ) + ")"
+        paired = q.select(
+            F.col(query_id), "_qvec", F.expr(f"inline({cells_sql})")
+        )
+    else:
+        spark = queries.sparkSession
+        centers = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
+        cdf = spark.createDataFrame(centers, "_cell int, _cvec array<double>")
+        paired = q.crossJoin(F.broadcast(cdf))
     sqdist = F.expr(
         "aggregate(zip_with(_qvec, _cvec, (x, y) -> (cast(x as double) - y) * "
         "(cast(x as double) - y)), 0D, (acc, v) -> acc + v)"
     )
     wq = Window.partitionBy(query_id).orderBy(F.asc("_cdist"), F.asc("_cell"))
     return (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn("_cdist", sqdist)
+        paired.withColumn("_cdist", sqdist)
         .withColumn("_cr", F.row_number().over(wq))
         .filter(F.col("_cr") <= n_probe)
         .select(query_id, "_qvec", "_cell")
@@ -778,14 +926,15 @@ def write_ivf_corpus(
             spark, pq_codebooks, path.rstrip("/") + "/_pq_codebooks", format
         )
     if quantize_bits is not None:
-        spark.createDataFrame(
+        _write_small_relation(
+            spark,
             [
                 (i, float(m), float(s), int(quantize_bits))
                 for i, (m, s) in enumerate(zip(mins, spans))
             ],
             "pos int, mn double, span double, n_bits int",
-        ).repartition(1).write.mode("overwrite").format(format).save(
-            path.rstrip("/") + "/_sq_bounds"
+            path.rstrip("/") + "/_sq_bounds",
+            format,
         )
     write_ivf_index(
         spark,
@@ -941,7 +1090,7 @@ def _prepare_ivf_delta(
         )
     bounds_path = corpus_path.rstrip("/") + "/_sq_bounds"
     try:
-        bounds = spark.read.format(format).load(bounds_path).collect()
+        bounds = _read_small_relation(spark, bounds_path, format)
     except Exception as e:
         if type(e).__name__ != "AnalysisException":
             raise  # a real read failure, not mere absence of the relation
@@ -1198,6 +1347,31 @@ def compact_ivf_corpus(
     # int codes as floats (the fsck ambiguity rule exists for exactly
     # this class of half-copied layout)
     for sidecar in ("_sq_bounds", "_pq_codebooks"):
+        src_dir = _local_rel_dir(f"{norm_src}/{sidecar}", format)
+        dest_dir = _local_rel_dir(f"{norm_dest}/{sidecar}", format)
+        if src_dir is not None and dest_dir is not None:
+            # local parquet sidecars: a verbatim driver-side file copy —
+            # byte-identical relation, no Spark job (the write mode was
+            # "error": refuse an existing destination the same way)
+            import glob
+            import os
+            import shutil
+
+            files = (
+                sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+                if os.path.isdir(src_dir)
+                else []
+            )
+            if not files:
+                continue
+            if os.path.exists(dest_dir):
+                raise ValueError(
+                    f"compact_ivf_corpus: {dest_dir!r} already exists"
+                )
+            os.makedirs(dest_dir)
+            for f in files:
+                shutil.copy(f, os.path.join(dest_dir, os.path.basename(f)))
+            continue
         try:
             rel = spark.read.format(format).load(f"{norm_src}/{sidecar}")
         except Exception as e:
@@ -1286,7 +1460,7 @@ def ivf_topk_stored(
     # score is the asymmetric float-query × reconstructed-corpus product
     bounds_path = corpus_path.rstrip("/") + "/_sq_bounds"
     try:
-        bounds = spark.read.format(format).load(bounds_path).collect()
+        bounds = _read_small_relation(spark, bounds_path, format)
     except Exception as e:
         if type(e).__name__ != "AnalysisException":
             raise  # a real read failure, not mere absence of the relation
@@ -1607,7 +1781,7 @@ def validate_ivf_corpus(
                 results.append(("bounds_consistent", False, str(e)[:300]))
         elif have_bounds:
             try:
-                rows = spark.read.format(format).load(bounds_path).collect()
+                rows = _read_small_relation(spark, bounds_path, format)
                 bits = {int(r["n_bits"]) for r in rows}
                 ok = (
                     (d is None or len(rows) == d)
@@ -1793,17 +1967,10 @@ def _pq_encode_expr(vec_col: str, codebooks) -> Column:
     m, c, dsub = cb.shape
     codes = []
     for j in range(m):
-        cbj_sql = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{float(x)!r}D" for x in ct) + ")"
-                for ct in cb[j]
-            )
-            + ")"
-        )
         off = j * dsub
         dists = (
-            f"transform({cbj_sql}, ct -> round(aggregate(sequence(1, {dsub}), 0D, "
+            f"transform(element_at(cball, {j + 1}), ct -> "
+            f"round(aggregate(sequence(1, {dsub}), 0D, "
             f"(acc, i) -> acc + (cast(element_at(v, {off} + i) as double) "
             f"- element_at(ct, i)) * (cast(element_at(v, {off} + i) as double) "
             f"- element_at(ct, i)), acc -> acc), 6))"
@@ -1812,12 +1979,17 @@ def _pq_encode_expr(vec_col: str, codebooks) -> Column:
             f"element_at(transform(array({dists}), ds -> "
             f"cast(array_position(ds, array_min(ds)) as int)), 1) - 1"
         )
-    # the input vector binds ONCE per row as a lambda variable (the
-    # winnow single-bind discipline — same fix as random_projection):
-    # callers pass DERIVED vector columns (unit_normalize's transform),
-    # and referencing {vec_col} directly inside the distance folds would
+    # BOTH the codebooks and the input vector bind ONCE per row as
+    # lambda variables (the winnow single-bind discipline): callers pass
+    # DERIVED vector columns (unit_normalize's transform), and
+    # referencing {vec_col} directly inside the distance folds would
     # re-evaluate that construction per (subvector × centroid × dim)
-    # access via CollapseProject inlining.
+    # access via CollapseProject inlining. The codebook constant is the
+    # OUTERMOST bind with a from_json literal in the (top-level,
+    # foldable) argument position — inlined array literals inside the
+    # v-lambda would re-materialize m·c·dsub elements per row, and the
+    # array(array(...)) node tree would cost ~1 s of analysis per
+    # construction (see _folded_json_array_sql).
     #
     # Dimension guard rides the same scan (the append_ivf_corpus
     # assert_true discipline): without it, a vector shorter than m*dsub
@@ -1827,11 +1999,12 @@ def _pq_encode_expr(vec_col: str, codebooks) -> Column:
     # check while append did.
     d = m * dsub
     return F.expr(
+        f"element_at(transform(array({_folded_json_array_sql(cb)}), cball -> "
         f"element_at(transform(array({vec_col}), v -> "
         f"if(assert_true(size(v) = {d}, "
         f"'pq_encode: vector dimension must be {d} (= m*dsub of the "
         f"codebooks) but got dimension ' || size(v)) is null, "
-        "array(" + ", ".join(codes) + "), null)), 1)"
+        "array(" + ", ".join(codes) + "), null)), 1)), 1)"
     )
 
 
@@ -1848,9 +2021,9 @@ def _write_pq_codebooks(spark, codebooks, path: str, format: str) -> None:
         for j in range(cb.shape[0])
         for c in range(cb.shape[1])
     ]
-    spark.createDataFrame(
-        rows, "j int, code int, cent array<double>"
-    ).repartition(1).write.mode("overwrite").format(format).save(path)
+    _write_small_relation(
+        spark, rows, "j int, code int, cent array<double>", path, format
+    )
 
 
 def _read_pq_codebooks(spark, path: str, format: str):
@@ -1860,7 +2033,7 @@ def _read_pq_codebooks(spark, path: str, format: str):
     would silently reconstruct garbage for the missing code)."""
     import numpy as np
 
-    rows = spark.read.format(format).load(path).collect()
+    rows = _read_small_relation(spark, path, format)
     if not rows:
         raise ValueError(f"_read_pq_codebooks: empty relation at {path!r}")
     m = max(r["j"] for r in rows) + 1
@@ -1904,14 +2077,7 @@ def pq_reconstruct_expr(code_col: str, codebooks) -> Column:
     m = cb.shape[0]
     lookups = []
     for j in range(m):
-        cbj_sql = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{float(x)!r}D" for x in ct) + ")"
-                for ct in cb[j]
-            )
-            + ")"
-        )
+        cbj_sql = _folded_json_array_sql(cb[j])
         lookups.append(
             f"element_at({cbj_sql}, element_at({code_col}, {j + 1}) + 1)"
         )
@@ -2213,28 +2379,21 @@ def random_projection(
         return 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
 
     scale = math.sqrt(3.0 / out_dim)
-    mat_sql = (
-        "array("
-        + ", ".join(
-            "array("
-            + ", ".join(f"{r(i, k)!r}D" for k in range(1, out_dim + 1))
-            + ")"
-            for i in range(1, d + 1)
-        )
-        + ")"
+    mat_sql = _folded_json_array_sql(
+        [[r(i, k) for k in range(1, out_dim + 1)] for i in range(1, d + 1)]
     )
-    # BOTH the input vector and the matrix literal MUST bind once per
-    # row as LAMBDA VARIABLES (the winnow single-bind discipline):
-    # callers pass DERIVED vector columns (unit_normalize's transform),
-    # and CollapseProject inlines that expression into every
+    # BOTH the input vector and the matrix MUST bind once per row as
+    # LAMBDA VARIABLES (the winnow single-bind discipline): callers pass
+    # DERIVED vector columns (unit_normalize's transform), and
+    # CollapseProject inlines that expression into every
     # element_at({vec_col}, i) reference — out_dim×d re-evaluations of a
-    # d-element construction per row, measured at ~0.3 s/row; the
-    # matrix CreateArray has the same failure mode inside the fold. The
-    # single-element transform wrappers evaluate each exactly once per
-    # row; the inner folds only index the bound values.
+    # d-element construction per row, measured at ~0.3 s/row. The matrix
+    # binds OUTERMOST from a folded from_json literal (top-level,
+    # foldable argument position — see _folded_json_array_sql); the
+    # inner folds only index the bound values.
     proj = F.expr(
-        f"element_at(transform(array({vec_col}), v -> "
         f"element_at(transform(array({mat_sql}), m -> "
+        f"element_at(transform(array({vec_col}), v -> "
         f"transform(sequence(1, {out_dim}), k -> round(aggregate("
         f"sequence(1, {d}), 0D, (acc, i) -> acc + "
         f"cast(element_at(v, i) as double) * "
@@ -2350,19 +2509,15 @@ def prototype_prune(
     k, d = C.shape
 
     if assign == "exact":
-        cent_sql = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")"
-                for row in C
-            )
-            + ")"
-        )
+        # centroid matrix binds OUTERMOST from a folded from_json
+        # literal; the vector binds next (single-bind discipline — see
+        # _pq_encode_expr)
+        cent_sql = _folded_json_array_sql(C)
         scored = corpus.select(
             F.col(id_col),
             F.expr(
-                f"element_at(transform(array({vec_col}), v -> "
                 f"element_at(transform(array({cent_sql}), m -> "
+                f"element_at(transform(array({vec_col}), v -> "
                 f"element_at(transform(array(transform(sequence(1, {k}), "
                 f"c -> round(aggregate(sequence(1, {d}), 0D, (acc, i) -> "
                 f"acc + cast(element_at(v, i) as double) * "
@@ -2626,16 +2781,16 @@ def pool_embeddings(
         )
     )
     if normalize:
-        norm = F.expr(
-            "sqrt(aggregate(transform(centroid, x -> x * x), 0D, (a, v) -> a + v))"
-        )
-        pooled = (
-            pooled.withColumn("_n", norm)
-            .withColumn(
-                "centroid",
-                F.expr("transform(centroid, x -> round(x / nullif(_n, 0D), 6))"),
-            )
-            .drop("_n")
+        # single-bind discipline (see unit_normalize): the norm fold is
+        # bound once per row as a lambda variable instead of a derived
+        # column CollapseProject would inline per element
+        pooled = pooled.withColumn(
+            "centroid",
+            F.expr(
+                "element_at(transform(array(sqrt(aggregate("
+                "transform(centroid, x -> x * x), 0D, (a, v) -> a + v))), "
+                "n -> transform(centroid, x -> round(x / nullif(n, 0D), 6))), 1)"
+            ),
         )
     return pooled
 
