@@ -1,0 +1,241 @@
+"""Round-14 optimization pins: every rewrite that changed an operator's
+INTERNALS (never its results) is pinned here against the naive
+formulation it replaced, so a future regression of the fast path is
+caught as a result diff, not a silent slowdown.
+
+Covers: the single-bind unit_normalize / pool_embeddings norm, the
+driver-side sidecar-relation fast path (interop BOTH directions with
+Spark-written relations), the from_json-folded PQ codebook /
+JL-matrix literals, and the inline-literal IVF probe vs its broadcast
+fallback.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestUnitNormalizeSingleBind:
+    def test_bit_identical_to_naive_two_step(self, spark):
+        from metaframe_spark.operators.similarity import unit_normalize
+
+        raw = _emb(spark)
+        naive = (
+            raw.withColumn(
+                "_norm",
+                F.expr(
+                    "sqrt(aggregate(transform(embedding, x -> cast(x as double)"
+                    " * cast(x as double)), 0D, (acc, v) -> acc + v))"
+                ),
+            )
+            .withColumn(
+                "embedding",
+                F.expr("transform(embedding, x -> cast(x as double) / _norm)"),
+            )
+            .drop("_norm")
+        )
+        a = (
+            unit_normalize(raw)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        b = naive.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+        A = np.stack(a["embedding"].to_numpy())
+        B = np.stack(b["embedding"].to_numpy())
+        assert np.array_equal(A, B)  # bit-identical, not allclose
+
+    def test_norm_not_inlined_per_element(self, spark):
+        # the optimized plan must evaluate the norm aggregate ONCE per
+        # row: its text contains exactly one norm fold per projection,
+        # bound as a lambda variable — the naive shape has the aggregate
+        # inside the division lambda after CollapseProject
+        from metaframe_spark.operators.similarity import unit_normalize
+
+        plan = (
+            unit_normalize(_emb(spark))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("aggregate(transform(") == 1
+
+
+class TestSidecarRelationFastPath:
+    def test_driver_written_readable_by_spark_and_fast_reader(
+        self, spark, tmp_path
+    ):
+        from metaframe_spark.operators.similarity import (
+            _read_small_relation,
+            _write_small_relation,
+        )
+
+        rows = [(0, [1.5, 2.5]), (1, [3.5, 4.5])]
+        path = str(tmp_path / "idx")
+        _write_small_relation(
+            spark, rows, "cell int, centroid array<double>", path, "parquet"
+        )
+        # interop: a regular Spark scan sees the same relation
+        got = {
+            r["cell"]: list(r["centroid"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {0: [1.5, 2.5], 1: [3.5, 4.5]}
+        assert dict(spark.read.parquet(path).dtypes) == {
+            "cell": "int",
+            "centroid": "array<double>",
+        }
+        fast = {r["cell"]: r["centroid"] for r in _read_small_relation(spark, path, "parquet")}
+        assert fast == got
+
+    def test_fast_reader_reads_spark_written_relation(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import _read_small_relation
+
+        path = str(tmp_path / "sparkidx")
+        spark.createDataFrame(
+            [(0, [1.0]), (1, [2.0])], "cell int, centroid array<double>"
+        ).repartition(1).write.parquet(path)
+        rows = _read_small_relation(spark, path, "parquet")
+        assert {r["cell"]: r["centroid"] for r in rows} == {0: [1.0], 1: [2.0]}
+
+    def test_absence_raises_analysis_exception(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import _read_small_relation
+
+        with pytest.raises(Exception) as exc:
+            _read_small_relation(spark, str(tmp_path / "nope"), "parquet")
+        assert type(exc.value).__name__ == "AnalysisException"
+
+    def test_overwrite_replaces_relation(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            _read_small_relation,
+            _write_small_relation,
+        )
+
+        path = str(tmp_path / "ow")
+        for payload in ([(0, [1.0])], [(7, [9.0])]):
+            _write_small_relation(
+                spark, payload, "cell int, centroid array<double>", path, "parquet"
+            )
+        rows = _read_small_relation(spark, path, "parquet")
+        assert [(r["cell"], r["centroid"]) for r in rows] == [(7, [9.0])]
+
+    def test_index_roundtrip_through_public_api(self, spark, tmp_path):
+        from metaframe_spark.operators.similarity import (
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        cent = np.arange(12, dtype=float).reshape(3, 4) / 7.0
+        path = str(tmp_path / "pubidx")
+        assert write_ivf_index(spark, cent, path) == 3
+        back = read_ivf_index(spark, path)
+        assert np.array_equal(back, cent)  # bit-exact round-trip
+
+
+class TestFoldedJsonLiterals:
+    def test_pq_reconstruct_matches_python_decode(self, spark):
+        from metaframe_spark.operators.similarity import (
+            pq_encode,
+            pq_reconstruct_expr,
+        )
+
+        rng = np.random.RandomState(3)
+        cb = rng.rand(2, 4, 3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.rand(6)]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        codes = pq_encode(df, cb)
+        got = {
+            r["vec_id"]: list(r["r"])
+            for r in codes.select(
+                "vec_id", pq_reconstruct_expr("pq_codes", cb).alias("r")
+            ).collect()
+        }
+        raw_codes = {
+            r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()
+        }
+        for vid, cs in raw_codes.items():
+            expect = [float(x) for j, c in enumerate(cs) for x in cb[j][c]]
+            assert got[vid] == expect
+
+    def test_literal_is_constant_folded(self, spark):
+        # from_json must not survive into the optimized plan — an
+        # unfolded literal would re-parse the JSON per row
+        from metaframe_spark.operators.similarity import pq_reconstruct_expr
+
+        cb = np.random.RandomState(0).rand(2, 4, 3)
+        df = spark.createDataFrame(
+            [([0, 1],)], "pq_codes array<int>"
+        ).select(pq_reconstruct_expr("pq_codes", cb).alias("r"))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "from_json" not in plan
+
+    def test_json_doubles_roundtrip_exactly(self, spark):
+        from metaframe_spark.operators.similarity import _folded_json_array_sql
+
+        vals = [0.1, 1.0 / 3.0, 1e-300, 123456789.123456789, -0.0]
+        sql = _folded_json_array_sql(vals)
+        got = spark.sql(f"SELECT {sql} AS v").collect()[0]["v"]
+        assert all(
+            a == b and np.signbit(a) == np.signbit(b)
+            for a, b in zip(got, vals)
+        )
+
+
+class TestProbeCellsPaths:
+    def test_inline_literal_matches_broadcast_fallback(self, spark):
+        # same centroids through both probe shapes: the inline-literal
+        # path (small matrices) and the createDataFrame+broadcast
+        # fallback (matrices over the 16384-double cap) must emit the
+        # identical (query, cell) probe relation
+        from metaframe_spark.operators import similarity as S
+
+        rng = np.random.RandomState(5)
+        cent = rng.rand(4, 8)
+        q = spark.createDataFrame(
+            [(i, [float(x) for x in rng.rand(8)]) for i in range(6)],
+            "q_id long, embedding array<double>",
+        )
+        small = S._probe_cells(q, cent, "q_id", "embedding", 2)
+        rows_small = sorted(
+            (r["q_id"], r["_cell"]) for r in small.select("q_id", "_cell").collect()
+        )
+        # fallback branch: a 40x512 matrix exceeds the 16384-double cap,
+        # so this probe takes the createDataFrame+broadcast path; both
+        # branches are checked against brute-force numpy cell ranking
+        big = rng.rand(40, 512)
+        qb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.rand(512)]) for i in range(3)],
+            "q_id long, embedding array<double>",
+        )
+        probed = S._probe_cells(qb, big, "q_id", "embedding", 5)
+        got = {}
+        for r in probed.select("q_id", "_cell").collect():
+            got.setdefault(r["q_id"], set()).add(r["_cell"])
+        Q = np.stack(
+            qb.orderBy("q_id").toPandas()["embedding"].to_numpy()
+        ).astype(float)
+        d2 = ((Q[:, None, :] - big[None, :, :]) ** 2).sum(axis=2)
+        for qi in range(3):
+            order = np.lexsort((np.arange(40), d2[qi]))
+            assert got[qi] == set(int(c) for c in order[:5])
+        # and the small path agrees with the same numpy ranking
+        Qs = np.stack(
+            q.orderBy("q_id").toPandas()["embedding"].to_numpy()
+        ).astype(float)
+        d2s = ((Qs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        expect_small = sorted(
+            (qi, int(c))
+            for qi in range(6)
+            for c in np.lexsort((np.arange(4), d2s[qi]))[:2]
+        )
+        assert rows_small == expect_small
