@@ -282,6 +282,13 @@ def minhash_near_dup_pairs(
             )
         ).alias("_band", "_bk"),
     )
+    if persist:
+        # both self-join sides consume bands; without this pin the
+        # n_perms-permutation minhash pass over every shingle array runs
+        # twice (the broadcast build side cannot reuse the probe side's
+        # computation). The cached relation is tiny: (id, band, key) ×
+        # n_bands rows per document.
+        bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -327,6 +334,7 @@ def minhash_near_dup_pairs(
         # off the cached shingle relation, so the cache can be freed NOW
         # instead of pinning the tokenized corpus for the session
         out = out.localCheckpoint(eager=True)
+        bands.unpersist()
         hashed.unpersist()
     return out
 
@@ -479,8 +487,13 @@ def simhash_near_dup_pairs(
     whole operator is oracle-checkable.
     """
     bits = _TOKEN_HASHES[token_hash][1]
-    sh = simhash_by_id(df, id_col, text_col, token_hash=token_hash)
-    return hamming_near_dup_pairs(
+    # pin the fingerprint relation — both sides of the banded self-join
+    # consume it, and without the pin the per-document SimHash aggregate
+    # (tokenize + per-token hash + 64-bit majority vote) runs once per
+    # side; released via the repo-wide _mf_persisted handle (the same
+    # choreography as the multimodal _fingerprint_near_dup_pairs wrapper)
+    sh = simhash_by_id(df, id_col, text_col, token_hash=token_hash).persist()
+    out = hamming_near_dup_pairs(
         sh,
         id_col,
         "simhash",
@@ -488,6 +501,8 @@ def simhash_near_dup_pairs(
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
+    out._mf_persisted = sh
+    return out
 
 
 def jaccard_similarity_pairs(
@@ -500,6 +515,7 @@ def jaccard_similarity_pairs(
     hash_shingles: bool = True,
     minhash_block: bool = False,
     max_block_size: Optional[int] = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a block.
 
@@ -531,6 +547,10 @@ def jaccard_similarity_pairs(
     times cheaper than over strings, and a 64-bit collision inside one
     compared pair (what it would take to change a count) has probability
     ~n²/2⁶⁴ ≈ 1e-15 per pair. Turn off only for exact-string auditing.
+
+    ``persist`` pins the hashed-shingle relation both self-join sides
+    consume (released via the repo-wide ``_mf_persisted`` handle); without
+    it the tokenize+shingle pipeline executes once per join side.
     """
     if block_col is None and not minhash_block:
         raise ValueError(
@@ -581,12 +601,18 @@ def jaccard_similarity_pairs(
         )
         .withColumn("_n", F.size("_sh"))
     )
+    if persist:
+        # both self-join sides consume base; without this pin the whole
+        # tokenize → shingle → md5-block (+ window recount under the cap)
+        # pipeline executes twice — once per join side (the broadcast
+        # build side cannot reuse the probe side's computation)
+        base = base.persist()
     a = base.alias("a")
     b = base.alias("b")
     # |A ∪ B| = |A| + |B| - |A ∩ B| over distinct sets: the intersection is
     # computed once per pair and the union is pure arithmetic (materializing
     # array_union per pair would double the dominant cost)
-    return (
+    out = (
         a.join(
             b,
             (F.col("a._block") == F.col("b._block"))
@@ -611,6 +637,9 @@ def jaccard_similarity_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    if persist:
+        out._mf_persisted = base
+    return out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -932,6 +961,12 @@ def prefix_filter_pairs(
             )
         ).alias("_tok"),
     )
+    if persist:
+        # both self-join sides consume pref; without this pin the whole
+        # explode → frequency-join → per-doc sort → prefix-explode subtree
+        # executes twice (the broadcast build side cannot reuse the probe
+        # side's exchanges)
+        pref = pref.persist()
     cand = (
         pref.alias("a")
         .join(
@@ -984,7 +1019,7 @@ def prefix_filter_pairs(
         )
     )
     if persist:
-        out._mf_persisted = base
+        out._mf_persisted = _MultiHandle(base, pref)
     return out
 
 

@@ -8333,3 +8333,89 @@ class TestPass4RegressionFixes:
         assert handle is not None
         assert out.count() > 0
         handle.unpersist()
+
+
+class TestSelfJoinPins:
+    """Round-14 optimization internals: every banded/prefix SELF-join pins
+    the relation both join sides consume (a broadcast build side cannot
+    reuse the probe side's exchanges, so without the pin the upstream
+    pipeline executes once per side) and every pin releases through the
+    repo-wide ``_mf_persisted`` handle — nothing stays cached after the
+    caller honors the contract."""
+
+    @staticmethod
+    def _pins(spark):
+        return {
+            rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+        }
+
+    def test_prefix_filter_pairs_pins_base_and_prefix(self, spark, docs):
+        from metaframe_spark.operators.dedup import prefix_filter_pairs
+
+        docs.count()  # materialize the fixture cache OUTSIDE the window
+        before = self._pins(spark)
+        out = prefix_filter_pairs(
+            _with_near_dups(docs.select("doc_id", "text"), n=4),
+            min_jaccard=0.7,
+        )
+        assert out.count() > 0
+        during = self._pins(spark) - before
+        # two pins while live: the signature relation AND the prefix relation
+        assert len(during) >= 2
+        out._mf_persisted.unpersist()
+        assert not (self._pins(spark) & during)
+
+    def test_jaccard_similarity_pairs_pins_and_releases(self, spark, docs):
+        from metaframe_spark.operators.dedup import jaccard_similarity_pairs
+
+        before = self._pins(spark)
+        out = jaccard_similarity_pairs(
+            docs.select("doc_id", "text"), minhash_block=True
+        )
+        assert out.count() >= 0 and out is not None
+        during = self._pins(spark) - before
+        assert len(during) >= 1
+        out._mf_persisted.unpersist()
+        assert not (self._pins(spark) & during)
+        # persist=False: no handle, no pin
+        before2 = self._pins(spark)
+        lazy = jaccard_similarity_pairs(
+            docs.select("doc_id", "text"), minhash_block=True, persist=False
+        )
+        assert not hasattr(lazy, "_mf_persisted")
+        lazy.count()
+        assert not (self._pins(spark) - before2)
+
+    def test_simhash_near_dup_pairs_pins_fingerprint(self, spark, docs):
+        from metaframe_spark.operators.dedup import simhash_near_dup_pairs
+
+        before = self._pins(spark)
+        out = simhash_near_dup_pairs(
+            _with_near_dups(docs.select("doc_id", "text"), n=4),
+            "doc_id",
+            "text",
+        )
+        assert out.count() > 0
+        during = self._pins(spark) - before
+        assert len(during) >= 1
+        out._mf_persisted.unpersist()
+        assert not (self._pins(spark) & during)
+
+    def test_minhash_near_dup_pairs_still_self_releasing(self, spark, docs):
+        """The eager-checkpoint operator now ALSO pins its band relation
+        internally — but keeps releasing everything itself (no handle)."""
+        from metaframe_spark.operators.dedup import minhash_near_dup_pairs
+
+        docs.count()  # materialize the fixture cache OUTSIDE the window
+        before = self._pins(spark)
+        out = minhash_near_dup_pairs(
+            _with_near_dups(docs.select("doc_id", "text"), n=4),
+            "doc_id",
+            "text",
+            min_jaccard=0.7,
+        )
+        assert not hasattr(out, "_mf_persisted")
+        assert out.count() > 0
+        # the only block allowed to remain is the eager localCheckpoint's
+        # own materialized result RDD — both internal caches must be gone
+        assert len(self._pins(spark) - before) <= 1
