@@ -560,7 +560,7 @@ def bpe_fertility(
         F.col(den) > 0,
         F.round(F.col(num).cast("double") / F.col(den), 6),
     )
-    return agg.select(
+    out = agg.select(
         *by,
         "n_docs",
         "n_bytes",
@@ -569,6 +569,10 @@ def bpe_fertility(
         safe("n_tokens", "n_bytes").alias("tokens_per_byte"),
         safe("n_bytes", "n_tokens").alias("bytes_per_token"),
     )
+    # propagate bpe_tokenize's persist release handle — without this the
+    # exploded (id, word) cache leaks for the session
+    out._mf_persisted = getattr(counts, "_mf_persisted", None)
+    return out
 
 
 def bpe_chunk_documents(

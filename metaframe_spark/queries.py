@@ -742,9 +742,15 @@ def llm_ngram_jaccard(spark, sf):
     from .operators import jaccard_similarity_pairs
 
     d = load_table(spark, sf, "documents")
-    return jaccard_similarity_pairs(
+    pairs = jaccard_similarity_pairs(
         _twin_corpus(d), "doc_id", "text", minhash_block=True
-    ).select("id_a", "id_b", "n_inter", "n_union")
+    )
+    out = pairs.select("id_a", "id_b", "n_inter", "n_union")
+    # .select() returns a NEW DataFrame object — re-attach the persist
+    # release handle or the blocked-signature cache leaks for the session
+    # (leaked CacheManager entries tax every later query's analysis)
+    out._mf_persisted = getattr(pairs, "_mf_persisted", None)
+    return out
 
 
 @query(
@@ -824,9 +830,15 @@ def llm_prefix_jaccard(spark, sf):
     from .operators.dedup import prefix_filter_pairs
 
     d = load_table(spark, sf, "documents")
-    return prefix_filter_pairs(
+    pairs = prefix_filter_pairs(
         _twin_corpus(d), "doc_id", "text", min_jaccard=0.7
-    ).select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    )
+    out = pairs.select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    # re-attach the release handle across the projection (see
+    # llm_ngram_jaccard): prefix_filter_pairs pins base+pref and hands
+    # back a _MultiHandle the bench must be able to release
+    out._mf_persisted = getattr(pairs, "_mf_persisted", None)
+    return out
 
 
 @query(

@@ -8419,3 +8419,35 @@ class TestSelfJoinPins:
         # the only block allowed to remain is the eager localCheckpoint's
         # own materialized result RDD — both internal caches must be gone
         assert len(self._pins(spark) - before) <= 1
+
+    @pytest.mark.parametrize(
+        "entry",
+        ["llm_ngram_jaccard", "llm_prefix_jaccard", "llm_bpe_fertility"],
+    )
+    def test_entry_propagates_release_handle(self, spark, entry):
+        """Catalog entries that re-project an operator's output MUST
+        re-attach ``_mf_persisted`` (a ``.select()`` returns a new
+        DataFrame object and silently drops the Python attribute).
+        Round-14 finding: three entries leaked their caches this way, and
+        leaked CacheManager entries tax the ANALYSIS of every later query
+        in the session — the full-catalog bench measured llm_neardup_sweep
+        at 21.4 s in a leaking session vs 8.3 s in a clean one."""
+        from metaframe_spark.queries import QUERIES
+
+        cm = spark._jsparkSession.sharedState().cacheManager()
+
+        def n_cached():
+            it, n = cm.cachedData().iterator(), 0
+            while it.hasNext():
+                it.next()
+                n += 1
+            return n
+
+        before = n_cached()
+        out = QUERIES[entry](spark, SF)
+        raw = out.to_spark() if hasattr(out, "to_spark") else out
+        raw.write.format("noop").mode("overwrite").save()
+        handle = getattr(out, "_mf_persisted", None)
+        assert handle is not None, f"{entry} lost its _mf_persisted handle"
+        handle.unpersist()
+        assert n_cached() == before, f"{entry} leaked cached plans"
