@@ -39,15 +39,27 @@ _SIDECAR_PA_TYPES = {
 }
 
 
-def _local_rel_dir(path: str, format: str) -> "str | None":
+def _local_rel_dir(path: str, format: str, spark=None) -> "str | None":
     """Filesystem directory for a sidecar relation the DRIVER may touch
-    directly: parquet format and a local (no-scheme or ``file://``)
-    path. Anything else (orc, object stores, HDFS) returns None and the
-    caller takes the regular Spark job path."""
+    directly: parquet format and a DRIVER-LOCAL path — an explicit
+    ``file://`` scheme, or a scheme-less path *when the session's
+    ``fs.defaultFS`` is the local filesystem*. On a real cluster a
+    scheme-less path resolves against HDFS/S3A, so treating it as
+    driver-local would split the layout between the driver's disk and
+    the cluster FS (r15 verdict next-#4); those return None and the
+    caller takes the regular Spark job path, as do non-parquet formats
+    and explicit remote schemes."""
     if format != "parquet":
         return None
-    p = path[7:] if path.startswith("file://") else path
-    return None if "://" in p else p
+    if path.startswith("file://"):
+        return path[7:]
+    if "://" in path:
+        return None
+    if spark is not None:
+        fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        if not str(fs).startswith("file:"):
+            return None
+    return path
 
 
 def _write_small_relation(spark, rows, schema: str, path: str, format: str) -> None:
@@ -59,7 +71,7 @@ def _write_small_relation(spark, rows, schema: str, path: str, format: str) -> N
     driver may do bounded work; the relation is smaller than the task
     that would ship it). Non-parquet formats and remote paths keep the
     Spark path — identical layout either way."""
-    fsdir = _local_rel_dir(path, format)
+    fsdir = _local_rel_dir(path, format, spark)
     if fsdir is not None:
         import os
         import shutil
@@ -100,7 +112,7 @@ def _read_small_relation(spark, path: str, format: str):
     ``spark.read → collect`` job); everything else goes through Spark.
     Absence raises ``AnalysisException`` either way — the signal every
     call site already distinguishes from corruption."""
-    fsdir = _local_rel_dir(path, format)
+    fsdir = _local_rel_dir(path, format, spark)
     if fsdir is not None:
         import glob
         import os
@@ -1347,8 +1359,8 @@ def compact_ivf_corpus(
     # int codes as floats (the fsck ambiguity rule exists for exactly
     # this class of half-copied layout)
     for sidecar in ("_sq_bounds", "_pq_codebooks"):
-        src_dir = _local_rel_dir(f"{norm_src}/{sidecar}", format)
-        dest_dir = _local_rel_dir(f"{norm_dest}/{sidecar}", format)
+        src_dir = _local_rel_dir(f"{norm_src}/{sidecar}", format, spark)
+        dest_dir = _local_rel_dir(f"{norm_dest}/{sidecar}", format, spark)
         if src_dir is not None and dest_dir is not None:
             # local parquet sidecars: a verbatim driver-side file copy —
             # byte-identical relation, no Spark job (the write mode was
@@ -2765,7 +2777,14 @@ def pool_embeddings(
         .alias("_s"),
         F.count(F.lit(1)).cast("long").alias("_c"),
     )
-    mean = F.round(F.col("_s") / F.col("_c"), 6)
+    # round-half-up-toward-+inf via floor(x*1e6 + 0.5)/1e6 instead of
+    # round(x, 6): Spark's round() inspects the double's exact binary
+    # expansion while DuckDB's multiplies by 1e6 first, and the two
+    # disagree when the quotient sits one ulp below a .5 boundary
+    # (observed at sf0.1: 0.616992/192 = 0.0032134999999999998, whose
+    # IEEE product with 1e6 is exactly 3213.5).  floor over the same
+    # IEEE multiply/add is bit-identical cross-engine by construction.
+    mean = F.expr("floor(_s / _c * 1e6 + 0.5D) / 1e6")
     pooled = (
         dims.groupBy(group_col)
         .agg(
@@ -2789,7 +2808,8 @@ def pool_embeddings(
             F.expr(
                 "element_at(transform(array(sqrt(aggregate("
                 "transform(centroid, x -> x * x), 0D, (a, v) -> a + v))), "
-                "n -> transform(centroid, x -> round(x / nullif(n, 0D), 6))), 1)"
+                "n -> transform(centroid, x -> "
+                "floor(x / nullif(n, 0D) * 1e6 + 0.5D) / 1e6)), 1)"
             ),
         )
     return pooled

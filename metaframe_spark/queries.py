@@ -7933,11 +7933,13 @@ def llm_rrf_fusion(spark, sf):
     "SELECT CAST(k AS BIGINT) AS seq_id, "
     "CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(tok_len) AS BIGINT) AS n_tokens, "
-    "flatten(list(list_slice(ids, tok_start + 1, tok_start + tok_len) "
-    "  ORDER BY s)) AS token_ids, "
-    "flatten(list(list_transform(range(CAST(tok_len AS BIGINT)), "
-    "  x -> CAST(seg AS BIGINT)) "
-    "  ORDER BY s)) AS segment_ids "
+    "array_to_string(list_transform("
+    "  flatten(list(list_slice(ids, tok_start + 1, tok_start + tok_len) "
+    "    ORDER BY s)), x -> CAST(x AS VARCHAR)), ',') AS token_ids, "
+    "array_to_string(list_transform("
+    "  flatten(list(list_transform(range(CAST(tok_len AS BIGINT)), "
+    "    x -> CAST(seg AS BIGINT)) "
+    "    ORDER BY s)), x -> CAST(x AS VARCHAR)), ',') AS segment_ids "
     "FROM sl GROUP BY k",
 )
 def llm_pack_tokens(spark, sf):
@@ -7946,22 +7948,37 @@ def llm_pack_tokens(spark, sf):
     full export step — md5-hashed 15-bit token ids, concat-and-chunk
     packed at seq_len 512, emitted as one row per training sequence
     with the concatenated token_ids array and the within-sequence
-    segment_ids (position-reset) array. The oracle replays the naive
-    one-task packing plus DuckDB's ordered list aggregation; the hash
-    match proves the distributed two-phase offsets, the slice join, and
-    the array_sort-of-structs concatenation order reproduce the exact
-    token stream, element for element — the strongest whole-pipeline
-    pin in the catalog (every upstream token flows into the output
-    arrays)."""
+    segment_ids (position-reset) array, each comma-joined to a scalar
+    string (the llm_quantize convention — the compare harness hashes
+    scalars and cannot sort list-typed columns). The oracle replays the
+    naive one-task packing plus DuckDB's ordered list aggregation; the
+    hash match proves the distributed two-phase offsets, the slice
+    join, and the array_sort-of-structs concatenation order reproduce
+    the exact token stream, element for element — the strongest
+    whole-pipeline pin in the catalog (every upstream token flows into
+    the output strings)."""
     from .operators.packing import pack_token_arrays
     from .operators.text import hashed_token_ids
 
     d = load_table(spark, sf, "documents").to_spark()
     ids = d.select("doc_id", hashed_token_ids("text").alias("ids"))
-    # no trailing .select(): the operator already returns exactly these
-    # five columns, and a re-projection would strip the _mf_persisted
-    # release handle bench/verify use to unpersist the token relation
-    return pack_token_arrays(ids, 512, "ids")
+    packed = pack_token_arrays(ids, 512, "ids")
+    out = packed.select(
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "concat_ws(',', transform(token_ids, x -> cast(x as string)))"
+        ).alias("token_ids"),
+        F.expr(
+            "concat_ws(',', transform(segment_ids, x -> cast(x as string)))"
+        ).alias("segment_ids"),
+    )
+    # re-attach the persist release handle across the projection (see
+    # llm_ngram_jaccard): .select() returns a NEW DataFrame object and
+    # bench/verify must still be able to unpersist the token relation
+    out._mf_persisted = getattr(packed, "_mf_persisted", None)
+    return out
 
 
 
@@ -8174,19 +8191,24 @@ def _pool_sql(where: str, out_n: str, out_c: str) -> str:
         "  CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s, "
         "  CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY g, i), "
         "p AS (SELECT g, max(c) AS nv, "
-        "  list(round(s / c, 6) ORDER BY i) AS cen FROM d GROUP BY g), "
+        "  list(floor(s / c * 1e6 + 0.5) / 1e6 ORDER BY i) "
+        "    AS cen FROM d GROUP BY g), "
         "n AS (SELECT g, nv, cen, "
         "  sqrt(list_reduce(list_transform(cen, x -> x * x), "
         "    (a, b) -> a + b)) AS nm FROM p) "
         f"SELECT g AS label, nv AS {out_n}, "
-        "list_transform(cen, x -> round(x / nullif(nm, 0.0), 6)) "
+        "list_transform(cen, x -> "
+        "  floor(x / nullif(nm, 0.0) * 1e6 + 0.5) / 1e6) "
         f"  AS {out_c} FROM n)"
     )
 
 
 @query(
     "llm_embed_pool",
-    _pool_sql("", "n_vectors", "centroid"),
+    "SELECT label, n_vectors, "
+    "array_to_string(list_transform(centroid, "
+    "  x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',') "
+    "AS centroid FROM " + _pool_sql("", "n_vectors", "centroid") + " AS p",
 )
 def llm_embed_pool(spark, sf):
     """Normalized mean-pooling of the embedding corpus per label
@@ -8194,14 +8216,24 @@ def llm_embed_pool(spark, sf):
     / class-centroid aggregation step: per-dimension DECIMAL-summed
     means rounded to 6, re-rounded after the L2 division. One
     posexplode rollup (the shuffle carries (group, dim) 16-byte rows,
-    never vectors). The oracle replays the per-dimension sums, the
-    ascending-index norm fold, and both roundings — the 64-element
-    centroid arrays hash-matched element for element."""
+    never vectors). The declared output serializes the centroid as a
+    comma-joined string of micro-units (round(x*1e6) as BIGINT — the
+    llm_quantize convention: the compare harness hashes scalars and
+    cannot sort list-typed columns; integer micro-units sidestep
+    engine-specific float→string formatting). The oracle replays the
+    per-dimension sums, the ascending-index norm fold, both roundings,
+    and the serialization — the 64-element centroids hash-matched
+    element for element."""
     from .operators import pool_embeddings
 
     e = load_table(spark, sf, "embeddings")
     return pool_embeddings(e.to_spark(), "label").select(
-        "label", "n_vectors", "centroid"
+        "label",
+        "n_vectors",
+        F.expr(
+            "concat_ws(',', transform(centroid, "
+            "x -> cast(cast(round(x * 1000000) as bigint) as string)))"
+        ).alias("centroid"),
     )
 
 
