@@ -211,6 +211,20 @@ def main() -> int:
                 raw_df = fn(spark, sf_dir)
                 raw = raw_df.to_spark() if hasattr(raw_df, "to_spark") else raw_df
                 _materialize(raw)
+                # release the operator's persisted intermediates via the
+                # ORIGINAL return value: to_spark() returns a new DataFrame
+                # object without the _mf_persisted attribute, so the raw
+                # leg used to leak one CacheManager entry per persisting
+                # entry (every entry's last run is a raw run) — the leak
+                # taxed every later query's analysis for the rest of the
+                # session AND let alternating wrapped/raw runs of the same
+                # entry short-circuit to InMemoryTableScan, corrupting the
+                # ratio in both directions (r15: the r14 "tail tax").
+                # Unpersist stays inside the timed window, matching the
+                # wrapped leg, where _materialize releases it.
+                handle = getattr(raw_df, "_mf_persisted", None)
+                if handle is not None:
+                    handle.unpersist()
                 base_samples.append(time.monotonic() - t0)
 
             # alternate execution order per iteration: the second run of a

@@ -1070,94 +1070,116 @@ def repetition_signals(
     are over :func:`tokens` (normalized lowercase), joined by single
     spaces.
 
-    Scale shape: one row-local flatten builds every (kind, unit) pair —
-    lines, paragraphs, and all nine n-gram widths — in a single codegen
-    projection (no Python), ONE explode feeds a
-    ``groupBy(id, kind, unit)`` count whose map-side partial combine
-    collapses each document's repeats before the exchange (shuffle
-    volume is distinct-unit-bounded, the same discipline as
-    ``llm_repetition``), and one second aggregate folds the per-unit
-    counts to one row per document. Skew is bounded by the per-document
-    key prefix — a pathological document cannot hot-spot a reducer
-    beyond its own distinct units."""
+    Scale shape: ZERO shuffles — every signal depends only on units of
+    the document's OWN row (the grouping key of the published
+    accounting is the document), so the whole filter set is computed
+    row-locally over per-kind ``array_sort``-ed unit arrays: duplicate
+    counts read adjacent equal neighbours in the sorted array, run
+    lengths come from run-start position deltas, and the top-gram
+    ``(count, length, gram)`` maximum is an ``array_max`` over the run
+    structs. The former shape — one explode into a
+    ``groupBy(id, kind, unit)`` — shuffled one distinct-unit-bounded
+    row per (doc, kind, unit) (2.2 M rows at sf0.1) only to regroup
+    them by the very document they came from; the row-local form moves
+    nothing and is embarrassingly parallel at any corpus size.
+    Per-row cost is O(units · log units) on bounded-size documents."""
     T, I = text_col, id_col
     base = df.filter(F.trim(F.col(T)) != "").select(
         F.col(I), F.col(T), F.length(F.col(T)).cast("double").alias("_chars")
     )
-    parts = [
+    kind_exprs = {
         # trimmed non-empty lines / blank-line paragraphs
-        "transform(filter(transform(split({t}, '\\n'), x -> trim(x)), "
-        "x -> x != ''), u -> struct('line' AS kind, u AS unit))".format(t=T),
-        "transform(filter(transform(split({t}, '\\n\\n+'), x -> trim(x)), "
-        "x -> x != ''), u -> struct('para' AS kind, u AS unit))".format(t=T),
-    ]
+        "line": "filter(transform(split({t}, '\\n'), x -> trim(x)), "
+        "x -> x != '')".format(t=T),
+        "para": "filter(transform(split({t}, '\\n\\n+'), x -> trim(x)), "
+        "x -> x != '')".format(t=T),
+    }
     for n in range(2, 11):
-        parts.append(
+        kind_exprs[f"g{n}"] = (
             f"IF(size(_t) >= {n}, transform(sequence(1, size(_t) - {n} + 1), "
-            f"i -> struct('g{n}' AS kind, array_join(slice(_t, i, {n}), ' ') "
-            "AS unit)), CAST(array() AS ARRAY<STRUCT<kind: STRING, unit: STRING>>))"
+            f"i -> array_join(slice(_t, i, {n}), ' ')), "
+            "CAST(array() AS ARRAY<STRING>))"
         )
-    units = (
-        base.withColumn("_t", tokens(F.col(T)))
-        .select(
-            I,
-            F.explode(F.expr("flatten(array(" + ", ".join(parts) + "))")).alias("_u"),
-        )
-        .select(I, F.col("_u.kind").alias("_k"), F.col("_u.unit").alias("_unit"))
+    # each sorted array is its own projected column, referenced several
+    # times downstream — CollapseProject keeps multi-referenced non-cheap
+    # aliases materialized, so the sort runs once per row per kind
+    sorted_units = base.withColumn("_t", tokens(F.col(T))).select(
+        I,
+        "_chars",
+        *[
+            F.expr(f"array_sort({e})").alias(f"_s_{kd}")
+            for kd, e in kind_exprs.items()
+        ],
     )
-    cnt = (
-        units.groupBy(I, "_k", "_unit")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("_l", F.length("_unit").cast("long"))
+
+    def _starts(kd: str) -> str:
+        # 1-based positions where a new run begins in the sorted array
+        s = f"_s_{kd}"
+        return (
+            f"filter(transform({s}, (x, i) -> "
+            f"IF(i = 0 OR x != element_at({s}, i), i + 1, 0)), p -> p > 0)"
+        )
+
+    with_starts = sorted_units.select(
+        "*", *[F.expr(_starts(f"g{n}")).alias(f"_st_g{n}") for n in (2, 3, 4)]
     )
-    k = F.col("_k")
-    c, l = F.col("_c"), F.col("_l")
-    aggs = []
-    for kind in ("line", "para"):
-        aggs += [
-            F.sum(F.when(k == kind, c)).alias(f"_n_{kind}"),
-            F.count(F.when(k == kind, True)).alias(f"_d_{kind}"),
-            F.sum(F.when((k == kind) & (c >= 2), c * l)).alias(f"_dc_{kind}"),
-        ]
-    for n in (2, 3, 4):
-        aggs.append(
-            F.max(F.when(k == f"g{n}", F.struct(c.alias("c"), l.alias("l"),
-                                                F.col("_unit").alias("u")))
-                  ).alias(f"_top_g{n}")
+
+    def _top_expr(kd: str) -> str:
+        # the (count, length, gram) maximum over runs — identical to the
+        # former max(struct(c, l, u)) over the grouped counts
+        s, st = f"_s_{kd}", f"_st_{kd}"
+        return (
+            f"array_max(transform({st}, (p, j) -> struct("
+            f"cast(IF(j < size({st}) - 1, element_at({st}, j + 2), "
+            f"size({s}) + 1) - p as bigint) AS c, "
+            f"cast(length(element_at({s}, p)) as bigint) AS l, "
+            f"element_at({s}, p) AS u)))"
         )
-    for n in range(5, 11):
-        aggs.append(
-            F.sum(F.when((k == f"g{n}") & (c >= 2), c * l)).alias(f"_dc_g{n}")
+
+    with_tops = with_starts.select(
+        "*", *[F.expr(_top_expr(f"g{n}")).alias(f"_tp_g{n}") for n in (2, 3, 4)]
+    )
+
+    def _dup_chars(kd: str):
+        # chars inside ALL occurrences of units appearing >= 2 times: a
+        # sorted element belongs to such a run iff it equals a neighbour
+        s = f"_s_{kd}"
+        return F.expr(
+            f"aggregate(transform({s}, (x, i) -> "
+            f"IF((i > 0 AND x = element_at({s}, i)) OR "
+            f"(i < size({s}) - 1 AND x = element_at({s}, i + 2)), "
+            f"cast(length(x) as bigint), 0L)), 0L, (a, v) -> a + v)"
         )
-    per = cnt.groupBy(I).agg(*aggs)
-    j = base.select(I, "_chars").join(per, I)
+
     zero = F.lit(0).cast("long")
     outs = [F.col(I)]
     metrics = {}
     for kind in ("line", "para"):
-        metrics[f"dup_{kind}_frac"] = F.round(
-            (F.col(f"_n_{kind}") - F.col(f"_d_{kind}"))
-            / F.col(f"_n_{kind}").cast("double"),
-            6,
+        n_u = F.size(f"_s_{kind}")
+        d_u = F.size(F.array_distinct(F.col(f"_s_{kind}")))
+        # (n - d)/n; NULL (not NaN) for a unit-less kind, matching the
+        # former sum-over-absent-rows semantics
+        metrics[f"dup_{kind}_frac"] = F.when(
+            n_u > 0, F.round((n_u - d_u) / n_u.cast("double"), 6)
         )
         metrics[f"dup_{kind}_char_frac"] = F.round(
-            F.coalesce(F.col(f"_dc_{kind}"), zero) / F.col("_chars"), 6
+            _dup_chars(kind) / F.col("_chars"), 6
         )
     for n in (2, 3, 4):
-        t = F.col(f"_top_g{n}")
+        t = F.col(f"_tp_g{n}")
         metrics[f"top_{n}gram_char_frac"] = F.round(
             F.coalesce(t["c"] * t["l"], zero) / F.col("_chars"), 6
         )
     for n in range(5, 11):
         metrics[f"dup_{n}gram_char_frac"] = F.round(
-            F.coalesce(F.col(f"_dc_g{n}"), zero) / F.col("_chars"), 6
+            _dup_chars(f"g{n}") / F.col("_chars"), 6
         )
     passed = F.lit(True)
     for name, thr in GOPHER_REP_THRESHOLDS.items():
         outs.append(metrics[name].alias(name))
         passed = passed & (metrics[name] <= F.lit(thr))
     outs.append(passed.alias("gopher_rep_pass"))
-    return j.select(*outs)
+    return with_tops.select(*outs)
 
 
 def language_scores(

@@ -6669,14 +6669,16 @@ def llm_rep_signals(spark, sf):
     corpus has no line structure, so duplicate lines (every 3rd doc) and
     duplicate paragraphs (every 5th) are injected deterministically in
     BOTH engines; n-gram repetition comes from the small-vocabulary text
-    itself. One row-local flatten builds lines + paragraphs + all nine
-    n-gram widths in a single codegen projection, one explode feeds the
-    distinct-unit-bounded groupBy (map-side combine collapses each doc's
-    repeats pre-shuffle), one second aggregate folds to a row per doc —
-    the oracle replays every unit split, count, deterministic top-gram
-    tie-break (c desc, len desc, unit desc ≡ Spark's struct max), round
-    and threshold verdict, so all 13 signals AND the boolean gate
-    hash-match."""
+    itself. ZERO shuffles: every signal depends only on the document's
+    own units, so the whole filter set is computed row-locally over
+    per-kind sorted unit arrays (duplicates = adjacent equal neighbours,
+    run lengths = run-start deltas, top-gram = array_max over run
+    structs) — the former explode→groupBy(id, kind, unit) shape moved
+    2.2 M (kind, unit) rows through an exchange at sf0.1 only to regroup
+    them by the document they came from. The oracle replays every unit
+    split, count, deterministic top-gram tie-break (c desc, len desc,
+    unit desc ≡ Spark's struct max), round and threshold verdict, so
+    all 13 signals AND the boolean gate hash-match."""
     from .operators.text import repetition_signals
 
     d = load_table(spark, sf, "documents").to_spark()

@@ -2,7 +2,7 @@
 """Capture .explain("formatted") for catalog entries into plans/<dir>/.
 
 Usage: python scripts/capture_plans.py <outdir-suffix> [entry,entry,...]
-Writes plans/r14/<entry>_<suffix>.txt for each requested entry (default:
+Writes plans/$PLANS_DIR (default r15)/<entry>_<suffix>.txt for each requested entry (default:
 all). Plans are the INITIAL (pre-AQE) formatted physical plans — the same
 artifact tests/test_plans.py lints. Entries that materialize eagerly
 (IVF stored layouts) still produce the final probe's plan.
@@ -27,7 +27,7 @@ def main() -> int:
     from metaframe_spark.session import get_session
 
     spark = get_session("capture_plans")
-    outdir = Path(_REPO) / "plans" / "r14"
+    outdir = Path(_REPO) / "plans" / os.environ.get("PLANS_DIR", "r15")
     outdir.mkdir(parents=True, exist_ok=True)
     names = sorted(only & set(QUERIES) if only else QUERIES)
     for name in names:

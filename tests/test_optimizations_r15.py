@@ -97,6 +97,35 @@ class TestPoolRoundingDeterminism:
         ).fetchall()[0][0]
         assert dv == v
 
+    def test_rep_signals_plan_has_no_exchange(self, spark):
+        # r15: repetition_signals is row-local — every signal depends only
+        # on the document's own units, so the former
+        # explode→groupBy(id, kind, unit) exchange (2.2 M rows at sf0.1)
+        # must stay gone
+        from metaframe_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c\nx\nx"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        out = repetition_signals(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # doc 1: lines = [a b c a b c, x, x] -> 3 units, 2 distinct,
+        # dup_line_frac = 1/3; the duplicated line "x" covers 2 chars of 15
+        assert rows[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[1]["dup_line_char_frac"] == pytest.approx(2 / 15, abs=1e-6)
+        # doc 1 top 2-gram: "a b"/"b c" occur 2x ("c a" once) -> tie broken
+        # by length then gram desc -> "b c" (3 chars, 2 occurrences), /15
+        assert rows[1]["top_2gram_char_frac"] == pytest.approx(6 / 15, abs=1e-6)
+        # doc 2: no repeated units — but the top-2gram metric counts the
+        # single most frequent gram even at c=1 (published accounting):
+        # max struct = (1, len, gram) -> "three four", 10 chars of 23
+        assert rows[2]["dup_line_frac"] == 0.0
+        assert rows[2]["dup_5gram_char_frac"] == 0.0
+        assert rows[2]["top_2gram_char_frac"] == pytest.approx(10 / 23, abs=1e-6)
+
     def test_plan_has_no_round_in_pool(self, spark):
         from metaframe_spark.operators import pool_embeddings
 
