@@ -759,11 +759,28 @@ def near_dup_groups(
         ).first()
         return (r["n"], r["h"])
 
+    def _ckpt_rdd(df: DataFrame):
+        """The persisted RDD behind a localCheckpoint()-ed DataFrame —
+        so a SUPERSEDED round's checkpoint can be released the moment the
+        next round has materialized, instead of every round's blocks
+        piling up until the ContextCleaner notices (O(rounds) live edge
+        snapshots; at 100 TB edge scale that is the executors' storage
+        memory). Returns None on any plan shape surprise — cleanup is
+        best-effort, never load-bearing."""
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                return plan.rdd()
+        except Exception:
+            pass
+        return None
+
     # convergence = two consecutive round outputs identical; seeding
     # prev_sig lazily (round 1's output) saves the initial signature job at
     # the cost of one extra round in the rare already-converged-input case
     prev_sig = None
     rounds = 0
+    prev_ckpt = None  # round k-1's checkpoint RDD, releasable after round k
     for _ in range(max_iterations):
         rounds += 1
         # LAZY checkpoint + signature in one action: the _sig aggregation
@@ -772,6 +789,14 @@ def near_dup_groups(
         # instead of the eager checkpoint's materialize-then-count pair
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = _sig(edges)
+        # the new round is materialized: its input (the previous round's
+        # checkpoint) can never be read again — release it now. The FINAL
+        # round's checkpoint is never released here: the labels plan below
+        # reads it. edges0 (the eager input checkpoint) is likewise kept —
+        # prev_ckpt starts at None, so round 1 releases nothing.
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(False)
+        prev_ckpt = _ckpt_rdd(edges)
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -1910,12 +1910,30 @@ def q41_percentiles(spark, sf):
     per-group sort of lineitem — the honest cost of an exact answer (the
     sketch path exists for when ±0.1% error is acceptable)."""
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 6).alias("p25_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50D)"), 6).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75D)"), 6).alias("p75_price"),
-        F.round(F.expr("percentile(l_discount, 0.50D)"), 6).alias("p50_disc"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    # one percentile(col, array(...)) buffer for the three price quantiles:
+    # separate percentile aggregates each build (and sort) their own
+    # value-count map of the same 600k values — the array form computes
+    # all three from a single map/sort (guide §1.2 per-task work);
+    # identical interpolation, identical output
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+            ).alias("_pp"),
+            F.round(F.expr("percentile(l_discount, 0.50D)"), 6).alias(
+                "p50_disc"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_pp")[0], 6).alias("p25_price"),
+            F.round(F.col("_pp")[1], 6).alias("p50_price"),
+            F.round(F.col("_pp")[2], 6).alias("p75_price"),
+            "p50_disc",
+            "n",
+        )
     )
 
 
@@ -5276,9 +5294,13 @@ def q88_histogram_quantiles(spark, sf):
         [0.5, 0.9],
         group_by=gb + ["n_below", "n_above", "n_in_range", "hist_checksum"],
     )
+    # one percentile buffer for both validation quantiles (see q41)
     exact = li.groupBy(*gb).agg(
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("_e50"),
-        F.expr("percentile(l_extendedprice, 0.9D)").alias("_e90"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("_e")
+    ).select(
+        *gb,
+        F.col("_e")[0].alias("_e50"),
+        F.col("_e")[1].alias("_e90"),
     )
     return (
         est.join(exact, gb)

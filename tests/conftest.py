@@ -12,6 +12,30 @@ from metaframe_spark.session import get_session  # noqa: E402
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
+# --- slow-test marking (r15 verdict next-#7) --------------------------------
+# The full suite is ~33 min of wall clock and the driver's test window cut
+# it at ~70% with zero failures (VERIFY_r14), so the slowest tests (>= 5 s
+# call time, measured in the r15 full-durations run) carry a `slow` marker
+# and pyproject's addopts deselects them by default (~16 min default set).
+# The list is data-driven: tests/slow_tests.txt holds the node ids. Run the
+# FULL suite with:  python -m pytest tests/ -m 'slow or not slow'
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+try:
+    with open(_SLOW_FILE) as _f:
+        _SLOW_IDS = {
+            ln.strip() for ln in _f if ln.strip() and not ln.startswith("#")
+        }
+except OSError:
+    _SLOW_IDS = set()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid.replace("\\", "/")
+        if nid in _SLOW_IDS or f"tests/{nid}" in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
